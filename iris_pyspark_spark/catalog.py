@@ -1,0 +1,68 @@
+"""Catalog: the ten engine tables (TESTDATA.md) as DataFrames + temp views.
+
+Parquet carries the schema, so there is no inference step; scans stay
+columnar + filter-pushdown-capable. The one normalization done here is
+`events.ts`: stored as parquet TIMESTAMP(NANOS), which Spark 4 cannot
+read natively — we read it as ns-int64 (`spark.sql.legacy.parquet.
+nanosAsLong=true`, set in session.configure) and truncate to µs
+TIMESTAMP_NTZ, exactly matching DuckDB's ns→µs truncation so oracle
+comparisons line up.
+
+All timestamps in the test data are NTZ (parquet isAdjustedToUTC=false),
+which Spark 4 reads as TIMESTAMP_NTZ — the same naive-timestamp semantics
+DuckDB uses, so no timezone reconciliation is needed anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import configure
+
+#: All engine tables, in dimension→fact order.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Tables small enough to always broadcast in joins at any scale factor —
+#: region/nation are fixed-cardinality dimensions (5 / 25 rows at every SF).
+BROADCASTABLE: frozenset[str] = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table from `{sf_dir}/{name}.parquet`, normalized."""
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ns-int64 → µs TIMESTAMP_NTZ. Integer `div` (not float /) so the
+        # 1.7e18-magnitude ns values lose no precision; truncation matches
+        # DuckDB's ns→µs cast.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view (same names the
+    driver's DuckDB oracle uses, so SQL queries read near-identically
+    on both engines)."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,279 @@
+"""Aggregation queries (SURVEY.md §2.4, A1–A9).
+
+Determinism notes:
+  * Double SUM/AVG straight off a single-file scan matches DuckDB
+    bit-exactly (same accumulation order); verified empirically.
+  * Post-join or multi-granularity double sums use integer-cents math.
+  * stddev/variance use the explicit sum-of-squares formula written
+    identically on both engines (library implementations differ in
+    merge order — observed 1-ulp mismatches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import load_table, load_tables
+from ..registry import register
+from .joins import CENTS_SQL, cents
+
+
+@register(
+    "a_global_stats",
+    oracle="""
+SELECT
+  COUNT(*)                    AS n_rows,
+  COUNT(DISTINCT l_orderkey)  AS n_orders,
+  SUM(l_quantity)             AS total_qty,
+  MIN(l_shipdate)             AS min_ship,
+  MAX(l_shipdate)             AS max_ship,
+  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_price
+FROM lineitem
+""",
+    tags=("A2", "A3"),
+)
+def a_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # avg over integer cents: COUNT(DISTINCT) in the same agg gives the
+    # plan an Expand node, which reorders double accumulation vs the
+    # oracle — exact integer sums are immune to ordering.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        (F.sum(cents(F.col("l_extendedprice"))) / 100.0 / F.count(F.lit(1))).alias(
+            "avg_price"
+        ),
+    )
+
+
+@register(
+    "a_count_distinct",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*)                    AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("A3",),
+)
+def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+# A4: HLL sketch — approximate by design, so no value oracle exists;
+# the driver records its weaker rows-only check (SURVEY.md §5.2).
+@register("a_approx_count_distinct", oracle=None, tags=("A4",))
+def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "a_rollup",
+    oracle=f"""
+SELECT r_name, n_name,
+       SUM({CENTS_SQL.format(expr="c_acctbal")}) / 100.0 AS total_acctbal,
+       COUNT(*) AS n
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    tags=("A5",),
+)
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
+    joined = t["customer"].join(
+        broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        (F.sum(cents(F.col("c_acctbal"))) / 100.0).alias("total_acctbal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("A5",),
+)
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty")
+    )
+
+
+@register(
+    "a_grouping_sets_sql",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    tags=("A5", "E2-sql"),
+)
+def a_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point (E2): identical text runs on both engines."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "a_having",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_parts, MAX(p_retailprice) AS max_price
+FROM part
+GROUP BY p_brand
+HAVING COUNT(*) > 50
+""",
+    tags=("A6",),
+)
+def a_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+        .filter(F.col("n_parts") > 50)
+    )
+
+
+@register(
+    "a_conditional_agg",
+    oracle="""
+SELECT
+  STRFTIME(ts, '%Y-%m-%d') AS day,
+  SUM(CASE WHEN event_type = 'click'    THEN value ELSE 0 END) AS click_value,
+  SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS purchase_value,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END)             AS n_errors
+FROM events
+GROUP BY STRFTIME(ts, '%Y-%m-%d')
+""",
+    tags=("A7",),
+)
+def a_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day emitted as a string: pandas-level date representations differ
+    # between engines (datetime.date vs datetime64), strings never do.
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)).alias(
+            "click_value"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("purchase_value"),
+        F.count(F.when(F.col("event_type") == "error", F.lit(1))).alias("n_errors"),
+    )
+
+
+@register(
+    "a_pivot",
+    oracle="""
+SELECT
+  c_nationkey,
+  COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS automobile,
+  COUNT(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 END) AS building,
+  COUNT(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 END) AS furniture,
+  COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 END) AS household,
+  COUNT(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 END) AS machinery
+FROM customer
+GROUP BY c_nationkey
+""",
+    tags=("A7",),
+)
+def a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `.pivot()` with an explicit value list (scale note: always
+    pass the value list — without it Spark runs an extra distinct job)."""
+    customer = load_table(spark, sf_dir, "customer")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    piv = (
+        customer.groupBy("c_nationkey")
+        .pivot("c_mktsegment", segs)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves missing combos null; oracle's COUNT(CASE...) yields 0
+    out = piv.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in segs],
+    )
+    return out
+
+
+@register(
+    "a_stats_formulas",
+    oracle="""
+SELECT
+  l_returnflag,
+  MIN(l_quantity) AS min_qty,
+  MAX(l_quantity) AS max_qty,
+  SQRT((SUM(l_quantity * l_quantity) - SUM(l_quantity) * SUM(l_quantity) / COUNT(*)) / (COUNT(*) - 1)) AS sd_qty,
+  MEDIAN(l_quantity) AS med_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("A8",),
+)
+def a_stats_formulas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev via the explicit formula so both engines run the identical
+    scalar expression over exact integer-valued sums (library stddev
+    implementations differ in the last ulp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    n = F.count(F.lit(1))
+    sd = F.sqrt(
+        (F.sum(q * q) - F.sum(q) * F.sum(q) / n) / (n - F.lit(1))
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.min(q).alias("min_qty"),
+        F.max(q).alias("max_qty"),
+        sd.alias("sd_qty"),
+        F.median(q).alias("med_qty"),
+    )
+
+
+@register(
+    "a_collect_list",
+    oracle="""
+SELECT r_name,
+       ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(n_name))), ',') AS nations
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    tags=("A9",),
+)
+def a_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set is order-insensitive; emit a sorted joined string so
+    the value comparison is well-defined on both engines."""
+    t = load_tables(spark, sf_dir, ("region", "nation"))
+    joined = t["nation"].join(
+        broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return joined.groupBy("r_name").agg(
+        F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations")
+    )

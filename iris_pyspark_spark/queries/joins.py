@@ -1,0 +1,321 @@
+"""Join queries (SURVEY.md §2.3, J1–J10).
+
+Scale strategy per join:
+  * Fixed-cardinality dims (region=5, nation=25) are explicitly
+    `broadcast()` — zero shuffle on the probe side at any SF.
+  * Fact-fact equi-joins (orders⋈lineitem) shuffle on the key; AQE
+    handles skew split + partition coalescing at runtime.
+  * The as-of join (J8) is the classic union-tag + window rewrite: one
+    shuffle on (user, time) instead of a per-row range probe, which is
+    the scalable plan for event-stream alignment.
+  * Post-join double SUMs use integer-cents math: a join reorders rows,
+    so raw double summation order would differ from the oracle's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def cents(col: F.Column) -> F.Column:
+    """Exact integer cents of a 2-decimal double (deterministic across
+    engines: same double input → same rounded integer)."""
+    return F.round(col * 100, 0).cast("long")
+
+
+#: DuckDB spelling of `cents` — same round-then-cast on the same doubles.
+CENTS_SQL = "CAST(ROUND({expr} * 100) AS BIGINT)"
+
+
+@register(
+    "j_inner_equi",
+    oracle="""
+SELECT o_orderkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+""",
+    tags=("J1",),
+)
+def j_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
+@register(
+    "j_broadcast_star",
+    oracle=f"""
+SELECT
+  n_name,
+  SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")}) / 100.0 AS revenue,
+  COUNT(*) AS n_items
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey   = c_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+""",
+    tags=("J2", "J6"),
+    headline=True,
+)
+def j_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped star join; the two fixed-size dims broadcast."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev_cents = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum(rev_cents) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "j_left_outer",
+    oracle="""
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+    tags=("J3",),
+)
+def j_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "j_full_outer",
+    oracle="""
+WITH o AS (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+     e AS (SELECT user_id   AS k, COUNT(*) AS n_events FROM events GROUP BY user_id)
+SELECT COALESCE(o.k, e.k) AS key, n_orders, n_events
+FROM o FULL OUTER JOIN e ON o.k = e.k
+""",
+    tags=("J3",),
+)
+def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    o = orders.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("n_orders"))
+    e = events.groupBy(F.col("user_id").alias("k")).agg(F.count(F.lit(1)).alias("n_events"))
+    return o.join(e, "k", "full").select(
+        F.col("k").alias("key"), "n_orders", "n_events"
+    )
+
+
+@register(
+    "j_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+""",
+    tags=("J4",),
+)
+def j_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 200000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    tags=("J5",),
+)
+def j_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "j_multiway_topk",
+    oracle=f"""
+SELECT
+  l_orderkey,
+  SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")}) / 100.0 AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey  = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    tags=("J6", "O2"),
+    headline=True,
+)
+def j_multiway_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3 shape: filtered 3-way join → grouped revenue → top-10
+    (total order incl. tie-break key, so LIMIT is deterministic)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    rev_cents = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem.filter(F.col("l_shipdate") > cutoff), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_cents) / 100.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "j_theta_range",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_late
+FROM orders JOIN lineitem
+  ON l_orderkey = o_orderkey
+ AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY o_orderpriority
+""",
+    tags=("J7",),
+)
+def j_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-conjunct + range predicate: Catalyst keeps the equi-join
+    (hash/SMJ) and applies the theta term as a post-join filter — no
+    nested-loop blowup."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(lineitem, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+
+
+@register(
+    "j_asof_last_click",
+    oracle="""
+SELECT
+  p.event_id,
+  p.user_id,
+  p.ts,
+  (SELECT MAX(c.ts) FROM events c
+    WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+  ) AS last_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+    tags=("J8",),
+    headline=True,
+)
+def j_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the scalable union-tag + window rewrite (see
+    operators/asof.py): one sort per user instead of a per-row range
+    probe. The oracle states the same semantics as a correlated
+    subquery, which DuckDB decorrelates."""
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        left=purchases,
+        right=clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+    ).select("event_id", "user_id", "ts", F.col("click_ts").alias("last_click_ts"))
+
+
+@register(
+    "j_cross",
+    oracle="""
+SELECT r_name, t.p_type, r_name || '/' || t.p_type AS label
+FROM region CROSS JOIN (SELECT DISTINCT p_type FROM part) t
+""",
+    tags=("J9",),
+)
+def j_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    types = part.select("p_type").distinct()
+    return region.crossJoin(types).select(
+        "r_name",
+        "p_type",
+        F.concat_ws("/", "r_name", "p_type").alias("label"),
+    )
+
+
+@register(
+    "j_self_pairs",
+    oracle="""
+SELECT a.n_regionkey AS region_key, a.n_name AS name_a, b.n_name AS name_b
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+""",
+    tags=("J10",),
+)
+def j_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.alias("a")
+    b = nation.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_regionkey").alias("region_key"),
+        F.col("a.n_name").alias("name_a"),
+        F.col("b.n_name").alias("name_b"),
+    )

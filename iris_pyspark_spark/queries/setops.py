@@ -1,0 +1,110 @@
+"""Sorts / limits / set operations (SURVEY.md §2.6, O1–O4).
+
+`ORDER BY ... LIMIT k` compiles to TakeOrderedAndProject in Spark —
+each partition keeps only its local top-k before a single merge, so the
+pattern is scale-safe (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "o_sort_limit",
+    oracle="""
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+ORDER BY p_retailprice DESC, p_partkey ASC
+LIMIT 20
+""",
+    tags=("O1", "O2"),
+)
+def o_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "o_union_all",
+    oracle="""
+SELECT kind, COUNT(*) AS n FROM (
+  SELECT 'hot'  AS kind, event_id FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'cold' AS kind, event_id FROM events WHERE event_type = 'error'
+) t GROUP BY kind
+""",
+    tags=("O3",),
+)
+def o_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hot = events.filter(F.col("event_type") == "click").select(
+        F.lit("hot").alias("kind"), "event_id"
+    )
+    cold = events.filter(F.col("event_type") == "error").select(
+        F.lit("cold").alias("kind"), "event_id"
+    )
+    return hot.unionByName(cold).groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "o_union_distinct",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+UNION
+SELECT user_id FROM events WHERE event_type = 'signup'
+""",
+    tags=("O3", "P7"),
+)
+def o_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "purchase").select("user_id")
+    b = events.filter(F.col("event_type") == "signup").select("user_id")
+    return a.union(b).distinct()
+
+
+@register(
+    "o_intersect",
+    oracle="""
+SELECT o_custkey AS key FROM orders
+INTERSECT
+SELECT user_id AS key FROM events
+""",
+    tags=("O4",),
+)
+def o_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    return orders.select(F.col("o_custkey").alias("key")).intersect(
+        events.select(F.col("user_id").alias("key"))
+    )
+
+
+@register(
+    "o_except",
+    oracle="""
+SELECT c_custkey AS key FROM customer WHERE c_custkey < 200
+EXCEPT
+SELECT user_id AS key FROM events WHERE event_type = 'purchase'
+""",
+    tags=("O4",),
+)
+def o_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    lhs = customer.filter(F.col("c_custkey") < 200).select(
+        F.col("c_custkey").alias("key")
+    )
+    rhs = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key")
+    )
+    # SQL EXCEPT is distinct-based; Spark's subtract() matches that.
+    return lhs.subtract(rhs)

@@ -1,0 +1,157 @@
+"""Window-function queries (SURVEY.md §2.5, W1–W4).
+
+Every window has a total order (explicit tie-break keys) so ranking
+output is deterministic; framed double sums run on integer cents so the
+frame-accumulation order (incremental in Spark vs segment-tree in other
+engines) cannot produce last-ulp drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table, load_tables
+from ..registry import register
+from .joins import CENTS_SQL, cents
+
+
+@register(
+    "w_topk_per_group",
+    oracle="""
+SELECT c_mktsegment, rnk, o_orderkey, o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) t
+WHERE rnk <= 3
+""",
+    tags=("W1", "W4"),
+    headline=True,
+)
+def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    joined = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "w_rank_dense_ntile",
+    oracle="""
+SELECT p_type, p_partkey, p_retailprice,
+       RANK()       OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) AS price_rank,
+       DENSE_RANK() OVER (PARTITION BY p_type ORDER BY p_size) AS size_dense_rank,
+       NTILE(4)     OVER (PARTITION BY p_type ORDER BY p_retailprice, p_partkey) AS price_quartile
+FROM part
+""",
+    tags=("W1",),
+)
+def w_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    by_price_desc = Window.partitionBy("p_type").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    by_size = Window.partitionBy("p_type").orderBy("p_size")
+    by_price = Window.partitionBy("p_type").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_type",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(by_price_desc).alias("price_rank"),
+        F.dense_rank().over(by_size).alias("size_dense_rank"),
+        F.ntile(4).over(by_price).alias("price_quartile"),
+    )
+
+
+@register(
+    "w_lag_lead_gap",
+    oracle="""
+SELECT event_id, user_id,
+       EPOCH_US(ts) - EPOCH_US(LAG(ts)  OVER w) AS gap_us,
+       LEAD(event_type) OVER w                  AS next_type,
+       FIRST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_event
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("W2",),
+)
+def w_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    return events.select(
+        "event_id",
+        "user_id",
+        (us - prev_us).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_id").over(wf).alias("first_event"),
+    )
+
+
+@register(
+    "w_running_sum",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       SUM({CENTS_SQL.format(expr="o_totalprice")})
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total
+FROM orders
+""",
+    tags=("W3",),
+)
+def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents(F.col("o_totalprice"))).over(w) / 100.0).alias("running_total"),
+    )
+
+
+@register(
+    "w_moving_avg",
+    oracle=f"""
+SELECT event_id, user_id,
+       SUM({CENTS_SQL.format(expr="value")})
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       / 100.0
+       / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
+FROM events
+WHERE event_type = 'purchase'
+""",
+    tags=("W3",),
+)
+def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(cents(F.col("value"))).over(w) / 100.0 / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    )

@@ -1,0 +1,70 @@
+"""SparkSession factory with scale-aware defaults.
+
+One session per process; all knobs are safe on a real multi-executor
+cluster (they tune *plan* behavior, not local-mode hacks):
+
+  * AQE on (runtime re-planning, partition coalescing, skew-join split).
+  * Arrow on (vectorized pandas interchange for the UDF slow-path).
+  * `nanosAsLong` on: the `events` table is parquet TIMESTAMP(NANOS),
+    which Spark 4 refuses to read natively; we read it as raw ns-int64
+    and convert to TIMESTAMP_NTZ in the catalog (catalog.py).
+  * shuffle.partitions defaults small for the MB-scale test data; at
+    real scale AQE coalescing makes the static number mostly moot, and
+    callers can override via IRIS_PYSPARK_SHUFFLE_PARTITIONS.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime (SQL) confs — settable on an existing session too, which is how we
+#: harden sessions handed to us by external drivers (see `configure`).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent).
+
+    Used both by our own factory and on driver-provided sessions, since
+    reading `events.parquet` is impossible without `nanosAsLong`.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build — keep going, reads may still work
+    return spark
+
+
+def get_spark(
+    app_name: str = "iris_pyspark_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or fetch) the process-wide SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("IRIS_PYSPARK_SHUFFLE_PARTITIONS", "32")
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("IRIS_PYSPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return configure(spark)

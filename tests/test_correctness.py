@@ -1,0 +1,49 @@
+"""Replica of the driver's t2 gate: every registered query vs its DuckDB
+oracle at sf0.01 — row count, coarse schema, order-insensitive values.
+
+Queries without an oracle get the driver's weaker check here too:
+they must run and return a stable schema with >= 1 row.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iris_pyspark_spark.registry import load_all
+from iris_pyspark_spark.testing import compare_frames
+
+REGISTRY = load_all()
+ORACLE_CHECKED = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_oracle_match(name, spark, oracle, sf_dir):
+    q = REGISTRY[name]
+    spark_pdf = q.fn(spark, sf_dir).toPandas()
+    oracle_pdf = oracle.execute(q.oracle).df()
+    res = compare_frames(spark_pdf, oracle_pdf)
+    assert res.ok, f"{name}: {res.detail}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only(name, spark, sf_dir):
+    q = REGISTRY[name]
+    df = q.fn(spark, sf_dir)
+    assert len(df.columns) > 0
+    assert df.count() >= 1, f"{name}: returned no rows"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as se
+
+    df = se.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_query_has_registry_consistency():
+    import __spark_entry__ as se
+
+    qs, oracles = se.queries(), se.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) == len(REGISTRY)
