@@ -1,0 +1,225 @@
+"""Event-time windowing over `events` (SURVEY.md §2.9, T1–T7).
+
+Batch-first: each op is a batch DataFrame query whose window semantics
+match Structured Streaming's exactly (same `window`/`session_window`
+expressions), so the streaming re-run in streaming/jobs.py produces the
+same frames. Correctness is oracle-checked here in batch.
+
+Window boundaries are emitted as epoch seconds (BIGINT) — integer math
+on both engines, immune to timestamp-representation drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import load_table
+from ..registry import register
+from .joins import CENTS_SQL, cents
+
+
+@register(
+    "t_tumbling_window",
+    oracle=f"""
+SELECT
+  (CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT)) * 3600 AS window_start_epoch,
+  event_type,
+  COUNT(*) AS n,
+  SUM({CENTS_SQL.format(expr="value")}) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("T1",),
+    headline=True,
+)
+def t_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy(window(ts, '1 hour')) — the same expression Structured
+    Streaming runs incrementally with a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "t_sliding_window",
+    oracle="""
+WITH offsets AS (SELECT UNNEST([0, 1, 2, 3]) AS j)
+SELECT
+  CAST(FLOOR(EPOCH(ts) / 900) AS BIGINT) * 900 - j * 900 AS window_start_epoch,
+  COUNT(*) AS n
+FROM events, offsets
+GROUP BY 1
+""",
+    tags=("T2",),
+)
+def t_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min: each event lands in 4 windows.
+    The oracle states the same assignment with integer epoch math."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "n",
+        )
+    )
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT
+    user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT
+    user_id, ts, value,
+    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_id
+  FROM flagged
+)
+SELECT
+  user_id,
+  session_id,
+  COUNT(*) AS n_events,
+  EPOCH_US(MIN(ts)) // 1000000 AS session_start_epoch,
+  EPOCH_US(MAX(ts)) // 1000000 AS session_end_epoch
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("t_sessionize_gap", oracle=_SESSION_ORACLE, tags=("T4",), headline=True)
+def t_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit gap-based sessionization (30-min gap) via the reusable
+    operator; the oracle is the identical two-window SQL."""
+    from ..operators.sessionize import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, key="user_id", ts="ts", gap_seconds=1800, tie_break="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_seconds(F.min("ts").cast("timestamp")).alias("session_start_epoch"),
+        F.unix_seconds(F.max("ts").cast("timestamp")).alias("session_end_epoch"),
+    )
+
+
+@register(
+    "t_session_window_native",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT
+  user_id,
+  EPOCH_US(MIN(ts)) // 1000000          AS session_start_epoch,
+  EPOCH_US(MAX(ts)) // 1000000 + 1800   AS session_end_epoch,
+  COUNT(*)                              AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+    tags=("T3",),
+)
+def t_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window(ts, '30 minutes'): window.end is last event
+    + gap, which the oracle states explicitly (DuckDB has no session
+    windows — SURVEY.md §7 'hard parts')."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_seconds(F.col("session_window.start").cast("timestamp")).alias(
+                "session_start_epoch"
+            ),
+            F.unix_seconds(F.col("session_window.end").cast("timestamp")).alias(
+                "session_end_epoch"
+            ),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "t_dedup_by_key",
+    oracle="""
+SELECT event_id, user_id, event_type FROM (
+  SELECT * FROM events UNION ALL SELECT * FROM events
+) t
+GROUP BY event_id, user_id, event_type
+""",
+    tags=("T7", "P7"),
+)
+def t_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of streaming dropDuplicates: duplicate the stream, then
+    dedup by key. (Streaming parity: dropDuplicatesWithinWatermark in
+    streaming/jobs.py.)"""
+    e = load_table(spark, sf_dir, "events")
+    doubled = e.unionByName(e)
+    return doubled.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "t_stream_static_join",
+    oracle=f"""
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_events,
+  SUM({CENTS_SQL.format(expr="value")}) / 100.0 AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment
+""",
+    tags=("T6",),
+)
+def t_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-static enrichment join (the static dim is
+    broadcast — the plan a streaming micro-batch would want too)."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .join(broadcast(c), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+    )

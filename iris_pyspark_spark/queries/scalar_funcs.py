@@ -1,0 +1,272 @@
+"""Scalar function families (SURVEY.md §2.7, F1–F7).
+
+One query per family, each exercising several functions. All functions
+here are JVM built-ins (whole-stage codegen) — never Python UDFs.
+
+Cross-engine hazards handled:
+  * regexp_replace: DuckDB replaces first match only → 'g' flag.
+  * datediff argument order is reversed between engines.
+  * day-of-week numbering differs → derived from ISO dow identically.
+  * libm 1-ulp divergence (exp/ln/pow on arbitrary doubles) → rounded
+    to 6 decimals on both sides (round boundaries of irrational results
+    are measure-zero).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "f_string_funcs",
+    oracle="""
+SELECT
+  c_custkey,
+  UPPER(c_mktsegment)                              AS seg_upper,
+  LOWER(c_name)                                    AS name_lower,
+  TRIM(CONCAT('  ', c_name, '  '))                 AS name_trimmed,
+  SUBSTRING(c_name, 1, 8)                          AS name_prefix,
+  LENGTH(c_name)                                   AS name_len,
+  CONCAT(c_mktsegment, ':', c_name)                AS seg_name,
+  REGEXP_EXTRACT(c_name, 'Customer#(\\d+)', 1)     AS cust_digits,
+  REGEXP_REPLACE(c_name, '0', 'O', 'g')            AS name_os,
+  LPAD(CAST(c_nationkey AS VARCHAR), 4, '0')       AS nation_padded,
+  REVERSE(c_mktsegment)                            AS seg_rev
+FROM customer
+""",
+    tags=("F1",),
+)
+def f_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("name_trimmed"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("seg_name"),
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).alias("cust_digits"),
+        F.regexp_replace("c_name", "0", "O").alias("name_os"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+    )
+
+
+@register(
+    "f_split_explode",
+    oracle="""
+SELECT p_partkey,
+       STRING_SPLIT(p_name, ' ')[1] AS first_word,
+       LEN(STRING_SPLIT(p_name, ' ')) AS n_words
+FROM part
+""",
+    tags=("F1", "F4"),
+)
+def f_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.element_at(words, 1).alias("first_word"),
+        F.size(words).alias("n_words"),
+    )
+
+
+@register(
+    "f_date_funcs",
+    oracle="""
+SELECT
+  o_orderkey,
+  YEAR(o_orderdate)                              AS y,
+  MONTH(o_orderdate)                             AS m,
+  DAY(o_orderdate)                               AS d,
+  QUARTER(o_orderdate)                           AS q,
+  (ISODOW(o_orderdate) % 7) + 1                  AS dow_sunday1,
+  DATE_TRUNC('month', o_orderdate)               AS month_start,
+  DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start,
+  o_orderdate + INTERVAL 30 DAY                  AS due_date,
+  CAST(EPOCH(o_orderdate) AS BIGINT)             AS epoch_sec
+FROM orders
+""",
+    tags=("F2",),
+)
+def f_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    # Spark dayofweek is Sunday=1; state it via ISO dow so both engines
+    # compute the same formula ((isodow % 7) + 1 == dayofweek).
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.quarter(d).alias("q"),
+        F.dayofweek(d).alias("dow_sunday1"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        (d + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.unix_seconds(d.cast("timestamp")).alias("epoch_sec"),
+    )
+
+
+@register(
+    "f_math_funcs",
+    oracle="""
+SELECT
+  p_partkey,
+  CAST(FLOOR(p_retailprice) AS BIGINT)   AS price_floor,
+  CAST(CEIL(p_retailprice) AS BIGINT)    AS price_ceil,
+  ABS(p_size - 25)                       AS size_dev,
+  ((p_partkey % 7) + 7) % 7              AS key_mod7,
+  CAST(POW(2, p_size % 5) AS BIGINT)     AS pow2,
+  CAST(SIGN(p_retailprice - 1000) AS INT) AS above_1k,
+  ROUND(SQRT(CAST(p_size AS DOUBLE)), 6) AS sqrt_size,
+  ROUND(LN(p_retailprice), 6)            AS ln_price,
+  ROUND(EXP(CAST(p_size AS DOUBLE) / 50), 6) AS exp_size
+FROM part
+""",
+    tags=("F3",),
+)
+def f_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    size = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        F.floor(price).alias("price_floor"),
+        F.ceil(price).alias("price_ceil"),
+        F.abs(size - 25).alias("size_dev"),
+        F.pmod("p_partkey", F.lit(7)).alias("key_mod7"),
+        F.pow(F.lit(2), size % 5).cast("long").alias("pow2"),
+        F.signum(price - 1000).cast("int").alias("above_1k"),
+        F.round(F.sqrt(size.cast("double")), 6).alias("sqrt_size"),
+        F.round(F.log(price), 6).alias("ln_price"),
+        F.round(F.exp(size.cast("double") / 50), 6).alias("exp_size"),
+    )
+
+
+@register(
+    "f_array_funcs",
+    oracle="""
+SELECT
+  vec_id,
+  LEN(embedding)                                    AS dim,
+  embedding[1]                                      AS first_elem,
+  embedding[1:4]                                    AS head4,
+  LIST_REDUCE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b)                      AS norm_sq,
+  LIST_SORT(embedding[1:4])                         AS head4_sorted,
+  LEN(LIST_DISTINCT([label, label % 3, 7]))         AS n_distinct_labels
+FROM embeddings
+""",
+    tags=("F4",),
+)
+def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).alias("first_elem"),
+        F.slice(emb, 1, 4).alias("head4"),
+        F.aggregate(
+            F.transform(emb, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("norm_sq"),
+        F.sort_array(F.slice(emb, 1, 4)).alias("head4_sorted"),
+        F.size(
+            F.array_distinct(F.array(F.col("label"), F.col("label") % 3, F.lit(7)))
+        ).alias("n_distinct_labels"),
+    )
+
+
+@register(
+    "f_map_funcs",
+    oracle="""
+SELECT
+  doc_id,
+  'lang'                                        AS k1,
+  lang                                          AS v1,
+  MAP(['lang', 'source'], [lang, source])['lang'][1] AS lang_via_map,
+  ARRAY_TO_STRING(MAP_KEYS(MAP(['lang', 'source'], [lang, source])), ',') AS keys_csv
+FROM documents
+""",
+    tags=("F5",),
+)
+def f_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.lit("lang").alias("k1"),
+        F.col("lang").alias("v1"),
+        F.element_at(m, "lang").alias("lang_via_map"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
+
+
+@register(
+    "f_json_funcs",
+    oracle="""
+SELECT
+  event_id,
+  JSON_EXTRACT_STRING(props, '$.k')              AS k_str,
+  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_int,
+  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) > 50 AS k_gt50
+FROM events
+""",
+    tags=("F6",),
+)
+def f_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        k_str.alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        (parsed.getField("k") > 50).alias("k_gt50"),
+    )
+
+
+@register(
+    "f_hash_funcs",
+    oracle="""
+SELECT
+  doc_id,
+  MD5(text)                       AS text_md5,
+  SHA256(lang)                    AS lang_sha256
+FROM documents
+""",
+    tags=("F7",),
+)
+def f_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("lang", 256).alias("lang_sha256"),
+    )
+
+
+# xxhash64 / crc32 have no DuckDB equivalents → rows-only check; they are
+# the hash basis for the dedup operators so they get their own entry.
+@register("f_hash_spark_native", oracle=None, tags=("F7",))
+def f_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.crc32("lang").alias("lang_crc32"),
+        F.hash("text", "lang").alias("row_hash32"),
+    )

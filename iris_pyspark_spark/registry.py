@@ -46,6 +46,8 @@ _QUERY_MODULES = (
     "aggregates",
     "windows",
     "setops",
+    "scalar_funcs",
+    "events_windows",
 )
 
 
