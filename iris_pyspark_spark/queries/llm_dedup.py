@@ -1,0 +1,142 @@
+"""Deduplication queries over `documents` (SURVEY.md §2.10 N1/N2).
+
+The test corpus has no duplicates, so each query constructs a
+deterministic duplicated corpus inline (original ∪ variants) and then
+runs the dedup operator — exercising the operator against known truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from ..registry import register
+
+
+@register(
+    "n_exact_dedup",
+    oracle="""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, UPPER(text) FROM documents
+),
+hashed AS (SELECT doc_id, SHA256(LOWER(TRIM(text))) AS h FROM all_docs),
+grouped AS (SELECT h, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM hashed GROUP BY h)
+SELECT doc_id, n_copies FROM grouped
+""",
+    tags=("N1",),
+    headline=True,
+)
+def n_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text sha256: the corpus is doubled with
+    case-mangled copies; every survivor must report n_copies = 2."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.upper("text").alias("text")
+    )
+    corpus = d.unionByName(mangled)
+    return exact_dedup(corpus, "doc_id", "text").select("doc_id", "n_copies")
+
+
+@register(
+    "n_ngram_jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, UNNEST(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS tok
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM toks a JOIN toks b
+    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_shared,
+       n_shared / CAST(sa.n_tok + sb.n_tok - n_shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared / CAST(sa.n_tok + sb.n_tok - n_shared AS DOUBLE) >= 0.5
+""",
+    tags=("N2",),
+)
+def n_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup detection, blocked by `source`
+    (the blocking column is what keeps this linear-ish at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", block_col="source", min_jaccard=0.5)
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup variants: first 50 docs get a copy with two
+    tokens appended (high but not perfect Jaccard)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = (
+        d.filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended token")).alias("text"),
+        )
+    )
+    return d.unionByName(variants)
+
+
+# MinHash uses xxhash64, which DuckDB lacks → deterministic rows-only.
+@register("n_minhash_lsh", oracle=None, tags=("N2",), headline=True)
+def n_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 hashes) + LSH(8 bands × 4 rows) candidate pairs over a
+    corpus with 50 planted near-dups. Fixed hash seeds → deterministic."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = lsh_candidate_pairs(
+        corpus, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8
+    )
+    return pairs.filter(F.col("est_jaccard") >= 0.5).orderBy("id_a", "id_b")
+
+
+@register("n_simhash", oracle=None, tags=("N2",))
+def n_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (Hamming ≤ 8) over the same planted
+    near-dup corpus; blocking on the top 16 bits keeps the pair space
+    an equi-join."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sigs = corpus.select(
+        "doc_id",
+        simhash64("split(lower(text), ' ')").alias("simhash"),
+    )
+    return simhash_near_pairs(sigs, "doc_id", "simhash", max_hamming=8, block_bits=16)
+
+
+@register("n_minhash_lsh_mllib", oracle=None, tags=("N2",))
+def n_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library path: pyspark.ml MinHashLSH approxSimilarityJoin over
+    hashed shingle vectors (fixed seed). Complements the pure-DataFrame
+    implementation above."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 14)
+    feats = tf.transform(toks).filter(F.expr("features IS NOT NULL"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,155 @@
+"""Similarity-search queries over `embeddings` (SURVEY.md §2.10 N3/N4).
+
+Three tiers:
+  * all-pairs cosine top-k (baseline; quadratic by nature),
+  * brute-force kNN for a small query set (broadcast → map-side scan),
+  * IVF kNN (centroid pruning — the scale path: candidate generation
+    becomes an equi-join on the cell id).
+
+Doubles come from fixed-order folds (operators/similarity.py), so the
+DuckDB oracle states the identical fold and values match bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..operators.similarity import cosine, cosine_sql, knn_bruteforce, l2_sq, l2_sq_sql
+from ..registry import register
+
+_COS_AB = cosine_sql("a.embedding", "b.embedding")
+
+
+@register(
+    "n_cosine_topk",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         {_COS_AB} AS sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM pairs
+) t WHERE rnk <= 3
+""",
+    tags=("N3", "W4"),
+    headline=True,
+)
+def n_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine, top-3 neighbors per vector."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.alias("a")
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_b")
+    ).alias("b")
+    pairs = a.crossJoin(b).filter(F.col("vec_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("sim", cosine(F.col("embedding"), F.col("emb_b")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("vec_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+@register(
+    "n_knn_bruteforce",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_COS_AB} AS sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM pairs
+) t WHERE rnk <= 5
+""",
+    tags=("N4",),
+)
+def n_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 nearest neighbors for a 10-vector query set: queries are
+    broadcast, the corpus is scanned once map-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding"))
+    out = knn_bruteforce(
+        queries, corpus,
+        q_id="query_id", c_id="neighbor_id", q_vec="q_emb", c_vec="embedding",
+        k=5, metric="cosine",
+    )
+    return out.select("query_id", "neighbor_id", "sim", F.col("rnk"))
+
+
+@register(
+    "n_ivf_knn",
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT v.vec_id, v.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {l2_sq_sql("v.embedding", "c.cemb")} ASC, c.cid ASC) AS rnk
+    FROM embeddings v, centroids c
+  ) t WHERE rnk = 1
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, a.cid AS cell_id, b.vec_id AS neighbor_id,
+         {_COS_AB} AS sim
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+)
+SELECT query_id, cell_id, neighbor_id, sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM pairs
+) t WHERE rnk <= 3
+""",
+    tags=("N4", "N3"),
+)
+def n_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned kNN: assign every vector to its nearest centroid
+    (deterministic 'training': every 50th vector is a centroid), then
+    search only within the query's cell — candidate generation is an
+    equi-join on cell id instead of a cross join."""
+    from ..operators.similarity import ivf_assign
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    assigned = ivf_assign(e, centroids, v_id="vec_id", c_id="cid", v_vec="embedding", c_vec="cemb")
+
+    a = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid").alias("cell_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cid").alias("cell_id_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("cell_id") == F.col("cell_id_b"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("sim", cosine(F.col("q_emb"), F.col("emb_b")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "cell_id", "neighbor_id", "sim", "rnk")
+    )

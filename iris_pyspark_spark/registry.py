@@ -48,6 +48,9 @@ _QUERY_MODULES = (
     "setops",
     "scalar_funcs",
     "events_windows",
+    "llm_text",
+    "llm_dedup",
+    "llm_similarity",
 )
 
 
