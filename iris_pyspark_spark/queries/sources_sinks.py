@@ -1,0 +1,166 @@
+"""S2-S6: non-parquet scans, sinks, and the in-memory source.
+
+Each query round-trips driver parquet through the target format so the
+result is oracle-checkable against the original table (see
+iris_pyspark_spark.sources). The aggregation after read-back keeps the
+checked output small and deterministic regardless of file split count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import register
+from ..sources import scratch_dir
+
+# --- S2: CSV scan (schema-inferred, the reference's Iris-CSV idiom) --------
+
+_CSV_ORACLE = """
+SELECT n_regionkey,
+       COUNT(*)        AS n_nations,
+       MIN(n_name)     AS first_name,
+       MAX(n_nationkey) AS max_key
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register("s_csv_scan_roundtrip", oracle=_CSV_ORACLE, tags=("S2", "S4"))
+def s_csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir(sf_dir, "nation_csv")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    back = spark.read.csv(path, header=True, inferSchema=True)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.max("n_nationkey").alias("max_key"),
+    )
+
+
+# --- S3: JSON-lines scan ---------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT lang,
+       COUNT(*)     AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id)  AS min_doc
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("s_json_scan_roundtrip", oracle=_JSON_ORACLE, tags=("S3", "S4"))
+def s_json_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir(sf_dir, "documents_json")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.json(path)  # schema inferred from JSON lines
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+# --- S4: parquet sink round-trip (filter survives the rewrite) -------------
+
+_PARQUET_SINK_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*)              AS n_items,
+       SUM(l_extendedprice)  AS total_price
+FROM lineitem
+WHERE l_quantity > 40
+GROUP BY l_returnflag
+"""
+
+
+@register("s_parquet_sink_roundtrip", oracle=_PARQUET_SINK_ORACLE, tags=("S1", "S4"))
+def s_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir(sf_dir, "lineitem_hiqty_parquet")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
+    li.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_extendedprice").alias("total_price"),
+    )
+
+
+# --- S5: partitioned sink + static partition pruning on read-back ----------
+
+_PARTITIONED_ORACLE = """
+SELECT source,
+       COUNT(*)        AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang IN ('en', 'de')
+GROUP BY source
+"""
+
+
+@register("s_partitioned_sink_pruned", oracle=_PARTITIONED_ORACLE, tags=("S5",))
+def s_partitioned_sink_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir(sf_dir, "documents_by_lang")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "lang"
+    )
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path)
+    # lang is now a partition column: this filter prunes directories, not rows.
+    return (
+        back.filter(F.col("lang").isin("en", "de"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# --- S6: in-memory source (createDataFrame) joined to a scanned table ------
+
+_SEGMENTS = [
+    ("BUILDING", 1),
+    ("AUTOMOBILE", 2),
+    ("MACHINERY", 3),
+    ("HOUSEHOLD", 4),
+    ("FURNITURE", 5),
+]
+
+_IN_MEMORY_ORACLE = """
+SELECT seg.tier                 AS tier,
+       COUNT(*)                 AS n_customers,
+       SUM(c.c_acctbal)         AS total_balance
+FROM customer c
+JOIN (VALUES {values}) AS seg(segment, tier)
+  ON c.c_mktsegment = seg.segment
+GROUP BY seg.tier
+""".format(values=", ".join(f"('{s}', {t})" for s, t in _SEGMENTS))
+
+
+@register("s_in_memory_source_join", oracle=_IN_MEMORY_ORACLE, tags=("S6", "J2"))
+def s_in_memory_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("segment", T.StringType()),
+            T.StructField("tier", T.IntegerType()),
+        ]
+    )
+    seg = spark.createDataFrame([Row(segment=s, tier=t) for s, t in _SEGMENTS], schema)
+    cust = load_table(spark, sf_dir, "customer")
+    # 5-row literal table: always broadcast — no shuffle at any scale.
+    return (
+        cust.join(F.broadcast(seg), cust.c_mktsegment == seg.segment)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").alias("total_balance"),
+        )
+    )
