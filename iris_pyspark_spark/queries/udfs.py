@@ -1,0 +1,219 @@
+"""U1-U5: the Python UDF surface (SURVEY.md §2.8).
+
+Every shape Spark offers for user Python code, each oracle-checked
+against pure-SQL DuckDB — proving the UDF output matches what the
+declarative form computes:
+
+  U1 scalar @pandas_udf            — Arrow-vectorized Series→Series
+  U2 groupBy().applyInPandas       — grouped-map (pandas per group)
+  U3 @pandas_udf GROUPED_AGG       — pandas UDAF inside .agg()
+  U4 @udtf                         — Python table function (lateral rows)
+  U5 mapInPandas (iterator form)   — per-partition init + batch stream
+
+Determinism: float outputs either copy input columns untouched or use
+elementwise arithmetic in the same operation order as the oracle (IEEE
+doubles are bit-equal then), with sums in integer cents (joins.cents).
+
+Scale notes: all UDFs here are Arrow-batched (no row-at-a-time pickling
+except the UDTF, which is inherently per-row — kept for surface
+completeness, not the hot path). On a real cluster each runs inside the
+executor's Python worker against its own partition: no collect, no
+driver funnel. The equivalent built-in-function forms of U1/U3/U5 live
+in other query modules; UDFs are the escape hatch, not the default.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..catalog import load_table
+from ..registry import register
+from .joins import CENTS_SQL
+
+# --- U1: scalar pandas UDF (Series → Series, Arrow-vectorized) -------------
+
+_U1_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount) * (1 + l_tax)")})
+         AS BIGINT) AS charge_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_quantity >= 30
+GROUP BY l_returnflag
+"""
+
+
+def _make_charge_udf():
+    @pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        # Same elementwise operation order as the oracle expression → bit-equal.
+        return price * (1 - disc) * (1 + tax)
+
+    return charge
+
+
+@register("u_scalar_pandas_udf", oracle=_U1_ORACLE, tags=("U1",))
+def u_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    charge = _make_charge_udf()("l_extendedprice", "l_discount", "l_tax")
+    charge_cents = F.round(charge * 100, 0).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(charge_cents).alias("charge_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- U2: grouped-map applyInPandas (top-3 orders per priority) -------------
+
+_U2_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+"""
+
+_U2_SCHEMA = (
+    "o_orderpriority string, o_orderkey long, o_totalprice double, rk int"
+)
+
+
+def _top3_per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(3)
+    out = out.assign(rk=range(1, len(out) + 1))
+    return out[["o_orderpriority", "o_orderkey", "o_totalprice", "rk"]]
+
+
+@register("u_grouped_map_apply_in_pandas", oracle=_U2_ORACLE, tags=("U2",))
+def u_grouped_map_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return orders.groupBy("o_orderpriority").applyInPandas(_top3_per_group, _U2_SCHEMA)
+
+
+# --- U3: grouped-agg pandas UDAF (price spread per group) ------------------
+
+_U3_ORACLE = """
+SELECT l_returnflag,
+       MAX(l_extendedprice) - MIN(l_extendedprice) AS price_spread,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def _make_spread_udaf():
+    @pandas_udf("double")
+    def spread(price: pd.Series) -> float:
+        # max/min are order-insensitive and exact on doubles → deterministic.
+        return float(price.max() - price.min())
+
+    return spread
+
+
+def _make_count_udaf():
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates in
+    # one .agg(), so the row count is a pandas UDAF too.
+    @pandas_udf("long")
+    def n_rows(price: pd.Series) -> int:
+        return int(len(price))
+
+    return n_rows
+
+
+@register("u_grouped_agg_pandas_udaf", oracle=_U3_ORACLE, tags=("U3",))
+def u_grouped_agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _make_spread_udaf()("l_extendedprice").alias("price_spread"),
+        _make_count_udaf()("l_extendedprice").alias("n_items"),
+    )
+
+
+# --- U4: Python UDTF (lateral word expansion with position) ----------------
+
+_U4_ORACLE = """
+SELECT doc_id,
+       unnest(parts[1:5]) AS word,
+       CAST(unnest(generate_series(1, least(5, len(parts)))) AS INT) AS pos
+FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
+"""
+
+
+class _LeadingWords:
+    """Emit the first 5 space-separated tokens of a text with 1-based
+    positions. Split on a literal single space (keeping empty tokens) to
+    match DuckDB's string_split semantics exactly."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i, w in enumerate(text.split(" ")[:5], start=1):
+            yield (w, i)
+
+
+@register("u_udtf_leading_words", oracle=_U4_ORACLE, tags=("U4",))
+def u_udtf_leading_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("u4_documents")
+    spark.udtf.register("leading_words", udtf(_LeadingWords, returnType="word: string, pos: int"))
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.word, w.pos
+        FROM u4_documents d, LATERAL leading_words(d.text) w
+        """
+    )
+
+
+# --- U5: mapInPandas iterator UDF (per-partition init, batch stream) -------
+
+_U5_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_actual
+FROM documents
+"""
+
+_U5_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("n_chars_actual", T.IntegerType()),
+    ]
+)
+
+
+def _token_counter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Iterator form: expensive setup (model/tokenizer load) happens ONCE
+    # per partition, then streams Arrow batches — the 100 TB-safe shape
+    # for Python feature extraction. The "model" here is a trivial
+    # splitter; the plumbing is the point.
+    tokenize = lambda s: len(s.split(" "))  # noqa: E731  (stands in for a real tokenizer)
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["text"].map(tokenize).astype("int32"),
+                "n_chars_actual": pdf["text"].str.len().astype("int32"),
+            }
+        )
+
+
+@register("u_iterator_map_in_pandas", oracle=_U5_ORACLE, tags=("U5",))
+def u_iterator_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_token_counter, _U5_SCHEMA)

@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "windows",
     "setops",
     "scalar_funcs",
+    "udfs",
     "events_windows",
     "llm_text",
     "llm_dedup",
