@@ -1,0 +1,84 @@
+"""N7: the reference's own capability — a classification pipeline.
+
+The reference class of program (minhtule/iris-pyspark) is an MLlib
+classification demo: features → assembled vector → multiclass logistic
+regression → predictions + accuracy. Re-expressed here on the engine's
+`embeddings` table (64-dim float vectors, 10 classes) instead of the
+150-row Iris CSV, same pipeline shape:
+
+    array_to_vector → LogisticRegression → evaluate
+
+No SQL oracle exists for model output (driver records the weaker
+rows-only check); tests/test_ml.py asserts a train-accuracy floor
+instead. (Holdout accuracy is chance by construction: the synthetic
+labels are noise — verified with nearest-centroid at every SF — so
+train-set fit is the only meaningful learning signal on this data.)
+
+Determinism: train/test split by `vec_id % 5` (not randomSplit), fixed
+LR seed; L-BFGS on a fixed partition layout is reproducible enough for
+a rows-only gate.
+
+Scale notes: `array_to_vector` is a JVM expression (no Python);
+LogisticRegression training is MLlib's distributed treeAggregate —
+the one driver↔executor sync per iteration is inherent to L-BFGS.
+Scoring is a pure map (model broadcast to executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def fit_and_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit LR on the %5!=0 slice, score the %5==0 holdout; returns
+    per-row (vec_id, label, prediction, correct)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    lr = LogisticRegression(
+        maxIter=30, regParam=0.01, elasticNetParam=0.0, family="multinomial"
+    )
+    model = lr.fit(train)
+    return model.transform(test).select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.col("prediction").cast("int").alias("prediction"),
+        (F.col("prediction") == F.col("label")).cast("int").alias("correct"),
+    )
+
+
+def fit_train_accuracy(spark: SparkSession, sf_dir: str) -> float:
+    """Train-set accuracy of an unregularized fit — the learning signal
+    the tests gate on (holdout is chance; see module docstring)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    model = LogisticRegression(maxIter=50, regParam=0.0, family="multinomial").fit(emb)
+    pred = model.transform(emb)
+    return pred.filter("prediction = label").count() / pred.count()
+
+
+@register("ml_classification_pipeline", oracle=None, tags=("N7",))
+def ml_classification_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout confusion summary: per true label, prediction counts and
+    accuracy numerator — stable 10-row schema for the rows-only gate."""
+    scored = fit_and_score(spark, sf_dir)
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.sum("correct").alias("n_correct"),
+        )
+        .orderBy("label")
+    )

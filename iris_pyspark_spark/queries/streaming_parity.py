@@ -1,0 +1,152 @@
+"""Streaming twins of the §2.9 batch queries — T1/T3/T5-ish/T6/T7 run
+through IncrementalExecution for real (micro-batches + state store +
+watermark tracking), drained with AvailableNow into a memory sink, and
+checked against the SAME DuckDB oracles as their batch forms.
+
+A streaming aggregate's sink rows are the final state of each window
+(complete mode), so once the source is drained the contents equal the
+batch answer — these queries prove batch/stream semantic parity, which
+is the §2.9 contract. tests/test_streaming.py covers what a drained
+oracle can't: late-data dropping under a watermark (T5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import load_table
+from ..registry import register
+from ..streaming import drain_to_table, read_events_stream
+from .joins import CENTS_SQL, cents
+
+_TUMBLING_ORACLE = f"""
+SELECT
+  (CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT)) * 3600 AS window_start_epoch,
+  event_type,
+  COUNT(*) AS n,
+  SUM({CENTS_SQL.format(expr="value")}) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("st_tumbling_window_stream", oracle=_TUMBLING_ORACLE, tags=("T1", "T5"))
+def st_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1, streaming: watermarked tumbling-window aggregate, complete mode."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return drain_to_table(agg, output_mode="complete")
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT
+  user_id,
+  EPOCH_US(MIN(ts)) // 1000000          AS session_start_epoch,
+  EPOCH_US(MAX(ts)) // 1000000 + 1800   AS session_end_epoch,
+  COUNT(*)                              AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@register("st_session_window_stream", oracle=_SESSION_ORACLE, tags=("T3", "T5"))
+def st_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3, streaming: native session_window with watermark — the stateful
+    merging-sessions operator, which only exists on the streaming path."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_seconds(F.col("session_window.start").cast("timestamp")).alias(
+                "session_start_epoch"
+            ),
+            F.unix_seconds(F.col("session_window.end").cast("timestamp")).alias(
+                "session_end_epoch"
+            ),
+            "n_events",
+        )
+    )
+    return drain_to_table(agg, output_mode="complete")
+
+
+_DEDUP_ORACLE = """
+SELECT event_type, COUNT(*) AS n_unique
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("st_dedup_within_watermark", oracle=_DEDUP_ORACLE, tags=("T7", "T5"))
+def st_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7, streaming: dropDuplicatesWithinWatermark on event_id (state
+    evicted once the watermark passes — the unbounded-stream-safe dedup),
+    then a batch rollup of the drained sink for a checkable result."""
+    e = read_events_stream(spark, sf_dir)
+    deduped = e.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = drain_to_table(deduped, output_mode="append")
+    return sink.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+_JOIN_ORACLE = f"""
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_events,
+  SUM({CENTS_SQL.format(expr="value")}) / 100.0 AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment
+"""
+
+
+@register("st_stream_static_join", oracle=_JOIN_ORACLE, tags=("T6",))
+def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6, streaming: per-micro-batch broadcast join against the static
+    customer dim, then a stateful aggregate in complete mode."""
+    e = read_events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(broadcast(c), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+    )
+    return drain_to_table(agg, output_mode="complete")

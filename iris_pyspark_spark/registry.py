@@ -50,9 +50,12 @@ _QUERY_MODULES = (
     "scalar_funcs",
     "udfs",
     "events_windows",
+    "streaming_parity",
     "llm_text",
     "llm_dedup",
     "llm_similarity",
+    "multimodal",
+    "ml_pipeline",
 )
 
 

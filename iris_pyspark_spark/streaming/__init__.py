@@ -1,0 +1,83 @@
+"""Structured Streaming surface (SURVEY.md §2.9, streaming forms).
+
+Every batch event-time query in queries/events_windows.py has a true
+streaming twin here: `spark.readStream` over the events parquet →
+stateful incremental execution (micro-batches, state store, watermark
+tracking) → memory sink. `Trigger.AvailableNow` drains all available
+input then stops, so the streaming result is a finite DataFrame the
+DuckDB oracle can check — the execution path is IncrementalExecution,
+not the batch planner, which is the point.
+
+Output modes: aggregations run in `complete` mode (append would hold
+back the final windows forever, since the watermark never advances past
+the last event of a drained source); row-level ops (dedup) run in
+`update`/`append`. On a real cluster the same code runs unbounded with
+a kafka/files source and a real sink; watermarks bound the state store
+exactly as demonstrated in tests/test_streaming.py.
+
+The events table is parquet TIMESTAMP(NANOS); streaming sources require
+an explicit schema, so we read `ts` as raw ns-int64 (nanosAsLong) and
+convert to µs TIMESTAMP_NTZ exactly like catalog.load_table.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import configure
+from ..sources import scratch_dir
+
+#: Explicit source schema: ts is the raw ns-int64 (see module docstring).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_SINK_IDS = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet, normalized to the same
+    (event_id, ts timestamp_ntz, ...) shape the batch catalog serves."""
+    configure(spark)
+    # The file stream source monitors a DIRECTORY; the test data is a
+    # single parquet file, so stage it into a scratch dir once. (A real
+    # deployment's landing zone is already a directory of files.)
+    src = scratch_dir(sf_dir, "events_stream_src")
+    staged = os.path.join(src, "events.parquet")
+    if not os.path.exists(staged):
+        os.makedirs(src, exist_ok=True)
+        shutil.copy2(f"{sf_dir}/events.parquet", staged)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
+    # TIMESTAMP (ltz), not NTZ: watermarks/event-time require it. The
+    # session is pinned to UTC (session.RUNTIME_CONFS), so epoch math is
+    # identical to the batch catalog's TIMESTAMP_NTZ.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def drain_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; return the sink contents as a batch DataFrame."""
+    name = f"stream_sink_{next(_SINK_IDS)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,98 @@
+"""T5: watermark semantics — the one streaming behavior a fully-drained
+source can't show. Two separate AvailableNow runs share a checkpoint:
+run 1 advances the watermark past 11:50 and finalizes the 10:00 window;
+run 2 delivers a too-late event (must be dropped, not re-opened) plus a
+fresh one (enters state, never finalizes). This also exercises
+checkpoint restart recovery.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from iris_pyspark_spark.streaming import EVENTS_RAW_SCHEMA
+
+
+def _ns(hh: int, mm: int) -> int:
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    return int((base + dt.timedelta(hours=hh, minutes=mm)).timestamp() * 1_000_000_000)
+
+
+def _write_file(spark, rows, path):
+    df = spark.createDataFrame(rows, EVENTS_RAW_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(path + ".tmp")
+    part = next(f for f in os.listdir(path + ".tmp") if f.endswith(".parquet"))
+    shutil.move(os.path.join(path + ".tmp", part), path)
+    shutil.rmtree(path + ".tmp")
+
+
+def _drain(spark, src, checkpoint, sink_dir):
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    counts = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias("w"),
+            "n",
+        )
+    )
+    q = (
+        counts.writeStream.format("parquet")  # file sink: checkpoint-recoverable
+        .option("path", sink_dir)
+        .outputMode("append")  # append: only watermark-finalized windows emit
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {r.w: r.n for r in spark.read.parquet(sink_dir).collect()}
+
+
+def test_watermark_drops_late_event(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("wm_src"))
+    checkpoint = str(tmp_path_factory.mktemp("wm_ckpt"))
+    w10 = int(dt.datetime(2024, 1, 1, 10, tzinfo=dt.timezone.utc).timestamp())
+    w12 = int(dt.datetime(2024, 1, 1, 12, tzinfo=dt.timezone.utc).timestamp())
+
+    # Run 1: three events in the 10:00 window + one at 12:00. Watermark
+    # after the batch = 11:50; the no-data follow-up batch finalizes and
+    # emits the 10:00 window.
+    _write_file(
+        spark,
+        [
+            (1, _ns(10, 5), 1, "click", 1.0, "{}"),
+            (2, _ns(10, 20), 1, "click", 1.0, "{}"),
+            (3, _ns(10, 40), 1, "click", 1.0, "{}"),
+            (4, _ns(12, 0), 1, "click", 1.0, "{}"),
+        ],
+        os.path.join(src, "f1.parquet"),
+    )
+    sink_dir = str(tmp_path_factory.mktemp("wm_sink"))
+    out1 = _drain(spark, src, checkpoint, sink_dir)
+    assert out1.get(w10) == 3, f"10:00 window not finalized correctly: {out1}"
+    assert w12 not in out1  # still open — watermark can't pass its end
+
+    # Run 2 (same checkpoint → watermark restored at 11:50): a 10:30
+    # event is 80 min late → dropped; a 12:30 event is fresh → state.
+    _write_file(
+        spark,
+        [
+            (5, _ns(10, 30), 1, "click", 1.0, "{}"),  # late → dropped
+            (6, _ns(12, 30), 1, "click", 1.0, "{}"),  # fresh → stateful
+        ],
+        os.path.join(src, "f2.parquet"),
+    )
+    out2 = _drain(spark, src, checkpoint, sink_dir)
+    # Nothing may be (re-)emitted: the late event must NOT re-open the
+    # finalized 10:00 window, and 12:xx windows never finalize. The file
+    # sink accumulates, so run 2's content must equal run 1's exactly.
+    assert out2 == out1, f"late event changed emitted output: {out2} vs {out1}"
