@@ -27,10 +27,16 @@ def main() -> None:
     headline = {n: q for n, q in registry.items() if q.headline}
 
     spark = get_spark(app_name="iris-pyspark-bench")
-    # Warm the JVM/codegen paths once with the flagship query.
-    registry["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm codegen/JIT once per headline plan at the smallest SF:
+    # generated classes depend on plan shape, not data volume, so this
+    # compiles every stage for pennies and the sf-under-test runs
+    # measure steady-state execution, not JIT compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    for name, q in sorted(headline.items()):
+        try:
+            q.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warmup is best-effort
 
     timings: dict[str, float] = {}
     for name, q in sorted(headline.items()):

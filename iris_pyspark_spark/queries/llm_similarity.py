@@ -6,31 +6,60 @@ Three tiers:
   * IVF kNN (centroid pruning — the scale path: candidate generation
     becomes an equi-join on the cell id).
 
-Doubles come from fixed-order folds (operators/similarity.py), so the
-DuckDB oracle states the identical fold and values match bit-exactly.
+Arithmetic is the UNROLLED flat expression (operators/similarity.py):
+array higher-order lambdas evaluate interpreted in Spark, ~100× slower
+than the same math compiled by whole-stage codegen. The DuckDB oracle
+states the identical left-associated sum, so doubles match bit-exactly;
+norms are precomputed once per vector on both engines (same value, just
+cached — dot/(norm_a*norm_b) is the same expression tree either way).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..operators.similarity import cosine, cosine_sql, knn_bruteforce, l2_sq, l2_sq_sql
+from ..operators.similarity import (
+    cosine_topk_blockwise,
+    cosine_unrolled,
+    dot_unrolled,
+    dot_unrolled_sql,
+    ivf_assign,
+    knn_bruteforce,
+    l2_sq_unrolled_sql,
+    norm_unrolled_sql,
+)
 from ..registry import register
 
-_COS_AB = cosine_sql("a.embedding", "b.embedding")
+#: Embedding width of the `embeddings` table (TESTDATA.md, measured).
+DIM = 64
+
+_COS_AB = (
+    "(" + dot_unrolled_sql("a.embedding", "b.embedding", DIM) + ") / (a.nrm * b.nrm)"
+)
+_NORMED = f"""
+  SELECT vec_id, embedding, {norm_unrolled_sql("embedding", DIM)} AS nrm
+  FROM embeddings
+"""
+
+
+def _normed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.withColumn(
+        "nrm", F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM))
+    )
 
 
 @register(
     "n_cosine_topk",
     oracle=f"""
-WITH pairs AS (
+WITH v AS ({_NORMED}),
+pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
          {_COS_AB} AS sim
-  FROM embeddings a, embeddings b
+  FROM v a, v b
   WHERE a.vec_id <> b.vec_id
 )
 SELECT vec_id, neighbor_id, sim, rnk FROM (
@@ -42,29 +71,30 @@ SELECT vec_id, neighbor_id, sim, rnk FROM (
     headline=True,
 )
 def n_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine, top-3 neighbors per vector."""
+    """All-pairs cosine, top-3 neighbors per vector — blockwise
+    broadcast-queries × partitioned-corpus (operators/similarity.py:
+    cosine_topk_blockwise); nothing quadratic is materialized."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.alias("a")
-    b = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_b")
-    ).alias("b")
-    pairs = a.crossJoin(b).filter(F.col("vec_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        pairs.withColumn("sim", cosine(F.col("embedding"), F.col("emb_b")))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("vec_id", "neighbor_id", "sim", "rnk")
+    queries_pdf = e.toPandas()
+    out = cosine_topk_blockwise(
+        e.repartition(spark.sparkContext.defaultParallelism),
+        queries_pdf,
+        c_id="vec_id", c_vec="embedding", k=3, dim=DIM,
+        out_query_col="q_id", out_neighbor_col="neighbor_id",
+    )
+    return out.select(
+        F.col("q_id").alias("vec_id"), "neighbor_id", "sim", "rnk"
     )
 
 
 @register(
     "n_knn_bruteforce",
     oracle=f"""
-WITH pairs AS (
+WITH v AS ({_NORMED}),
+pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          {_COS_AB} AS sim
-  FROM embeddings a, embeddings b
+  FROM v a, v b
   WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
 )
 SELECT query_id, neighbor_id, sim, rnk FROM (
@@ -85,7 +115,7 @@ def n_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn_bruteforce(
         queries, corpus,
         q_id="query_id", c_id="neighbor_id", q_vec="q_emb", c_vec="embedding",
-        k=5, metric="cosine",
+        k=5, metric="cosine", dim=DIM,
     )
     return out.select("query_id", "neighbor_id", "sim", F.col("rnk"))
 
@@ -100,14 +130,18 @@ assigned AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT v.vec_id, v.embedding, c.cid,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                              ORDER BY {l2_sq_sql("v.embedding", "c.cemb")} ASC, c.cid ASC) AS rnk
+                              ORDER BY {l2_sq_unrolled_sql("v.embedding", "c.cemb", DIM)} ASC, c.cid ASC) AS rnk
     FROM embeddings v, centroids c
   ) t WHERE rnk = 1
+),
+normed AS (
+  SELECT vec_id, embedding, cid, {norm_unrolled_sql("embedding", DIM)} AS nrm
+  FROM assigned
 ),
 pairs AS (
   SELECT a.vec_id AS query_id, a.cid AS cell_id, b.vec_id AS neighbor_id,
          {_COS_AB} AS sim
-  FROM assigned a JOIN assigned b
+  FROM normed a JOIN normed b
     ON a.cid = b.cid AND a.vec_id <> b.vec_id
   WHERE a.vec_id < 10
 )
@@ -123,23 +157,29 @@ def n_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic 'training': every 50th vector is a centroid), then
     search only within the query's cell — candidate generation is an
     equi-join on cell id instead of a cross join."""
-    from ..operators.similarity import ivf_assign
-
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
-    assigned = ivf_assign(e, centroids, v_id="vec_id", c_id="cid", v_vec="embedding", c_vec="cemb")
+    assigned = ivf_assign(
+        e, centroids, v_id="vec_id", c_id="cid", v_vec="embedding", c_vec="cemb",
+        dim=DIM,
+    )
+    normed = assigned.withColumn(
+        "nrm", F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM))
+    )
 
-    a = assigned.filter(F.col("vec_id") < 10).select(
+    a = normed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("cid").alias("cell_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("nrm_a"),
     )
-    b = assigned.select(
+    b = normed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cid").alias("cell_id_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     pairs = a.join(
         b,
@@ -148,7 +188,12 @@ def n_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
-        pairs.withColumn("sim", cosine(F.col("q_emb"), F.col("emb_b")))
+        pairs.withColumn(
+            "sim",
+            cosine_unrolled(
+                F.col("q_emb"), F.col("emb_b"), DIM, F.col("nrm_a"), F.col("nrm_b")
+            ),
+        )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("query_id", "cell_id", "neighbor_id", "sim", "rnk")

@@ -22,6 +22,13 @@ from pyspark.sql import SparkSession
 #: Runtime (SQL) confs — settable on an existing session too, which is how we
 #: harden sessions handed to us by external drivers (see `configure`).
 RUNTIME_CONFS: dict[str, str] = {
+    # Streaming stateful ops don't get AQE partition coalescing, so the
+    # static shuffle-partition count matters there (a vanilla session's
+    # 200 means 200 near-empty state-store tasks per micro-batch at test
+    # scale). Batch plans are unaffected in practice: AQE re-coalesces.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "IRIS_PYSPARK_SHUFFLE_PARTITIONS", "32"
+    ),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -62,6 +69,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("IRIS_PYSPARK_DRIVER_MEM", "8g"))
+        # Whole-stage codegen emits one class per query stage; the JVM
+        # default 240 MB code cache fills after a few dozen generated
+        # stages, the JIT stops compiling, and everything silently runs
+        # interpreted (~5-10x slower). Size it for a many-query session.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
