@@ -107,6 +107,105 @@ def n_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("est_jaccard") >= 0.5).orderBy("id_a", "id_b")
 
 
+def _signlsh_bucket_sql(emb: str, bits: int) -> str:
+    return " + ".join(f"(CASE WHEN {emb}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+
+
+_EMB_DIM = 64
+_EMB_BITS = 16
+_EMB_NEAR_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.0001)
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, emb,
+         SQRT({{dot_self}}) AS nrm,
+         {_signlsh_bucket_sql("emb", _EMB_BITS)} AS bucket
+  FROM corpus
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ({{dot_ab}}) / (a.nrm * b.nrm) AS sim
+FROM normed a JOIN normed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ({{dot_ab}}) / (a.nrm * b.nrm) >= 0.999
+"""
+
+
+@register(
+    "n_embedding_near_dup",
+    oracle=None,  # filled below (needs the unrolled-SQL helpers)
+    tags=("N2", "N3"),
+)
+def n_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: random-hyperplane-style sign-LSH
+    (bucket = 16-bit sign mask of the leading dims) turns the quadratic
+    all-pairs problem into an equi-join on the bucket key; an exact
+    cosine check (>= 0.999) confirms candidates. The corpus is doubled
+    with 1.0001-scaled copies (cosine ~ 1, same signs → same bucket) so
+    the planted pairs are recovered exactly."""
+    from ..operators.similarity import dot_unrolled
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    orig = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    variant = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.0001).alias("emb"),
+    )
+    corpus = orig.unionByName(variant)
+
+    bucket = None
+    for i in range(_EMB_BITS):
+        term = F.when(F.col("emb").getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    normed = corpus.select(
+        "vec_id",
+        "emb",
+        F.sqrt(dot_unrolled(F.col("emb"), F.col("emb"), _EMB_DIM)).alias("nrm"),
+        bucket.alias("bucket"),
+    )
+    a = normed.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), "bucket",
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), F.col("bucket").alias("bucket_b"),
+    )
+    sim = dot_unrolled(F.col("emb_a"), F.col("emb_b"), _EMB_DIM) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.999)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def _install_embedding_near_dup_oracle() -> None:
+    from ..operators.similarity import dot_unrolled_sql
+    from ..registry import REGISTRY, Query
+
+    oracle = _EMB_NEAR_ORACLE.format(
+        dot_self=dot_unrolled_sql("emb", "emb", _EMB_DIM),
+        dot_ab=dot_unrolled_sql("a.emb", "b.emb", _EMB_DIM),
+    )
+    q = REGISTRY["n_embedding_near_dup"]
+    REGISTRY["n_embedding_near_dup"] = Query(
+        name=q.name, fn=q.fn, oracle=oracle, tags=q.tags, headline=q.headline
+    )
+
+
+_install_embedding_near_dup_oracle()
+
+
 @register("n_simhash", oracle=None, tags=("N2",))
 def n_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (Hamming ≤ 8) over the same planted

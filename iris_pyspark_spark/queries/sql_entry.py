@@ -1,0 +1,96 @@
+"""E2 entry point (SURVEY.md §3.2): queries expressed as SQL STRINGS over
+the registered temp views — Spark's ANTLR parser → the same Catalyst
+plan the DataFrame API builds. Views are named identically to the
+DuckDB oracle's, so engine SQL and oracle SQL read near-identically
+(they differ only where dialect forces it, e.g. integer-cents casts).
+
+Also covers the rewrites only the SQL surface exercises: correlated
+scalar subqueries and EXISTS/NOT EXISTS (decorrelated by Catalyst into
+aggregated joins — verify with .explain(): no per-row subplan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_tables
+from ..registry import register
+
+#: TPC-H Q3 shape. Revenue in integer cents: the join reorders rows, so
+#: a raw double SUM would differ between engines by summation order.
+_Q3 = """
+SELECT
+  o_orderkey,
+  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+    / CAST(100 AS DOUBLE) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("sql_q3_shipping_priority", oracle=_Q3, tags=("E2", "J6", "O2"))
+def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q3)
+
+
+#: Correlated scalar subquery: customers above their segment's average
+#: balance. The comparison runs in integer cents so the averaged double
+#: is bit-identical on both engines (sum of longs / count).
+_CORR = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > (
+  SELECT AVG(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT))
+  FROM customer c2
+  WHERE c2.c_mktsegment = c.c_mktsegment
+)
+"""
+
+
+@register("sql_correlated_scalar_subquery", oracle=_CORR, tags=("E2",))
+def sql_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_CORR)
+
+
+#: EXISTS + NOT EXISTS in one query: nations that have customers but no
+#: suppliers. Catalyst decorrelates into semi/anti joins (J4/J5 via SQL).
+_EXISTS = """
+SELECT n_nationkey, n_name
+FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+  AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+"""
+
+
+@register("sql_exists_not_exists", oracle=_EXISTS, tags=("E2", "J4", "J5"))
+def sql_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_EXISTS)
+
+
+#: IN-subquery with aggregation inside: orders whose priciest lineitem
+#: part is a large-size part.
+_IN_SUB = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+)
+"""
+
+
+@register("sql_in_subquery", oracle=_IN_SUB, tags=("E2", "J4"))
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_IN_SUB)

@@ -41,6 +41,7 @@ REGISTRY: dict[str, Query] = {}
 #: Modules whose import registers queries (side-effectful @register calls).
 _QUERY_MODULES = (
     "flagship",
+    "sql_entry",
     "sources_sinks",
     "filters",
     "joins",
