@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "udfs",
     "events_windows",
     "streaming_parity",
+    "scale_patterns",
     "llm_text",
     "llm_dedup",
     "llm_similarity",
