@@ -277,3 +277,30 @@ def a_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("r_name").agg(
         F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations")
     )
+
+
+# --- A-extra: mergeable HLL sketches (the 100 TB distinct-count pattern) ----
+
+
+@register("a_hll_sketch_mergeable", oracle=None, tags=("A4",))
+def a_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase distinct count via mergeable HLL sketches: build one
+    sketch per source partition (hll_sketch_agg), merge them into a
+    global sketch (hll_union_agg), estimate once. At scale this is the
+    pattern for distinct-counting across table shards / days without
+    re-scanning: sketches are tiny, unions are exact. Estimates are
+    deterministic (datasketches is seed-fixed) but library-specific →
+    rows-only check; the exact-distinct cross-check lives in
+    a_count_distinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.hll_sketch_agg("text").alias("sketch"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    merged = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias(
+            "approx_distinct_texts"
+        ),
+        F.sum("n_docs").alias("n_docs_total"),
+    )
+    return merged

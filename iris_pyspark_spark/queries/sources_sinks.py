@@ -164,3 +164,40 @@ def s_in_memory_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_acctbal").alias("total_balance"),
         )
     )
+
+
+# --- S-extra: schema evolution across parquet files (mergeSchema) ----------
+
+_EVOLUTION_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN quality IS NULL THEN 0 ELSE quality END) AS BIGINT)
+         AS total_quality
+FROM (
+  SELECT lang, NULL AS quality FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT lang, n_chars AS quality FROM documents WHERE doc_id % 2 = 1
+)
+GROUP BY lang
+"""
+
+
+@register("s_schema_evolution_scan", oracle=_EVOLUTION_ORACLE, tags=("S1", "S4"))
+def s_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: two parquet generations of one dataset — v1
+    lacks the `quality` column, v2 adds it — read as one table with
+    mergeSchema (v1 rows surface NULL quality). The ingest-time reality
+    of any long-lived 100 TB table."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = scratch_dir(sf_dir, "documents_evolved")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(path + "/v1")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.col("n_chars").alias("quality")
+    ).write.mode("overwrite").parquet(path + "/v2")
+    merged = spark.read.option("mergeSchema", True).parquet(path + "/v1", path + "/v2")
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("quality"), F.lit(0))).alias("total_quality"),
+    )
