@@ -82,3 +82,26 @@ def ml_classification_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register("ml_kmeans_ivf_cells", oracle=None, tags=("N4", "N7"))
+def ml_kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned IVF cells: MLlib KMeans (fixed seed) clusters the corpus
+    into 16 cells — the trained counterpart of n_ivf_knn's deterministic
+    modulo centroids. Emits per-cell occupancy; at scale these cells are
+    the ANN index partitioning (cell id = shuffle key), so balanced
+    occupancy here is what keeps candidate-generation shuffles flat."""
+    from pyspark.ml.clustering import KMeans
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=16, seed=42, maxIter=10)
+    model = km.fit(emb)
+    assigned = model.transform(emb)
+    return (
+        assigned.groupBy(F.col("prediction").alias("cell_id"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cell_id")
+    )

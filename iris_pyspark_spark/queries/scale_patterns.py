@@ -188,3 +188,54 @@ def st_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("max_event_id").alias("max_event_id"),
     )
+
+
+_DPP_ORACLE = """
+WITH lang_dim AS (
+  SELECT * FROM (VALUES ('en', 'english'), ('de', 'german')) AS t(lang_code, lang_name)
+)
+SELECT lang_name,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+JOIN lang_dim ON lang = lang_code
+GROUP BY lang_name
+"""
+
+
+@register("s_dynamic_partition_pruning", oracle=_DPP_ORACLE, tags=("S5", "J2"))
+def s_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is partitioned by lang,
+    the dim side's filter is only known at runtime (join, not a literal
+    predicate) — Spark injects a dynamicpruning subquery so only the
+    joined partitions are scanned (asserted in tests/test_plans.py).
+    At 100 TB this is the difference between scanning 2 partitions and
+    scanning all of them."""
+    from pyspark.sql import Row
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    path = scratch_dir(sf_dir, "documents_dpp_by_lang")
+    import os
+
+    if not os.path.exists(path):
+        docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            Row(lang_code="en", lang_name="english"),
+            Row(lang_code="de", lang_name="german"),
+            Row(lang_code="es", lang_name="spanish"),
+            Row(lang_code="fr", lang_name="french"),
+            Row(lang_code="zh", lang_name="chinese"),
+        ]
+    ).filter(F.col("lang_name").isin("english", "german"))  # runtime-only filter → DPP
+    return (
+        fact.join(dim, fact.lang == dim.lang_code)
+        .groupBy("lang_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -54,3 +54,8 @@ def test_cosine_topk_no_quadratic_shuffle(spark, sf_dir):
     # are the small top-k window and its exchange.
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    plan = _executed_plan(spark, "s_dynamic_partition_pruning", sf_dir)
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
