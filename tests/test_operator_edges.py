@@ -1,0 +1,76 @@
+"""Operator edge cases: nulls, empties, and degenerate sizes — the
+inputs a 100 TB pipeline hits constantly. Small synthetic frames, no
+oracle (behavior contracts, not value parity)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from iris_pyspark_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    shingle_rows,
+)
+from iris_pyspark_spark.operators.sessionize import sessionize
+from iris_pyspark_spark.operators.similarity import cosine_topk_blockwise
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingles_short_and_empty_text(spark):
+    df = _docs(spark, [(1, "only two"), (2, "one"), (3, "")])
+    out = {r.doc_id: r["__sh"] for r in shingle_rows(df, "doc_id", "text", 3).collect()}
+    # Shorter-than-k docs yield their single all-tokens shingle;
+    # empty text yields one empty shingle (split('') -> ['']).
+    assert out == {1: "only two", 2: "one", 3: ""}
+
+
+def test_shingles_null_text_drops_row(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, None)])
+    ids = {r.doc_id for r in shingle_rows(df, "doc_id", "text", 3).collect()}
+    assert ids == {1}  # null text has no tokens; doc absent from signatures
+
+
+def test_minhash_signature_width_and_determinism(spark):
+    df = _docs(spark, [(1, "w x y z"), (2, "w x y z")])
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(df, "doc_id", "text", 2, 8).collect()}
+    assert len(sigs[1]) == 8
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+
+
+def test_exact_dedup_null_and_case(spark):
+    df = _docs(
+        spark,
+        [(1, "Hello"), (2, "  hello "), (3, None), (4, None), (5, "other")],
+    )
+    out = {r.doc_id: r.n_copies for r in exact_dedup(df, "doc_id", "text").collect()}
+    # Case/whitespace-normalized dupes collapse; nulls group together
+    # (sha2(null) is null -> one null-key group keeps the min id).
+    assert out[1] == 2 and 2 not in out
+    assert out[5] == 1
+    assert out[3] == 2 and 4 not in out
+
+
+def test_sessionize_single_event_per_user(spark):
+    df = spark.createDataFrame(
+        [Row(user_id=1, event_id=1, ts=dt.datetime(2024, 1, 1, 10, 0, 0))]
+    )
+    out = sessionize(df, key="user_id", ts="ts", gap_seconds=1800, tie_break="event_id")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].session_id == 1
+
+
+def test_cosine_topk_k_larger_than_corpus(spark):
+    rows = [Row(vec_id=i, embedding=[float(i + 1)] * 4) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk_blockwise(
+        df, df.toPandas(), c_id="vec_id", c_vec="embedding", k=10, dim=4,
+        out_query_col="q_id",
+    )
+    got = out.groupBy("q_id").count().collect()
+    # k > corpus: each query gets corpus-1 neighbors (self excluded), no crash.
+    assert all(r["count"] == 2 for r in got)
