@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
 from ..registry import register
@@ -210,13 +209,15 @@ GROUP BY c_mktsegment
     tags=("T6",),
 )
 def t_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch form of the stream-static enrichment join (the static dim is
-    broadcast — the plan a streaming micro-batch would want too)."""
+    """Batch form of the stream-static enrichment join. No broadcast
+    hint: customer grows with SF, so the join strategy is left to
+    Catalyst/AQE (broadcasts under the threshold at test scale,
+    shuffle-joins beyond it)."""
     e = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer")
     return (
         e.filter(F.col("event_type") == "purchase")
-        .join(broadcast(c), F.col("user_id") == F.col("c_custkey"))
+        .join(c, F.col("user_id") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

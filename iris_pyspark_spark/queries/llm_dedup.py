@@ -222,14 +222,18 @@ def n_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("n_minhash_lsh_mllib", oracle=None, tags=("N2",))
 def n_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library path: pyspark.ml MinHashLSH approxSimilarityJoin over
-    hashed shingle vectors (fixed seed). Complements the pure-DataFrame
-    implementation above."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    hashed 3-gram shingle vectors (fixed seed) — the same shingle
+    granularity as the pure-DataFrame implementation above. (Unigram
+    bag-of-words is useless on this corpus: the synthetic docs share so
+    much vocabulary that 105k of 150k possible pairs clear 0.5 word-level
+    Jaccard; 3-word shingles are discriminative.)"""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram
 
     corpus = _near_dup_corpus(spark, sf_dir)
     toks = corpus.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
-    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 14)
-    feats = tf.transform(toks).filter(F.expr("features IS NOT NULL"))
+    shingled = NGram(n=3, inputCol="toks", outputCol="shingles").transform(toks)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 14)
+    feats = tf.transform(shingled).filter(F.expr("features IS NOT NULL"))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")

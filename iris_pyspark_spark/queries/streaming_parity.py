@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
 from ..registry import register
@@ -136,13 +135,14 @@ GROUP BY c_mktsegment
 
 @register("st_stream_static_join", oracle=_JOIN_ORACLE, tags=("T6",))
 def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6, streaming: per-micro-batch broadcast join against the static
-    customer dim, then a stateful aggregate in complete mode."""
+    """T6, streaming: per-micro-batch join against the static customer
+    dim, then a stateful aggregate in complete mode. No broadcast hint —
+    customer grows with SF; Catalyst sizes the per-batch join itself."""
     e = read_events_stream(spark, sf_dir)
     c = load_table(spark, sf_dir, "customer")
     agg = (
         e.filter(F.col("event_type") == "purchase")
-        .join(broadcast(c), F.col("user_id") == F.col("c_custkey"))
+        .join(c, F.col("user_id") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
