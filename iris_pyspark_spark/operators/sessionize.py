@@ -8,7 +8,7 @@ Classic two-window formulation, fully inside Catalyst:
 
 One shuffle (partition by key, sort by time); identical to what
 Structured Streaming's session windows compute incrementally, so batch
-results are stream-parity (streaming/jobs.py runs the same query with
+results are stream-parity (queries/streaming_parity.py runs the same query with
 `session_window` + watermark).
 """
 

@@ -304,3 +304,28 @@ def a_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").alias("n_docs_total"),
     )
     return merged
+
+
+_MODERN_AGGS_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+       BOOL_AND(o_totalprice > 0)  AS all_positive,
+       BOOL_OR(o_orderstatus = 'F') AS any_final,
+       MODE(o_orderstatus)          AS modal_status
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("a_modern_aggs", oracle=_MODERN_AGGS_ORACLE, tags=("A1",))
+def a_modern_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_and / bool_or / mode — the modern aggregate set
+    (mode is deterministic here: status frequencies never tie per group
+    in this data; ties would need an explicit tie-break)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+        F.mode("o_orderstatus").alias("modal_status"),
+    )

@@ -2,7 +2,7 @@
 
 Batch-first: each op is a batch DataFrame query whose window semantics
 match Structured Streaming's exactly (same `window`/`session_window`
-expressions), so the streaming re-run in streaming/jobs.py produces the
+expressions), so the streaming re-run in queries/streaming_parity.py produces the
 same frames. Correctness is oracle-checked here in batch.
 
 Window boundaries are emitted as epoch seconds (BIGINT) — integer math
@@ -187,7 +187,7 @@ GROUP BY event_id, user_id, event_type
 def t_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of streaming dropDuplicates: duplicate the stream, then
     dedup by key. (Streaming parity: dropDuplicatesWithinWatermark in
-    streaming/jobs.py.)"""
+    queries/streaming_parity.py.)"""
     e = load_table(spark, sf_dir, "events")
     doubled = e.unionByName(e)
     return doubled.dropDuplicates(["event_id"]).select(

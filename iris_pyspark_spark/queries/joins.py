@@ -319,3 +319,37 @@ def j_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.n_name").alias("name_a"),
         F.col("b.n_name").alias("name_b"),
     )
+
+
+@register(
+    "j_null_safe_equi",
+    oracle="""
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et
+  FROM events
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b
+FROM e a JOIN e b
+  ON a.et IS NOT DISTINCT FROM b.et AND a.event_id + 1 = b.event_id
+""",
+    tags=("J1", "P5"),
+)
+def j_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — required for joining on nullable
+    derived keys. Pairs consecutive events with the same (nullable)
+    type."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+    )
+    a = e.select(F.col("event_id").alias("id_a"), F.col("et").alias("et_a"))
+    b = e.select(F.col("event_id").alias("id_b"), F.col("et").alias("et_b"))
+    return a.join(
+        b,
+        (F.col("et_a").eqNullSafe(F.col("et_b")))
+        & (F.col("id_a") + 1 == F.col("id_b")),
+    ).select("id_a", "id_b")

@@ -246,3 +246,48 @@ def n_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+_LEV_ORACLE = """
+WITH prefixes AS (
+  SELECT doc_id, source, lang, LEFT(LOWER(text), 40) AS prefix
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+FROM prefixes a JOIN prefixes b
+  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 10
+"""
+
+
+@register("n_edit_distance_pairs", oracle=_LEV_ORACLE, tags=("N2", "F1"))
+def n_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup: levenshtein over 40-char prefixes, blocked
+    by (source, lang) so the pair space stays an equi-join (the O(len^2)
+    distance only runs inside blocks). Distance is integer → exact
+    oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id", "source", "lang",
+        F.lower(F.col("text")).substr(1, 40).alias("prefix"),
+    )
+    a = p.select(
+        F.col("doc_id").alias("id_a"), F.col("prefix").alias("pref_a"),
+        "source", "lang",
+    )
+    b = p.select(
+        F.col("doc_id").alias("id_b"), F.col("prefix").alias("pref_b"),
+        F.col("source").alias("source_b"), F.col("lang").alias("lang_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("edit_dist", F.levenshtein("pref_a", "pref_b"))
+        .filter(F.col("edit_dist") <= 10)
+        .select("id_a", "id_b", "edit_dist")
+    )
