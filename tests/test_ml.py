@@ -26,3 +26,28 @@ def test_holdout_scoring_shape(spark, sf_dir):
     assert len(rows) > 0
     assert set(scored.columns) == {"vec_id", "label", "prediction", "correct"}
     assert all(0 <= r.prediction <= 9 for r in rows)
+
+
+def test_model_save_load_roundtrip(spark, sf_dir, tmp_path_factory):
+    """The reference class's full workflow includes persisting the
+    fitted model; a reloaded model must score identically."""
+    from pyspark.ml.classification import LogisticRegressionModel
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.sql import functions as F
+
+    from iris_pyspark_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    model = LogisticRegression(maxIter=5, regParam=0.1).fit(emb)
+    path = str(tmp_path_factory.mktemp("lr_model")) + "/m"
+    model.write().overwrite().save(path)
+    reloaded = LogisticRegressionModel.load(path)
+
+    a = model.transform(emb).select("vec_id", "prediction")
+    b = reloaded.transform(emb).select("vec_id", "prediction")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

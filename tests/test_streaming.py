@@ -96,3 +96,39 @@ def test_watermark_drops_late_event(spark, tmp_path_factory):
     # finalized 10:00 window, and 12:xx windows never finalize. The file
     # sink accumulates, so run 2's content must equal run 1's exactly.
     assert out2 == out1, f"late event changed emitted output: {out2} vs {out1}"
+
+
+def test_foreach_batch_sink(spark, tmp_path_factory):
+    """foreachBatch: the production sink escape hatch — each micro-batch
+    lands via arbitrary batch-writer logic (here: parquet append keyed
+    by batch id, the idempotent-upsert skeleton). Drained totals must
+    equal the source."""
+    import os
+
+    from iris_pyspark_spark.streaming import EVENTS_RAW_SCHEMA, read_events_stream
+
+    sf_dir = "/root/testdata/sf0.01"
+    out_dir = str(tmp_path_factory.mktemp("fb_sink"))
+
+    def write_batch(batch_df, batch_id: int):
+        # Idempotent per-batch write: a retry of batch N overwrites
+        # batch N's own directory, never duplicating rows.
+        (
+            batch_df.groupBy("event_type")
+            .count()
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch={batch_id}"))
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir + "/batch=*")
+    total = got.groupBy().sum("count").collect()[0][0]
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == expected
