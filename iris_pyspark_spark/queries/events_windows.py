@@ -224,3 +224,55 @@ def t_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
         )
     )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT
+  CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) * 86400 AS day_epoch,
+  event_type,
+  COUNT(*) AS n,
+  SUM({CENTS_SQL.format(expr="value")}) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("t_rollup_from_materialized", oracle=_ROLLUP_ORACLE, tags=("T1", "A1"))
+def t_rollup_from_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern: the hourly rollup is materialized
+    once (parquet artifact), and the daily answer re-aggregates the
+    rollup instead of the raw events — aggregate-of-aggregate, exact for
+    the algebraic aggregates used (counts and integer-cents sums compose
+    associatively; the oracle computes the same daily truth from raw).
+    At 100 TB the rollup is what dashboards read; raw is scanned once
+    per refresh, not once per query."""
+    from ..sources import scratch_dir
+
+    e = load_table(spark, sf_dir, "events")
+    hourly_path = scratch_dir(sf_dir, "events_hourly_rollup")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias("hour_epoch"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+    hourly.write.mode("overwrite").parquet(hourly_path)
+
+    rolled = spark.read.parquet(hourly_path)
+    return (
+        rolled.groupBy(
+            (F.floor(F.col("hour_epoch") / 86400) * 86400).alias("day_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            (F.sum("value_cents") / 100.0).alias("total_value"),
+        )
+    )
