@@ -270,3 +270,39 @@ def f_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32("lang").alias("lang_crc32"),
         F.hash("text", "lang").alias("row_hash32"),
     )
+
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT)    AS max_k,
+       COUNT(*) AS n
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS INT) IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("f_variant_type", oracle=_VARIANT_ORACLE, tags=("F6",))
+def f_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark 4's open semi-structured type): parse_json into a
+    variant column once, then typed variant_get extraction — unlike
+    get_json_object this parses each document a single time and keeps a
+    binary-encoded tree, the right shape for wide semi-structured scans
+    at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("v"), "$.k", "int").alias("k"),
+    )
+    return (
+        v.filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

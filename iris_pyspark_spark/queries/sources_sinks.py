@@ -201,3 +201,37 @@ def s_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.coalesce(F.col("quality"), F.lit(0))).alias("total_quality"),
     )
+
+
+# --- S-extra: custom Python Data Source (Spark 4 DataSource API) -----------
+
+_PYDS_ORACLE = """
+SELECT CAST(i % 7 AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       SUM(CAST(i % 7 AS DOUBLE) + 0.5) AS total_reading
+FROM range(400) t(i)
+GROUP BY 1
+"""
+
+
+@register("s_python_datasource", oracle=_PYDS_ORACLE, tags=("S6", "S1"))
+def s_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom batch source via the Python DataSource API: 4 planned
+    partitions x 100 generated rows, aggregated. The oracle states the
+    same closed-form rows with range()."""
+    from ..sources.python_datasource import SensorsDataSource
+
+    try:
+        spark.dataSource.register(SensorsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("demo_sensors")
+        .option("partitions", "4")
+        .option("rows_per_partition", "100")
+        .load()
+    )
+    return df.groupBy((F.col("sensor_id") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("reading").alias("total_reading"),
+    )

@@ -150,3 +150,56 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain_to_table(agg, output_mode="complete")
+
+
+_STREAM_STREAM_ORACLE = """
+SELECT a.user_id                          AS user_id,
+       a.event_id                         AS click_id,
+       b.event_id                         AS purchase_id,
+       EPOCH_US(b.ts) - EPOCH_US(a.ts)    AS us_to_purchase
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("st_stream_stream_join", oracle=_STREAM_STREAM_ORACLE, tags=("T6", "T5"))
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (clicks x purchases within 1h per user),
+    both sides watermarked with a time-range join condition so the state
+    store can evict expired rows — the marquee stateful streaming op.
+    Inner joins emit on match (watermarks bound STATE, not output), so
+    the drained result equals the batch self-join exactly."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("us_to_purchase"),
+    )
+    return drain_to_table(joined, output_mode="append")
