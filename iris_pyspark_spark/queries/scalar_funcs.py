@@ -306,3 +306,72 @@ def f_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+_TRY_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN l_discount = 0 THEN NULL
+                     ELSE CAST(ROUND(l_extendedprice / l_discount) AS BIGINT)
+                END) AS BIGINT)                          AS sum_price_per_disc,
+       COUNT(*) FILTER (WHERE TRY_CAST(l_returnflag AS INT) IS NULL) AS n_nonnumeric_flags,
+       CAST(SUM(TRY_CAST(l_linenumber AS BIGINT)) AS BIGINT)         AS sum_lineno
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@register("f_try_functions", oracle=_TRY_ORACLE, tags=("F3", "P5"))
+def f_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family: try_divide (NULL on /0 instead of
+    error under ANSI mode) and try_cast (NULL on malformed input) — the
+    functions that keep a 100 TB scan alive when a handful of rows are
+    garbage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price_per_disc = F.round(
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+    ).cast("long")
+    return li.groupBy("l_linestatus").agg(
+        F.sum(price_per_disc).alias("sum_price_per_disc"),
+        F.count_if(F.col("l_returnflag").try_cast("int").isNull()).alias(
+            "n_nonnumeric_flags"
+        ),
+        F.sum(F.col("l_linenumber").try_cast("bigint")).alias("sum_lineno"),
+    )
+
+
+_DATE_ADV_ORACLE = """
+SELECT
+  CAST(year(o_orderdate) AS INT)                              AS yr,
+  CAST(quarter(o_orderdate) AS INT)                           AS qtr,
+  MIN(CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR))   AS first_month_end,
+  MAX(CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR)) AS last_week_start,
+  CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE),
+                     DATE '1999-01-01')) AS INT)              AS max_days_to_1999,
+  COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("f_date_advanced", oracle=_DATE_ADV_ORACLE, tags=("F2",))
+def f_date_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic beyond the basics: quarter boundaries,
+    last_day-of-month, ISO week truncation, day differences."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.min(F.last_day(d).cast("string")).alias("first_month_end"),
+            F.max(F.date_trunc("week", "o_orderdate").cast("date").cast("string")).alias(
+                "last_week_start"
+            ),
+            F.max(F.datediff(F.lit("1999-01-01").cast("date"), d)).alias(
+                "max_days_to_1999"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

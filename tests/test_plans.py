@@ -59,3 +59,26 @@ def test_cosine_topk_no_quadratic_shuffle(spark, sf_dir):
 def test_dynamic_partition_pruning_fires(spark, sf_dir):
     plan = _executed_plan(spark, "s_dynamic_partition_pruning", sf_dir)
     assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def test_observation_metrics(spark, sf_dir):
+    """df.observe(): pipeline health metrics collected during the SAME
+    action as the real work — no second scan. The production pattern for
+    row-count/null-rate accounting on 100 TB writes."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from iris_pyspark_spark.catalog import load_table
+
+    obs = Observation("ingest_metrics")
+    li = load_table(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count_if(F.col("l_discount") > 0.05).alias("high_discount_rows"),
+    )
+    out_rows = observed.filter(F.col("l_quantity") > 45).count()
+    metrics = obs.get
+    assert metrics["rows_seen"] == li.count()
+    assert 0 < metrics["high_discount_rows"] < metrics["rows_seen"]
+    assert out_rows < metrics["rows_seen"]
