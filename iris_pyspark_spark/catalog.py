@@ -34,11 +34,6 @@ TABLES: tuple[str, ...] = (
     "embeddings",
 )
 
-#: Tables small enough to always broadcast in joins at any scale factor —
-#: region/nation are fixed-cardinality dimensions (5 / 25 rows at every SF).
-BROADCASTABLE: frozenset[str] = frozenset({"region", "nation"})
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from `{sf_dir}/{name}.parquet`, normalized."""
     configure(spark)

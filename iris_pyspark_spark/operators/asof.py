@@ -46,6 +46,15 @@ def asof_join(
     """
     on_cols = [on] if isinstance(on, str) else list(on)
     carry = [c for c in right.columns if c not in on_cols]
+    overlap = (set(left.columns) - set(on_cols)) & set(carry)
+    if overlap:
+        # A shared non-key name would let LEFT rows' own values enter the
+        # last(ignorenulls) carry chain — silently wrong results. Make the
+        # caller rename instead.
+        raise ValueError(
+            f"asof_join: left and right share non-key column(s) {sorted(overlap)}; "
+            "rename the right-side columns before joining"
+        )
 
     lhs = left.withColumn(_TIME, F.col(left_time)).withColumn(_TAG, F.lit(1))
     rhs = right.withColumn(_TIME, F.col(right_time)).withColumn(_TAG, F.lit(0))

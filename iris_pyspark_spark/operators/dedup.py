@@ -198,30 +198,51 @@ def simhash64(toks_sql: str) -> Column:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, simhash_col: str, max_hamming: int, block_bits: int = 16
+    df: DataFrame, id_col: str, simhash_col: str, max_hamming: int
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the top `block_bits` bits
-    (equi-join key), then exact Hamming filter inside each block."""
-    blocked = df.withColumn(
-        "__block", F.shiftright(F.col(simhash_col), 64 - block_bits)
+    """Near-dup pairs by SimHash with a recall GUARANTEE: the 64-bit
+    signature splits into max_hamming+1 disjoint bands, so any pair
+    within the Hamming limit agrees exactly on at least one band
+    (pigeonhole); candidates come from the per-band equi-join, then the
+    exact Hamming filter confirms. (A single-prefix block would silently
+    miss pairs whose differing bits touch the prefix — ~90% of
+    limit-distance pairs for max_hamming=8.)"""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands + (1 if 64 % n_bands else 0)
+    banded = df.select(
+        F.col(id_col),
+        F.col(simhash_col),
+        F.posexplode(
+            F.array(
+                *[
+                    # Band j = bits [j*width, (j+1)*width): shift then mask.
+                    (
+                        F.shiftrightunsigned(F.col(simhash_col), j * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("__band", "__band_bits"),
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
+    a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(
         F.col(f"a.{simhash_col}").bitwiseXOR(F.col(f"b.{simhash_col}"))
     )
     return (
         a.join(
             b,
-            (F.col("a.__block") == F.col("b.__block"))
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__band_bits") == F.col("b.__band_bits"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

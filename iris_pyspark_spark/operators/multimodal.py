@@ -104,11 +104,15 @@ def sample_frames(df: DataFrame, every_k: int = 4) -> DataFrame:
     Output: doc_id, n_frames, sampled_frames array<int>.
     """
     n_frames = F.ceil(F.octet_length("payload") / F.lit(FRAME_BYTES)).cast("int")
+    # Guard n_frames=0 (empty payload): sequence(0, -1) would produce a
+    # DESCENDING [0, -1] (Spark defaults to step -1 when start > stop),
+    # leaking a phantom frame index 0.
+    sampled = F.when(n_frames > 0, F.filter(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: i % every_k == 0,
+    )).otherwise(F.array().cast("array<int>"))
     return df.select(
         "doc_id",
         n_frames.alias("n_frames"),
-        F.filter(
-            F.sequence(F.lit(0), n_frames - 1),
-            lambda i: i % every_k == 0,
-        ).alias("sampled_frames"),
+        sampled.alias("sampled_frames"),
     )

@@ -112,33 +112,6 @@ def l2_sq_unrolled_sql(a: str, b: str, dim: int) -> str:
     )
 
 
-#: DuckDB spellings of the identical folds, for oracle SQL.
-DOT_SQL = (
-    "LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
-    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
-)
-NORM_SQL = "SQRT(" + DOT_SQL.format(a="{a}", b="{a}") + ")"
-
-
-def cosine_sql(a: str, b: str) -> str:
-    return (
-        DOT_SQL.format(a=a, b=b)
-        + " / ("
-        + NORM_SQL.format(a=a)
-        + " * "
-        + NORM_SQL.format(a=b)
-        + ")"
-    )
-
-
-def l2_sq_sql(a: str, b: str) -> str:
-    return (
-        f"LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
-        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
-        "(x, y) -> x + y)"
-    )
-
-
 def knn_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,

@@ -54,10 +54,10 @@ def salted_agg(
     n_salts: int = 8,
 ) -> DataFrame:
     """Two-phase hot-key aggregation: partial-aggregate by (key, salt),
-    then final-aggregate by key. `aggs` maps output name → SUM-like
-    column expression that is exactly associative (counts, integer
-    cents, min/max) so the two-phase result is bit-identical to the
-    one-phase plan.
+    then final-aggregate by key. Both phases apply SUM, so `aggs` must
+    map output name → a SUM-decomposable column expression (counts via
+    lit(1), integer cents, any exact-associative sum input) — NOT
+    min/max/avg, which need different merge functions.
 
     (Spark's hash aggregate already does map-side partials; explicit
     salting additionally splits the REDUCE side, which matters when one

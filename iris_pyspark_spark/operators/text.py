@@ -45,12 +45,6 @@ def marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def lang_scores(toks: Column) -> list[Column]:
-    return [
-        marker_hits(toks, m).alias(f"score_{lang}") for lang, m in LANG_MARKERS.items()
-    ]
-
-
 def predicted_lang(toks: Column) -> Column:
     """argmax over marker scores. array_max on (score, lang) structs →
     on a score tie the LARGEST language code wins; oracles must state

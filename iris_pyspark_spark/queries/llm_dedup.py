@@ -209,14 +209,14 @@ _install_embedding_near_dup_oracle()
 @register("n_simhash", oracle=None, tags=("N2",))
 def n_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (Hamming ≤ 8) over the same planted
-    near-dup corpus; blocking on the top 16 bits keeps the pair space
-    an equi-join."""
+    near-dup corpus; pigeonhole multi-band blocking keeps the pair space
+    an equi-join while guaranteeing recall at the Hamming limit."""
     corpus = _near_dup_corpus(spark, sf_dir)
     sigs = corpus.select(
         "doc_id",
         simhash64("split(lower(text), ' ')").alias("simhash"),
     )
-    return simhash_near_pairs(sigs, "doc_id", "simhash", max_hamming=8, block_bits=16)
+    return simhash_near_pairs(sigs, "doc_id", "simhash", max_hamming=8)
 
 
 @register("n_minhash_lsh_mllib", oracle=None, tags=("N2",))
@@ -232,8 +232,11 @@ def n_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf_dir)
     toks = corpus.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
     shingled = NGram(n=3, inputCol="toks", outputCol="shingles").transform(toks)
+    # Docs shorter than 3 tokens produce zero shingles → an all-zero TF
+    # vector, which MinHashLSH rejects at runtime; filter them out.
+    shingled = shingled.filter(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 14)
-    feats = tf.transform(shingled).filter(F.expr("features IS NOT NULL"))
+    feats = tf.transform(shingled)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")

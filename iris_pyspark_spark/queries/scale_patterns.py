@@ -219,7 +219,9 @@ def s_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_dir(sf_dir, "documents_dpp_by_lang")
     import os
 
-    if not os.path.exists(path):
+    # _SUCCESS marker, not bare existence: an interrupted write leaves a
+    # partial directory that bare exists-checks would trust forever.
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs.write.mode("overwrite").partitionBy("lang").parquet(path)
     fact = spark.read.parquet(path)
     dim = spark.createDataFrame(

@@ -57,9 +57,14 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
-    """Create (or fetch) the process-wide SparkSession."""
+    """Create (or fetch) the process-wide SparkSession.
+
+    An explicit `shuffle_partitions` wins over the env-var default —
+    both at build time and past the `configure()` re-application below
+    (which would otherwise clobber it with the RUNTIME_CONFS value)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    explicit_shuffle = shuffle_partitions
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("IRIS_PYSPARK_SHUFFLE_PARTITIONS", "32")
     )
@@ -82,4 +87,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    return configure(spark)
+    configure(spark)
+    if explicit_shuffle is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(explicit_shuffle))
+    return spark

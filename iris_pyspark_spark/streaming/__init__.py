@@ -59,7 +59,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = os.path.join(src, "events.parquet")
     if not os.path.exists(staged):
         os.makedirs(src, exist_ok=True)
-        shutil.copy2(f"{sf_dir}/events.parquet", staged)
+        # Copy to a temp name + atomic rename: an interrupted copy must
+        # not leave a truncated file that exists-checks would then trust.
+        tmp = staged + ".tmp"
+        shutil.copy2(f"{sf_dir}/events.parquet", tmp)
+        os.replace(tmp, staged)
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
     # TIMESTAMP (ltz), not NTZ: watermarks/event-time require it. The
     # session is pinned to UTC (session.RUNTIME_CONFS), so epoch math is

@@ -74,3 +74,49 @@ def test_cosine_topk_k_larger_than_corpus(spark):
     got = out.groupBy("q_id").count().collect()
     # k > corpus: each query gets corpus-1 neighbors (self excluded), no crash.
     assert all(r["count"] == 2 for r in got)
+
+
+def test_frame_sampling_empty_payload(spark):
+    from pyspark.sql import functions as F
+
+    from iris_pyspark_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, "some text"), (2, "")], "doc_id long, text string"
+    ).withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+    out = {r.doc_id: (r.n_frames, r.sampled_frames) for r in sample_frames(df).collect()}
+    assert out[1] == (1, [0])
+    # Empty payload: zero frames and NO phantom sampled index.
+    assert out[2] == (0, [])
+
+
+def test_asof_join_rejects_overlapping_columns(spark):
+    import datetime as ddt
+
+    import pytest
+
+    from iris_pyspark_spark.operators.asof import asof_join
+
+    t = ddt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t, 10.0)], "k long, ts timestamp, value double")
+    right = spark.createDataFrame([(1, t, 99.0)], "k long, rts timestamp, value double")
+    with pytest.raises(ValueError, match="share non-key column"):
+        asof_join(left, right, on="k", left_time="ts", right_time="rts")
+
+
+def test_simhash_multiband_recall(spark):
+    """A pair differing ONLY in high bits must be found (the old
+    single-prefix blocking missed exactly this case)."""
+    from pyspark.sql import functions as F
+
+    from iris_pyspark_spark.operators.dedup import simhash_near_pairs
+
+    # Hashes differ in bits 60-63 → hamming 4, identical elsewhere.
+    # (two's-complement: the sign bit set means a negative int64)
+    h1 = ((0xF << 60) | 0x12345) - (1 << 64)
+    h2 = 0x12345
+    df = spark.createDataFrame(
+        [(1, h1), (2, h2)], "doc_id long, simhash long"
+    )
+    got = simhash_near_pairs(df, "doc_id", "simhash", max_hamming=8).collect()
+    assert len(got) == 1 and got[0].hamming == 4
