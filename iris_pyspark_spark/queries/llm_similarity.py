@@ -165,6 +165,14 @@ def n_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, centroids, v_id="vec_id", c_id="cid", v_vec="embedding", c_vec="cemb",
         dim=DIM,
     )
+    # The assignment is consumed by BOTH join sides; materialize it once
+    # as a parquet artifact (the IVF index IS an artifact at scale)
+    # instead of re-running the centroid scan per consumer.
+    from ..sources import scratch_dir
+
+    ivf_path = scratch_dir(sf_dir, "ivf_assignment")
+    assigned.write.mode("overwrite").parquet(ivf_path)
+    assigned = spark.read.parquet(ivf_path)
     normed = assigned.withColumn(
         "nrm", F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM))
     )
