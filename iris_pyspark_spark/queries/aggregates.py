@@ -329,3 +329,41 @@ def a_modern_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
         F.mode("o_orderstatus").alias("modal_status"),
     )
+
+
+_UNPIVOT_ORACLE = """
+SELECT n_name, metric, CAST(val AS BIGINT) AS val
+FROM (
+  SELECT n.n_name,
+         COUNT(DISTINCT c.c_custkey) AS n_customers,
+         COUNT(DISTINCT s.s_suppkey) AS n_suppliers
+  FROM nation n
+  LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+  LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+UNPIVOT (val FOR metric IN (n_customers, n_suppliers))
+"""
+
+
+@register("a_unpivot_melt", oracle=_UNPIVOT_ORACLE, tags=("A7", "P1"))
+def a_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt — the inverse of pivot: wide per-nation metrics to
+    long (nation, metric, value) form."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("nation", "customer", "supplier")}
+    wide = (
+        t["nation"]
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .join(t["supplier"], F.col("s_nationkey") == F.col("n_nationkey"), "left")
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["n_customers", "n_suppliers"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

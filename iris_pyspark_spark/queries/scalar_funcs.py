@@ -375,3 +375,30 @@ def f_date_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+_EXPLODE_OUTER_ORACLE = """
+SELECT doc_id, word
+FROM (
+  SELECT doc_id,
+         CASE WHEN lang = 'zh' THEN NULL
+              ELSE string_split(LOWER(LEFT(text, 30)), ' ') END AS words
+  FROM documents
+)
+LEFT JOIN LATERAL UNNEST(words) AS t(word) ON TRUE
+"""
+
+
+@register("f_explode_outer", oracle=_EXPLODE_OUTER_ORACLE, tags=("F4", "P5"))
+def f_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: null/empty arrays keep their parent row (word =
+    NULL) instead of dropping it — plain explode silently loses rows,
+    which at 100 TB means silently losing documents."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.when(
+        F.col("lang") != "zh",
+        F.split(F.lower(F.col("text").substr(1, 30)), " "),
+    )
+    return d.select("doc_id", words.alias("words")).select(
+        "doc_id", F.explode_outer("words").alias("word")
+    )

@@ -94,3 +94,29 @@ WHERE o_orderkey IN (
 def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_IN_SUB)
+
+
+#: TPC-H Q2 shape: min-cost supplier per part via a correlated subquery
+#: over a multi-join — the classic nested-subquery planning test.
+#: (Supplier "cost" is s_acctbal here: the schema has no partsupp table,
+#: so suppliers pair with parts through lineitem.)
+_Q2 = """
+SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size >= 45
+  AND s.s_acctbal = (
+    SELECT MIN(s2.s_acctbal)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    WHERE l2.l_partkey = p.p_partkey
+  )
+GROUP BY p.p_partkey, p.p_name, s.s_name, s.s_acctbal
+"""
+
+
+@register("sql_q2_min_cost_supplier", oracle=_Q2, tags=("E2", "J6"))
+def sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q2)

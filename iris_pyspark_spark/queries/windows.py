@@ -155,3 +155,31 @@ def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents(F.col("value"))).over(w) / 100.0 / F.count(F.lit(1)).over(w)
         ).alias("moving_avg"),
     )
+
+
+_DIST_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+       ROUND(CUME_DIST()   OVER w, 9)  AS cume,
+       NTILE(4)            OVER w      AS quartile
+FROM orders
+WHERE o_orderkey % 100 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("w_distribution_funcs", oracle=_DIST_ORACLE, tags=("W1",))
+def w_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile — distribution window functions
+    (rounded to 9 decimals: both engines compute k/n with identical
+    integer inputs, rounding shields the division's last ulp)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
