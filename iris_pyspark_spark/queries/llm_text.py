@@ -161,3 +161,98 @@ def n_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: 4 smallest md5s of all 5-grams."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_min_md5("text", k=5, keep=4).alias("fingerprint"))
+
+
+_CURATION_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, UPPER(text), source FROM documents
+),
+hashed AS (
+  SELECT doc_id, text, source, SHA256(LOWER(TRIM(text))) AS h FROM corpus
+),
+survivors AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM hashed
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT doc_id, source,
+         LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tok,
+         LEAST(CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS DOUBLE) / 60.0, 1.0) * 0.5
+         + (LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' ')))
+            / CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS DOUBLE)) * 0.4
+         + LEAST(((LENGTH(text) - (LEN(STRING_SPLIT(LOWER(text), ' ')) - 1))
+                  / CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS DOUBLE)) / 10.0, 1.0) * 0.1
+           AS quality
+  FROM survivors
+)
+SELECT c.source                                        AS source,
+       COUNT(*)                                        AS n_input,
+       (SELECT COUNT(*) FROM survivors s WHERE s.source = c.source)
+                                                       AS n_after_dedup,
+       (SELECT COUNT(*) FROM scored q
+        WHERE q.source = c.source AND q.quality >= 0.8) AS n_kept,
+       (SELECT CAST(COALESCE(SUM(q.n_tok), 0) AS BIGINT) FROM scored q
+        WHERE q.source = c.source AND q.quality >= 0.8) AS tokens_kept
+FROM corpus c
+GROUP BY c.source
+"""
+
+
+@register(
+    "pipeline_data_curation",
+    oracle=_CURATION_ORACLE,
+    tags=("N1", "N5", "P7"),
+    headline=True,
+)
+def pipeline_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation — the composition the engine
+    exists for: planted-duplicate corpus → exact dedup (normalized-hash,
+    keep-min-id) → quality gate (>= 0.8, bit-deterministic heuristic) →
+    per-source accounting of inputs, survivors, kept docs, and kept
+    tokens. Every stage is the registered operator, chained; the oracle
+    recomputes the identical pipeline in SQL."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import quality_score, token_count_whitespace
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.upper("text").alias("text"),
+            "source",
+        )
+    )
+    survivors = exact_dedup(corpus, "doc_id", "text")
+    scored = survivors.select(
+        "doc_id",
+        "source",
+        token_count_whitespace("text").alias("n_tok"),
+        quality_score("text").alias("quality"),
+    )
+    kept = scored.filter(F.col("quality") >= 0.8)
+
+    per_source_input = corpus.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input")
+    )
+    per_source_dedup = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_dedup")
+    )
+    per_source_kept = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("tokens_kept"),
+    )
+    return (
+        per_source_input.join(per_source_dedup, "source", "left")
+        .join(per_source_kept, "source", "left")
+        .select(
+            "source",
+            "n_input",
+            F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        )
+    )
