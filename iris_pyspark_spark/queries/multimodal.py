@@ -92,3 +92,88 @@ FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
 def m_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_payload(load_table(spark, sf_dir, "documents"))
     return sample_frames(docs, every_k=4)
+
+
+def _probe_sql(dim: int) -> str:
+    # Probe vector = embedding of vec_id 0 (deterministic shared probe).
+    return f"SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p FROM embeddings WHERE vec_id = 0"
+
+
+_DOC_EMB_ORACLE_TEMPLATE = """
+WITH probe AS ({probe}),
+rec AS (
+  SELECT {{'doc': {{'lang': d.lang, 'n_chars': d.n_chars}},
+          'emb': list_transform(e.embedding, x -> CAST(x AS DOUBLE))}} AS m,
+         d.doc_id AS doc_id
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.lang IN ('en', 'es')
+)
+SELECT doc_id,
+       m.doc.lang AS lang,
+       ({dot}) / (SQRT({nrm_m}) * SQRT({nrm_p})) AS sim_to_probe
+FROM rec, probe
+ORDER BY sim_to_probe DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("m_doc_embedding_multimodal", oracle=None, tags=("N6", "N3"))
+def m_doc_embedding_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record in action: documents joined to their embeddings
+    into a nested {doc:{lang,n_chars}, emb} struct, filtered on text
+    metadata, ranked by cosine to a shared probe vector — the mixed
+    metadata+vector access pattern of retrieval pipelines. The struct is
+    carried through the plan; only scalars surface in the result."""
+    from ..operators.similarity import dot_unrolled
+
+    DIM = 64
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    rec = (
+        d.filter(F.col("lang").isin("en", "es"))
+        .join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            F.struct(
+                F.struct(F.col("lang"), F.col("n_chars")).alias("doc"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+            ).alias("m"),
+        )
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("p")
+    )
+    sim = dot_unrolled(F.col("m.emb"), F.col("p"), DIM) / (
+        F.sqrt(dot_unrolled(F.col("m.emb"), F.col("m.emb"), DIM))
+        * F.sqrt(dot_unrolled(F.col("p"), F.col("p"), DIM))
+    )
+    return (
+        rec.crossJoin(F.broadcast(probe))
+        .select(
+            "doc_id",
+            F.col("m.doc.lang").alias("lang"),
+            sim.alias("sim_to_probe"),
+        )
+        .orderBy(F.col("sim_to_probe").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _install_doc_emb_oracle() -> None:
+    from ..operators.similarity import dot_unrolled_sql
+    from ..registry import REGISTRY, Query
+
+    dim = 64
+    oracle = _DOC_EMB_ORACLE_TEMPLATE.format(
+        probe=_probe_sql(dim),
+        dot=dot_unrolled_sql("m.emb", "p", dim),
+        nrm_m=dot_unrolled_sql("m.emb", "m.emb", dim),
+        nrm_p=dot_unrolled_sql("p", "p", dim),
+    )
+    q = REGISTRY["m_doc_embedding_multimodal"]
+    REGISTRY["m_doc_embedding_multimodal"] = Query(
+        name=q.name, fn=q.fn, oracle=oracle, tags=q.tags, headline=q.headline
+    )
+
+
+_install_doc_emb_oracle()
