@@ -1,0 +1,90 @@
+"""Determinism under parallelism — THE distributed-correctness property:
+a query's result must not depend on how the input happens to be split.
+Each sampled operator runs on a 1-partition and a 7-partition copy of
+the same data; canonicalized results must be identical. Catches
+accidental dependence on row order, partition-local state, or
+nondeterministic tie-breaks that the single-layout oracle check can't
+see."""
+
+from __future__ import annotations
+
+from iris_pyspark_spark.catalog import load_table
+from iris_pyspark_spark.testing import canonical_rows
+
+LAYOUTS = (1, 7)
+
+
+def _invariant(make_df):
+    results = [canonical_rows(make_df(n).toPandas()) for n in LAYOUTS]
+    assert results[0] == results[1], "result depends on input partitioning"
+    assert len(results[0]) > 0
+
+
+def test_sessionize_partition_invariant(spark, sf_dir):
+    from iris_pyspark_spark.operators.sessionize import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    _invariant(
+        lambda n: sessionize(
+            e.repartition(n), key="user_id", ts="ts",
+            gap_seconds=1800, tie_break="event_id",
+        ).select("user_id", "event_id", "session_id")
+    )
+
+
+def test_minhash_partition_invariant(spark, sf_dir):
+    from iris_pyspark_spark.operators.dedup import minhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    _invariant(
+        lambda n: minhash_signatures(d.repartition(n), "doc_id", "text", 3, 16)
+    )
+
+
+def test_cosine_topk_partition_invariant(spark, sf_dir):
+    from iris_pyspark_spark.operators.similarity import cosine_topk_blockwise
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = e.toPandas()
+    _invariant(
+        lambda n: cosine_topk_blockwise(
+            e.repartition(n), pdf,
+            c_id="vec_id", c_vec="embedding", k=3, dim=64,
+            out_query_col="q_id",
+        )
+    )
+
+
+def test_salted_agg_partition_invariant(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from iris_pyspark_spark.operators.skew import salted_agg
+    from iris_pyspark_spark.queries.joins import cents
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    _invariant(
+        lambda n: salted_agg(
+            e.repartition(n),
+            key="user_id",
+            aggs={"n": F.lit(1).cast("long"), "cents": cents(F.col("value"))},
+            salt_src="event_id",
+            n_salts=5,
+        )
+    )
+
+
+def test_simhash_pairs_partition_invariant(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from iris_pyspark_spark.operators.dedup import simhash_near_pairs, simhash64
+    from iris_pyspark_spark.queries.llm_dedup import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sigs = corpus.select(
+        "doc_id", simhash64("split(lower(text), ' ')").alias("simhash")
+    )
+    _invariant(
+        lambda n: simhash_near_pairs(
+            sigs.repartition(n), "doc_id", "simhash", max_hamming=8
+        )
+    )
