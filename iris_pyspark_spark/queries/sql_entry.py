@@ -120,3 +120,54 @@ GROUP BY p.p_partkey, p.p_name, s.s_name, s.s_acctbal
 def sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_Q2)
+
+
+#: TPC-H Q19 shape: disjunction of conjunctive branches over a join —
+#: exercises BooleanSimplification, predicate pushdown through the OR,
+#: and join-condition extraction. Revenue in integer cents (join
+#: reorders rows).
+_Q19 = """
+SELECT
+  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+    / CAST(100 AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE
+  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+     AND l_quantity >= 1 AND l_quantity <= 11)
+  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+     AND l_quantity >= 10 AND l_quantity <= 20)
+  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+     AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@register("sql_q19_disjunctive_filter", oracle=_Q19, tags=("E2", "P3", "J1"))
+def sql_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q19)
+
+
+#: TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share).
+#: Both the numerator and denominator are integer-cents sums, so the
+#: final single division is bit-identical across engines.
+_Q14 = """
+SELECT
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+           THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           ELSE 0 END) AS DOUBLE)
+  / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+    AS promo_revenue_share,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
+@register("sql_q14_promo_share", oracle=_Q14, tags=("E2", "A7"))
+def sql_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q14)
