@@ -367,3 +367,30 @@ def a_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5)  AS median_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       quantile_cont(l_extendedprice, 0.25) AS p25_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("a_exact_quantiles", oracle=_QUANTILES_ORACLE, tags=("A8",))
+def a_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles: continuous (linear-interpolated) and discrete
+    percentile — both engines implement the same definitions on the
+    same doubles, so values match bit-exactly. (The approximate-sketch
+    path for 100 TB is a_approx_count_distinct / percentile_approx;
+    exact quantiles are the small-group truth.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95_price"),
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
