@@ -241,3 +241,60 @@ def s_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+_RANGE_BUCKETED_ORACLE = """
+SELECT a.event_id AS error_id, b.event_id AS click_id,
+       EPOCH_US(b.ts) - EPOCH_US(a.ts) AS us_apart
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'error' AND b.event_type = 'click'
+ AND b.ts >= a.ts - INTERVAL 5 MINUTE
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+"""
+
+
+@register("j_range_bucketed", oracle=_RANGE_BUCKETED_ORACLE, tags=("J7", "skew"))
+def j_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable interval join: clicks within ±5 min of each error, per
+    user. A naive time-range theta join plans as a nested loop over the
+    user's full history; bucketing timestamps into window-sized epochs
+    and exploding one side into its 3 candidate buckets turns it into an
+    equi-join on (user, bucket) + an exact refine filter — the shape
+    that shuffles instead of looping, with candidate volume bounded by
+    bucket occupancy. Result == the plain range join (oracle)."""
+    W_US = 5 * 60 * 1_000_000  # window half-width in microseconds
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("u_a"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_a"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("u_b"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_b"),
+    )
+    # Errors probe their own bucket ±1; clicks carry exactly one bucket.
+    probed = errors.select(
+        "*",
+        F.explode(
+            F.array(*[(F.col("ts_a") / W_US).cast("long") + d for d in (-1, 0, 1)])
+        ).alias("bucket"),
+    )
+    hashed = clicks.withColumn("bucket", (F.col("ts_b") / W_US).cast("long"))
+    return (
+        probed.join(
+            hashed,
+            (F.col("u_a") == F.col("u_b")) & (probed.bucket == hashed.bucket),
+        )
+        .filter(
+            (F.col("ts_b") >= F.col("ts_a") - W_US)
+            & (F.col("ts_b") <= F.col("ts_a") + W_US)
+        )
+        .select(
+            "error_id",
+            "click_id",
+            (F.col("ts_b") - F.col("ts_a")).alias("us_apart"),
+        )
+    )
