@@ -402,3 +402,33 @@ def f_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", words.alias("words")).select(
         "doc_id", F.explode_outer("words").alias("word")
     )
+
+
+_BITWISE_ORACLE = """
+SELECT event_id,
+       event_id & 255                    AS low_byte,
+       event_id | 4096                   AS with_flag,
+       xor(event_id, user_id)            AS mixed,
+       CAST(event_id << 2 AS BIGINT)     AS shifted_l,
+       CAST(event_id >> 3 AS BIGINT)     AS shifted_r,
+       CAST(bit_count(event_id) AS INT)  AS popcount
+FROM events
+WHERE event_id < 200
+"""
+
+
+@register("f_bitwise_funcs", oracle=_BITWISE_ORACLE, tags=("F3",))
+def f_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor, shifts, popcount — the primitives the
+    dedup/LSH operators build on, exposed as a query of their own."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    eid = F.col("event_id")
+    return e.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        eid.bitwiseXOR(F.col("user_id")).alias("mixed"),
+        F.shiftleft(eid, 2).alias("shifted_l"),
+        F.shiftright(eid, 3).alias("shifted_r"),
+        F.bit_count(eid).alias("popcount"),
+    )

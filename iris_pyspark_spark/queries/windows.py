@@ -183,3 +183,37 @@ def w_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 9).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+_RANGE_INTERVAL_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_30d_cents
+FROM orders
+WHERE o_custkey < 100
+"""
+
+
+@register("w_range_interval_frame", oracle=_RANGE_INTERVAL_ORACLE, tags=("W3",))
+def w_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time (trailing 30-day spend per customer):
+    the frame is defined by VALUE distance, not row count — ties and
+    gaps in order time are handled identically on both engines. Spark's
+    rangeBetween needs a numeric ordering column, so the frame runs over
+    epoch seconds with the same +-window."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    epoch = F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .over(w)
+        .alias("trailing_30d_cents"),
+    )
