@@ -432,3 +432,42 @@ def f_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(eid, 3).alias("shifted_r"),
         F.bit_count(eid).alias("popcount"),
     )
+
+
+_HOF_ORACLE = """
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0))                  AS n_positive,
+       CASE WHEN len(list_filter(embedding, x -> x > 0.4)) > 0
+            THEN TRUE ELSE FALSE END                            AS any_large,
+       CASE WHEN len(list_filter(embedding, x -> abs(x) <= 1.0)) = len(embedding)
+            THEN TRUE ELSE FALSE END                            AS all_bounded,
+       CAST(ROUND(list_reduce(
+         list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         (a, b) -> a + b) * 1000000) AS BIGINT)                 AS sum_micro
+FROM embeddings
+WHERE vec_id < 50
+"""
+
+
+@register("f_higher_order_funcs", oracle=_HOF_ORACLE, tags=("F4",))
+def f_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: filter/exists/forall/aggregate with
+    lambdas. Semantics coverage — the HOT paths avoid HOFs (they run
+    interpreted; see operators/similarity.py), but the API surface is
+    part of the engine contract. The fold matches DuckDB's list_reduce
+    seeded by the first element; micro-rounding shields nothing (values
+    are bit-equal) but keeps the output integer."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    emb = F.col("embedding")
+    first_plus_rest = F.aggregate(
+        F.slice(F.transform(emb, lambda x: x.cast("double")), 2, 10_000),
+        F.element_at(emb, 1).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.exists(emb, lambda x: x > 0.4).alias("any_large"),
+        F.forall(emb, lambda x: F.abs(x) <= 1.0).alias("all_bounded"),
+        F.round(first_plus_rest * 1_000_000).cast("long").alias("sum_micro"),
+    )
