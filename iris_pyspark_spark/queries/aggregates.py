@@ -394,3 +394,26 @@ def a_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.25)).alias("p25_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_ARGMAX_ORACLE = """
+SELECT c_mktsegment,
+       MAX({'bal': c_acctbal, 'id': c_custkey}).bal AS top_balance,
+       MAX({'bal': c_acctbal, 'id': c_custkey}).id  AS top_customer
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("a_argmax_struct", oracle=_ARGMAX_ORACLE, tags=("A1", "N6"))
+def a_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax-per-group: MAX over a (value, id) struct
+    compares lexicographically, so ties on the value break by id — the
+    safe spelling of max_by, whose tie behavior is undefined on both
+    engines."""
+    c = load_table(spark, sf_dir, "customer")
+    top = F.max(F.struct(F.col("c_acctbal").alias("bal"), F.col("c_custkey").alias("id")))
+    return c.groupBy("c_mktsegment").agg(
+        top.getField("bal").alias("top_balance"),
+        top.getField("id").alias("top_customer"),
+    )
