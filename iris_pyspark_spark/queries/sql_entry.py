@@ -171,3 +171,24 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
 def sql_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_Q14)
+
+
+#: TPC-H Q4 shape: order-priority counts for orders with at least one
+#: late lineitem in a date window — EXISTS + date-range pushdown.
+_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1994-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_q4_priority_exists", oracle=_Q4, tags=("E2", "J4"))
+def sql_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q4)
