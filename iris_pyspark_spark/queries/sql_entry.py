@@ -192,3 +192,48 @@ GROUP BY o_orderpriority
 def sql_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_Q4)
+
+
+#: TPC-H Q10 shape: revenue lost to returned items, per customer+nation.
+_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / CAST(100 AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1994-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("sql_q10_returned_items", oracle=_Q10, tags=("E2", "J6", "O2"))
+def sql_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q10)
+
+
+#: TPC-H Q12 shape: late-shipment counts bucketed by priority class.
+_Q12 = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+  AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+@register("sql_q12_priority_buckets", oracle=_Q12, tags=("E2", "A7"))
+def sql_q12_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q12)
