@@ -208,17 +208,26 @@ def simhash_near_pairs(
     miss pairs whose differing bits touch the prefix — ~90% of
     limit-distance pairs for max_hamming=8.)"""
     n_bands = max_hamming + 1
-    width = 64 // n_bands + (1 if 64 % n_bands else 0)
+    # Partition the 64 bits into n_bands contiguous bands whose widths sum
+    # to EXACTLY 64 (the first 64 % n_bands bands get one extra bit). A
+    # uniform ceil width would claim > 64 bits: the last band's shift would
+    # reach 64, which the JVM masks mod 64, silently duplicating band 0 —
+    # and the pigeonhole guarantee would be void because only n_bands - 1
+    # real bands would partition the word.
+    base, extra = divmod(64, n_bands)
+    widths = [base + 1] * extra + [base] * (n_bands - extra)
+    offsets = [sum(widths[:j]) for j in range(n_bands)]
+    assert offsets[-1] + widths[-1] == 64
     banded = df.select(
         F.col(id_col),
         F.col(simhash_col),
         F.posexplode(
             F.array(
                 *[
-                    # Band j = bits [j*width, (j+1)*width): shift then mask.
+                    # Band j = bits [offsets[j], offsets[j] + widths[j]).
                     (
-                        F.shiftrightunsigned(F.col(simhash_col), j * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        F.shiftrightunsigned(F.col(simhash_col), offsets[j])
+                        .bitwiseAND(F.lit((1 << widths[j]) - 1))
                     )
                     for j in range(n_bands)
                 ]

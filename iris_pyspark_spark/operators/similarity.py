@@ -240,6 +240,65 @@ def cosine_topk_blockwise(
     )
 
 
+def cosine_topk_selfsim(
+    corpus: DataFrame,
+    c_id: str,
+    c_vec: str,
+    k: int,
+    dim: int,
+    slab_rows: int = 65536,
+    out_query_col: str = "vec_id",
+    out_neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """All-pairs (self-similarity) cosine top-k with BOUNDED driver memory.
+
+    When queries = corpus, collecting the query side whole would funnel
+    the entire table through the driver — the one thing that cannot
+    survive 100 TB. Instead the query side is sharded into slabs of at
+    most `slab_rows` vectors (id mod n_slabs, so no ordering pass is
+    needed): each iteration collects ONE slab (≤ slab_rows × dim doubles,
+    a few MB), runs the blockwise broadcast-queries × streamed-corpus
+    kernel, and the union over slabs is the exact all-pairs top-k —
+    slabs partition the query set, and every slab still sees the full
+    corpus, so per-query results are identical to the unsharded run.
+
+    Cost model: driver peak = one slab; corpus is scanned once per slab
+    (n_slabs = ceil(|corpus| / slab_rows)); compute is the same O(n²)
+    the operator inherently is. For genuinely huge n, prefer the IVF
+    path (`ivf_assign` + cell-local search) — this operator is the
+    exact baseline.
+    """
+    n = corpus.count()
+    n_slabs = max(1, -(-n // slab_rows))
+    parts = corpus.sparkSession.sparkContext.defaultParallelism
+    body = corpus.select(c_id, c_vec).repartition(parts)
+    outs = []
+    for s in range(n_slabs):
+        slab_pdf = (
+            corpus.select(c_id, c_vec)
+            .filter(F.col(c_id) % n_slabs == s)
+            .toPandas()
+        )
+        if len(slab_pdf) == 0:
+            continue
+        outs.append(
+            cosine_topk_blockwise(
+                body,
+                slab_pdf,
+                c_id=c_id,
+                c_vec=c_vec,
+                k=k,
+                dim=dim,
+                out_query_col=out_query_col,
+                out_neighbor_col=out_neighbor_col,
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

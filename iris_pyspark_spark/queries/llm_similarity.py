@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..operators.similarity import (
-    cosine_topk_blockwise,
+    cosine_topk_selfsim,
     cosine_unrolled,
     dot_unrolled,
     dot_unrolled_sql,
@@ -71,15 +71,16 @@ SELECT vec_id, neighbor_id, sim, rnk FROM (
     headline=True,
 )
 def n_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine, top-3 neighbors per vector — blockwise
-    broadcast-queries × partitioned-corpus (operators/similarity.py:
-    cosine_topk_blockwise); nothing quadratic is materialized."""
+    """All-pairs cosine, top-3 neighbors per vector — sharded blockwise
+    self-similarity (operators/similarity.py: cosine_topk_selfsim).
+    The query side is collected in bounded slabs (≤1000 vectors ≈ 0.5 MB
+    at dim 64), never the whole corpus; each slab broadcasts against the
+    streamed corpus and only local top-k rows shuffle. Nothing quadratic
+    is materialized and driver memory is constant in corpus size."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    queries_pdf = e.toPandas()
-    out = cosine_topk_blockwise(
-        e.repartition(spark.sparkContext.defaultParallelism),
-        queries_pdf,
-        c_id="vec_id", c_vec="embedding", k=3, dim=DIM,
+    out = cosine_topk_selfsim(
+        e,
+        c_id="vec_id", c_vec="embedding", k=3, dim=DIM, slab_rows=1000,
         out_query_col="q_id", out_neighbor_col="neighbor_id",
     )
     return out.select(

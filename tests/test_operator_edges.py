@@ -120,3 +120,45 @@ def test_simhash_multiband_recall(spark):
     )
     got = simhash_near_pairs(df, "doc_id", "simhash", max_hamming=8).collect()
     assert len(got) == 1 and got[0].hamming == 4
+
+
+def test_simhash_pigeonhole_at_exact_limit(spark):
+    """Hamming == max_hamming with one differing bit per byte: with
+    max_hamming=8 the old uniform-width banding made 9 bands of 8 bits;
+    band 8's shift of 64 wrapped to 0 (JVM masks shifts mod 64), so only
+    8 real bands partitioned the word and this pair — one differing bit
+    in each — was missed. Exact floor/remainder widths guarantee a clean
+    band exists (9 bands, 8 differing bits, pigeonhole)."""
+    from iris_pyspark_spark.operators.dedup import simhash_near_pairs
+
+    h1 = 0x12345
+    h2 = h1 ^ 0x0101010101010101  # flip bits 0, 8, 16, ..., 56 → hamming 8
+    df = spark.createDataFrame([(1, h1), (2, h2)], "doc_id long, simhash long")
+    got = simhash_near_pairs(df, "doc_id", "simhash", max_hamming=8).collect()
+    assert len(got) == 1 and got[0].hamming == 8
+
+
+def test_cosine_selfsim_slabs_match_unsharded(spark):
+    """Sharding the query side into bounded slabs must be invisible in
+    the result: slabs partition the query set and each slab sees the
+    full corpus."""
+    import random
+
+    from iris_pyspark_spark.operators.similarity import cosine_topk_selfsim
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(4)])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run(slab_rows):
+        out = cosine_topk_selfsim(
+            df, c_id="vec_id", c_vec="embedding", k=3, dim=4, slab_rows=slab_rows
+        )
+        return sorted(
+            (r.vec_id, r.neighbor_id, round(r.sim, 12), r.rnk) for r in out.collect()
+        )
+
+    assert run(slab_rows=3) == run(slab_rows=100)  # 4 slabs vs 1 slab
