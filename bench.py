@@ -58,6 +58,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "n": 2,  # min-of-2 runs per query (see contention note above)
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

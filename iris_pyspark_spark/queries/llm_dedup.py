@@ -44,7 +44,12 @@ def n_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mangled = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"), F.upper("text").alias("text")
     )
-    corpus = d.unionByName(mangled)
+    # Repartition after the union: the single-file parquet scan yields one
+    # partition, and without this the sha256 hashing of the doubled corpus
+    # runs serially in that one task (a straggler factory at scale).
+    corpus = d.unionByName(mangled).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return exact_dedup(corpus, "doc_id", "text").select("doc_id", "n_copies")
 
 
@@ -89,7 +94,12 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" appended token")).alias("text"),
         )
     )
-    return d.unionByName(variants)
+    # Repartition so downstream shingling/hashing fans out instead of
+    # running inside the union's single scan task (single-file scans
+    # arrive as one partition).
+    return d.unionByName(variants).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 # MinHash uses xxhash64, which DuckDB lacks → deterministic rows-only.

@@ -225,7 +225,10 @@ def pipeline_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper("text").alias("text"),
             "source",
         )
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # ^ the single-file scan arrives as ONE partition; without the
+    # repartition the dedup hashing and quality scoring of the doubled
+    # corpus serialize in a single task.
     survivors = exact_dedup(corpus, "doc_id", "text")
     scored = survivors.select(
         "doc_id",

@@ -434,6 +434,92 @@ def f_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Combined-family queries (driver-sweep representatives) ----------------
+# The external driver's correctness sweep has a bounded budget of registry
+# entries; these two queries each exercise a FULL §2 family combination
+# (F2+F3, F5+F6+F7) in one plan so the priority prefix of the registry can
+# cover every family. Expressions are the cross-engine-safe subset proven
+# by the per-family queries above.
+
+_TEMPORAL_MATH_ORACLE = """
+SELECT
+  o_orderkey,
+  YEAR(o_orderdate)                                AS y,
+  QUARTER(o_orderdate)                             AS q,
+  (ISODOW(o_orderdate) % 7) + 1                    AS dow_sunday1,
+  DATE_TRUNC('month', o_orderdate)                 AS month_start,
+  o_orderdate + INTERVAL 30 DAY                    AS due_date,
+  CAST(FLOOR(o_totalprice) AS BIGINT)              AS price_floor,
+  CAST(CEIL(o_totalprice) AS BIGINT)               AS price_ceil,
+  ABS(o_custkey - 750)                             AS cust_dev,
+  ((o_orderkey % 7) + 7) % 7                       AS key_mod7,
+  CAST(SIGN(o_totalprice - 150000) AS INT)         AS above_150k,
+  ROUND(SQRT(o_totalprice), 6)                     AS sqrt_price,
+  ROUND(LN(o_totalprice), 6)                       AS ln_price
+FROM orders
+"""
+
+
+@register("f_temporal_math", oracle=_TEMPORAL_MATH_ORACLE, tags=("F2", "F3"))
+def f_temporal_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (date/time) + F3 (math) in one projection over orders — the
+    per-family forms live in f_date_funcs / f_math_funcs; this combined
+    shape keeps the driver's bounded correctness sweep covering both
+    rows. All expressions stay inside whole-stage codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.dayofweek(d).alias("dow_sunday1"),
+        F.date_trunc("month", d).alias("month_start"),
+        (d + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.floor(price).alias("price_floor"),
+        F.ceil(price).alias("price_ceil"),
+        F.abs(F.col("o_custkey") - 750).alias("cust_dev"),
+        F.pmod("o_orderkey", F.lit(7)).alias("key_mod7"),
+        F.signum(price - 150000).cast("int").alias("above_150k"),
+        F.round(F.sqrt(price), 6).alias("sqrt_price"),
+        F.round(F.log(price), 6).alias("ln_price"),
+    )
+
+
+_SEMISTRUCTURED_ORACLE = """
+SELECT
+  event_id,
+  MAP(['type', 'origin'], [event_type, 'events'])['type'][1]  AS type_via_map,
+  ARRAY_TO_STRING(MAP_KEYS(MAP(['type', 'origin'], [event_type, 'events'])), ',') AS keys_csv,
+  JSON_EXTRACT_STRING(props, '$.k')                           AS k_str,
+  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)              AS k_int,
+  MD5(props)                                                  AS props_md5,
+  SHA256(event_type)                                          AS type_sha256
+FROM events
+WHERE event_id < 5000
+"""
+
+
+@register("f_semistructured", oracle=_SEMISTRUCTURED_ORACLE, tags=("F5", "F6", "F7"))
+def f_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 (map) + F6 (json) + F7 (hash) in one projection over events —
+    combined-family representative for the driver sweep; per-family
+    forms live in f_map_funcs / f_json_funcs / f_hash_funcs."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("origin"), F.lit("events")
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_via_map"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k INT").getField("k").alias("k_int"),
+        F.md5("props").alias("props_md5"),
+        F.sha2("event_type", 256).alias("type_sha256"),
+    )
+
+
 _HOF_ORACLE = """
 SELECT vec_id,
        len(list_filter(embedding, x -> x > 0))                  AS n_positive,

@@ -144,6 +144,72 @@ def u_grouped_agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- U1+U2+U3 combined suite (driver-sweep representative) -----------------
+
+_SUITE_ORACLE = """
+SELECT o_orderpriority,
+       MAX(o_totalprice * 1.1) - MIN(o_totalprice * 1.1) AS adj_spread,
+       COUNT(*) AS n_top
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rk
+  FROM orders
+) t
+WHERE rk <= 3
+GROUP BY o_orderpriority
+"""
+
+
+def _make_adjust_udf():
+    @pandas_udf("double")
+    def adjust(price: pd.Series) -> pd.Series:
+        # Elementwise, same operation order as the oracle → bit-equal.
+        return price * 1.1
+
+    return adjust
+
+
+def _make_suite_spread_udaf():
+    @pandas_udf("double")
+    def spread(adj: pd.Series) -> float:
+        # max/min are order-insensitive and exact on doubles.
+        return float(adj.max() - adj.min())
+
+    return spread
+
+
+def _make_suite_count_udaf():
+    @pandas_udf("long")
+    def n_rows(adj: pd.Series) -> int:
+        return int(len(adj))
+
+    return n_rows
+
+
+@register("u_vectorized_suite", oracle=_SUITE_ORACLE, tags=("U1", "U2", "U3"))
+def u_vectorized_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + U2 + U3 chained in one plan — grouped-map applyInPandas
+    (top-3 per priority) feeds a scalar pandas UDF (price adjustment)
+    feeds a grouped-agg pandas UDAF (spread). Combined-family
+    representative for the driver's bounded correctness sweep; each
+    shape also has its own per-family query above. Every stage is
+    Arrow-batched — no row-at-a-time Python anywhere."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    top3 = orders.groupBy("o_orderpriority").applyInPandas(
+        _top3_per_group, _U2_SCHEMA
+    )
+    adjusted = top3.withColumn("adj", _make_adjust_udf()("o_totalprice"))
+    return adjusted.groupBy("o_orderpriority").agg(
+        _make_suite_spread_udaf()("adj").alias("adj_spread"),
+        _make_suite_count_udaf()("adj").alias("n_top"),
+    )
+
+
 # --- U4: Python UDTF (lateral word expansion with position) ----------------
 
 _U4_ORACLE = """

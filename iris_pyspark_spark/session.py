@@ -43,12 +43,29 @@ def configure(spark: SparkSession) -> SparkSession:
 
     Used both by our own factory and on driver-provided sessions, since
     reading `events.parquet` is impossible without `nanosAsLong`.
+
+    Failures to apply a conf are collected and reported in ONE warning
+    (not raised): a session that rejects `nanosAsLong` will fail on
+    `events` reads far from the cause, and the warning is the breadcrumb.
     """
+    failed: list[str] = []
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # non-settable on this build — keep going, reads may still work
+            failed.append(k)
+    if failed:
+        import warnings
+
+        warnings.warn(
+            "could not apply session confs "
+            f"{failed}; events.parquet reads need "
+            "spark.sql.legacy.parquet.nanosAsLong — expect failures there"
+            if "spark.sql.legacy.parquet.nanosAsLong" in failed
+            else f"could not apply session confs {failed}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return spark
 
 

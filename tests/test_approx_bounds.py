@@ -1,0 +1,48 @@
+"""Tolerance self-checks for the approximate (rows-only) aggregates.
+
+`a_approx_count_distinct` and `a_hll_sketch_mergeable` have no DuckDB
+oracle by design (HLL estimates are library-specific), so the driver
+records only a rows-only check. These tests give them a real accuracy
+gate: the estimate must sit within the sketch's probabilistic error
+bound of the exact answer (3·rsd ≈ 3 standard deviations — a
+deterministic pass for Spark's seed-fixed datasketches build).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iris_pyspark_spark.catalog import load_table
+from iris_pyspark_spark.registry import load_all
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_within_3_rsd(spark):
+    reg = load_all()
+    rows = reg["a_approx_count_distinct"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
+        assert rel_err <= 3 * 0.01, (
+            f"{r.l_returnflag}: approx={r.approx_parts} exact={r.exact_parts} "
+            f"rel_err={rel_err:.4f} > 3·rsd"
+        )
+
+
+def test_hll_sketch_estimate_within_3pct(spark):
+    reg = load_all()
+    got = reg["a_hll_sketch_mergeable"].fn(spark, SF_DIR).collect()[0]
+    exact = (
+        load_table(spark, SF_DIR, "documents")
+        .agg(F.countDistinct("text").alias("n"))
+        .collect()[0]
+        .n
+    )
+    # Default lgConfigK=12 → rsd ≈ 1.04/sqrt(2^12) ≈ 1.6%; 3σ ≈ 4.9%.
+    rel_err = abs(got.approx_distinct_texts - exact) / max(exact, 1)
+    assert rel_err <= 0.05, (
+        f"HLL estimate {got.approx_distinct_texts} vs exact {exact}: "
+        f"rel_err={rel_err:.4f}"
+    )
+    assert got.n_docs_total == load_table(spark, SF_DIR, "documents").count()
