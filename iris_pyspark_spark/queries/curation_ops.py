@@ -1,0 +1,328 @@
+"""Training-data curation operators beyond the dedup/similarity core:
+document chunking, token-budget packing, benchmark-contamination checks,
+deterministic stratified sampling, and MERGE-style upsert on plain
+parquet (dynamic partition overwrite).
+
+These are the operations a 100 TB pretraining pipeline runs between
+"raw crawl" and "tokenized shards". All are pure DataFrame compositions
+(no Python in the row path) with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..operators.text import token_count_whitespace
+from ..registry import register
+from .joins import CENTS_SQL, cents
+
+# --- document chunking ------------------------------------------------------
+
+_CHUNK = 32   # tokens per chunk
+_STRIDE = 24  # tokens between chunk starts (overlap = _CHUNK - _STRIDE)
+
+_CHUNK_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         STRING_SPLIT(LOWER(text), ' ') AS toks,
+         LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tok
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, n_tok, toks,
+         UNNEST(GENERATE_SERIES(
+           0,
+           CAST(FLOOR((GREATEST(n_tok - {_CHUNK}, 0) + {_STRIDE} - 1) / {_STRIDE}.0) AS INT)
+         )) AS chunk_id
+  FROM base
+)
+SELECT doc_id, chunk_id, n_tok,
+       ARRAY_TO_STRING(LIST_SLICE(toks, chunk_id * {_STRIDE} + 1,
+                                  chunk_id * {_STRIDE} + {_CHUNK}), ' ') AS chunk_text,
+       LEN(LIST_SLICE(toks, chunk_id * {_STRIDE} + 1,
+                      chunk_id * {_STRIDE} + {_CHUNK}))                  AS n_chunk_tok
+FROM spans
+"""
+
+
+@register("n_doc_chunking", oracle=_CHUNK_ORACLE, tags=("N5", "F4"))
+def n_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunks (32-token windows, stride 24)
+    — the doc → context-window exploder every pretraining pipeline runs.
+    One map-side explode per document, no shuffle: at scale this fuses
+    into the parquet scan. Chunk count = ceil((n - chunk)/stride) + 1 in
+    pure integer arithmetic (identical in the oracle); slice clamps at
+    the tail so the last chunk is short rather than padded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    k_max = F.floor(
+        (F.greatest(n - _CHUNK, F.lit(0)) + _STRIDE - 1) / F.lit(_STRIDE).cast("double")
+    ).cast("int")
+    spans = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n_tok"),
+        F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_id"),
+    )
+    sliced = F.slice(
+        F.col("toks"), F.col("chunk_id") * _STRIDE + 1, F.lit(_CHUNK)
+    )
+    return spans.select(
+        "doc_id",
+        "chunk_id",
+        "n_tok",
+        F.concat_ws(" ", sliced).alias("chunk_text"),
+        F.size(sliced).alias("n_chunk_tok"),
+    )
+
+
+# --- token-budget packing ---------------------------------------------------
+
+_BUDGET = 2048  # tokens per packed bin
+
+_PACK_ORACLE = f"""
+WITH counted AS (
+  SELECT doc_id, source,
+         LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tok
+  FROM documents
+),
+binned AS (
+  SELECT doc_id, source, n_tok,
+         CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / {_BUDGET}.0) AS BIGINT) AS bin_id
+  FROM counted
+)
+SELECT source, bin_id,
+       COUNT(*)                        AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT)      AS total_tokens,
+       MIN(doc_id)                     AS first_doc,
+       MAX(doc_id)                     AS last_doc
+FROM binned
+GROUP BY source, bin_id
+"""
+
+
+@register("n_token_packing", oracle=_PACK_ORACLE, tags=("N5", "W3"))
+def n_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~2048-token training bins by running token
+    count: bin = floor(previous-cumulative-tokens / budget), packed
+    WITHIN each source shard. The per-shard window is the scale design —
+    a single global ordering would serialize into one reducer, while
+    per-source packing parallelizes across shards exactly like the
+    file-group packing step of a tokenizer pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id", "source", token_count_whitespace("text").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    binned = counted.withColumn(
+        "bin_id", F.floor(cum_prev / F.lit(_BUDGET).cast("double"))
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --- benchmark-contamination check ------------------------------------------
+
+_SH_K = 8  # shingle width (tokens)
+
+_CONTAM_ORACLE = f"""
+WITH eval_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+),
+train_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 200000, 'extra prefix ' || text FROM eval_docs
+),
+eval_sh AS (
+  SELECT DISTINCT doc_id AS eval_doc,
+         ARRAY_TO_STRING(LIST_SLICE(toks, i, i + {_SH_K} - 1), ' ') AS sh
+  FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM eval_docs),
+       UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - {_SH_K} + 1, 1))) AS t(i)
+),
+train_sh AS (
+  SELECT DISTINCT doc_id AS train_doc,
+         ARRAY_TO_STRING(LIST_SLICE(toks, i, i + {_SH_K} - 1), ' ') AS sh
+  FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM train_docs),
+       UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - {_SH_K} + 1, 1))) AS t(i)
+)
+SELECT eval_doc, train_doc, COUNT(*) AS n_shared,
+       COUNT(*) >= 3 AS contaminated
+FROM eval_sh e JOIN train_sh t ON e.sh = t.sh
+GROUP BY eval_doc, train_doc
+"""
+
+
+@register("n_contamination_check", oracle=_CONTAM_ORACLE, tags=("N2", "N5"))
+def n_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination scan: held-out eval docs (doc_id % 97 = 0)
+    are checked for 8-token shingle overlap against the training corpus
+    (which includes planted near-copies of the eval docs, so the check
+    has known positives). Candidate generation is an equi-join on the
+    shingle string — the same bucket-join shape as the LSH dedup path,
+    so it scales as a hash join, never an all-pairs comparison."""
+    from ..operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = d.filter(F.col("doc_id") % 97 == 0)
+    train_docs = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .unionByName(
+            eval_docs.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.lit("extra prefix "), F.col("text")).alias("text"),
+            )
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    eval_sh = (
+        shingle_rows(eval_docs, "doc_id", "text", _SH_K)
+        .dropDuplicates(["doc_id", "__sh"])
+        .select(F.col("doc_id").alias("eval_doc"), "__sh")
+    )
+    train_sh = (
+        shingle_rows(train_docs, "doc_id", "text", _SH_K)
+        .dropDuplicates(["doc_id", "__sh"])
+        .select(F.col("doc_id").alias("train_doc"), "__sh")
+    )
+    return (
+        eval_sh.join(train_sh, "__sh")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn("contaminated", F.col("n_shared") >= 3)
+    )
+
+
+# --- deterministic stratified sampling --------------------------------------
+
+_SAMPLE_PCT = 20      # keep ~20% per stratum
+_LCG_MULT = 48271     # minstd multiplier; doc_id * mult stays < 2^63 here
+
+_SAMPLE_ORACLE = f"""
+SELECT lang,
+       COUNT(*)                                                AS n_total,
+       COUNT(*) FILTER (WHERE (doc_id * {_LCG_MULT}) % 100 < {_SAMPLE_PCT})
+                                                               AS n_sampled,
+       MIN(CASE WHEN (doc_id * {_LCG_MULT}) % 100 < {_SAMPLE_PCT}
+                THEN doc_id END)                               AS first_sampled
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("n_stratified_sample", oracle=_SAMPLE_ORACLE, tags=("N5", "P2"))
+def n_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~20% stratified sample per language via a
+    deterministic key-hash filter ((doc_id * 48271) % 100 — an LCG step
+    both engines compute identically; production would use xxhash64,
+    which has no DuckDB twin). Unlike rand()-based sampling this is
+    stable across retries, partitionings, and engines — the property a
+    training-data ablation actually needs."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = (F.col("doc_id") * _LCG_MULT) % 100 < _SAMPLE_PCT
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(keep).alias("n_sampled"),
+        F.min(F.when(keep, F.col("doc_id"))).alias("first_sampled"),
+    )
+
+
+# --- MERGE-style upsert on plain parquet ------------------------------------
+
+_MERGE_ORACLE = f"""
+WITH merged AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 10 = 0
+                   AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+              THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal
+  FROM customer
+  UNION ALL
+  SELECT 500000 + r, 'BUILDING', 123.45
+  FROM (SELECT UNNEST(GENERATE_SERIES(1, 5)) AS r)
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM({CENTS_SQL.format(expr="bal")}) AS BIGINT) AS total_bal_cents
+FROM merged
+GROUP BY c_mktsegment
+"""
+
+
+@register("s_merge_upsert", oracle=_MERGE_ORACLE, tags=("S4", "S5"))
+def s_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulated on plain parquet — the lakehouse upsert
+    pattern without a table format: stage the merged rows for the
+    AFFECTED partitions only, then rewrite just those partitions with
+    dynamic partition overwrite (`partitionOverwriteMode=dynamic`, set
+    per-write so it works on any session). Untouched partitions are
+    never read or rewritten — at 100 TB that is the difference between
+    rewriting 2 segments and rewriting the table.
+
+    Steps: (1) seed a segment-partitioned base table, (2) build updates
+    (balance bump for keys %10==0 in 2 segments) and 5 brand-new rows,
+    (3) anti-join base→ keep unmatched, union updates, stage to scratch,
+    (4) dynamic-overwrite the affected partitions, (5) report final
+    per-segment counts and balance sums."""
+    from ..sources import scratch_dir
+
+    base_path = scratch_dir(sf_dir, "merge_base")
+    stage_path = scratch_dir(sf_dir, "merge_stage")
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    # (1) seed the partitioned base table (fresh per run → idempotent).
+    c.write.mode("overwrite").partitionBy("c_mktsegment").parquet(base_path)
+    base = spark.read.parquet(base_path)
+
+    # (2) updates + inserts, all within the two affected segments.
+    updates = base.filter(
+        (F.col("c_custkey") % 10 == 0)
+        & F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        "c_custkey", "c_mktsegment", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+    )
+    inserts = spark.range(1, 6).select(
+        (F.col("id") + 500000).alias("c_custkey"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+        F.lit(123.45).alias("c_acctbal"),
+    )
+    upserts = updates.unionByName(inserts)
+
+    # (3) merge = unmatched base rows of the affected partitions + upserts.
+    affected = ["BUILDING", "MACHINERY"]
+    base_affected = base.filter(F.col("c_mktsegment").isin(affected))
+    keep = base_affected.join(
+        upserts.select("c_custkey"), "c_custkey", "left_anti"
+    )
+    merged = keep.unionByName(upserts)
+    # Stage before rewriting: Spark cannot overwrite a path it is reading.
+    merged.write.mode("overwrite").parquet(stage_path)
+
+    # (4) rewrite ONLY the affected partitions of the base table.
+    spark.read.parquet(stage_path).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("c_mktsegment").parquet(base_path)
+
+    # (5) final state, compact and deterministic.
+    final = spark.read.parquet(base_path)
+    return final.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(cents(F.col("c_acctbal"))).alias("total_bal_cents"),
+    )

@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "llm_text",
     "llm_dedup",
     "llm_similarity",
+    "curation_ops",
     "multimodal",
     "ml_pipeline",
 )
