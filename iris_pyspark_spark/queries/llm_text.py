@@ -215,9 +215,6 @@ def pipeline_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source accounting of inputs, survivors, kept docs, and kept
     tokens. Every stage is the registered operator, chained; the oracle
     recomputes the identical pipeline in SQL."""
-    from ..operators.dedup import exact_dedup
-    from ..operators.text import quality_score, token_count_whitespace
-
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     corpus = d.unionByName(
         d.select(
@@ -229,33 +226,33 @@ def pipeline_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ^ the single-file scan arrives as ONE partition; without the
     # repartition the dedup hashing and quality scoring of the doubled
     # corpus serialize in a single task.
-    survivors = exact_dedup(corpus, "doc_id", "text")
-    scored = survivors.select(
+    # Single-pass accounting: every text-derived scalar (hash, token
+    # count, quality) is computed MAP-SIDE and `text` is dropped before
+    # any shuffle — the dedup window then moves ~40-byte rows, not
+    # document bodies, and the per-source rollup is one conditional
+    # aggregation. The naive form (three aggregate branches joined back
+    # together) re-executes the corpus per branch; a window over rows
+    # still carrying `text` shuffles the whole corpus bytes. Same
+    # numbers, same oracle.
+    from ..operators.dedup import normalized_text_hash
+
+    skinny = corpus.select(
         "doc_id",
         "source",
+        normalized_text_hash(F.col("text")).alias("__text_hash"),
         token_count_whitespace("text").alias("n_tok"),
         quality_score("text").alias("quality"),
     )
-    kept = scored.filter(F.col("quality") >= 0.8)
-
-    per_source_input = corpus.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_input")
+    w = Window.partitionBy("__text_hash")
+    flagged = skinny.withColumn(
+        "__survivor", F.min("doc_id").over(w) == F.col("doc_id")
     )
-    per_source_dedup = survivors.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_after_dedup")
-    )
-    per_source_kept = kept.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("tokens_kept"),
-    )
-    return (
-        per_source_input.join(per_source_dedup, "source", "left")
-        .join(per_source_kept, "source", "left")
-        .select(
-            "source",
-            "n_input",
-            F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
-        )
+    kept = F.col("__survivor") & (F.col("quality") >= 0.8)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count_if(F.col("__survivor")).alias("n_after_dedup"),
+        F.count_if(kept).alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_kept"),
     )

@@ -61,6 +61,30 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), plan[:1500]
 
 
+def test_chunking_is_map_only(spark, sf_dir):
+    """Document chunking must fuse into the scan: explode + slice, no
+    exchange anywhere — at 100 TB its parallelism is the input splits."""
+    plan = _executed_plan(spark, "n_doc_chunking", sf_dir)
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_token_packing_single_shuffle(spark, sf_dir):
+    """Per-shard packing: the window's hash(source) partitioning must be
+    reused by the groupBy(source, bin) — one exchange total. A second
+    exchange would mean the window is global (one-reducer serialization)
+    or the aggregation re-shuffles."""
+    plan = _executed_plan(spark, "n_token_packing", sf_dir)
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_contamination_join_not_all_pairs(spark, sf_dir):
+    """Candidate generation must be an equi-join on the shingle key,
+    never a nested-loop/cartesian comparison."""
+    plan = _executed_plan(spark, "n_contamination_check", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_observation_metrics(spark, sf_dir):
     """df.observe(): pipeline health metrics collected during the SAME
     action as the real work — no second scan. The production pattern for
