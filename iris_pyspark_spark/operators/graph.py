@@ -1,0 +1,77 @@
+"""Graph operators for dedup clustering (SURVEY.md §2.11): connected
+components over a near-dup pair list — the step that turns pairwise
+"A duplicates B" edges into canonical cluster ids so a curation
+pipeline can keep exactly one representative per group.
+
+Iterative min-label propagation expressed in DataFrames:
+
+  * labels start as each vertex's own id;
+  * each round, every vertex takes the min label among itself and its
+    neighbors (one equi-join on the symmetrized edge list + one
+    groupBy-min — two shuffles per round);
+  * converged when no label changes; the fixed point (min vertex id per
+    component) is unique, so the result is deterministic under any
+    partitioning or join order.
+
+Rounds needed = graph diameter (near-dup clusters are shallow — a
+handful of rounds); each round's label table is materialized to parquet
+to break lineage, the same artifact discipline as the MinHash signature
+table (unbounded lineage chains are what kill iterative DataFrame jobs
+on real clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    scratch_path: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(vertex, component) for every vertex in `edges`; component = min
+    vertex id in the connected component. Isolated vertices don't appear
+    in an edge list, so callers union them back if needed."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    sym.write.mode("overwrite").parquet(f"{scratch_path}/edges")
+    sym = spark.read.parquet(f"{scratch_path}/edges")
+
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+    )
+    for it in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+            .withColumnRenamed("dst", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
+                    "lbl"
+                ),
+                (F.col("nbr_lbl") < F.col("lbl")).alias("__changed"),
+            )
+        )
+        # Materialize the round: breaks lineage AND lets the convergence
+        # count reuse the same computed result the next join consumes.
+        new_labels.write.mode("overwrite").parquet(f"{scratch_path}/iter{it % 2}")
+        new_labels = spark.read.parquet(f"{scratch_path}/iter{it % 2}")
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lbl").alias("component"))

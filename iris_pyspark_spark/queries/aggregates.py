@@ -417,3 +417,23 @@ def a_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.getField("bal").alias("top_balance"),
         top.getField("id").alias("top_customer"),
     )
+
+
+# Approximate percentiles are algorithm-specific (Spark: KLL-ish GK
+# sketch) → rows-only; the query carries its own exact reference columns
+# and tests/test_approx_bounds.py enforces the accuracy envelope.
+@register("a_approx_percentile", oracle=None, tags=("A8", "A4"))
+def a_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile next to the exact percentile it estimates —
+    the 100 TB pattern for quantile monitoring (the sketch is mergeable
+    and single-pass; exact percentiles need a full sort). Self-checking
+    output: approx and exact ride the same row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.95], 10000).alias(
+            "approx_pcts"
+        ),
+        F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)))
+        .alias("exact_pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -304,3 +304,83 @@ def n_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 10)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, UPPER(text) FROM documents
+  UNION ALL SELECT doc_id + 200000, '  ' || text || ' ' FROM documents
+),
+hashed AS (SELECT doc_id, SHA256(LOWER(TRIM(text))) AS h FROM corpus),
+edges AS (
+  SELECT LAG(doc_id) OVER (PARTITION BY h ORDER BY doc_id) AS src,
+         doc_id AS dst
+  FROM hashed
+  QUALIFY src IS NOT NULL
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+vertices AS (SELECT DISTINCT src AS v FROM sym),
+reach AS (
+  SELECT v, v AS lbl FROM vertices
+  UNION
+  SELECT e.dst AS v, r.lbl FROM reach r JOIN sym e ON e.src = r.v
+),
+cc AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY v)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM cc
+"""
+
+
+@register("n_dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("N1", "N2"))
+def n_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → canonical clusters via iterative min-label
+    propagation (operators/graph.py connected_components) — the step a
+    curation pipeline needs between pairwise dedup and keep-one-per-
+    group. The corpus is tripled (original, UPPER, padded) and edges
+    CHAIN the variants (a-b, b-c, never a-c), so the cluster id must
+    propagate transitively — a one-hop join cannot produce this answer.
+    Oracle: DuckDB recursive CTE computing min reachable label."""
+    from ..operators.graph import connected_components
+    from ..sources import scratch_dir
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        d.unionByName(
+            d.select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.upper("text").alias("text"),
+            )
+        )
+        .unionByName(
+            d.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.lit("  "), F.col("text"), F.lit(" ")).alias("text"),
+            )
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    from ..operators.dedup import normalized_text_hash
+    from pyspark.sql.window import Window as W
+
+    hashed = corpus.select(
+        "doc_id", normalized_text_hash(F.col("text")).alias("h")
+    )
+    w = W.partitionBy("h").orderBy("doc_id")
+    edges = (
+        hashed.withColumn("src", F.lag("doc_id").over(w))
+        .filter(F.col("src").isNotNull())
+        .select("src", F.col("doc_id").alias("dst"))
+    )
+    cc = connected_components(
+        edges, "src", "dst", scratch_dir(sf_dir, "dedup_cc")
+    )
+    wc = W.partitionBy("cluster_id")
+    return (
+        cc.select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+    )

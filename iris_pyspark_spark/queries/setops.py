@@ -108,3 +108,44 @@ def o_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # SQL EXCEPT is distinct-based; Spark's subtract() matches that.
     return lhs.subtract(rhs)
+
+
+@register(
+    "o_setops_all",
+    oracle="""
+SELECT op, c_nationkey, c_mktsegment, COUNT(*) AS n FROM (
+  SELECT 'intersect_all' AS op, * FROM (
+    SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal > 0
+    INTERSECT ALL
+    SELECT c_nationkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+  )
+  UNION ALL
+  SELECT 'except_all' AS op, * FROM (
+    SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal > 0
+    EXCEPT ALL
+    SELECT c_nationkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+  )
+) t GROUP BY op, c_nationkey, c_mktsegment
+""",
+    tags=("O4", "O3"),
+)
+def o_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set-op semantics: intersectAll/exceptAll keep
+    duplicate multiplicities (SQL INTERSECT ALL / EXCEPT ALL), unlike
+    the distinct-based intersect/subtract in o_intersect/o_except.
+    Results are rolled up to (op, key, count) so the check is
+    order-free."""
+    customer = load_table(spark, sf_dir, "customer")
+    lhs = customer.filter(F.col("c_acctbal") > 0).select(
+        "c_nationkey", "c_mktsegment"
+    )
+    rhs = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    both = lhs.intersectAll(rhs).withColumn("op", F.lit("intersect_all"))
+    only = lhs.exceptAll(rhs).withColumn("op", F.lit("except_all"))
+    return (
+        both.unionByName(only)
+        .groupBy("op", "c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -217,3 +217,43 @@ def w_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("trailing_30d_cents"),
     )
+
+
+@register(
+    "w_first_last_nth",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey)  OVER w AS last_order,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+       COUNT(*) OVER w AS n_orders
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+""",
+    tags=("W1", "W3"),
+)
+def w_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over an explicit full-partition
+    frame. The UNBOUNDED FOLLOWING frame is the point: the default frame
+    stops at CURRENT ROW, which silently makes last_value ≡ current row —
+    a classic cross-engine semantics trap, pinned here identically on
+    both engines. Total order (date, key) makes nth deterministic."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    )

@@ -30,6 +30,22 @@ def test_approx_count_distinct_within_3_rsd(spark):
         )
 
 
+def test_approx_percentile_within_accuracy(spark):
+    """percentile_approx's error bound is 1/accuracy in RANK space:
+    the estimate must be an actual data value whose rank is within
+    n/accuracy of the target rank. With accuracy=10000 and n << 10000
+    at this SF the estimate should be exact; allow a tiny value slack."""
+    reg = load_all()
+    rows = reg["a_approx_percentile"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        for approx, exact in zip(r.approx_pcts, r.exact_pcts):
+            rel = abs(approx - exact) / max(abs(exact), 1.0)
+            assert rel <= 0.01, (
+                f"{r.l_returnflag}: approx={approx} exact={exact} rel={rel:.4f}"
+            )
+
+
 def test_hll_sketch_estimate_within_3pct(spark):
     reg = load_all()
     got = reg["a_hll_sketch_mergeable"].fn(spark, SF_DIR).collect()[0]

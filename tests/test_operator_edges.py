@@ -138,6 +138,22 @@ def test_simhash_pigeonhole_at_exact_limit(spark):
     assert len(got) == 1 and got[0].hamming == 8
 
 
+def test_connected_components_chain_and_islands(spark, tmp_path):
+    """Transitive closure must cross chains (1-2, 2-3 → one component)
+    and keep disjoint components apart; the fixed point is min-id."""
+    from iris_pyspark_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "src long, dst long",
+    )
+    out = connected_components(
+        edges, "src", "dst", scratch_path=str(tmp_path / "cc")
+    )
+    got = {r.id: r.component for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_cosine_selfsim_slabs_match_unsharded(spark):
     """Sharding the query side into bounded slabs must be invisible in
     the result: slabs partition the query set and each slab sees the
