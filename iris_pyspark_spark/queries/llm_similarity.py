@@ -207,3 +207,75 @@ def n_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "cell_id", "neighbor_id", "sim", "rnk")
     )
+
+
+_QUANT_ORACLE = """
+WITH v AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+rng AS (
+  SELECT vec_id, emb,
+         LIST_REDUCE(emb, (a, b) -> LEAST(a, b))    AS mn,
+         LIST_REDUCE(emb, (a, b) -> GREATEST(a, b)) AS mx
+  FROM v
+),
+scaled AS (
+  SELECT vec_id, emb, mn, mx, (mx - mn) / 255.0 AS scale FROM rng
+),
+coded AS (
+  SELECT vec_id, mn, mx,
+         LIST_TRANSFORM(emb, x -> FLOOR((x - mn) / scale + 0.5)) AS codes,
+         LIST_TRANSFORM(emb, x -> ABS(x - (mn + FLOOR((x - mn) / scale + 0.5) * scale))) AS errs
+  FROM scaled
+)
+SELECT vec_id, mn, mx,
+       CAST(LIST_REDUCE(codes, (a, b) -> GREATEST(a, b)) AS INT) AS max_code,
+       CAST(LIST_REDUCE(codes, (a, b) -> LEAST(a, b)) AS INT)    AS min_code,
+       CAST(ROUND(LIST_REDUCE(errs, (a, b) -> a + b) * 1000000) AS BIGINT) AS sum_abs_err_micro
+FROM coded
+"""
+
+
+@register("n_embedding_quantize", oracle=_QUANT_ORACLE, tags=("N3", "N4", "F4"))
+def n_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization — the compression step of a
+    quantized ANN index (4x smaller than float32, distance computable on
+    codes): code = floor((x - min)/scale + 0.5) with scale = range/255,
+    plus the reconstruction-error accounting a pipeline needs to pick a
+    quantization level. floor(x + 0.5) is used instead of round() so
+    both engines break ties identically; error sums are left folds
+    stated identically in the oracle. Map-only — fuses into the scan."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    v = e.select("vec_id", emb.alias("emb"))
+    rng = v.select(
+        "vec_id",
+        "emb",
+        F.array_min("emb").alias("mn"),
+        F.array_max("emb").alias("mx"),
+    )
+    scaled = rng.withColumn("scale", (F.col("mx") - F.col("mn")) / 255.0)
+    code = lambda x: F.floor((x - F.col("mn")) / F.col("scale") + 0.5)  # noqa: E731
+    coded = scaled.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.transform("emb", code).alias("codes"),
+        F.transform(
+            "emb",
+            lambda x: F.abs(x - (F.col("mn") + code(x) * F.col("scale"))),
+        ).alias("errs"),
+    )
+    return coded.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.array_max("codes").cast("int").alias("max_code"),
+        F.array_min("codes").cast("int").alias("min_code"),
+        F.round(
+            F.aggregate("errs", F.lit(0.0), lambda a, b: a + b) * 1_000_000
+        )
+        .cast("long")
+        .alias("sum_abs_err_micro"),
+    )

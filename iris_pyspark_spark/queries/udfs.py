@@ -283,3 +283,55 @@ def _token_counter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def u_iterator_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(_token_counter, _U5_SCHEMA)
+
+
+# --- U2-cogroup: cogrouped applyInPandas (two-sided grouped map) -----------
+
+_COGROUP_ORACLE = """
+SELECT
+  p.event_id,
+  p.user_id,
+  p.ts,
+  (SELECT MAX(c.ts) FROM events c
+    WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+  ) AS last_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
+def _asof_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    # Arrow hands both sides of ONE user key; pandas merge_asof picks the
+    # last right row with click_ts <= ts (allow_exact_matches default).
+    left = left.sort_values("ts", kind="mergesort")
+    right = right[["click_ts"]].sort_values("click_ts", kind="mergesort")
+    out = pd.merge_asof(left, right, left_on="ts", right_on="click_ts")
+    out = out.rename(columns={"click_ts": "last_click_ts"})
+    return out[["event_id", "user_id", "ts", "last_click_ts"]]
+
+
+@register("u_cogrouped_asof", oracle=_COGROUP_ORACLE, tags=("U2", "J8"))
+def u_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas — the two-sided grouped-map shape: both
+    tables shuffle once on the key, then pandas sees each key's pair of
+    frames. Implements the same as-of semantics as j_asof_last_click
+    (which uses the pure-DataFrame union-tag rewrite), so the two
+    strategies are cross-checked against one oracle. The cogroup shape
+    is the escape hatch for per-key logic needing BOTH sides at once
+    (merge_asof, interval reconciliation, per-key model scoring)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return (
+        purchases.groupby("user_id")
+        .cogroup(clicks.groupby("user_id"))
+        .applyInPandas(
+            _asof_cogroup,
+            "event_id bigint, user_id bigint, ts timestamp_ntz, "
+            "last_click_ts timestamp_ntz",
+        )
+    )

@@ -93,3 +93,86 @@ def test_asof_join_matches_reference(spark, data):
         at_or_before = [rs for rs in uniq_right if rs <= s]
         expected[i] = float(max(at_or_before)) if at_or_before else None
     assert got == expected
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _reference_components(edges):
+    """Union-find reference: min vertex id per component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges_strategy)
+def test_connected_components_matches_union_find(spark, tmp_path_factory, edges):
+    from iris_pyspark_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    scratch = str(tmp_path_factory.mktemp("cc"))
+    got = {
+        r.id: r.component
+        for r in connected_components(df, "src", "dst", scratch).collect()
+    }
+    assert got == _reference_components(edges)
+
+
+chunk_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=120), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(chunk_strategy)
+def test_chunking_covers_every_token(spark, texts):
+    """Every token position of every doc appears in at least one chunk,
+    chunk 0 always exists, and consecutive chunks overlap by
+    chunk - stride positions (except the clamped tail)."""
+    from pyspark.sql import functions as F
+
+    chunk, stride = 8, 6
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    k_max = F.floor(
+        (F.greatest(n - chunk, F.lit(0)) + stride - 1) / F.lit(stride).cast("double")
+    ).cast("int")
+    spans = df.select(
+        "doc_id", n.alias("n_tok"),
+        F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_id"),
+    ).withColumn(
+        "start", F.col("chunk_id") * stride
+    )
+    rows = spans.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.start, r.n_tok))
+    for doc_id, chunks in by_doc.items():
+        chunks.sort()
+        n_tok = chunks[0][2]
+        covered = set()
+        for _, start, _ in chunks:
+            covered |= set(range(start, min(start + chunk, n_tok)))
+        assert covered == set(range(n_tok)), (doc_id, n_tok, chunks)
