@@ -203,3 +203,90 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("us_to_purchase"),
     )
     return drain_to_table(joined, output_mode="append")
+
+
+_FB_UPSERT_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("st_foreachbatch_upsert", oracle=_FB_UPSERT_ORACLE, tags=("T1", "T5", "S5"))
+def st_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental artifact maintenance via foreachBatch — the streaming
+    ingest pattern the memory-sink drains can't show: each micro-batch
+    UPSERTS its per-type counts into a parquet artifact partitioned by
+    event_type, rewriting only the partitions that batch touched
+    (dynamic partition overwrite, staged first because Spark cannot
+    overwrite a path mid-read). The source is staged as 4 files with
+    maxFilesPerTrigger=1, so the artifact really is built across 4
+    micro-batches; integer-cents totals make the final state identical
+    to the one-shot batch aggregate regardless of how rows split."""
+    import os
+    import shutil
+
+    from ..sources import scratch_dir
+    from ..streaming import EVENTS_RAW_SCHEMA
+
+    from ..session import configure
+
+    configure(spark)
+    src = scratch_dir(sf_dir, "fb_src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+    artifact = scratch_dir(sf_dir, "fb_artifact")
+    stage = scratch_dir(sf_dir, "fb_artifact_stage")
+    # Fresh artifact AND checkpoint per run: a checkpoint surviving a
+    # crashed run would resume mid-stream against the emptied artifact
+    # and undercount. Clearing both makes every run a full, exact replay.
+    shutil.rmtree(artifact, ignore_errors=True)
+    shutil.rmtree(scratch_dir(sf_dir, "fb_ckpt_tmp"), ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("total_cents"),
+        )
+        try:
+            prev = spark.read.parquet(artifact).select(
+                "event_type",
+                F.col("n_events").alias("__pn"),
+                F.col("total_cents").alias("__pc"),
+            )
+            merged = agg.join(prev, "event_type", "left").select(
+                "event_type",
+                (F.col("n_events") + F.coalesce("__pn", F.lit(0))).alias("n_events"),
+                (F.col("total_cents") + F.coalesce("__pc", F.lit(0))).alias(
+                    "total_cents"
+                ),
+            )
+        except Exception:  # first batch: no artifact yet
+            merged = agg
+        merged.write.mode("overwrite").parquet(stage)
+        spark.read.parquet(stage).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("event_type").parquet(artifact)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch_dir(sf_dir, "fb_ckpt_tmp"))
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(scratch_dir(sf_dir, "fb_ckpt_tmp"), ignore_errors=True)
+    return spark.read.parquet(artifact).select("event_type", "n_events", "total_cents")
