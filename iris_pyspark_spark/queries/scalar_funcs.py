@@ -557,3 +557,53 @@ def f_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall(emb, lambda x: F.abs(x) <= 1.0).alias("all_bounded"),
         F.round(first_plus_rest * 1_000_000).cast("long").alias("sum_micro"),
     )
+
+
+_REGEX_ORACLE = r"""
+SELECT doc_id,
+       regexp_matches(text, '[0-9]')                          AS has_digits,
+       CAST(LEN(regexp_extract_all(LOWER(text), '[a-z]+')) AS INT) AS n_word_runs,
+       NULLIF(regexp_extract(LOWER(text), '[a-z]{7,}'), '')   AS first_long_word,
+       regexp_extract_all(LOWER(text), '[a-z]{7,}')           AS long_words
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+@register("f_regex_funcs", oracle=_REGEX_ORACLE, tags=("F1",))
+def f_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: rlike, regexp_extract (empty-match normalized to
+    NULL on both engines — Spark returns '' where DuckDB returns NULL),
+    regexp_extract_all, regexp_count-backed run counting."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    lower = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("text").rlike("[0-9]").alias("has_digits"),
+        F.regexp_count(lower, F.lit("[a-z]+")).alias("n_word_runs"),
+        F.nullif(F.regexp_extract(lower, "[a-z]{7,}", 0), F.lit("")).alias(
+            "first_long_word"
+        ),
+        F.regexp_extract_all(lower, F.lit("[a-z]{7,}"), 0).alias("long_words"),
+    )
+
+
+_MAP_HOF_ORACLE = """
+SELECT doc_id, 'chars' AS k, n_chars * 2 AS v2 FROM documents WHERE doc_id < 100
+UNION ALL
+SELECT doc_id, 'ident', doc_id * 2 FROM documents WHERE doc_id < 100
+"""
+
+
+@register("f_map_transform", oracle=_MAP_HOF_ORACLE, tags=("F5",))
+def f_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (transform_values, then explode back
+    to rows): the oracle states the expected key/value rows directly, so
+    the map machinery is checked against map-free relational truth."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    m = F.create_map(
+        F.lit("chars"), F.col("n_chars").cast("long"),
+        F.lit("ident"), F.col("doc_id"),
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    return d.select("doc_id", F.explode(doubled).alias("k", "v2"))

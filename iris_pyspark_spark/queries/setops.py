@@ -149,3 +149,30 @@ def o_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("op", "c_nationkey", "c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "o_union_by_name_evolution",
+    oracle="""
+SELECT key, price, seg FROM (
+  SELECT o_orderkey AS key, o_totalprice AS price FROM orders WHERE o_orderkey < 300
+  UNION ALL BY NAME
+  SELECT c_custkey AS key, c_mktsegment AS seg FROM customer WHERE c_custkey < 100
+)
+""",
+    tags=("O3", "S1"),
+)
+def o_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: unionByName(allowMissingColumns=True)
+    aligns by column NAME and null-fills gaps (DuckDB: UNION ALL BY
+    NAME) — how a pipeline appends a v2 batch whose schema gained or
+    lost columns without positional corruption."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_orderkey") < 300).select(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price")
+    )
+    b = customer.filter(F.col("c_custkey") < 100).select(
+        F.col("c_custkey").alias("key"), F.col("c_mktsegment").alias("seg")
+    )
+    return a.unionByName(b, allowMissingColumns=True).select("key", "price", "seg")
