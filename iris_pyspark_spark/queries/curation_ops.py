@@ -326,3 +326,94 @@ def s_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(cents(F.col("c_acctbal"))).alias("total_bal_cents"),
     )
+
+
+# --- deterministic epoch shuffle + sharding ---------------------------------
+
+_EPOCH = 3         # which training epoch we are shuffling for
+_SHUF_MOD = 999983  # prime modulus for the LCG permutation step
+_N_SHARDS = 16
+
+_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ((doc_id + {_EPOCH}) * {_LCG_MULT}) % {_SHUF_MOD} AS shuffle_key
+  FROM documents
+)
+SELECT shuffle_key % {_N_SHARDS}                       AS shard,
+       COUNT(*)                                        AS n_docs,
+       MIN_BY(doc_id, shuffle_key * 1000000 + doc_id)  AS first_doc,
+       CAST(SUM(doc_id) AS BIGINT)                     AS docs_checksum
+FROM keyed
+GROUP BY shard
+"""
+
+
+@register("n_epoch_shuffle", oracle=_SHUFFLE_ORACLE, tags=("N5", "A1"))
+def n_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle + sharding: shuffle_key =
+    LCG(doc_id + epoch) gives a reproducible pseudo-random order that
+    changes every epoch, and shard = key % 16 assigns docs to output
+    shards. Unlike `orderBy(rand())` this is stable across retries and
+    engines — rerunning a failed shard job yields byte-identical shards,
+    which is what makes training-data shuffles resumable. The shard
+    assignment is a pure map (no global sort): at 100 TB the write is
+    `partitionBy(shard)` with each shard sorted by shuffle_key locally,
+    never a single total order."""
+    d = load_table(spark, sf_dir, "documents")
+    shuffle_key = ((F.col("doc_id") + _EPOCH) * _LCG_MULT) % _SHUF_MOD
+    keyed = d.select("doc_id", shuffle_key.alias("shuffle_key"))
+    return keyed.groupBy(
+        (F.col("shuffle_key") % _N_SHARDS).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min_by(
+            "doc_id", F.col("shuffle_key") * 1000000 + F.col("doc_id")
+        ).alias("first_doc"),
+        F.sum("doc_id").cast("long").alias("docs_checksum"),
+    )
+
+
+# --- hash-based train/val/test split ----------------------------------------
+
+_SPLIT_MULT = 2654435761  # Knuth multiplicative hash constant
+
+_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT lang,
+         LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tok,
+         CASE WHEN (doc_id * {_SPLIT_MULT}) % 100 < 80 THEN 'train'
+              WHEN (doc_id * {_SPLIT_MULT}) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang,
+       COUNT(*)                   AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM assigned
+GROUP BY split, lang
+"""
+
+
+@register("n_train_val_test_split", oracle=_SPLIT_ORACLE, tags=("N5", "P6"))
+def n_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by multiplicative hash of doc_id —
+    membership is a pure function of the id, so the split is identical
+    on every engine, rerun, and data layout (the property random-split
+    APIs do not give you). Map-side assignment + one skinny aggregation;
+    at scale the same expression becomes the `partitionBy(split)` column
+    of the shard writer."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _SPLIT_MULT) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    assigned = d.select(
+        split.alias("split"),
+        "lang",
+        token_count_whitespace("text").alias("n_tok"),
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )

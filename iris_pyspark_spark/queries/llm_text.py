@@ -256,3 +256,156 @@ def pipeline_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_kept"),
     )
+
+
+# --- PII redaction ----------------------------------------------------------
+
+_EMAIL_RE = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+_PHONE_RE = r"555-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com or 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+),
+redacted AS (
+  SELECT doc_id,
+         LEN(REGEXP_EXTRACT_ALL(text, '{_EMAIL_RE}'))  AS n_emails,
+         LEN(REGEXP_EXTRACT_ALL(text, '{_PHONE_RE}'))  AS n_phones,
+         REGEXP_REPLACE(REGEXP_REPLACE(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+  FROM seeded
+)
+SELECT doc_id, n_emails, n_phones,
+       SUBSTRING(clean, GREATEST(LEN(clean) - 39, 1), 40) AS clean_tail
+FROM redacted
+WHERE n_emails + n_phones > 0
+"""
+
+
+@register("n_pii_redaction", oracle=_PII_ORACLE, tags=("N5", "F1"))
+def n_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: every 5th doc gets a planted email + phone
+    (known positives), then both patterns are counted (`regexp_count`)
+    and masked (`regexp_replace` replaces ALL matches in Spark; the
+    DuckDB oracle needs the explicit 'g' flag). Pure map-side JVM regex
+    — at 100 TB this is a scan-speed pass with zero shuffle; the
+    returned tail substring pins the actual redacted text, not just the
+    counts. Patterns stay in the RE2 ∩ java.util.regex common subset so
+    both engines compile them identically."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("text", F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    redacted = seeded.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        clean.alias("clean"),
+    )
+    return redacted.filter(F.col("n_emails") + F.col("n_phones") > 0).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.substring(
+            "clean", F.greatest(F.length("clean") - 39, F.lit(1)), F.lit(40)
+        ).alias("clean_tail"),
+    )
+
+
+# --- Gopher-style repetition / quality filters ------------------------------
+
+_GOPHER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+  FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT)                       AS n_words,
+         COUNT(*)                                     AS n_distinct,
+         CAST(MAX(n) AS BIGINT)                       AS top_word_n,
+         CAST(SUM(n * LEN(tok)) AS BIGINT)            AS total_chars,
+         CAST(SUM(CASE WHEN tok IN ('the','a','of','to','and','in','is')
+                       THEN n ELSE 0 END) AS BIGINT)  AS n_stop
+  FROM tok_counts GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+       ROUND(top_word_n  / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+       ROUND(n_distinct  / CAST(n_words AS DOUBLE), 6) AS distinct_frac,
+       ROUND(total_chars / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+       ROUND(n_stop      / CAST(n_words AS DOUBLE), 6) AS stopword_frac,
+       (n_words BETWEEN 30 AND 100000
+        AND top_word_n  / CAST(n_words AS DOUBLE) <= 0.20
+        AND n_distinct  / CAST(n_words AS DOUBLE) >= 0.20
+        AND total_chars / CAST(n_words AS DOUBLE) BETWEEN 2 AND 12
+        AND n_stop      / CAST(n_words AS DOUBLE) >= 0.01) AS keep
+FROM per_doc
+"""
+
+
+@register("n_quality_gopher_filters", oracle=_GOPHER_ORACLE, tags=("N5", "A1"))
+def n_quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition/quality gate: per-document word count,
+    most-frequent-word fraction, distinct-word ratio, mean word length,
+    and stopword fraction, combined into a keep flag with the published
+    thresholds (word count bounds, top-word <= 20%%, distinct >= 20%%,
+    mean length 2-12 chars, stopword floor). Shape is explode -> two
+    cascaded aggregations keyed by doc_id, so the heavy first combine is
+    map-side partial and the ratios are exact integer sums divided once
+    (deterministic across engines, then rounded identically)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tok_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    stop = F.col("tok").isin("the", "a", "of", "to", "and", "in", "is")
+    per_doc = tok_counts.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").cast("long").alias("top_word_n"),
+        F.sum(F.col("n") * F.length("tok")).cast("long").alias("total_chars"),
+        F.sum(F.when(stop, F.col("n")).otherwise(0)).cast("long").alias("n_stop"),
+    )
+    nw = F.col("n_words").cast("double")
+    top_frac = F.col("top_word_n") / nw
+    dist_frac = F.col("n_distinct") / nw
+    mean_len = F.col("total_chars") / nw
+    stop_frac = F.col("n_stop") / nw
+    keep = (
+        F.col("n_words").between(30, 100000)
+        & (top_frac <= 0.20)
+        & (dist_frac >= 0.20)
+        & mean_len.between(2, 12)
+        & (stop_frac >= 0.01)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        F.round(top_frac, 6).alias("top_word_frac"),
+        F.round(dist_frac, 6).alias("distinct_frac"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(stop_frac, 6).alias("stopword_frac"),
+        keep.alias("keep"),
+    )

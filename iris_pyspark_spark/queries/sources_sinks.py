@@ -235,3 +235,60 @@ def s_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("reading").alias("total_reading"),
     )
+
+
+_DDL_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM (
+  SELECT c_mktsegment, c_acctbal FROM customer WHERE c_custkey <= 500
+  UNION ALL
+  SELECT c_mktsegment, c_acctbal + 10.0 FROM customer
+  WHERE c_custkey <= 100 AND c_mktsegment = 'BUILDING'
+)
+GROUP BY c_mktsegment
+"""
+
+
+@register("s_catalog_ddl_sql", oracle=_DDL_ORACLE, tags=("S1", "S4", "E2"))
+def s_catalog_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog DDL surface: CREATE TABLE ... USING parquet LOCATION,
+    INSERT INTO (append), then query the table by NAME — the SQL-first
+    workflow (everything else in this module is path-based). The
+    explicit LOCATION keeps writes in scratch on any session (a vanilla
+    session's default warehouse would land in the cwd); DROP + fresh
+    location each run makes it idempotent."""
+    import shutil
+
+    from ..catalog import load_tables
+    from ..sources import scratch_dir
+
+    load_tables(spark, sf_dir)  # registers the `customer` temp view
+    loc = scratch_dir(sf_dir, "ddl_customer_slice")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS ddl_customer_slice")
+    spark.sql(
+        f"""
+        CREATE TABLE ddl_customer_slice
+        USING parquet LOCATION '{loc}'
+        AS SELECT c_custkey, c_mktsegment, c_acctbal
+           FROM customer WHERE c_custkey <= 500
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO ddl_customer_slice
+        SELECT c_custkey, c_mktsegment, c_acctbal + 10.0
+        FROM customer WHERE c_custkey <= 100 AND c_mktsegment = 'BUILDING'
+        """
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS bal_cents
+        FROM ddl_customer_slice
+        GROUP BY c_mktsegment
+        """
+    )
