@@ -417,3 +417,28 @@ def n_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
     )
+
+
+# --- scalable global id assignment ------------------------------------------
+
+_GLOBAL_IDS_ORACLE = """
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) AS BIGINT) AS global_id
+FROM documents
+"""
+
+
+@register("n_global_ids", oracle=_GLOBAL_IDS_ORACLE, tags=("N5", "W1", "O1"))
+def n_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row ids (the sample-index assignment step of a
+    shard writer) via the two-level operator: per-source counts →
+    tiny prefix-sum → broadcast offsets + per-source row_number. The
+    oracle is the naive global ROW_NUMBER — identical ids, but the
+    Spark plan never funnels the corpus through one reducer; only the
+    20-row per-bucket count table crosses a single-partition window."""
+    from ..operators.ids import global_ids
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return global_ids(d, "source", ["doc_id"]).select(
+        "doc_id", "source", F.col("global_id").cast("long")
+    )

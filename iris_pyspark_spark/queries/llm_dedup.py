@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..operators.dedup import (
@@ -383,4 +384,84 @@ def n_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
         )
         .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+    )
+
+
+# --- incremental dedup against a historical index ---------------------------
+
+_INCR_ORACLE = """
+WITH history AS (
+  SELECT DISTINCT SHA256(LOWER(TRIM(text))) AS h
+  FROM documents WHERE doc_id < 400
+),
+incoming AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+  UNION ALL
+  SELECT doc_id + 300000, text || '  ' FROM documents WHERE doc_id < 50
+),
+classified AS (
+  SELECT i.doc_id,
+         SHA256(LOWER(TRIM(i.text))) AS h,
+         EXISTS (SELECT 1 FROM history x
+                 WHERE x.h = SHA256(LOWER(TRIM(i.text)))) AS in_history
+  FROM incoming i
+)
+SELECT doc_id,
+       CASE WHEN in_history THEN 'dup_history'
+            WHEN ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) > 1
+                 THEN 'dup_batch'
+            ELSE 'new' END AS status
+FROM classified
+"""
+
+
+@register("n_incremental_dedup", oracle=_INCR_ORACLE, tags=("N1", "J5"))
+def n_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: dedup a NEW batch
+    against a persisted hash index of everything already ingested,
+    without rescanning the historical corpus text. The index (distinct
+    sha256 of normalized text, docs < 400) is materialized once to
+    parquet; the incoming batch (docs >= 300, plus whitespace-mangled
+    copies of docs < 50 as known history hits) left-joins it to tag
+    `dup_history`, then a within-batch window keeps the first copy of
+    batch-internal dupes. At 100 TB the index is hashes only — a few
+    bytes per historical doc — and the join is an equi-join on the hash,
+    so daily ingest cost is O(batch + index), never O(corpus)."""
+    from ..operators.dedup import normalized_text_hash
+    from ..sources import scratch_dir
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    index_path = scratch_dir(sf_dir, "dedup_hash_index")
+    (
+        d.filter(F.col("doc_id") < 400)
+        .select(normalized_text_hash(F.col("text")).alias("h"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    history = spark.read.parquet(index_path)
+
+    incoming = (
+        d.filter(F.col("doc_id") >= 300)
+        .unionByName(
+            d.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit("  ")).alias("text"),
+            )
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    classified = incoming.select(
+        "doc_id", normalized_text_hash(F.col("text")).alias("h")
+    ).join(
+        history.withColumn("in_history", F.lit(True)), "h", "left"
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return classified.select(
+        "doc_id",
+        F.when(F.col("in_history"), "dup_history")
+        .when(F.row_number().over(w) > 1, "dup_batch")
+        .otherwise("new")
+        .alias("status"),
     )

@@ -292,3 +292,76 @@ def s_catalog_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+# --- ORC sink + scan round-trip ---------------------------------------------
+
+_ORC_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*)                                             AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                                                            AS total_cents,
+       MIN(o_orderdate)                                     AS first_date
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@register("s_orc_scan_roundtrip", oracle=_ORC_ORACLE, tags=("S2", "S4"))
+def s_orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan: the second columnar format Spark ships natively.
+    The read-back filter is pushed into the ORC reader the same way as
+    parquet (predicate pushdown + column pruning both apply; ORC adds
+    its own row-group min/max skipping), so the round trip exercises a
+    genuinely different scan path, not just a serializer."""
+    path = scratch_dir(sf_dir, "orders_orc")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter(F.col("o_orderstatus") == "O")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        F.min("o_orderdate").alias("first_date"),
+    )
+
+
+# --- whole-file binary source -----------------------------------------------
+
+_BINARYFILE_ORACLE = """
+SELECT n_nationkey,
+       CAST(LEN(n_name) + 1 AS BIGINT) AS file_len,
+       n_name                          AS content
+FROM nation
+"""
+
+
+@register("s_binaryfile_source", oracle=_BINARYFILE_ORACLE, tags=("S6", "N6"))
+def s_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file ingestion via the `binaryFile` format — the scan path a
+    multimodal pipeline uses for images/audio: one row per file with
+    (path, modificationTime, length, content: binary). Here the files
+    are seeded as one text file per nation key (partitioned text write,
+    one row per partition value → deterministic single-line files), read
+    back as opaque bytes, and decoded — pinning that content survives
+    byte-exact. At 100 TB this source parallelizes per-file and prunes
+    by pathGlobFilter before any bytes are read."""
+    path = scratch_dir(sf_dir, "nation_files")
+    n = load_table(spark, sf_dir, "nation")
+    n.select(
+        F.col("n_nationkey"), F.col("n_name").alias("value")
+    ).write.mode("overwrite").partitionBy("n_nationkey").text(path)
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.txt"
+    ).load(path + "/n_nationkey=*")
+    return files.select(
+        F.regexp_extract(
+            F.col("path"), r"n_nationkey=(\d+)/", 1
+        ).cast("int").alias("n_nationkey"),
+        F.col("length").alias("file_len"),
+        # text sink terminates the single line with \n; strip it back off
+        F.regexp_replace(
+            F.decode(F.col("content"), "UTF-8"), "\n$", ""
+        ).alias("content"),
+    )

@@ -257,3 +257,39 @@ def w_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
         F.count(F.lit(1)).over(w).alias("n_orders"),
     )
+
+
+# --- SCD type-2 validity ranges ---------------------------------------------
+
+_SCD2_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       o_orderdate                             AS valid_from,
+       LEAD(o_orderdate) OVER w                AS valid_to,
+       LEAD(o_orderdate) OVER w IS NULL        AS is_current,
+       o_orderstatus                           AS status
+FROM orders
+WHERE o_custkey <= 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("w_scd2_ranges", oracle=_SCD2_ORACLE, tags=("W2", "F2"))
+def w_scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each order event becomes
+    a validity interval [valid_from, valid_to) via lead() over the
+    per-customer event sequence; the open interval (lead is NULL) is
+    the current row. One shuffle on the dimension key — the standard
+    warehouse pattern for turning a change log into point-in-time
+    joinable history, and the interval table then feeds range/as-of
+    joins (J7/J8) downstream."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.col("o_orderstatus").alias("status"),
+    )
