@@ -442,3 +442,64 @@ def n_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_ids(d, "source", ["doc_id"]).select(
         "doc_id", "source", F.col("global_id").cast("long")
     )
+
+
+# --- domain-mix rebalancing weights -----------------------------------------
+
+_MIX_CAP = 4.0  # max upsampling factor
+
+_MIX_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(LEN(STRING_SPLIT(LOWER(text), ' '))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(total_tokens) AS all_tokens,
+         COUNT(*)          AS n_sources
+  FROM per_source
+)
+SELECT source, n_docs, total_tokens,
+       ROUND(total_tokens / CAST(all_tokens AS DOUBLE), 6)  AS mix_frac,
+       ROUND(LEAST(
+         (all_tokens / CAST(n_sources AS DOUBLE)) / total_tokens,
+         {_MIX_CAP}), 6)                                    AS sample_weight
+FROM per_source CROSS JOIN tot
+"""
+
+
+@register("n_domain_mix_rebalance", oracle=_MIX_ORACLE, tags=("N5", "A2"))
+def n_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing: per-source token shares and the
+    sampling weight that moves the mix toward uniform-by-source, capped
+    at 4x upsampling (the cap is what real mixes do — unlimited
+    upsampling of a tiny source just repeats its documents). One corpus
+    aggregation; the totals are a broadcast scalar; the output is one
+    row per source — the weights then drive `TABLESAMPLE`/hash-sample
+    filters in the shard writer."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_whitespace("text")).cast("long").alias("total_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("total_tokens").alias("all_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("all_tokens").cast("double"), 6).alias(
+            "mix_frac"
+        ),
+        F.round(
+            F.least(
+                (F.col("all_tokens") / F.col("n_sources").cast("double"))
+                / F.col("total_tokens"),
+                F.lit(_MIX_CAP),
+            ),
+            6,
+        ).alias("sample_weight"),
+    )

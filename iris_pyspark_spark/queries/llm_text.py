@@ -409,3 +409,161 @@ def n_quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_frac, 6).alias("stopword_frac"),
         keep.alias("keep"),
     )
+
+
+# --- TF-IDF top terms per document ------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         ROUND(tf.tf * (LN((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)) + 1), 6)
+           AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+  WHERE tf.doc_id < 100
+)
+SELECT doc_id, tok, tf, df, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rnk
+  FROM scored
+) t WHERE rnk <= 3
+"""
+
+
+@register("n_tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("N5", "A1", "W4"))
+def n_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: corpus-wide document frequency
+    (computed over ALL docs) joined back to term frequencies, smoothed
+    idf = ln((N+1)/(df+1)) + 1, top-3 terms per doc by rounded score.
+    The df table is small (vocabulary-sized) → broadcast back to the tf
+    side, so the corpus shuffles only for the tf aggregation. Ranking
+    uses the ROUNDED score in both engines so the order is identical
+    even if libm ulps differ."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 100)
+        .join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double"))
+                    + 1
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "tfidf")
+    )
+
+
+# --- BM25 retrieval scoring -------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("table", "data", "window")  # the "search query"
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ('table', 'data', 'window') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id, tf.tok,
+         LN(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+           AS c
+  FROM tf
+  JOIN df ON tf.tok = df.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id,
+         ROUND(COALESCE(MAX(CASE WHEN tok = 'table'  THEN c END), 0)
+             + COALESCE(MAX(CASE WHEN tok = 'data'   THEN c END), 0)
+             + COALESCE(MAX(CASE WHEN tok = 'window' THEN c END), 0), 6) AS bm25
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, bm25 FROM scored
+ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
+@register("n_bm25_retrieval", oracle=_BM25_ORACLE, tags=("N5", "N3", "O2"))
+def n_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75) for a 3-term query —
+    top-10 docs. Per-term contributions are pivoted into columns and
+    added in a FIXED order (table + data + window): float addition is
+    non-associative, so relying on aggregation order would be
+    nondeterministic across partitionings and engines. df/avgdl stats
+    are scalars broadcast to the tf side; only the tf aggregation
+    shuffles the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    pivot = [
+        F.coalesce(F.max(F.when(F.col("tok") == t, F.col("c"))), F.lit(0.0))
+        for t in _BM25_TERMS
+    ]
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(pivot[0] + pivot[1] + pivot[2], 6).alias("bm25")
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(10)

@@ -1,0 +1,141 @@
+"""Product-analytics shapes over `events`: conversion funnels and
+cohort retention — the two queries every event warehouse runs daily.
+
+Both are single-shuffle designs: everything is keyed by user_id, so the
+heavy data moves once and all sequencing logic rides windows/aggregates
+on that one partitioning. Week arithmetic is integer epoch-day math
+(floor(days/7)) rather than engine week-truncation, so both engines
+agree on boundaries by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+# --- ordered conversion funnel ----------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS t_view
+  FROM events GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, t1.t_view, MIN(e.ts) AS t_click
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t_view
+  GROUP BY e.user_id, t1.t_view
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) FILTER (WHERE t1.t_view IS NOT NULL)  AS n_view,
+       COUNT(t2.user_id)                              AS n_click_after_view,
+       COUNT(t3.user_id)                              AS n_purchase_after_click,
+       ROUND(COUNT(t3.user_id) /
+             CAST(COUNT(*) FILTER (WHERE t1.t_view IS NOT NULL) AS DOUBLE),
+             6)                                       AS full_funnel_rate
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""
+
+
+@register("e_funnel_ordered", oracle=_FUNNEL_ORACLE, tags=("T4", "A7", "W2"))
+def e_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: each step must happen
+    strictly AFTER the user's first completion of the previous step
+    (the ordering is what separates a funnel from three independent
+    counts). Implemented as three stacked conditional-min windows over
+    ONE hash(user_id) partitioning — the sequencing never re-shuffles,
+    and at 100 TB the plan is scan + one exchange + window chain."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    n_view = F.count(F.col("t_view"))
+    n_purchase = F.count(F.col("t_purchase"))
+    return per_user.agg(
+        n_view.alias("n_view"),
+        F.count(F.col("t_click")).alias("n_click_after_view"),
+        n_purchase.alias("n_purchase_after_click"),
+        F.round(n_purchase / n_view.cast("double"), 6).alias("full_funnel_rate"),
+    )
+
+
+# --- cohort retention matrix ------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH days AS (
+  SELECT user_id,
+         DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+weeks AS (
+  SELECT user_id, CAST(FLOOR(d / 7) AS BIGINT) AS w FROM days
+),
+cohorts AS (
+  SELECT user_id, MIN(w) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST(w.w - c.cohort_week AS BIGINT) AS week_offset,
+       COUNT(DISTINCT w.user_id)           AS n_active
+FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+GROUP BY c.cohort_week, week_offset
+"""
+
+
+@register("e_retention_cohorts", oracle=_RETENTION_ORACLE, tags=("T1", "A3", "W3"))
+def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen epoch-week,
+    counted distinct in each subsequent week. The cohort week is a min()
+    window over the same hash(user_id) partitioning the activity rows
+    already have — no second pass over the events, and the final
+    (cohort, offset) aggregate is tiny. Weeks are floor(epoch_days/7):
+    pure integer arithmetic, no engine week-start convention."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    weeks = e.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) / 7
+        ).alias("w"),
+    )
+    w_user = Window.partitionBy("user_id")
+    with_cohort = weeks.withColumn("cohort_week", F.min("w").over(w_user))
+    return with_cohort.groupBy(
+        "cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset")
+    ).agg(F.count_distinct("user_id").alias("n_active"))

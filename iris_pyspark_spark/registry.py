@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "scalar_funcs",
     "udfs",
     "events_windows",
+    "product_analytics",
     "streaming_parity",
     "scale_patterns",
     "llm_text",

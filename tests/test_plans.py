@@ -106,3 +106,15 @@ def test_observation_metrics(spark, sf_dir):
     assert metrics["rows_seen"] == li.count()
     assert 0 < metrics["high_discount_rows"] < metrics["rows_seen"]
     assert out_rows < metrics["rows_seen"]
+
+
+def test_global_ids_avoids_global_sort(spark, sf_dir):
+    """Global id assignment must never total-sort the corpus through one
+    reducer: the offsets side is a broadcast, the only SinglePartition
+    exchange feeds the tiny per-bucket count window, and the corpus
+    itself shuffles once on the bucket key."""
+    plan = _executed_plan(spark, "n_global_ids", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # Exactly one single-partition exchange (the |buckets|-row prefix
+    # sum); a second would mean the big side went through one task.
+    assert plan.count("Exchange SinglePartition") == 1, plan[:2000]
