@@ -465,3 +465,125 @@ def n_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
         .alias("status"),
     )
+
+
+# --- SemDeDup: semantic dedup within embedding clusters ---------------------
+
+_SEMDEDUP_TAU = 0.99
+
+_SEMDEDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.0002)
+  FROM embeddings WHERE vec_id % 4 = 0
+),
+normed AS (
+  SELECT vec_id, emb,
+         SQRT({{dot_self}}) AS nrm,
+         {{bucket_sql}} AS bucket
+  FROM corpus
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM normed a JOIN normed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE ({{dot_ab}}) / (a.nrm * b.nrm) >= {_SEMDEDUP_TAU}
+)
+SELECT n.bucket,
+       COUNT(*)                                       AS n_vectors,
+       COUNT(d.vec_id)                                AS n_dropped,
+       CAST(SUM(CASE WHEN d.vec_id IS NULL
+                     THEN n.vec_id END) AS BIGINT)    AS kept_checksum
+FROM normed n LEFT JOIN dropped d ON n.vec_id = d.vec_id
+GROUP BY n.bucket
+"""
+
+
+@register("n_semdedup_clusters", oracle=None, tags=("N2", "N3", "N4"))
+def n_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: vectors are assigned to clusters
+    (here deterministic sign-LSH cells standing in for k-means cells so
+    the oracle stays SQL-exact — the IVF path in `n_ivf_knn` shows the
+    trained-centroid variant), and within each cluster any vector whose
+    cosine to a LOWER-id cluster-mate is >= 0.99 is dropped. Planted
+    1.0002-scaled copies of every 4th vector are the known drops. The
+    cluster key turns all-pairs into a per-cell equi-join, and the
+    output is per-cluster keep/drop accounting — the shape of the
+    actual SemDeDup sweep over a sharded embedding store."""
+    from ..operators.similarity import dot_unrolled
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    orig = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    variant = e.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.0002).alias("emb"),
+    )
+    corpus = orig.unionByName(variant).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    bucket = None
+    for i in range(_EMB_BITS):
+        term = F.when(F.col("emb").getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    normed = corpus.select(
+        "vec_id",
+        "emb",
+        F.sqrt(dot_unrolled(F.col("emb"), F.col("emb"), _EMB_DIM)).alias("nrm"),
+        bucket.alias("bucket"),
+    )
+    a = normed.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), "bucket",
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), F.col("bucket").alias("bucket_b"),
+    )
+    sim = dot_unrolled(F.col("emb_a"), F.col("emb_b"), _EMB_DIM) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(sim >= _SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        normed.join(dropped, "vec_id", "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count(F.col("is_dropped")).alias("n_dropped"),
+            F.sum(F.when(F.col("is_dropped").isNull(), F.col("vec_id")))
+            .cast("long")
+            .alias("kept_checksum"),
+        )
+    )
+
+
+def _install_semdedup_oracle() -> None:
+    from ..operators.similarity import dot_unrolled_sql
+    from ..registry import REGISTRY, Query
+
+    oracle = _SEMDEDUP_ORACLE.format(
+        dot_self=dot_unrolled_sql("emb", "emb", _EMB_DIM),
+        dot_ab=dot_unrolled_sql("a.emb", "b.emb", _EMB_DIM),
+        bucket_sql=_signlsh_bucket_sql("emb", _EMB_BITS),
+    )
+    q = REGISTRY["n_semdedup_clusters"]
+    REGISTRY["n_semdedup_clusters"] = Query(
+        name=q.name, fn=q.fn, oracle=oracle, tags=q.tags, headline=q.headline
+    )
+
+
+_install_semdedup_oracle()

@@ -607,3 +607,45 @@ def f_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     doubled = F.transform_values(m, lambda k, v: v * 2)
     return d.select("doc_id", F.explode(doubled).alias("k", "v2"))
+
+
+# --- URL functions ----------------------------------------------------------
+
+_URL_ORACLE = """
+SELECT doc_id,
+       source || '.example.com'            AS host,
+       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+       lang                                AS qparam_lang,
+       'a+b%26c'                           AS encoded
+FROM documents
+WHERE doc_id < 100
+"""
+
+
+@register("f_url_funcs", oracle=_URL_ORACLE, tags=("F1", "F6"))
+def f_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing/encoding family: URLs are synthesized from table
+    columns, then `parse_url` must recover exactly the parts they were
+    built from (HOST, PATH, the `lang` query parameter), and
+    `url_encode` must percent-encode the fixed string 'a b&c' to
+    'a+b%26c'. The oracle states the expected parts relationally —
+    DuckDB never needs a URL parser, it just restates the construction.
+    All map-side JVM string ops; crawl-scale URL normalization runs at
+    scan speed."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&ref=feed"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("qparam_lang"),
+        F.url_encode(F.lit("a b&c")).alias("encoded"),
+    )

@@ -298,3 +298,132 @@ def j_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_b") - F.col("ts_a")).alias("us_apart"),
         )
     )
+
+
+# --- Z-order (Morton) clustering layout -------------------------------------
+
+def _spread_bits_sql(expr: str) -> str:
+    """8-bit → 16-bit Morton spread, SQL form (DuckDB)."""
+    s1 = f"(({expr}) | (({expr}) << 4)) & 3855"        # 0x0F0F
+    s2 = f"(({s1}) | (({s1}) << 2)) & 13107"           # 0x3333
+    return f"((({s2}) | (({s2}) << 1)) & 21845)"       # 0x5555
+
+
+def _spread_bits(c: "F.Column") -> "F.Column":
+    """8-bit → 16-bit Morton spread, Column form (identical arithmetic)."""
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x3333))
+    return c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x5555))
+
+
+_ZORDER_ORACLE = f"""
+WITH keyed AS (
+  SELECT {_spread_bits_sql("o_custkey % 256")}
+         | ({_spread_bits_sql("DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256")} << 1)
+           AS z
+       , o_custkey % 256 AS x
+       , DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256 AS y
+  FROM orders
+)
+SELECT CAST(z >> 10 AS BIGINT) AS bucket,
+       COUNT(*)   AS n_rows,
+       MIN(x)     AS min_x, MAX(x) AS max_x,
+       MIN(y)     AS min_y, MAX(y) AS max_y
+FROM keyed
+GROUP BY bucket
+"""
+
+
+@register("s_zorder_clustering", oracle=_ZORDER_ORACLE, tags=("S5", "F3", "O1"))
+def s_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) clustering key: interleave the bits of two
+    filter dimensions (customer, order day) so that sorting by the one
+    z value co-locates rows that are close in BOTH dims — the layout
+    trick behind multi-column data skipping in lakehouse tables. The
+    check: bucket rows by the top 6 z bits and report each bucket's
+    bounding box; z-ordering makes every bucket's (x, y) box a small
+    rectangle, which is exactly the property min/max zone maps exploit.
+    Bit-spreading is pure integer arithmetic (shift/and/or), identical
+    on both engines, map-side, zero shuffle before the final tiny agg."""
+    o = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("int")
+    y = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        % 256
+    ).cast("int")
+    z = _spread_bits(x).bitwiseOR(F.shiftleft(_spread_bits(y), 1))
+    keyed = o.select(z.alias("z"), x.alias("x"), y.alias("y"))
+    return keyed.groupBy(
+        F.shiftright("z", 10).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+
+
+# --- min/max manifest (zone-map) skipping -----------------------------------
+
+#: Bucket width and predicate range derive from max(l_orderkey) so the
+#: demonstration is meaningful at every scale factor: 16 range buckets,
+#: predicate = keys in [30%, 45%] of the key space (~3 buckets scanned).
+_MANIFEST_ORACLE = """
+WITH mx AS (SELECT MAX(l_orderkey) AS mx FROM lineitem),
+manifest AS (
+  SELECT CAST(FLOOR(l_orderkey / (CAST(FLOOR(mx / 16) AS BIGINT) + 1)) AS BIGINT)
+           AS bucket,
+         MIN(l_orderkey) AS min_key,
+         MAX(l_orderkey) AS max_key,
+         COUNT(*)        AS n_rows
+  FROM lineitem CROSS JOIN mx GROUP BY bucket
+)
+SELECT bucket, min_key, max_key, n_rows,
+       (min_key <= CAST(FLOOR(mx * 9 / 20) AS BIGINT)
+        AND max_key >= CAST(FLOOR(mx * 3 / 10) AS BIGINT)) AS scanned
+FROM manifest CROSS JOIN mx
+"""
+
+
+@register("s_minmax_manifest_skipping", oracle=_MANIFEST_ORACLE, tags=("S5", "S1"))
+def s_minmax_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map skipping made explicit: lineitem is laid out into
+    orderkey-range buckets (the write a sorted table produces anyway),
+    a min/max manifest is computed per bucket from the WRITTEN files,
+    and a BETWEEN predicate is answered at the metadata level — a
+    bucket is scanned only if [min,max] intersects the predicate range.
+    The layout write + manifest read-back are real (partitioned parquet
+    round-trip); at 100 TB the manifest is the few-KB table that lets
+    the planner drop almost every file before any data IO. The oracle
+    recomputes the same manifest relationally."""
+    path = scratch_dir(sf_dir, "lineitem_rangebucketed")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    mx = li.agg(F.max("l_orderkey").alias("mx"))
+    width = F.floor(F.col("mx") / 16).cast("long") + 1
+    (
+        li.crossJoin(F.broadcast(mx))
+        .withColumn("bucket", F.floor(F.col("l_orderkey") / width))
+        .drop("mx")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    lo = F.floor(F.col("mx") * 3 / 10).cast("long")
+    hi = F.floor(F.col("mx") * 9 / 20).cast("long")
+    return manifest.crossJoin(F.broadcast(mx)).select(
+        "bucket",
+        "min_key",
+        "max_key",
+        "n_rows",
+        ((F.col("min_key") <= hi) & (F.col("max_key") >= lo)).alias("scanned"),
+    )

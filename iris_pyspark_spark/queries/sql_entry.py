@@ -237,3 +237,57 @@ GROUP BY l_linestatus
 def sql_q12_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_Q12)
+
+
+#: LATERAL correlated subquery: top-2 most expensive orders per customer
+#: for a bounded customer slice. Catalyst plans the correlated LATERAL
+#: as a decorrelated join + per-key window, not a per-row re-execution.
+_LATERAL_SPARK = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey <= 100
+"""
+
+#: DuckDB's LATERAL has the same semantics; the query is dialect-shared.
+_LATERAL_ORACLE = _LATERAL_SPARK
+
+
+@register("sql_lateral_topk", oracle=_LATERAL_ORACLE, tags=("E2", "J6", "W4"))
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_SPARK)
+
+
+#: stack()/inline(): SQL-side row generators — the UNPIVOT primitive as
+#: a TVF. stack(3, ...) turns one region row into three (metric, value)
+#: rows; the oracle reproduces it with UNION ALL (DuckDB has no stack).
+_STACK_SPARK = """
+SELECT r_regionkey, metric, val
+FROM region,
+LATERAL stack(3,
+  'key_x2',   r_regionkey * 2,
+  'key_sq',   r_regionkey * r_regionkey,
+  'key_neg',  -r_regionkey
+) AS t(metric, val)
+"""
+
+_STACK_ORACLE = """
+SELECT r_regionkey, 'key_x2' AS metric, r_regionkey * 2 AS val FROM region
+UNION ALL
+SELECT r_regionkey, 'key_sq', r_regionkey * r_regionkey FROM region
+UNION ALL
+SELECT r_regionkey, 'key_neg', -r_regionkey FROM region
+"""
+
+
+@register("sql_stack_tvf", oracle=_STACK_ORACLE, tags=("E2", "F4", "P1"))
+def sql_stack_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_STACK_SPARK)

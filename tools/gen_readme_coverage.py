@@ -1,0 +1,56 @@
+"""Regenerate the README operator-coverage table from the registry.
+
+Run after adding/removing queries:  python tools/gen_readme_coverage.py
+Rewrites the block between the `| SURVEY §2 ID | queries |` header and
+the next non-table line, and refreshes the query counts in the section
+intro.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+from pathlib import Path
+
+from iris_pyspark_spark.registry import load_all
+
+README = Path(__file__).resolve().parent.parent / "README.md"
+
+
+def build_table() -> tuple[str, int, int]:
+    registry = load_all()
+    by_tag: dict[str, list[str]] = defaultdict(list)
+    for q in registry.values():
+        label = q.name + ("\\*" if q.oracle is None else "")
+        for tag in q.tags:
+            by_tag[tag].append(label)
+    lines = ["| SURVEY §2 ID | queries |", "| --- | --- |"]
+    for tag in sorted(by_tag):
+        qs = ", ".join(f"`{n}`" for n in sorted(set(by_tag[tag])))
+        lines.append(f"| {tag} | {qs} |")
+    n_total = len(registry)
+    n_oracled = sum(1 for q in registry.values() if q.oracle is not None)
+    return "\n".join(lines) + "\n", n_total, n_oracled
+
+
+def main() -> None:
+    table, n_total, n_oracled = build_table()
+    text = README.read_text()
+    text = re.sub(
+        r"\| SURVEY §2 ID \| queries \|\n(?:\|[^\n]*\n)+",
+        table,
+        text,
+        count=1,
+    )
+    text = re.sub(
+        r"\d+ registered queries, \d+ with full DuckDB value-hash oracles",
+        f"{n_total} registered queries, {n_oracled} with full DuckDB value-hash oracles",
+        text,
+        count=1,
+    )
+    README.write_text(text)
+    print(f"README updated: {n_total} queries, {n_oracled} oracled")
+
+
+if __name__ == "__main__":
+    main()
