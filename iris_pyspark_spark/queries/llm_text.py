@@ -440,8 +440,11 @@ def n_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: corpus-wide document frequency
     (computed over ALL docs) joined back to term frequencies, smoothed
     idf = ln((N+1)/(df+1)) + 1, top-3 terms per doc by rounded score.
-    The df table is small (vocabulary-sized) → broadcast back to the tf
-    side, so the corpus shuffles only for the tf aggregation. Ranking
+    The df join is left UNHINTED on purpose: at test scale Catalyst/AQE
+    broadcasts the vocabulary-sized side, but a 100 TB crawl's token
+    vocabulary (typos, numbers, ids) is NOT broadcastable — the adaptive
+    plan degrades to a hash join on `tok`, which is the correct shape
+    there. Only the one-row n_docs scalar is force-broadcast. Ranking
     uses the ROUNDED score in both engines so the order is identical
     even if libm ulps differ."""
     d = load_table(spark, sf_dir, "documents")
@@ -451,7 +454,7 @@ def n_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.filter(F.col("doc_id") < 100)
-        .join(F.broadcast(df), "tok")
+        .join(df, "tok")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
