@@ -437,3 +437,31 @@ def a_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exact_pcts"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- mode() / median() ------------------------------------------------------
+
+_MODE_MEDIAN_ORACLE = """
+SELECT MODE(event_type)                  AS top_event,
+       MEDIAN(value)                     AS median_value,
+       ROUND(AVG(value), 6)              AS mean_value
+FROM events
+"""
+
+
+@register("a_mode_median", oracle=_MODE_MEDIAN_ORACLE, tags=("A8", "A1"))
+def a_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() and median() — the modern direct aggregates (Spark 3.4+).
+    Global scope on purpose: the event-type counts are globally distinct
+    (no tie), so mode() is deterministic in both engines; a grouped
+    mode over small groups would tie and both engines break ties
+    arbitrarily. median() interpolates the two middle order statistics
+    identically. mean rides along rounded (the one float aggregate
+    whose summation order neither engine pins — acceptable at 1e-6
+    after rounding because values are bounded)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.mode("event_type").alias("top_event"),
+        F.median("value").alias("median_value"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )

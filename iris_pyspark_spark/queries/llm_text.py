@@ -570,3 +570,93 @@ def n_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pivot[0] + pivot[1] + pivot[2], 6).alias("bm25")
     )
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(10)
+
+
+# --- bigram language-model scoring (perplexity-style quality filter) --------
+
+_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents
+),
+bigrams AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS g(i)
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1),
+v  AS (SELECT COUNT(DISTINCT w1) AS v FROM (
+         SELECT w1 FROM bigrams UNION ALL SELECT w2 FROM bigrams)),
+scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(LN((c2.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lp_micro
+  FROM bigrams b
+  JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+  JOIN c1 ON b.w1 = c1.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       COUNT(*)                        AS n_bigrams,
+       CAST(SUM(lp_micro) AS BIGINT)   AS logprob_micro,
+       CAST(FLOOR(SUM(lp_micro) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+         AS avg_logprob_micro
+FROM scored
+WHERE doc_id < 100
+GROUP BY doc_id
+"""
+
+
+@register("n_bigram_lm_score", oracle=_LM_ORACLE, tags=("N5", "A1", "F4"))
+def n_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring with a corpus-trained bigram LM
+    (add-one smoothing): p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), per-doc
+    score = sum of log-probs. The CCNet/KenLM filtering recipe with the
+    LM trained in-engine. Determinism across engines: each bigram's
+    log-prob is rounded to integer MICRO-NATS first, so the per-doc sum
+    is exact integer arithmetic — float addition order never matters.
+    Count tables join back on the bigram key (unhinted: vocabulary² is
+    not broadcastable at crawl scale); the corpus shuffles twice (count,
+    score-join), both on the same derived keys."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        bigrams.select(F.col("w1").alias("w"))
+        .unionAll(bigrams.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        scored.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").cast("long").alias("logprob_micro"),
+            F.floor(F.sum("lp_micro") / F.count(F.lit(1)).cast("double"))
+            .cast("long")
+            .alias("avg_logprob_micro"),
+        )
+    )

@@ -139,3 +139,52 @@ def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_cohort.groupBy(
         "cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset")
     ).agg(F.count_distinct("user_id").alias("n_active"))
+
+
+# --- event-sequence transition matrix ---------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM trans
+"""
+
+
+@register("e_markov_transitions", oracle=_MARKOV_ORACLE, tags=("W2", "A1"))
+def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() pairs each event with its successor (ordered by
+    ts with event_id as the total-order tie-break — without it two
+    same-timestamp events would make the successor nondeterministic),
+    then a global count + per-source-state normalization. The sequence
+    pairing shuffles on user_id once; the transition matrix itself is
+    |states|^2 rows — metadata-sized at any corpus scale."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("next_type", F.lead("event_type").over(w))
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_from).cast("double"), 6).alias("p"),
+    )

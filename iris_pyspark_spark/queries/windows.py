@@ -293,3 +293,56 @@ def w_scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         F.col("o_orderstatus").alias("status"),
     )
+
+
+# --- gaps & islands: activity streaks ---------------------------------------
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS streak_len, MIN(d) AS start_d
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       COUNT(*)                   AS n_streaks,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+       CAST(MIN(start_d) AS BIGINT)    AS first_active_day
+FROM streaks GROUP BY user_id
+"""
+
+
+@register("w_gaps_islands_streaks", oracle=_STREAK_ORACLE, tags=("W1", "W2", "A1"))
+def w_gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user via
+    the classic `day - row_number()` trick — consecutive days share one
+    island id, so streak detection becomes a plain groupBy instead of a
+    sequential scan. Everything rides ONE hash(user_id) partitioning:
+    distinct, window, and both aggregations — no re-shuffle, no
+    stateful iteration, which is what makes streak analytics feasible
+    on billions of users."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    days = e.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn("island", F.col("d") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("d").alias("start_d")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").cast("long").alias("longest_streak"),
+        F.min("start_d").cast("long").alias("first_active_day"),
+    )

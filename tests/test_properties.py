@@ -176,3 +176,30 @@ def test_chunking_covers_every_token(spark, texts):
         for _, start, _ in chunks:
             covered |= set(range(start, min(start + chunk, n_tok)))
         assert covered == set(range(n_tok)), (doc_id, n_tok, chunks)
+
+
+ids_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),      # bucket
+        st.integers(min_value=0, max_value=1000),   # order key
+    ),
+    min_size=1,
+    max_size=30,
+    unique=True,  # (bucket, key) unique → total order well-defined
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ids_strategy)
+def test_global_ids_match_enumerate(spark, rows):
+    """global_ids == 1-based position under sorted(bucket, key), for
+    arbitrary bucket skew including empty/singleton/hot buckets."""
+    from iris_pyspark_spark.operators.ids import global_ids
+
+    df = spark.createDataFrame(rows, "bucket int, k int")
+    got = {
+        (r["bucket"], r["k"]): r["global_id"]
+        for r in global_ids(df, "bucket", ["k"]).collect()
+    }
+    expected = {row: i + 1 for i, row in enumerate(sorted(rows))}
+    assert got == expected
