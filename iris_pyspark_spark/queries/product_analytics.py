@@ -188,3 +188,63 @@ def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w_from).cast("double"), 6).alias("p"),
     )
+
+
+# --- calendar densification (zero-filled daily activity) --------------------
+
+_DENSE_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+),
+calendar AS (
+  SELECT CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*)         AS n_events,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY day
+)
+SELECT CAST(c.day AS VARCHAR) AS day,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(d.n_users, 0)  AS n_users,
+       d.day IS NULL           AS zero_day
+FROM calendar c LEFT JOIN daily d ON c.day = d.day
+"""
+
+
+@register("e_calendar_densify", oracle=_DENSE_ORACLE, tags=("F2", "F4", "J3"))
+def e_calendar_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: build the full day spine with
+    sequence(min_date, max_date) + explode, left-join daily purchase
+    aggregates onto it, and zero-fill the gaps — the step that makes
+    time series chartable/joinable when some days have no rows. The
+    spine is generated from a one-row bounds aggregate (never collected
+    to the driver) and is days-sized; the events aggregate once on
+    day. Zero-days are flagged so the oracle pins the gap positions,
+    not just the totals."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+    return calendar.join(daily.withColumnRenamed("day", "dday"),
+                         calendar.day == F.col("dday"), "left").select(
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_users", F.lit(0)).alias("n_users"),
+        F.col("dday").isNull().alias("zero_day"),
+    )

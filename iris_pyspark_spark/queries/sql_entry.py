@@ -291,3 +291,70 @@ SELECT r_regionkey, 'key_neg', -r_regionkey FROM region
 def sql_stack_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_STACK_SPARK)
+
+
+#: SQL pipe syntax (Spark 4.0+): the same Q1-ish aggregation written as
+#: a left-to-right operator chain. Parses to the identical Catalyst plan
+#: as the nested form — the oracle is that nested form in DuckDB SQL.
+_PIPE_SPARK = """
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+|> AGGREGATE
+     COUNT(*) AS n_items,
+     SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS price_cents
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_ORACLE, tags=("E2", "A1"))
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_PIPE_SPARK)
+
+
+#: Parameterized SQL: named :param markers bound server-side — the
+#: injection-safe API surface. The oracle inlines the same literals.
+_PARAM_SPARK = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= :lo AND o_orderdate < :hi AND o_totalprice > :min_price
+GROUP BY o_orderpriority
+"""
+
+_PARAM_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND o_totalprice > 50000.0
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_parameterized", oracle=_PARAM_ORACLE, tags=("E2", "P4"))
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _PARAM_SPARK,
+        args={
+            "lo": dt.datetime(1996, 1, 1),
+            "hi": dt.datetime(1997, 1, 1),
+            "min_price": 50000.0,
+        },
+    )

@@ -335,3 +335,52 @@ def u_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_click_ts timestamp_ntz",
         )
     )
+
+
+# --- mapInArrow: zero-copy Arrow-batch transform ----------------------------
+
+_ARROW_ORACLE = f"""
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+         AS net_cents,
+       l_quantity >= 25 AS bulk
+FROM lineitem
+WHERE l_returnflag = 'R'
+"""
+
+
+def _arrow_net_cents(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        price = b.column("l_extendedprice")
+        disc = b.column("l_discount")
+        net = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+        cents = pc.cast(
+            pc.round(pc.multiply(net, pa.scalar(100.0)), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        bulk = pc.greater_equal(b.column("l_quantity"), pa.scalar(25.0))
+        yield pa.RecordBatch.from_arrays(
+            [b.column("l_orderkey"), b.column("l_linenumber"), cents, bulk],
+            ["l_orderkey", "l_linenumber", "net_cents", "bulk"],
+        )
+
+
+@register("u_map_in_arrow", oracle=_ARROW_ORACLE, tags=("U5", "U1"))
+def u_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-overhead Python escape hatch: batches
+    cross as Arrow RecordBatches with NO pandas conversion (no index,
+    no object boxing), and pyarrow.compute kernels are C++ SIMD. This
+    is the shape for byte-level work (codecs, tokenizers backed by
+    native libs) where even the pandas_udf conversion tax matters.
+    Rounding: net = price*(1-discount) has four decimals, so *100 DOES
+    land on exact .5s — pyarrow's default half-to-even silently differs
+    from SQL ROUND there; round_mode='half_towards_infinity' pins it."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    src = li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity")
+    return src.mapInArrow(
+        _arrow_net_cents,
+        "l_orderkey bigint, l_linenumber int, net_cents bigint, bulk boolean",
+    )
