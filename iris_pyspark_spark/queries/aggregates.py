@@ -465,3 +465,36 @@ def a_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("value").alias("median_value"),
         F.round(F.avg("value"), 6).alias("mean_value"),
     )
+
+
+# --- fixed-bin histogram ----------------------------------------------------
+
+_HIST_ORACLE = """
+SELECT CASE WHEN value < 0 THEN 0
+            WHEN value >= 100 THEN 21
+            ELSE CAST(FLOOR(value / 5.0) + 1 AS BIGINT) END AS bin,
+       COUNT(*)                            AS n,
+       ROUND(MIN(value), 6)                AS lo,
+       ROUND(MAX(value), 6)                AS hi
+FROM events
+GROUP BY bin
+"""
+
+
+@register("a_histogram_width_bucket", oracle=_HIST_ORACLE, tags=("A1", "F3"))
+def a_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram via width_bucket(value, 0, 100, 20) — the
+    one-pass distributed histogram (each row maps to its bin, one
+    skinny shuffle of 22 bins including under/overflow). The per-bin
+    min/max ride along to pin the bin boundaries, not just the counts;
+    the oracle restates width_bucket's half-open convention
+    (0=underflow, 21=overflow) as explicit arithmetic since DuckDB
+    lacks the function."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(20)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )

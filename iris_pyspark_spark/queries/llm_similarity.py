@@ -279,3 +279,93 @@ def n_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_abs_err_micro"),
     )
+
+
+# --- kNN majority-vote classification ---------------------------------------
+
+_KNN_CLASSIFY_ORACLE = f"""
+WITH probes AS (
+  SELECT vec_id, embedding, {norm_unrolled_sql("embedding", DIM)} AS nrm, label
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+corpus AS (
+  SELECT vec_id, embedding, {norm_unrolled_sql("embedding", DIM)} AS nrm, label
+  FROM embeddings WHERE vec_id % 97 <> 0
+),
+topk AS (
+  SELECT query_id, n_label FROM (
+    SELECT a.vec_id AS query_id, b.label AS n_label,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ROUND({_COS_AB}, 9) DESC, b.vec_id ASC) AS rnk
+    FROM probes a, corpus b
+  ) t WHERE rnk <= 5
+),
+votes AS (
+  SELECT query_id, n_label, COUNT(*) AS n_votes
+  FROM topk GROUP BY query_id, n_label
+)
+SELECT v.query_id, p.label AS true_label, v.n_label AS pred_label, v.n_votes
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY n_votes DESC, n_label ASC) AS vr
+  FROM votes
+) v JOIN probes p ON p.vec_id = v.query_id
+WHERE v.vr = 1
+"""
+
+
+@register("n_knn_classify", oracle=_KNN_CLASSIFY_ORACLE, tags=("N4", "N7"))
+def n_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification (k=5): probe vectors
+    (vec_id % 97 = 0) are labeled by their corpus neighbors — the
+    embedding-space label-propagation primitive (weak labeling, QA of a
+    trained classifier, semi-supervised bootstrapping). The probe side
+    is bounded and broadcast; the corpus is scanned once map-side, so
+    cost is O(|corpus| x |probes|) with no shuffle of the corpus. Vote
+    argmax ties break (count DESC, label ASC); neighbor ranking uses
+    cosine ROUNDED to 9 digits then neighbor id, identical in the
+    oracle. Labels are synthetic noise (TESTDATA), which is irrelevant:
+    the contract is that both engines derive the same votes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias("q_nrm"),
+    )
+    corpus = (
+        e.filter(F.col("vec_id") % 97 != 0)
+        # Single-file scan arrives as one partition; fan out before the
+        # per-pair math or the whole probe sweep runs in one task.
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("vec_id").alias("neighbor_id"), "embedding",
+            F.col("label").alias("n_label"),
+            F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias("c_nrm"),
+        )
+    )
+    sim = F.round(
+        cosine_unrolled(
+            F.col("q_emb"), F.col("embedding"), DIM, F.col("q_nrm"), F.col("c_nrm")
+        ),
+        9,
+    ).alias("sim")
+    pairs = corpus.join(F.broadcast(probes), how="cross").select(
+        "query_id", "true_label", "neighbor_id", "n_label", sim
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    topk = pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("pred_label"), "n_votes")
+    )

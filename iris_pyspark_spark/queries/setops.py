@@ -176,3 +176,31 @@ def o_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("key"), F.col("c_mktsegment").alias("seg")
     )
     return a.unionByName(b, allowMissingColumns=True).select("key", "price", "seg")
+
+
+# --- LIMIT/OFFSET pagination ------------------------------------------------
+
+_PAGINATION_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 25 OFFSET 50
+"""
+
+
+@register("o_offset_pagination", oracle=_PAGINATION_ORACLE, tags=("O1", "O2"))
+def o_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 3 of a leaderboard: total order (tie-broken), OFFSET 50,
+    LIMIT 25. Spark executes sort + offset + limit as a single
+    TakeOrdered-style boundary collecting only offset+limit rows per
+    partition — pagination never materializes the full sort. (Deep
+    pagination still degrades linearly in offset; keyset pagination —
+    WHERE key > last_seen — is the constant-cost form, same plan as
+    this one's filter+limit.)"""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .offset(50)
+        .limit(25)
+    )

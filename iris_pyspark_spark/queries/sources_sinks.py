@@ -365,3 +365,58 @@ def s_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.decode(F.col("content"), "UTF-8"), "\n$", ""
         ).alias("content"),
     )
+
+
+# --- malformed-record handling on CSV ingest --------------------------------
+
+_MALFORMED_ORACLE = """
+SELECT 'good' AS kind, 3 AS n, CAST(10 + 20 + 30 AS BIGINT) AS qty_sum
+UNION ALL
+SELECT 'corrupt', 3, CAST(40 AS BIGINT)
+"""
+
+
+@register("s_csv_malformed_handling", oracle=_MALFORMED_ORACLE, tags=("S2", "P5"))
+def s_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-ingest surface: a CSV landing file with 3 known-bad rows
+    (wrong arity, non-numeric qty, trailing garbage) read in PERMISSIVE
+    mode with columnNameOfCorruptRecord — bad rows land in the corrupt
+    column instead of failing the job or being silently dropped — AND
+    keep whatever fields DID parse (the extra-columns row still yields
+    qty=40 alongside its _corrupt payload; the wrong-arity and
+    type-error rows yield NULL qty). The oracle states exactly that
+    planted truth, pinning PERMISSIVE's partial-parse semantics. At scale this is the pattern that makes a 100 TB ingest
+    resumable: corrupt rows are quarantined to a side table for reply,
+    never poison the batch."""
+    import os
+
+    path = scratch_dir(sf_dir, "dirty_csv")
+    os.makedirs(path, exist_ok=True)
+    # The fixture IS the test: construct the landing file with planted
+    # corruption (driver-side tiny write; the read path is distributed).
+    with open(os.path.join(path, "part-0.csv"), "w") as f:
+        f.write(
+            "id,name,qty\n"
+            "1,alpha,10\n"
+            "2,beta,20\n"
+            "3,gamma-without-qty\n"          # wrong arity
+            "4,delta,notanumber\n"           # type error
+            "5,epsilon,30\n"
+            "6,zeta,40,extra,columns\n"      # trailing garbage
+        )
+    schema = "id INT, name STRING, qty INT, _corrupt STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    df = df.cache()  # corrupt-column semantics require same-scan access
+    return df.select(
+        F.when(F.col("_corrupt").isNull(), "good").otherwise("corrupt").alias("kind"),
+        "qty",
+    ).groupBy("kind").agg(
+        F.count(F.lit(1)).cast("int").alias("n"),
+        F.coalesce(F.sum("qty"), F.lit(0)).cast("long").alias("qty_sum"),
+    )
