@@ -118,3 +118,26 @@ def test_global_ids_avoids_global_sort(spark, sf_dir):
     # Exactly one single-partition exchange (the |buckets|-row prefix
     # sum); a second would mean the big side went through one task.
     assert plan.count("Exchange SinglePartition") == 1, plan[:2000]
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    """The three stacked conditional-min windows and the per-user
+    aggregate must share ONE hash(user_id) exchange — a second exchange
+    means the sequencing re-shuffles the events."""
+    plan = _executed_plan(spark, "e_funnel_ordered", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_semdedup_not_all_pairs(spark, sf_dir):
+    """Cluster-mate candidate generation must be the bucket equi-join,
+    never a cartesian/nested-loop sweep."""
+    plan = _executed_plan(spark, "n_semdedup_clusters", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_map_side_until_agg(spark, sf_dir):
+    """Morton keying is pure row-local arithmetic: exactly one exchange
+    (the final 64-bucket aggregate), nothing before it."""
+    plan = _executed_plan(spark, "s_zorder_clustering", sf_dir)
+    assert plan.count("Exchange") == 1, plan[:2000]
