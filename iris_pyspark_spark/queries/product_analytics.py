@@ -248,3 +248,63 @@ def e_calendar_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_users", F.lit(0)).alias("n_users"),
         F.col("dday").isNull().alias("zero_day"),
     )
+
+
+# --- A/B experiment lift ----------------------------------------------------
+
+_AB_ORACLE = """
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN (user_id * 2654435761) % 100 < 50 THEN 'A' ELSE 'B' END AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT
+    COUNT(*) FILTER (WHERE arm = 'A')                    AS n_a,
+    COUNT(*) FILTER (WHERE arm = 'B')                    AS n_b,
+    CAST(SUM(converted) FILTER (WHERE arm = 'A') AS BIGINT) AS conv_a,
+    CAST(SUM(converted) FILTER (WHERE arm = 'B') AS BIGINT) AS conv_b
+  FROM assigned
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND(conv_a / CAST(n_a AS DOUBLE), 6)  AS rate_a,
+       ROUND(conv_b / CAST(n_b AS DOUBLE), 6)  AS rate_b,
+       ROUND((conv_b / CAST(n_b AS DOUBLE)) /
+             (conv_a / CAST(n_a AS DOUBLE)) - 1, 6) AS lift_b_over_a
+FROM arms
+"""
+
+
+@register("e_ab_test_lift", oracle=_AB_ORACLE, tags=("A7", "P6", "A2"))
+def e_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are assigned to arms by
+    multiplicative hash (deterministic — the assignment IS the
+    randomization unit and must be identical on every rerun and
+    engine), per-user conversion is a MAX over purchase events, and
+    the arm summary pivots into one row with rates and relative lift.
+    Two aggregations, both keyed small; at any scale the output is one
+    row and the heavy pass is a single user-keyed combine."""
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn(
+        "arm",
+        F.when((F.col("user_id") * 2654435761) % 100 < 50, "A").otherwise("B"),
+    )
+    arms = assigned.agg(
+        F.count_if(F.col("arm") == "A").alias("n_a"),
+        F.count_if(F.col("arm") == "B").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted"))).cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted"))).cast("long").alias("conv_b"),
+    )
+    rate_a = F.col("conv_a") / F.col("n_a").cast("double")
+    rate_b = F.col("conv_b") / F.col("n_b").cast("double")
+    return arms.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(rate_b / rate_a - 1, 6).alias("lift_b_over_a"),
+    )

@@ -649,3 +649,34 @@ def f_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("qparam_lang"),
         F.url_encode(F.lit("a b&c")).alias("encoded"),
     )
+
+
+# --- AES encrypt/decrypt round-trip -----------------------------------------
+
+_AES_ORACLE = """
+SELECT doc_id,
+       SUBSTRING(text, 1, 40) AS decrypted_prefix,
+       TRUE                   AS roundtrip_ok
+FROM documents WHERE doc_id < 50
+"""
+
+
+@register("f_aes_roundtrip", oracle=_AES_ORACLE, tags=("F7", "F1"))
+def f_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: aes_encrypt (GCM, random IV per
+    row — ciphertext is intentionally nondeterministic) then
+    aes_decrypt with the same key must restore the plaintext exactly.
+    The oracle checks the recovered plaintext, the only deterministic
+    artifact; the in-flight ciphertext never leaves the plan. This is
+    the column-vaulting pattern for PII-bearing fields at rest —
+    encryption is map-side JVM code, so it runs at scan speed on any
+    partition count."""
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key (fixture)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    ct = F.aes_encrypt(F.col("text").cast("binary"), key)
+    pt = F.aes_decrypt(ct, key).cast("string")
+    return d.select(
+        "doc_id",
+        F.substring(pt, 1, 40).alias("decrypted_prefix"),
+        (pt == F.col("text")).alias("roundtrip_ok"),
+    )

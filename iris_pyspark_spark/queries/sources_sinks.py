@@ -420,3 +420,49 @@ def s_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n"),
         F.coalesce(F.sum("qty"), F.lit(0)).cast("long").alias("qty_sum"),
     )
+
+
+# --- small-file compaction --------------------------------------------------
+
+_COMPACTION_ORACLE = """
+SELECT CAST(64 AS BIGINT)        AS n_files_before,
+       CAST(4 AS BIGINT)         AS n_files_after,
+       COUNT(*)                  AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS rows_checksum
+FROM documents
+"""
+
+
+@register("s_small_file_compaction", oracle=_COMPACTION_ORACLE, tags=("S4", "S1"))
+def s_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every
+    long-lived dataset needs: a fragmented table (64 shards here;
+    streaming sinks and partitioned writes produce thousands) is
+    rewritten into few large files with `repartition(n)`. Too many
+    files poisons a 100 TB table twice over: listing dominates planning,
+    and each file under ~128 MB wastes a task. The check: file counts
+    before/after from the real written directories (input_file_name
+    distinct-count, computed distributively) and row count + checksum
+    proving the rewrite lost nothing."""
+    frag_path = scratch_dir(sf_dir, "documents_fragmented")
+    compact_path = scratch_dir(sf_dir, "documents_compacted")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    d.repartition(64).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    frag.repartition(4).write.mode("overwrite").parquet(compact_path)
+    compact = spark.read.parquet(compact_path)
+    # input_file_name() must be projected before aggregation (Spark
+    # rejects nondeterministic expressions as aggregate arguments).
+    before = frag.select(F.input_file_name().alias("f")).agg(
+        F.count_distinct("f").alias("n_files_before")
+    )
+    return (
+        compact.select("doc_id", F.input_file_name().alias("f"))
+        .agg(
+            F.count_distinct("f").alias("n_files_after"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("rows_checksum"),
+        )
+        .crossJoin(F.broadcast(before))
+        .select("n_files_before", "n_files_after", "n_rows", "rows_checksum")
+    )
