@@ -39,7 +39,9 @@ def global_ids(
     `bucket_col` is the leading sort key AND the parallelism unit: rows
     shuffle once on it, and each bucket numbers its rows independently
     on top of a precomputed offset. (bucket_col, *order_cols) must be
-    unique per row for the ids to be deterministic.
+    unique per row for the ids to be deterministic, and `bucket_col`
+    must be non-null: the offsets come back via an equi-join, and a
+    NULL bucket would silently drop its rows there (null != null).
     """
     counts = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("__n"))
     # Prefix-sum over one-row-per-bucket: |buckets| rows through a single

@@ -616,10 +616,18 @@ def n_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact integer arithmetic — float addition order never matters.
     Count tables join back on the bigram key (unhinted: vocabulary² is
     not broadcastable at crawl scale); the corpus shuffles twice (count,
-    score-join), both on the same derived keys."""
+    score-join), both on the same derived keys. The exploded bigram
+    table feeds FOUR consumers (c2, c1, V, the score join), so it is
+    materialized once to scratch parquet — without that, Spark
+    re-tokenizes the corpus per consumer (a CTE is not a
+    materialization barrier); same artifact discipline as the MinHash
+    signature table."""
+    from ..sources import scratch_dir
+
     d = load_table(spark, sf_dir, "documents")
     t = F.split(F.lower(F.col("text")), " ")
-    bigrams = d.select(
+    bigrams_path = scratch_dir(sf_dir, "bigram_table")
+    d.select(
         "doc_id",
         F.explode(
             F.arrays_zip(
@@ -627,7 +635,10 @@ def n_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
             )
         ).alias("bg"),
-    ).select("doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    ).select(
+        "doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2")
+    ).write.mode("overwrite").parquet(bigrams_path)
+    bigrams = spark.read.parquet(bigrams_path)
     c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = (
