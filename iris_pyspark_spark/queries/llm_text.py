@@ -671,3 +671,59 @@ def n_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_logprob_micro"),
         )
     )
+
+
+# --- character-entropy quality signal ---------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), '')) AS ch
+  FROM documents WHERE doc_id < 200
+),
+counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+),
+totals AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY doc_id
+),
+terms AS (
+  SELECT c.doc_id,
+         CAST(ROUND(-(c.c / CAST(t.n AS DOUBLE))
+                    * LN(c.c / CAST(t.n AS DOUBLE)) * 1000000) AS BIGINT)
+           AS h_micro
+  FROM counts c JOIN totals t ON c.doc_id = t.doc_id
+)
+SELECT e.doc_id,
+       t.n                                  AS n_chars_total,
+       CAST(SUM(h_micro) AS BIGINT)         AS entropy_micro_nats
+FROM terms e JOIN totals t ON e.doc_id = t.doc_id
+GROUP BY e.doc_id, t.n
+"""
+
+
+@register("n_char_entropy", oracle=_ENTROPY_ORACLE, tags=("N5", "A1"))
+def n_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    gibberish/encoding-junk detector (random bytes score high, repeated
+    padding scores low; natural language sits in a narrow band). Same
+    float-determinism recipe as the bigram LM: each character class
+    contributes -p·ln(p) rounded to integer micro-nats, the per-doc
+    total is an exact integer sum, so aggregation order is irrelevant.
+    Shape: explode to chars → two stacked aggregations on doc_id — the
+    heavy combine is map-side partial, and the result is one row per
+    document."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "")).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    terms = counts.join(totals, "doc_id").select(
+        "doc_id",
+        "n",
+        F.round(-p * F.log(p) * 1000000).cast("long").alias("h_micro"),
+    )
+    return terms.groupBy("doc_id", F.col("n").alias("n_chars_total")).agg(
+        F.sum("h_micro").cast("long").alias("entropy_micro_nats")
+    )

@@ -308,3 +308,70 @@ def e_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate_b, 6).alias("rate_b"),
         F.round(rate_b / rate_a - 1, 6).alias("lift_b_over_a"),
     )
+
+
+# --- rolling z-score anomaly detection --------------------------------------
+
+_ZSCORE_W = 7  # trailing window (days), excluding the current day
+
+_ANOMALY_ORACLE = f"""
+WITH daily AS (
+  SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         COUNT(*) AS n
+  FROM events WHERE event_type = 'error'
+  GROUP BY d
+),
+rolled AS (
+  SELECT d, n,
+         COUNT(*)            OVER w AS w_cnt,
+         CAST(SUM(n)  OVER w AS BIGINT) AS w_sum,
+         CAST(SUM(n * n) OVER w AS BIGINT) AS w_sumsq
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN {_ZSCORE_W} PRECEDING AND 1 PRECEDING)
+)
+SELECT d, n, w_cnt,
+       ROUND((n - w_sum / CAST(w_cnt AS DOUBLE)) /
+             SQRT(GREATEST(w_sumsq / CAST(w_cnt AS DOUBLE)
+                           - (w_sum / CAST(w_cnt AS DOUBLE))
+                             * (w_sum / CAST(w_cnt AS DOUBLE)), 1e-9)),
+             6) AS zscore
+FROM rolled
+WHERE w_cnt >= 3
+"""
+
+
+@register("e_anomaly_rolling_zscore", oracle=_ANOMALY_ORACLE, tags=("W3", "T1"))
+def e_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the daily error-count
+    series: each day scored against the trailing 7-day window
+    (excluding itself). Engine determinism: mean/variance are derived
+    from INTEGER window sums (Σn, Σn²) — exact regardless of window
+    evaluation order — with floats entering only in the final one-shot
+    formula, then rounded. The daily series is tiny (one row per day),
+    so the unpartitioned ORDER BY window is metadata-sized — the heavy
+    pass is the per-day count, one shuffle of the raw events. A
+    variance floor (1e-9) keeps the constant-window z finite in both
+    engines."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("d").rowsBetween(-_ZSCORE_W, -1)
+    rolled = daily.select(
+        "d",
+        "n",
+        F.count(F.lit(1)).over(w).alias("w_cnt"),
+        F.sum("n").over(w).cast("long").alias("w_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("w_sumsq"),
+    )
+    mean = F.col("w_sum") / F.col("w_cnt").cast("double")
+    var = F.greatest(
+        F.col("w_sumsq") / F.col("w_cnt").cast("double") - mean * mean,
+        F.lit(1e-9),
+    )
+    return rolled.filter(F.col("w_cnt") >= 3).select(
+        "d",
+        "n",
+        "w_cnt",
+        F.round((F.col("n") - mean) / F.sqrt(var), 6).alias("zscore"),
+    )

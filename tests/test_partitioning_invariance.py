@@ -88,3 +88,14 @@ def test_simhash_pairs_partition_invariant(spark, sf_dir):
             sigs.repartition(n), "doc_id", "simhash", max_hamming=8
         )
     )
+
+
+def test_global_ids_partition_invariant(spark, sf_dir):
+    from iris_pyspark_spark.operators.ids import global_ids
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    _invariant(
+        lambda n: global_ids(d.repartition(n), "source", ["doc_id"]).select(
+            "doc_id", "global_id"
+        )
+    )
