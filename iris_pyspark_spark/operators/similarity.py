@@ -122,6 +122,7 @@ def knn_bruteforce(
     k: int,
     metric: str = "cosine",
     dim: int | None = None,
+    round_sim_digits: int | None = None,
 ) -> DataFrame:
     """Top-k corpus neighbors per query vector. The query side is
     broadcast (it is the small side by construction), so the corpus is
@@ -130,7 +131,10 @@ def knn_bruteforce(
 
     Pass `dim` (known vector width) to use the unrolled codegen
     arithmetic with per-row precomputed norms — ~50× less per-pair cost
-    than the fold form."""
+    than the fold form. `round_sim_digits` rounds the similarity BEFORE
+    ranking — callers that need cross-engine-identical neighbor order
+    (an oracle comparison, a reproducible labeling job) use it so a
+    libm ulp can never flip two near-equal neighbors."""
     if dim is not None and metric == "cosine":
         queries = queries.withColumn(
             "__qn", F.sqrt(dot_unrolled(F.col(q_vec), F.col(q_vec), dim))
@@ -147,6 +151,8 @@ def knn_bruteforce(
         sim = cosine(F.col(q_vec), F.col(c_vec))
     else:
         sim = -l2_sq(F.col(q_vec), F.col(c_vec))
+    if round_sim_digits is not None:
+        sim = F.round(sim, round_sim_digits)
     pairs = corpus.crossJoin(broadcast(queries)).filter(F.col(q_id) != F.col(c_id))
     w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id).asc())
     return (

@@ -124,6 +124,60 @@ def _signlsh_bucket_sql(emb: str, bits: int) -> str:
 
 _EMB_DIM = 64
 _EMB_BITS = 16
+
+
+def _signlsh_normed(corpus):
+    """(vec_id, emb) -> + per-row norm + 16-bit sign-LSH bucket. Shared
+    by the near-dup and SemDeDup queries so the bucketing/norm math has
+    exactly one definition."""
+    from ..operators.similarity import dot_unrolled
+
+    bucket = None
+    for i in range(_EMB_BITS):
+        term = F.when(F.col("emb").getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return corpus.select(
+        "vec_id",
+        "emb",
+        F.sqrt(dot_unrolled(F.col("emb"), F.col("emb"), _EMB_DIM)).alias("nrm"),
+        bucket.alias("bucket"),
+    )
+
+
+def _bucket_cosine_pairs(normed, min_sim):
+    """Per-bucket (id_a < id_b) candidate pairs with exact cosine refine
+    — the equi-join shape that replaces all-pairs."""
+    from ..operators.similarity import dot_unrolled
+
+    a = normed.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), "bucket",
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), F.col("bucket").alias("bucket_b"),
+    )
+    sim = dot_unrolled(F.col("emb_a"), F.col("emb_b"), _EMB_DIM) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= min_sim)
+    )
+
+
+def _set_oracle(name: str) -> None:
+    """Install a late-built oracle (needs the unrolled-SQL helpers) on a
+    registered query."""
+    import dataclasses
+
+    from ..registry import REGISTRY
+
+    REGISTRY[name] = dataclasses.replace(REGISTRY[name], oracle=_ORACLE_BUILDERS[name]())
+
+
+_ORACLE_BUILDERS = {}
 _EMB_NEAR_ORACLE = f"""
 WITH corpus AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -158,8 +212,6 @@ def n_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine check (>= 0.999) confirms candidates. The corpus is doubled
     with 1.0001-scaled copies (cosine ~ 1, same signs → same bucket) so
     the planted pairs are recovered exactly."""
-    from ..operators.similarity import dot_unrolled
-
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     orig = e.select(
         "vec_id",
@@ -169,52 +221,21 @@ def n_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double") * 1.0001).alias("emb"),
     )
-    corpus = orig.unionByName(variant)
-
-    bucket = None
-    for i in range(_EMB_BITS):
-        term = F.when(F.col("emb").getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    normed = corpus.select(
-        "vec_id",
-        "emb",
-        F.sqrt(dot_unrolled(F.col("emb"), F.col("emb"), _EMB_DIM)).alias("nrm"),
-        bucket.alias("bucket"),
-    )
-    a = normed.select(
-        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"), "bucket",
-    )
-    b = normed.select(
-        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"), F.col("bucket").alias("bucket_b"),
-    )
-    sim = dot_unrolled(F.col("emb_a"), F.col("emb_b"), _EMB_DIM) / (
-        F.col("nrm_a") * F.col("nrm_b")
-    )
-    return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("sim", sim)
-        .filter(F.col("sim") >= 0.999)
-        .select("id_a", "id_b", "sim")
-    )
+    normed = _signlsh_normed(orig.unionByName(variant))
+    return _bucket_cosine_pairs(normed, 0.999).select("id_a", "id_b", "sim")
 
 
-def _install_embedding_near_dup_oracle() -> None:
+def _near_dup_oracle() -> str:
     from ..operators.similarity import dot_unrolled_sql
-    from ..registry import REGISTRY, Query
 
-    oracle = _EMB_NEAR_ORACLE.format(
+    return _EMB_NEAR_ORACLE.format(
         dot_self=dot_unrolled_sql("emb", "emb", _EMB_DIM),
         dot_ab=dot_unrolled_sql("a.emb", "b.emb", _EMB_DIM),
     )
-    q = REGISTRY["n_embedding_near_dup"]
-    REGISTRY["n_embedding_near_dup"] = Query(
-        name=q.name, fn=q.fn, oracle=oracle, tags=q.tags, headline=q.headline
-    )
 
 
-_install_embedding_near_dup_oracle()
+_ORACLE_BUILDERS["n_embedding_near_dup"] = _near_dup_oracle
+_set_oracle("n_embedding_near_dup")
 
 
 @register("n_simhash", oracle=None, tags=("N2",))
@@ -511,8 +532,12 @@ def n_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0002-scaled copies of every 4th vector are the known drops. The
     cluster key turns all-pairs into a per-cell equi-join, and the
     output is per-cluster keep/drop accounting — the shape of the
-    actual SemDeDup sweep over a sharded embedding store."""
-    from ..operators.similarity import dot_unrolled
+    actual SemDeDup sweep over a sharded embedding store. The normed
+    table feeds three consumers (both pair sides + the accounting
+    join), so it is materialized once to scratch parquet — the same
+    >2-consumers artifact discipline as the MinHash signatures and the
+    bigram table."""
+    from ..sources import scratch_dir
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     orig = e.select(
@@ -526,34 +551,12 @@ def n_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = orig.unionByName(variant).repartition(
         spark.sparkContext.defaultParallelism
     )
+    normed_path = scratch_dir(sf_dir, "semdedup_normed")
+    _signlsh_normed(corpus).write.mode("overwrite").parquet(normed_path)
+    normed = spark.read.parquet(normed_path)
 
-    bucket = None
-    for i in range(_EMB_BITS):
-        term = F.when(F.col("emb").getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    normed = corpus.select(
-        "vec_id",
-        "emb",
-        F.sqrt(dot_unrolled(F.col("emb"), F.col("emb"), _EMB_DIM)).alias("nrm"),
-        bucket.alias("bucket"),
-    )
-    a = normed.select(
-        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"), "bucket",
-    )
-    b = normed.select(
-        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"), F.col("bucket").alias("bucket_b"),
-    )
-    sim = dot_unrolled(F.col("emb_a"), F.col("emb_b"), _EMB_DIM) / (
-        F.col("nrm_a") * F.col("nrm_b")
-    )
     dropped = (
-        a.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")),
-        )
-        .filter(sim >= _SEMDEDUP_TAU)
+        _bucket_cosine_pairs(normed, _SEMDEDUP_TAU)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("is_dropped", F.lit(True))
@@ -571,19 +574,15 @@ def n_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _install_semdedup_oracle() -> None:
+def _semdedup_oracle() -> str:
     from ..operators.similarity import dot_unrolled_sql
-    from ..registry import REGISTRY, Query
 
-    oracle = _SEMDEDUP_ORACLE.format(
+    return _SEMDEDUP_ORACLE.format(
         dot_self=dot_unrolled_sql("emb", "emb", _EMB_DIM),
         dot_ab=dot_unrolled_sql("a.emb", "b.emb", _EMB_DIM),
         bucket_sql=_signlsh_bucket_sql("emb", _EMB_BITS),
     )
-    q = REGISTRY["n_semdedup_clusters"]
-    REGISTRY["n_semdedup_clusters"] = Query(
-        name=q.name, fn=q.fn, oracle=oracle, tags=q.tags, headline=q.headline
-    )
 
 
-_install_semdedup_oracle()
+_ORACLE_BUILDERS["n_semdedup_clusters"] = _semdedup_oracle
+_set_oracle("n_semdedup_clusters")

@@ -327,12 +327,13 @@ def n_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ROUNDED to 9 digits then neighbor id, identical in the
     oracle. Labels are synthetic noise (TESTDATA), which is irrelevant:
     the contract is that both engines derive the same votes."""
+    from ..operators.similarity import knn_bruteforce
+
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("true_label"),
-        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias("q_nrm"),
     )
     corpus = (
         e.filter(F.col("vec_id") % 97 != 0)
@@ -342,22 +343,13 @@ def n_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("neighbor_id"), "embedding",
             F.col("label").alias("n_label"),
-            F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias("c_nrm"),
         )
     )
-    sim = F.round(
-        cosine_unrolled(
-            F.col("q_emb"), F.col("embedding"), DIM, F.col("q_nrm"), F.col("c_nrm")
-        ),
-        9,
-    ).alias("sim")
-    pairs = corpus.join(F.broadcast(probes), how="cross").select(
-        "query_id", "true_label", "neighbor_id", "n_label", sim
+    topk = knn_bruteforce(
+        probes, corpus,
+        q_id="query_id", c_id="neighbor_id", q_vec="q_emb", c_vec="embedding",
+        k=5, metric="cosine", dim=DIM, round_sim_digits=9,
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    topk = pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
     votes = topk.groupBy("query_id", "true_label", "n_label").agg(
         F.count(F.lit(1)).alias("n_votes")
     )

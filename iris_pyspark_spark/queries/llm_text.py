@@ -372,7 +372,7 @@ def n_quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule repetition/quality gate: per-document word count,
     most-frequent-word fraction, distinct-word ratio, mean word length,
     and stopword fraction, combined into a keep flag with the published
-    thresholds (word count bounds, top-word <= 20%%, distinct >= 20%%,
+    thresholds (word count bounds, top-word <= 20%, distinct >= 20%,
     mean length 2-12 chars, stopword floor). Shape is explode -> two
     cascaded aggregations keyed by doc_id, so the heavy first combine is
     map-side partial and the ratios are exact integer sums divided once

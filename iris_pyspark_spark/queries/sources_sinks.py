@@ -237,10 +237,12 @@ def s_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DDL_ORACLE = """
+from .joins import CENTS_SQL  # noqa: E402  (shared money-math idiom)
+
+_DDL_ORACLE = f"""
 SELECT c_mktsegment,
        COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+       CAST(SUM({CENTS_SQL.format(expr="c_acctbal")}) AS BIGINT) AS bal_cents
 FROM (
   SELECT c_mktsegment, c_acctbal FROM customer WHERE c_custkey <= 500
   UNION ALL
@@ -287,10 +289,10 @@ def s_catalog_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment,
                COUNT(*) AS n,
-               SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS bal_cents
+               SUM({cents}) AS bal_cents
         FROM ddl_customer_slice
         GROUP BY c_mktsegment
-        """
+        """.format(cents=CENTS_SQL.format(expr="c_acctbal"))
     )
 
 

@@ -9,10 +9,13 @@ intro.
 from __future__ import annotations
 
 import re
+import sys
 from collections import defaultdict
 from pathlib import Path
 
-from iris_pyspark_spark.registry import load_all
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from iris_pyspark_spark.registry import load_all  # noqa: E402
 
 README = Path(__file__).resolve().parent.parent / "README.md"
 
