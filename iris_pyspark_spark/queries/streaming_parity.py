@@ -290,3 +290,81 @@ def st_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     shutil.rmtree(scratch_dir(sf_dir, "fb_ckpt_tmp"), ignore_errors=True)
     return spark.read.parquet(artifact).select("event_type", "n_events", "total_cents")
+
+
+_RESUME_ORACLE = """
+SELECT event_type,
+       COUNT(*)                      AS n_events,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("st_checkpoint_resume", oracle=_RESUME_ORACLE, tags=("T5", "T1"))
+def st_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a RESTART — the checkpoint contract itself:
+    the source starts with half the files, a first AvailableNow run
+    drains it into a parquet sink, the other half lands, and a SECOND
+    query started from the SAME checkpoint processes ONLY the new files
+    (the offset log proves what was consumed; the sink is append-only).
+    The final sink equals the one-shot batch aggregate — nothing
+    doubled, nothing missed. This is the property that makes a 100 TB
+    ingest survivable: a crashed or redeployed job resumes from the
+    offset log instead of reprocessing (or worse, double-writing) the
+    landing zone."""
+    import os
+    import shutil
+
+    from ..session import configure
+    from ..sources import scratch_dir
+
+    configure(spark)
+    staged = scratch_dir(sf_dir, "resume_staged")  # all files, pre-split
+    src = scratch_dir(sf_dir, "resume_src")        # the monitored dir
+    sink = scratch_dir(sf_dir, "resume_sink")
+    ckpt = scratch_dir(sf_dir, "resume_ckpt")
+    for p in (staged, src, sink, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(staged)
+    parts = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )
+    os.makedirs(src, exist_ok=True)
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Run 1: first half of the files.
+    for f in parts[:2]:
+        shutil.copy2(os.path.join(staged, f), os.path.join(src, f))
+    drain()
+    # The rest of the landing zone arrives; the SAME checkpoint resumes.
+    for f in parts[2:]:
+        shutil.copy2(os.path.join(staged, f), os.path.join(src, f))
+    drain()
+
+    return (
+        spark.read.schema(schema)
+        .parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("event_id").cast("long").alias("max_event_id"),
+        )
+    )
