@@ -276,3 +276,43 @@ def t_rollup_from_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("value_cents") / 100.0).alias("total_value"),
         )
     )
+
+
+# --- OHLC bars (first/last/min/max per window) ------------------------------
+
+_OHLC_ORACLE = f"""
+WITH keyed AS (
+  SELECT event_type,
+         (CAST(FLOOR(EPOCH(ts) / 21600) AS BIGINT)) * 21600 AS bar_start,
+         ts, event_id, value
+  FROM events
+)
+SELECT event_type, bar_start,
+       MIN_BY(value, (EPOCH(ts) * 1000000 + event_id)) AS open,
+       MAX_BY(value, (EPOCH(ts) * 1000000 + event_id)) AS close,
+       MIN(value)  AS low,
+       MAX(value)  AS high,
+       COUNT(*)    AS n_ticks
+FROM keyed
+GROUP BY event_type, bar_start
+"""
+
+
+@register("t_ohlc_bars", oracle=_OHLC_ORACLE, tags=("T1", "A1", "W1"))
+def t_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars: open/high/low/close per 6-hour window per series — the
+    canonical time-series downsampling. Open/close are min_by/max_by on
+    a COMPOSITE (epoch-micros, event_id) key: ts alone can tie, and a
+    tied min_by is engine-arbitrary — the tie-break is what makes the
+    bars deterministic. Single aggregation, map-side partial combine;
+    the bar table is windows x series sized."""
+    e = load_table(spark, sf_dir, "events")
+    bar = (F.floor(F.unix_timestamp("ts") / 21600) * 21600).cast("long")
+    order_key = F.unix_timestamp("ts") * 1000000 + F.col("event_id")
+    return e.groupBy("event_type", bar.alias("bar_start")).agg(
+        F.min_by("value", order_key).alias("open"),
+        F.max_by("value", order_key).alias("close"),
+        F.min("value").alias("low"),
+        F.max("value").alias("high"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )

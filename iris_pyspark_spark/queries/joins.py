@@ -353,3 +353,57 @@ def j_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("et_a").eqNullSafe(F.col("et_b")))
         & (F.col("id_a") + 1 == F.col("id_b")),
     ).select("id_a", "id_b")
+
+
+@register(
+    "j_asof_tolerance",
+    oracle="""
+SELECT
+  p.event_id,
+  p.user_id,
+  (SELECT MAX(c.ts) FROM events c
+    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+  ) AS attributed_click_ts,
+  (SELECT MAX(c.ts) FROM events c
+    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+  ) IS NOT NULL AS attributed
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+    tags=("J8", "J7"),
+)
+def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (merge_asof's `tolerance`):
+    a purchase is attributed to the latest prior click only if that
+    click is at most 30 minutes old — the attribution-window semantics
+    ad analytics actually uses. The tolerance is a POST-filter on the
+    carried timestamp, so the operator's one-shuffle union-tag plan is
+    unchanged: matches older than the window are nulled, never
+    re-probed. The oracle adds the same lower bound to the correlated
+    MAX."""
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        left=purchases,
+        right=clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+    )
+    fresh = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    attributed = F.when(fresh, F.col("click_ts"))
+    return joined.select(
+        "event_id",
+        "user_id",
+        attributed.alias("attributed_click_ts"),
+        attributed.isNotNull().alias("attributed"),
+    )

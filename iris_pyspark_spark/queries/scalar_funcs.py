@@ -680,3 +680,42 @@ def f_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(pt, 1, 40).alias("decrypted_prefix"),
         (pt == F.col("text")).alias("roundtrip_ok"),
     )
+
+
+# --- collation-aware comparison (Spark 4 collations) ------------------------
+
+_COLLATION_ORACLE = """
+WITH mixed AS (
+  SELECT n_name FROM nation
+  UNION ALL SELECT LOWER(n_name) FROM nation
+  UNION ALL SELECT
+    UPPER(SUBSTRING(n_name, 1, 1)) || LOWER(SUBSTRING(n_name, 2)) FROM nation
+)
+SELECT LOWER(n_name) AS name_ci,
+       COUNT(*)      AS n_variants
+FROM mixed
+GROUP BY name_ci
+"""
+
+
+@register("f_collation_group", oracle=_COLLATION_ORACLE, tags=("F1", "P7"))
+def f_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): three case
+    variants of every nation name collapse to one group under
+    UTF8_LCASE — equality, grouping, and joins all honor the collation
+    without rewriting every expression with lower(). The emitted key is
+    lower()ed because a collated group's REPRESENTATIVE is whichever
+    variant a partition saw first (engine-arbitrary); the collation
+    decides membership, not spelling. The oracle states the same
+    grouping with explicit LOWER."""
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    mixed = (
+        n.unionByName(n.select(F.lower("n_name").alias("n_name")))
+        .unionByName(n.select(F.initcap(F.lower("n_name")).alias("n_name")))
+    )
+    grouped = mixed.groupBy(
+        F.collate(F.col("n_name"), "UTF8_LCASE").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_variants"))
+    return grouped.select(
+        F.lower(F.col("k")).alias("name_ci"), "n_variants"
+    )
