@@ -361,3 +361,138 @@ def n_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vr") == 1)
         .select("query_id", "true_label", F.col("n_label").alias("pred_label"), "n_votes")
     )
+
+
+# --- IVF recall evaluation vs exact baseline --------------------------------
+
+_IVF_RECALL_ORACLE = f"""
+WITH v AS ({_NORMED}),
+exact_pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND({_COS_AB}, 9) AS sim
+  FROM v a, v b
+  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+),
+exact_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+    FROM exact_pairs
+  ) t WHERE rnk <= 5
+),
+centroids AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT v.vec_id, v.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {l2_sq_unrolled_sql("v.embedding", "c.cemb", DIM)} ASC, c.cid ASC) AS rnk
+    FROM embeddings v, centroids c
+  ) t WHERE rnk = 1
+),
+anormed AS (
+  SELECT vec_id, embedding, cid, {norm_unrolled_sql("embedding", DIM)} AS nrm
+  FROM assigned
+),
+ivf_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY ROUND({_COS_AB}, 9) DESC, b.vec_id ASC) AS rnk
+    FROM anormed a JOIN anormed b
+      ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    WHERE a.vec_id < 10
+  ) t WHERE rnk <= 5
+)
+SELECT e.query_id,
+       COUNT(*)                                   AS n_exact,
+       COUNT(i.neighbor_id)                       AS n_overlap,
+       ROUND(COUNT(i.neighbor_id) / 5.0, 6)       AS recall_at_5
+FROM exact_topk e
+LEFT JOIN ivf_topk i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register("n_ivf_recall_eval", oracle=_IVF_RECALL_ORACLE, tags=("N4", "N3"))
+def n_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement IN the engine: recall@5 of the IVF
+    cell-restricted search against the exact brute-force baseline, per
+    probe. This is the evaluation loop an embedding-store deployment
+    runs to pick nprobe/cell counts — here with the deterministic
+    centroid fixture (vec_id % 50), both paths ranked on 9-digit
+    rounded cosine with id tie-breaks so the comparison itself is
+    engine-exact. Cost: the probe set is bounded; the exact side is a
+    broadcast sweep, the IVF side an equi-join on the cell id."""
+    from ..operators.similarity import knn_bruteforce
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = e.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    exact = knn_bruteforce(
+        probes, corpus,
+        q_id="query_id", c_id="neighbor_id", q_vec="q_emb", c_vec="embedding",
+        k=5, metric="cosine", dim=DIM, round_sim_digits=9,
+    ).select("query_id", "neighbor_id")
+
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    assigned = ivf_assign(
+        e.select("vec_id", "embedding"), centroids,
+        v_id="vec_id", c_id="cid", v_vec="embedding", c_vec="cemb", dim=DIM,
+    )
+    normed = assigned.select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias("nrm"),
+    )
+    a = normed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"), "cid",
+    )
+    b = normed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"), F.col("cid").alias("cid_b"),
+    )
+    sim = F.round(
+        dot_unrolled(F.col("q_emb"), F.col("c_emb"), DIM)
+        / (F.col("q_nrm") * F.col("c_nrm")),
+        9,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    ivf = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", F.col("neighbor_id").alias("ivf_neighbor"))
+    )
+    return (
+        exact.join(
+            ivf,
+            (exact.query_id == ivf.query_id)
+            & (exact.neighbor_id == F.col("ivf_neighbor")),
+            "left",
+        )
+        .drop(ivf.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count(F.col("ivf_neighbor")).alias("n_overlap"),
+            F.round(F.count(F.col("ivf_neighbor")) / 5.0, 6).alias("recall_at_5"),
+        )
+    )

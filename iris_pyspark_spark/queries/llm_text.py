@@ -727,3 +727,122 @@ def n_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("doc_id", F.col("n").alias("n_chars_total")).agg(
         F.sum("h_micro").cast("long").alias("entropy_micro_nats")
     )
+
+
+# --- end-to-end pretraining corpus pipeline (v2: six stages) ----------------
+
+_PRETRAIN_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, UPPER(text), lang FROM documents WHERE doc_id % 3 = 0
+),
+deduped AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY SHA256(LOWER(TRIM(text))) ORDER BY doc_id) AS rn
+    FROM corpus
+  ) WHERE rn = 1
+),
+redacted AS (
+  SELECT doc_id, lang,
+         REGEXP_REPLACE(text || CASE WHEN doc_id % 5 = 0
+             THEN ' contact user' || doc_id || '@example.com' ELSE '' END,
+             '{_EMAIL_RE}', '<EMAIL>', 'g') AS text
+  FROM deduped
+),
+gated AS (
+  SELECT doc_id, lang, text,
+         LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tok,
+         LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS n_distinct
+  FROM redacted
+),
+kept AS (
+  SELECT doc_id, lang, n_tok,
+         CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+              WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM gated
+  WHERE n_tok BETWEEN 30 AND 100000
+    AND n_distinct / CAST(n_tok AS DOUBLE) >= 0.20
+),
+input_counts AS (SELECT COUNT(*) AS n_input FROM corpus)
+SELECT k.split, k.lang,
+       COUNT(*)                    AS n_docs,
+       CAST(SUM(k.n_tok) AS BIGINT) AS total_tokens,
+       MIN(k.doc_id)               AS first_doc,
+       (SELECT n_input FROM input_counts) AS n_input_corpus
+FROM kept k
+GROUP BY k.split, k.lang
+"""
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    oracle=_PRETRAIN_ORACLE,
+    tags=("N1", "N5", "P6", "P7"),
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full raw-crawl → training-shards composition, six stages in
+    one lazy plan: (1) corpus with planted case-mangled duplicates,
+    (2) exact dedup (normalized-hash keep-min-id), (3) PII redaction
+    (seeded emails masked), (4) quality gate (token-count bounds +
+    distinct-word floor on the REDACTED text — order matters and the
+    oracle pins it), (5) deterministic 80/10/10 split by id hash,
+    (6) per-(split, lang) accounting with the input size carried along.
+    Catalyst fuses the map-side stages (redact, gate, split) into the
+    dedup shuffle's output — the whole pipeline is TWO exchanges (dedup
+    hash, final group), which is the plan a hand-built engine would
+    struggle to reach and Spark gives for free."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.upper("text").alias("text"),
+            "lang",
+        )
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy(
+        "doc_id"
+    )
+    deduped = (
+        corpus.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+    )
+    redacted = deduped.withColumn(
+        "text", F.regexp_replace(seeded, F.lit(_EMAIL_RE), F.lit("<EMAIL>"))
+    )
+    toks = F.split(F.lower(F.col("text")), " ")
+    gated = redacted.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    bucket = (F.col("doc_id") * 2654435761) % 100
+    kept = gated.filter(
+        F.col("n_tok").between(30, 100000)
+        & (F.col("n_distinct") / F.col("n_tok").cast("double") >= 0.20)
+    ).withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    n_input = corpus.agg(F.count(F.lit(1)).alias("n_input_corpus"))
+    return (
+        kept.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .crossJoin(F.broadcast(n_input))
+    )
