@@ -791,9 +791,11 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle pins it), (5) deterministic 80/10/10 split by id hash,
     (6) per-(split, lang) accounting with the input size carried along.
     Catalyst fuses the map-side stages (redact, gate, split) into the
-    dedup shuffle's output — the whole pipeline is TWO exchanges (dedup
-    hash, final group), which is the plan a hand-built engine would
-    struggle to reach and Spark gives for free."""
+    dedup shuffle's output: the corpus moves through exactly THREE
+    exchanges (scan fan-out, dedup hash, final group) no matter how
+    many logical stages compose — the input-size scalar is computed
+    straight from the base table so the corpus branch is never
+    recomputed for bookkeeping."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     corpus = d.unionByName(
         d.filter(F.col("doc_id") % 3 == 0).select(
@@ -836,7 +838,13 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
     )
-    n_input = corpus.agg(F.count(F.lit(1)).alias("n_input_corpus"))
+    # Input size from the base table arithmetic — NOT count(corpus),
+    # which would re-run the union+repartition branch just to count it.
+    n_input = d.agg(
+        (F.count(F.lit(1)) + F.count_if(F.col("doc_id") % 3 == 0)).alias(
+            "n_input_corpus"
+        )
+    )
     return (
         kept.groupBy("split", "lang")
         .agg(

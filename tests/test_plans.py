@@ -141,3 +141,13 @@ def test_zorder_map_side_until_agg(spark, sf_dir):
     (the final 64-bucket aggregate), nothing before it."""
     plan = _executed_plan(spark, "s_zorder_clustering", sf_dir)
     assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_pretrain_pipeline_three_exchanges(spark, sf_dir):
+    """Six logical stages, three data exchanges: scan fan-out, dedup
+    hash, final group. The redact/gate/split stages must fuse into the
+    dedup shuffle's output, and the input-size scalar must not re-run
+    the corpus branch (only one RoundRobin repartition in the plan)."""
+    plan = _executed_plan(spark, "pipeline_pretrain_corpus", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    assert plan.count("RoundRobinPartitioning") == 1, plan[:2000]
