@@ -498,3 +498,33 @@ def a_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+# --- boolean aggregates + ordered listagg -----------------------------------
+
+_BOOL_LISTAGG_ORACLE = """
+SELECT r_regionkey,
+       BOOL_AND(n_nationkey % 2 = 0)  AS all_even,
+       BOOL_OR(n_name LIKE 'A%')      AS any_a,
+       STRING_AGG(n_name, '|' ORDER BY n_name) AS members
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_regionkey
+"""
+
+
+@register("a_bool_listagg", oracle=_BOOL_LISTAGG_ORACLE, tags=("A9", "A1"))
+def a_bool_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and/bool_or = SQL EVERY/ANY) and ordered
+    listagg — the string concatenation aggregate is deterministic ONLY
+    with WITHIN GROUP (ORDER BY ...): an unordered listagg concatenates
+    in partition-arrival order, precisely the layout dependence the
+    invariance suite exists to catch. Oracle = DuckDB STRING_AGG with
+    the same ORDER BY."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = n.join(r, n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_regionkey").agg(
+        F.bool_and((F.col("n_nationkey") % 2 == 0)).alias("all_even"),
+        F.bool_or(F.col("n_name").like("A%")).alias("any_a"),
+        F.expr("listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)").alias("members"),
+    )

@@ -719,3 +719,37 @@ def f_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         F.lower(F.col("k")).alias("name_ci"), "n_variants"
     )
+
+
+# --- XML parsing ------------------------------------------------------------
+
+_XML_ORACLE = """
+SELECT n_nationkey,
+       n_name      AS xname,
+       n_regionkey AS xregion
+FROM nation
+"""
+
+
+@register("f_xml_funcs", oracle=_XML_ORACLE, tags=("F6", "F1"))
+def f_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface: rows are serialized to XML strings from
+    table columns, then from_xml must recover exactly the fields they
+    were built from — the same construct-then-parse contract as the URL
+    family, so DuckDB never needs an XML parser. Schema-on-read over
+    feed/XML landing data is a scan-speed map at any scale."""
+    n = load_table(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<nation><name>"), F.col("n_name"),
+        F.lit("</name><region>"), F.col("n_regionkey").cast("string"),
+        F.lit("</region></nation>"),
+    )
+    parsed = n.select(
+        "n_nationkey",
+        F.from_xml(xml, "name STRING, region INT").alias("p"),
+    )
+    return parsed.select(
+        "n_nationkey",
+        F.col("p.name").alias("xname"),
+        F.col("p.region").alias("xregion"),
+    )

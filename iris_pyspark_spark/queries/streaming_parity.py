@@ -368,3 +368,37 @@ def st_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").cast("long").alias("max_event_id"),
         )
     )
+
+
+_COMPLETE_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("st_complete_mode_agg", oracle=_COMPLETE_ORACLE, tags=("T1", "T5"))
+def st_complete_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete output mode: the sink holds the ENTIRE aggregate state
+    re-emitted every micro-batch (vs update's deltas and append's
+    finalized-only rows — the three output modes are the streaming
+    surface's contract). After an AvailableNow drain the last emission
+    equals the batch aggregate exactly. Complete mode only scales when
+    the aggregate itself is small — per-type counts here — which is
+    exactly when you'd use it (dashboards over bounded key spaces)."""
+    from ..streaming import drain_to_table, read_events_stream
+
+    e = read_events_stream(spark, sf_dir)
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents(F.col("value"))).alias("total_cents"),
+    )
+    sink = drain_to_table(agg, output_mode="complete")
+    # Complete mode re-emits the full table per batch: keep the final
+    # state = max per key (counts are monotone across batches).
+    return sink.groupBy("event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_cents").cast("long").alias("total_cents"),
+    )

@@ -384,3 +384,41 @@ def u_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         _arrow_net_cents,
         "l_orderkey bigint, l_linenumber int, net_cents bigint, bulk boolean",
     )
+
+
+# --- Arrow-optimized scalar Python UDF --------------------------------------
+
+_ARROW_UDF_ORACLE = """
+SELECT doc_id,
+       LEN(STRING_SPLIT(text, ' ')) - 1 AS n_spaces,
+       UPPER(SUBSTRING(lang, 1, 1)) || SUBSTRING(lang, 2) AS lang_title
+FROM documents WHERE doc_id < 100
+"""
+
+
+@register("u_arrow_python_udf", oracle=_ARROW_UDF_ORACLE, tags=("U1",))
+def u_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """@udf(useArrow=True) — the Spark 4 Arrow-optimized scalar Python
+    UDF: per-ROW Python semantics (simplest escape hatch) but Arrow
+    batch transfer instead of pickled rows, ~2-5x over legacy pickling.
+    Still ~10-100x slower than pandas_udf's vectorized kernels — this
+    query exists to cover the surface and document the hierarchy:
+    builtin >> pandas_udf >> arrow udf >> pickled udf. The logic is
+    trivially SQL-expressible on purpose, so the oracle pins the UDF
+    machinery, not the math."""
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def count_spaces(s: str) -> int:
+        return s.count(" ")
+
+    @udf("string", useArrow=True)
+    def title_first(s: str) -> str:
+        return s[:1].upper() + s[1:] if s else s
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        count_spaces("text").alias("n_spaces"),
+        title_first("lang").alias("lang_title"),
+    )
