@@ -586,3 +586,79 @@ def _semdedup_oracle() -> str:
 
 _ORACLE_BUILDERS["n_semdedup_clusters"] = _semdedup_oracle
 _set_oracle("n_semdedup_clusters")
+
+
+# --- URL canonicalization dedup ---------------------------------------------
+
+_URL_CANON_ORACLE = """
+WITH raw AS (
+  SELECT doc_id, source,
+         'https://' || UPPER(source) || '.Example.com/docs/' || doc_id
+           || '?utm_source=feed&id=' || doc_id AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id, source,
+         'http://' || source || '.example.com/docs/' || doc_id || '/'
+  FROM documents
+  UNION ALL
+  SELECT doc_id, source,
+         'https://' || source || '.example.com/docs/' || doc_id
+  FROM documents WHERE doc_id % 2 = 0
+),
+canon AS (
+  SELECT doc_id, source,
+         REGEXP_REPLACE(
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(LOWER(url), '^https?://', '', 'g'),
+             '[?].*$', '', 'g'),
+           '/$', '', 'g') AS curl
+  FROM raw
+)
+SELECT source,
+       COUNT(*)                     AS n_raw_urls,
+       COUNT(DISTINCT curl)         AS n_canonical,
+       MIN(curl)                    AS sample_canonical
+FROM canon
+GROUP BY source
+"""
+
+
+@register("n_url_canonical_dedup", oracle=_URL_CANON_ORACLE, tags=("N1", "F1"))
+def n_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the FIRST dedup pass of any crawl, before
+    any content hashing: scheme/case/tracking-param/trailing-slash
+    variants of one page (planted: 2-3 raw variants per doc) collapse
+    to a single canonical key. Map-side regex normalization (lowercase,
+    scheme strip, query strip, slash strip) + one distinct-count per
+    source; at crawl scale the canonical key is also the partitioning
+    key of the fetch-dedup store. Patterns stay in the RE2∩Java common
+    subset."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = F.concat(F.col("source"), F.lit(".example.com/docs/"), F.col("doc_id"))
+    raw = (
+        d.select("doc_id", "source", F.concat(
+            F.lit("https://"), F.upper("source"), F.lit(".Example.com/docs/"),
+            F.col("doc_id"), F.lit("?utm_source=feed&id="), F.col("doc_id"),
+        ).alias("url"))
+        .unionByName(d.select("doc_id", "source", F.concat(
+            F.lit("http://"), base, F.lit("/")).alias("url")))
+        .unionByName(
+            d.filter(F.col("doc_id") % 2 == 0).select(
+                "doc_id", "source",
+                F.concat(F.lit("https://"), base).alias("url"),
+            )
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("url")), r"^https?://", ""),
+            r"[?].*$", "",
+        ),
+        r"/$", "",
+    )
+    return raw.withColumn("curl", curl).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw_urls"),
+        F.count_distinct("curl").alias("n_canonical"),
+        F.min("curl").alias("sample_canonical"),
+    )
