@@ -316,3 +316,71 @@ def t_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("high"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+# --- session metrics (composed on the sessionize operator) ------------------
+
+_SESSION_METRICS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id,
+         COUNT(*) AS n_events,
+         (EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) // 1000000 AS dur_s
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id,
+       COUNT(*)                          AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT)     AS total_events,
+       CAST(MAX(n_events) AS BIGINT)     AS max_session_events,
+       CAST(MAX(dur_s) AS BIGINT)        AS max_session_dur_s,
+       CAST(FLOOR(SUM(dur_s) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                                         AS avg_session_dur_s
+FROM per_session
+GROUP BY user_id
+"""
+
+
+@register("t_session_metrics", oracle=_SESSION_METRICS_ORACLE, tags=("T4", "A1", "W3"))
+def t_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level engagement metrics composed ON the sessionize
+    operator (not re-derived): per user, session counts, size and
+    duration extremes, and average duration — floor-divided because
+    long-cast semantics differ between engines (Spark truncates, DuckDB
+    rounds). The sessionize window, the per-session aggregate, and the
+    per-user rollup all ride one hash(user_id) partitioning."""
+    from ..operators.sessionize import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        e, key="user_id", ts="ts", gap_seconds=1800, tie_break="event_id"
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(
+            (F.unix_micros(F.max("ts").cast("timestamp"))
+             - F.unix_micros(F.min("ts").cast("timestamp"))) / 1000000
+        ).alias("dur_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.max("dur_s").cast("long").alias("max_session_dur_s"),
+        F.floor(F.sum("dur_s") / F.count(F.lit(1)).cast("double"))
+        .cast("long")
+        .alias("avg_session_dur_s"),
+    )

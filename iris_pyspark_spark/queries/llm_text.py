@@ -854,3 +854,65 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_input))
     )
+
+
+# --- tokenizer vocabulary coverage (OOV rate) -------------------------------
+
+_VOCAB_K = 1000
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rnk
+    FROM toks GROUP BY tok
+  ) t WHERE rnk <= {_VOCAB_K}
+),
+flagged AS (
+  SELECT t.doc_id, v.tok IS NOT NULL AS in_vocab
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+)
+SELECT doc_id,
+       COUNT(*)                               AS n_tokens,
+       COUNT(*) FILTER (WHERE NOT in_vocab)   AS n_oov,
+       ROUND(COUNT(*) FILTER (WHERE NOT in_vocab)
+             / CAST(COUNT(*) AS DOUBLE), 6)   AS oov_rate
+FROM flagged
+WHERE doc_id < 100
+GROUP BY doc_id
+"""
+
+
+@register("n_vocab_coverage", oracle=_VOCAB_ORACLE, tags=("N5", "A1", "J3"))
+def n_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-1000-token vocab
+    from the corpus (deterministic rank: count DESC, token ASC), then
+    score every document's out-of-vocabulary rate against it — the
+    measurement that decides whether a tokenizer/vocab fits a corpus
+    before burning GPU-hours. The vocab is bounded (top-K) so its join
+    side broadcasts; the corpus explodes once. OOV flags come from a
+    LEFT join (an inner join would silently drop the OOV tokens being
+    counted)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    # The global rank window runs over the vocabulary-sized aggregate,
+    # not the corpus — single-reducer on metadata, same as the offsets
+    # table in global_ids.
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("rnk", F.row_number().over(Window.orderBy(F.col("__n").desc(), F.col("tok").asc())))
+        .filter(F.col("rnk") <= _VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    flagged = toks.filter(F.col("doc_id") < 100).join(
+        F.broadcast(vocab), "tok", "left"
+    )
+    oov = F.count_if(F.col("in_vocab").isNull())
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        oov.alias("n_oov"),
+        F.round(oov / F.count(F.lit(1)).cast("double"), 6).alias("oov_rate"),
+    )
