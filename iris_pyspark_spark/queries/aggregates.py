@@ -528,3 +528,37 @@ def a_bool_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("n_name").like("A%")).alias("any_a"),
         F.expr("listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)").alias("members"),
     )
+
+
+# --- grouping() / grouping_id() ---------------------------------------------
+
+_GROUPING_ID_ORACLE = """
+SELECT COALESCE(l_returnflag, '(all)')  AS returnflag,
+       COALESCE(l_linestatus, '(all)') AS linestatus,
+       GROUPING(l_returnflag)          AS g_flag,
+       GROUPING(l_linestatus)          AS g_status,
+       COUNT(*)                        AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("a_grouping_id", oracle=_GROUPING_ID_ORACLE, tags=("A5",))
+def a_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping()/grouping_id() — the only way to tell a real NULL key
+    from a rollup subtotal row. Each output row carries its grouping
+    indicator bits, and the display key coalesces subtotals to '(all)';
+    without grouping(), a table with NULL-valued keys would be
+    indistinguishable from its own totals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+        "g_flag",
+        "g_status",
+        "n",
+    )

@@ -662,3 +662,68 @@ def n_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("curl").alias("n_canonical"),
         F.min("curl").alias("sample_canonical"),
     )
+
+
+# --- repeated n-gram spans (exact substring duplication) --------------------
+
+_SPAN_K = 12    # span width in tokens
+_SPAN_MIN = 2   # minimum distinct docs sharing the span
+
+_SPAN_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000, 'prefix words here ' || text
+  FROM documents WHERE doc_id % 7 = 0
+),
+spans AS (
+  SELECT DISTINCT doc_id,
+         ARRAY_TO_STRING(LIST_SLICE(toks, i, i + {_SPAN_K} - 1), ' ') AS span
+  FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM corpus),
+       UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - {_SPAN_K} + 1, 1))) AS t(i)
+)
+SELECT span,
+       COUNT(*)                            AS n_docs,
+       STRING_AGG(doc_id, ',' ORDER BY doc_id) AS doc_list
+FROM spans
+GROUP BY span
+HAVING COUNT(*) >= {_SPAN_MIN}
+"""
+
+
+@register("n_repeated_ngram_spans", oracle=_SPAN_ORACLE, tags=("N2", "N5"))
+def n_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection (the memorization-risk scan
+    from train-data dedup literature): every 12-token span shared by
+    >= 2 documents, with the ordered doc list. Planted: every 7th doc
+    gets a shifted copy, so its spans repeat across the pair. Shape is
+    the shingle equi-key again — explode spans, distinct per doc,
+    group by span — never pairwise text comparison; the span strings
+    ARE the join/group key and at 100 TB this runs as one hash
+    aggregation over the exploded span table (dedup literature replaces
+    the string with a 64-bit hash at scale; kept as text here so the
+    oracle is byte-exact)."""
+    from ..operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            F.concat(F.lit("prefix words here "), F.col("text")).alias("text"),
+        )
+    ).repartition(spark.sparkContext.defaultParallelism)
+    spans = (
+        shingle_rows(corpus, "doc_id", "text", _SPAN_K)
+        .dropDuplicates(["doc_id", "__sh"])
+        .select("doc_id", F.col("__sh").alias("span"))
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("listagg(doc_id, ',') WITHIN GROUP (ORDER BY doc_id)").alias(
+                "doc_list"
+            ),
+        )
+        .filter(F.col("n_docs") >= _SPAN_MIN)
+    )

@@ -753,3 +753,39 @@ def f_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.name").alias("xname"),
         F.col("p.region").alias("xregion"),
     )
+
+
+# --- interval arithmetic ----------------------------------------------------
+
+_INTERVAL_ORACLE = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR)  AS due_date,
+       CAST(CAST(o_orderdate + INTERVAL '45' DAY AS DATE) AS VARCHAR) AS followup_date,
+       CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                      CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)) AS BIGINT)
+                                                             AS days_to_due
+FROM orders WHERE o_orderkey <= 200
+"""
+
+
+@register("f_interval_arithmetic", oracle=_INTERVAL_ORACLE, tags=("F2",))
+def f_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic: month intervals are calendar-aware
+    (Jan 31 + 1 month = Feb 28 — not 30 fixed days), day intervals are
+    exact; both engines implement the same end-of-month clamping, which
+    this query pins across a date range that crosses month-length
+    boundaries. days_to_due varies 89-92 by month — the reason SLA math
+    must use intervals, not day constants."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    due = F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")
+    return o.select(
+        "o_orderkey",
+        # date columns cross pandas as strings: DuckDB DATE arrives as
+        # datetime64 while Spark DATE arrives as date objects.
+        due.cast("date").cast("string").alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .cast("date").cast("string").alias("followup_date"),
+        F.datediff(due.cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_due"),
+    )
