@@ -916,3 +916,57 @@ def n_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.alias("n_oov"),
         F.round(oov / F.count(F.lit(1)).cast("double"), 6).alias("oov_rate"),
     )
+
+
+# --- dataset card summary ---------------------------------------------------
+
+_CARD_ORACLE = """
+WITH stats AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(LEN(STRING_SPLIT(LOWER(text), ' '))) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         COUNT(DISTINCT source) AS n_sources
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(n_docs) AS all_docs, SUM(total_tokens) AS all_tokens FROM stats)
+SELECT s.lang, s.n_docs, s.total_tokens, s.total_chars, s.n_sources,
+       ROUND(s.n_docs / CAST(t.all_docs AS DOUBLE), 6)       AS doc_share,
+       ROUND(s.total_tokens / CAST(t.all_tokens AS DOUBLE), 6) AS token_share,
+       CAST(FLOOR(s.total_tokens / CAST(s.n_docs AS DOUBLE)) AS BIGINT)
+                                                             AS avg_doc_tokens
+FROM stats s CROSS JOIN tot t
+"""
+
+
+@register("n_dataset_card", oracle=_CARD_ORACLE, tags=("N5", "A2"))
+def n_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary — the documentation table every released
+    corpus ships: per-language doc/token/char totals, source diversity,
+    corpus shares, and floor-divided average length. One aggregation
+    plus a broadcast totals join; the output is card-sized regardless
+    of corpus size. Shares are ratios of exact integer sums rounded
+    once, so the card reproduces bit-identically on any engine."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_whitespace("text")).cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    tot = stats.agg(
+        F.sum("n_docs").alias("all_docs"),
+        F.sum("total_tokens").alias("all_tokens"),
+    )
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", "total_tokens", "total_chars", "n_sources",
+        F.round(F.col("n_docs") / F.col("all_docs").cast("double"), 6).alias(
+            "doc_share"
+        ),
+        F.round(
+            F.col("total_tokens") / F.col("all_tokens").cast("double"), 6
+        ).alias("token_share"),
+        F.floor(F.col("total_tokens") / F.col("n_docs").cast("double"))
+        .cast("long")
+        .alias("avg_doc_tokens"),
+    )

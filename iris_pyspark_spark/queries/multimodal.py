@@ -177,3 +177,65 @@ def _install_doc_emb_oracle() -> None:
 
 
 _install_doc_emb_oracle()
+
+
+# --- modality routing (conditional pipeline branches) -----------------------
+
+_ROUTING_ORACLE = """
+WITH records AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'text' END AS modality,
+         text
+  FROM documents
+),
+routed AS (
+  SELECT doc_id, modality,
+         CASE WHEN modality = 'text'
+              THEN LEN(STRING_SPLIT(LOWER(text), ' '))
+              ELSE NULL END AS n_tokens,
+         CASE WHEN modality <> 'text'
+              THEN LENGTH(text) * 4  -- stand-in payload size
+              ELSE NULL END AS payload_bytes
+  FROM records
+)
+SELECT modality,
+       COUNT(*)                                      AS n_records,
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)     AS total_tokens,
+       CAST(COALESCE(SUM(payload_bytes), 0) AS BIGINT) AS total_payload_bytes
+FROM routed
+GROUP BY modality
+"""
+
+
+@register("m_modality_routing", oracle=_ROUTING_ORACLE, tags=("N6", "P6"))
+def m_modality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality routing: one record stream fans into per-modality
+    processing branches (text → tokenize, image/audio → payload sizing;
+    the real decode is the documented multimodal stub) and reunions for
+    accounting. Routing is a CASE projection, NOT a filter-per-branch
+    re-scan: the table is read once and every branch's expression runs
+    in the same map stage — on 100 TB the difference between one pass
+    and one pass per modality."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("text")
+    )
+    routed = d.select(
+        "doc_id",
+        modality.alias("modality"),
+        F.when(
+            modality == "text", F.size(F.split(F.lower("text"), " "))
+        ).alias("n_tokens"),
+        F.when(modality != "text", F.length("text") * 4).alias("payload_bytes"),
+    )
+    return routed.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("total_tokens"),
+        F.coalesce(F.sum("payload_bytes"), F.lit(0))
+        .cast("long")
+        .alias("total_payload_bytes"),
+    )

@@ -346,3 +346,53 @@ def w_gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").cast("long").alias("longest_streak"),
         F.min("start_d").cast("long").alias("first_active_day"),
     )
+
+
+# --- month-over-month change on an aggregated series ------------------------
+
+_MOM_ORACLE = """
+WITH monthly AS (
+  SELECT o_orderpriority,
+         STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders
+  GROUP BY o_orderpriority, month
+)
+SELECT o_orderpriority, month, revenue_cents,
+       LAG(revenue_cents) OVER w AS prev_cents,
+       ROUND((revenue_cents - LAG(revenue_cents) OVER w)
+             / CAST(LAG(revenue_cents) OVER w AS DOUBLE), 6) AS mom_change
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+"""
+
+
+@register("w_mom_change", oracle=_MOM_ORACLE, tags=("W2", "A1", "F2"))
+def w_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per priority tier: aggregate to
+    the monthly series (integer cents — the series must be exact before
+    ratios touch it), then lag() for the previous month and one rounded
+    division. The window runs over the months-x-tiers series, not the
+    fact table — aggregate first, window second is the order that
+    scales."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue_cents").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "revenue_cents",
+        prev.alias("prev_cents"),
+        F.round((F.col("revenue_cents") - prev) / prev.cast("double"), 6).alias(
+            "mom_change"
+        ),
+    )
