@@ -970,3 +970,49 @@ def n_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_doc_tokens"),
     )
+
+
+# --- CCNet-style language x quality-band matrix ------------------------------
+
+_BANDS_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tok,
+         LEAST(CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS DOUBLE) / 60.0, 1.0) * 0.5
+         + (LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' ')))
+            / CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS DOUBLE)) * 0.4
+         + LEAST(((LENGTH(text) - (LEN(STRING_SPLIT(LOWER(text), ' ')) - 1))
+                  / CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS DOUBLE)) / 10.0, 1.0) * 0.1
+           AS quality
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN quality >= 0.85 THEN 'head'
+            WHEN quality >= 0.75 THEN 'middle'
+            ELSE 'tail' END AS band,
+       COUNT(*)                   AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM scored
+GROUP BY lang, band
+"""
+
+
+@register("n_lang_quality_bands", oracle=_BANDS_ORACLE, tags=("N5", "P6", "A1"))
+def n_lang_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning: every document lands in a
+    (language, quality-band) cell — head/middle/tail by the
+    bit-deterministic quality heuristic — with doc and token counts per
+    cell. This matrix is how web corpora are actually released and
+    sampled (train on head+middle, hold tail for ablation); the band
+    threshold comparison happens on the exact shared formula, so cell
+    membership is identical on every engine."""
+    d = load_table(spark, sf_dir, "documents")
+    band = (
+        F.when(quality_score("text") >= 0.85, "head")
+        .when(quality_score("text") >= 0.75, "middle")
+        .otherwise("tail")
+    )
+    return d.groupBy("lang", band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_whitespace("text")).cast("long").alias("total_tokens"),
+    )
