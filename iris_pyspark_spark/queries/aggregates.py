@@ -562,3 +562,34 @@ def a_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g_status",
         "n",
     )
+
+
+# --- percentile_cont / percentile_disc --------------------------------------
+
+_PCTL_ORACLE = """
+SELECT event_type,
+       PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY value) AS p90_cont,
+       PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value) AS p90_disc,
+       PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value) AS median_cont
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("a_percentile_cont_disc", oracle=_PCTL_ORACLE, tags=("A8",))
+def a_percentile_cont_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard WITHIN GROUP percentiles: percentile_cont
+    interpolates between order statistics, percentile_disc returns an
+    actual data value — the distinction that matters when the metric
+    must be an observed latency, not a synthetic midpoint. Both are
+    exact order statistics (sort-based), deterministic on any layout;
+    interpolation arithmetic is the same (a + f*(b-a)) in both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)").alias("p90_cont"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90_disc"),
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "median_cont"
+        ),
+    )

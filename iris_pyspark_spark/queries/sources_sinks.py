@@ -468,3 +468,54 @@ def s_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(before))
         .select("n_files_before", "n_files_after", "n_rows", "rows_checksum")
     )
+
+
+# --- recursive directory scan -----------------------------------------------
+
+_RECURSIVE_ORACLE = """
+SELECT lang,
+       COUNT(*)                     AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("s_recursive_glob_scan", oracle=_RECURSIVE_ORACLE, tags=("S1", "S5"))
+def s_recursive_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-landing-zone ingestion: files scattered across an
+    arbitrary directory tree (year/month/batch here — NOT hive
+    key=value dirs) read as one table with recursiveFileLookup plus a
+    pathGlobFilter that keeps only *.parquet, ignoring sidecar files.
+    This is the shape of real drop zones where upstream systems choose
+    the layout; listing parallelizes across the tree and the filter
+    prunes non-data files before any footer read."""
+    import os
+
+    root = scratch_dir(sf_dir, "nested_zone")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    if not os.path.exists(os.path.join(root, "_STAGED")):
+        docs.filter(F.col("doc_id") % 3 == 0).write.mode("overwrite").parquet(
+            root + "/2024/01/batch-a"
+        )
+        docs.filter(F.col("doc_id") % 3 == 1).write.mode("overwrite").parquet(
+            root + "/2024/02/batch-b"
+        )
+        docs.filter(F.col("doc_id") % 3 == 2).write.mode("overwrite").parquet(
+            root + "/archive/legacy"
+        )
+        # sidecar junk the glob must ignore
+        with open(os.path.join(root, "2024", "01", "manifest.txt"), "w") as f:
+            f.write("not data\n")
+        open(os.path.join(root, "_STAGED"), "w").close()
+    back = (
+        spark.read.option("recursiveFileLookup", True)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(root)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -422,3 +422,46 @@ def u_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_spaces("text").alias("n_spaces"),
         title_first("lang").alias("lang_title"),
     )
+
+
+# --- UDTF with a TABLE argument ---------------------------------------------
+
+_UDTF_TABLE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')[1:3]) AS w
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, w, LENGTH(w) AS wlen FROM toks
+"""
+
+
+@register("u_udtf_table_arg", oracle=_UDTF_TABLE_ORACLE, tags=("U4", "E2"))
+def u_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF invoked with a TABLE(...) argument from SQL —
+    the Spark 4 form that makes a Python table function composable in
+    the FROM clause like any relation (vs the LATERAL-only scalar-arg
+    form in u_udtf_leading_words). Rows stream through eval()
+    per-partition; no state crosses partitions, so the expansion
+    parallelizes like explode. Logic is deliberately SQL-expressible so
+    the oracle pins the invocation machinery."""
+    from pyspark.sql.functions import udtf
+
+    from ..catalog import load_tables
+
+    @udtf(returnType="doc_id bigint, w string, wlen int")
+    class LeadingTokens:
+        def eval(self, row):
+            text = row["text"] or ""
+            for w in text.lower().split(" ")[:3]:
+                yield (row["doc_id"], w, len(w))
+
+    spark.udtf.register("leading_tokens", LeadingTokens)
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.w, t.wlen
+        FROM leading_tokens(
+          TABLE(SELECT doc_id, text FROM documents WHERE doc_id < 50)
+        ) AS t
+        """
+    )
