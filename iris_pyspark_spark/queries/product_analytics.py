@@ -375,3 +375,131 @@ def e_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_cnt",
         F.round((F.col("n") - mean) / F.sqrt(var), 6).alias("zscore"),
     )
+
+
+# --- RFM customer segmentation ----------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END)   AS last_purchase,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)  AS frequency,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT)
+           AS monetary_cents
+  FROM events GROUP BY user_id
+),
+buyers AS (SELECT * FROM per_user WHERE frequency > 0),
+scored AS (
+  SELECT user_id,
+         NTILE(4) OVER (ORDER BY last_purchase DESC, user_id) AS r_quartile,
+         NTILE(4) OVER (ORDER BY frequency DESC, user_id)     AS f_quartile,
+         NTILE(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m_quartile
+  FROM buyers
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       COUNT(*)          AS n_users,
+       MIN(user_id)      AS sample_user
+FROM scored
+GROUP BY r_quartile, f_quartile, m_quartile
+"""
+
+
+@register("e_rfm_segmentation", oracle=_RFM_ORACLE, tags=("W1", "A7", "A1"))
+def e_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: purchasers quartiled on recency, frequency and
+    monetary value (integer cents), bucketed into the 4x4x4 segment
+    cube. Every NTILE rides a TOTAL order (metric + user_id tie-break)
+    — without the tie-break, equal metrics straddle quartile borders
+    arbitrarily per engine. The ntile windows are global-order but run
+    over the per-user aggregate (one row per buyer), not the event
+    stream — the aggregate-then-rank layering that keeps single-reducer
+    windows metadata-sized."""
+    e = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(is_p, F.col("ts"))).alias("last_purchase"),
+        F.count(F.when(is_p, F.lit(1))).alias("frequency"),
+        F.coalesce(
+            F.sum(F.when(is_p, F.round(F.col("value") * 100).cast("long"))),
+            F.lit(0),
+        ).cast("long").alias("monetary_cents"),
+    )
+    buyers = per_user.filter(F.col("frequency") > 0)
+    r_w = Window.orderBy(F.col("last_purchase").desc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id"))
+    scored = buyers.select(
+        "user_id",
+        F.ntile(4).over(r_w).alias("r_quartile"),
+        F.ntile(4).over(f_w).alias("f_quartile"),
+        F.ntile(4).over(m_w).alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("user_id").alias("sample_user"),
+    )
+
+
+# --- time-to-conversion distribution ----------------------------------------
+
+_TTC_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)   AS t_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+latency AS (
+  SELECT user_id,
+         (EPOCH_US(t_purchase) - EPOCH_US(t_signup)) // 3600000000 AS hours
+  FROM firsts
+  WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+    AND t_purchase >= t_signup
+)
+SELECT CAST(FLOOR(hours / 24) AS BIGINT) AS days_bucket,
+       COUNT(*)                          AS n_users,
+       CAST(MIN(hours) AS BIGINT)        AS min_hours,
+       CAST(MAX(hours) AS BIGINT)        AS max_hours
+FROM latency
+GROUP BY days_bucket
+"""
+
+
+@register("e_time_to_conversion", oracle=_TTC_ORACLE, tags=("T4", "A1", "F2"))
+def e_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: hours from first signup to
+    first purchase per user, bucketed into days — integer epoch math
+    end to end (µs -> floor hours -> floor days), so bucket edges are
+    identical on every engine. One user-keyed aggregate then a
+    bucket-keyed rollup; users who purchased before signing up (data
+    reality) are excluded explicitly rather than producing negative
+    buckets."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    lat = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select(
+        "user_id",
+        F.floor(
+            (
+                F.unix_micros(F.col("t_purchase").cast("timestamp"))
+                - F.unix_micros(F.col("t_signup").cast("timestamp"))
+            )
+            / 3600000000
+        ).alias("hours"),
+    )
+    return lat.groupBy(
+        F.floor(F.col("hours") / 24).cast("long").alias("days_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("hours").cast("long").alias("min_hours"),
+        F.max("hours").cast("long").alias("max_hours"),
+    )
