@@ -503,3 +503,49 @@ def e_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hours").cast("long").alias("min_hours"),
         F.max("hours").cast("long").alias("max_hours"),
     )
+
+
+# --- top user paths (first-3-event sequences) -------------------------------
+
+_PATHS_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id,
+         STRING_AGG(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3
+  GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 15
+"""
+
+
+@register("e_event_paths_topk", oracle=_PATHS_ORACLE, tags=("W1", "A9", "O2"))
+def e_event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top onboarding paths: each user's first three events (total
+    order: ts then event_id) concatenated into a path string, then the
+    15 most common paths. The path build is rank-filter + ordered
+    listagg on one user_id partitioning; the path-frequency table is at
+    most |event_types|^3 rows, so the final top-k is metadata-sized.
+    This is the sequence-mining query product teams run daily — and a
+    5-state Markov chain (e_markov_transitions) summarizes what this
+    query enumerates."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.expr("listagg(event_type, '>') WITHIN GROUP (ORDER BY rn)").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path"))
+        .limit(15)
+    )

@@ -519,3 +519,43 @@ def s_recursive_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --- plain-text line source -------------------------------------------------
+
+_TEXT_LINES_ORACLE = """
+SELECT lang,
+       COUNT(*)                         AS n_lines,
+       CAST(SUM(LENGTH(line)) AS BIGINT) AS total_len
+FROM (
+  SELECT lang, lang || '\t' || CAST(doc_id AS VARCHAR) AS line
+  FROM documents
+)
+GROUP BY lang
+"""
+
+
+@register("s_text_line_scan", oracle=_TEXT_LINES_ORACLE, tags=("S2", "S4"))
+def s_text_line_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line-oriented text source — the lowest-common-denominator
+    format (logs, WET files, one-record-per-line dumps): records are
+    serialized to TSV-ish lines, written through the text sink, read
+    back as a single `value` column, and re-parsed with split. Line
+    files split by newline at any byte offset, so a 100 TB text dump
+    parallelizes by input split with zero format metadata."""
+    path = scratch_dir(sf_dir, "doc_lines_text")
+    d = load_table(spark, sf_dir, "documents")
+    d.select(
+        F.concat_ws("\t", F.col("lang"), F.col("doc_id").cast("string")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.split(F.col("value"), "\t").getItem(0).alias("lang"),
+        F.length("value").alias("line_len"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("line_len").cast("long").alias("total_len"),
+    )
