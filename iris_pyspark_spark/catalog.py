@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .session import configure
 
@@ -39,13 +40,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ns-int64 → µs TIMESTAMP_NTZ. Integer `div` (not float /) so the
-        # 1.7e18-magnitude ns values lose no precision; truncation matches
-        # DuckDB's ns→µs cast.
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        # The generated events table has carried two ts encodings across
+        # driver rounds: parquet TIMESTAMP(NANOS) (which Spark 4 reads as
+        # raw ns-int64 under nanosAsLong) and plain TIMESTAMP(MICROS)
+        # (read natively as TIMESTAMP_NTZ). Normalize by what the scan
+        # actually produced so either vintage of the data works. Integer
+        # `div` (not float /) so 1.7e18-magnitude ns values lose no
+        # precision; truncation matches DuckDB's ns→µs cast.
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
     return df
 
 

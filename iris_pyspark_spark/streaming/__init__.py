@@ -15,9 +15,12 @@ the last event of a drained source); row-level ops (dedup) run in
 a kafka/files source and a real sink; watermarks bound the state store
 exactly as demonstrated in tests/test_streaming.py.
 
-The events table is parquet TIMESTAMP(NANOS); streaming sources require
-an explicit schema, so we read `ts` as raw ns-int64 (nanosAsLong) and
-convert to µs TIMESTAMP_NTZ exactly like catalog.load_table.
+The events table's `ts` has shipped as both parquet TIMESTAMP(NANOS)
+(readable only as raw ns-int64 under nanosAsLong) and TIMESTAMP(MICROS)
+(read natively) across driver data generations. Streaming sources
+require an explicit schema, so we probe the file's batch-read schema
+once and build the matching source schema + normalization, exactly
+mirroring catalog.load_table.
 """
 
 from __future__ import annotations
@@ -33,17 +36,21 @@ from pyspark.sql import types as T
 from ..session import configure
 from ..sources import scratch_dir
 
-#: Explicit source schema: ts is the raw ns-int64 (see module docstring).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    """Explicit source schema; `ts_type` matches what the parquet scan
+    yields for this data generation (LongType for ns files under
+    nanosAsLong, TimestampType for µs files — requesting ltz directly is
+    safe because the session timezone is pinned to UTC)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 _SINK_IDS = itertools.count()
 
@@ -64,11 +71,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = staged + ".tmp"
         shutil.copy2(f"{sf_dir}/events.parquet", tmp)
         os.replace(tmp, staged)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
-    # TIMESTAMP (ltz), not NTZ: watermarks/event-time require it. The
-    # session is pinned to UTC (session.RUNTIME_CONFS), so epoch math is
-    # identical to the batch catalog's TIMESTAMP_NTZ.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Probe the batch-read type of ts for this data generation (cheap:
+    # footer read only, no job).
+    probed = spark.read.parquet(staged).schema["ts"].dataType
+    if isinstance(probed, T.LongType):
+        raw = spark.readStream.schema(_events_raw_schema(T.LongType())).parquet(src)
+        # TIMESTAMP (ltz), not NTZ: watermarks/event-time require it. The
+        # session is pinned to UTC (session.RUNTIME_CONFS), so epoch math
+        # is identical to the batch catalog's TIMESTAMP_NTZ.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(_events_raw_schema(T.TimestampType())).parquet(src)
 
 
 def drain_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
