@@ -2,11 +2,14 @@
 
 Parquet carries the schema, so there is no inference step; scans stay
 columnar + filter-pushdown-capable. The one normalization done here is
-`events.ts`: stored as parquet TIMESTAMP(NANOS), which Spark 4 cannot
-read natively — we read it as ns-int64 (`spark.sql.legacy.parquet.
-nanosAsLong=true`, set in session.configure) and truncate to µs
-TIMESTAMP_NTZ, exactly matching DuckDB's ns→µs truncation so oracle
-comparisons line up.
+`events.ts`, which has shipped in two vintages across driver data
+generations: parquet TIMESTAMP(NANOS) — which Spark 4 cannot read
+natively, so it arrives as ns-int64 under `spark.sql.legacy.parquet.
+nanosAsLong=true` (set in session.configure) and is truncated to µs
+TIMESTAMP_NTZ, matching DuckDB's ns→µs truncation — and plain
+TIMESTAMP(MICROS) NTZ (the current generation), which Spark reads
+natively and load_table passes through untouched. The scan's actual
+output type decides which path applies.
 
 All timestamps in the test data are NTZ (parquet isAdjustedToUTC=false),
 which Spark 4 reads as TIMESTAMP_NTZ — the same naive-timestamp semantics

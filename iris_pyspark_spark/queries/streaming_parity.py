@@ -229,8 +229,6 @@ def st_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..sources import scratch_dir
-    from ..streaming import EVENTS_RAW_SCHEMA
-
     from ..session import configure
 
     configure(spark)

@@ -52,6 +52,12 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
         ]
     )
 
+# Public constant for callers that hand-write ns-int64 event rows (the
+# nanosAsLong vintage shape: ts is a raw LongType of epoch-nanos). Code
+# reading driver parquet should instead probe like read_events_stream —
+# the file's vintage decides which variant applies.
+EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
+
 _SINK_IDS = itertools.count()
 
 
@@ -80,6 +86,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # session is pinned to UTC (session.RUNTIME_CONFS), so epoch math
         # is identical to the batch catalog's TIMESTAMP_NTZ.
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(probed, (T.TimestampType, T.TimestampNTZType)):
+        raise TypeError(
+            f"events.ts has unexpected parquet vintage {probed}; expected "
+            "ns-int64 (LongType under nanosAsLong) or a µs timestamp — a new "
+            "encoding needs an explicit normalization here, not a guess"
+        )
     return spark.readStream.schema(_events_raw_schema(T.TimestampType())).parquet(src)
 
 
