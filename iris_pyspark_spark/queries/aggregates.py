@@ -426,16 +426,34 @@ def a_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile next to the exact percentile it estimates —
     the 100 TB pattern for quantile monitoring (the sketch is mergeable
-    and single-pass; exact percentiles need a full sort). Self-checking
-    output: approx and exact ride the same row."""
+    and single-pass; exact percentiles need a full sort). Rows-only
+    self-validation: approx and exact ride the same row, `max_rel_err`
+    quantifies the sketch error, and `approx_ok` asserts it under 1%
+    plus monotonicity of the approx quantiles — the invariants a reader
+    of the sweep output can check without an oracle."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agged = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.95], 10000).alias(
             "approx_pcts"
         ),
         F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)))
         .alias("exact_pcts"),
         F.count(F.lit(1)).alias("n"),
+    )
+    rel_err = F.expr(
+        "aggregate(zip_with(approx_pcts, exact_pcts,"
+        " (a, e) -> abs(a - e) / e), 0D, (acc, x) -> greatest(acc, x))"
+    )
+    monotone = F.expr(
+        "approx_pcts[0] <= approx_pcts[1] AND approx_pcts[1] <= approx_pcts[2]"
+    )
+    return agged.select(
+        "l_returnflag",
+        "approx_pcts",
+        "exact_pcts",
+        "n",
+        F.round(rel_err, 8).alias("max_rel_err"),
+        (monotone & (rel_err < 0.01)).alias("approx_ok"),
     )
 
 
@@ -592,4 +610,45 @@ def a_percentile_cont_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").alias(
             "median_cont"
         ),
+    )
+
+
+_SEMI_ROLLUP_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM({CENTS_SQL.format(expr="o_totalprice")}) / 100.0 AS total_price
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 20
+"""
+
+
+@register(
+    "a_semi_rollup_having",
+    oracle=_SEMI_ROLLUP_ORACLE,
+    tags=("J4", "A5", "A6"),
+)
+def a_semi_rollup_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-as-left-semi feeding a rollup with a HAVING gate: orders
+    from well-funded customers, subtotaled by (status, priority) with
+    hierarchy totals, keeping only populated cells. The semi join ships
+    no customer payload columns (probe-only), the rollup is one hash
+    aggregate pass with grouping-set expansion, and HAVING is a filter
+    on the aggregated output — one shuffle on the group keys total."""
+    orders = load_table(spark, sf_dir, "orders")
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    kept = orders.join(rich, orders.o_custkey == rich.c_custkey, "left_semi")
+    return (
+        kept.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))) / 100.0).alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 20)
     )

@@ -407,3 +407,47 @@ def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         attributed.alias("attributed_click_ts"),
         attributed.isNotNull().alias("attributed"),
     )
+
+
+@register(
+    "j_cross_self_grid",
+    oracle="""
+SELECT a.n_regionkey AS region_key,
+       a.n_name      AS name_a,
+       b.n_name      AS name_b,
+       g.o_orderstatus AS status,
+       a.n_name || '>' || b.n_name || '@' || g.o_orderstatus AS cell
+FROM nation a
+JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) g
+""",
+    tags=("J9", "J10"),
+)
+def j_cross_self_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join pairs crossed with a tiny derived grid: nation×nation
+    within a region (the dedup-pair enumeration shape) expanded against
+    every distinct order status (the report-matrix shape). Both inputs
+    are bounded — pairs by the fixed dim, the grid by key cardinality —
+    so the cross join is a broadcast nested loop over a few rows at any
+    SF; nothing here grows with the fact tables."""
+    nation = load_table(spark, sf_dir, "nation")
+    grid = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    a = nation.alias("a")
+    b = nation.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_regionkey").alias("region_key"),
+        F.col("a.n_name").alias("name_a"),
+        F.col("b.n_name").alias("name_b"),
+    )
+    return pairs.crossJoin(broadcast(grid.withColumnRenamed("o_orderstatus", "status"))).select(
+        "region_key",
+        "name_a",
+        "name_b",
+        "status",
+        F.concat_ws("", F.col("name_a"), F.lit(">"), F.col("name_b"), F.lit("@"), F.col("status")).alias("cell"),
+    )

@@ -115,7 +115,21 @@ def n_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8,
         materialize_path=scratch_dir(sf_dir, "minhash_signatures"),
     )
-    return pairs.filter(F.col("est_jaccard") >= 0.5).orderBy("id_a", "id_b")
+    # Rows-only self-validation (map-only, nothing added to the LSH hot
+    # path): `planted` marks the 50 known near-dup pairs (variant id =
+    # original + 100000), `est_ok` bounds the estimate to [0, 1] — the
+    # sweep output shows recall of the planted pairs on its face.
+    return (
+        pairs.filter(F.col("est_jaccard") >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            (F.col("id_b") - F.col("id_a") == 100000).alias("planted"),
+            F.col("est_jaccard").between(0.0, 1.0).alias("est_ok"),
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _signlsh_bucket_sql(emb: str, bits: int) -> str:

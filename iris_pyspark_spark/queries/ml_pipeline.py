@@ -72,13 +72,30 @@ def fit_train_accuracy(spark: SparkSession, sf_dir: str) -> float:
 @register("ml_classification_pipeline", oracle=None, tags=("N7",))
 def ml_classification_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holdout confusion summary: per true label, prediction counts and
-    accuracy numerator — stable 10-row schema for the rows-only gate."""
+    accuracy numerator — stable 10-row schema for the rows-only gate.
+
+    Rows-only self-validation (no SQL oracle exists for model output,
+    so the result carries its own invariants): `holdout_total` is the
+    same window-sum on every row and must equal ceil(|embeddings|/5)
+    (the vec_id%5==0 split), and `counts_ok` asserts 0 ≤ n_correct ≤
+    n_examples per row — a reader of the sweep output can check both
+    without re-running the pipeline."""
+    from pyspark.sql.window import Window
+
     scored = fit_and_score(spark, sf_dir)
-    return (
+    summary = (
         scored.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_examples"),
             F.sum("correct").alias("n_correct"),
+        )
+    )
+    everything = Window.partitionBy()  # 10 rows: a trivial final window
+    return (
+        summary.withColumn("holdout_total", F.sum("n_examples").over(everything))
+        .withColumn(
+            "counts_ok",
+            (F.col("n_correct") >= 0) & (F.col("n_correct") <= F.col("n_examples")),
         )
         .orderBy("label")
     )
@@ -100,8 +117,14 @@ def ml_kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     km = KMeans(k=16, seed=42, maxIter=10)
     model = km.fit(emb)
     assigned = model.transform(emb)
+    # Rows-only self-validation: `assigned_total` (same window-sum every
+    # row) must equal |embeddings| — every vector lands in exactly one
+    # cell, none dropped or double-assigned by the index build.
+    from pyspark.sql.window import Window
+
     return (
         assigned.groupBy(F.col("prediction").alias("cell_id"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .withColumn("assigned_total", F.sum("n_vectors").over(Window.partitionBy()))
         .orderBy("cell_id")
     )

@@ -559,3 +559,46 @@ def s_text_line_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("line_len").cast("long").alias("total_len"),
     )
+
+
+# --- S3+P1+P3+P4: JSON-lines scan with compound predicates ------------------
+
+_JSONL_FILTER_ORACLE = """
+SELECT doc_id,
+       lang || ':' || source AS label,
+       n_chars // 100        AS chars_hecto
+FROM documents
+WHERE (lang IN ('en', 'de') OR source LIKE 'src1%')
+  AND n_chars BETWEEN 100 AND 400
+  AND NOT (lang = 'fr' AND source = 'src0')
+"""
+
+
+@register(
+    "s_jsonl_filter_project",
+    oracle=_JSONL_FILTER_ORACLE,
+    tags=("S3", "P1", "P3", "P4"),
+)
+def s_jsonl_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan feeding a compound row filter and a computed
+    projection — the "drop-zone JSONL → cleaned columns" first hop of
+    an ingest pipeline. The predicate mixes AND/OR/NOT with IN, BETWEEN
+    and LIKE; all of it folds into one Filter Catalyst pushes at the
+    scan, and the projection prunes `text` before any data moves.
+    Integer + string outputs only, so the JSON round-trip is exact."""
+    path = scratch_dir(sf_dir, "documents_jsonl_filter")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    kept = back.filter(
+        (F.col("lang").isin("en", "de") | F.col("source").like("src1%"))
+        & F.col("n_chars").between(100, 400)
+        & ~((F.col("lang") == "fr") & (F.col("source") == "src0"))
+    )
+    return kept.select(
+        "doc_id",
+        F.concat_ws(":", "lang", "source").alias("label"),
+        F.expr("n_chars div 100").alias("chars_hecto"),
+    )

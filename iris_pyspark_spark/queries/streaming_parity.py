@@ -400,3 +400,50 @@ def st_complete_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("total_cents").cast("long").alias("total_cents"),
     )
+
+
+_SLIDING_JOIN_ORACLE = f"""
+WITH offsets AS (SELECT UNNEST([0, 1]) AS j)
+SELECT
+  CAST(FLOOR(EPOCH(ts) / 1800) AS BIGINT) * 1800 - j * 1800 AS window_start_epoch,
+  c_mktsegment,
+  COUNT(*) AS n,
+  SUM({CENTS_SQL.format(expr="value")}) / 100.0 AS total_value
+FROM events CROSS JOIN offsets JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "st_sliding_static_join",
+    oracle=_SLIDING_JOIN_ORACLE,
+    tags=("T2", "T6", "T5"),
+)
+def st_sliding_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 on the streaming path: each micro-batch joins the static
+    customer dim, then a watermarked 1-hour window sliding every 30
+    minutes aggregates per (window, segment) — every event feeds
+    exactly two windows, and the state store carries both until the
+    watermark closes them. Complete mode drains to the final state,
+    which equals the batch sliding-window answer the oracle states
+    with integer epoch math."""
+    e = read_events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        e.join(c, F.col("user_id") == F.col("c_custkey"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "c_mktsegment",
+            "n",
+            "total_value",
+        )
+    )
+    return drain_to_table(agg, output_mode="complete")

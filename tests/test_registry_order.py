@@ -54,6 +54,25 @@ def test_prefix_queries_are_oracled_where_possible():
     entries may lack a DuckDB oracle."""
     reg = load_all()
     prefix = dict(itertools.islice(reg.items(), SWEEP_BUDGET))
-    allowed_no_oracle = {"a_approx_count_distinct", "ml_classification_pipeline"}
+    allowed_no_oracle = {"a_approx_percentile", "n_minhash_lsh"}
     no_oracle = {n for n, q in prefix.items() if q.oracle is None}
     assert no_oracle <= allowed_no_oracle, no_oracle
+
+
+def test_sweep_prefix_is_all_previously_unchecked():
+    """Round-3 rotation contract: every slot in the 50-entry sweep prefix
+    must be a query with NO driver correctness row from rounds 1-2, so
+    the round-3 sweep converts in-repo green into driver proof at the
+    maximum rate. (Coverage of all §2 rows is preserved by tags — see
+    test_first_50_entries_cover_every_survey_row.)"""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(root, fname)
+        if os.path.exists(path):
+            checked |= set(json.load(open(path)))
+    already = [n for n in _PRIORITY[:SWEEP_BUDGET] if n in checked]
+    assert not already, f"sweep slots wasted on driver-proven queries: {already}"
