@@ -3,21 +3,27 @@ components over a near-dup pair list — the step that turns pairwise
 "A duplicates B" edges into canonical cluster ids so a curation
 pipeline can keep exactly one representative per group.
 
-Iterative min-label propagation expressed in DataFrames:
+Iterative min-label propagation WITH POINTER JUMPING, expressed in
+DataFrames:
 
   * labels start as each vertex's own id;
   * each round, every vertex takes the min label among itself and its
     neighbors (one equi-join on the symmetrized edge list + one
-    groupBy-min — two shuffles per round);
+    groupBy-min), then JUMPS: it adopts its current label's own label
+    (a self-join of the label table). The jump halves the distance to
+    the component minimum every round, so convergence needs
+    O(log diameter) rounds instead of O(diameter) — on a chain-shaped
+    dedup cluster of depth d that is the difference between 4 shuffle
+    rounds and d of them, which is what makes the operator usable when
+    clusters are long transitive chains at corpus scale;
   * converged when no label changes; the fixed point (min vertex id per
     component) is unique, so the result is deterministic under any
-    partitioning or join order.
+    partitioning, join order, or round count.
 
-Rounds needed = graph diameter (near-dup clusters are shallow — a
-handful of rounds); each round's label table is materialized to parquet
-to break lineage, the same artifact discipline as the MinHash signature
-table (unbounded lineage chains are what kill iterative DataFrame jobs
-on real clusters).
+Each round's label table is materialized to parquet to break lineage,
+the same artifact discipline as the MinHash signature table (unbounded
+lineage chains are what kill iterative DataFrame jobs on real
+clusters); the convergence count reuses the materialized round.
 """
 
 from __future__ import annotations
@@ -56,15 +62,21 @@ def connected_components(
             .agg(F.min("lbl").alias("nbr_lbl"))
             .withColumnRenamed("dst", "id")
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
-                    "lbl"
-                ),
-                (F.col("nbr_lbl") < F.col("lbl")).alias("__changed"),
-            )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.col("lbl").alias("old"),
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("mid"),
+        )
+        # Pointer jump: adopt the label's own label. Every label value
+        # is a vertex id (labels only move down toward the component's
+        # min vertex), so the self-join always finds a match; coalesce
+        # guards the invariant rather than relying on it.
+        jump = stepped.select(F.col("id").alias("mid"), F.col("mid").alias("jlbl"))
+        new_lbl = F.least(F.col("mid"), F.coalesce("jlbl", F.col("mid")))
+        new_labels = stepped.join(jump, "mid", "left").select(
+            "id",
+            new_lbl.alias("lbl"),
+            (new_lbl < F.col("old")).alias("__changed"),
         )
         # Materialize the round: breaks lineage AND lets the convergence
         # count reuse the same computed result the next join consumes.

@@ -75,8 +75,11 @@ def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("a_approx_count_distinct", oracle=None, tags=("A4",))
 def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # rsd=0.02: half the precision digits of the default demo but 4x
+    # smaller HLL register arrays per partial aggregate — the sketch
+    # size, not the row count, dominates this aggregate's cost.
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
 

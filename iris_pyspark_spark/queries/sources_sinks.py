@@ -602,3 +602,74 @@ def s_jsonl_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", "lang", "source").alias("label"),
         F.expr("n_chars div 100").alias("chars_hecto"),
     )
+
+
+# --- S6+T5: custom Python STREAMING data source ----------------------------
+
+_PYSTREAM_ORACLE = """
+SELECT sensor_id % 7            AS bucket,
+       COUNT(*)                 AS n,
+       SUM((sensor_id % 7) + 0.5) AS total_reading
+FROM range(0, 400) t(sensor_id)
+GROUP BY 1
+"""
+
+
+@register(
+    "st_python_stream_source",
+    oracle=_PYSTREAM_ORACLE,
+    tags=("S6", "T5", "S1"),
+)
+def st_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python Data Source end to end: the bounded
+    sensors feed (4 offset-tracked batches × 100 rows) is drained into
+    a parquet sink through REPEATED AvailableNow runs sharing one
+    checkpoint — each run resumes from the committed offset and
+    advances, which is the restart-recovery contract a bespoke feed
+    source must honor (initialOffset / read / readBetweenOffsets).
+    The loop stops when a run adds no rows (feed exhausted); the sink
+    then holds every batch exactly once, which the closed-form oracle
+    checks."""
+    import shutil
+
+    from ..session import configure
+    from ..sources.python_datasource import SensorsStreamDataSource
+
+    configure(spark)
+    try:
+        spark.dataSource.register(SensorsStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    sink = scratch_dir(sf_dir, "pystream_sink")
+    ckpt = scratch_dir(sf_dir, "pystream_ckpt")
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def drain_once() -> None:
+        q = (
+            spark.readStream.format("demo_sensors_stream")
+            .option("batches", "4")
+            .option("rows_per_batch", "100")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    seen = -1
+    for _ in range(8):  # 4 data batches + the empty run that ends the loop
+        drain_once()
+        n = spark.read.parquet(sink).count()
+        if n == seen:
+            break
+        seen = n
+
+    got = spark.read.parquet(sink)
+    return got.groupBy((F.col("sensor_id") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("reading").alias("total_reading"),
+    )

@@ -447,3 +447,103 @@ def st_sliding_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain_to_table(agg, output_mode="complete")
+
+
+_TWS_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas speaks a protobuf protocol to the JVM
+    state server; the `protobuf` package is not part of this container's
+    baked-in set (and there is no network to install it), so the query
+    registers only where the dependency exists — the same
+    gate-don't-stub policy as the lakehouse table formats."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas — the successor arbitrary-state
+    API (StatefulProcessor with named state variables instead of one
+    opaque tuple): per event_type, a ValueState accumulates (count,
+    integer-cents total) across micro-batches and emits the running
+    totals on every update. Requires the RocksDB state store, which is
+    also the provider you want at scale (changelog checkpointing,
+    bounded memory); the conf is restored after the drain so sibling
+    streams keep their configured provider. Draining the source makes
+    each key's last update equal the batch aggregate, which the oracle
+    checks. Registered only when protobuf is importable (see
+    _protobuf_available)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from ..streaming import drain_to_table, read_events_stream
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, total_cents bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents_total = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                cents_total += int(round(pdf["value"] * 100).sum())
+            self._totals.update((n, cents_total))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents_total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    e = read_events_stream(spark, sf_dir).select("event_type", "value")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        updates = e.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="event_type string, n_events bigint, total_cents bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = drain_to_table(updates, output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    # One update row per (micro-batch, key): totals are monotone, so
+    # each key's final state is its max.
+    return sink.groupBy("event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_cents").cast("long").alias("total_cents"),
+    )
+
+
+if _protobuf_available():
+    register("st_transform_with_state", oracle=_TWS_ORACLE, tags=("T4", "T7", "U2"))(
+        st_transform_with_state
+    )

@@ -45,3 +45,66 @@ class SensorsReader(DataSourceReader):
             sid = base + j
             # Pure integer-derived double: bit-identical on any engine.
             yield (sid, float(sid % 7) + 0.5)
+
+
+class SensorsStreamDataSource(DataSource):
+    """format("demo_sensors_stream") — the STREAMING half of the custom
+    Python Data Source contract: a bounded synthetic feed of
+    `batches` × `rows_per_batch` deterministic rows, exposed through
+    SimpleDataSourceStreamReader (offset bookkeeping + replay, no
+    partition planning — right for low-throughput bespoke feeds; a
+    high-volume feed would implement DataSourceStreamReader with real
+    partitions instead). Offsets are dict checkpoints; readBetweenOffsets
+    replays any committed range after a restart, which is what makes the
+    source exactly-once under micro-batch recovery."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "demo_sensors_stream"
+
+    def schema(self) -> str:
+        return "sensor_id bigint, reading double"
+
+    def simpleStreamReader(self, schema) -> "SensorsStreamReader":
+        return SensorsStreamReader(self.options)
+
+
+def _sensor_rows(batch: int, rows_per_batch: int) -> list:
+    """Materialized list, not a generator: the runner's prefetch cache
+    copy.copy()s the iterator it is handed, which list iterators support
+    and generators do not."""
+    base = batch * rows_per_batch
+    return [
+        (sid, float(sid % 7) + 0.5)  # same closed form as the batch source
+        for sid in range(base, base + rows_per_batch)
+    ]
+
+
+class SensorsStreamReader:
+    """SimpleDataSourceStreamReader subclass (imported lazily so module
+    import never depends on streaming internals)."""
+
+    def __new__(cls, options):
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        class _Reader(SimpleDataSourceStreamReader):
+            def __init__(self, opts) -> None:
+                self.batches = int(opts.get("batches", "4"))
+                self.rows_per_batch = int(opts.get("rows_per_batch", "100"))
+
+            def initialOffset(self):
+                return {"batch": 0}
+
+            def read(self, start):
+                b = int(start["batch"])
+                if b >= self.batches:  # feed exhausted: no progress
+                    return (iter([]), {"batch": b})
+                return (iter(_sensor_rows(b, self.rows_per_batch)), {"batch": b + 1})
+
+            def readBetweenOffsets(self, start, end):
+                rows: list = []
+                for b in range(int(start["batch"]), int(end["batch"])):
+                    rows.extend(_sensor_rows(b, self.rows_per_batch))
+                return iter(rows)
+
+        return _Reader(options)

