@@ -240,6 +240,7 @@ _PRIORITY = (
     "ml_kmeans_ivf_cells",       # N4 N7 (rows-only by design)
     "st_stream_static_join",     # T6 (streaming twin)
     "st_stream_stream_join",     # T6 T5
+    "st_python_stream_source",   # S6 T5 S1 (custom streaming source)
     "f_hash_spark_native",       # F7 (rows-only by design, Spark-native hashes)
 )
 
