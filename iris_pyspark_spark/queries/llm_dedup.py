@@ -741,3 +741,66 @@ def n_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= _SPAN_MIN)
     )
+
+
+_SOFT_DEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, UNNEST(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS tok
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM toks a JOIN toks b
+    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_shared / CAST(sa.n_tok + sb.n_tok - n_shared AS DOUBLE) >= 0.5
+),
+partners AS (
+  SELECT doc_id, COUNT(*) AS n_dups FROM (
+    SELECT id_a AS doc_id FROM pairs
+    UNION ALL
+    SELECT id_b AS doc_id FROM pairs
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_dups, 0) AS n_dups,
+       CAST(ROUND(1000000.0 / (1 + COALESCE(n_dups, 0))) AS BIGINT) AS weight_micro
+FROM documents d LEFT JOIN partners USING (doc_id)
+"""
+
+
+@register("n_soft_dedup_weights", oracle=_SOFT_DEDUP_ORACLE, tags=("N1", "N2"))
+def n_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup: instead of DROPPING near-duplicates, every document
+    gets a sampling weight 1/(1 + n_near_dup_partners) so repeated
+    content is proportionally down-weighted at training time — the
+    soft alternative the hard-dedup pipelines graduated to (common
+    content keeps one effective copy, unique content keeps weight 1).
+    Partner counts come from the exact blocked Jaccard pair list
+    (operators/dedup.jaccard_pairs — the same candidate shape as
+    n_ngram_jaccard); weights are integer micro-units so the result is
+    bit-deterministic. Every document appears: unpaired docs ride the
+    left join with weight 1.0."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        d, "doc_id", "text", block_col="source", min_jaccard=0.5
+    ).select("id_a", "id_b")
+    partners = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    n_dups = F.coalesce(F.col("n_dups"), F.lit(0))
+    return d.select("doc_id").join(partners, "doc_id", "left").select(
+        "doc_id",
+        n_dups.alias("n_dups"),
+        F.round(1000000.0 / (1 + n_dups)).cast("long").alias("weight_micro"),
+    )

@@ -1016,3 +1016,97 @@ def n_lang_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count_whitespace("text")).cast("long").alias("total_tokens"),
     )
+
+
+_IMPORTANCE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+  FROM documents
+),
+corpus_counts AS (SELECT tok, COUNT(*) AS c_all FROM toks GROUP BY tok),
+corpus_total  AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM toks),
+target_counts AS (SELECT tok, COUNT(*) AS c_tgt FROM toks WHERE lang = 'en' GROUP BY tok),
+target_total  AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tgt FROM toks WHERE lang = 'en'),
+vocab         AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(
+           (LN((COALESCE(tc.c_tgt, 0) + 1) / CAST(tt.n_tgt + vv.v AS DOUBLE))
+            - LN((cc.c_all + 1) / CAST(ct.n_all + vv.v AS DOUBLE))) * 1000000
+         ) AS BIGINT) AS lr_micro
+  FROM toks t
+  JOIN corpus_counts cc USING (tok)
+  LEFT JOIN target_counts tc USING (tok)
+  CROSS JOIN corpus_total ct
+  CROSS JOIN target_total tt
+  CROSS JOIN vocab vv
+  WHERE t.doc_id < 200
+)
+SELECT doc_id,
+       COUNT(*) AS n_toks,
+       CAST(SUM(lr_micro) AS BIGINT) AS logratio_micro,
+       CAST(FLOOR(SUM(lr_micro) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+         AS avg_logratio_micro
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("n_importance_weights", oracle=_IMPORTANCE_ORACLE, tags=("N5", "A1", "P6"))
+def n_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: score every document by the mean
+    unigram log-likelihood RATIO between a target distribution (here:
+    the English slice, standing in for 'looks like the domain I want')
+    and the whole corpus, both add-one smoothed over the shared
+    vocabulary. Documents whose tokens are relatively more probable
+    under the target get positive scores — the importance-resampling
+    signal used to pick pretraining data that matches a target domain
+    without training a classifier.
+
+    Engine mechanics: the token table feeds four consumers (corpus
+    counts, corpus total, target counts, the scoring join), so it is
+    materialized once to scratch parquet — same artifact discipline as
+    the bigram LM. Count tables join on the token key (vocabulary-sized,
+    unhinted — not broadcastable at crawl scale); scalar totals ride a
+    broadcast cross join. Each token's log-ratio is rounded to integer
+    MICRO-NATS before the per-doc sum, so float addition order never
+    matters and the result is bit-deterministic."""
+    from ..sources import scratch_dir
+
+    d = load_table(spark, sf_dir, "documents")
+    toks_path = scratch_dir(sf_dir, "importance_toks")
+    d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    ).write.mode("overwrite").parquet(toks_path)
+    toks = spark.read.parquet(toks_path)
+
+    corpus_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_all"))
+    corpus_total = toks.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    target = toks.filter(F.col("lang") == "en")
+    target_counts = target.groupBy("tok").agg(F.count(F.lit(1)).alias("c_tgt"))
+    target_total = target.agg(F.count(F.lit(1)).cast("long").alias("n_tgt"))
+    vocab = toks.agg(F.count_distinct("tok").cast("long").alias("v"))
+
+    lr = (
+        F.log((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1) / (F.col("n_tgt") + F.col("v")).cast("double"))
+        - F.log((F.col("c_all") + 1) / (F.col("n_all") + F.col("v")).cast("double"))
+    )
+    scored = (
+        toks.filter(F.col("doc_id") < 200)
+        .join(corpus_counts, "tok")
+        .join(target_counts, "tok", "left")
+        .crossJoin(F.broadcast(corpus_total))
+        .crossJoin(F.broadcast(target_total))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(lr * 1000000).cast("long").alias("lr_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum("lr_micro").cast("long").alias("logratio_micro"),
+        F.floor(F.sum("lr_micro") / F.count(F.lit(1)).cast("double"))
+        .cast("long")
+        .alias("avg_logratio_micro"),
+    )

@@ -241,6 +241,8 @@ _PRIORITY = (
     "st_stream_static_join",     # T6 (streaming twin)
     "st_stream_stream_join",     # T6 T5
     "st_python_stream_source",   # S6 T5 S1 (custom streaming source)
+    "n_soft_dedup_weights",      # N1 N2 (SoftDeDup weighting)
+    "n_importance_weights",      # N5 A1 P6 (DSIR-style selection)
     "f_hash_spark_native",       # F7 (rows-only by design, Spark-native hashes)
 )
 

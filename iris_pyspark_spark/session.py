@@ -35,6 +35,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # MIN/MAX/COUNT over parquet answer from footer statistics instead
+    # of scanning row groups (off by default; pure win for the metadata
+    # probes and dataset-card style aggregates this engine runs a lot).
+    "spark.sql.parquet.aggregatePushdown": "true",
 }
 
 

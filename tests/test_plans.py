@@ -151,3 +151,42 @@ def test_pretrain_pipeline_three_exchanges(spark, sf_dir):
     plan = _executed_plan(spark, "pipeline_pretrain_corpus", sf_dir)
     assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
     assert plan.count("RoundRobinPartitioning") == 1, plan[:2000]
+
+
+def test_semi_rollup_probe_only_single_shuffle(spark, sf_dir):
+    """The EXISTS rewrite must stay a probe-only semi join (no customer
+    payload columns shipped) with the rollup's one hash exchange as the
+    only fact-side shuffle."""
+    plan = _executed_plan(spark, "a_semi_rollup_having", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+
+
+def test_cross_self_grid_broadcasts_both_sides(spark, sf_dir):
+    """Bounded self-pairs x derived grid: the cross join must be a
+    broadcast nested loop over the tiny grid and the self-join a
+    broadcast hash join — nothing here may shuffle with the fact
+    tables' growth."""
+    plan = _executed_plan(spark, "j_cross_self_grid", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_banding_stays_codegen(spark, sf_dir):
+    """The band-hash projection must stay inside whole-stage codegen:
+    no interpreted higher-order transform/slice in the banding path
+    (the estimate join's zip_with on the small candidate set is the
+    one allowed HOF)."""
+    from iris_pyspark_spark.catalog import load_table
+    from iris_pyspark_spark.operators.dedup import lsh_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = lsh_candidate_pairs(d, "doc_id", "text", shingle_k=3,
+                                num_hashes=32, bands=8)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # The banding projection appears below the pair join; 'slice(' in
+    # the final plan would mean the interpreted form regressed back in.
+    assert "slice(sig" not in plan, plan[:2000]
