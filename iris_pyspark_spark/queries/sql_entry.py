@@ -358,3 +358,69 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_price": 50000.0,
         },
     )
+
+
+#: TPC-H Q5 shape (local supplier volume): six-table join where the
+#: customer and the supplier must share a nation — the classic test of
+#: join ORDER (dims first, fact-fact on keys) and of revenue arithmetic
+#: surviving a many-way reorder (integer cents again). Adapted dates to
+#: this dataset's 1995-2001 span.
+_Q5 = """
+SELECT
+  n_name,
+  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+    / CAST(100 AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("sql_q5_local_supplier_volume", oracle=_Q5, tags=("E2", "J6", "J1"))
+def sql_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q5)
+
+
+#: TPC-H Q8 shape (national market share): the two-role nation join
+#: (supplier's nation vs customer's nation) plus a conditional share
+#: aggregate per year — numerator and denominator in one pass. Integer
+#: cents for both; the share division happens once per year row.
+_Q8 = """
+SELECT
+  o_year,
+  SUM(CASE WHEN nation = 'NATION_2' THEN volume_cents ELSE 0 END)
+    / CAST(GREATEST(SUM(volume_cents), 1) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT
+    EXTRACT(YEAR FROM o_orderdate) AS o_year,
+    CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS volume_cents,
+    n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("sql_q8_market_share", oracle=_Q8, tags=("E2", "J6", "A7"))
+def sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q8)

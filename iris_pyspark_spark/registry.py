@@ -243,6 +243,8 @@ _PRIORITY = (
     "st_python_stream_source",   # S6 T5 S1 (custom streaming source)
     "n_soft_dedup_weights",      # N1 N2 (SoftDeDup weighting)
     "n_importance_weights",      # N5 A1 P6 (DSIR-style selection)
+    "sql_q5_local_supplier_volume",  # E2 J6 J1 (TPC-H Q5 shape)
+    "sql_q8_market_share",       # E2 J6 A7 (TPC-H Q8 shape)
     "f_hash_spark_native",       # F7 (rows-only by design, Spark-native hashes)
 )
 

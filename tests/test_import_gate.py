@@ -101,3 +101,24 @@ def test_registered_query_body_imports_resolve():
                             "→ name does not exist"
                         )
     assert not problems, "\n".join(problems)
+
+
+def test_readme_coverage_table_in_sync():
+    """The README operator-coverage table must match the registry at
+    HEAD: registering a query without re-running
+    tools/gen_readme_coverage.py fails here, which is what keeps the
+    published counts honest."""
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        from gen_readme_coverage import build_table
+    finally:
+        sys.path.pop(0)
+
+    table, n_total, n_oracled = build_table()
+    text = open(os.path.join(root, "README.md")).read()
+    assert table in text, "README table differs from registry — run tools/gen_readme_coverage.py"
+    counts = f"{n_total} registered queries, {n_oracled} with full DuckDB value-hash oracles"
+    assert counts in text, f"README counts stale — expected '{counts}'"
