@@ -496,3 +496,227 @@ def n_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count(F.col("ivf_neighbor")) / 5.0, 6).alias("recall_at_5"),
         )
     )
+
+
+def _pq_d2_sql(sub: str, va: str, vb: str) -> str:
+    """8-term unrolled squared L2 between the `sub`-th 8-dim subvectors
+    of two 1-indexed float arrays — identical operation order on both
+    engines ((a-b)*(a-b), left-fold sum)."""
+    terms = [
+        f"(CAST({va}[{sub}*8+{i}] AS DOUBLE) - CAST({vb}[{sub}*8+{i}] AS DOUBLE))"
+        f" * (CAST({va}[{sub}*8+{i}] AS DOUBLE) - CAST({vb}[{sub}*8+{i}] AS DOUBLE))"
+        for i in range(1, 9)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_PQ_ORACLE = f"""
+WITH cb AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+         embedding AS cemb
+  FROM embeddings WHERE vec_id % 32 = 0 ORDER BY vec_id LIMIT 16
+),
+subs AS (SELECT CAST(UNNEST(RANGE(0, 8)) AS INT) AS sub),
+dists AS (
+  SELECT e.vec_id, s.sub, c.code,
+         {_pq_d2_sql("s.sub", "e.embedding", "c.cemb")} AS d2
+  FROM embeddings e CROSS JOIN subs s CROSS JOIN cb c
+),
+best AS (
+  SELECT vec_id, sub, code, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d2 ASC, code ASC) AS rnk
+  FROM dists
+)
+SELECT vec_id,
+       LIST(code ORDER BY sub) AS codes,
+       CAST(SUM(CAST(ROUND(d2 * 1000000) AS BIGINT)) AS BIGINT) AS err_micro
+FROM best WHERE rnk = 1
+GROUP BY vec_id
+"""
+
+
+@register("n_pq_quantize", oracle=_PQ_ORACLE, tags=("N3", "N4", "F4"))
+def n_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: every 64-dim vector compresses to 8 one-byte
+    codes (one per 8-dim subspace, nearest of 16 codewords) plus its
+    total squared reconstruction error — the memory layout ANN systems
+    use to keep billion-vector indexes in RAM (64 floats -> 8 bytes,
+    32x). The codebook is the deterministic fixture (first 16 vectors
+    with vec_id%32==0), standing in for per-subspace KMeans exactly as
+    n_ivf_knn's modulo centroids stand in for trained cells.
+
+    Scale shape: the codebook (16 rows) broadcasts; assignment is a
+    map-side broadcast nested-loop over vectors x 8 subspaces x 16
+    codes with the subvector L2 unrolled into codegen arithmetic
+    (element_at with computed 1-based indices, no array lambdas in the
+    hot path); the only shuffle is the per-(vector, subspace) argmin
+    window. Errors sum as integer micro-units — order-free."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    w16 = Window.partitionBy(F.lit(1)).orderBy("vec_id")
+    cb = (
+        e.filter(F.col("vec_id") % 32 == 0)
+        .orderBy("vec_id")
+        .limit(16)
+        .select(
+            (F.row_number().over(w16) - 1).cast("int").alias("code"),
+            F.col("embedding").alias("cemb"),
+        )
+    )
+    subs = spark.range(8).select(F.col("id").cast("int").alias("sub"))
+
+    def d2() -> F.Column:
+        total = None
+        for i in range(1, 9):
+            idx = F.col("sub") * 8 + i
+            diff = F.element_at("embedding", idx).cast("double") - F.element_at(
+                "cemb", idx
+            ).cast("double")
+            term = diff * diff
+            total = term if total is None else total + term
+        return total
+
+    dists = (
+        e.crossJoin(_bc(subs))
+        .crossJoin(_bc(cb))
+        .select("vec_id", "sub", "code", d2().alias("d2"))
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    best = dists.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    return best.groupBy("vec_id").agg(
+        F.sort_array(F.collect_list(F.struct("sub", "code")))
+        .getField("code")
+        .alias("codes"),
+        F.sum(F.round(F.col("d2") * 1000000).cast("long"))
+        .cast("long")
+        .alias("err_micro"),
+    )
+
+
+_ADC_ORACLE = f"""
+WITH cb AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+         embedding AS cemb
+  FROM embeddings WHERE vec_id % 32 = 0 ORDER BY vec_id LIMIT 16
+),
+subs AS (SELECT CAST(UNNEST(RANGE(0, 8)) AS INT) AS sub),
+dists AS (
+  SELECT e.vec_id, s.sub, c.code,
+         {_pq_d2_sql("s.sub", "e.embedding", "c.cemb")} AS d2
+  FROM embeddings e CROSS JOIN subs s CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code ASC) AS rnk
+    FROM dists
+  ) WHERE rnk = 1
+),
+adc AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         CAST(SUM(CAST(ROUND(
+           {_pq_d2_sql("v.sub", "q.embedding", "c.cemb")} * 1000000
+         ) AS BIGINT)) AS BIGINT) AS adc_micro
+  FROM embeddings q
+  CROSS JOIN codes v
+  JOIN cb c ON c.code = v.code
+  WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_micro, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_micro ASC, neighbor_id ASC) AS rnk
+  FROM adc
+) WHERE rnk <= 5
+"""
+
+
+@register("n_pq_adc_search", oracle=_ADC_ORACLE, tags=("N4", "N3"))
+def n_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation over the PQ index: full-precision
+    probes score every corpus vector through its 8 one-byte codes only
+    (distance probe-subvector -> assigned codeword, summed across
+    subspaces) — the query path that makes PQ indexes useful: the
+    corpus never needs its floats again. Per-subspace terms round to
+    integer micro-units before the sum, so the aggregate is order-free
+    and the top-5 ranking deterministic (ties by neighbor id).
+
+    Scale shape: codes are the materializable artifact (here rebuilt
+    inline from the deterministic codebook); probes and the 16-row
+    codebook broadcast; scoring is map-side; the one shuffle is the
+    per-(probe, vector) sum + the tiny top-k window."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    w16 = Window.partitionBy(F.lit(1)).orderBy("vec_id")
+    cb = (
+        e.filter(F.col("vec_id") % 32 == 0)
+        .orderBy("vec_id")
+        .limit(16)
+        .select(
+            (F.row_number().over(w16) - 1).cast("int").alias("code"),
+            F.col("embedding").alias("cemb"),
+        )
+    )
+    subs = spark.range(8).select(F.col("id").cast("int").alias("sub"))
+
+    def d2(vec_col: str) -> F.Column:
+        total = None
+        for i in range(1, 9):
+            idx = F.col("sub") * 8 + i
+            diff = F.element_at(vec_col, idx).cast("double") - F.element_at(
+                "cemb", idx
+            ).cast("double")
+            term = diff * diff
+            total = term if total is None else total + term
+        return total
+
+    dists = (
+        e.crossJoin(_bc(subs))
+        .crossJoin(_bc(cb))
+        .select("vec_id", "sub", "code", d2("embedding").alias("d2"))
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    codes = (
+        dists.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    adc_term = None
+    for i in range(1, 9):
+        idx = F.col("sub") * 8 + i
+        diff = F.element_at("q_emb", idx).cast("double") - F.element_at(
+            "cemb", idx
+        ).cast("double")
+        term = diff * diff
+        adc_term = term if adc_term is None else adc_term + term
+    scored = (
+        codes.join(_bc(cb), "code")
+        .crossJoin(_bc(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc_term * 1000000).cast("long").alias("term_micro"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("term_micro").cast("long").alias("adc_micro"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "adc_micro", "rnk")
+    )

@@ -245,6 +245,8 @@ _PRIORITY = (
     "n_importance_weights",      # N5 A1 P6 (DSIR-style selection)
     "sql_q5_local_supplier_volume",  # E2 J6 J1 (TPC-H Q5 shape)
     "sql_q8_market_share",       # E2 J6 A7 (TPC-H Q8 shape)
+    "n_pq_quantize",             # N3 N4 F4 (product quantization)
+    "n_pq_adc_search",           # N4 N3 (ADC search over PQ codes)
     "f_hash_spark_native",       # F7 (rows-only by design, Spark-native hashes)
 )
 
