@@ -341,3 +341,49 @@ def ivf_assign(
         .filter(F.col("__rnk") == 1)
         .drop("__rnk", c_vec)
     )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    c_id: str,
+    c_vec: str,
+    cb_code: str = "code",
+    cb_vec: str = "cemb",
+    n_subs: int = 8,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """Product-quantization assignment: (id, sub, code, d2) — the
+    nearest codeword per `sub_dim`-wide subspace for every corpus
+    vector, with the squared subvector L2 it achieved.
+
+    Scale shape: the codebook (k rows) and the subspace index (n_subs
+    rows) broadcast, so assignment is a map-side nested loop of
+    corpus × n_subs × k with the subvector distance unrolled into
+    codegen arithmetic (element_at with computed 1-based indices — no
+    array lambdas); the only shuffle is the per-(vector, subspace)
+    argmin window. Ties break toward the lowest code id, so the
+    assignment is deterministic under any partitioning."""
+    spark = corpus.sparkSession
+    subs = spark.range(n_subs).select(F.col("id").cast("int").alias("sub"))
+    total = None
+    for i in range(1, sub_dim + 1):
+        idx = F.col("sub") * sub_dim + i
+        diff = F.element_at(c_vec, idx).cast("double") - F.element_at(
+            cb_vec, idx
+        ).cast("double")
+        term = diff * diff
+        total = term if total is None else total + term
+    dists = (
+        corpus.crossJoin(broadcast(subs))
+        .crossJoin(broadcast(codebook))
+        .select(c_id, "sub", cb_code, total.alias("d2"))
+    )
+    w = Window.partitionBy(c_id, "sub").orderBy(
+        F.col("d2").asc(), F.col(cb_code).asc()
+    )
+    return (
+        dists.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )

@@ -99,3 +99,28 @@ def test_global_ids_partition_invariant(spark, sf_dir):
             "doc_id", "global_id"
         )
     )
+
+
+def test_pq_codes_partition_invariant(spark, sf_dir):
+    from iris_pyspark_spark.operators.similarity import pq_codes
+    from iris_pyspark_spark.queries.llm_similarity import _pq_codebook
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = _pq_codebook(e)
+    _invariant(
+        lambda n: pq_codes(
+            e.repartition(n), cb, c_id="vec_id", c_vec="embedding"
+        ).select("vec_id", "sub", "code")
+    )
+
+
+def test_jaccard_pairs_partition_invariant(spark, sf_dir):
+    from iris_pyspark_spark.operators.dedup import jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    _invariant(
+        lambda n: jaccard_pairs(
+            d.repartition(n), "doc_id", "text", block_col="source",
+            min_jaccard=0.3,
+        ).select("id_a", "id_b", "n_shared")
+    )
