@@ -465,3 +465,54 @@ def u_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS t
         """
     )
+
+
+# --- U2 (Arrow-native): grouped applyInArrow -------------------------------
+
+_ARROW_GROUP_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*)                                        AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       MAX(o_orderkey)                                 AS max_key
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def _arrow_group_stats(table):
+    """pyarrow.Table -> pyarrow.Table: per-group stats computed with
+    Arrow compute kernels — no pandas conversion at all. Integer-cents
+    rounding happens element-wise before the sum, so the reduction is
+    exact integer arithmetic."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cents = pc.cast(
+        pc.round(pc.multiply(table.column("o_totalprice"), pa.scalar(100.0))),
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "o_orderstatus": [table.column("o_orderstatus")[0].as_py()],
+            "n_orders": [table.num_rows],
+            "total_cents": [pc.sum(cents).as_py()],
+            "max_key": [pc.max(table.column("o_orderkey")).as_py()],
+        }
+    )
+
+
+@register("u_grouped_apply_in_arrow", oracle=_ARROW_GROUP_ORACLE, tags=("U2", "U5"))
+def u_grouped_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInArrow — the Arrow-native grouped-map variant:
+    each group arrives as a pyarrow.Table and the function answers with
+    one, skipping the pandas conversion layer entirely (no NaN/None
+    coercion, no index machinery — the right choice when the logic is
+    expressible in Arrow compute kernels). Same shuffle shape as
+    applyInPandas: one hash exchange on the group key."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+    return orders.groupBy("o_orderstatus").applyInArrow(
+        _arrow_group_stats,
+        "o_orderstatus string, n_orders long, total_cents long, max_key long",
+    )

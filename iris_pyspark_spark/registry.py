@@ -247,6 +247,7 @@ _PRIORITY = (
     "sql_q8_market_share",       # E2 J6 A7 (TPC-H Q8 shape)
     "n_pq_quantize",             # N3 N4 F4 (product quantization)
     "n_pq_adc_search",           # N4 N3 (ADC search over PQ codes)
+    "u_grouped_apply_in_arrow",  # U2 U5 (Arrow-native grouped map)
     "f_hash_spark_native",       # F7 (rows-only by design, Spark-native hashes)
 )
 
