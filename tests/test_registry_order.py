@@ -68,6 +68,11 @@ def test_sweep_prefix_is_all_previously_unchecked():
     import json
     import os
 
+    # Deliberately pinned to rounds 1-2: round 3's prefix IS the set the
+    # round-3 driver sweep proves, so including CORRECTNESS_r03.json here
+    # would fail the moment it lands. ROUND 4 BUILDER: re-rotate _PRIORITY
+    # to the still-unproven remainder (and add r03 to this list) the same
+    # way round 3 rotated away from rounds 1-2.
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
     for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
