@@ -673,3 +673,34 @@ def st_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("reading").alias("total_reading"),
     )
+
+
+# --- S4: columnar codec control (zstd) -------------------------------------
+
+_ZSTD_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("s_zstd_parquet_roundtrip", oracle=_ZSTD_ORACLE, tags=("S4", "S1"))
+def s_zstd_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink codec control: the same parquet round-trip under zstd —
+    the storage-bound default for cold 100 TB corpora (denser than
+    snappy at comparable scan cost; codec rides per-file metadata, so
+    readers need no configuration). The read-back aggregate proves the
+    data survived the codec bit-exactly."""
+    path = scratch_dir(sf_dir, "orders_zstd_parquet")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )

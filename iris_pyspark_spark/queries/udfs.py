@@ -516,3 +516,66 @@ def u_grouped_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         _arrow_group_stats,
         "o_orderstatus string, n_orders long, total_cents long, max_key long",
     )
+
+
+# --- U2 (Arrow-native, cogrouped): cogroup().applyInArrow ------------------
+
+_COGROUP_ARROW_ORACLE = """
+SELECT o.o_orderstatus,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(l.l_orderkey) AS BIGINT)          AS n_items
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+def _arrow_cogroup_stats(left, right):
+    """(orders group, lineitem group) -> one stats row, all in Arrow
+    kernels: count of distinct orders on the left, matched line items
+    on the right (both sides arrive pre-bucketed by the cogroup key)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    status = left.column("o_orderstatus")[0].as_py()
+    n_orders = pc.count_distinct(left.column("o_orderkey")).as_py()
+    left_keys = pc.unique(left.column("o_orderkey"))
+    matched = pc.is_in(right.column("l_orderkey"), value_set=left_keys)
+    return pa.table(
+        {
+            "o_orderstatus": [status],
+            "n_orders": [n_orders],
+            "n_items": [pc.sum(pc.cast(matched, pa.int64())).as_py() or 0],
+        }
+    )
+
+
+@register(
+    "u_cogrouped_apply_in_arrow", oracle=_COGROUP_ARROW_ORACLE, tags=("U2", "J3")
+)
+def u_cogrouped_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInArrow — two tables bucketed on the same key
+    arrive as a pyarrow.Table pair per key: the custom-join escape
+    hatch in its Arrow-native form (here a per-status orders/lineitem
+    reconciliation). Both sides shuffle once on the cogroup key; the
+    kernels never leave Arrow."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    # Cogroup key: order status on the left; line items join through
+    # their order key mapped to status via a broadcast of the (tiny)
+    # distinct mapping — keeps the example a pure cogroup demo.
+    key_map = F.broadcast(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    )
+    li_with_status = li.join(
+        key_map, li.l_orderkey == key_map.o_orderkey, "inner"
+    ).select("l_orderkey", F.col("o_orderstatus").alias("status"))
+    return (
+        orders.groupBy("o_orderstatus")
+        .cogroup(li_with_status.groupBy("status"))
+        .applyInArrow(
+            _arrow_cogroup_stats,
+            "o_orderstatus string, n_orders long, n_items long",
+        )
+    )

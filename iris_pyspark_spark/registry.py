@@ -248,6 +248,8 @@ _PRIORITY = (
     "n_pq_quantize",             # N3 N4 F4 (product quantization)
     "n_pq_adc_search",           # N4 N3 (ADC search over PQ codes)
     "u_grouped_apply_in_arrow",  # U2 U5 (Arrow-native grouped map)
+    "u_cogrouped_apply_in_arrow",# U2 J3 (Arrow-native cogroup)
+    "s_zstd_parquet_roundtrip",  # S4 S1 (sink codec control)
     "f_hash_spark_native",       # F7 (rows-only by design, Spark-native hashes)
 )
 
