@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..registry import register
@@ -383,4 +384,55 @@ def t_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum("dur_s") / F.count(F.lit(1)).cast("double"))
         .cast("long")
         .alias("avg_session_dur_s"),
+    )
+
+
+_TWAP_ORACLE = f"""
+WITH spans AS (
+  SELECT user_id,
+         {CENTS_SQL.format(expr="value")} AS cents,
+         EPOCH_US(LEAD(ts) OVER w) // 1000000 - EPOCH_US(ts) // 1000000 AS dur_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(cents * dur_s) AS BIGINT)  AS weighted_cents_s,
+       CAST(SUM(dur_s) AS BIGINT)          AS total_s,
+       CAST(FLOOR(SUM(cents * dur_s) / CAST(SUM(dur_s) AS DOUBLE)) AS BIGINT)
+         AS twap_cents
+FROM spans
+WHERE dur_s IS NOT NULL AND dur_s > 0
+GROUP BY user_id
+"""
+
+
+@register("t_time_weighted_avg", oracle=_TWAP_ORACLE, tags=("T4", "W2", "F2"))
+def t_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation holds until the
+    next one, so its weight is the span it was current — lead(ts) - ts
+    per user. The financial/telemetry mean that a plain AVG gets wrong
+    whenever sampling is irregular. Integer arithmetic throughout
+    (cents x whole seconds, capped well under int64), single user_id
+    shuffle shared by the window and the aggregate; zero-length spans
+    (same-second ticks) drop on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = e.select(
+        "user_id",
+        cents(F.col("value")).alias("cents"),
+        (
+            F.floor(F.unix_micros(F.lead("ts").over(w).cast("timestamp")) / 1000000)
+            - F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000000)
+        ).alias("dur_s"),
+    )
+    kept = spans.filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    return kept.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dur_s")).cast("long").alias("weighted_cents_s"),
+        F.sum("dur_s").cast("long").alias("total_s"),
+        F.floor(
+            F.sum(F.col("cents") * F.col("dur_s"))
+            / F.sum("dur_s").cast("double")
+        )
+        .cast("long")
+        .alias("twap_cents"),
     )

@@ -396,3 +396,51 @@ def w_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_change"
         ),
     )
+
+
+_FFILL_ORACLE = """
+WITH gappy AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT user_id, event_id,
+       v,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled
+FROM gappy
+"""
+
+
+@register("w_forward_fill", oracle=_FFILL_ORACLE, tags=("W2", "W3", "P5"))
+def w_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): nulls are
+    planted in every third event's value, then each row takes the most
+    recent non-null per user — `last(..., ignorenulls=True)` over a
+    running frame, the standard gap-filling operator for sensor and
+    telemetry streams. Values pass through untouched (no arithmetic),
+    so floats compare bit-exactly; rows before a user's first non-null
+    stay NULL on both engines. One shuffle on user_id, shared by the
+    window sort."""
+    e = load_table(spark, sf_dir, "events")
+    gappy = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return gappy.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )

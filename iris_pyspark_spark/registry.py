@@ -250,6 +250,8 @@ _PRIORITY = (
     "u_grouped_apply_in_arrow",  # U2 U5 (Arrow-native grouped map)
     "u_cogrouped_apply_in_arrow",# U2 J3 (Arrow-native cogroup)
     "s_zstd_parquet_roundtrip",  # S4 S1 (sink codec control)
+    "w_forward_fill",            # W2 W3 P5 (IGNORE NULLS gap filling)
+    "t_time_weighted_avg",       # T4 W2 F2 (TWAP)
     "f_hash_spark_native",       # F7 (rows-only by design, Spark-native hashes)
 )
 
