@@ -549,3 +549,45 @@ def e_event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), F.col("path"))
         .limit(15)
     )
+
+
+_REACH_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+  FROM events GROUP BY user_id
+),
+new_per_day AS (
+  SELECT d0 AS day, COUNT(*) AS n_new FROM first_seen GROUP BY d0
+)
+SELECT CAST(day AS VARCHAR) AS day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM new_per_day
+"""
+
+
+@register("e_cumulative_reach", oracle=_REACH_ORACLE, tags=("A3", "T1", "W3"))
+def e_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day (the reach / growth curve).
+    The naive form — COUNT(DISTINCT user) over an ever-growing window —
+    re-deduplicates all history for every day and dies at scale. The
+    scalable rewrite: distinct-over-time == each user counts exactly
+    once, on their FIRST day — so min(date) per user, count per day,
+    running sum. Two key-bounded aggregates plus a window over
+    O(days) rows; no day ever re-reads another day's users."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    per_day = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ISO string on both engines: DuckDB DATE surfaces as a pandas
+    # timestamp, Spark DATE as a date object — strings compare exactly.
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
+    )
