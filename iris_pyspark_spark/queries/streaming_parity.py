@@ -547,3 +547,61 @@ if _protobuf_available():
     register("st_transform_with_state", oracle=_TWS_ORACLE, tags=("T4", "T7", "U2"))(
         st_transform_with_state
     )
+
+
+_ST_PIPELINE_ORACLE = f"""
+WITH deduped AS (
+  SELECT DISTINCT ON (event_id) event_id, ts, user_id, value
+  FROM events ORDER BY event_id, ts
+)
+SELECT
+  CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) * 3600 AS window_start_epoch,
+  c_mktsegment,
+  COUNT(*) AS n_events,
+  CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
+FROM deduped JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "st_pipeline_ingest",
+    oracle=_ST_PIPELINE_ORACLE,
+    tags=("T1", "T5", "T6", "T7"),
+)
+def st_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming ingest in ONE incremental query — the shape
+    a production event pipeline actually runs, stacked stateful
+    operators included: watermarked dedup by event_id (exactly-once at
+    the record level), per-micro-batch enrichment against the static
+    customer dim, then a watermarked tumbling-window aggregate per
+    segment. Two stateful operators share the event-time watermark;
+    complete-mode drain makes the final state equal the batch pipeline
+    the oracle states (events are already unique, so dedup must pass
+    everything through exactly once)."""
+    e = read_events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    deduped = (
+        e.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    enriched = deduped.join(c, F.col("user_id") == F.col("c_custkey"))
+    # The single watermark set before the dedup flows through the join
+    # to the window (redefining it between stateful operators is
+    # disallowed — and unnecessary: both share one event-time bound).
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("total_cents"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "c_mktsegment",
+            "n_events",
+            "total_cents",
+        )
+    )
+    return drain_to_table(agg, output_mode="complete")

@@ -253,6 +253,7 @@ _PRIORITY = (
     "w_forward_fill",            # W2 W3 P5 (IGNORE NULLS gap filling)
     "t_time_weighted_avg",       # T4 W2 F2 (TWAP)
     "e_cumulative_reach",        # A3 T1 W3 (running distinct via first-touch)
+    "st_pipeline_ingest",        # T1 T5 T6 T7 (stacked stateful streaming)
     "f_hash_spark_native",       # F7 (rows-only by design, Spark-native hashes)
 )
 
