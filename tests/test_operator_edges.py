@@ -178,3 +178,54 @@ def test_cosine_selfsim_slabs_match_unsharded(spark):
         )
 
     assert run(slab_rows=3) == run(slab_rows=100)  # 4 slabs vs 1 slab
+
+
+def test_forward_fill_leading_nulls_stay_null(spark):
+    """Rows before a key's first non-null have nothing to carry forward
+    — they must stay NULL, and fills must never cross keys."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    rows = [
+        # user 1: null, 10.0, null, null, 20.0  →  null, 10, 10, 10, 20
+        (1, 1, None), (1, 2, 10.0), (1, 3, None), (1, 4, None), (1, 5, 20.0),
+        # user 2: all null  →  all null (and must not see user 1's 20.0)
+        (2, 6, None), (2, 7, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, seq long, v double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r.seq: r.filled
+        for r in df.select(
+            "seq", F.last("v", ignorenulls=True).over(w).alias("filled")
+        ).collect()
+    }
+    assert got == {1: None, 2: 10.0, 3: 10.0, 4: 10.0, 5: 20.0, 6: None, 7: None}
+
+
+def test_pq_codes_exact_codeword_zero_distance(spark):
+    """A vector that IS a codeword must pick that code with d2 == 0 in
+    every subspace (tie-break safety: equal-distance codes pick the
+    lowest id)."""
+    from iris_pyspark_spark.operators.similarity import pq_codes
+
+    dim, subs, sub_dim = 8, 2, 4
+    cb_rows = [
+        Row(code=0, cemb=[float(i) for i in range(dim)]),
+        Row(code=1, cemb=[float(i * 2) for i in range(dim)]),
+    ]
+    cb = spark.createDataFrame(cb_rows, "code int, cemb array<float>")
+    corpus = spark.createDataFrame(
+        [Row(vec_id=7, embedding=[float(i * 2) for i in range(dim)])],
+        "vec_id long, embedding array<float>",
+    )
+    out = pq_codes(
+        corpus, cb, c_id="vec_id", c_vec="embedding",
+        n_subs=subs, sub_dim=sub_dim,
+    ).collect()
+    assert len(out) == subs
+    assert all(r.code == 1 and r.d2 == 0.0 for r in out), out
