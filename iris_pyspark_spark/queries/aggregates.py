@@ -433,7 +433,12 @@ def a_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-validation: approx and exact ride the same row, `max_rel_err`
     quantifies the sketch error, and `approx_ok` asserts it under 1%
     plus monotonicity of the approx quantiles — the invariants a reader
-    of the sweep output can check without an oracle."""
+    of the sweep output can check without an oracle.
+
+    Checked output is scalar-only: the three quantiles are emitted as
+    separate double columns (the driver's canonicalizer cannot sort
+    array cells — CORRECTNESS_r03 recorded the array-typed spelling as
+    a hard TypeError)."""
     li = load_table(spark, sf_dir, "lineitem")
     agged = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.95], 10000).alias(
@@ -452,8 +457,12 @@ def a_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agged.select(
         "l_returnflag",
-        "approx_pcts",
-        "exact_pcts",
+        F.col("approx_pcts")[0].alias("p25_approx"),
+        F.col("approx_pcts")[1].alias("p50_approx"),
+        F.col("approx_pcts")[2].alias("p95_approx"),
+        F.col("exact_pcts")[0].alias("p25_exact"),
+        F.col("exact_pcts")[1].alias("p50_exact"),
+        F.col("exact_pcts")[2].alias("p95_exact"),
         "n",
         F.round(rel_err, 8).alias("max_rel_err"),
         (monotone & (rel_err < 0.01)).alias("approx_ok"),

@@ -563,7 +563,7 @@ best AS (
   FROM dists
 )
 SELECT vec_id,
-       LIST(code ORDER BY sub) AS codes,
+       ARRAY_TO_STRING(LIST(code ORDER BY sub), ',') AS codes,
        CAST(SUM(CAST(ROUND(d2 * 1000000) AS BIGINT)) AS BIGINT) AS err_micro
 FROM best WHERE rnk = 1
 GROUP BY vec_id
@@ -592,10 +592,18 @@ def n_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cb = _pq_codebook(e)
     best = pq_codes(e, cb, c_id="vec_id", c_vec="embedding")
+    # codes joins to a CSV string: checked output must be scalar-only
+    # (driver canonicalizer contract).
     return best.groupBy("vec_id").agg(
-        F.sort_array(F.collect_list(F.struct("sub", "code")))
-        .getField("code")
-        .alias("codes"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sub", "code"))).getField(
+                    "code"
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
         F.sum(F.round(F.col("d2") * 1000000).cast("long"))
         .cast("long")
         .alias("err_micro"),

@@ -82,7 +82,7 @@ def m_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAMES_ORACLE = """
 SELECT doc_id,
        CAST(CEIL(nb / 256.0) AS INT) AS n_frames,
-       [i for i in range(0, CAST(CEIL(nb / 256.0) AS INT)) if i % 4 = 0]
+       ARRAY_TO_STRING([i for i in range(0, CAST(CEIL(nb / 256.0) AS INT)) if i % 4 = 0], ',')
          AS sampled_frames
 FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
 """
@@ -90,8 +90,17 @@ FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
 
 @register("m_frame_sampling", oracle=_FRAMES_ORACLE, tags=("multimodal", "F4"))
 def m_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling; the sampled index array joins to a CSV string at
+    the query boundary — checked output must be scalar-only (driver
+    canonicalizer contract). The operator itself keeps the typed array."""
     docs = attach_payload(load_table(spark, sf_dir, "documents"))
-    return sample_frames(docs, every_k=4)
+    frames = sample_frames(docs, every_k=4)
+    return frames.withColumn(
+        "sampled_frames",
+        F.array_join(
+            F.transform("sampled_frames", lambda x: x.cast("string")), ","
+        ),
+    )
 
 
 def _probe_sql(dim: int) -> str:

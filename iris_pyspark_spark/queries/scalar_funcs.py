@@ -159,29 +159,44 @@ SELECT
   vec_id,
   LEN(embedding)                                    AS dim,
   embedding[1]                                      AS first_elem,
-  embedding[1:4]                                    AS head4,
+  embedding[1]                                      AS head_1,
+  embedding[2]                                      AS head_2,
+  embedding[3]                                      AS head_3,
+  embedding[4]                                      AS head_4,
   LIST_REDUCE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
               (a, b) -> a + b)                      AS norm_sq,
-  LIST_SORT(embedding[1:4])                         AS head4_sorted,
+  LIST_SORT(embedding[1:4])[1]                      AS sorted_1,
+  LIST_SORT(embedding[1:4])[4]                      AS sorted_4,
   LEN(LIST_DISTINCT([label, label % 3, 7]))         AS n_distinct_labels
 FROM embeddings
 """,
     tags=("F4",),
 )
 def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family over the embedding column. Checked output is
+    scalar-only by contract: slice/sort_array are exercised but their
+    elements are projected to scalar columns (head_1..4, sorted_1/4) —
+    raw array cells crash the driver canonicalizer's sort_values
+    (CORRECTNESS_r03 TypeError: unhashable numpy.ndarray)."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+    head4 = F.slice(emb, 1, 4)
+    head4_sorted = F.sort_array(F.slice(emb, 1, 4))
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
         F.element_at(emb, 1).alias("first_elem"),
-        F.slice(emb, 1, 4).alias("head4"),
+        F.element_at(head4, 1).alias("head_1"),
+        F.element_at(head4, 2).alias("head_2"),
+        F.element_at(head4, 3).alias("head_3"),
+        F.element_at(head4, 4).alias("head_4"),
         F.aggregate(
             F.transform(emb, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("norm_sq"),
-        F.sort_array(F.slice(emb, 1, 4)).alias("head4_sorted"),
+        F.element_at(head4_sorted, 1).alias("sorted_1"),
+        F.element_at(head4_sorted, 4).alias("sorted_4"),
         F.size(
             F.array_distinct(F.array(F.col("label"), F.col("label") % 3, F.lit(7)))
         ).alias("n_distinct_labels"),
@@ -564,7 +579,7 @@ SELECT doc_id,
        regexp_matches(text, '[0-9]')                          AS has_digits,
        CAST(LEN(regexp_extract_all(LOWER(text), '[a-z]+')) AS INT) AS n_word_runs,
        NULLIF(regexp_extract(LOWER(text), '[a-z]{7,}'), '')   AS first_long_word,
-       regexp_extract_all(LOWER(text), '[a-z]{7,}')           AS long_words
+       NULLIF(ARRAY_TO_STRING(regexp_extract_all(LOWER(text), '[a-z]{7,}'), '|'), '') AS long_words
 FROM documents
 WHERE doc_id < 200
 """
@@ -574,7 +589,9 @@ WHERE doc_id < 200
 def f_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex family: rlike, regexp_extract (empty-match normalized to
     NULL on both engines — Spark returns '' where DuckDB returns NULL),
-    regexp_extract_all, regexp_count-backed run counting."""
+    regexp_extract_all, regexp_count-backed run counting. long_words is
+    pipe-joined to a string: checked output must be scalar-only (driver
+    canonicalizer contract)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     lower = F.lower(F.col("text"))
     return d.select(
@@ -584,7 +601,10 @@ def f_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.regexp_extract(lower, "[a-z]{7,}", 0), F.lit("")).alias(
             "first_long_word"
         ),
-        F.regexp_extract_all(lower, F.lit("[a-z]{7,}"), 0).alias("long_words"),
+        F.nullif(
+            F.array_join(F.regexp_extract_all(lower, F.lit("[a-z]{7,}"), 0), "|"),
+            F.lit(""),
+        ).alias("long_words"),
     )
 
 

@@ -99,6 +99,29 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
     return sorted(out)
 
 
+def assert_driver_safe_schema(df, name: str) -> None:
+    """Gate: no complex-typed column may reach the driver's checked output.
+
+    The driver canonicalizes EVERY query's output (including rows-only
+    queries) with pandas ``sort_values`` over all columns; array/map
+    cells arrive as numpy.ndarray / dict — unhashable — and crash its
+    ``Categorical`` factorize (CORRECTNESS_r03: a_approx_percentile,
+    f_array_funcs both TypeError'd). Queries must scalarize or
+    stringify complex values before returning.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: complex-typed checked output columns {bad} would crash the "
+        "driver canonicalizer — project to scalars or stringify (array_join/to_json)"
+    )
+
+
 @dataclass
 class CompareResult:
     ok: bool

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 
 from iris_pyspark_spark.registry import load_all
-from iris_pyspark_spark.testing import compare_frames
+from iris_pyspark_spark.testing import assert_driver_safe_schema, compare_frames
 
 REGISTRY = load_all()
 ORACLE_CHECKED = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
@@ -20,7 +20,9 @@ ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
 def test_oracle_match(name, spark, oracle, sf_dir):
     q = REGISTRY[name]
-    spark_pdf = q.fn(spark, sf_dir).toPandas()
+    df = q.fn(spark, sf_dir)
+    assert_driver_safe_schema(df, name)
+    spark_pdf = df.toPandas()
     oracle_pdf = oracle.execute(q.oracle).df()
     res = compare_frames(spark_pdf, oracle_pdf)
     assert res.ok, f"{name}: {res.detail}"
@@ -30,6 +32,7 @@ def test_oracle_match(name, spark, oracle, sf_dir):
 def test_rows_only(name, spark, sf_dir):
     q = REGISTRY[name]
     df = q.fn(spark, sf_dir)
+    assert_driver_safe_schema(df, name)
     assert len(df.columns) > 0
     assert df.count() >= 1, f"{name}: returned no rows"
 
