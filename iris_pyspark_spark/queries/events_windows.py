@@ -436,3 +436,78 @@ def t_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("twap_cents"),
     )
+
+
+# --- T2+T3: sliding windows vs session windows, per user --------------------
+
+_SLIDING_SESSION_ORACLE = """
+WITH offsets AS (SELECT UNNEST([0, 1]) AS j),
+slide AS (
+  SELECT user_id,
+         COUNT(DISTINCT CAST(FLOOR(EPOCH(ts) / 1800) AS BIGINT) * 1800 - j * 1800)
+           AS n_slide_windows
+  FROM events CROSS JOIN offsets
+  GROUP BY user_id
+),
+flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+sess AS (
+  SELECT user_id,
+         CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions,
+         CAST(MAX(n_events) AS BIGINT)       AS max_session_events
+  FROM (SELECT user_id, sid, COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, sid)
+  GROUP BY user_id
+)
+SELECT s.user_id, s.n_slide_windows, e.n_sessions, e.max_session_events
+FROM slide s JOIN sess e ON s.user_id = e.user_id
+"""
+
+
+@register(
+    "t_sliding_session_compare",
+    oracle=_SLIDING_SESSION_ORACLE,
+    tags=("T2", "T3"),
+)
+def t_sliding_session_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity seen two ways in one result: how many 1-hour
+    windows sliding every 30 min the user touched (T2 — window() with a
+    slide), and how many native 30-min-gap session windows their events
+    form (T3 — session_window()), plus the largest session. The two
+    aggregations share one scan and one (user, time) shuffle profile;
+    the final join is per-user (one row each side). Both window
+    operators are exactly what Structured Streaming runs incrementally
+    with a watermark — this is their batch-parity pin. The oracle
+    restates sliding assignment with integer epoch math and sessions
+    with the lag/running-sum rewrite (DuckDB has neither operator)."""
+    e = load_table(spark, sf_dir, "events")
+    slide = (
+        e.groupBy("user_id", F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_slide_windows"))
+    )
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+    return slide.join(sess, "user_id").select(
+        "user_id", "n_slide_windows", "n_sessions", "max_session_events"
+    )

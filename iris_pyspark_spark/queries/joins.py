@@ -451,3 +451,200 @@ def j_cross_self_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         F.concat_ws("", F.col("name_a"), F.lit(">"), F.col("name_b"), F.lit("@"), F.col("status")).alias("cell"),
     )
+
+
+# --- J1+J2+A1+A2: TPC-H Q17 shape — correlated aggregate in a join ----------
+
+_Q17_ORACLE = f"""
+WITH sel AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#1'
+),
+limits AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_limit
+  FROM sel GROUP BY l_partkey
+)
+SELECT
+  CAST(SUM({CENTS_SQL.format(expr="s.l_extendedprice")}) AS BIGINT) / 100.0 / 7.0
+    AS avg_yearly,
+  COUNT(*) AS n_small_qty
+FROM sel s JOIN limits l ON s.l_partkey = l.l_partkey
+WHERE s.l_quantity < l.qty_limit
+"""
+
+
+@register("j_q17_small_qty_revenue", oracle=_Q17_ORACLE, tags=("J1", "J2", "A1", "A2"))
+def j_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders of a brand's parts whose
+    quantity is below 0.2x that part's average — the classic correlated
+    scalar-aggregate-in-join every decision-support user hits.
+
+    Spark-first decorrelation: filter part FIRST (the brand predicate
+    prunes ~1/25 of parts), broadcast the surviving key list into the
+    lineitem scan, aggregate the per-part averages over that already-
+    filtered slice, then broadcast the AGGREGATED side back — two
+    broadcasts, one fact scan feeding both consumers, zero shuffled
+    fact-fact joins. At 100 TB the aggregated side stays
+    |parts(brand)| rows (KBs), so the broadcast is safe at any fact
+    size; only the per-part partial aggregation shuffles.
+
+    Determinism: l_quantity is integral-valued double, so AVG is a sum
+    of exact integers / exact count — bit-identical across engines and
+    partition orders; the 0.2x multiply and the < compare are single
+    IEEE ops. Revenue sums as integer cents.
+    """
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    sel = lineitem.join(
+        broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    limits = sel.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        sel.join(broadcast(limits), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0 / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small_qty"),
+        )
+    )
+
+
+# --- J4+J5+A6+P4: semi + anti + HAVING over a segment slice -----------------
+
+_SEMI_ANTI_HAVING_ORACLE = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM({CENTS_SQL.format(expr="c_acctbal")}) AS BIGINT) AS balance_cents
+FROM customer c
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c_mktsegment
+HAVING COUNT(*) >= 5
+"""
+
+
+@register(
+    "j_semi_anti_having",
+    oracle=_SEMI_ANTI_HAVING_ORACLE,
+    tags=("J4", "J5", "A6", "P4"),
+)
+def j_semi_anti_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-but-clean customers per segment: IN-list slice (P4), LEFT
+    SEMI against orders (has ordered), LEFT ANTI against the 'F' slice
+    of orders (never a finished-status order), grouped with a HAVING
+    floor. The semi/anti pair is the canonical existence-check shape —
+    both are shuffle joins on c_custkey that keep ONLY the left columns
+    (no fact-width rows move), and Catalyst pushes the IN filter to the
+    customer scan. At 100 TB both existence probes stay key-only
+    shuffles; nothing widens."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    sliced = customer.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+    )
+    active = sliced.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    )
+    clean = active.join(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        clean.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents(F.col("c_acctbal"))).alias("balance_cents"),
+        )
+        .filter(F.col("n_customers") >= 5)
+    )
+
+
+# --- J7+J9+J10: banded self theta-join + report-grid cross ------------------
+
+_THETA_SELF_ORACLE = """
+WITH pairs AS (
+  SELECT s1.s_nationkey AS nk,
+         ABS(CAST(ROUND(s1.s_acctbal * 100) AS BIGINT)
+             - CAST(ROUND(s2.s_acctbal * 100) AS BIGINT)) AS diff_cents
+  FROM supplier s1
+  JOIN supplier s2
+    ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey < s2.s_suppkey
+  WHERE ABS(CAST(ROUND(s1.s_acctbal * 100) AS BIGINT)
+            - CAST(ROUND(s2.s_acctbal * 100) AS BIGINT)) <= 10000
+),
+per_nation AS (
+  SELECT nk, COUNT(*) AS n_pairs,
+         CAST(SUM(diff_cents) AS BIGINT) AS sum_diff_cents
+  FROM pairs GROUP BY nk
+)
+SELECT p.nk AS s_nationkey, p.n_pairs, p.sum_diff_cents,
+       r.r_name, (n.n_regionkey = r.r_regionkey) AS is_home
+FROM per_nation p
+JOIN nation n ON n.n_nationkey = p.nk
+CROSS JOIN region r
+"""
+
+
+@register("j_theta_self_pairs", oracle=_THETA_SELF_ORACLE, tags=("J7", "J9", "J10"))
+def j_theta_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier pairs in the same nation within a $100 balance band
+    (theta/range self-join), aggregated per nation and crossed with the
+    region dim for a report grid.
+
+    Scale shape: the naive spelling is an O(n^2) theta join; the 100 TB
+    plan BANDS it — each left row explodes to its balance bucket +/- 1
+    ($100 buckets), the join is then a pure EQUI join on
+    (nation, bucket) that Spark hash-partitions, and the exact band +
+    key-order predicates filter the 3x candidate set. Work is
+    O(sum of bucket-pair sizes), not O(n^2), and skew stays bounded by
+    bucket population. The final crossJoin is broadcast(region): 5 rows
+    against a 25-row aggregate — the only legitimate cross shape."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    s = supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        cents(F.col("s_acctbal")).alias("bal_cents"),
+    )
+    bucket = (F.col("bal_cents") / 10000).cast("long")
+    left = s.withColumn(
+        "probe_bucket", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    )
+    right = s.withColumn("bucket", bucket)
+    pairs = left.alias("a").join(
+        right.alias("b"),
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.probe_bucket") == F.col("b.bucket"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    )
+    banded = pairs.select(
+        F.col("a.s_nationkey").alias("nk"),
+        F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")).alias("diff_cents"),
+    ).filter(F.col("diff_cents") <= 10000)
+    per_nation = banded.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("diff_cents").alias("sum_diff_cents"),
+    )
+    return (
+        per_nation.join(
+            broadcast(nation), F.col("nk") == F.col("n_nationkey")
+        )
+        .crossJoin(broadcast(region))
+        .select(
+            F.col("nk").alias("s_nationkey"),
+            "n_pairs",
+            "sum_diff_cents",
+            "r_name",
+            (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+        )
+    )

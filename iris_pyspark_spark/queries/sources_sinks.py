@@ -704,3 +704,46 @@ def s_zstd_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+
+
+# --- S3+P1+P2+P3: JSON scan feeding comparison + boolean-combo filters ------
+
+_JSON_PREDICATE_ORACLE = """
+SELECT event_id, user_id, event_type, user_id % 10 AS uid_bucket
+FROM events
+WHERE (user_id < 30 AND event_type = 'purchase')
+   OR (user_id >= 120 AND NOT event_type = 'click')
+"""
+
+
+@register(
+    "s_json_predicate_scan",
+    oracle=_JSON_PREDICATE_ORACLE,
+    tags=("S3", "P1", "P2", "P3"),
+)
+def s_json_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan of the event feed driving plain comparison
+    predicates (<, >=, =) under an OR-of-ANDs with a NOT — the raw-log
+    triage filter. Only integer + string columns cross the JSON
+    boundary, so the round-trip is exact; the projection computes a
+    bucket column (P1) and drops everything else before rows move.
+    Catalyst folds the whole predicate into one Filter evaluated at the
+    scan, and the JSON reader prunes unreferenced fields from parsing —
+    at crawl scale the parse cost tracks the projected schema, not the
+    record width."""
+    path = scratch_dir(sf_dir, "events_json_predicate")
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    kept = back.filter(
+        ((F.col("user_id") < 30) & (F.col("event_type") == "purchase"))
+        | ((F.col("user_id") >= 120) & ~(F.col("event_type") == "click"))
+    )
+    return kept.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("user_id") % 10).alias("uid_bucket"),
+    )

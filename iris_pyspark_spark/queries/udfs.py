@@ -579,3 +579,77 @@ def u_cogrouped_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus string, n_orders long, n_items long",
         )
     )
+
+
+# --- U3+U4 composed: pandas UDAF feeding a UDTF unpivot ---------------------
+
+_UDAF_UDTF_ORACLE = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, 'total_cents' AS stat, total_cents AS v FROM agg
+UNION ALL
+SELECT event_type, 'n' AS stat, n AS v FROM agg
+"""
+
+
+def _make_cents_sum_udaf():
+    @pandas_udf("long")
+    def cents_sum(v: pd.Series) -> int:
+        import numpy as np
+
+        # Half-away-from-zero, matching SQL ROUND / joins.cents — NOT
+        # pandas .round(), whose numpy half-to-even diverges on exact
+        # .5 cents (the ADVICE.md streaming_parity finding, applied
+        # everywhere pandas rounds money).
+        x = v.to_numpy(dtype="float64") * 100.0
+        return int(np.trunc(x + np.copysign(0.5, x)).astype("int64").sum())
+
+    return cents_sum
+
+
+def _make_row_count_udaf():
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    return n_rows
+
+
+@register("u_udaf_udtf_compose", oracle=_UDAF_UDTF_ORACLE, tags=("U3", "U4"))
+def u_udaf_udtf_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Python escape hatches composed end to end: a GROUPED_AGG
+    pandas UDAF reduces the event feed to per-type (total_cents, n) —
+    integer-exact so partition order can't drift the sum — then a UDTF
+    invoked with a TABLE argument unpivots each aggregate row into
+    (stat, value) rows, the long-format shape metric stores ingest.
+    The UDAF runs Arrow-batched inside the groupBy (one shuffle); the
+    UDTF streams the 5 aggregate rows — per-row Python is fine AFTER
+    aggregation collapses cardinality, which is the rule for where a
+    UDTF may sit in a 100 TB plan (never on the fact side)."""
+    e = load_table(spark, sf_dir, "events")
+    agged = e.groupBy("event_type").agg(
+        _make_cents_sum_udaf()("value").alias("total_cents"),
+        _make_row_count_udaf()("value").alias("n"),
+    )
+
+    @udtf(returnType="event_type string, stat string, v bigint")
+    class UnpivotStats:
+        def eval(self, row):
+            yield (row["event_type"], "total_cents", row["total_cents"])
+            yield (row["event_type"], "n", row["n"])
+
+    spark.udtf.register("unpivot_stats", UnpivotStats)
+    agged.createOrReplaceTempView("u_compose_agged")
+    return spark.sql(
+        """
+        SELECT t.event_type, t.stat, t.v
+        FROM unpivot_stats(
+          TABLE(SELECT event_type, total_cents, n FROM u_compose_agged)
+        ) AS t
+        """
+    )

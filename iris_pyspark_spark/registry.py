@@ -85,121 +85,112 @@ def register(
 #: exactly the first 50 entries), so the prefix must span EVERY SURVEY §2
 #: row — tests/test_registry_order.py pins that invariant.
 #:
-#: Round-3 rotation: rounds 1+2 driver-proved 74 distinct queries; this
-#: round's 50 slots go EXCLUSIVELY to queries with no driver row yet
-#: (including four new multi-tag queries written to cover the rows whose
-#: only prior representatives were already proven: S3/P3/P4/P1, J4/A5/A6,
-#: J9/J10, T2/T6/T5). Coverage of all 66 rows is preserved via tags.
-#: Entries past slot 50 continue with the remaining never-checked queries
-#: so a larger sweep budget still lands on new proof first.
+#: Round-4 rotation: rounds 1-3 driver-proved 122 distinct queries; this
+#: round's 50 slots again go EXCLUSIVELY to queries with no successful
+#: driver row (the two round-3 canonicalizer-crash queries count as
+#: unchecked — their fixes need driver proof). Six new multi-tag queries
+#: cover the 14 rows whose only representatives were already proven
+#: (J1/J2/A1/A2, S3/P1/P2/P3, J4/J5/A6/P4, J7/J9/J10, T2/T3, U3/U4); the
+#: rest of the slots follow VERDICT r03's priority: the llm_text /
+#: pipeline family, dedup-cluster + SoftDeDup + DSIR, the IVF/PQ quartet,
+#: all four multimodal queries, and the round-3 late additions. Entries
+#: past slot 50 continue with the remaining never-checked queries so a
+#: larger sweep budget still lands on new proof first.
 _PRIORITY = (
-    # -- new coverage queries (rows otherwise only proven-checked) -----
-    "s_jsonl_filter_project",    # S3 P1 P3 P4
-    "a_semi_rollup_having",      # J4 A5 A6
-    "j_cross_self_grid",         # J9 J10
-    "st_sliding_static_join",    # T2 T6 T5
-    # -- sources / filters -------------------------------------------
-    "s_csv_malformed_handling",  # S2 P5
-    "s_binaryfile_source",       # S6 N6
-    "s_minmax_manifest_skipping",# S5 S1
-    "s_merge_upsert",            # S4 S5
-    "s_zorder_clustering",       # S5 F3 O1
-    "s_dynamic_partition_pruning",# S5 J2
-    # -- joins --------------------------------------------------------
-    "j_salted_skew",             # J1 (skew countermeasure)
-    "j_bucketed_colocated",      # J1 (zero-shuffle bucketed)
-    "j_range_bucketed",          # J7 (bucketed range join)
-    "j_asof_tolerance",          # J8 J7
-    "sql_lateral_topk",          # J6 W4
-    "n_incremental_dedup",       # N1 J5
-    # -- aggregates ---------------------------------------------------
-    "a_salted_hot_key",          # A1 (skew countermeasure)
+    # -- round-3 canonicalizer crashes, fixed — prove the fixes --------
     "a_approx_percentile",       # A8 A4 (rows-only by design)
-    "o_setops_all",              # O3 O4
-    # -- scalar function families ------------------------------------
-    "f_aes_roundtrip",           # F7 F1
     "f_array_funcs",             # F4
-    "f_map_funcs",               # F5
-    "f_json_funcs",              # F6
-    # -- UDF matrix ---------------------------------------------------
-    "u_map_in_arrow",            # U5 U1
-    "u_grouped_agg_pandas_udaf", # U3
-    "u_udtf_table_arg",          # U4
-    # -- streaming / event-time --------------------------------------
-    "st_session_window_stream",  # T3 T5
-    "st_stateful_running_count", # T4 U2
-    "st_foreachbatch_upsert",    # T1 T5 S5 (fixed this round — prove it)
-    "t_dedup_by_key",            # T7 P7
-    # -- product analytics -------------------------------------------
-    "e_funnel_ordered",          # T4 A7 W2
-    "e_retention_cohorts",       # T1 A3 W3
-    "e_markov_transitions",      # W2 A1
-    "e_calendar_densify",        # F2 F4 J3
-    "e_ab_test_lift",            # A7 P6 A2
-    "e_anomaly_rolling_zscore",  # W3 T1
-    "e_rfm_segmentation",        # W1 A7 A1
-    "e_time_to_conversion",      # T4 A1 F2
-    "e_event_paths_topk",        # W1 A9 O2
-    # -- curation ops -------------------------------------------------
-    "n_doc_chunking",            # N5 F4
-    "n_token_packing",           # N5 W3
-    "n_contamination_check",     # N2 N5
-    "n_stratified_sample",       # N5 P2
-    "n_epoch_shuffle",           # N5 A1
-    "n_train_val_test_split",    # N5 P6
-    "n_global_ids",              # N5 W1 O1
-    "n_domain_mix_rebalance",    # N5 A2
-    # -- similarity / dedup headliners -------------------------------
-    "n_cosine_topk",             # N3 W4 (headline — slab design)
-    "n_minhash_lsh",             # N2 (rows-only by design, xxhash64)
-    "n_knn_classify",            # N4 N7
-    # ---- slot 51+: remaining never-driver-checked queries ----------
+    # -- new multi-tag coverage queries (rows otherwise proven-only) ---
+    "j_q17_small_qty_revenue",   # J1 J2 A1 A2 (TPC-H Q17 shape)
+    "s_json_predicate_scan",     # S3 P1 P2 P3
+    "j_semi_anti_having",        # J4 J5 A6 P4
+    "j_theta_self_pairs",        # J7 J9 J10 (banded self theta)
+    "t_sliding_session_compare", # T2 T3
+    "u_udaf_udtf_compose",       # U3 U4
+    # -- coverage picks for rows with no other unchecked query ---------
+    "s_recursive_glob_scan",     # S1 S5
+    "s_orc_scan_roundtrip",      # S2 S4
+    "st_python_stream_source",   # S6 T5 S1
+    "sql_q5_local_supplier_volume",  # E2 J6 J1
+    "sql_q8_market_share",       # E2 J6 A7
+    "a_grouping_id",             # A5
+    "a_bool_listagg",            # A9 A1
+    "w_gaps_islands_streaks",    # W1 W2 A1
+    "o_offset_pagination",       # O1 O2
+    "o_union_by_name_evolution", # O3 S1
+    "o_except",                  # O4
     "f_math_funcs",              # F3
+    "f_map_transform",           # F5
+    "f_variant_type",            # F6
+    "ml_kmeans_ivf_cells",       # N4 N7 (rows-only by design)
+    # -- llm_text / curation pipelines (VERDICT r03 priority) ----------
+    "pipeline_data_curation",    # N1 N5 P7
+    "pipeline_pretrain_corpus",  # N1 N5 P6 P7
+    "n_fingerprint",             # N5 F7
+    "n_pii_redaction",           # N5 F1
+    "n_quality_gopher_filters",  # N5 A1
+    "n_tfidf_top_terms",         # N5 A1 W4
+    "n_bm25_retrieval",          # N5 N3 O2
+    "n_vocab_coverage",          # N5 A1 J3
+    "n_importance_weights",      # N5 A1 P6 (DSIR)
+    # -- dedup clusters / soft dedup -----------------------------------
+    "n_dedup_clusters",          # N1 N2 (pointer-jumping components)
+    "n_semdedup_clusters",       # N2 N3 N4
+    "n_soft_dedup_weights",      # N1 N2 (SoftDeDup)
+    # -- IVF / PQ ANN stack --------------------------------------------
+    "n_ivf_knn",                 # N4 N3
+    "n_ivf_recall_eval",         # N4 N3
+    "n_pq_quantize",             # N3 N4 F4
+    "n_pq_adc_search",           # N4 N3
+    # -- multimodal family ---------------------------------------------
+    "m_decode_metadata",         # multimodal U5
+    "m_frame_sampling",          # multimodal F4
+    "m_doc_embedding_multimodal",# N6 N3
+    "m_modality_routing",        # N6 P6
+    # -- UDF matrix ----------------------------------------------------
+    "u_grouped_map_apply_in_pandas",  # U2
+    "u_cogrouped_asof",          # U2 J8
+    "u_scalar_pandas_udf",       # U1
+    # -- round-3 late additions ----------------------------------------
+    "w_forward_fill",            # W2 W3 P5
+    "t_time_weighted_avg",       # T4 W2 F2
+    "e_cumulative_reach",        # A3 T1 W3
+    "st_pipeline_ingest",        # T1 T5 T6 T7
+    # ---- slot 51+: remaining never-driver-checked queries ------------
+    "f_regex_funcs",             # F1 (array fix — prove if budget allows)
     "f_string_funcs",            # F1
     "f_date_funcs",              # F2
     "f_hash_funcs",              # F7
-    "f_variant_type",            # F6
     "f_try_functions",           # F3 P5
     "f_date_advanced",           # F2
     "f_explode_outer",           # F4 P5
     "f_bitwise_funcs",           # F3
     "f_higher_order_funcs",      # F4
-    "f_regex_funcs",             # F1
-    "f_map_transform",           # F5
     "f_url_funcs",               # F1 F6
     "f_collation_group",         # F1 P7
     "f_xml_funcs",               # F6 F1
     "f_interval_arithmetic",     # F2
-    "u_scalar_pandas_udf",       # U1
-    "u_grouped_map_apply_in_pandas",  # U2
-    "u_cogrouped_asof",          # U2 J8
     "u_arrow_python_udf",        # U1
+    "u_grouped_apply_in_arrow",  # U2 U5
+    "u_cogrouped_apply_in_arrow",# U2 J3
     "w_rank_dense_ntile",        # W1
     "w_moving_avg",              # W3
     "w_distribution_funcs",      # W1
     "w_range_interval_frame",    # W3
     "w_first_last_nth",          # W1 W3
     "w_scd2_ranges",             # W2 F2
-    "w_gaps_islands_streaks",    # W1 W2 A1
     "w_mom_change",              # W2 A1 F2
     "o_union_all",               # O3
-    "o_except",                  # O4
-    "o_union_by_name_evolution", # O3 S1
-    "o_offset_pagination",       # O1 O2
     "a_exact_quantiles",         # A8
     "a_argmax_struct",           # A1 N6
     "a_mode_median",             # A8 A1
     "a_histogram_width_bucket",  # A1 F3
-    "a_bool_listagg",            # A9 A1
     "a_percentile_cont_disc",    # A8
-    "a_grouping_id",             # A5
     "sql_stack_tvf",             # E2 F4 P1
     "sql_pipe_syntax",           # E2 A1
     "sql_parameterized",         # E2 P4
     "s_catalog_ddl_sql",         # S1 S4 E2
-    "s_orc_scan_roundtrip",      # S2 S4
     "s_small_file_compaction",   # S4 S1
-    "s_recursive_glob_scan",     # S1 S5
     "s_text_line_scan",          # S2 S4
     "t_tumbling_window",         # T1
     "t_rollup_from_materialized",# T1 A1
@@ -210,51 +201,21 @@ _PRIORITY = (
     "n_token_count",             # N5
     "n_langid",                  # N5
     "n_quality_score",           # N5
-    "n_fingerprint",             # N5 F7
-    "pipeline_data_curation",    # N1 N5 P7
-    "n_pii_redaction",           # N5 F1
-    "n_quality_gopher_filters",  # N5 A1
-    "n_tfidf_top_terms",         # N5 A1 W4
-    "n_bm25_retrieval",          # N5 N3 O2
-    "n_bigram_lm_score",         # N5 A1 F4
     "n_char_entropy",            # N5 A1
-    "pipeline_pretrain_corpus",  # N1 N5 P6 P7
-    "n_vocab_coverage",          # N5 A1 J3
-    "n_dataset_card",            # N5 A2
+    "n_bigram_lm_score",         # N5 A1 F4
     "n_lang_quality_bands",      # N5 P6 A1
+    "n_dataset_card",            # N5 A2
     "n_ngram_jaccard",           # N2
     "n_simhash",                 # N2 (rows-only by design)
     "n_minhash_lsh_mllib",       # N2 (rows-only by design)
     "n_edit_distance_pairs",     # N2 F1
-    "n_dedup_clusters",          # N1 N2
-    "n_semdedup_clusters",       # N2 N3 N4
     "n_url_canonical_dedup",     # N1 F1
     "n_repeated_ngram_spans",    # N2 N5
-    "n_ivf_knn",                 # N4 N3
     "n_embedding_quantize",      # N3 N4 F4
-    "n_ivf_recall_eval",         # N4 N3
-    "m_decode_metadata",         # multimodal U5
-    "m_frame_sampling",          # multimodal F4
-    "m_doc_embedding_multimodal",# N6 N3
-    "m_modality_routing",        # N6 P6
-    "ml_kmeans_ivf_cells",       # N4 N7 (rows-only by design)
-    "st_stream_static_join",     # T6 (streaming twin)
+    "st_stream_static_join",     # T6
     "st_stream_stream_join",     # T6 T5
-    "st_python_stream_source",   # S6 T5 S1 (custom streaming source)
-    "n_soft_dedup_weights",      # N1 N2 (SoftDeDup weighting)
-    "n_importance_weights",      # N5 A1 P6 (DSIR-style selection)
-    "sql_q5_local_supplier_volume",  # E2 J6 J1 (TPC-H Q5 shape)
-    "sql_q8_market_share",       # E2 J6 A7 (TPC-H Q8 shape)
-    "n_pq_quantize",             # N3 N4 F4 (product quantization)
-    "n_pq_adc_search",           # N4 N3 (ADC search over PQ codes)
-    "u_grouped_apply_in_arrow",  # U2 U5 (Arrow-native grouped map)
-    "u_cogrouped_apply_in_arrow",# U2 J3 (Arrow-native cogroup)
-    "s_zstd_parquet_roundtrip",  # S4 S1 (sink codec control)
-    "w_forward_fill",            # W2 W3 P5 (IGNORE NULLS gap filling)
-    "t_time_weighted_avg",       # T4 W2 F2 (TWAP)
-    "e_cumulative_reach",        # A3 T1 W3 (running distinct via first-touch)
-    "st_pipeline_ingest",        # T1 T5 T6 T7 (stacked stateful streaming)
-    "f_hash_spark_native",       # F7 (rows-only by design, Spark-native hashes)
+    "s_zstd_parquet_roundtrip",  # S4 S1
+    "f_hash_spark_native",       # F7 (rows-only by design)
 )
 
 

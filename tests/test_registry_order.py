@@ -54,30 +54,40 @@ def test_prefix_queries_are_oracled_where_possible():
     entries may lack a DuckDB oracle."""
     reg = load_all()
     prefix = dict(itertools.islice(reg.items(), SWEEP_BUDGET))
-    allowed_no_oracle = {"a_approx_percentile", "n_minhash_lsh"}
+    allowed_no_oracle = {"a_approx_percentile", "ml_kmeans_ivf_cells"}
     no_oracle = {n for n, q in prefix.items() if q.oracle is None}
     assert no_oracle <= allowed_no_oracle, no_oracle
 
 
 def test_sweep_prefix_is_all_previously_unchecked():
-    """Round-3 rotation contract: every slot in the 50-entry sweep prefix
-    must be a query with NO driver correctness row from rounds 1-2, so
-    the round-3 sweep converts in-repo green into driver proof at the
-    maximum rate. (Coverage of all §2 rows is preserved by tags — see
-    test_first_50_entries_cover_every_survey_row.)"""
+    """Round-4 rotation contract: every slot in the 50-entry sweep prefix
+    must be a query with NO SUCCESSFUL driver correctness row from rounds
+    1-3, so the round-4 sweep converts in-repo green into driver proof at
+    the maximum rate. A row whose `err` is a hard error (e.g. the round-3
+    canonicalizer TypeErrors) counts as UNCHECKED — the fix still needs
+    driver proof. (Coverage of all §2 rows is preserved by tags — see
+    test_first_50_entries_cover_every_survey_row.)
+
+    Deliberately pinned to rounds 1-3: round 4's prefix IS the set the
+    round-4 driver sweep proves, so including CORRECTNESS_r04.json here
+    would fail the moment it lands. ROUND 5 BUILDER: re-rotate _PRIORITY
+    to the still-unproven remainder (and add r04 to this list) the same
+    way rounds 3 and 4 rotated away from their predecessors."""
     import json
     import os
 
-    # Deliberately pinned to rounds 1-2: round 3's prefix IS the set the
-    # round-3 driver sweep proves, so including CORRECTNESS_r03.json here
-    # would fail the moment it lands. ROUND 4 BUILDER: re-rotate _PRIORITY
-    # to the still-unproven remainder (and add r03 to this list) the same
-    # way round 3 rotated away from rounds 1-2.
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for fname in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         path = os.path.join(root, fname)
-        if os.path.exists(path):
-            checked |= set(json.load(open(path)))
+        if not os.path.exists(path):
+            continue
+        for name, row in json.load(open(path)).items():
+            if row.get("err") is None or row.get("err") == "no_oracle":
+                checked.add(name)
     already = [n for n in _PRIORITY[:SWEEP_BUDGET] if n in checked]
     assert not already, f"sweep slots wasted on driver-proven queries: {already}"
