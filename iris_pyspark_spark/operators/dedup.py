@@ -113,6 +113,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     materialize_path: str | None = None,
+    materialize_fingerprint: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: docs agreeing on ALL rows of at
     least one band land in the same bucket; the bucket equi-join emits
@@ -135,13 +136,20 @@ def lsh_candidate_pairs(
     signed = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes)
     if materialize_path is not None:
         # Artifact reuse across runs: signatures are a pure function of
-        # the (deterministic) corpus, so an existing artifact is served
-        # as-is — the production signature store is append-maintained,
-        # not rebuilt per query.
-        import os
+        # (corpus, shingle_k, num_hashes), so an existing artifact is
+        # served only when its input fingerprint matches — the caller
+        # passes table_fingerprint(sf_dir, ..., params=...). No
+        # fingerprint → always rebuild (correct, just uncached): path
+        # existence alone must never gate reuse, or regenerated corpus
+        # data / changed parameters silently serve stale signatures.
+        from ..sources import artifact_is_current, mark_artifact
 
-        if not os.path.exists(os.path.join(materialize_path, "_SUCCESS")):
+        if materialize_fingerprint is None or not artifact_is_current(
+            materialize_path, materialize_fingerprint
+        ):
             signed.write.mode("overwrite").parquet(materialize_path)
+            if materialize_fingerprint is not None:
+                mark_artifact(materialize_path, materialize_fingerprint)
         signed = df.sparkSession.read.parquet(materialize_path)
     # Band hashes as EXPLICIT columns, not array lambdas: transform()/
     # slice() higher-order expressions evaluate interpreted (~100x

@@ -246,6 +246,21 @@ def cosine_topk_blockwise(
     )
 
 
+#: Persisted-corpus handles from prior cosine_topk_selfsim calls, released
+#: lazily on the next invocation (the result frame is lazy, so release
+#: cannot happen inside the producing call).
+_SELFSIM_CACHE_HANDLES: list[DataFrame] = []
+
+
+def _release_prior_selfsim_cache() -> None:
+    while _SELFSIM_CACHE_HANDLES:
+        handle = _SELFSIM_CACHE_HANDLES.pop()
+        try:
+            handle.unpersist(blocking=False)
+        except Exception:
+            pass  # session torn down — nothing to release
+
+
 def cosine_topk_selfsim(
     corpus: DataFrame,
     c_id: str,
@@ -285,6 +300,13 @@ def cosine_topk_selfsim(
     """
     from pyspark import StorageLevel
 
+    # Release the PREVIOUS invocation's cached corpus before pinning a
+    # new one: the returned frame is lazy, so the persist can't be
+    # dropped inside this call — but without this handoff every
+    # invocation (bench + multi-slab tests) would leak one cached RDD
+    # into the shared session for its lifetime. Unpersisting a prior
+    # handle is always safe: a still-live result plan just recomputes.
+    _release_prior_selfsim_cache()
     parts = corpus.sparkSession.sparkContext.defaultParallelism
     n = corpus.count()  # zero-column scan: metadata-cheap on parquet
     n_slabs = max(1, -(-n // slab_rows))
@@ -294,6 +316,7 @@ def cosine_topk_selfsim(
         .repartition(target_parts)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _SELFSIM_CACHE_HANDLES.append(body)
     outs = []
     for s in range(n_slabs):
         slab_pdf = body.filter(F.col(c_id) % n_slabs == s).toPandas()

@@ -108,12 +108,15 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def n_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes) + LSH(8 bands × 4 rows) candidate pairs over a
     corpus with 50 planted near-dups. Fixed hash seeds → deterministic."""
-    from ..sources import scratch_dir
+    from ..sources import scratch_dir, table_fingerprint
 
     corpus = _near_dup_corpus(spark, sf_dir)
     pairs = lsh_candidate_pairs(
         corpus, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8,
         materialize_path=scratch_dir(sf_dir, "minhash_signatures"),
+        materialize_fingerprint=table_fingerprint(
+            sf_dir, "documents", params="neardup-k3-h32"
+        ),
     )
     # Rows-only self-validation (map-only, nothing added to the LSH hot
     # path): `planted` marks the 50 known near-dup pairs (variant id =

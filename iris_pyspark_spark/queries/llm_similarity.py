@@ -124,15 +124,18 @@ def n_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _materialized_ivf_assignment(
     spark: SparkSession, sf_dir: str, assigned: DataFrame
 ) -> DataFrame:
-    """Write the IVF assignment to its scratch artifact unless it is
-    already there; return the parquet-backed frame either way."""
-    import os
-
-    from ..sources import scratch_dir
+    """Write the IVF assignment to its scratch artifact unless a
+    CURRENT one is already there (input fingerprint: the embeddings
+    parquet + the mod-50 centroid scheme — a regenerated sf_dir or a
+    changed scheme rebuilds instead of serving stale cells); return the
+    parquet-backed frame either way."""
+    from ..sources import artifact_is_current, mark_artifact, scratch_dir, table_fingerprint
 
     ivf_path = scratch_dir(sf_dir, "ivf_assignment")
-    if not os.path.exists(os.path.join(ivf_path, "_SUCCESS")):
+    fp = table_fingerprint(sf_dir, "embeddings", params="ivf-centroids-mod50")
+    if not artifact_is_current(ivf_path, fp):
         assigned.write.mode("overwrite").parquet(ivf_path)
+        mark_artifact(ivf_path, fp)
     return spark.read.parquet(ivf_path)
 
 

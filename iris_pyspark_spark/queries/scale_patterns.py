@@ -217,12 +217,14 @@ def s_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars", "lang"
     )
     path = scratch_dir(sf_dir, "documents_dpp_by_lang")
-    import os
+    from ..sources import artifact_is_current, mark_artifact, table_fingerprint
 
-    # _SUCCESS marker, not bare existence: an interrupted write leaves a
-    # partial directory that bare exists-checks would trust forever.
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # _SUCCESS marker + input fingerprint: an interrupted write or a
+    # regenerated documents.parquet must both trigger a rebuild.
+    fp = table_fingerprint(sf_dir, "documents", params="dpp-by-lang")
+    if not artifact_is_current(path, fp):
         docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+        mark_artifact(path, fp)
     fact = spark.read.parquet(path)
     dim = spark.createDataFrame(
         [

@@ -233,10 +233,14 @@ def st_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure(spark)
     src = scratch_dir(sf_dir, "fb_src")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+    from ..sources import artifact_is_current, mark_artifact, table_fingerprint
+
+    src_fp = table_fingerprint(sf_dir, "events", params="fb-src-4part")
+    if not artifact_is_current(src, src_fp):
         load_table(spark, sf_dir, "events").repartition(4).write.mode(
             "overwrite"
         ).parquet(src)
+        mark_artifact(src, src_fp)
     artifact = scratch_dir(sf_dir, "fb_artifact")
     stage = scratch_dir(sf_dir, "fb_artifact_stage")
     # Fresh artifact AND checkpoint per run: a checkpoint surviving a
@@ -482,8 +486,18 @@ def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded memory); the conf is restored after the drain so sibling
     streams keep their configured provider. Draining the source makes
     each key's last update equal the batch aggregate, which the oracle
-    checks. Registered only when protobuf is importable (see
-    _protobuf_available)."""
+    checks. ALWAYS registered; raises EnvironmentGated at execution when
+    protobuf is missing (its Python runner needs google.protobuf, absent
+    in this container) so registry size/content never depends on the
+    environment. UNTESTED HERE for that reason — exercised only on
+    protobuf-capable machines."""
+    if not _protobuf_available():
+        from ..registry import EnvironmentGated
+
+        raise EnvironmentGated(
+            "transformWithStateInPandas requires google.protobuf, which is "
+            "not installed in this environment"
+        )
     import pandas as pd
 
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
@@ -497,12 +511,20 @@ def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
             n, cents_total = (
                 self._totals.get() if self._totals.exists() else (0, 0)
             )
             for pdf in rows:
                 n += len(pdf)
-                cents_total += int(round(pdf["value"] * 100).sum())
+                # Half-away-from-zero like SQL ROUND / joins.cents — NOT
+                # pandas .round(), whose numpy half-to-even diverges on
+                # exact .5 cents.
+                x = pdf["value"].to_numpy(dtype="float64") * 100.0
+                cents_total += int(
+                    np.trunc(x + np.copysign(0.5, x)).astype("int64").sum()
+                )
             self._totals.update((n, cents_total))
             yield pd.DataFrame(
                 {
@@ -543,10 +565,9 @@ def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-if _protobuf_available():
-    register("st_transform_with_state", oracle=_TWS_ORACLE, tags=("T4", "T7", "U2"))(
-        st_transform_with_state
-    )
+register("st_transform_with_state", oracle=_TWS_ORACLE, tags=("T4", "T7", "U2"))(
+    st_transform_with_state
+)
 
 
 _ST_PIPELINE_ORACLE = f"""

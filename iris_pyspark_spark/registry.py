@@ -27,6 +27,14 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+class EnvironmentGated(RuntimeError):
+    """Raised at EXECUTION time by a query whose runtime dependency is
+    absent in this environment (e.g. transformWithStateInPandas needs
+    google.protobuf). Queries are always REGISTERED — registry size and
+    iteration order must never depend on the environment — and gate
+    here instead; the test suite skips on this exception."""
+
+
 @dataclass(frozen=True)
 class Query:
     name: str

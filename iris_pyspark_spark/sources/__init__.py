@@ -24,3 +24,45 @@ def scratch_dir(sf_dir: str, name: str) -> str:
     """Deterministic per-(scale-factor, query) scratch path."""
     sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
     return os.path.join(SCRATCH_ROOT, sf, name)
+
+
+def table_fingerprint(sf_dir: str, *tables: str, params: str = "") -> str:
+    """Fingerprint of artifact INPUTS: derivation params + the absolute
+    path, size, and mtime of every source parquet file. Metadata-only —
+    no Spark job, no data read. Changes whenever the driver regenerates
+    the scale-factor data, a differently-located sf_dir shares a
+    basename with a cached one, or the derivation parameters change —
+    exactly the three stale-reuse failure modes of a bare path check."""
+    parts = [params]
+    for t in tables:
+        p = os.path.abspath(os.path.join(sf_dir, f"{t}.parquet"))
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def _fingerprint_file(path: str) -> str:
+    return path.rstrip("/") + ".fingerprint"
+
+
+def artifact_is_current(path: str, fingerprint: str) -> bool:
+    """True iff `path` holds a COMPLETE artifact (_SUCCESS marker — an
+    interrupted write must never be trusted) built from inputs matching
+    `fingerprint` (sidecar file — a stale artifact must never be
+    served)."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    fp_file = _fingerprint_file(path)
+    if not os.path.exists(fp_file):
+        return False
+    with open(fp_file) as f:
+        return f.read() == fingerprint
+
+
+def mark_artifact(path: str, fingerprint: str) -> None:
+    """Record the input fingerprint next to a freshly written artifact.
+    Written AFTER the parquet commit: a crash between the two leaves a
+    _SUCCESS-complete artifact with no/old sidecar, which
+    artifact_is_current treats as stale → rebuild, never wrong reuse."""
+    with open(_fingerprint_file(path), "w") as f:
+        f.write(fingerprint)

@@ -229,3 +229,37 @@ def test_pq_codes_exact_codeword_zero_distance(spark):
     ).collect()
     assert len(out) == subs
     assert all(r.code == 1 and r.d2 == 0.0 for r in out), out
+
+
+def test_artifact_fingerprint_gates_reuse(tmp_path, sf_dir):
+    """Artifact reuse must require BOTH a complete write (_SUCCESS) and a
+    matching input fingerprint; parameter changes and source-data changes
+    each invalidate (the ADVICE r03 stale-artifact class)."""
+    import os
+
+    from iris_pyspark_spark.sources import (
+        artifact_is_current,
+        mark_artifact,
+        table_fingerprint,
+    )
+
+    art = str(tmp_path / "artifact")
+    fp = table_fingerprint(sf_dir, "documents", params="k3-h32")
+    # No directory at all -> stale.
+    assert not artifact_is_current(art, fp)
+    # Complete marker but no fingerprint sidecar -> stale (never trust
+    # a pre-fingerprint-era artifact).
+    os.makedirs(art)
+    open(os.path.join(art, "_SUCCESS"), "w").close()
+    assert not artifact_is_current(art, fp)
+    # Marked with the current fingerprint -> current.
+    mark_artifact(art, fp)
+    assert artifact_is_current(art, fp)
+    # Changed params -> stale.
+    fp_other = table_fingerprint(sf_dir, "documents", params="k5-h64")
+    assert fp_other != fp
+    assert not artifact_is_current(art, fp_other)
+    # Different source table (stand-in for regenerated data: path/size/
+    # mtime all enter the fingerprint) -> stale.
+    fp_embed = table_fingerprint(sf_dir, "embeddings", params="k3-h32")
+    assert not artifact_is_current(art, fp_embed)
