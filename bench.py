@@ -38,14 +38,19 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort
 
-    # Two measured runs per query, report the faster: the container this
-    # runs in shows 3-8x wall-clock spikes from external CPU contention
-    # (same plan, same data, back-to-back runs: 36s vs 4s), and min-of-N
-    # is the standard way to measure the engine rather than the noise.
+    # Four measured runs per query, report the fastest: the container
+    # this runs in shows 3-8x wall-clock spikes from external CPU
+    # contention (same plan, same data, back-to-back runs: 36s vs 4s),
+    # and min-of-N measures the engine rather than the noise. n=2 proved
+    # too jittery to distinguish a real regression from scheduler luck
+    # (round-3 verdict: three join headliners swung 27-40% with no code
+    # change on their path); n=4 keeps the round-over-round comparison
+    # meaningful at ~30s extra wall-clock.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     timings: dict[str, float] = {}
     for name, q in sorted(headline.items()):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -58,7 +63,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
-                "n": 2,  # min-of-2 runs per query (see contention note above)
+                "n": n_runs,  # min-of-n runs per query (see contention note)
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -35,10 +35,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
-    # MIN/MAX/COUNT over parquet answer from footer statistics instead
-    # of scanning row groups (off by default; pure win for the metadata
-    # probes and dataset-card style aggregates this engine runs a lot).
-    "spark.sql.parquet.aggregatePushdown": "true",
+    # NOTE: spark.sql.parquet.aggregatePushdown was set here in round 3
+    # and removed in round 4: it only applies to the DSv2 parquet reader,
+    # and Spark's default spark.sql.sources.useV1SourceList keeps parquet
+    # on the v1 FileScan path — verified empirically (MIN/MAX probe plan
+    # shows FileScan with no PushedAggregation). An inert conf is worse
+    # than none: it reads as a capability the engine doesn't deliver.
+    # Footer-stats skipping for MIN/MAX probes is instead provided
+    # explicitly by s_minmax_manifest_skipping's manifest pattern.
 }
 
 

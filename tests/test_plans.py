@@ -190,3 +190,12 @@ def test_minhash_banding_stays_codegen(spark, sf_dir):
     # The banding projection appears below the pair join; 'slice(' in
     # the final plan would mean the interpreted form regressed back in.
     assert "slice(sig" not in plan, plan[:2000]
+
+
+def test_q17_broadcasts_aggregated_subquery(spark, sf_dir):
+    """TPC-H Q17 shape: both the filtered part-key list and the per-part
+    average (the correlated-aggregate side) must broadcast — the fact
+    table is scanned but never shuffle-joined."""
+    plan = _executed_plan(spark, "j_q17_small_qty_revenue", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
