@@ -74,14 +74,21 @@ def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the driver records its weaker rows-only check (SURVEY.md §5.2).
 @register("a_approx_count_distinct", oracle=None, tags=("A4",))
 def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only self-validation: the exact distinct rides the same row
+    and `approx_ok` bounds the HLL estimate to 5x the configured rsd —
+    checkable from the sweep output alone."""
     li = load_table(spark, sf_dir, "lineitem")
     # rsd=0.02: half the precision digits of the default demo but 4x
     # smaller HLL register arrays per partial aggregate — the sketch
     # size, not the row count, dominates this aggregate's cost.
-    return li.groupBy("l_returnflag").agg(
+    agged = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    rel_err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col(
+        "exact_parts"
+    )
+    return agged.withColumn("approx_ok", rel_err <= 0.1)
 
 
 @register(
@@ -306,7 +313,19 @@ def a_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_docs").alias("n_docs_total"),
     )
-    return merged
+    # Rows-only self-validation: the exact distinct rides the single
+    # output row (broadcast of a 1-row aggregate) and `approx_ok`
+    # bounds the merged-sketch estimate to 5% relative error — the
+    # merge must not degrade accuracy versus a single global sketch.
+    exact = docs.agg(F.countDistinct("text").alias("exact_distinct_texts"))
+    rel_err = (
+        F.abs(F.col("approx_distinct_texts") - F.col("exact_distinct_texts"))
+        / F.col("exact_distinct_texts")
+    )
+    return (
+        merged.crossJoin(broadcast(exact))
+        .withColumn("approx_ok", rel_err <= 0.05)
+    )
 
 
 _MODERN_AGGS_ORACLE = """

@@ -259,13 +259,27 @@ _set_oracle("n_embedding_near_dup")
 def n_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (Hamming ≤ 8) over the same planted
     near-dup corpus; pigeonhole multi-band blocking keeps the pair space
-    an equi-join while guaranteeing recall at the Hamming limit."""
+    an equi-join while guaranteeing recall at the Hamming limit.
+
+    Rows-only self-validation (xxhash64-based signature has no DuckDB
+    oracle): `planted` marks the known near-dup pairs (variant id =
+    original + 100000 — a reader can count them against the 50 planted
+    copies), `ham_ok` pins every emitted pair inside the Hamming limit
+    the operator promises. Map-only additions, nothing in the join path.
+    """
     corpus = _near_dup_corpus(spark, sf_dir)
     sigs = corpus.select(
         "doc_id",
         simhash64("split(lower(text), ' ')").alias("simhash"),
     )
-    return simhash_near_pairs(sigs, "doc_id", "simhash", max_hamming=8)
+    pairs = simhash_near_pairs(sigs, "doc_id", "simhash", max_hamming=8)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "hamming",
+        (F.col("id_b") == F.col("id_a") + 100000).alias("planted"),
+        (F.col("hamming") <= 8).alias("ham_ok"),
+    )
 
 
 @register("n_minhash_lsh_mllib", oracle=None, tags=("N2",))
@@ -289,12 +303,20 @@ def n_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    # Rows-only self-validation (MinHashLSH seeds are library-internal —
+    # no oracle): `planted` marks the known pairs (variant = original +
+    # 100000), `dist_ok` pins every emitted distance inside the join
+    # threshold. Map-only, nothing added to the LSH join itself.
     return (
         joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("id_a"),
             F.col("datasetB.doc_id").alias("id_b"),
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
+            (F.col("datasetB.doc_id") == F.col("datasetA.doc_id") + 100000).alias(
+                "planted"
+            ),
+            (F.col("jaccard_dist") <= 0.5).alias("dist_ok"),
         )
         .orderBy("id_a", "id_b")
     )

@@ -117,14 +117,24 @@ def ml_kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     km = KMeans(k=16, seed=42, maxIter=10)
     model = km.fit(emb)
     assigned = model.transform(emb)
-    # Rows-only self-validation: `assigned_total` (same window-sum every
-    # row) must equal |embeddings| — every vector lands in exactly one
-    # cell, none dropped or double-assigned by the index build.
+    # Rows-only self-validation: `total_ok` asserts the window-sum of
+    # per-cell counts equals |embeddings| IN-ROW (every vector lands in
+    # exactly one cell — none dropped or double-assigned by the index
+    # build), and `cell_ok` pins each cell id to the trained range
+    # [0, 16). Both booleans must be true on every row; a reader of the
+    # sweep output needs no external count to check them.
     from pyspark.sql.window import Window
 
+    from pyspark.sql.functions import broadcast
+
+    corpus_n = emb.agg(F.count(F.lit(1)).alias("corpus_total"))
     return (
         assigned.groupBy(F.col("prediction").alias("cell_id"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .withColumn("assigned_total", F.sum("n_vectors").over(Window.partitionBy()))
+        .crossJoin(broadcast(corpus_n))
+        .withColumn("total_ok", F.col("assigned_total") == F.col("corpus_total"))
+        .withColumn("cell_ok", (F.col("cell_id") >= 0) & (F.col("cell_id") < 16))
+        .drop("corpus_total")
         .orderBy("cell_id")
     )

@@ -278,12 +278,32 @@ def f_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the hash basis for the dedup operators so they get their own entry.
 @register("f_hash_spark_native", oracle=None, tags=("F7",))
 def f_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only self-validation: `crc_ok` pins crc32 into its 32-bit
+    range per row, and `collision_ok` (broadcast of a 1-row summary)
+    asserts xxhash64 is injective on this corpus — distinct hash count
+    equals distinct text count, the property every dedup operator built
+    on it depends on."""
+    from pyspark.sql.functions import broadcast
+
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.xxhash64("text").alias("text_xxh64"),
-        F.crc32("lang").alias("lang_crc32"),
-        F.hash("text", "lang").alias("row_hash32"),
+    summary = d.agg(
+        F.countDistinct("text").alias("n_texts"),
+        F.countDistinct(F.xxhash64("text")).alias("n_hashes"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.xxhash64("text").alias("text_xxh64"),
+            F.crc32("lang").alias("lang_crc32"),
+            F.hash("text", "lang").alias("row_hash32"),
+        )
+        .crossJoin(broadcast(summary))
+        .withColumn(
+            "crc_ok",
+            (F.col("lang_crc32") >= 0) & (F.col("lang_crc32") <= F.lit(4294967295)),
+        )
+        .withColumn("collision_ok", F.col("n_hashes") == F.col("n_texts"))
+        .drop("n_texts", "n_hashes")
     )
 
 

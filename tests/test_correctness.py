@@ -40,7 +40,16 @@ def test_rows_only(name, spark, sf_dir):
         pytest.skip(str(e))
     assert_driver_safe_schema(df, name)
     assert len(df.columns) > 0
-    assert df.count() >= 1, f"{name}: returned no rows"
+    pdf = df.toPandas()
+    assert len(pdf) >= 1, f"{name}: returned no rows"
+    # Self-validation contract for rows-only queries: with no oracle,
+    # the output must carry its own invariants — at least one `*_ok`
+    # boolean column, and every `*_ok` column must be TRUE on every row
+    # (planted-pair recall, sketch error bounds, range pins, ...).
+    ok_cols = [c for c in pdf.columns if c.endswith("_ok")]
+    assert ok_cols, f"{name}: rows-only query carries no *_ok validation column"
+    for c in ok_cols:
+        assert pdf[c].all(), f"{name}: validation column {c} has false rows"
 
 
 def test_entry_smoke(spark):
