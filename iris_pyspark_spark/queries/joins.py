@@ -474,7 +474,12 @@ WHERE s.l_quantity < l.qty_limit
 """
 
 
-@register("j_q17_small_qty_revenue", oracle=_Q17_ORACLE, tags=("J1", "J2", "A1", "A2"))
+@register(
+    "j_q17_small_qty_revenue",
+    oracle=_Q17_ORACLE,
+    tags=("J1", "J2", "A1", "A2"),
+    headline=True,
+)
 def j_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from orders of a brand's parts whose
     quantity is below 0.2x that part's average — the classic correlated

@@ -610,7 +610,7 @@ _PYSTREAM_ORACLE = """
 SELECT sensor_id % 7            AS bucket,
        COUNT(*)                 AS n,
        SUM((sensor_id % 7) + 0.5) AS total_reading
-FROM range(0, 400) t(sensor_id)
+FROM range(0, 300) t(sensor_id)
 GROUP BY 1
 """
 
@@ -622,7 +622,7 @@ GROUP BY 1
 )
 def st_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom STREAMING Python Data Source end to end: the bounded
-    sensors feed (4 offset-tracked batches × 100 rows) is drained into
+    sensors feed (3 offset-tracked batches × 100 rows) is drained into
     a parquet sink through REPEATED AvailableNow runs sharing one
     checkpoint — each run resumes from the committed offset and
     advances, which is the restart-recovery contract a bespoke feed
@@ -648,7 +648,7 @@ def st_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     def drain_once() -> None:
         q = (
             spark.readStream.format("demo_sensors_stream")
-            .option("batches", "4")
+            .option("batches", "3")
             .option("rows_per_batch", "100")
             .load()
             .writeStream.format("parquet")
@@ -661,7 +661,7 @@ def st_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     seen = -1
-    for _ in range(8):  # 4 data batches + the empty run that ends the loop
+    for _ in range(6):  # 3 data batches + the empty run that ends the loop
         drain_once()
         n = spark.read.parquet(sink).count()
         if n == seen:

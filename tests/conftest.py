@@ -16,7 +16,38 @@ SF_DIR = os.environ.get("IRIS_PYSPARK_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="iris-pyspark-tests", master="local[8]", shuffle_partitions=8)
+    # Suite wall-clock is ~600 tiny Spark jobs dominated by per-job task
+    # scheduling, not data volume. Measured whole-suite (under heavy
+    # external container contention, so ±10% noise): local[8]/sh8 205s,
+    # local[16]/sh16 211s, local[16]/sh4 230s, local[16]/sh8 226s —
+    # local[8] wins; more local threads just add dispatch overhead for
+    # MB-scale partitions. Shuffle/RDD compression off: tiny data; none
+    # of these knobs exist in the production session factory, where AQE
+    # sizes partitions.
+    cpus = os.environ.get("IRIS_PYSPARK_TEST_CPUS", "8")
+    s = get_spark(
+        app_name="iris-pyspark-tests",
+        master=f"local[{cpus}]",
+        shuffle_partitions=8,
+    )
+    for k, v in {
+        "spark.shuffle.compress": "false",
+        "spark.shuffle.spill.compress": "false",
+        "spark.rdd.compress": "false",
+        # Whole-stage codegen OFF for the suite: at sf0.01 Janino
+        # compilation of ~700 generated stages dominates wall-clock
+        # (A/B: 40 scalar queries 20.9s with codegen vs 10.3s without;
+        # even the unrolled 64-dim similarity expressions are faster
+        # interpreted at this data size). Correctness is identical;
+        # the driver's own sweep and the /verify contract drive run
+        # vanilla sessions WITH codegen, so the production path stays
+        # exercised end-to-end each round.
+        "spark.sql.codegen.wholeStage": "false",
+    }.items():
+        try:
+            s.conf.set(k, v)
+        except Exception:
+            pass  # static conf on an existing session — keep the default
     yield s
 
 
@@ -30,3 +61,28 @@ def oracle():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def query_result(spark, sf_dir):
+    """Session-scoped (DataFrame, pandas) cache per registered query.
+
+    Several test files exercise the same registered queries (oracle
+    match, approx-accuracy envelopes, plan-shape gates), and many query
+    builders do EAGER work inside fn() — staging scratch artifacts,
+    draining AvailableNow streams — so each uncached re-invocation
+    repeats real Spark jobs, not just plan construction. One execution
+    per query per session is both faster and closer to the driver's
+    behavior (which also runs each query exactly once)."""
+    from iris_pyspark_spark.registry import load_all
+
+    reg = load_all()
+    cache: dict[str, tuple] = {}
+
+    def run(name: str):
+        if name not in cache:
+            df = reg[name].fn(spark, sf_dir)
+            cache[name] = (df, df.toPandas())
+        return cache[name]
+
+    return run

@@ -18,29 +18,26 @@ ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
-def test_oracle_match(name, spark, oracle, sf_dir):
+def test_oracle_match(name, query_result, oracle):
     q = REGISTRY[name]
     try:
-        df = q.fn(spark, sf_dir)
+        df, spark_pdf = query_result(name)
     except EnvironmentGated as e:
         pytest.skip(str(e))
     assert_driver_safe_schema(df, name)
-    spark_pdf = df.toPandas()
     oracle_pdf = oracle.execute(q.oracle).df()
     res = compare_frames(spark_pdf, oracle_pdf)
     assert res.ok, f"{name}: {res.detail}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only(name, spark, sf_dir):
-    q = REGISTRY[name]
+def test_rows_only(name, query_result):
     try:
-        df = q.fn(spark, sf_dir)
+        df, pdf = query_result(name)
     except EnvironmentGated as e:
         pytest.skip(str(e))
     assert_driver_safe_schema(df, name)
     assert len(df.columns) > 0
-    pdf = df.toPandas()
     assert len(pdf) >= 1, f"{name}: returned no rows"
     # Self-validation contract for rows-only queries: with no oracle,
     # the output must carry its own invariants — at least one `*_ok`
