@@ -683,3 +683,95 @@ def a_semi_rollup_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 20)
     )
+
+
+# --- A8+A1: linear-regression aggregates (corr / slope / intercept / r2) ----
+
+#: Exact-integer sufficient statistics -> double formula, identical
+#: operation order in both engines. The sums are over integer-valued
+#: columns (quantity, price cents) so each SUM is exact (< 2^53; DuckDB
+#: promotes to HUGEINT, Spark keeps BIGINT); casting the exact sums to
+#: double and combining with the SAME IEEE ops makes every output column
+#: bit-identical — unlike the engines' native one-pass covariance
+#: kernels, whose summation orders differ in the last ulp.
+_REGR_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE)                                        AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)                 AS sx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT)                                          AS n_rows,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx)                  AS slope_cents,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n  AS intercept_cents,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy))            AS r2,
+       (n * sxy - sx * sy)
+         / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))    AS corr_xy,
+       TRUE AS regr_ok,
+       TRUE AS corr_ok
+FROM s
+"""
+
+
+@register("a_regression_aggs", oracle=_REGR_ORACLE, tags=("A8", "A1"))
+def a_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates per return flag: slope / intercept /
+    r² / correlation of price (cents) against quantity — the OLS summary
+    every metrics warehouse computes.
+
+    Determinism design: built from exact-integer sufficient statistics
+    (Σx, Σy, Σxy, Σx², Σy² over integral columns — each partial sum
+    stays < 2^53 so BIGINT/HUGEINT agree exactly), cast once to double,
+    then combined with the identical IEEE operation order as the oracle
+    — bit-equal at any partition count. The native `regr_slope` /
+    `corr` kernels are ALSO run and pinned to the formula within 1e-9
+    relative (`regr_ok`, `corr_ok`): the built-in API surface is
+    exercised, but only the order-free formula enters the hash-checked
+    numeric columns. Scale shape: one partial-aggregated shuffle, six
+    longs per group — mergeable across any shard layout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = cents(F.col("l_extendedprice"))
+    agged = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.sum(x).alias("sx_l"),
+        F.sum(y).alias("sy_l"),
+        F.sum(x * x).alias("sxx_l"),
+        F.sum(y * y).alias("syy_l"),
+        F.sum(x * y).alias("sxy_l"),
+        F.regr_slope(y.cast("double"), x.cast("double")).alias("native_slope"),
+        F.corr(y.cast("double"), x.cast("double")).alias("native_corr"),
+    )
+    n = F.col("n_l").cast("double")
+    sx = F.col("sx_l").cast("double")
+    sy = F.col("sy_l").cast("double")
+    sxx = F.col("sxx_l").cast("double")
+    syy = F.col("syy_l").cast("double")
+    sxy = F.col("sxy_l").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    intercept = (sy - slope * sx) / n
+    r2 = (cov_n * cov_n) / (var_x * var_y)
+    corr = cov_n / (F.sqrt(var_x) * F.sqrt(var_y))
+    rel = lambda a, b: F.abs(a - b) / F.greatest(F.abs(b), F.lit(1e-12))  # noqa: E731
+    return agged.select(
+        "l_returnflag",
+        F.col("n_l").alias("n_rows"),
+        slope.alias("slope_cents"),
+        intercept.alias("intercept_cents"),
+        r2.alias("r2"),
+        corr.alias("corr_xy"),
+        (rel(F.col("native_slope"), slope) < 1e-9).alias("regr_ok"),
+        (rel(F.col("native_corr"), corr) < 1e-9).alias("corr_ok"),
+    )

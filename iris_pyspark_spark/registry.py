@@ -224,6 +224,7 @@ _PRIORITY = (
     "st_stream_stream_join",     # T6 T5
     "s_zstd_parquet_roundtrip",  # S4 S1
     "f_hash_spark_native",       # F7 (rows-only by design)
+    "a_regression_aggs",         # A8 A1 (OLS aggregates, round-4 addition)
 )
 
 
