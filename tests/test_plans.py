@@ -216,3 +216,43 @@ def test_theta_self_pairs_is_banded_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan[:2000]
+
+
+#: Queries whose plan legitimately contains a BroadcastNestedLoopJoin —
+#: every one broadcasts a PROVABLY BOUNDED side (16-row PQ codebook,
+#: 1-row totals, the 5-row region/status grids, <=10-row probe sets,
+#: per-source weight tables). Audited round 4; a query appearing here
+#: must justify its bound in its docstring.
+_BNLJ_ALLOWED = frozenset({
+    "a_hll_sketch_mergeable", "f_hash_spark_native", "j_cross",
+    "j_cross_self_grid", "j_theta_self_pairs", "m_doc_embedding_multimodal",
+    "ml_kmeans_ivf_cells", "n_bigram_lm_score", "n_bm25_retrieval",
+    "n_dataset_card", "n_domain_mix_rebalance", "n_importance_weights",
+    "n_ivf_recall_eval", "n_knn_bruteforce", "n_knn_classify",
+    "n_pq_adc_search", "n_pq_quantize", "n_tfidf_top_terms",
+    "pipeline_pretrain_corpus", "s_minmax_manifest_skipping",
+    "s_small_file_compaction",
+})
+
+
+def test_registry_wide_no_accidental_cartesians(query_result):
+    """100 TB posture gate over EVERY registered query's physical plan:
+    no CartesianProduct anywhere, and BroadcastNestedLoopJoin only in
+    the audited bounded-broadcast whitelist — a dropped broadcast hint
+    or an accidentally non-equi join fails here, not on a cluster.
+    Reuses the session-scoped executed plans, so in a full suite run
+    this adds no Spark jobs."""
+    from iris_pyspark_spark.registry import EnvironmentGated, load_all
+
+    offenders = {}
+    for name in load_all():
+        try:
+            df, _ = query_result(name)
+        except EnvironmentGated:
+            continue
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders[name] = "unaudited BroadcastNestedLoopJoin"
+    assert not offenders, offenders
