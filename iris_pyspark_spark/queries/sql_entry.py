@@ -424,3 +424,27 @@ ORDER BY o_year
 def sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_Q8)
+
+
+#: Lateral column aliases (Spark 3.4+): a SELECT item referencing an
+#: alias defined earlier in the SAME select list — the spreadsheet-style
+#: derivation chain users write constantly; before 3.4 it forced nested
+#: subqueries. DuckDB supports the identical syntax, so one SQL text
+#: runs on both engines. Elementwise IEEE ops in the same order on the
+#: same doubles → bit-equal without integer-cents scaffolding; the final
+#: cents cast just pins the money column's type.
+_LCA = """
+SELECT l_orderkey,
+       l_linenumber,
+       l_extendedprice * (1 - l_discount)           AS net,
+       net * (1 + l_tax)                            AS gross,
+       CAST(ROUND(gross * 100) AS BIGINT)           AS gross_cents
+FROM lineitem
+WHERE l_quantity >= 45
+"""
+
+
+@register("sql_lateral_column_alias", oracle=_LCA, tags=("E2", "P1"))
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_LCA)

@@ -225,6 +225,7 @@ _PRIORITY = (
     "s_zstd_parquet_roundtrip",  # S4 S1
     "f_hash_spark_native",       # F7 (rows-only by design)
     "a_regression_aggs",         # A8 A1 (OLS aggregates, round-4 addition)
+    "sql_lateral_column_alias",  # E2 P1 (Spark 3.4 LCA, round-4 addition)
 )
 
 
