@@ -613,6 +613,8 @@ def j_theta_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sum of bucket-pair sizes), not O(n^2), and skew stays bounded by
     bucket population. The final crossJoin is broadcast(region): 5 rows
     against a 25-row aggregate — the only legitimate cross shape."""
+    from ..operators.banding import banded_abs_diff_pairs
+
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -621,21 +623,13 @@ def j_theta_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
         cents(F.col("s_acctbal")).alias("bal_cents"),
     )
-    bucket = (F.col("bal_cents") / 10000).cast("long")
-    left = s.withColumn(
-        "probe_bucket", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    banded = banded_abs_diff_pairs(
+        s, id_col="s_suppkey", group_col="s_nationkey",
+        val_col="bal_cents", band=10000,
+    ).select(
+        F.col("s_nationkey").alias("nk"),
+        F.col("diff").alias("diff_cents"),
     )
-    right = s.withColumn("bucket", bucket)
-    pairs = left.alias("a").join(
-        right.alias("b"),
-        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
-        & (F.col("a.probe_bucket") == F.col("b.bucket"))
-        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
-    )
-    banded = pairs.select(
-        F.col("a.s_nationkey").alias("nk"),
-        F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")).alias("diff_cents"),
-    ).filter(F.col("diff_cents") <= 10000)
     per_nation = banded.groupBy("nk").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("diff_cents").alias("sum_diff_cents"),

@@ -264,3 +264,47 @@ def test_global_ids_match_enumerate(spark):
     }
     expected = {row: i + 1 for i, row in enumerate(row_list)}
     assert got == expected
+
+
+def test_banded_pairs_match_naive_quadratic(spark):
+    """banded_abs_diff_pairs vs the naive O(n^2) reference on seeded
+    random values — negatives, zeros, and exact band-boundary diffs
+    included (the trunc-toward-zero bucket edge cases the correctness
+    argument in operators/banding.py covers). Batched into ONE Spark
+    round: groups namespace the examples."""
+    import itertools
+    import random
+
+    from pyspark.sql import Row
+
+    from iris_pyspark_spark.operators.banding import banded_abs_diff_pairs
+
+    rng = random.Random(20260814)
+    BAND = 100
+    rows, expected = [], set()
+    rid = 0
+    for ex in range(24):
+        # Mix of uniform spread, tight clusters, and exact-boundary values.
+        vals = (
+            [rng.randint(-500, 500) for _ in range(rng.randint(2, 12))]
+            + [0, BAND, -BAND, BAND - 1, -(BAND - 1)][: rng.randint(0, 5)]
+        )
+        ids = []
+        for v in vals:
+            rows.append(Row(rid=rid, grp=ex, val=v))
+            ids.append((rid, v))
+            rid += 1
+        for (ia, va), (ib, vb) in itertools.combinations(ids, 2):
+            if abs(va - vb) <= BAND:
+                a, b = min(ia, ib), max(ia, ib)
+                expected.add((ex, a, b, abs(va - vb)))
+    df = spark.createDataFrame(rows, "rid long, grp int, val long")
+    got = {
+        (r.grp, r.id_a, r.id_b, r.diff)
+        for r in banded_abs_diff_pairs(
+            df, id_col="rid", group_col="grp", val_col="val", band=BAND
+        ).collect()
+    }
+    assert got == expected, (
+        f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}"
+    )
