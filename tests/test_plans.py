@@ -256,3 +256,47 @@ def test_registry_wide_no_accidental_cartesians(query_result):
         elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
             offenders[name] = "unaudited BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_injectable(spark, sf_dir):
+    """Spark's InjectRuntimeFilter must fire for the selective-dim ⋈
+    fact shape this engine relies on at scale: with the size gates
+    lowered to test scale (production defaults — application side
+    >10 GB — trigger on their own at 100 TB), a bloom_filter_agg built
+    from the filtered orders side must appear in the fact scan's plan.
+    Guards against a session conf or plan shape silently disabling
+    semi-join reduction."""
+    from pyspark.sql import functions as F
+
+    from iris_pyspark_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
