@@ -1110,3 +1110,57 @@ def n_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_logratio_micro"),
     )
+
+
+# --- Misra-Gries heavy hitters: mergeable top-terms without full shuffle ----
+
+
+@register("n_heavy_hitters_sketch", oracle=None, tags=("N5", "A4", "U5"))
+def n_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms from a mergeable Misra-Gries sketch
+    (capacity 50 per partition): one map-side Arrow-batched pass emits
+    <= 51 rows per partition, the only shuffle aggregates those tiny
+    summaries — the 100 TB alternative to the full token groupBy, whose
+    exact counts are joined back HERE only as self-validation.
+
+    Rows-only by design: counter values depend on partition/batch
+    arrival order (deterministic within an environment, not across
+    layouts). The sketch's two provable invariants ride every row as
+    `under_ok` (estimate never exceeds the true count) and `err_ok`
+    (undercount bounded by the summed per-partition dropped mass) —
+    plus `bound_useful` pinning that the error bound is small enough
+    to order the true heavy hitters at this scale."""
+    from pyspark.sql.functions import broadcast
+
+    from ..operators.sketches import DROPS_SENTINEL, mg_partial_counters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    partials = mg_partial_counters(toks, "term", capacity=50)
+    drops = partials.filter(F.col("term") == DROPS_SENTINEL).agg(
+        F.sum("est").alias("max_err")
+    )
+    ests = (
+        partials.filter(F.col("term") != DROPS_SENTINEL)
+        .groupBy("term")
+        .agg(F.sum("est").alias("est"))
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        ests.join(exact, "term")
+        .crossJoin(broadcast(drops))
+        .select(
+            "term",
+            "est",
+            "n_exact",
+            "max_err",
+            (F.col("est") <= F.col("n_exact")).alias("under_ok"),
+            (F.col("n_exact") - F.col("est") <= F.col("max_err")).alias("err_ok"),
+            (F.col("max_err") < F.col("n_exact")).alias("bound_useful"),
+        )
+        .orderBy(F.col("est").desc(), F.col("term"))
+        .limit(20)
+    )

@@ -226,6 +226,7 @@ _PRIORITY = (
     "f_hash_spark_native",       # F7 (rows-only by design)
     "a_regression_aggs",         # A8 A1 (OLS aggregates, round-4 addition)
     "sql_lateral_column_alias",  # E2 P1 (Spark 3.4 LCA, round-4 addition)
+    "n_heavy_hitters_sketch",    # N5 A4 U5 (rows-only by design, round-4)
 )
 
 

@@ -263,3 +263,39 @@ def test_artifact_fingerprint_gates_reuse(tmp_path, sf_dir):
     # mtime all enter the fingerprint) -> stale.
     fp_embed = table_fingerprint(sf_dir, "embeddings", params="k3-h32")
     assert not artifact_is_current(art, fp_embed)
+
+
+def test_misra_gries_invariants_under_decrement(spark):
+    """Force the Misra-Gries decrement path (capacity far below the
+    vocabulary) on a skewed stream and check the two mergeable-sketch
+    invariants the query relies on: estimates never exceed true counts,
+    undercount is bounded by the recorded dropped mass, and the genuinely
+    heavy term still surfaces with a positive estimate."""
+    from collections import Counter
+
+    from iris_pyspark_spark.operators.sketches import (
+        DROPS_SENTINEL,
+        mg_partial_counters,
+    )
+
+    # 1 heavy term (400x), 3 medium (50x), 60 rare singletons; vocab 64
+    # >> capacity 8, so decrements must fire.
+    tokens = (
+        ["heavy"] * 400
+        + ["mid_a", "mid_b", "mid_c"] * 50
+        + [f"rare_{i}" for i in range(60)]
+    )
+    true = Counter(tokens)
+    df = spark.createDataFrame([(t,) for t in tokens], "term string").coalesce(1)
+    rows = mg_partial_counters(df, "term", capacity=8).collect()
+    drops = sum(r.est for r in rows if r.term == DROPS_SENTINEL)
+    ests = {r.term: r.est for r in rows if r.term != DROPS_SENTINEL}
+    assert drops > 0, "capacity 8 over vocab 64 must decrement"
+    assert len(ests) <= 8
+    for t, e in ests.items():
+        assert e <= true[t], f"{t}: est {e} exceeds true {true[t]}"
+    for t, c in true.items():
+        assert c - ests.get(t, 0) <= drops, (
+            f"{t}: undercount {c - ests.get(t, 0)} exceeds drop mass {drops}"
+        )
+    assert ests.get("heavy", 0) > 0, "heavy hitter must survive the sketch"

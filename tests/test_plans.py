@@ -227,7 +227,8 @@ _BNLJ_ALLOWED = frozenset({
     "a_hll_sketch_mergeable", "f_hash_spark_native", "j_cross",
     "j_cross_self_grid", "j_theta_self_pairs", "m_doc_embedding_multimodal",
     "ml_kmeans_ivf_cells", "n_bigram_lm_score", "n_bm25_retrieval",
-    "n_dataset_card", "n_domain_mix_rebalance", "n_importance_weights",
+    "n_dataset_card", "n_domain_mix_rebalance", "n_heavy_hitters_sketch",
+    "n_importance_weights",
     "n_ivf_recall_eval", "n_knn_bruteforce", "n_knn_classify",
     "n_pq_adc_search", "n_pq_quantize", "n_tfidf_top_terms",
     "pipeline_pretrain_corpus", "s_minmax_manifest_skipping",
