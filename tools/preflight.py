@@ -1,0 +1,100 @@
+"""Pre-flight replica of the external driver's full correctness sweep.
+
+Drives the EXACT surface the driver drives — `__spark_entry__.queries()`
+/ `oracle_sql()` on a VANILLA SparkSession (no engine session factory;
+session-dependent fixes must activate inside `load_table`) — over every
+registered query, not just the 50-entry sweep prefix, and applies
+strictly MORE checking than the driver:
+
+  * complex-typed checked columns (array/map/struct) are flagged — they
+    crash the driver's canonicalizer;
+  * oracled queries compare value-level against DuckDB
+    (`testing.compare_frames`, stricter than the driver's hash);
+  * rows-only queries must return rows and their `*_ok` self-validation
+    columns must be all-true.
+
+Usage:  python tools/preflight.py [sf_dir]      (default sf0.01)
+Exit code 0 = every query green; 1 = failures (listed).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import duckdb
+    from pyspark.sql import SparkSession
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as se
+    from iris_pyspark_spark.registry import EnvironmentGated
+    from iris_pyspark_spark.testing import compare_frames
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()  # vanilla!
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, osql = se.queries(), se.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    bad: list[tuple[str, str]] = []
+    skipped = 0
+    t0 = time.time()
+    for i, name in enumerate(qs, 1):
+        try:
+            df = qs[name](spark, sf_dir)
+            complex_cols = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if complex_cols:
+                bad.append((name, f"complex checked columns {complex_cols}"))
+                continue
+            pdf = df.toPandas()
+            if osql.get(name):
+                res = compare_frames(pdf, con.execute(osql[name]).df())
+                if not res.ok:
+                    bad.append((name, res.detail[:200]))
+            else:
+                if len(pdf) < 1:
+                    bad.append((name, "no rows"))
+                    continue
+                ok_cols = [c for c in pdf.columns if c.endswith("_ok")]
+                if not ok_cols:
+                    bad.append((name, "rows-only query without *_ok columns"))
+                elif not all(pdf[c].all() for c in ok_cols):
+                    bad.append((name, f"false validation rows in {ok_cols}"))
+        except EnvironmentGated:
+            skipped += 1
+        except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+            bad.append((name, f"EXC {type(e).__name__}: {str(e)[:200]}"))
+        if i % 50 == 0:
+            print(
+                f"  ...{i}/{len(qs)} ({time.time() - t0:.0f}s, {len(bad)} bad)",
+                flush=True,
+            )
+
+    print(
+        f"preflight: {len(qs)} queries at {sf_dir} in {time.time() - t0:.0f}s — "
+        f"{len(qs) - len(bad) - skipped} green, {skipped} env-gated, {len(bad)} bad"
+    )
+    for name, detail in bad:
+        print(f"  FAIL {name}: {detail}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
