@@ -429,3 +429,86 @@ def s_minmax_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         ((F.col("min_key") <= hi) & (F.col("max_key") >= lo)).alias("scanned"),
     )
+
+
+# --- RocksDB-backed stateful streaming (the at-scale state backend) ---------
+
+_ROCKSDB_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+_ROCKS_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
+)
+_ROCKS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+    ]
+)
+
+
+def _sum_cents_state(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    n, total = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # Half-away-from-zero like SQL ROUND / joins.cents (NOT pandas
+        # .round(): numpy half-to-even diverges on exact .5 cents).
+        x = pdf["value"].to_numpy(dtype="float64") * 100.0
+        total += int(np.trunc(x + np.copysign(0.5, x)).astype("int64").sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "n_events": [n], "total_cents": [total]}
+    )
+
+
+@register("st_stateful_rocksdb", oracle=_ROCKSDB_ORACLE, tags=("T4", "U2", "T5"))
+def st_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState under the RocksDB state store provider —
+    the backend a 100 TB deployment actually runs (bounded executor
+    memory, changelog checkpointing) — proving the arbitrary-state path
+    works against it ungated in THIS environment (unlike the
+    protobuf-gated transformWithStateInPandas). Per event_type the state
+    accumulates (count, integer-cents total) across micro-batches;
+    draining makes each key's last update equal the batch aggregate the
+    oracle states. The provider conf is restored afterwards so sibling
+    streams keep their configured backend."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..streaming import drain_to_table, read_events_stream
+
+    e = read_events_stream(spark, sf_dir).select("event_type", "value")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        updates = e.groupBy("event_type").applyInPandasWithState(
+            _sum_cents_state,
+            outputStructType=_ROCKS_OUT_SCHEMA,
+            stateStructType=_ROCKS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        sink = drain_to_table(updates, output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    # Totals are monotone: each key's final state is its max.
+    return sink.groupBy("event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_cents").cast("long").alias("total_cents"),
+    )

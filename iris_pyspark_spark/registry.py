@@ -227,6 +227,7 @@ _PRIORITY = (
     "a_regression_aggs",         # A8 A1 (OLS aggregates, round-4 addition)
     "sql_lateral_column_alias",  # E2 P1 (Spark 3.4 LCA, round-4 addition)
     "n_heavy_hitters_sketch",    # N5 A4 U5 (rows-only by design, round-4)
+    "st_stateful_rocksdb",       # T4 U2 T5 (RocksDB state backend, round-4)
 )
 
 
