@@ -299,3 +299,38 @@ def test_misra_gries_invariants_under_decrement(spark):
             f"{t}: undercount {c - ests.get(t, 0)} exceeds drop mass {drops}"
         )
     assert ests.get("heavy", 0) > 0, "heavy hitter must survive the sketch"
+
+
+def test_misra_gries_merge_across_partitions(spark):
+    """The MERGE claim is the point of the sketch: per-partition
+    summaries summed by term must still satisfy both invariants with
+    the error bound equal to the SUM of per-partition drop masses —
+    on 4 partitions with skew, decrements firing in each."""
+    from collections import Counter
+
+    from iris_pyspark_spark.operators.sketches import (
+        DROPS_SENTINEL,
+        mg_partial_counters,
+    )
+
+    tokens = (
+        ["heavy"] * 400
+        + ["mid_a", "mid_b", "mid_c"] * 50
+        + [f"rare_{i}" for i in range(60)] * 3
+    )
+    true = Counter(tokens)
+    df = spark.createDataFrame([(t,) for t in tokens], "term string").repartition(4)
+    rows = mg_partial_counters(df, "term", capacity=8).collect()
+    total_drops = sum(r.est for r in rows if r.term == DROPS_SENTINEL)
+    merged = Counter()
+    for r in rows:
+        if r.term != DROPS_SENTINEL:
+            merged[r.term] += r.est
+    assert total_drops > 0
+    for t, e in merged.items():
+        assert e <= true[t], f"{t}: merged est {e} exceeds true {true[t]}"
+    for t, c in true.items():
+        assert c - merged.get(t, 0) <= total_drops, (
+            f"{t}: undercount {c - merged.get(t, 0)} > summed drops {total_drops}"
+        )
+    assert merged.get("heavy", 0) > 0
