@@ -448,3 +448,41 @@ WHERE l_quantity >= 45
 def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_LCA)
+
+
+#: TPC-H Q20 shape: a semi-join THROUGH a correlated aggregate — which
+#: suppliers ever shipped a Brand#3 part in a quantity above half that
+#: part's average. The schema has no partsupp, so lineitem stands in as
+#: the supply record (same join/decorrelation structure: per-part
+#: aggregate -> threshold filter -> DISTINCT supplier keys -> IN
+#: semi-join -> dim enrichment). AVG(l_quantity) is exact (integral
+#: doubles), so the threshold compare is bit-identical on both engines;
+#: the identical SQL text runs on both. Catalyst decorrelates the IN to
+#: a left-semi hash join; the per-part aggregate side is tiny (parts of
+#: one brand) at any scale.
+_Q20 = """
+WITH brand_parts AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'
+),
+limits AS (
+  SELECT l_partkey, 0.5 * AVG(l_quantity) AS qty_floor
+  FROM lineitem JOIN brand_parts ON p_partkey = l_partkey
+  GROUP BY l_partkey
+),
+qualifying AS (
+  SELECT DISTINCT l_suppkey
+  FROM lineitem JOIN limits ON lineitem.l_partkey = limits.l_partkey
+  WHERE l_quantity > qty_floor
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
+ORDER BY s_name, s_suppkey
+"""
+
+
+@register("sql_q20_excess_suppliers", oracle=_Q20, tags=("E2", "J4", "A1"))
+def sql_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q20)

@@ -228,6 +228,7 @@ _PRIORITY = (
     "sql_lateral_column_alias",  # E2 P1 (Spark 3.4 LCA, round-4 addition)
     "n_heavy_hitters_sketch",    # N5 A4 U5 (rows-only by design, round-4)
     "st_stateful_rocksdb",       # T4 U2 T5 (RocksDB state backend, round-4)
+    "sql_q20_excess_suppliers",  # E2 J4 A1 (TPC-H Q20 shape, round-4)
 )
 
 
