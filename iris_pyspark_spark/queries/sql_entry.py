@@ -486,3 +486,262 @@ ORDER BY s_name, s_suppkey
 def sql_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_Q20)
+
+
+#: TPC-H Q13 shape: distribution-of-counts through an OUTER join — how
+#: many customers placed exactly k (non-urgent) orders, including the
+#: zero-order customers the outer join preserves. Two stacked
+#: aggregations: per-customer COUNT over a LEFT JOIN whose filter lives
+#: in the JOIN CONDITION (not WHERE — moving it would silently drop the
+#: NULL-extended rows), then a distribution GROUP BY over those counts.
+#: Scale: both aggs are map-side-combinable; the join shuffles on
+#: custkey and AQE handles the skewed zero-bucket. Identical text on
+#: both engines; COUNT(o_orderkey) skips NULLs by SQL semantics.
+_Q13 = """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("sql_q13_order_count_distribution", oracle=_Q13, tags=("E2", "J3", "A1"))
+def sql_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q13)
+
+
+#: TPC-H Q18 shape: large-volume customers — an IN subquery whose inner
+#: query is itself a GROUP BY ... HAVING over the fact table, then a
+#: re-join and re-aggregation of the qualifying orders. Catalyst plans
+#: the IN as a left-semi join against the aggregated subquery (small:
+#: only orders above the quantity floor survive HAVING), so the probe
+#: side streams. SUM(l_quantity) is exact (integral doubles); money is
+#: integer cents. LIMIT sits under a total order (cents DESC, orderkey).
+_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       SUM(l_quantity) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice_cents DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("sql_q18_large_volume_customer", oracle=_Q18, tags=("E2", "J4", "J6", "A6", "O2"))
+def sql_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q18)
+
+
+#: TPC-H Q21 shape: suppliers who were the SOLE returned-flag line on a
+#: finished multi-supplier order — one correlated EXISTS plus one
+#: correlated NOT EXISTS against the SAME fact table under different
+#: aliases (l2/l3), the only classic shape that stacks two
+#: opposite-polarity self-correlations. (The schema lacks
+#: receipt/commit dates, so `l_returnflag = 'R'` stands in for "late";
+#: the join/decorrelation structure is Q21's.) Catalyst decorrelates to
+#: a left-semi and a left-anti join on l_orderkey; both build sides are
+#: the projected fact keyed by orderkey, shuffled once and reused.
+#: No nation filter (driver data has uniform 25 nations; the TPC-H
+#: one-nation cut would leave single-digit rows at sf0.001) — the
+#: GROUP BY nation keeps the dimensional shape instead.
+_Q21 = """
+SELECT n_name, s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders     ON o_orderkey = l1.l_orderkey
+JOIN nation     ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY n_name, s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("sql_q21_waiting_suppliers", oracle=_Q21, tags=("E2", "J4", "J5", "J10", "A1"))
+def sql_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q21)
+
+
+#: TPC-H Q22 shape: prospects — customers in selected "country code"
+#: buckets with above-average balance and NO orders. Stacks an
+#: uncorrelated scalar subquery (the global average, broadcast as a
+#: one-row build side) on top of a NOT EXISTS anti-join. Determinism:
+#: the average is taken over INTEGER CENTS (exact long sum / count, one
+#: double division on both engines), so the > compare cannot flip on
+#: summation order the way AVG(double) could. (Schema has no c_phone;
+#: c_nationkey % 8 stands in for the phone-prefix bucket. Every
+#: customer in this dataset has at least one order, so the anti-join is
+#: against URGENT orders instead — same NOT EXISTS anti-join plan.)
+_Q22 = """
+SELECT c_nationkey % 8 AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+FROM customer
+WHERE c_nationkey % 8 IN (1, 3, 5, 7)
+  AND CAST(ROUND(c_acctbal * 100) AS BIGINT) > (
+    SELECT AVG(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+    FROM customer
+    WHERE c_acctbal > 0.0 AND c_nationkey % 8 IN (1, 3, 5, 7)
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey % 8
+ORDER BY cntrycode
+"""
+
+
+@register("sql_q22_prospect_balance", oracle=_Q22, tags=("E2", "J5", "A1", "A2"))
+def sql_q22_prospect_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q22)
+
+
+#: Spark 4.1 RECURSIVE CTE (SPARK-24497): a month spine generated by
+#: recursion from the data's own [min, max] order-date bounds, LEFT
+#: JOINed to the monthly revenue rollup so empty months survive as
+#: zero rows — the classic calendar-densify, expressed as WITH
+#: RECURSIVE instead of sequence()+explode (e_calendar_densify covers
+#: that form; this covers the recursion operator itself). The IDENTICAL
+#: text runs on DuckDB. Scale: recursion depth = number of months
+#: (dozens, driver-side tiny); the only distributed work is the
+#: monthly rollup (one map-side-combinable shuffle) and a broadcast
+#: join of the tiny spine against it.
+_RECURSIVE_SPINE = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders)) AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < CAST(date_trunc('month', (SELECT MAX(o_orderdate) FROM orders)) AS DATE)
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT CAST(months.m AS TIMESTAMP) AS month_start,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(rev_cents, 0) AS rev_cents
+FROM months LEFT JOIN monthly ON months.m = monthly.m
+ORDER BY month_start
+"""
+
+
+@register("sql_recursive_cte_spine", oracle=_RECURSIVE_SPINE, tags=("E2", "F2", "J3", "A1"))
+def sql_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPINE)
+
+
+#: Spark 4.0 SQL scalar UDFs (CREATE FUNCTION ... RETURN <expr>,
+#: SPARK-51201): reusable business logic declared in SQL and INLINED by
+#: Catalyst at plan time — unlike Python UDFs there is no serialization
+#: boundary, the body participates in whole-stage codegen and predicate
+#: pushdown exactly as if written in place. Two functions, one calling
+#: the other (net_cents -> gross_cents composition). The oracle is the
+#: same query with both bodies hand-inlined — which is precisely the
+#: semantics the feature promises, so a hash match proves the inlining.
+_SQL_UDF_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS net_cents_sum,
+       CAST(SUM(CAST(ROUND(
+           (CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) / 100.0)
+           * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS gross_cents_sum
+FROM lineitem
+WHERE l_quantity < 10
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("sql_create_sql_udf", oracle=_SQL_UDF_ORACLE, tags=("E2", "U1", "A1", "F3"))
+def sql_create_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION net_cents(price DOUBLE, disc DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(ROUND(price * (1 - disc) * 100) AS BIGINT)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION gross_cents(price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(ROUND((net_cents(price, disc) / 100.0) * (1 + tax) * 100) AS BIGINT)
+    """)
+    return spark.sql("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(net_cents(l_extendedprice, l_discount)) AS BIGINT) AS net_cents_sum,
+               CAST(SUM(gross_cents(l_extendedprice, l_discount, l_tax)) AS BIGINT) AS gross_cents_sum
+        FROM lineitem
+        WHERE l_quantity < 10
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
+
+
+#: Spark 4.0 SQL session variables (DECLARE / SET VAR, SPARK-46908):
+#: a data-derived threshold captured once into a session variable by a
+#: scalar-subquery SET, then referenced from a later query's WHERE —
+#: the multi-statement scripting pattern (parameter sweep, config
+#: table) without string interpolation. The threshold is integer cents
+#: (exact long sum / count, one double division) so the > compare is
+#: bit-stable; the oracle hand-inlines the subquery the variable holds.
+_SESSVAR_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_big,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey
+FROM orders
+WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > (
+  SELECT 1.5 * AVG(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FROM orders
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_session_variables", oracle=_SESSVAR_ORACLE, tags=("E2", "P2", "A1"))
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE big_cents DOUBLE DEFAULT 0.0")
+    spark.sql("""
+        SET VAR big_cents =
+          (SELECT 1.5 * AVG(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FROM orders)
+    """)
+    return spark.sql("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_big,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey
+        FROM orders
+        WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > big_cents
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)

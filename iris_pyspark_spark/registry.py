@@ -229,6 +229,13 @@ _PRIORITY = (
     "n_heavy_hitters_sketch",    # N5 A4 U5 (rows-only by design, round-4)
     "st_stateful_rocksdb",       # T4 U2 T5 (RocksDB state backend, round-4)
     "sql_q20_excess_suppliers",  # E2 J4 A1 (TPC-H Q20 shape, round-4)
+    "sql_q13_order_count_distribution",  # E2 J3 A1 (round-4)
+    "sql_q18_large_volume_customer",     # E2 J4 J6 A6 O2 (round-4)
+    "sql_q21_waiting_suppliers",         # E2 J4 J5 J10 A1 (round-4)
+    "sql_q22_prospect_balance",          # E2 J5 A1 A2 (round-4)
+    "sql_recursive_cte_spine",           # E2 F2 J3 A1 (Spark 4.1 WITH RECURSIVE)
+    "sql_create_sql_udf",                # E2 U1 A1 F3 (Spark 4.0 SQL UDF)
+    "sql_session_variables",             # E2 P2 A1 (Spark 4.0 DECLARE/SET VAR)
 )
 
 
