@@ -87,3 +87,79 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("lbl").alias("component"))
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    scratch_path: str,
+    iters: int = 6,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT INTEGER micro-units — the
+    iterative-ranking operator, engineered so the result is
+    bit-identical under any partitioning or join order (a plain
+    double-based PageRank is not: float sums reorder across layouts).
+
+    rank_micro starts at 1_000_000 per vertex. Each round every vertex
+    sends floor(rank_micro / out_degree) along each out-edge (long
+    division — deterministic, the sub-micro remainder is deliberately
+    dropped mass), and absorbs as
+
+        rank' = (100 - damping_pct)/100 * 1e6
+              + damping_pct * floor(sum(incoming) / 100)
+
+    All arithmetic is long; groupBy-SUM of longs is exact and
+    commutative, so partition layout cannot change a single bit.
+    Consequences used as self-validation invariants downstream:
+    ranks are bounded below by the teleport term, and total mass never
+    exceeds n_vertices * 1e6 (floors only ever drop mass).
+
+    Scale: each round is one equi-join (ranks x out-degree-annotated
+    edges, shuffled on vertex id) + one map-side-combinable SUM —
+    the canonical distributed PageRank round. Every round materializes
+    to parquet to break lineage (same discipline as
+    connected_components above); dangling vertices (no out-edges)
+    simply stop forwarding mass, i.e. their contribution is dropped
+    rather than redistributed, which keeps the round free of a global
+    broadcast and preserves the mass upper-bound invariant."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
+        ["src", "dst"]
+    )
+    e.write.mode("overwrite").parquet(f"{scratch_path}/pr_edges")
+    e = spark.read.parquet(f"{scratch_path}/pr_edges")
+
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    teleport_micro = (100 - damping_pct) * 10_000  # (1-d) * 1e6
+
+    ranks = vertices.withColumn("rank_micro", F.lit(1_000_000).cast("long"))
+    for it in range(iters):
+        contrib = (
+            e.join(out_deg, "src")
+            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                # `div` = exact long floor-division; a double `/` +
+                # cast could round across an integer boundary at 1-ulp
+                # error and break bit-exactness under repartitioning.
+                F.expr("rank_micro div out_deg").alias("c"),
+            )
+        )
+        incoming = contrib.groupBy("id").agg(F.sum("c").alias("in_micro"))
+        ranks = vertices.join(incoming, "id", "left").select(
+            "id",
+            (
+                F.lit(teleport_micro)
+                + F.expr(f"(coalesce(in_micro, 0L) * {damping_pct}) div 100")
+            ).cast("long").alias("rank_micro"),
+        )
+        ranks.write.mode("overwrite").parquet(f"{scratch_path}/pr_iter{it % 2}")
+        ranks = spark.read.parquet(f"{scratch_path}/pr_iter{it % 2}")
+    return ranks

@@ -68,6 +68,7 @@ _QUERY_MODULES = (
     "curation_ops",
     "multimodal",
     "ml_pipeline",
+    "graph_analytics",
 )
 
 
@@ -236,6 +237,7 @@ _PRIORITY = (
     "sql_recursive_cte_spine",           # E2 F2 J3 A1 (Spark 4.1 WITH RECURSIVE)
     "sql_create_sql_udf",                # E2 U1 A1 F3 (Spark 4.0 SQL UDF)
     "sql_session_variables",             # E2 P2 A1 (Spark 4.0 DECLARE/SET VAR)
+    "g_pagerank_parts",                  # J10 A1 J1 (integer PageRank, rows-only)
 )
 
 
