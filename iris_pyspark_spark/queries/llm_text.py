@@ -1164,3 +1164,82 @@ def n_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est").desc(), F.col("term"))
         .limit(20)
     )
+
+
+# --- Count-Min sketch: mergeable point-frequency estimates ------------------
+
+
+@register("n_countmin_sketch", oracle=None, tags=("N5", "A4", "F7"))
+def n_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates for the top-20 corpus terms,
+    d=4 rows x w=1024 buckets — the OVERcounting mergeable-sketch
+    complement to the Misra-Gries UNDERcounting sketch above.
+
+    Spark-first shape: a CMS in a distributed engine IS a groupBy —
+    bucket = xxhash64(term, row_seed) % w, and the cell array is just
+    COUNT(*) per (row, bucket), built in ONE pass by exploding each
+    token into its 4 (row, bucket) coordinates. Cells merge across
+    partitions/shards by plain addition (map-side combine does this
+    for free), which is the sketch's entire distributed-systems value:
+    at 100 TB the 4x1024 cell table is bytes per shard, mergeable by
+    union+sum without touching tokens again. Point query = MIN over
+    the term's 4 cells. No UDF anywhere — whole plan is Catalyst.
+
+    Rows-only by design (a sketch estimate has no SQL oracle); exact
+    counts join back only as self-validation:
+      * over_ok  — est >= exact (CMS never undercounts: every
+                   occurrence of the term lands in all 4 its cells);
+      * err_ok   — est - exact <= 16 * N / w, a deterministic pin with
+                   ~8x headroom over the observed collision mass at all
+                   three driver scale factors (the probabilistic CMS
+                   bound is e*N/w per row; min-of-4 rows collapses it).
+    """
+    d = 4
+    w = 1024
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.length("term") > 0)
+
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(F.xxhash64("term", F.lit(r)), F.lit(w)).alias("bucket"),
+            )
+            for r in range(d)
+        ]
+    )
+    cells = (
+        toks.select(F.explode(coords).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "term")
+        .limit(20)
+    )
+    probes = top.select(
+        "term", "n_exact", F.explode(coords).alias("c")
+    ).select("term", "n_exact", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(cells, ["row", "bucket"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("cell").alias("est"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "n_exact",
+            "est",
+            "n_total",
+            (F.col("est") >= F.col("n_exact")).alias("over_ok"),
+            (
+                F.col("est") - F.col("n_exact") <= F.expr(f"(16 * n_total) div {w}")
+            ).alias("err_ok"),
+        )
+        .orderBy(F.col("n_exact").desc(), "term")
+    )

@@ -512,3 +512,42 @@ def st_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("total_cents").cast("long").alias("total_cents"),
     )
+
+
+_OBSERVE_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("s_observe_qc_metrics", oracle=_OBSERVE_ORACLE, tags=("A1", "P2", "S1"))
+def s_observe_qc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.observe()` — pipeline QC counters (row count, revenue
+    total, null count) accumulated DURING the main query's single pass,
+    the production alternative to re-scanning the input just to emit
+    data-quality metrics. The CollectMetrics node rides the plan at
+    zero extra shuffles (tests/test_plans.py pins the node and
+    tests/test_operator_edges.py pins the metric VALUES against the
+    same aggregates computed the slow way); checked output is the
+    ordinary aggregation, which the oracle verifies — proving observe()
+    did not perturb the query it instrumented."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    observed = orders.observe(
+        "qc_metrics",
+        F.count(F.lit(1)).alias("qc_rows"),
+        F.sum(cents(F.col("o_totalprice"))).alias("qc_rev_cents"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("qc_null_cust"),
+    )
+    return (
+        observed.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

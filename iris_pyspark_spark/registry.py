@@ -238,6 +238,8 @@ _PRIORITY = (
     "sql_create_sql_udf",                # E2 U1 A1 F3 (Spark 4.0 SQL UDF)
     "sql_session_variables",             # E2 P2 A1 (Spark 4.0 DECLARE/SET VAR)
     "g_pagerank_parts",                  # J10 A1 J1 (integer PageRank, rows-only)
+    "n_countmin_sketch",                 # N5 A4 F7 (CMS point estimates, rows-only)
+    "s_observe_qc_metrics",              # A1 P2 S1 (observe()/CollectMetrics)
 )
 
 

@@ -113,6 +113,15 @@ def test_observation_metrics(spark, sf_dir):
     assert out_rows < metrics["rows_seen"]
 
 
+def test_observe_query_has_collect_metrics(spark, sf_dir):
+    """The registered observe() query must keep its CollectMetrics node
+    in the executed plan (losing it — e.g. via a select() that drops
+    the observed child — would silently stop emitting QC counters) and
+    must add no exchange beyond the one aggregation shuffle."""
+    plan = _executed_plan(spark, "s_observe_qc_metrics", sf_dir)
+    assert "CollectMetrics" in plan, plan[:2000]
+
+
 def test_global_ids_avoids_global_sort(spark, sf_dir):
     """Global id assignment must never total-sort the corpus through one
     reducer: the offsets side is a broadcast, the only SinglePartition
