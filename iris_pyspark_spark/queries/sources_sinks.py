@@ -237,7 +237,7 @@ def s_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .joins import CENTS_SQL  # noqa: E402  (shared money-math idiom)
+from .joins import CENTS_SQL, cents  # noqa: E402  (shared money-math idiom)
 
 _DDL_ORACLE = f"""
 SELECT c_mktsegment,
@@ -746,4 +746,62 @@ def s_json_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         (F.col("user_id") % 10).alias("uid_bucket"),
+    )
+
+
+_PYDS_SINK_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS rev_cents
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("s_python_datasource_sink", oracle=_PYDS_SINK_ORACLE, tags=("S4", "S6"))
+def s_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Python DataSource write path
+    (DataSourceArrowWriter — executor tasks receive Arrow
+    RecordBatches, write parquet parts directly from Arrow, and the
+    driver commits a manifest): open orders round-trip THROUGH the
+    custom sink, read back from the parts the manifest lists, then
+    aggregate. The oracle runs on the original table, so a hash match
+    proves the sink is lossless and the manifest complete. Scale: one
+    file per (task, batch), no driver collect; the manifest commit is
+    the only driver-side step (metadata, not data)."""
+    import json
+    import os
+    import shutil
+
+    from ..sources import scratch_dir
+    from ..sources.python_datasource import ArrowParquetSinkDataSource
+
+    try:
+        spark.dataSource.register(ArrowParquetSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    out = scratch_dir(sf_dir, "pyds_sink")
+    shutil.rmtree(out, ignore_errors=True)  # fresh round-trip every run
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    (
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.format("arrow_parquet_sink")
+        .mode("append")
+        .option("path", out)
+        .save()
+    )
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    back = spark.read.parquet(*manifest["parts"])
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias("rev_cents"),
+        )
+        .orderBy("o_orderpriority")
     )

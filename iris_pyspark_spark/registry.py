@@ -240,6 +240,7 @@ _PRIORITY = (
     "g_pagerank_parts",                  # J10 A1 J1 (integer PageRank, rows-only)
     "n_countmin_sketch",                 # N5 A4 F7 (CMS point estimates, rows-only)
     "s_observe_qc_metrics",              # A1 P2 S1 (observe()/CollectMetrics)
+    "s_python_datasource_sink",          # S4 S6 (Arrow DataSource write path)
 )
 
 

@@ -108,3 +108,77 @@ class SensorsStreamReader:
                 return iter(rows)
 
         return _Reader(options)
+
+
+class ArrowParquetSinkDataSource(DataSource):
+    """format("arrow_parquet_sink") — the WRITE half of the custom
+    Python Data Source contract, on the Arrow fast path
+    (DataSourceArrowWriter): each executor task receives
+    pyarrow.RecordBatch objects (zero row-by-row Python cost) and
+    writes one parquet part per batch straight from Arrow; the commit
+    message carries (path, row-count) per task and the driver-side
+    commit() writes a _SUCCESS manifest listing every part with its
+    count — the two-phase commit that makes the sink atomic-ish:
+    readers key on the manifest, so a failed/partial job (no manifest)
+    is invisible. This is the pattern for bespoke sinks (feature
+    stores, internal services) with real partition parallelism instead
+    of collect-and-upload."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "arrow_parquet_sink"
+
+    def writer(self, schema, overwrite):
+        return ArrowParquetSinkWriter(self.options)
+
+
+class ArrowParquetSinkWriter:
+    def __new__(cls, options):
+        from pyspark.sql.datasource import (
+            DataSourceArrowWriter,
+            WriterCommitMessage,
+        )
+
+        class _Msg(WriterCommitMessage):
+            def __init__(self, paths: list, rows: int) -> None:
+                self.paths = paths
+                self.rows = rows
+
+        class _Writer(DataSourceArrowWriter):
+            def __init__(self, opts) -> None:
+                self.path = opts["path"]
+
+            def write(self, iterator):
+                import os
+
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+                os.makedirs(self.path, exist_ok=True)
+                paths: list = []
+                rows = 0
+                for i, batch in enumerate(iterator):
+                    out = os.path.join(self.path, f"part-{pid:05d}-{i:03d}.parquet")
+                    pq.write_table(pa.Table.from_batches([batch]), out)
+                    paths.append(out)
+                    rows += batch.num_rows
+                return _Msg(paths, rows)
+
+            def commit(self, messages):
+                import json
+                import os
+
+                manifest = {
+                    "parts": sorted(p for m in messages for p in m.paths),
+                    "rows": sum(m.rows for m in messages),
+                }
+                with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                    json.dump(manifest, f)
+
+            def abort(self, messages):
+                pass  # parts without a manifest are never read
+
+        return _Writer(options)

@@ -242,6 +242,8 @@ _BNLJ_ALLOWED = frozenset({
     "n_pq_adc_search", "n_pq_quantize", "n_tfidf_top_terms",
     "pipeline_pretrain_corpus", "s_minmax_manifest_skipping",
     "s_small_file_compaction",
+    # round-4 continuation: 1-row totals broadcasts
+    "g_pagerank_parts", "n_countmin_sketch",
 })
 
 
