@@ -653,3 +653,59 @@ def u_udaf_udtf_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS t
         """
     )
+
+
+# --- UDTF with analyze(): plan-time dynamic output schema -------------------
+
+_UDTF_ANALYZE_ORACLE = """
+SELECT doc_id,
+       STRING_SPLIT(text, ' ')[1] AS tok0,
+       STRING_SPLIT(text, ' ')[2] AS tok1,
+       STRING_SPLIT(text, ' ')[3] AS tok2,
+       STRING_SPLIT(text, ' ')[4] AS tok3
+FROM documents
+WHERE doc_id < 100
+"""
+
+
+@register("u_udtf_analyze_schema", oracle=_UDTF_ANALYZE_ORACLE, tags=("U4", "E2", "F1"))
+def u_udtf_analyze_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF whose OUTPUT SCHEMA is computed at plan time by
+    a static analyze() method from a literal argument (Spark 3.5+/4
+    AnalyzeResult) — here `split_fixed(text, 4)` resolves to four
+    tok0..tok3 string columns before any data moves, so Catalyst can
+    prune/optimize the dynamic columns like statically declared ones.
+    The third distinct UDTF invocation form in the registry (static
+    returnType: u_udtf_leading_words; TABLE argument: u_udtf_table_arg).
+    Splitting is SQL-expressible on purpose: the oracle pins the
+    analyze machinery, not the string logic. Out-of-range positions
+    yield NULL on both engines (list_extract past the end vs explicit
+    None padding)."""
+    from pyspark.sql.functions import udtf
+
+    from ..catalog import load_tables
+
+    class SplitFixed:
+        @staticmethod
+        def analyze(text, n):
+            from pyspark.sql.types import StringType, StructType
+            from pyspark.sql.udtf import AnalyzeResult
+
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            toks = (text or "").split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("split_fixed", udtf(SplitFixed))
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id, s.*
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+             LATERAL split_fixed(text, 4) s
+        """
+    )

@@ -241,6 +241,7 @@ _PRIORITY = (
     "n_countmin_sketch",                 # N5 A4 F7 (CMS point estimates, rows-only)
     "s_observe_qc_metrics",              # A1 P2 S1 (observe()/CollectMetrics)
     "s_python_datasource_sink",          # S4 S6 (Arrow DataSource write path)
+    "u_udtf_analyze_schema",             # U4 E2 F1 (plan-time dynamic UDTF schema)
 )
 
 
