@@ -626,3 +626,101 @@ def st_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain_to_table(agg, output_mode="complete")
+
+
+_STREAM_STREAM_OUTER_ORACLE = """
+WITH cutoff AS (
+  SELECT LEAST(
+    MAX(CASE WHEN event_type = 'click' THEN ts END),
+    MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+  ) - INTERVAL 2 HOUR AS cut
+  FROM events
+),
+clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS c_ts
+  FROM events, cutoff WHERE event_type = 'click' AND ts <= cut
+),
+purchases AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id AS user_id,
+       click_id,
+       purchase_id,
+       EPOCH_US(p_ts) - EPOCH_US(c_ts) AS us_to_purchase
+FROM clicks c LEFT JOIN purchases p
+  ON c.user_id = p_user
+ AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR
+"""
+
+
+@register(
+    "st_stream_stream_outer_join",
+    oracle=_STREAM_STREAM_OUTER_ORACLE,
+    tags=("T6", "T5", "J3"),
+)
+def st_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics the inner form
+    can't show: an unmatched click is held in state until the watermark
+    passes its join-window upper bound, THEN emitted with a NULL
+    purchase side. Emission is watermark-driven, so equality with the
+    batch left join needs every left row's expiry to land below the
+    final watermark: the left side is cut at
+    least(max click ts, max purchase ts) - 2h — the global watermark is
+    the MIN across both sides of (side max - 10min), so a kept click
+    expires (c_ts + 1h) at least 50 minutes under it — computed once
+    from the static table and applied as a literal filter AFTER the
+    watermark operator (see inline comment). Purchases stream
+    unfiltered: a post-cutoff purchase can still match a pre-cutoff
+    click. The drained result then equals the batch left join the
+    oracle states, NULLs included."""
+    # The final watermark is min over BOTH sides of (that side's max
+    # event time - 10min) — base the safety cutoff on the same min, not
+    # the global max, or a side whose last event trails the other's by
+    # >50min leaves boundary clicks unexpired.
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+    ).first()
+    cut = min(m["mc"], m["mp"]) - __import__("datetime").timedelta(hours=2)
+
+    # Watermark BEFORE the cutoff filter: the watermark tracks the max
+    # event time of rows the operator SEES, and the global watermark is
+    # the min across both sides — filtering first would cap this side's
+    # watermark at cut - 10min, below every kept click's expiry
+    # (c_ts + 1h), so unmatched tail clicks would never flush.
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+        .filter(F.col("c_ts") <= F.lit(cut))
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("us_to_purchase"),
+    )
+    return drain_to_table(joined, output_mode="append")

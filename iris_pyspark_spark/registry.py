@@ -242,6 +242,7 @@ _PRIORITY = (
     "s_observe_qc_metrics",              # A1 P2 S1 (observe()/CollectMetrics)
     "s_python_datasource_sink",          # S4 S6 (Arrow DataSource write path)
     "u_udtf_analyze_schema",             # U4 E2 F1 (plan-time dynamic UDTF schema)
+    "st_stream_stream_outer_join",       # T6 T5 J3 (watermark-expiry NULL emission)
 )
 
 
