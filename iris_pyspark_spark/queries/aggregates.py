@@ -775,3 +775,45 @@ def a_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rel(F.col("native_slope"), slope) < 1e-9).alias("regr_ok"),
         (rel(F.col("native_corr"), corr) < 1e-9).alias("corr_ok"),
     )
+
+
+_BITMAP_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("a_bitmap_distinct", oracle=_BITMAP_ORACLE, tags=("A3", "A1"))
+def a_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counts via the Spark 3.5 bitmap function family —
+    the 100 TB acceleration pattern for COUNT(DISTINCT bigint): keys
+    fold into fixed 4 KB bitmaps per 32768-id bucket
+    (bitmap_construct_agg over bitmap_bit_position, grouped by
+    bitmap_bucket_number), partial bitmaps OR-merge associatively
+    (bitmap_or_agg — map-side combine works on bytes, not id sets),
+    and the popcount (bitmap_count) sums per group. Unlike
+    approx_count_distinct this is exact, and unlike a plain
+    COUNT(DISTINCT) the shuffle carries |buckets| x 4 KB rows instead
+    of every distinct id — the same trick materialized-view engines
+    use for incremental distinct maintenance. The oracle is the plain
+    COUNT(DISTINCT), proving bit-equality of the rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        buckets.groupBy("event_type")
+        .agg(
+            F.expr("sum(bitmap_count(bm))").cast("long").alias("n_users"),
+            F.sum("n_rows").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

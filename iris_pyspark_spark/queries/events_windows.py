@@ -511,3 +511,67 @@ def t_sliding_session_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slide.join(sess, "user_id").select(
         "user_id", "n_slide_windows", "n_sessions", "max_session_events"
     )
+
+
+@register(
+    "t_session_window_dynamic_gap",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 1800 ELSE 600 END AS gap_s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, gap_s,
+    CASE WHEN MAX(EPOCH_US(ts) + gap_s * 1000000) OVER w_prev IS NULL
+           OR EPOCH_US(ts) > MAX(EPOCH_US(ts) + gap_s * 1000000) OVER w_prev
+         THEN 1 ELSE 0 END AS is_start
+  FROM g
+  WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+sessions AS (
+  SELECT user_id, ts, gap_s,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       EPOCH_US(MIN(ts)) // 1000000                         AS session_start_epoch,
+       MAX(EPOCH_US(ts) + gap_s * 1000000) // 1000000       AS session_end_epoch,
+       COUNT(*)                                             AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+    tags=("T3", "T4"),
+)
+def t_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window with a PER-EVENT gap expression (clicks hold a
+    session open 30 min, everything else 10) — the dynamic-gap form of
+    T3 that models engagement-weighted sessionization. Spark merges the
+    per-event intervals [ts, ts + gap); the oracle derives the same
+    fixed point from first principles: an event starts a new session
+    iff its ts exceeds the RUNNING MAX of previous (ts + gap) — a
+    running max, not lag(ts)+gap, because with heterogeneous gaps an
+    earlier long-gap event can outlast the immediately preceding one.
+    Session end = max(ts + gap) within the session, per the same rule.
+    One shuffle on user_id on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("30 minutes"))
+        .otherwise(F.lit("10 minutes"))
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_seconds(F.col("session_window.start").cast("timestamp")).alias(
+                "session_start_epoch"
+            ),
+            F.unix_seconds(F.col("session_window.end").cast("timestamp")).alias(
+                "session_end_epoch"
+            ),
+            "n_events",
+        )
+    )

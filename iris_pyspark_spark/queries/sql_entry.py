@@ -745,3 +745,37 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """)
+
+
+#: IDENTIFIER() clause (Spark 3.5, SPARK-43205): table/column names
+#: supplied as DATA (string parameters) without SQL-injection surface —
+#: the templated-query pattern for multi-tenant/table-per-day jobs
+#: where f-string splicing would be the vulnerability. The identifier
+#: is resolved at parse time, so the plan is identical to the literal
+#: spelling — which the oracle (literal spelling) proves.
+_IDENTIFIER_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_identifier_clause", oracle=_IDENTIFIER_ORACLE, tags=("E2", "P4"))
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:gcol) AS o_orderpriority,
+               COUNT(*) AS n,
+               CAST(MIN(IDENTIFIER(:kcol)) AS BIGINT) AS min_key
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = 'F'
+        GROUP BY IDENTIFIER(:gcol)
+        ORDER BY o_orderpriority
+        """,
+        args={"tbl": "orders", "gcol": "o_orderpriority", "kcol": "o_orderkey"},
+    )

@@ -243,6 +243,9 @@ _PRIORITY = (
     "s_python_datasource_sink",          # S4 S6 (Arrow DataSource write path)
     "u_udtf_analyze_schema",             # U4 E2 F1 (plan-time dynamic UDTF schema)
     "st_stream_stream_outer_join",       # T6 T5 J3 (watermark-expiry NULL emission)
+    "a_bitmap_distinct",                 # A3 A1 (bitmap exact-distinct rewrite)
+    "sql_identifier_clause",             # E2 P4 (IDENTIFIER() templated names)
+    "t_session_window_dynamic_gap",      # T3 T4 (per-event gap expression)
 )
 
 
