@@ -779,3 +779,91 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "gcol": "o_orderpriority", "kcol": "o_orderkey"},
     )
+
+
+#: Spark 4.0 SQL scripting (BEGIN/END compound statements,
+#: SPARK-48338): procedural control flow executed BY THE ENGINE — here
+#: the classic parameter search, HALVING a threshold from far above the
+#: data until at least 1000 rows qualify, then returning the aggregate
+#: at the found threshold. The loop predicate re-queries the data each
+#: round (the scripting use case string-spliced driver loops used to
+#: cover). Halving keeps every candidate an exact binary float
+#: (100 * 2^k), so the oracle can replay the search declaratively with
+#: a POWER(2, k) ladder — counts are monotone in the threshold, so
+#: "first halving at/over budget" is MAX(thr) with count >= 1000 — and
+#: the downward direction guarantees a non-empty result set at every
+#: scale factor (total rows >= 1000).
+_SCRIPTING_ORACLE = """
+WITH ks AS (SELECT UNNEST(GENERATE_SERIES(0, 40)) AS k),
+ladder AS (
+  SELECT k, 100.0 * POWER(2, 20) / POWER(2, k) AS thr FROM ks
+),
+counted AS (
+  SELECT thr,
+         (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr) AS c
+  FROM ladder
+),
+chosen AS (
+  SELECT MAX(thr) AS thr FROM counted WHERE c >= 1000
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_over,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM orders, chosen
+WHERE o_totalprice > chosen.thr
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_scripting_threshold_search", oracle=_SCRIPTING_ORACLE, tags=("E2", "P2", "A1"))
+def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 104857600.0;  -- 100 * 2^20
+          WHILE (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr) < 1000 DO
+            SET thr = thr / 2;
+          END WHILE;
+          SELECT o_orderpriority,
+                 COUNT(*) AS n_over,
+                 CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+          FROM orders
+          WHERE o_totalprice > thr
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority;
+        END
+        """
+    )
+
+
+#: EXECUTE IMMEDIATE (Spark 4.0): SQL text built/stored as DATA and
+#: executed with positional USING parameters — the safe form of the
+#: query-from-a-config-table pattern (cf. sql_identifier_clause for
+#: identifier-position parameters; this one parameterizes VALUES).
+_EXEC_IMM_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("sql_execute_immediate", oracle=_EXEC_IMM_ORACLE, tags=("E2", "P4"))
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderstatus, COUNT(*) AS n,
+                  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+           FROM orders WHERE o_orderpriority = ?
+           GROUP BY o_orderstatus ORDER BY o_orderstatus'
+          USING '1-URGENT'
+        """
+    )

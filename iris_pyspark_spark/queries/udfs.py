@@ -709,3 +709,55 @@ def u_udtf_analyze_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL split_fixed(text, 4) s
         """
     )
+
+
+# --- pandas API on Spark: the drop-in pandas layer --------------------------
+
+_PS_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key
+FROM customer
+WHERE c_acctbal > 0.0
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("u_pandas_on_spark_api", oracle=_PS_ORACLE, tags=("U1", "A1", "P2"))
+def u_pandas_on_spark_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark (pyspark.pandas): the pandas-idiom surface
+    (filter mask, assign, groupby().agg(), reset_index, sort) compiled
+    to the SAME Catalyst plans the DataFrame API produces — no
+    collect, no pandas materialization; `to_spark()` hands back the
+    lazy plan. This is the migration path for pandas codebases onto
+    100 TB inputs, so the registry covers it as an entry point (the
+    oracle pins that the pandas idioms mean what SQL means). Cents are
+    computed pre-groupby with the same round-then-cast as CENTS_SQL."""
+    import pyspark.pandas as ps
+
+    from ..catalog import load_table
+
+    # ps.DataFrame over the already-normalized batch table (attach to
+    # plan, not to a path, so the catalog's session fixes apply).
+    pdf = load_table(spark, sf_dir, "customer").pandas_api()
+    pdf = pdf[pdf["c_acctbal"] > 0.0]
+    pdf = pdf.assign(bal_cents=(pdf["c_acctbal"] * 100).round(0).astype("int64"))
+    out = (
+        pdf.groupby("c_mktsegment")
+        .agg(
+            n_customers=("c_custkey", "count"),
+            bal_cents=("bal_cents", "sum"),
+            min_key=("c_custkey", "min"),
+        )
+        .reset_index()
+        .sort_values("c_mktsegment")
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "c_mktsegment",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("bal_cents").cast("long").alias("bal_cents"),
+        F.col("min_key").cast("long").alias("min_key"),
+    )

@@ -246,6 +246,9 @@ _PRIORITY = (
     "a_bitmap_distinct",                 # A3 A1 (bitmap exact-distinct rewrite)
     "sql_identifier_clause",             # E2 P4 (IDENTIFIER() templated names)
     "t_session_window_dynamic_gap",      # T3 T4 (per-event gap expression)
+    "sql_scripting_threshold_search",    # E2 P2 A1 (SQL scripting BEGIN/END)
+    "sql_execute_immediate",             # E2 P4 (EXECUTE IMMEDIATE ... USING)
+    "u_pandas_on_spark_api",             # U1 A1 P2 (pandas API on Spark)
 )
 
 
