@@ -113,6 +113,18 @@ def test_observation_metrics(spark, sf_dir):
     assert out_rows < metrics["rows_seen"]
 
 
+def test_topk_window_group_limit_pushdown(spark, sf_dir):
+    """Spark 3.5's WindowGroupLimit must fire for rank()<k filters: it
+    caps each group at k rows BEFORE the sort/window (partial limit on
+    the map side), which at 100 TB is the difference between shuffling
+    k rows per group and shuffling every row. A refactor that breaks
+    the pattern (e.g. filtering on a derived column Catalyst can't see
+    through) silently reverts to the full shuffle — pin it."""
+    for name in ("w_topk_per_group", "sql_lateral_topk"):
+        plan = _executed_plan(spark, name, sf_dir)
+        assert "WindowGroupLimit" in plan, (name, plan[:2000])
+
+
 def test_observe_query_has_collect_metrics(spark, sf_dir):
     """The registered observe() query must keep its CollectMetrics node
     in the executed plan (losing it — e.g. via a select() that drops
