@@ -805,3 +805,53 @@ def s_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- native XML sink + scan round-trip --------------------------------------
+
+_XML_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(c_nationkey) AS BIGINT) AS nation_sum,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key
+FROM customer
+WHERE c_acctbal >= 0.0
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("s_xml_scan_roundtrip", oracle=_XML_ORACLE, tags=("S2", "S4", "F6"))
+def s_xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML file source (Spark 4.0, SPARK-44265 — spark-xml moved
+    in-tree): sink customers as <row> elements, scan them back with an
+    EXPLICIT schema (inference would re-scan: same rule as the repo's
+    CSV/JSON readers) and aggregate. Doubles are excluded from the
+    round-trip checked columns — XML is a text format and this query
+    pins the source machinery, not float-to-decimal printing; integer
+    keys round-trip exactly. Scale: the writer emits one XML part per
+    partition (distributed, no collect); the reader splits by row tag."""
+    path = scratch_dir(sf_dir, "customer_xml")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 0.0)
+    (
+        c.select("c_custkey", "c_nationkey", "c_mktsegment")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "customer")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema("c_custkey long, c_nationkey long, c_mktsegment string")
+        .load(path)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_nationkey").cast("long").alias("nation_sum"),
+            F.min("c_custkey").cast("long").alias("min_key"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -249,6 +249,7 @@ _PRIORITY = (
     "sql_scripting_threshold_search",    # E2 P2 A1 (SQL scripting BEGIN/END)
     "sql_execute_immediate",             # E2 P4 (EXECUTE IMMEDIATE ... USING)
     "u_pandas_on_spark_api",             # U1 A1 P2 (pandas API on Spark)
+    "s_xml_scan_roundtrip",              # S2 S4 F6 (native XML source, Spark 4)
 )
 
 
