@@ -124,3 +124,36 @@ def test_jaccard_pairs_partition_invariant(spark, sf_dir):
             min_jaccard=0.3,
         ).select("id_a", "id_b", "n_shared")
     )
+
+
+def test_countmin_cells_partition_invariant(spark, sf_dir):
+    """CMS cells are plain exact counts per (row, bucket) — any layout
+    dependence would mean the bucket hash or the explode is unstable."""
+    from pyspark.sql import functions as F
+
+    d = 4
+    w = 1024
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+
+    def cells(n):
+        toks = (
+            docs.repartition(n)
+            .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+            .filter(F.length("term") > 0)
+        )
+        coords = F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    F.pmod(F.xxhash64("term", F.lit(r)), F.lit(w)).alias("bucket"),
+                )
+                for r in range(d)
+            ]
+        )
+        return (
+            toks.select(F.explode(coords).alias("c"))
+            .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cell"))
+        )
+
+    _invariant(cells)
