@@ -867,3 +867,93 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING '1-URGENT'
         """
     )
+
+
+#: TPC-H Q11 shape: GROUP BY ... HAVING against a SCALAR SUBQUERY over
+#: the SAME aggregation — keep the part keys whose revenue exceeds a
+#: fixed fraction of TOTAL revenue. Catalyst computes the global total
+#: once (one extra combinable aggregation, broadcast as a 1-row build
+#: side into the HAVING filter) — it must NOT recompute per group.
+#: The fraction is data-relative (1.1x the average part share, TPC-H
+#: scales Q11's fraction by 1/SF for the same reason), so the result
+#: is non-empty at every scale factor; integer-cents sums make the
+#: compare bit-stable up to the one shared double multiply.
+_Q11 = """
+SELECT l_partkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS value_cents
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+     > (1.1 / (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)) * (
+         SELECT SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         FROM lineitem
+       )
+ORDER BY value_cents DESC, l_partkey
+"""
+
+
+@register("sql_q11_value_share", oracle=_Q11, tags=("E2", "A6", "A2", "A1"))
+def sql_q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q11)
+
+
+#: TPC-H Q15 shape: argmax over an aggregate via self-join-on-max —
+#: build per-supplier revenue, then keep the supplier(s) whose revenue
+#: EQUALS the max of that derived table (the view-based top-revenue
+#: query; ties all surface, unlike LIMIT 1). The derived table is
+#: computed once and reused for both the probe and the 1-row max side;
+#: equality on integer cents is exact, so the shape is deterministic
+#: without a tie-break hack.
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("sql_q15_top_supplier", oracle=_Q15, tags=("E2", "A2", "J1", "W4"))
+def sql_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q15)
+
+
+#: TPC-H Q16 shape: NOT IN with a SUBQUERY — SQL's null-aware anti
+#: join, a DIFFERENT physical operator from NOT EXISTS (if the
+#: subquery can produce a NULL, `x NOT IN (...)` is never true, so the
+#: join must track null presence on the build side; Catalyst plans a
+#: null-aware BroadcastHashJoin/LeftAnti). Here: count distinct
+#: suppliers per part brand/size among supply records whose supplier
+#: is not in the below-zero-balance set.
+_Q16 = """
+WITH bad_suppliers AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+),
+part_suppliers AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN part_suppliers ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad_suppliers)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+@register("sql_q16_notin_suppliers", oracle=_Q16, tags=("E2", "J5", "A3", "A1"))
+def sql_q16_notin_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q16)

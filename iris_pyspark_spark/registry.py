@@ -250,6 +250,9 @@ _PRIORITY = (
     "sql_execute_immediate",             # E2 P4 (EXECUTE IMMEDIATE ... USING)
     "u_pandas_on_spark_api",             # U1 A1 P2 (pandas API on Spark)
     "s_xml_scan_roundtrip",              # S2 S4 F6 (native XML source, Spark 4)
+    "sql_q11_value_share",               # E2 A6 A2 A1 (HAVING vs global total)
+    "sql_q15_top_supplier",              # E2 A2 J1 W4 (argmax via self-join-on-max)
+    "sql_q16_notin_suppliers",           # E2 J5 A3 A1 (NOT IN null-aware anti join)
 )
 
 
