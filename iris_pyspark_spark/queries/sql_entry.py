@@ -957,3 +957,92 @@ ORDER BY supplier_cnt DESC, p_brand, p_size
 def sql_q16_notin_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_Q16)
+
+
+#: TPC-H Q6 shape: the pure scan-filter-aggregate — no join, no group
+#: key, three range predicates and one global sum. The simplest query
+#: in the suite and the purest pushdown test: all three predicates
+#: reach the parquet scan (PushedFilters) and the plan is a single
+#: combinable aggregation over the pruned 3-column read.
+_Q6 = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("sql_q6_forecast_revenue", oracle=_Q6, tags=("E2", "P2", "A2"))
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q6)
+
+
+#: TPC-H Q7 shape: volume shipping between two specific nations — a
+#: 4-way join where BOTH ends (supplier nation, customer nation) are
+#: dimension-filtered, plus a year split of the measure. The
+#: disjunctive two-nation predicate ((A,B) or (B,A)) must survive into
+#: the join, not degrade to a cross of both filters.
+_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume_cents) AS BIGINT) AS revenue_cents
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         EXTRACT(YEAR FROM l_shipdate) AS l_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS volume_cents
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("sql_q7_volume_shipping", oracle=_Q7, tags=("E2", "J6", "P3", "F2"))
+def sql_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q7)
+
+
+#: TPC-H Q9 shape: product-line profit by nation and year — the widest
+#: join fan in the suite (part-filtered fact x supplier x orders x
+#: nation) with a LIKE filter on the part dim driving semi-join
+#: reduction into the fact scan. (No partsupp/ps_supplycost in this
+#: schema: profit = net revenue less a 10%-of-retail cost stand-in —
+#: the join/aggregation structure is Q9's.)
+_Q9 = """
+SELECT nation, o_year,
+       CAST(SUM(amount_cents) AS BIGINT) AS profit_cents
+FROM (
+  SELECT n_name AS nation,
+         EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           - CAST(ROUND(p_retailprice * 10) AS BIGINT) * CAST(l_quantity AS BIGINT)
+           AS amount_cents
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("sql_q9_product_profit", oracle=_Q9, tags=("E2", "J6", "P4", "F2"))
+def sql_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q9)

@@ -253,6 +253,9 @@ _PRIORITY = (
     "sql_q11_value_share",               # E2 A6 A2 A1 (HAVING vs global total)
     "sql_q15_top_supplier",              # E2 A2 J1 W4 (argmax via self-join-on-max)
     "sql_q16_notin_suppliers",           # E2 J5 A3 A1 (NOT IN null-aware anti join)
+    "sql_q6_forecast_revenue",           # E2 P2 A2 (pure pushdown scan-agg)
+    "sql_q7_volume_shipping",            # E2 J6 P3 F2 (two-nation volume, year split)
+    "sql_q9_product_profit",             # E2 J6 P4 F2 (widest join fan, LIKE reduction)
 )
 
 
