@@ -113,6 +113,21 @@ def test_observation_metrics(spark, sf_dir):
     assert out_rows < metrics["rows_seen"]
 
 
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pure pushdown probe: all three range predicates must
+    reach the parquet scan and the read schema must be exactly the four
+    referenced columns — a 4-of-11 column read. Any expression rewrite
+    that hides a predicate from the scan shows up here first."""
+    plan = _executed_plan(spark, "sql_q6_forecast_revenue", sf_dir)
+    for pushed in (
+        "IsNotNull(l_shipdate)", "IsNotNull(l_discount)", "IsNotNull(l_quantity)",
+        "GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity",
+    ):
+        assert pushed in plan.split("PushedFilters")[-1], (pushed, plan[:2000])
+    read = plan.split("ReadSchema")[-1]
+    assert "l_orderkey" not in read and "l_tax" not in read
+
+
 def test_topk_window_group_limit_pushdown(spark, sf_dir):
     """Spark 3.5's WindowGroupLimit must fire for rank()<k filters: it
     caps each group at k rows BEFORE the sort/window (partial limit on
