@@ -706,3 +706,116 @@ def n_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "adc_micro", "rnk")
     )
+
+
+@register("n_pq_rerank_refine", oracle=None, tags=("N4", "N3"))
+def n_pq_rerank_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN — the production PQ query path: a cheap ADC pass
+    over the 1-byte codes prunes the corpus to 50 candidates per
+    probe, then ONLY those candidates are joined back to their exact
+    float vectors for full-precision re-ranking (top-5). At 100 TB the
+    refine join touches 50 rows per probe instead of the corpus — the
+    coarse pass is the only full scan, and it reads codes, not floats.
+
+    Rows-only by design (PQ codes are not SQL-expressible). `recall5`
+    against the exact brute-force top-5 (broadcast probes x one corpus
+    map-scan, integer-micro distances) is REPORTED, not asserted, the
+    same contract as n_ivf_recall_eval: the driver's synthetic
+    embeddings are uniform random, the adversarial case for coarse
+    quantization (distance concentration — a 16-codeword ADC carries
+    almost no ranking signal at 10k+ vectors), so a recall floor would
+    pin a property of the fixture, not of the operator. The provable
+    invariant rides as order_ok — exact distances non-decreasing down
+    each probe's re-ranked list.
+    """
+    from pyspark.sql.functions import broadcast as _bc
+
+    from ..operators.similarity import l2_sq_unrolled, pq_codes
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = _pq_codebook(e)
+    codes = pq_codes(e, cb, c_id="vec_id", c_vec="embedding").select(
+        "vec_id", "sub", "code"
+    )
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+    # Stage 1: ADC coarse scores from codes only (same integer-micro
+    # term construction as n_pq_adc_search).
+    adc_term = None
+    for i in range(1, 9):
+        idx = F.col("sub") * 8 + i
+        diff = F.element_at("q_emb", idx).cast("double") - F.element_at(
+            "cemb", idx
+        ).cast("double")
+        term = diff * diff
+        adc_term = term if adc_term is None else adc_term + term
+    coarse = (
+        codes.join(_bc(cb), "code")
+        .crossJoin(_bc(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc_term * 1000000).cast("long").alias("term_micro"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("term_micro").cast("long").alias("adc_micro"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id").asc()
+    )
+    candidates = (
+        coarse.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= 50)
+        .select("query_id", "neighbor_id")
+    )
+
+    # Stage 2: exact re-rank of the 50 candidates per probe.
+    exact_micro = F.round(
+        l2_sq_unrolled(F.col("q_emb"), F.col("embedding"), 64) * 1000000
+    ).cast("long")
+    refined = (
+        candidates.join(e, candidates.neighbor_id == e.vec_id)
+        .join(_bc(probes), "query_id")
+        .select("query_id", "neighbor_id", exact_micro.alias("exact_micro"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("exact_micro").asc(), F.col("neighbor_id").asc()
+    )
+    top = refined.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= 5
+    )
+
+    # Exact brute-force top-5 for the recall invariant.
+    brute = (
+        e.crossJoin(_bc(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            exact_micro.alias("exact_micro"),
+        )
+        .withColumn("brnk", F.row_number().over(wr))
+        .filter(F.col("brnk") <= 5)
+        .select("query_id", "neighbor_id", F.lit(True).alias("in_exact_top5"))
+    )
+    recall = (
+        top.join(brute, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg((F.sum(F.coalesce(F.col("in_exact_top5").cast("int"), F.lit(0))) / 5.0).alias("recall5"))
+    )
+    prev = F.lag("exact_micro").over(wr)
+    return (
+        top.join(recall, "query_id")
+        .select(
+            "query_id",
+            "rnk",
+            "neighbor_id",
+            "exact_micro",
+            F.round(F.col("recall5"), 2).alias("recall5"),
+            (F.coalesce(prev, F.lit(0)) <= F.col("exact_micro")).alias("order_ok"),
+        )
+        .orderBy("query_id", "rnk")
+    )

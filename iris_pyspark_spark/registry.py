@@ -256,6 +256,7 @@ _PRIORITY = (
     "sql_q6_forecast_revenue",           # E2 P2 A2 (pure pushdown scan-agg)
     "sql_q7_volume_shipping",            # E2 J6 P3 F2 (two-nation volume, year split)
     "sql_q9_product_profit",             # E2 J6 P4 F2 (widest join fan, LIKE reduction)
+    "n_pq_rerank_refine",                # N4 N3 (two-stage ANN, rows-only)
 )
 
 
