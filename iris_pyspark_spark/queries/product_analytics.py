@@ -591,3 +591,81 @@ def e_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+_LINEAR_ATTR_ORACLE = """
+WITH purch AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT p.event_id, p.cents, c.click_id, c.c_ts
+  FROM purch p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND c.c_ts <= p.ts AND c.c_ts > p.ts - INTERVAL 1 HOUR
+),
+credits AS (
+  SELECT click_id, c_ts,
+         (cents * 1000000) // COUNT(*) OVER (PARTITION BY event_id)
+           AS credit_micro
+  FROM pairs
+)
+SELECT CAST(date_trunc('hour', c_ts) AS TIMESTAMP) AS click_hour,
+       COUNT(*) AS n_credits,
+       CAST(SUM(credit_micro) AS BIGINT) AS credit_micro_sum
+FROM credits
+GROUP BY 1
+ORDER BY click_hour
+"""
+
+
+@register("e_linear_attribution", oracle=_LINEAR_ATTR_ORACLE, tags=("J7", "W3", "A1", "F2"))
+def e_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) marketing attribution — the third
+    attribution model next to first-touch (e_cumulative_reach) and
+    last-touch (j_asof_last_click): every click in the hour before a
+    purchase gets an equal share of its value. Credit splits in
+    integer MICRO-cents via exact long division (the remainder is
+    deliberately dropped — deterministic on both engines, unlike a
+    double divide whose sums would drift), with the per-purchase touch
+    count from one window over the joined pairs. The join is
+    user-equi + time-range — shuffles once on user_id; the per-user
+    pair population is bounded by activity, never cross-user."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = purch.join(clicks, "user_id").filter(
+        (F.col("c_ts") <= F.col("ts"))
+        & (F.col("c_ts") > F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    wn = Window.partitionBy("event_id")
+    credits = pairs.select(
+        "click_id",
+        "c_ts",
+        F.expr("cents * 1000000").alias("scaled"),
+        F.count(F.lit(1)).over(wn).alias("n_touch"),
+    ).select("click_id", "c_ts", F.expr("scaled div n_touch").alias("credit_micro"))
+    return (
+        credits.groupBy(
+            F.date_trunc("hour", "c_ts").cast("timestamp").alias("click_hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit_micro").cast("long").alias("credit_micro_sum"),
+        )
+        .orderBy("click_hour")
+    )

@@ -551,3 +551,56 @@ def s_observe_qc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_SKEW_REPORT_ORACLE = """
+WITH freq AS (
+  SELECT user_id, COUNT(*) AS n
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT SUM(n) AS total_rows, COUNT(*) AS n_keys, MAX(n) AS max_n
+  FROM freq
+)
+SELECT user_id AS hot_key,
+       n AS n_rows,
+       ROUND(n / CAST(total_rows AS DOUBLE), 6) AS share,
+       ROUND(n * CAST(n_keys AS DOUBLE) / total_rows, 4) AS skew_factor,
+       CAST(total_rows AS BIGINT) AS total_rows,
+       CAST(n_keys AS BIGINT) AS n_keys
+FROM freq, tot
+ORDER BY n_rows DESC, hot_key
+LIMIT 10
+"""
+
+
+@register("s_skew_report", oracle=_SKEW_REPORT_ORACLE, tags=("A1", "O2", "P7"))
+def s_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the pre-flight a 100 TB join runs
+    BEFORE choosing a strategy: per-key frequencies (one combinable
+    aggregation over the prospective key), the global totals as a
+    1-row broadcast, and each hot key's skew factor (its multiple of
+    the mean key load — the number AQE's skew-join threshold reasons
+    about). Top-10 under a total order. The same aggregate that would
+    feed operators/skew.py's salting decision, surfaced as a query."""
+    ev = load_table(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(
+        F.sum("n").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("user_id").alias("hot_key"),
+            F.col("n").alias("n_rows"),
+            F.round(F.col("n") / F.col("total_rows").cast("double"), 6).alias("share"),
+            F.round(
+                F.col("n") * F.col("n_keys").cast("double") / F.col("total_rows"), 4
+            ).alias("skew_factor"),
+            F.col("total_rows").cast("long").alias("total_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+        )
+        .orderBy(F.col("n_rows").desc(), "hot_key")
+        .limit(10)
+    )

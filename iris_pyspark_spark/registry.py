@@ -257,6 +257,8 @@ _PRIORITY = (
     "sql_q7_volume_shipping",            # E2 J6 P3 F2 (two-nation volume, year split)
     "sql_q9_product_profit",             # E2 J6 P4 F2 (widest join fan, LIKE reduction)
     "n_pq_rerank_refine",                # N4 N3 (two-stage ANN, rows-only)
+    "s_skew_report",                     # A1 O2 P7 (join-key skew diagnostics)
+    "e_linear_attribution",              # J7 W3 A1 F2 (equal-split attribution)
 )
 
 
