@@ -128,22 +128,37 @@ def pagerank_integer(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
         ["src", "dst"]
     )
-    e.write.mode("overwrite").parquet(f"{scratch_path}/pr_edges")
-    e = spark.read.parquet(f"{scratch_path}/pr_edges")
-
+    # Annotate each edge with its source's out-degree ONCE, before the
+    # loop — the degree never changes across rounds, so materializing
+    # (src, dst, out_deg) saves one join per iteration (6 joins at the
+    # default depth) and every round becomes join + combinable SUM.
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    vertices = (
+    e.join(out_deg, "src").write.mode("overwrite").parquet(
+        f"{scratch_path}/pr_edges"
+    )
+    # The degree-annotated edge table is read once per round; cache it
+    # for the loop (MEMORY_AND_DISK degrades gracefully when the edge
+    # table outgrows executor memory at real scale) and release before
+    # returning so repeated invocations don't accumulate cached RDDs.
+    e = spark.read.parquet(f"{scratch_path}/pr_edges").persist()
+
+    # Vertices are referenced once per round (the teleport-side outer
+    # join); materialize the distinct ONCE or every round re-runs a
+    # distinct over the full edge table.
+    (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{scratch_path}/pr_vertices")
     )
+    vertices = spark.read.parquet(f"{scratch_path}/pr_vertices")
     teleport_micro = (100 - damping_pct) * 10_000  # (1-d) * 1e6
 
     ranks = vertices.withColumn("rank_micro", F.lit(1_000_000).cast("long"))
     for it in range(iters):
         contrib = (
-            e.join(out_deg, "src")
-            .join(ranks.withColumnRenamed("id", "src"), "src")
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
                 F.col("dst").alias("id"),
                 # `div` = exact long floor-division; a double `/` +
@@ -162,4 +177,5 @@ def pagerank_integer(
         )
         ranks.write.mode("overwrite").parquet(f"{scratch_path}/pr_iter{it % 2}")
         ranks = spark.read.parquet(f"{scratch_path}/pr_iter{it % 2}")
+    e.unpersist()
     return ranks

@@ -65,10 +65,13 @@ def g_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rank_micro").alias("total_mass_micro"),
         F.count(F.lit(1)).alias("n_vertices"),
     )
+    # The operator materialized the degree-annotated edge table; read
+    # it back for the report column instead of re-running the orderkey
+    # self-join a second time.
     out_deg = (
-        edges.dropDuplicates(["src", "dst"])
-        .groupBy(F.col("src").alias("id"))
-        .agg(F.count(F.lit(1)).alias("out_deg"))
+        spark.read.parquet(f"{scratch_dir(sf_dir, 'pagerank')}/pr_edges")
+        .select(F.col("src").alias("id"), "out_deg")
+        .dropDuplicates(["id"])
     )
     return (
         ranks.join(out_deg, "id", "left")
