@@ -604,3 +604,129 @@ def s_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "hot_key")
         .limit(10)
     )
+
+
+_SESSION_TIMEOUT_ORACLE = """
+WITH cut AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS c FROM events),
+e AS (
+  SELECT user_id, ts, event_id FROM events, cut WHERE ts <= c
+),
+flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       EPOCH_US(MIN(ts)) // 1000000 AS session_start_epoch,
+       EPOCH_US(MAX(ts)) // 1000000 AS session_end_epoch,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start_epoch long, session_end_epoch long, n_events long"
+)
+
+
+def _session_timeout_fn(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Gap-sessionize with EVENT-TIME TIMEOUT state eviction: closed
+    sessions emit immediately; the trailing open session parks in state
+    with a timeout at last_event + gap, and the timeout callback (fired
+    when the watermark passes it) emits it. In-batch gap splitting is
+    what makes the result independent of how the source files batch."""
+    gap_us = 1800 * 1000_000
+
+    def row(uid: int, s: int, e: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "session_start_epoch": [s // 1000_000],
+                "session_end_epoch": [e // 1000_000],
+                "n_events": [n],
+            }
+        )
+
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield row(key[0], start_us, last_us, n)
+        return
+
+    ts_us: list = []
+    for pdf in pdfs:
+        ts_us.extend(int(v) for v in pdf["ts_us"].astype("int64"))
+    ts_us.sort()
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us, last_us, n = ts_us[0], ts_us[0] - gap_us - 1, 0
+    sessions: list = []
+    for t in ts_us:
+        if n and t - last_us > gap_us:
+            sessions.append((start_us, last_us, n))
+            start_us, n = t, 0
+        elif not n:
+            start_us = t
+        last_us = t
+        n += 1
+    for s, e, c in sessions:
+        yield row(key[0], s, e, c)
+    state.update((start_us, last_us, n))
+    # Event-time timeout: fire once the watermark passes session close.
+    state.setTimeoutTimestamp(last_us // 1000 + 1800 * 1000)
+
+
+@register(
+    "st_session_timeout_state",
+    oracle=_SESSION_TIMEOUT_ORACLE,
+    tags=("T4", "T5", "U2"),
+)
+def st_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState with EventTimeTimeout — the state-eviction
+    half of the arbitrary-state API that st_stateful_running_count's
+    NoTimeout form never exercises: each user's open session parks in
+    the state store with a timeout at last_event + gap, and the TIMEOUT
+    CALLBACK (not a data row) emits it when the watermark passes. Same
+    determinism engineering as st_stream_stream_outer_join: watermark
+    BEFORE the cutoff filter, cutoff at max(ts) - 2h so every kept
+    session's timeout lands under the final watermark (30-min gap +
+    10-min delay leaves 80 minutes of margin) — making the drained
+    result equal the batch sessionization the oracle states."""
+    import datetime
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..streaming import drain_to_table, read_events_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(F.max("ts").alias("m")).first()["m"] - datetime.timedelta(hours=2)
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .filter(F.col("ts") <= F.lit(cut))
+        # timestamp -> integer epoch-micros column so the pandas fn
+        # never touches tz-aware datetime parsing.
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _session_timeout_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return drain_to_table(out, output_mode="append")

@@ -259,6 +259,7 @@ _PRIORITY = (
     "n_pq_rerank_refine",                # N4 N3 (two-stage ANN, rows-only)
     "s_skew_report",                     # A1 O2 P7 (join-key skew diagnostics)
     "e_linear_attribution",              # J7 W3 A1 F2 (equal-split attribution)
+    "st_session_timeout_state",          # T4 T5 U2 (EventTimeTimeout eviction)
 )
 
 
