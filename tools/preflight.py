@@ -51,8 +51,10 @@ def main() -> int:
 
     bad: list[tuple[str, str]] = []
     skipped = 0
+    per_q: dict[str, float] = {}
     t0 = time.time()
     for i, name in enumerate(qs, 1):
+        tq = time.time()
         try:
             df = qs[name](spark, sf_dir)
             complex_cols = [
@@ -81,6 +83,7 @@ def main() -> int:
             skipped += 1
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             bad.append((name, f"EXC {type(e).__name__}: {str(e)[:200]}"))
+        per_q[name] = time.time() - tq
         if i % 50 == 0:
             print(
                 f"  ...{i}/{len(qs)} ({time.time() - t0:.0f}s, {len(bad)} bad)",
@@ -93,6 +96,8 @@ def main() -> int:
     )
     for name, detail in bad:
         print(f"  FAIL {name}: {detail}")
+    slowest = sorted(per_q.items(), key=lambda kv: -kv[1])[:10]
+    print("slowest:", ", ".join(f"{n}={dt:.1f}s" for n, dt in slowest))
     return 1 if bad else 0
 
 
