@@ -275,6 +275,10 @@ _BNLJ_ALLOWED = frozenset({
     "s_small_file_compaction",
     # round-4 continuation: 1-row totals broadcasts
     "g_pagerank_parts", "n_countmin_sketch",
+    # late round-4: <=10-row probe crossJoin (same bound as n_pq_adc_search)
+    "n_pq_rerank_refine",
+    # late round-4: 1-row global-totals crossJoin
+    "s_skew_report",
 })
 
 
