@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 from ..catalog import load_table, load_tables
 from ..registry import register
@@ -816,4 +817,77 @@ def a_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_rows").cast("long").alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+# --- weighted median via the cumulative-weight histogram walk ---------------
+
+_WMEDIAN_ORACLE = f"""
+WITH hist AS (
+  SELECT l_returnflag,
+         {CENTS_SQL.format(expr="l_extendedprice")} AS price_cents,
+         SUM(CAST(l_quantity AS BIGINT)) AS wt
+  FROM lineitem GROUP BY l_returnflag, price_cents
+),
+cum AS (
+  SELECT l_returnflag, price_cents, wt,
+         SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM hist
+)
+SELECT l_returnflag,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN price_cents END) AS BIGINT)
+         AS wmedian_cents,
+       CAST(MIN(tw) AS BIGINT) AS total_weight
+FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("a_weighted_median", oracle=_WMEDIAN_ORACLE, tags=("A8", "A1", "W3"))
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of extended price per return flag — the
+    weighted-percentile shape MEDIAN()/percentile_approx can't express
+    (each row counts `l_quantity` times). Definition: the lower weighted
+    median, i.e. the smallest price whose cumulative weight reaches half
+    the total.
+
+    Scale design: the fact table is FIRST compressed to a per-(group,
+    value) histogram by a combinable groupBy (map-side partial
+    aggregation does most of the work), so the cumulative-weight window
+    walks |distinct prices per group| rows — the value histogram, not
+    the corpus. All arithmetic is exact integers (cents, long weights):
+    the crossing row is engine- and layout-independent with no float
+    comparisons anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(
+            "l_returnflag",
+            cents(F.col("l_extendedprice")).alias("price_cents"),
+            F.col("l_quantity").cast("long").alias("wt"),
+        )
+        .groupBy("l_returnflag", "price_cents")
+        .agg(F.sum("wt").alias("wt"))
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("wt").over(w_cum).alias("cw"),
+        F.sum("wt").over(w_all).alias("tw"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_cents")))
+            .cast("long")
+            .alias("wmedian_cents"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
     )

@@ -647,3 +647,82 @@ def j_theta_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
         )
     )
+
+
+# --- SCD2 point-in-time join ------------------------------------------------
+
+_SCD2_PIT_ORACLE = f"""
+WITH dim AS (
+  SELECT o_custkey, o_orderdate AS valid_from,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to,
+         o_orderstatus AS status
+  FROM orders WHERE o_custkey <= 200
+),
+fact AS (
+  SELECT o.o_custkey AS custkey, l.l_shipdate,
+         {CENTS_SQL.format(expr="l.l_extendedprice")} AS rev_cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey <= 200
+)
+SELECT d.status,
+       COUNT(*) AS n_lines,
+       CAST(SUM(f.rev_cents) AS BIGINT) AS rev_cents,
+       COUNT(DISTINCT f.custkey) AS n_custs
+FROM fact f JOIN dim d
+  ON f.custkey = d.o_custkey
+ AND f.l_shipdate >= d.valid_from
+ AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+GROUP BY d.status ORDER BY d.status
+"""
+
+
+@register("j_scd2_point_in_time", oracle=_SCD2_PIT_ORACLE, tags=("J7", "J8", "W2", "A1"))
+def j_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against SCD2 history — the warehouse pattern
+    w_scd2_ranges builds FOR: each shipment (fact event at l_shipdate)
+    picks up the customer's status interval that was valid when it
+    shipped ([valid_from, valid_to), open end = current), then revenue
+    rolls up by that historical status.
+
+    Scale design: the interval table derives from the changelog with
+    one window over the dimension key, and the PIT join carries the
+    custkey EQUI-conjunct, so Catalyst plans a hash/sort-merge join on
+    custkey with the range predicate as a post-join filter — never a
+    nested loop (the same contract as j_theta_range; the pure-range
+    fallback is the bucketed shape). Intervals per key are contiguous
+    and non-overlapping by construction, so each fact row matches at
+    most one interval — the join cannot amplify. Money in integer
+    cents."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "l_shipdate",
+            cents(F.col("l_extendedprice")).alias("rev_cents"),
+        )
+    )
+    joined = fact.join(
+        dim,
+        (fact.custkey == dim.o_custkey)
+        & (fact.l_shipdate >= dim.valid_from)
+        & (dim.valid_to.isNull() | (fact.l_shipdate < dim.valid_to)),
+    )
+    return (
+        joined.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("rev_cents").cast("long").alias("rev_cents"),
+            F.count_distinct("custkey").alias("n_custs"),
+        )
+        .orderBy("status")
+    )

@@ -9,6 +9,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..operators.similarity import (
+    dot_unrolled,
+    dot_unrolled_sql,
+    norm_unrolled_sql,
+)
 from ..operators.text import (
     LANG_MARKERS,
     fingerprint_min_md5,
@@ -522,15 +527,11 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT 10
 """
 
 
-@register("n_bm25_retrieval", oracle=_BM25_ORACLE, tags=("N5", "N3", "O2"))
-def n_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval (k1=1.2, b=0.75) for a 3-term query —
-    top-10 docs. Per-term contributions are pivoted into columns and
-    added in a FIXED order (table + data + window): float addition is
-    non-associative, so relying on aggregation order would be
-    nondeterministic across partitionings and engines. df/avgdl stats
-    are scalars broadcast to the tf side; only the tf aggregation
-    shuffles the corpus."""
+def _bm25_scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for the fixed 3-term query — the scoring shared by
+    n_bm25_retrieval and the lexical arm of n_hybrid_rrf_fusion. Only
+    docs matching at least one query term appear (contrib is inner-built
+    from tf)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -566,10 +567,180 @@ def n_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max(F.when(F.col("tok") == t, F.col("c"))), F.lit(0.0))
         for t in _BM25_TERMS
     ]
-    scored = contrib.groupBy("doc_id").agg(
+    return contrib.groupBy("doc_id").agg(
         F.round(pivot[0] + pivot[1] + pivot[2], 6).alias("bm25")
     )
+
+
+@register("n_bm25_retrieval", oracle=_BM25_ORACLE, tags=("N5", "N3", "O2"))
+def n_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75) for a 3-term query —
+    top-10 docs. Per-term contributions are pivoted into columns and
+    added in a FIXED order (table + data + window): float addition is
+    non-associative, so relying on aggregation order would be
+    nondeterministic across partitionings and engines. df/avgdl stats
+    are scalars broadcast to the tf side; only the tf aggregation
+    shuffles the corpus."""
+    scored = _bm25_scored_df(spark, sf_dir)
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(10)
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine --------
+
+#: Embedding width of the `embeddings` table (TESTDATA.md, measured).
+_EMB_DIM = 64
+_RRF_K = 60  # the standard RRF smoothing constant (Cormack et al.)
+_RRF_TOPN = 100  # per-arm candidate depth
+
+_RRF_ORACLE_TEMPLATE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ('table', 'data', 'window') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id, tf.tok,
+         LN(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({k1} + 1))
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+           AS c
+  FROM tf
+  JOIN df ON tf.tok = df.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id,
+         ROUND(COALESCE(MAX(CASE WHEN tok = 'table'  THEN c END), 0)
+             + COALESCE(MAX(CASE WHEN tok = 'data'   THEN c END), 0)
+             + COALESCE(MAX(CASE WHEN tok = 'window' THEN c END), 0), 6) AS bm25
+  FROM contrib GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+    FROM scored
+  ) t WHERE lex_rank <= {topn}
+),
+normed AS (
+  SELECT vec_id, embedding, {norm_sql} AS nrm FROM embeddings
+),
+qv AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM normed WHERE vec_id = 0),
+dense_sc AS (
+  SELECT b.vec_id AS doc_id,
+         ROUND(({dot_sql}) / (qv.q_nrm * b.nrm), 9) AS sim
+  FROM normed b CROSS JOIN qv WHERE b.vec_id <> 0
+),
+den AS (
+  SELECT doc_id, dense_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS dense_rank
+    FROM dense_sc
+  ) t WHERE dense_rank <= {topn}
+)
+SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+       CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+       CAST(den.dense_rank AS BIGINT) AS dense_rank,
+       ROUND(COALESCE(CAST(1 AS DOUBLE) / ({k} + lex.lex_rank), 0)
+           + COALESCE(CAST(1 AS DOUBLE) / ({k} + den.dense_rank), 0), 9)
+         AS rrf_score
+FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+"""
+
+
+_RRF_ORACLE = _RRF_ORACLE_TEMPLATE.format(
+    k1=_BM25_K1,
+    b=_BM25_B,
+    topn=_RRF_TOPN,
+    k=_RRF_K,
+    norm_sql=norm_unrolled_sql("embedding", _EMB_DIM),
+    dot_sql=dot_unrolled_sql("q_emb", "b.embedding", _EMB_DIM),
+)
+
+
+@register(
+    "n_hybrid_rrf_fusion",
+    oracle=_RRF_ORACLE,
+    tags=("N5", "N3", "O2", "W1"),
+)
+def n_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — reciprocal-rank fusion (RRF, k=60) of a BM25
+    lexical arm and a dense cosine arm, the standard first-stage
+    retriever of a RAG / contamination-audit pipeline. Assumes the
+    id-aligned convention vec_id == doc_id (TESTDATA.md: both are
+    0..N-1).
+
+    Scale design: each arm reduces to a bounded candidate list BEFORE
+    anything global happens — `orderBy().limit(topn)` plans as
+    TakeOrderedAndProject (per-partition partial top-k, no full sort
+    shuffle), and only the <=topn survivors enter the single-partition
+    rank window (bounded by construction, same contract as the top-k
+    queries). The fusion join is a full outer join of two <=topn-row
+    sides; the dense arm broadcasts the 1-row probe vector
+    (bounded BNLJ, allowlisted). RRF scores are computed from integer
+    ranks by identical IEEE double expressions on both engines, so the
+    hash compare is exact."""
+    # Lexical arm: BM25 candidates.
+    scored = _bm25_scored_df(spark, sf_dir)
+    lex100 = (
+        scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_RRF_TOPN)
+    )
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = lex100.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+
+    # Dense arm: cosine against the fixed probe (vec_id 0).
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    normed = e.withColumn(
+        "nrm",
+        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), _EMB_DIM)),
+    )
+    qv = normed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    sim = dot_unrolled(F.col("q_emb"), F.col("embedding"), _EMB_DIM) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    dense_sc = (
+        normed.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), F.round(sim, 9).alias("sim"))
+    )
+    den100 = (
+        dense_sc.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+        .limit(_RRF_TOPN)
+    )
+    wd = Window.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+    den = den100.select(
+        "doc_id", F.row_number().over(wd).cast("long").alias("dense_rank")
+    )
+
+    # Fusion: RRF from the two rank lists.
+    fused = lex.join(den, "doc_id", "full")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("dense_rank")), F.lit(0.0)
+        ),
+        9,
+    )
+    return (
+        fused.select("doc_id", "lex_rank", "dense_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
 
 
 # --- bigram language-model scoring (perplexity-style quality filter) --------

@@ -669,3 +669,71 @@ def e_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_hour")
     )
+
+
+# --- sequence-pattern matching over per-user event journeys -----------------
+
+_SEQPAT_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       ARRAY_TO_STRING((STRING_SPLIT(path, '>'))[1:5], '>') AS path_head,
+       REGEXP_MATCHES(path, 'signup.*purchase') AS signup_to_purchase,
+       REGEXP_MATCHES(path, 'view.*click.*purchase') AS full_funnel,
+       REGEXP_MATCHES(path, 'error>error') AS repeated_error
+FROM seq ORDER BY user_id
+"""
+
+
+@register(
+    "e_sequence_pattern_match",
+    oracle=_SEQPAT_ORACLE,
+    tags=("A9", "W2", "F1", "P6"),
+)
+def e_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence patterns without MATCH_RECOGNIZE:
+    each user's journey becomes one ordered path string (event types
+    joined by '>'), and row-pattern predicates become regexes over it —
+    ordered conversion (signup...purchase), the full view→click→purchase
+    funnel, and adjacent repeated errors.
+
+    Scale design: ONE shuffle — the per-user groupBy; ordering comes
+    from array_sort over (ts, event_id, type) structs inside the
+    aggregated value, so no window/sort stage precedes the shuffle, and
+    map-side partial aggregation batches rows before they move. The
+    path string is bounded by a user's own event count (journey-sized,
+    not corpus-sized); the checked output projects only the 5-step head
+    plus booleans. The struct-sort + transform lambdas evaluate
+    interpreted, but over journey-sized arrays — not the hot path."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("journey"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(F.col("journey"), lambda s: s["event_type"]), ">"
+            ).alias("path"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.array_join(
+            F.slice(F.split(F.col("path"), ">"), 1, 5), ">"
+        ).alias("path_head"),
+        F.col("path").rlike("signup.*purchase").alias("signup_to_purchase"),
+        F.col("path").rlike("view.*click.*purchase").alias("full_funnel"),
+        F.col("path").rlike("error>error").alias("repeated_error"),
+    ).orderBy("user_id")

@@ -730,3 +730,70 @@ def st_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return drain_to_table(out, output_mode="append")
+
+
+# --- single-pass column profiler (ANALYZE TABLE-shaped QC report) -----------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS column_name,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_val,
+       CAST(MAX({c}) AS VARCHAR) AS max_val
+FROM orders"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY column_name"
+
+
+@register("s_profile_table", oracle=_PROFILE_ORACLE, tags=("A1", "A3", "A2", "P5"))
+def s_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler — the ANALYZE TABLE / data-QC report as a query:
+    per column, row count, null count, exact distinct count, and
+    min/max (stringified so one schema fits every column type).
+
+    Scale design: ONE scan of the table computes every metric in a
+    single global aggregation (the oracle's five-scan UNION ALL states
+    the semantics; Spark executes one pass). The multiple exact
+    COUNT(DISTINCT)s expand the aggregation buffers (Catalyst plans one
+    Expand ×|columns| — the cost of exactness); a 100 TB profiler run
+    swaps them for approx_count_distinct on the same plan shape (see
+    a_approx_count_distinct) — the rest of the metrics are plain
+    combinable aggregates. The stack() unpivot runs on the single
+    1-row aggregate result, so the report stage is driver-trivial."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__dist"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = load_table(spark, sf_dir, "orders").agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__null, {c}__dist, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+                "(column_name, n_null, n_distinct, min_val, max_val)"
+            ),
+            F.col("n_rows"),
+        )
+        .select(
+            "column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
+        )
+        .orderBy("column_name")
+    )

@@ -260,6 +260,11 @@ _PRIORITY = (
     "s_skew_report",                     # A1 O2 P7 (join-key skew diagnostics)
     "e_linear_attribution",              # J7 W3 A1 F2 (equal-split attribution)
     "st_session_timeout_state",          # T4 T5 U2 (EventTimeTimeout eviction)
+    "n_hybrid_rrf_fusion",               # N5 N3 O2 W1 (BM25 + dense RRF fusion)
+    "a_weighted_median",                 # A8 A1 W3 (histogram cumulative walk)
+    "e_sequence_pattern_match",          # A9 W2 F1 P6 (regex row-pattern match)
+    "s_profile_table",                   # A1 A3 A2 P5 (single-pass column profiler)
+    "j_scd2_point_in_time",              # J7 J8 W2 A1 (PIT join on SCD2 history)
 )
 
 

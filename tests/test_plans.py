@@ -279,6 +279,8 @@ _BNLJ_ALLOWED = frozenset({
     "n_pq_rerank_refine",
     # late round-4: 1-row global-totals crossJoin
     "s_skew_report",
+    # late round-4: 1-row probe-vector crossJoin in the dense arm
+    "n_hybrid_rrf_fusion",
 })
 
 
