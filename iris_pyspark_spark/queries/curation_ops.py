@@ -503,3 +503,78 @@ def n_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sample_weight"),
     )
+
+
+_INCR_AGG_ORACLE = f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS total_cents,
+       MAX(o_orderdate) AS last_orderdate
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("s_incremental_agg_maintenance", oracle=_INCR_AGG_ORACLE, tags=("S4", "A1", "J3"))
+def s_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: a per-customer
+    order-summary table is maintained by MERGING a delta batch into the
+    persisted aggregate state instead of recomputing from all history —
+    the daily-refresh shape of every warehouse rollup.
+
+    The state table holds only ALGEBRAIC aggregates (count, sum, max),
+    so merge = full-outer join on the group key + elementwise combine;
+    cost is O(state + delta) regardless of how much history the state
+    summarizes. At 100 TB the full recompute rescans years of fact
+    data; this plan touches yesterday's partition and a state table the
+    size of the key space. The oracle recomputes from scratch, proving
+    merge(state, delta) == full recompute.
+
+    State is a fingerprinted parquet artifact (same discipline as the
+    LSH signature table): rebuilt when the input data changes, reused
+    otherwise.
+    """
+    from ..sources import (
+        artifact_is_current,
+        mark_artifact,
+        scratch_dir,
+        table_fingerprint,
+    )
+
+    split = "1997-01-01"
+    orders = load_table(spark, sf_dir, "orders")
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+            F.max("o_orderdate").alias("last_orderdate"),
+        )
+
+    state_path = scratch_dir(sf_dir, "incr_agg") + "/state"
+    fp = table_fingerprint(sf_dir, "orders", params=f"incr_agg_v1:{split}")
+    if not artifact_is_current(state_path, fp):
+        summarize(orders.filter(F.col("o_orderdate") < split)).write.mode(
+            "overwrite"
+        ).parquet(state_path)
+        mark_artifact(state_path, fp)
+    state = spark.read.parquet(state_path)
+    delta = summarize(orders.filter(F.col("o_orderdate") >= split))
+    s, d = state.alias("s"), delta.alias("d")
+    return (
+        s.join(d, F.col("s.o_custkey") == F.col("d.o_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("s.o_custkey"), F.col("d.o_custkey")).alias("o_custkey"),
+            (
+                F.coalesce(F.col("s.n_orders"), F.lit(0))
+                + F.coalesce(F.col("d.n_orders"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("s.total_cents"), F.lit(0))
+                + F.coalesce(F.col("d.total_cents"), F.lit(0))
+            ).alias("total_cents"),
+            F.greatest(F.col("s.last_orderdate"), F.col("d.last_orderdate")).alias(
+                "last_orderdate"
+            ),
+        )
+    )

@@ -575,3 +575,49 @@ def t_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "e_decay_engagement_score",
+    oracle=f"""
+SELECT user_id,
+       CAST(SUM({CENTS_SQL.format(expr="value")} * (CAST(1 AS BIGINT) << (20 - rn))) AS BIGINT) AS decay_score_scaled,
+       COUNT(*) AS n_recent
+FROM (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) - 1 AS rn
+  FROM events
+) t
+WHERE rn <= 20
+GROUP BY user_id
+""",
+    tags=("W1", "A1", "F3"),
+)
+def e_decay_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential time-decay engagement score (recency
+    weighting, half-life = one event): the freshest event counts full,
+    each older event half as much, truncated after 21 events where the
+    weight underflows anyway.
+
+    Exactness trick: decay 1/2 makes every weight a power of two, so
+    the score is sum(cents << (20 - rank)) in pure BIGINT shifts — no
+    float pow(), no accumulation-order drift, bit-identical on any
+    engine and any partitioning. Max term ~1e5 cents << 20 ≈ 1e11 and
+    ≤ 21 terms per user: no overflow headroom issues. One window + one
+    combinable aggregation (two shuffles on the same key — AQE merges
+    them into one exchange reuse)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w) - 1)
+        .filter(F.col("rn") <= 20)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                cents(F.col("value"))
+                * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - rn AS INT))")
+            ).alias("decay_score_scaled"),
+            F.count(F.lit(1)).alias("n_recent"),
+        )
+    )

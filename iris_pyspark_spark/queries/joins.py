@@ -726,3 +726,113 @@ def j_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+_SPATIAL_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey,
+         (c_custkey * 48271) % 180000000 AS clat,
+         (c_custkey * 69621) % 360000000 AS clon
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey,
+         (s_suppkey * 40692) % 180000000 AS slat,
+         (s_suppkey * 16807) % 360000000 AS slon
+  FROM supplier
+),
+scell AS (
+  SELECT s.s_suppkey, s.slat, s.slon,
+         (s.slon // 15000000) + off.dx AS gx,
+         (s.slat // 15000000) + off.dy AS gy
+  FROM supp s CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                                 (1,-1),(1,0),(1,1)) AS off(dx, dy)
+),
+cand AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (c.clon - s.slon) * (c.clon - s.slon)
+       + (c.clat - s.slat) * (c.clat - s.slat) AS dist2
+  FROM cust c JOIN scell s
+    ON (c.clon // 15000000) = s.gx AND (c.clat // 15000000) = s.gy
+),
+ranked AS (
+  SELECT c_custkey, s_suppkey, dist2,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY dist2, s_suppkey) AS rn
+  FROM cand
+  WHERE dist2 <= 225000000000000
+)
+SELECT c_custkey, s_suppkey AS nearest_suppkey, dist2
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("j_spatial_grid_nn", oracle=_SPATIAL_ORACLE, tags=("J7", "J1", "W1"))
+def j_spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-supplier-within-radius spatial join via grid bucketing —
+    the canonical way to run a distance join on Spark without a cross
+    join: quantize coordinates to 15-degree grid cells, replicate the
+    SMALLER side (suppliers) to its 3x3 cell neighborhood, equi-join on
+    cell id, then refine with the exact distance predicate and keep the
+    per-customer minimum.
+
+    Scale shape: replication factor is a constant 9x on the small side
+    only; the join is a plain equi-join on (gx, gy) so it shuffles,
+    prunes, and AQE-skew-splits like any other key join — a cross join
+    would be |cust| x |supp| and is never built. At planet scale the
+    same plan holds with finer cells (the cell size trades replication
+    against refine selectivity).
+
+    Determinism: coordinates are synthetic integer micro-degrees derived
+    from keys by pure LCG-style modular arithmetic (no real geography in
+    the test tables) kept non-negative so integer division is identical
+    on every engine; distances are exact BIGINT squared-euclidean (no
+    sqrt, no trig, no floats anywhere). Longitude wrap at the 0/360 seam
+    is deliberately not stitched — both engines see the identical metric.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 180000000).alias("clat"),
+        ((F.col("c_custkey") * 69621) % 360000000).alias("clon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 40692) % 180000000).alias("slat"),
+        ((F.col("s_suppkey") * 16807) % 360000000).alias("slon"),
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("off")
+    scell = supp.select("*", offsets).select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        (F.expr("slon div 15000000") + F.col("off.dx")).alias("gx"),
+        (F.expr("slat div 15000000") + F.col("off.dy")).alias("gy"),
+    )
+    cand = (
+        cust.withColumn("gx", F.expr("clon div 15000000"))
+        .withColumn("gy", F.expr("clat div 15000000"))
+        .join(scell, ["gx", "gy"])
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            (
+                (F.col("clon") - F.col("slon")) * (F.col("clon") - F.col("slon"))
+                + (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat"))
+            ).alias("dist2"),
+        )
+        .filter(F.col("dist2") <= 225000000000000)
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", F.col("s_suppkey").alias("nearest_suppkey"), "dist2")
+    )

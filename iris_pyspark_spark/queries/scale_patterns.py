@@ -797,3 +797,77 @@ def s_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+_BLOOM_ORACLE = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(qty_cents) AS BIGINT) AS total_qty_cents
+FROM (
+  SELECT l_orderkey, CAST(SUM({CENTS_SQL.format(expr="l_quantity")}) AS BIGINT) AS qty_cents
+  FROM lineitem GROUP BY l_orderkey
+) rev
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+"""
+
+
+@register("j_bloom_runtime_filter", oracle=_BLOOM_ORACLE, tags=("J1", "P2", "A1", "S1"))
+def j_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big join pruned by Catalyst's RUNTIME BLOOM FILTER
+    (InjectRuntimeFilter): the selective predicate on orders builds a
+    bloom filter over the surviving join keys, and `might_contain` is
+    pushed below the lineitem-side pre-aggregation — rows for
+    non-urgent orders are dropped BEFORE the per-order rollup shuffle,
+    not after the join.
+
+    This is the shuffle-reduction move for joins where NEITHER side
+    broadcasts (at 100 TB both fact tables exceed any broadcast
+    threshold). Spark only injects the filter when the join is a
+    genuine shuffle join AND the application side already shuffles, so
+    the test-scale run pins that exact shape explicitly:
+    autoBroadcastJoinThreshold=-1 models the both-sides-huge regime and
+    applicationSideScanSizeThreshold drops below the MB-scale scan. The
+    confs change the PHYSICAL plan only — the oracle proves result
+    equivalence — and are restored after an eager materialization so no
+    other query inherits them (tests/test_plans.py pins the
+    bloom_filter_agg/might_contain pair in the optimized plan).
+    """
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "64KB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    out_path = scratch_dir(sf_dir, "bloom_filter_join") + "/out"
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        bloom_runtime_filter_plan(spark, sf_dir).write.mode("overwrite").parquet(
+            out_path
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return spark.read.parquet(out_path)
+
+
+def bloom_runtime_filter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy plan behind j_bloom_runtime_filter, split out so the
+    plan test can inspect it under the bloom confs without the eager
+    write."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(cents(F.col("l_quantity"))).alias("qty_cents")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        rev.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("qty_cents").alias("total_qty_cents"),
+        )
+    )

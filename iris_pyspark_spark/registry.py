@@ -265,6 +265,12 @@ _PRIORITY = (
     "e_sequence_pattern_match",          # A9 W2 F1 P6 (regex row-pattern match)
     "s_profile_table",                   # A1 A3 A2 P5 (single-pass column profiler)
     "j_scd2_point_in_time",              # J7 J8 W2 A1 (PIT join on SCD2 history)
+    # ---- round-4 session additions -----------------------------------
+    "g_triangle_count",                  # J10 J1 A2 (oriented-wedge triangles)
+    "e_decay_engagement_score",          # W1 A1 F3 (exact power-of-two decay)
+    "j_spatial_grid_nn",                 # J7 J1 W1 (grid-bucketed spatial NN)
+    "s_incremental_agg_maintenance",     # S4 A1 J3 (merge delta into state)
+    "j_bloom_runtime_filter",            # J1 P2 A1 S1 (InjectRuntimeFilter shape)
 )
 
 

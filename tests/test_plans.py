@@ -281,6 +281,9 @@ _BNLJ_ALLOWED = frozenset({
     "s_skew_report",
     # late round-4: 1-row probe-vector crossJoin in the dense arm
     "n_hybrid_rrf_fusion",
+    # round-4 session: three 1-row count aggregates crossJoined into the
+    # single summary row
+    "g_triangle_count",
 })
 
 
@@ -343,6 +346,42 @@ def test_runtime_bloom_filter_injectable(spark, sf_dir):
         )
         opt = j._jdf.queryExecution().optimizedPlan().toString()
         assert "bloom_filter_agg" in opt, opt[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_bloom_query_plan_has_runtime_filter(spark, sf_dir):
+    """j_bloom_runtime_filter's whole point is the injected filter:
+    under its confs the optimized plan must contain the
+    bloom_filter_agg (creation side) + might_contain (application
+    side) pair, with the probe below the lineitem pre-aggregation."""
+    from iris_pyspark_spark.queries.scale_patterns import bloom_runtime_filter_plan
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "64KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            bloom_runtime_filter_plan(spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
     finally:
         for k, v in saved.items():
             if v is None:
