@@ -1,6 +1,13 @@
 """Exact-integer PageRank: pin the Spark fixed point bit-for-bit
 against an independent numpy implementation, and pin partition
-invariance (the operator's whole reason for integer arithmetic)."""
+invariance (the operator's whole reason for integer arithmetic).
+
+The Spark fixed point is computed ONCE per layout in a module-scoped
+fixture — each pagerank_integer call is 6 rounds of join + parquet
+lineage-break (dozens of tiny jobs), so the three tests sharing runs
+instead of re-running cuts ~15s of pure scheduling overhead from the
+suite without weakening any assertion.
+"""
 
 from __future__ import annotations
 
@@ -30,45 +37,42 @@ def _numpy_pagerank(edges: list[tuple[int, int]], iters: int = 6, damping_pct: i
     return {v: int(rank[idx[v]]) for v in verts}
 
 
+TOY_EDGES = [
+    (1, 2), (2, 1),          # cycle
+    (1, 3), (2, 3), (5, 3),  # hub 3
+    (3, 4),                  # dangling sink 4
+    (5, 1), (5, 2),
+]
+
+
 @pytest.fixture(scope="module")
-def toy_edges():
-    # Directed, includes a dangling vertex (4 has no out-edges), a
-    # 2-cycle, and a hub.
-    return [
-        (1, 2), (2, 1),          # cycle
-        (1, 3), (2, 3), (5, 3),  # hub 3
-        (3, 4),                  # dangling sink 4
-        (5, 1), (5, 2),
-    ]
-
-
-def test_pagerank_matches_numpy_bit_for_bit(spark, tmp_path, toy_edges):
-    df = spark.createDataFrame(toy_edges, ["src", "dst"])
-    got = {
-        r.id: r.rank_micro
-        for r in pagerank_integer(df, "src", "dst", str(tmp_path / "pr")).collect()
-    }
-    assert got == _numpy_pagerank(toy_edges)
-
-
-def test_pagerank_partition_invariant(spark, tmp_path, toy_edges):
-    base = spark.createDataFrame(toy_edges, ["src", "dst"])
-    results = []
+def pr_results(spark, tmp_path_factory):
+    """Fixed point under three partition layouts, computed once."""
+    root = tmp_path_factory.mktemp("pr")
+    base = spark.createDataFrame(TOY_EDGES, ["src", "dst"])
+    out = []
     for i, layout in enumerate(
         [base.coalesce(1), base.repartition(7), base.repartition(3, "dst")]
     ):
-        rows = pagerank_integer(
-            layout, "src", "dst", str(tmp_path / f"pr{i}")
-        ).collect()
-        results.append(sorted((r.id, r.rank_micro) for r in rows))
-    assert results[0] == results[1] == results[2]
+        df = pagerank_integer(layout, "src", "dst", str(root / f"pr{i}"))
+        out.append(df)
+    return out
 
 
-def test_pagerank_mass_never_created(spark, tmp_path, toy_edges):
-    df = spark.createDataFrame(toy_edges, ["src", "dst"])
-    ranks = pagerank_integer(df, "src", "dst", str(tmp_path / "prm"))
-    total, n = ranks.agg(
-        F.sum("rank_micro"), F.count(F.lit(1))
-    ).first()
+def test_pagerank_matches_numpy_bit_for_bit(pr_results):
+    got = {r.id: r.rank_micro for r in pr_results[0].collect()}
+    assert got == _numpy_pagerank(TOY_EDGES)
+
+
+def test_pagerank_partition_invariant(pr_results):
+    canon = [
+        sorted((r.id, r.rank_micro) for r in df.collect()) for df in pr_results
+    ]
+    assert canon[0] == canon[1] == canon[2]
+
+
+def test_pagerank_mass_never_created(pr_results):
+    ranks = pr_results[0]
+    total, n = ranks.agg(F.sum("rank_micro"), F.count(F.lit(1))).first()
     assert total <= n * 1_000_000
     assert ranks.filter(F.col("rank_micro") < 150_000).count() == 0
