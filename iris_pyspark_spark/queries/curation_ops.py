@@ -578,3 +578,107 @@ def s_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# --- CDC changelog apply (I/U/D, latest-op-wins) ----------------------------
+
+_CDC_ORACLE = f"""
+WITH snapshot AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 7 <> 0
+),
+changelog AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal + 50.0 AS bal, 'U' AS op, 1 AS seq
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal, 'I', 2
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, NULL, 'D', 3
+  FROM customer WHERE c_custkey % 11 = 0
+),
+net AS (
+  SELECT c_custkey, c_mktsegment AS seg, bal, op
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        FROM changelog)
+  WHERE rn = 1
+),
+final AS (
+  SELECT COALESCE(n.seg, s.c_mktsegment) AS c_mktsegment,
+         CASE WHEN n.op IN ('U', 'I') THEN n.bal ELSE s.c_acctbal END AS bal
+  FROM snapshot s FULL OUTER JOIN net n ON s.c_custkey = n.c_custkey
+  WHERE n.op IS NULL OR n.op <> 'D'
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM({CENTS_SQL.format(expr="bal")}) AS BIGINT) AS total_bal_cents
+FROM final
+GROUP BY c_mktsegment
+"""
+
+
+@register("s_cdc_apply_changelog", oracle=_CDC_ORACLE, tags=("S4", "J3", "A1", "P5"))
+def s_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: collapse an insert/update/delete changelog to its net
+    effect per key (latest sequence number wins) and merge it into a
+    snapshot — the Debezium-consumer / lakehouse-ingest shape that
+    s_merge_upsert lacks (it has no deletes and no op ordering). Keys
+    exercise every composition: U-then-D nets to a delete, U on a
+    missing key followed by I nets to an insert, I-then-D cancels out.
+
+    Scale design: latest-op-wins is a COMBINABLE max(struct(seq, ...))
+    — map-side partial aggregation collapses each key's ops before the
+    shuffle, so a hot key with millions of updates ships one row per map
+    task, not millions (the window-function spelling would ship all of
+    them). The apply itself is one key-equi full-outer join; at 100 TB
+    the snapshot side stays partition-pruned by the net-ops' key range
+    and untouched partitions rewrite via dynamic partition overwrite
+    exactly as s_merge_upsert demonstrates."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    snapshot = c.filter(F.col("c_custkey") % 7 != 0)
+    upd = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 50.0).alias("bal"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    ins = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal"),
+        F.lit("I").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    dele = c.filter(F.col("c_custkey") % 11 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(None).cast("double").alias("bal"),
+        F.lit("D").alias("op"),
+        F.lit(3).alias("seq"),
+    )
+    log = upd.unionByName(ins).unionByName(dele)
+    # Net effect per key: max over (seq, ...) structs — combinable, so the
+    # reduction happens map-side before any shuffle.
+    last = F.max(F.struct("seq", "op", "bal", "c_mktsegment")).alias("last")
+    net = log.groupBy("c_custkey").agg(last).select(
+        "c_custkey",
+        F.col("last.op").alias("op"),
+        F.col("last.bal").alias("bal"),
+        F.col("last.c_mktsegment").alias("seg"),
+    )
+    merged = snapshot.join(net, "c_custkey", "full_outer").filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    )
+    final = merged.select(
+        F.coalesce("seg", "c_mktsegment").alias("c_mktsegment"),
+        F.when(F.col("op").isin("U", "I"), F.col("bal"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    return final.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(cents(F.col("bal"))).alias("total_bal_cents"),
+    )

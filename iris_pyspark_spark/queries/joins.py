@@ -836,3 +836,95 @@ def j_spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("c_custkey", F.col("s_suppkey").alias("nearest_suppkey"), "dist2")
     )
+
+
+# --- interval-overlap self-join (cell-bucketed, no cross join) --------------
+
+_DAY_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
+
+_OVERLAP_ORACLE = """
+WITH iv AS (
+  SELECT event_id, user_id,
+         epoch_us(ts)                                        AS s,
+         epoch_us(ts) + 3600000000 * (1 + event_id % 3)      AS e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.user_id,
+       COUNT(*)                                              AS n_overlap_pairs,
+       CAST(SUM(LEAST(a.e, b.e) - GREATEST(a.s, b.s)) AS BIGINT) AS total_overlap_us,
+       CAST(MAX(LEAST(a.e, b.e) - GREATEST(a.s, b.s)) AS BIGINT) AS max_overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s < b.e AND b.s < a.e
+GROUP BY a.user_id
+"""
+
+
+@register("j_interval_overlap_join", oracle=_OVERLAP_ORACLE, tags=("J7", "J10", "A1"))
+def j_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: purchase events become [start, start +
+    1-3h) intervals; report, per user, how many pairs overlap and the
+    total/max overlap duration (exact integer microseconds).
+
+    Scale design — the no-cross-join interval join: each interval is
+    replicated to the UTC-day cells it spans (<= 2 cells for a 3h
+    interval), pairs meet through a (user_id, day-cell) EQUI-join, and
+    each pair is counted exactly once by the canonical-cell rule (the
+    cell containing the later of the two starts — for overlapping
+    intervals that instant lies inside both, so exactly one replica pair
+    satisfies it). Per-task work is bounded by intervals-per-(user, day),
+    never intervals-per-user, so a power user with years of history
+    cannot create a quadratic task. The oracle is the direct quadratic
+    self-join — DuckDB can afford it at oracle scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("s"),
+        (ts_us + F.lit(_HOUR_US) * (F.lit(1) + F.col("event_id") % 3)).alias("e"),
+    )
+    cells = iv.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / _DAY_US), F.floor(F.col("e") / _DAY_US)
+            )
+        ),
+    )
+    a = cells.select(
+        F.col("user_id"),
+        F.col("cell"),
+        F.col("event_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = cells.select(
+        F.col("user_id"),
+        F.col("cell"),
+        F.col("event_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    overlap = F.least(F.col("e_a"), F.col("e_b")) - F.greatest(
+        F.col("s_a"), F.col("s_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "cell"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("s_a") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e_a"))
+            # count-once: only the replica in the canonical cell survives
+            & (
+                F.floor(F.greatest(F.col("s_a"), F.col("s_b")) / _DAY_US)
+                == F.col("cell")
+            )
+        )
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_overlap_pairs"),
+        F.sum(overlap).alias("total_overlap_us"),
+        F.max(overlap).alias("max_overlap_us"),
+    )

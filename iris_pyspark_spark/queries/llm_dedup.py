@@ -829,3 +829,122 @@ def n_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_dups.alias("n_dups"),
         F.round(1000000.0 / (1 + n_dups)).cast("long").alias("weight_micro"),
     )
+
+
+# --- paragraph-level exact dedup (C4 / RefinedWeb shape) --------------------
+
+_PARA = 20  # tokens per paragraph unit
+
+_PARA_DEDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(LOWER(text), ' '), 1, {2 * _PARA}), ' ')
+           || ' ' ||
+         ARRAY_TO_STRING(LIST_TRANSFORM(GENERATE_SERIES(0, {_PARA - 1}),
+                                        j -> 'tail' || (doc_id + 100000) || 'x' || j), ' ')
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         STRING_SPLIT(LOWER(text), ' ') AS toks,
+         LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tok
+  FROM corpus
+),
+numbered AS (
+  SELECT doc_id, toks,
+         CAST(CEIL(n_tok / {_PARA}.0) AS BIGINT) AS n_paras,
+         UNNEST(GENERATE_SERIES(0, CAST(CEIL(n_tok / {_PARA}.0) AS INT) - 1)) AS pos
+  FROM base
+),
+paras AS (
+  SELECT doc_id, n_paras, pos,
+         ARRAY_TO_STRING(LIST_SLICE(toks, pos * {_PARA} + 1,
+                                    pos * {_PARA} + {_PARA}), ' ') AS para
+  FROM numbered
+),
+kept AS (
+  SELECT doc_id, n_paras, pos, para,
+         ROW_NUMBER() OVER (PARTITION BY MD5(para) ORDER BY doc_id, pos) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       MAX(n_paras)                                   AS n_paras,
+       COUNT(*)                                       AS n_kept,
+       CAST(SUM(LEN(STRING_SPLIT(para, ' '))) AS BIGINT) AS n_kept_tok,
+       MD5(STRING_AGG(para, ' ' ORDER BY pos))        AS clean_md5
+FROM kept
+WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
+@register("n_paragraph_dedup", oracle=_PARA_DEDUP_ORACLE, tags=("N1", "N5", "F4"))
+def n_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reassembly — the C4 /
+    RefinedWeb line-dedup shape: split every document into fixed
+    paragraph units (20 tokens), keep only the globally FIRST occurrence
+    of each distinct paragraph (order = (doc_id, position)), and rebuild
+    each document from its surviving paragraphs in original order. The
+    planted corpus doubles every doc with a copy whose first two
+    paragraphs are stolen from the original plus one unique tail
+    paragraph, so originals survive intact and copies keep only their
+    tail.
+
+    Scale design: tokenize+segment is a map-only explode fused into the
+    scan; keep-first is ONE hash-partitioned shuffle on the paragraph
+    digest (row_number over md5(para) — at crawl scale the window state
+    per digest is the duplicate count, bounded and skew-safe because
+    near-identical boilerplate digests spread across the hash space);
+    reassembly is ONE groupBy(doc_id) whose collect_list holds a single
+    document — bounded by max-doc-length, not corpus size. The checked
+    output is scalar-only (md5 of the reassembled text, not the text)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # NOTE: the tail is keyed by the COPY's id (doc_id + 100000). Spark's
+    # lateral-column-alias resolution would bind a bare `doc_id` here to
+    # the shifted alias in the same select list while DuckDB binds it to
+    # the input column — spell the shift explicitly so both agree.
+    tail = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PARA - 1)),
+            lambda j: F.concat(
+                F.lit("tail"),
+                (F.col("doc_id") + 100000).cast("string"),
+                F.lit("x"),
+                j.cast("string"),
+            ),
+        ),
+        " ",
+    )
+    prefix = F.array_join(F.slice(F.split(F.lower(F.col("text")), " "), 1, 2 * _PARA), " ")
+    # Build the copy text BEFORE shifting the id so no select-list alias
+    # shadows `doc_id` while the text expression still references it.
+    copies = d.withColumn("text", F.concat(prefix, F.lit(" "), tail)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(copies).repartition(spark.sparkContext.defaultParallelism)
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_paras = F.ceil(F.size(toks) / F.lit(float(_PARA)))
+    paras = corpus.select(
+        "doc_id",
+        n_paras.alias("n_paras"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_paras - 1).cast("int")),
+                lambda i: F.array_join(F.slice(toks, i * _PARA + 1, _PARA), " "),
+            )
+        ).alias("pos", "para"),
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("doc_id", "pos")
+    kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "para")))
+    return kept.groupBy("doc_id").agg(
+        F.max("n_paras").alias("n_paras"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.size(F.split(F.col("para"), " "))).cast("long").alias("n_kept_tok"),
+        F.md5(
+            F.array_join(F.transform(ordered, lambda s: s["para"]), " ")
+        ).alias("clean_md5"),
+    )

@@ -871,3 +871,83 @@ def bloom_runtime_filter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty_cents").alias("total_qty_cents"),
         )
     )
+
+
+# --- data-quality expectations gate (Deequ-style, single pass) --------------
+
+_EXPECT_ORACLE = """
+WITH joined AS (
+  SELECT l.*, o.o_orderkey AS matched_orderkey
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+m AS (
+  SELECT
+    COUNT(*) FILTER (WHERE l_orderkey IS NULL)                    AS null_pk,
+    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))         AS dup_pk,
+    COUNT(*) FILTER (WHERE l_quantity <= 0)                       AS bad_qty,
+    COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)    AS bad_discount,
+    COUNT(*) FILTER (WHERE l_returnflag NOT IN ('R', 'A', 'N'))   AS bad_flag,
+    COUNT(*) FILTER (WHERE matched_orderkey IS NULL)              AS orphans,
+    COUNT(*)                                                      AS n_rows
+  FROM joined
+)
+SELECT check_name, violations, violations = 0 AS passed, n_rows FROM (
+  SELECT 'null_primary_key'      AS check_name, null_pk      AS violations, n_rows FROM m
+  UNION ALL SELECT 'duplicate_primary_key', dup_pk,       n_rows FROM m
+  UNION ALL SELECT 'nonpositive_quantity',  bad_qty,      n_rows FROM m
+  UNION ALL SELECT 'discount_out_of_range', bad_discount, n_rows FROM m
+  UNION ALL SELECT 'returnflag_domain',     bad_flag,     n_rows FROM m
+  UNION ALL SELECT 'orphan_orderkey',       orphans,      n_rows FROM m
+)
+"""
+
+
+@register("s_expectations_check", oracle=_EXPECT_ORACLE, tags=("A2", "A3", "J3", "P5"))
+def s_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations gate (the Deequ / Great-Expectations
+    shape): assert completeness, primary-key uniqueness, value ranges, a
+    categorical domain, and referential integrity against `orders`, and
+    emit one (check_name, violations, passed) row per assertion — the
+    report a pipeline gates a publish step on.
+
+    Scale design: ALL six checks ride ONE pass — a single left join
+    against the (unique-key) orders side folds the referential check
+    into the same scan that computes the five column checks, and every
+    metric is a combinable conditional aggregate (map-side partials, one
+    1-row result). The 6-way unpivot happens on that one driver-sized
+    row via stack(); no second scan, no per-check jobs — at 100 TB the
+    cost is exactly one shuffle-join over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("matched_orderkey")
+    )
+    joined = li.join(o, li["l_orderkey"] == o["matched_orderkey"], "left")
+    m = joined.agg(
+        F.count_if(F.col("l_orderkey").isNull()).alias("null_pk"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("dup_pk"),
+        F.count_if(F.col("l_quantity") <= 0).alias("bad_qty"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("bad_discount"),
+        F.count_if(~F.col("l_returnflag").isin("R", "A", "N")).alias("bad_flag"),
+        F.count_if(F.col("matched_orderkey").isNull()).alias("orphans"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return m.selectExpr(
+        """stack(6,
+           'null_primary_key',      null_pk,
+           'duplicate_primary_key', dup_pk,
+           'nonpositive_quantity',  bad_qty,
+           'discount_out_of_range', bad_discount,
+           'returnflag_domain',     bad_flag,
+           'orphan_orderkey',       orphans) AS (check_name, violations)""",
+        "n_rows",
+    ).select(
+        "check_name",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+        "n_rows",
+    )

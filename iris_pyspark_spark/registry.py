@@ -271,6 +271,10 @@ _PRIORITY = (
     "j_spatial_grid_nn",                 # J7 J1 W1 (grid-bucketed spatial NN)
     "s_incremental_agg_maintenance",     # S4 A1 J3 (merge delta into state)
     "j_bloom_runtime_filter",            # J1 P2 A1 S1 (InjectRuntimeFilter shape)
+    "j_interval_overlap_join",           # J7 J10 A1 (cell-bucketed interval join)
+    "n_paragraph_dedup",                 # N1 N5 F4 (C4-style paragraph dedup)
+    "s_cdc_apply_changelog",             # S4 J3 A1 P5 (I/U/D latest-op-wins)
+    "s_expectations_check",              # A2 A3 J3 P5 (single-pass DQ gate)
 )
 
 
