@@ -621,3 +621,109 @@ def e_decay_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_recent"),
         )
     )
+
+
+# --- gap interpolation over a daily series ----------------------------------
+
+_INTERP_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id,
+         CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day,
+         CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS val
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, UNNEST(GENERATE_SERIES(MIN(day), MAX(day))) AS day
+  FROM daily GROUP BY user_id
+),
+g AS (
+  SELECT s.user_id, s.day, d.val
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+),
+w AS (
+  SELECT user_id, day, val,
+    LAST_VALUE(val IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)  AS pv,
+    LAST_VALUE(CASE WHEN val IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)  AS pd,
+    FIRST_VALUE(val IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)  AS nv,
+    FIRST_VALUE(CASE WHEN val IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)  AS nd
+  FROM g
+)
+SELECT user_id, day,
+  ROUND(CASE WHEN val IS NOT NULL THEN CAST(val AS DOUBLE)
+             WHEN pv IS NULL  THEN CAST(nv AS DOUBLE)
+             WHEN nv IS NULL  THEN CAST(pv AS DOUBLE)
+             ELSE pv + (nv - pv) * (day - pd) / CAST(nd - pd AS DOUBLE)
+        END, 6)        AS val_interp_cents,
+  val IS NULL          AS is_gap
+FROM w
+"""
+
+
+@register("w_linear_interpolate", oracle=_INTERP_ORACLE, tags=("W3", "W2", "P5", "F2"))
+def w_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-point repair on a daily per-user series: densify each
+    user's purchase history to a full day spine, then LINEARLY
+    interpolate gap days between the surrounding observed values
+    (leading/trailing gaps extend the nearest observation) — the
+    time-series prep step between raw events and any forecasting or
+    anomaly model. w_forward_fill carries values flat; this op slopes
+    them, the other half of the standard gap-repair toolbox.
+
+    Scale design: the spine explode is per-user (bounded by the user's
+    own date extent); the daily rollup, spine join, and both IGNORE
+    NULLS window passes all hash-partition on user_id, so the whole plan
+    after the first shuffle is ONE exchange reused by every window (sort
+    within partitions, no re-shuffle). Interpolation arithmetic is
+    integer until the final division and written in the same operation
+    order in both engines, then rounded to 6 — bit-stable."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    epoch_day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    )
+    daily = ev.groupBy("user_id", epoch_day.alias("day")).agg(
+        F.sum(cents(F.col("value"))).alias("val")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    g = spine.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("val").isNotNull(), F.col("day"))
+    pv = F.last("val", ignorenulls=True).over(wp)
+    pd_ = F.last(obs_day, ignorenulls=True).over(wp)
+    nv = F.first("val", ignorenulls=True).over(wn)
+    nd = F.first(obs_day, ignorenulls=True).over(wn)
+    interp = (
+        F.when(F.col("val").isNotNull(), F.col("val").cast("double"))
+        .when(pv.isNull(), nv.cast("double"))
+        .when(nv.isNull(), pv.cast("double"))
+        .otherwise(
+            pv + (nv - pv) * (F.col("day") - pd_) / (nd - pd_).cast("double")
+        )
+    )
+    return g.select(
+        "user_id",
+        "day",
+        F.round(interp, 6).alias("val_interp_cents"),
+        F.col("val").isNull().alias("is_gap"),
+    )
