@@ -276,6 +276,7 @@ _PRIORITY = (
     "s_cdc_apply_changelog",             # S4 J3 A1 P5 (I/U/D latest-op-wins)
     "s_expectations_check",              # A2 A3 J3 P5 (single-pass DQ gate)
     "w_linear_interpolate",              # W3 W2 P5 F2 (gap repair by sloping)
+    "g_bfs_hops",                        # J10 J1 A1 (frontier BFS, recursive oracle)
 )
 
 
