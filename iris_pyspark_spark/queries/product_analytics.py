@@ -737,3 +737,117 @@ def e_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("path").rlike("view.*click.*purchase").alias("full_funnel"),
         F.col("path").rlike("error>error").alias("repeated_error"),
     ).orderBy("user_id")
+
+
+# --- DAU/MAU stickiness -----------------------------------------------------
+
+_STICKINESS_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+bounds AS (SELECT MIN(day) AS d0 FROM ud),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+mau AS (
+  SELECT m.day AS day, COUNT(DISTINCT u.user_id) AS mau
+  FROM dau m JOIN ud u ON u.day BETWEEN m.day - 27 AND m.day
+  GROUP BY m.day
+)
+SELECT d.day, d.dau, m.mau,
+       ROUND(d.dau / CAST(m.mau AS DOUBLE), 6) AS stickiness
+FROM dau d JOIN mau m ON d.day = m.day, bounds b
+WHERE d.day >= b.d0 + 27
+"""
+
+
+@register("e_dau_mau_stickiness", oracle=_STICKINESS_ORACLE, tags=("A3", "A1", "W3"))
+def e_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day (trailing 28-day MAU), reported for
+    days with a complete window — the canonical engagement ratio.
+
+    Scale design: COUNT(DISTINCT user) over a SLIDING window has no
+    combinable form, so the scalable spelling is the contribution
+    explode — each distinct (user, active-day) row contributes to the
+    <=28 window-end days it is visible from, then ONE groupBy(day)
+    count-distinct does the rest. Amplification is bounded at 28x the
+    deduped activity table (already one row per user-day, far smaller
+    than raw events); the alternative — a range join of days x activity
+    — re-scans the activity table once per day. The oracle takes that
+    quadratic-ish range-join form precisely because DuckDB can afford
+    it at oracle scale."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    )
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 27)).alias("day"),
+    )
+    mau = contrib.groupBy("day").agg(F.count_distinct("user_id").alias("mau"))
+    d0 = ud.agg(F.min("day").alias("d0"))
+    return (
+        dau.join(mau, "day")
+        .crossJoin(F.broadcast(d0))
+        .filter(F.col("day") >= F.col("d0") + 27)
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )
+
+
+# --- growth accounting (new / retained / resurrected / churn-adjacent) ------
+
+_GROWTH_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+lagged AS (
+  SELECT user_id, day,
+         LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+  FROM ud
+)
+SELECT day,
+       COUNT(*) FILTER (WHERE prev_day IS NULL)                 AS new_users,
+       COUNT(*) FILTER (WHERE day - prev_day = 1)               AS retained,
+       COUNT(*) FILTER (WHERE day - prev_day BETWEEN 2 AND 7)   AS returning,
+       COUNT(*) FILTER (WHERE day - prev_day > 7)               AS resurrected,
+       COUNT(*)                                                 AS active
+FROM lagged
+GROUP BY day
+"""
+
+
+@register("e_growth_accounting", oracle=_GROWTH_ORACLE, tags=("A1", "A7", "W2"))
+def e_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: every active user-day is classified by
+    the gap since that user's previous active day — new (no prior),
+    retained (came back next day), returning (2-7 day gap), resurrected
+    (>7 days) — the standard DAU-decomposition behind every growth
+    dashboard.
+
+    Scale design: one distinct over (user, day), one LAG window and the
+    final day rollup all hash-partition by user_id / day with map-side
+    combine on the counts — two shuffles total, no self-join of the
+    activity table against itself (the naive spelling) and no per-day
+    subqueries."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    )
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = ud.withColumn("prev_day", F.lag("day").over(w))
+    gap = F.col("day") - F.col("prev_day")
+    return lagged.groupBy("day").agg(
+        F.count_if(F.col("prev_day").isNull()).alias("new_users"),
+        F.count_if(gap == 1).alias("retained"),
+        F.count_if((gap >= 2) & (gap <= 7)).alias("returning"),
+        F.count_if(gap > 7).alias("resurrected"),
+        F.count(F.lit(1)).alias("active"),
+    )

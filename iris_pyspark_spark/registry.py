@@ -277,6 +277,8 @@ _PRIORITY = (
     "s_expectations_check",              # A2 A3 J3 P5 (single-pass DQ gate)
     "w_linear_interpolate",              # W3 W2 P5 F2 (gap repair by sloping)
     "g_bfs_hops",                        # J10 J1 A1 (frontier BFS, recursive oracle)
+    "e_dau_mau_stickiness",              # A3 A1 W3 (sliding distinct via explode)
+    "e_growth_accounting",               # A1 A7 W2 (new/retained/resurrected)
 )
 
 
