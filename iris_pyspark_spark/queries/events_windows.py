@@ -727,3 +727,149 @@ def w_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).alias("val_interp_cents"),
         F.col("val").isNull().alias("is_gap"),
     )
+
+
+_LTTB_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM({CENTS_SQL.format(expr="value")}) AS y
+  FROM events GROUP BY 1, 2
+),
+ser AS (
+  SELECT user_id, d, CAST(y AS BIGINT) AS y,
+         CAST(DATEDIFF('day', DATE '1970-01-01', d) AS BIGINT) AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM daily
+),
+pts AS (
+  SELECT *, ((rn - 1) * 6) // n AS bucket FROM ser WHERE n >= 12
+),
+cent AS (
+  SELECT user_id, bucket, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, COUNT(*) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.user_id, p.bucket, p.d, p.y, p.x,
+         ABS((l.sx * r.cnt - r.sx * l.cnt) * (p.y * l.cnt - l.sy)
+           - (l.sx - p.x * l.cnt) * (r.sy * l.cnt - l.sy * r.cnt)) AS score
+  FROM pts p
+  JOIN cent l ON l.user_id = p.user_id AND l.bucket = p.bucket - 1
+  JOIN cent r ON r.user_id = p.user_id AND r.bucket = p.bucket + 1
+  WHERE p.bucket BETWEEN 1 AND 4
+),
+sel AS (
+  SELECT user_id, bucket, d, y, x, score,
+         ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                            ORDER BY score DESC, x ASC) AS rk
+  FROM scored
+)
+SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+       STRFTIME(d, '%Y-%m-%d') AS day, y AS y_cents,
+       'peak' AS kind, CAST(score AS BIGINT) AS score
+FROM sel WHERE rk = 1
+UNION ALL
+SELECT user_id, CAST(bucket AS BIGINT), STRFTIME(d, '%Y-%m-%d'), y, 'first', CAST(0 AS BIGINT)
+FROM pts WHERE rn = 1
+UNION ALL
+SELECT user_id, CAST(bucket AS BIGINT), STRFTIME(d, '%Y-%m-%d'), y, 'last', CAST(0 AS BIGINT)
+FROM pts WHERE rn = n
+"""
+
+
+@register("t_lttb_downsample", oracle=_LTTB_ORACLE, tags=("W3", "W1", "A1", "F3"))
+def t_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB (largest-triangle-three-buckets) downsampling of each
+    user's daily-revenue series to 6 visually-representative points:
+    global first/last plus, per interior bucket, the point forming the
+    largest triangle with the NEIGHBOR BUCKETS' centroids — the
+    fixed-anchor LTTB variant (Steinarsson's thesis, §4.2), whose
+    bucket selections are independent and therefore parallelize; the
+    classic sequential variant anchors on the previously SELECTED
+    point, a chain no engine can partition.
+
+    Scale design: one combinable daily rollup, one window pass to
+    number each series, one combinable centroid aggregation, then a
+    per-bucket argmax — every join is key-equi on (user, bucket) and
+    every series stays inside its hash partition (millions of series =
+    embarrassing parallelism; no series is ever assembled on the
+    driver). Exact-integer geometry: with x = epoch days and y = cents,
+    the triangle area against the two bucket centroids is scaled by
+    cnt_l^2 * cnt_r (a positive constant within each bucket), clearing
+    the centroid divisions so the score is a BIGINT expression —
+    bit-identical across engines and partitionings, ~1e14 worst case
+    against the 9.2e18 long range. Argmax ties break on earliest day."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum(cents(F.col("value"))).alias("y")
+    )
+    wn = Window.partitionBy("user_id")
+    ser = daily.select(
+        "user_id",
+        "d",
+        "y",
+        F.datediff("d", F.lit("1970-01-01")).cast("long").alias("x"),
+        F.row_number().over(wn.orderBy("d")).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pts = ser.filter(F.col("n") >= 12).withColumn(
+        "bucket", F.expr("((rn - 1) * 6) div n")
+    )
+    cent = pts.groupBy("user_id", "bucket").agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.count(F.lit(1)).alias("cnt")
+    )
+    left = cent.select(
+        "user_id",
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("sx").alias("lsx"),
+        F.col("sy").alias("lsy"),
+        F.col("cnt").alias("lcnt"),
+    )
+    right = cent.select(
+        "user_id",
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("sx").alias("rsx"),
+        F.col("sy").alias("rsy"),
+        F.col("cnt").alias("rcnt"),
+    )
+    scored = (
+        pts.filter(F.col("bucket").between(1, 4))
+        .join(left, ["user_id", "bucket"])
+        .join(right, ["user_id", "bucket"])
+        .withColumn(
+            "score",
+            F.abs(
+                (F.col("lsx") * F.col("rcnt") - F.col("rsx") * F.col("lcnt"))
+                * (F.col("y") * F.col("lcnt") - F.col("lsy"))
+                - (F.col("lsx") - F.col("x") * F.col("lcnt"))
+                * (F.col("rsy") * F.col("lcnt") - F.col("lsy") * F.col("rcnt"))
+            ),
+        )
+    )
+    wk = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("score").desc(), F.col("x").asc()
+    )
+    peaks = (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("y").alias("y_cents"),
+            F.lit("peak").alias("kind"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+    ends = lambda cond, kind: pts.filter(cond).select(  # noqa: E731
+        "user_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("y").alias("y_cents"),
+        F.lit(kind).alias("kind"),
+        F.lit(0).cast("long").alias("score"),
+    )
+    return peaks.unionByName(ends(F.col("rn") == 1, "first")).unionByName(
+        ends(F.col("rn") == F.col("n"), "last")
+    )

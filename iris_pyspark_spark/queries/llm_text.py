@@ -1414,3 +1414,136 @@ def n_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_exact").desc(), "term")
     )
+
+
+_BPE_PAIRS_ORACLE = """
+WITH wf AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents
+  ) WHERE LENGTH(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT SUBSTRING(wf.w, CAST(gs.i AS INTEGER), 2) AS pair, wf.freq
+  FROM wf, UNNEST(GENERATE_SERIES(1, LENGTH(wf.w) - 1)) AS gs(i)
+),
+counts AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_pairs FROM pairs GROUP BY pair)
+SELECT pair, n_pairs FROM counts ORDER BY n_pairs DESC, pair ASC LIMIT 40
+"""
+
+
+@register("n_bpe_pair_counts", oracle=_BPE_PAIRS_ORACLE, tags=("N5", "A1", "O2"))
+def n_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: the corpus-wide adjacent-symbol-pair
+    statistics a tokenizer trainer computes before every merge — the
+    top-40 candidate merges by weighted pair count.
+
+    Scale design: the pair table is built from the WORD-FREQUENCY
+    table, not the raw token stream — the classic BPE-trainer trick.
+    The corpus collapses to |vocab| rows first (one combinable
+    count shuffle), then each distinct word fans out to only
+    len(word)-1 pairs, so the second aggregation is over
+    O(|vocab| * avg_len) rows no matter how many times each word
+    occurs in the corpus. Both aggregations are map-side combinable;
+    the final top-40 is a TakeOrderedAndProject (no global sort), and
+    the tie at the cut is broken by pair text so the LIMIT is
+    deterministic on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens("text")).alias("w")).filter(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+        .limit(40)
+    )
+
+
+_ROUGE_ORACLE = """
+WITH prs AS (
+  SELECT doc_id AS cand_id,
+         LEAD(doc_id) OVER (PARTITION BY lang, source ORDER BY doc_id) AS ref_id
+  FROM documents
+),
+pr AS (SELECT cand_id, ref_id FROM prs WHERE ref_id IS NOT NULL),
+toks AS (
+  SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_terms FROM toks GROUP BY doc_id),
+ov AS (
+  SELECT p.cand_id, p.ref_id, COUNT(*) AS n_overlap
+  FROM pr p
+  JOIN toks c ON c.doc_id = p.cand_id
+  JOIN toks r ON r.doc_id = p.ref_id AND r.term = c.term
+  GROUP BY p.cand_id, p.ref_id
+)
+SELECT p.cand_id, p.ref_id,
+       COALESCE(o.n_overlap, 0) AS n_overlap,
+       sc.n_terms AS n_cand, sr.n_terms AS n_ref,
+       ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / sc.n_terms, 6) AS rouge1_precision,
+       ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / sr.n_terms, 6) AS rouge1_recall,
+       ROUND(2.0 * COALESCE(o.n_overlap, 0) / (sc.n_terms + sr.n_terms), 6) AS rouge1_f1
+FROM pr p
+LEFT JOIN ov o ON o.cand_id = p.cand_id AND o.ref_id = p.ref_id
+JOIN sizes sc ON sc.doc_id = p.cand_id
+JOIN sizes sr ON sr.doc_id = p.ref_id
+"""
+
+
+@register("n_rouge_ngram_overlap", oracle=_ROUGE_ORACLE, tags=("N5", "J3", "W2"))
+def n_rouge_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 (distinct-unigram overlap) between each document and its
+    successor within the same (lang, source) shard — the set-overlap
+    eval metric (summary-vs-reference, prompt-vs-completion leakage
+    scoring) expressed as pure joins.
+
+    Scale design: candidate/reference pairing is a lead() window (one
+    shuffle on the shard key, no self-join over documents); overlap is
+    counted by joining the per-doc DISTINCT-token table to itself ON
+    (pair, term) — fan-out is bounded by tokens-per-doc, never
+    corpus-quadratic. Precision/recall/F1 are each a single IEEE
+    division of exact integers (ROUGE-1 F1 reduces to 2*o/(c+r)), so
+    rounding to 6 dp is engine-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    pr = (
+        d.select(
+            F.col("doc_id").alias("cand_id"),
+            F.lead("doc_id").over(w).alias("ref_id"),
+        )
+        .filter(F.col("ref_id").isNotNull())
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    ct = toks.select(F.col("doc_id").alias("cand_id"), "term")
+    rt = toks.select(F.col("doc_id").alias("ref_id"), "term")
+    ov = (
+        pr.join(ct, "cand_id")
+        .join(rt, ["ref_id", "term"])
+        .groupBy("cand_id", "ref_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    n_ov = F.coalesce("n_overlap", F.lit(0))
+    return (
+        pr.join(ov, ["cand_id", "ref_id"], "left")
+        .join(sizes.select(F.col("doc_id").alias("cand_id"), F.col("n_terms").alias("n_cand")), "cand_id")
+        .join(sizes.select(F.col("doc_id").alias("ref_id"), F.col("n_terms").alias("n_ref")), "ref_id")
+        .select(
+            "cand_id",
+            "ref_id",
+            n_ov.alias("n_overlap"),
+            "n_cand",
+            "n_ref",
+            F.round(n_ov.cast("double") / F.col("n_cand"), 6).alias("rouge1_precision"),
+            F.round(n_ov.cast("double") / F.col("n_ref"), 6).alias("rouge1_recall"),
+            F.round(F.lit(2.0) * n_ov / (F.col("n_cand") + F.col("n_ref")), 6).alias("rouge1_f1"),
+        )
+    )

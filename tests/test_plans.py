@@ -284,6 +284,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 session: three 1-row count aggregates crossJoined into the
     # single summary row
     "g_triangle_count",
+    # round-4 third continuation: 1-row MIN(day) bound crossJoined to gate
+    # complete 28-day windows
+    "e_dau_mau_stickiness",
 })
 
 
