@@ -873,3 +873,77 @@ def t_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peaks.unionByName(ends(F.col("rn") == 1, "first")).unionByName(
         ends(F.col("rn") == F.col("n"), "last")
     )
+
+
+_SEASONALITY_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS d,
+         SUM({CENTS_SQL.format(expr="value")}) AS y
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, d, ((d % 7) + 4) % 7 AS dow, CAST(y AS BIGINT) AS y
+  FROM daily
+),
+tot AS (
+  SELECT event_type, CAST(SUM(y) AS BIGINT) AS sum_all, COUNT(*) AS n_days
+  FROM base GROUP BY 1
+),
+per AS (
+  SELECT event_type, dow, CAST(SUM(y) AS BIGINT) AS sum_dow, COUNT(*) AS n_dow
+  FROM base GROUP BY 1, 2
+)
+SELECT p.event_type, p.dow, p.n_dow, p.sum_dow, t.n_days, t.sum_all,
+       ROUND(CAST(p.sum_dow * t.n_days AS DOUBLE) / (p.n_dow * t.sum_all), 6)
+         AS seasonal_index
+FROM per p JOIN tot t USING (event_type)
+"""
+
+
+@register("t_seasonality_dow_profile", oracle=_SEASONALITY_ORACLE, tags=("A1", "F2", "F3"))
+def t_seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: each weekday's
+    share of daily revenue relative to the series' overall daily mean
+    (index 1.0 = an average day) — the decomposition step behind
+    weekly-seasonal anomaly detection and deseasonalized forecasting.
+
+    Scale design: two combinable aggregations (daily rollup, then
+    per-dow rollup) plus a per-event-type totals join — the totals side
+    has one row per event type, so AQE broadcasts it. Engine-proof
+    integer calendar math: dow is computed from the epoch day as
+    ((d % 7) + 4) % 7 (1970-01-01 was a Thursday; Sunday = 0) instead
+    of each engine's locale-flavored dayofweek(); revenue stays in
+    exact integer cents and the index is ONE IEEE division of two
+    integer products, rounded at 6 dp."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+        ).alias("d"),
+    ).agg(F.sum(cents(F.col("value"))).alias("y"))
+    base = daily.select(
+        "event_type",
+        "y",
+        ((F.col("d") % 7 + 4) % 7).alias("dow"),
+    )
+    tot = base.groupBy("event_type").agg(
+        F.sum("y").alias("sum_all"), F.count(F.lit(1)).alias("n_days")
+    )
+    per = base.groupBy("event_type", "dow").agg(
+        F.sum("y").alias("sum_dow"), F.count(F.lit(1)).alias("n_dow")
+    )
+    return per.join(tot, "event_type").select(
+        "event_type",
+        "dow",
+        "n_dow",
+        "sum_dow",
+        "n_days",
+        "sum_all",
+        F.round(
+            (F.col("sum_dow") * F.col("n_days")).cast("double")
+            / (F.col("n_dow") * F.col("sum_all")),
+            6,
+        ).alias("seasonal_index"),
+    )

@@ -951,3 +951,61 @@ def s_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("violations") == 0).alias("passed"),
         "n_rows",
     )
+
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                        1, 1) AS INTEGER) AS digit
+  FROM orders
+),
+obs AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+shared AS (SELECT digit, n, SUM(n) OVER () AS n_total FROM obs)
+SELECT digit, n, CAST(n_total AS BIGINT) AS n_total,
+       ROUND(CAST(n AS DOUBLE) / n_total, 6) AS observed,
+       ROUND(LOG10(1 + 1.0 / digit), 6) AS expected,
+       ROUND(ABS(CAST(n AS DOUBLE) / n_total - LOG10(1 + 1.0 / digit)), 6)
+         AS abs_dev
+FROM shared
+"""
+
+
+@register("s_benford_qc", oracle=_BENFORD_ORACLE, tags=("A1", "F3", "F1"))
+def s_benford_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the
+    classic data-forensics QC (fabricated or truncated monetary data
+    drifts from the log10(1 + 1/d) digit distribution; synthetic
+    uniform data, like this corpus, fails loudly — which is exactly
+    what a generator-health check should do).
+
+    Scale design: one map-side-combinable 9-group aggregation over the
+    scan; the grand total comes from a window over the 9-row RESULT
+    (never a 1-row crossJoin back onto the fact table, and the
+    single-reducer window is bounded at 9 rows by construction).
+    Observed share is one IEEE division, expected is log10 of nine
+    fixed rationals — both rounded at 6 dp, far from any half-ulp
+    rounding boundary, so the engines agree bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = (
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = o.select(digit).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window as _W
+
+    shared = obs.withColumn(
+        "n_total", F.sum("n").over(_W.partitionBy())
+    )
+    share = F.col("n").cast("double") / F.col("n_total")
+    expected = F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))
+    return shared.select(
+        "digit",
+        "n",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.round(share, 6).alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        F.round(F.abs(share - expected), 6).alias("abs_dev"),
+    )
