@@ -1,0 +1,611 @@
+"""Statistical / scientific analytics operators (engine-added, round 4):
+association rules, robust outliers, autocorrelation, Welch's t-test,
+degree assortativity, CUSUM changepoint detection.
+
+Shared scale discipline (SURVEY.md §2.12): every float statistic is
+computed FROM exact-integer sufficient statistics (counts, cents sums,
+cents sums-of-squares as BIGINT) aggregated with combinable SUM/COUNT —
+map-side partial aggregation applies, partition layout cannot change a
+bit. The float formula is then evaluated once per output row with an
+identical expression tree in Spark and DuckDB (IEEE doubles: same
+operands + same operation order = same bits; sqrt is correctly rounded
+by spec), and rounded to 6 decimals on both sides.
+
+Series-shaped queries (ACF, CUSUM) operate on the per-day rollup whose
+cardinality is bounded by the CALENDAR, not by data volume — the window
+over it is O(days), safe at 100 TB because the heavy pass below it is
+one combinable groupBy(day).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+from .joins import CENTS_SQL, cents
+
+# ---------------------------------------------------------------------------
+# Association rules (market-basket lift) over order baskets
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH item_orders AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+freq AS (
+  SELECT l_partkey, COUNT(*) AS n_item
+  FROM item_orders GROUP BY l_partkey HAVING COUNT(*) >= 8
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS n_ab
+  FROM item_orders a JOIN item_orders b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2
+)
+SELECT item_a, item_b, n_ab, fa.n_item AS n_a, fb.n_item AS n_b,
+       n.n_orders AS n_orders,
+       CAST(n_ab * n.n_orders * 1000000 // (fa.n_item * fb.n_item) AS BIGINT)
+         AS lift_ppm,
+       CAST(n_ab * 1000000 // fa.n_item AS BIGINT) AS conf_a_to_b_ppm
+FROM pairs
+JOIN freq fa ON pairs.item_a = fa.l_partkey
+JOIN freq fb ON pairs.item_b = fb.l_partkey
+CROSS JOIN n
+ORDER BY lift_ppm DESC, item_a, item_b
+LIMIT 20
+"""
+
+
+@register(
+    "a_market_basket_lift",
+    oracle=_BASKET_ORACLE,
+    tags=("J10", "J1", "A1", "O2", "A6"),
+)
+def a_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: top-20 part pairs by lift,
+    with support counts and A→B confidence in exact integer ppm.
+
+    Scale design — the apriori pruning order matters more than the
+    algebra: (1) project lineitem to DISTINCT (order, item) once;
+    (2) filter to FREQUENT items (support >= 8 orders) BEFORE the pair
+    join, the classic apriori downward-closure cut that removes the
+    long tail of rare items; (3) the pair generation is an orderkey
+    equi-join whose fan-out is bounded by lines-per-order (a data-model
+    constant), never an item×item cross; (4) lift/confidence are exact
+    BIGINT ppm (floor division), so no float leaves the engine and the
+    oracle hash is bit-stable. The lift ordering ties break on the pair
+    keys, making LIMIT deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    item_orders = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    freq = (
+        item_orders.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .filter(F.col("n_item") >= 8)
+    )
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    a = item_orders.alias("a")
+    b = item_orders.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(fa, "item_a")
+        .join(fb, "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_orders",
+            F.expr(
+                "CAST(n_ab * n_orders * 1000000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+            F.expr("CAST(n_ab * 1000000 DIV n_a AS BIGINT)").alias(
+                "conf_a_to_b_ppm"
+            ),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "item_a", "item_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers via median absolute deviation
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = f"""
+WITH bal AS (
+  SELECT c_mktsegment, {CENTS_SQL.format(expr="c_acctbal")} AS bal_cents
+  FROM customer
+),
+med AS (
+  SELECT c_mktsegment, quantile_cont(bal_cents, 0.5) AS med_cents
+  FROM bal GROUP BY c_mktsegment
+),
+dev AS (
+  SELECT b.c_mktsegment, b.bal_cents, m.med_cents,
+         ABS(b.bal_cents - m.med_cents) AS abs_dev
+  FROM bal b JOIN med m ON b.c_mktsegment = m.c_mktsegment
+),
+mad AS (
+  SELECT c_mktsegment, quantile_cont(abs_dev, 0.5) AS mad_cents
+  FROM dev GROUP BY c_mktsegment
+)
+SELECT d.c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(MAX(d.med_cents) / 100.0, 6) AS median_bal,
+       ROUND(MAX(a.mad_cents) / 100.0, 6) AS mad_bal,
+       CAST(SUM(CASE WHEN d.abs_dev > 3 * 1.4826 * a.mad_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MAX(d.abs_dev / (1.4826 * a.mad_cents)), 6) AS max_robust_z
+FROM dev d JOIN mad a ON d.c_mktsegment = a.c_mktsegment
+GROUP BY d.c_mktsegment
+ORDER BY d.c_mktsegment
+"""
+
+
+@register("a_mad_outliers", oracle=_MAD_ORACLE, tags=("A8", "A1", "J2", "P6"))
+def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per market segment: median balance, median
+    absolute deviation, and the count of |x − med| > 3·1.4826·MAD
+    outliers (the classic robust-z rule that, unlike mean/stddev, is not
+    dragged by the outliers it hunts).
+
+    Determinism: balances become exact integer cents first; `percentile`
+    (Spark) and `quantile_cont` (DuckDB) both compute the exact
+    linear-interpolated order statistic, which on integers yields exact
+    .0/.5 doubles — bit-equal across engines. The robust-z constant
+    multiplies exact values with one fixed expression shape.
+
+    Scale: two grouped EXACT medians means two sorts of the fact — the
+    honest cost of an exact answer (the sketch path for 100 TB is
+    `a_approx_percentile`). The per-segment median/MAD tables are 5 rows
+    and broadcast back onto the fact, so the joins add no shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    bal = c.select(
+        "c_mktsegment", cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    med = bal.groupBy("c_mktsegment").agg(
+        F.expr("percentile(bal_cents, 0.5)").alias("med_cents")
+    )
+    dev = bal.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment",
+        "bal_cents",
+        "med_cents",
+        F.abs(F.col("bal_cents") - F.col("med_cents")).alias("abs_dev"),
+    )
+    mad = dev.groupBy("c_mktsegment").agg(
+        F.expr("percentile(abs_dev, 0.5)").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.max("med_cents") / 100.0, 6).alias("median_bal"),
+            F.round(F.max("mad_cents") / 100.0, 6).alias("mad_bal"),
+            F.sum(
+                F.when(
+                    F.col("abs_dev") > 3 * 1.4826 * F.col("mad_cents"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(
+                F.max(F.col("abs_dev") / (1.4826 * F.col("mad_cents"))), 6
+            ).alias("max_robust_z"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily event-count series
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+lags AS (SELECT UNNEST(range(1, 8)) AS lag_k),
+paired AS (
+  SELECT l.lag_k, a.cnt AS x, b.cnt AS y
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.d = a.d - CAST(l.lag_k AS INTEGER)
+),
+stats AS (
+  SELECT lag_k, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM paired GROUP BY lag_k
+)
+SELECT lag_k, n,
+       ROUND((n * sxy - sx * sy) /
+             (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+              SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+FROM stats
+ORDER BY lag_k
+"""
+
+
+@register("t_acf_lags", oracle=_ACF_ORACLE, tags=("A1", "W2", "F2", "J9"))
+def t_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..7 —
+    the weekly-seasonality diagnostic (a spike at lag 7 = day-of-week
+    structure; complements `t_seasonality_dow_profile`).
+
+    The heavy pass is ONE combinable groupBy(day) count over the raw
+    events; everything after runs on the per-day rollup whose size is
+    bounded by the calendar (30 rows here, 36.5k rows for a century),
+    so the lag self-join and the tiny 7-row lag grid are O(days·lags)
+    regardless of data volume. Pearson r per lag comes from exact
+    BIGINT sufficient statistics (counts and their products) through
+    one fixed-shape double expression — sqrt is IEEE-correctly-rounded,
+    so both engines produce identical bits before the shared round(6).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag_k"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    paired = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(
+            b,
+            F.col("b.d")
+            == F.date_sub(F.col("a.d"), F.col("lag_k").cast("int")),
+        )
+        .select(
+            "lag_k",
+            F.col("a.cnt").alias("x"),
+            F.col("b.cnt").alias("y"),
+        )
+    )
+    stats = paired.groupBy("lag_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt((n * F.col("sxx") - sx * sx).cast("double")) * F.sqrt(
+        (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return stats.select(
+        "lag_k", "n", F.round(num / den, 6).alias("acf")
+    ).orderBy("lag_k")
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test on per-user spend between hash-assigned arms
+# ---------------------------------------------------------------------------
+
+_WELCH_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN (user_id * 48271) % 100 < 50 THEN 'A' ELSE 'B' END AS arm,
+         SUM({CENTS_SQL.format(expr="value")}) AS spend_cents
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n, SUM(spend_cents) AS s,
+         SUM(spend_cents * spend_cents) AS ss
+  FROM per_user GROUP BY arm
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN arm = 'A' THEN n END) AS n1,
+    MAX(CASE WHEN arm = 'A' THEN s END) AS s1,
+    MAX(CASE WHEN arm = 'A' THEN ss END) AS ss1,
+    MAX(CASE WHEN arm = 'B' THEN n END) AS n2,
+    MAX(CASE WHEN arm = 'B' THEN s END) AS s2,
+    MAX(CASE WHEN arm = 'B' THEN ss END) AS ss2
+  FROM arms
+),
+calc AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / n1 AS m1,
+         CAST(s2 AS DOUBLE) / n2 AS m2,
+         (ss1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+         (ss2 - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS v2
+  FROM wide
+)
+SELECT n1, n2,
+       ROUND(m1 / 100, 6) AS mean_a,
+       ROUND(m2 / 100, 6) AS mean_b,
+       ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+       ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2) /
+             ((v1 / n1) * (v1 / n1) / (n1 - 1) +
+              (v2 / n2) * (v2 / n2) / (n2 - 1)),
+             6) AS welch_df
+FROM calc
+"""
+
+
+@register(
+    "e_welch_ttest", oracle=_WELCH_ORACLE, tags=("A1", "A2", "A7", "P6")
+)
+def e_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on per-user total spend between
+    two hash-assigned experiment arms, with the Welch–Satterthwaite
+    degrees of freedom. The statistically correct A/B readout for a
+    continuous metric (complements `e_ab_test_lift`'s conversion-rate
+    readout): the randomization unit is the USER, so the metric is
+    aggregated per user before any arm statistics.
+
+    Scale: one user-keyed combinable aggregation (the only shuffle of
+    the fact), then a 2-row arm rollup pivoted into one row. All
+    sufficient statistics (n, Σx, Σx²) are exact BIGINTs in cents —
+    partition-order free; Welch's formula then runs once on the 1-row
+    frame with an identical expression tree on both engines (squares
+    are written as explicit multiplication, never libm POW, so the
+    result is bit-identical by IEEE semantics).
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(cents(F.col("value"))).alias("spend_cents")
+    ).withColumn(
+        "arm",
+        F.when((F.col("user_id") * 48271) % 100 < 50, "A").otherwise("B"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend_cents").alias("s"),
+        F.sum(F.col("spend_cents") * F.col("spend_cents")).alias("ss"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "A", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == "A", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == "B", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("arm") == "B", F.col("ss"))).alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    v1 = (F.col("ss1") - F.col("s1").cast("double") * F.col("s1") / n1) / (
+        n1 - 1
+    )
+    v2 = (F.col("ss2") - F.col("s2").cast("double") * F.col("s2") / n2) / (
+        n2 - 1
+    )
+    se2 = v1 / n1 + v2 / n2
+    return wide.select(
+        "n1",
+        "n2",
+        F.round(m1 / 100, 6).alias("mean_a"),
+        F.round(m2 / 100, 6).alias("mean_b"),
+        F.round((m1 - m2) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / (
+                (v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the part co-order graph
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+  GROUP BY node
+),
+directed AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM pairs p JOIN deg du ON p.u = du.node JOIN deg dv ON p.v = dv.node
+  UNION ALL
+  SELECT dv.d AS dx, du.d AS dy
+  FROM pairs p JOIN deg du ON p.u = du.node JOIN deg dv ON p.v = dv.node
+),
+stats AS (
+  SELECT COUNT(*) AS m, SUM(dx) AS sx, SUM(dx * dy) AS sxy,
+         SUM(dx * dx) AS sxx
+  FROM directed
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       (SELECT COUNT(*) FROM deg) AS n_nodes,
+       ROUND((m * sxy - sx * sx) /
+             CAST(m * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+FROM stats
+"""
+
+
+@register(
+    "g_degree_assortativity",
+    oracle=_ASSORT_ORACLE,
+    tags=("J10", "J1", "A2", "A1"),
+)
+def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the part
+    co-order graph: the Pearson correlation of endpoint degrees over
+    all directed edges — do high-degree parts co-occur with other
+    high-degree parts (r > 0) or with the long tail (r < 0)?
+
+    Scale: edge construction is the bounded orderkey self-join (fan-out
+    capped by lines-per-order); degrees are one combinable count; the
+    two degree lookups are key equi-joins. Because the directed edge
+    list is symmetric, Σdx = Σdy and Σdx² = Σdy², so ONE pass of
+    integer sufficient statistics feeds the correlation — no float
+    accumulates across rows, and the single double division happens on
+    the final 1-row frame identically in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    io = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    a, b = io.alias("a"), io.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .dropDuplicates()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("d_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("d_v"))
+    annotated = pairs.join(du, "u").join(dv, "v")
+    directed = annotated.select(
+        F.col("d_u").alias("dx"), F.col("d_v").alias("dy")
+    ).unionAll(
+        annotated.select(F.col("d_v").alias("dx"), F.col("d_u").alias("dy"))
+    )
+    stats = directed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    m, sx = F.col("m"), F.col("sx")
+    return stats.crossJoin(F.broadcast(n_nodes)).select(
+        F.expr("CAST(m / 2 AS BIGINT)").alias("n_edges"),
+        "n_nodes",
+        F.round(
+            (m * F.col("sxy") - sx * sx)
+            / (m * F.col("sxx") - sx * sx).cast("double"),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over the daily revenue series
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS rev_cents
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+tot AS (
+  SELECT COUNT(*) AS n_days, SUM(rev_cents) AS total_cents FROM daily
+),
+dev AS (
+  SELECT d.d, d.rev_cents,
+         d.rev_cents * t.n_days - t.total_cents AS dev_scaled,
+         t.n_days
+  FROM daily d CROSS JOIN tot t
+),
+pre AS (
+  SELECT d, rev_cents, n_days,
+         SUM(dev_scaled) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM dev
+),
+cusum AS (
+  SELECT d, rev_cents, n_days, p,
+         p - LEAST(0, MIN(p) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_scaled
+  FROM pre
+)
+SELECT CAST(d AS VARCHAR) AS d, rev_cents,
+       CAST(s_scaled AS BIGINT) AS cusum_scaled,
+       CAST(s_scaled > 2 * CAST(n_days AS BIGINT) *
+            (SELECT MAX(rev_cents) - MIN(rev_cents) FROM daily) / 4
+            AS BOOLEAN) AS drift_flag
+FROM cusum
+ORDER BY d
+"""
+
+
+@register(
+    "w_cusum_changepoint",
+    oracle=_CUSUM_ORACLE,
+    tags=("W3", "W2", "A2", "F2"),
+)
+def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector over daily revenue. The textbook
+    recursion S_t = max(0, S_{t-1} + dev_t) is not window-expressible,
+    but its closed form IS: S_t = P_t − min(0, min_{j≤t} P_j) where P is
+    the running prefix sum of deviations — two stacked window passes
+    over the day series replace the sequential scan (the same rewrite
+    family as `e_cumulative_reach`'s first-touch trick).
+
+    Exactness: deviations are scaled by n_days (dev = x·n − total) so
+    the mean subtraction stays in BIGINT — no float enters the series
+    math at all; the flag threshold is integer too. The windows order a
+    calendar-bounded rollup; the single heavy pass below them is one
+    combinable groupBy(day) over raw events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(cents(F.col("value"))).alias("rev_cents")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev_cents").alias("total_cents"),
+        (F.max("rev_cents") - F.min("rev_cents")).alias("spread_cents"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "rev_cents",
+        "n_days",
+        "spread_cents",
+        (F.col("rev_cents") * F.col("n_days") - F.col("total_cents")).alias(
+            "dev_scaled"
+        ),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = dev.withColumn("p", F.sum("dev_scaled").over(w))
+    cusum = pre.withColumn(
+        "s_scaled", F.col("p") - F.least(F.lit(0), F.min("p").over(w))
+    )
+    return cusum.select(
+        F.col("d").cast("string").alias("d"),
+        "rev_cents",
+        F.col("s_scaled").cast("long").alias("cusum_scaled"),
+        (
+            F.col("s_scaled")
+            > 2 * F.col("n_days").cast("long") * F.col("spread_cents") / 4
+        ).alias("drift_flag"),
+    ).orderBy("d")

@@ -69,6 +69,7 @@ _QUERY_MODULES = (
     "multimodal",
     "ml_pipeline",
     "graph_analytics",
+    "stats_analytics",
 )
 
 
