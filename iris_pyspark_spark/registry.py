@@ -70,6 +70,7 @@ _QUERY_MODULES = (
     "ml_pipeline",
     "graph_analytics",
     "stats_analytics",
+    "governance_ops",
 )
 
 

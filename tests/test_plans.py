@@ -287,6 +287,13 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 third continuation: 1-row MIN(day) bound crossJoined to gate
     # complete 28-day windows
     "e_dau_mau_stickiness",
+    # round-4 stats batch: 1-row totals crossJoins (order count /
+    # node count / day-total / global-k) and the 7-row lag grid
+    "a_market_basket_lift", "t_acf_lags", "g_degree_assortativity",
+    "w_cusum_changepoint", "a_k_anonymity_audit",
+    # round-4 governance batch: 1-row vocab-size + 5-row lang-totals
+    # broadcasts in the NB scorer
+    "n_naive_bayes_langid",
 })
 
 
