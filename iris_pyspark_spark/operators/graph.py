@@ -179,3 +179,57 @@ def pagerank_integer(
         ranks = spark.read.parquet(f"{scratch_path}/pr_iter{it % 2}")
     e.unpersist()
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int,
+    scratch_path: str,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, core_deg) for every vertex in the k-core: the maximal
+    subgraph in which every vertex has degree >= k, found by iterative
+    peeling — drop all vertices with current degree < k, recompute
+    degrees on the induced subgraph, repeat to fixpoint.
+
+    Determinism: the k-core of a graph is UNIQUE (the fixpoint does not
+    depend on peel order), and every step is integer counting — the
+    result is bit-identical under any partitioning.
+
+    Scale: each round is one combinable degree count plus two semi
+    joins of the edge list against the surviving vertex set; rounds are
+    bounded by the peel depth (the degeneracy ordering's layer count),
+    not by |V|. Per-round state goes to parquet to break lineage (the
+    same iterative-DataFrame discipline as connected_components /
+    pagerank_integer); the loop exits early when no vertex is dropped,
+    checked with the per-round count that the materialization already
+    paid for.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    sym.write.mode("overwrite").parquet(f"{scratch_path}/kc_edges")
+    cur = spark.read.parquet(f"{scratch_path}/kc_edges")
+
+    n_prev = cur.count()
+    for it in range(max_iter):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src")
+        pruned = cur.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+        pruned.write.mode("overwrite").parquet(
+            f"{scratch_path}/kc_iter{it % 2}"
+        )
+        cur = spark.read.parquet(f"{scratch_path}/kc_iter{it % 2}")
+        n_cur = cur.count()
+        if n_cur == n_prev:
+            break
+        n_prev = n_cur
+    return cur.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("core_deg")
+    )

@@ -513,3 +513,90 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY."""
     load_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_GBA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Laplace-mechanism noisy counts (deterministic test-harness noise)
+# ---------------------------------------------------------------------------
+
+_DP_ORACLE = """
+WITH grp AS (
+  SELECT lang, source, COUNT(*) AS true_count,
+         CAST(SUM(doc_id) % 100000 AS BIGINT) AS seed
+  FROM documents GROUP BY lang, source
+),
+unif AS (
+  SELECT lang, source, true_count,
+         ((seed * 48271) % 10000 + 0.5) / 10000.0 AS u
+  FROM grp
+),
+noised AS (
+  SELECT lang, source, true_count, u,
+         CAST(ROUND(-1000000.0 * SIGN(u - 0.5)
+                    * LN(1 - 2 * ABS(u - 0.5))) AS BIGINT) AS noise_micro
+  FROM unif
+)
+SELECT lang, source, true_count, noise_micro,
+       ROUND((true_count * 1000000 + noise_micro) / 1000000.0, 6)
+         AS noisy_count,
+       ABS(noise_micro) <= 10000000 AS noise_bounded_ok
+FROM noised
+ORDER BY lang, source
+"""
+
+
+@register(
+    "n_dp_noisy_counts",
+    oracle=_DP_ORACLE,
+    tags=("A1", "F3", "P6", "N5"),
+)
+def n_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy release of per-(lang, source) document
+    counts, scale b = 1/ε with ε = 1 — the differential-privacy
+    companion to `a_k_anonymity_audit` (DP protects the release
+    mechanism where k-anonymity only audits the table). Noise is drawn
+    by inverse-CDF: -b·sign(u−½)·ln(1−2|u−½|).
+
+    HONESTY NOTE: u here is a DETERMINISTIC multiplicative-hash of the
+    group (seeded from Σdoc_id mod 1e5) so the query is reproducible
+    and oracle-checkable — real DP requires a secret-seeded RNG at this
+    one spot; everything else (sensitivity-1 count, scale, mechanism)
+    is the production shape. u lands on the (m+0.5)/10⁴ grid, so it is
+    never exactly 0/½/1 and |noise| ≤ ln(10⁴) ≈ 9.2 — pinned by the
+    `noise_bounded_ok` column.
+
+    Determinism: one combinable count+seed aggregation; the noise
+    expression evaluates on exact grid doubles with an identical tree
+    (SIGN/ABS exact; LN's result is immediately rounded to integer
+    micro). Scale: group-count-sized output, map-side combine, no
+    joins at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grp = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("true_count"),
+        (F.sum("doc_id") % 100000).cast("long").alias("seed"),
+    )
+    u = ((F.col("seed") * 48271) % 10000 + 0.5) / 10000.0
+    noised = grp.select(
+        "lang",
+        "source",
+        "true_count",
+        F.round(
+            -1000000.0
+            * F.signum(u - 0.5)
+            * F.log(1 - 2 * F.abs(u - 0.5))
+        )
+        .cast("long")
+        .alias("noise_micro"),
+    )
+    return noised.select(
+        "lang",
+        "source",
+        "true_count",
+        "noise_micro",
+        F.round(
+            (F.col("true_count") * 1000000 + F.col("noise_micro")) / 1000000.0,
+            6,
+        ).alias("noisy_count"),
+        (F.abs("noise_micro") <= 10000000).alias("noise_bounded_ok"),
+    ).orderBy("lang", "source")

@@ -510,3 +510,72 @@ def g_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "harmonic_micro"
         ),
     )
+
+
+@register("g_kcore_decomposition", oracle=None, tags=("J10", "J4", "A1"))
+def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the part co-order graph via operators.graph.kcore
+    (iterative peeling to the unique fixpoint) — the community-density
+    screen that complements components (connectivity), PageRank
+    (centrality), and triangles (local clustering).
+
+    Rows-only by design: a peeling fixpoint is outside recursive-CTE
+    SQL (each round aggregates over the previous round's induced
+    subgraph). In exchange the output is self-validating — the k-core
+    is UNIQUE, so the query re-derives each member's degree within the
+    returned core INDEPENDENTLY of the loop's bookkeeping:
+
+      * core_deg_ok    — independently recomputed in-core degree >= 4
+                         AND equal to the loop's reported core_deg;
+      * nonempty_ok    — the core retained at least one vertex (the
+                         basket graph's dense center guarantees one).
+    """
+    from ..sources import scratch_dir
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .dropDuplicates()
+    )
+
+    from ..operators.graph import kcore
+
+    core = kcore(edges, "src", "dst", k=4, scratch_path=scratch_dir(sf_dir, "kcore"))
+
+    # Independent validation: degree within the returned vertex set,
+    # recomputed from the ORIGINAL edge list (not the loop's state).
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    members = core.select(F.col("id").alias("src"))
+    in_core = (
+        sym.join(members, "src", "left_semi")
+        .join(members.withColumnRenamed("src", "dst"), "dst", "left_semi")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("check_deg"))
+    )
+    n_core = core.agg(F.count(F.lit(1)).alias("n_core"))
+    return (
+        core.join(in_core, "id", "left")
+        .crossJoin(F.broadcast(n_core))
+        .select(
+            F.col("id").alias("p_partkey"),
+            "core_deg",
+            "check_deg",
+            "n_core",
+            (
+                (F.coalesce("check_deg", F.lit(0)) >= 4)
+                & (F.col("check_deg") == F.col("core_deg"))
+            ).alias("core_deg_ok"),
+            (F.col("n_core") >= 1).alias("nonempty_ok"),
+        )
+        .orderBy(F.col("core_deg").desc(), F.col("p_partkey"))
+        .limit(50)
+    )

@@ -609,3 +609,447 @@ def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 2 * F.col("n_days").cast("long") * F.col("spread_cents") / 4
         ).alias("drift_flag"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (event_type × day-of-week)
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT event_type,
+         ((DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7) + 4) % 7
+           AS dow,
+         COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+margins AS (
+  SELECT c.event_type, c.dow, c.o,
+         SUM(c.o) OVER (PARTITION BY c.event_type) AS r,
+         SUM(c.o) OVER (PARTITION BY c.dow) AS col_sum,
+         SUM(c.o) OVER () AS n
+  FROM cells c
+),
+terms AS (
+  SELECT event_type, dow,
+         CAST(o * n - r * col_sum AS BIGINT) AS num,
+         CAST(ROUND(1000000.0 * (CAST(o * n - r * col_sum AS DOUBLE)
+                                 * (o * n - r * col_sum))
+                    / (CAST(n AS DOUBLE) * n * r * col_sum)) AS BIGINT)
+           AS term_micro,
+         n
+  FROM margins
+),
+agg AS (
+  SELECT COUNT(*) AS n_cells,
+         CAST(SUM(term_micro) AS BIGINT) AS chi2_micro,
+         CAST(MAX(n) AS BIGINT) AS n_obs
+  FROM terms
+),
+dims AS (
+  SELECT (SELECT COUNT(DISTINCT event_type) FROM cells) AS nr,
+         (SELECT COUNT(DISTINCT dow) FROM cells) AS nc
+)
+SELECT a.n_cells, a.n_obs, a.chi2_micro,
+       ROUND(a.chi2_micro / 1000000.0, 6) AS chi2,
+       CAST((d.nr - 1) * (d.nc - 1) AS BIGINT) AS dof,
+       ROUND(SQRT(a.chi2_micro / 1000000.0 /
+                  (a.n_obs * LEAST(d.nr - 1, d.nc - 1))), 6) AS cramers_v
+FROM agg a CROSS JOIN dims d
+"""
+
+
+@register(
+    "a_chi_square_independence",
+    oracle=_CHI2_ORACLE,
+    tags=("A1", "A2", "W3", "F2"),
+)
+def a_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    day-of-week, with Cramér's V effect size — "is traffic mix a
+    function of weekday?". The contingency table, its margins, and the
+    test statistic all come out of ONE pass over events.
+
+    Determinism: each cell's contribution uses the algebraic identity
+    (o·n − r·c)²/(n·r·c) — numerator exact BIGINT from integer counts,
+    one double division per cell, rounded to integer micro at the LEAF
+    so the cross-cell SUM is exact integer arithmetic in any partition
+    order (the llm_text micro-unit pattern). dow uses epoch-day modular
+    math (the t_seasonality_dow_profile convention), not engine week
+    functions with differing weekday numbering.
+
+    Scale: one combinable groupBy builds the ≤|types|×7 cell table;
+    margins are windows OVER THAT tiny rollup, not the fact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            "event_type",
+            (
+                (
+                    F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+                    % 7
+                    + 4
+                )
+                % 7
+            ).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("dow")
+    w_n = Window.partitionBy()
+    margins = (
+        cells.withColumn("r", F.sum("o").over(w_r))
+        .withColumn("col_sum", F.sum("o").over(w_c))
+        .withColumn("n", F.sum("o").over(w_n))
+    )
+    num = F.col("o") * F.col("n") - F.col("r") * F.col("col_sum")
+    terms = margins.select(
+        F.round(
+            1000000.0
+            * (num.cast("double") * num)
+            / (F.col("n").cast("double") * F.col("n") * F.col("r") * F.col("col_sum"))
+        )
+        .cast("long")
+        .alias("term_micro"),
+        "n",
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("term_micro").cast("long").alias("chi2_micro"),
+        F.max("n").alias("n_obs"),
+    )
+    dims = cells.agg(
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("dow").alias("nc"),
+    )
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "n_cells",
+        "n_obs",
+        "chi2_micro",
+        F.round(F.col("chi2_micro") / 1000000.0, 6).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_micro")
+                / 1000000.0
+                / (F.col("n_obs") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer spend, per market segment
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = f"""
+WITH spend AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT)
+           AS spend_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, spend_cents,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+           ORDER BY spend_cents, o_custkey) AS i
+  FROM spend
+),
+seg AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(spend_cents) AS BIGINT) AS total_cents,
+         CAST(SUM(i * spend_cents) AS BIGINT) AS weighted
+  FROM ranked GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n, total_cents,
+       ROUND((2.0 * weighted - (n + 1.0) * total_cents)
+             / (CAST(n AS DOUBLE) * total_cents), 6) AS gini
+FROM seg
+ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "a_gini_concentration",
+    oracle=_GINI_ORACLE,
+    tags=("A1", "W1", "J1", "F3"),
+)
+def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    revenue-concentration metric ("do 20% of customers carry 80% of
+    revenue?") from the rank-weighted closed form
+    G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over ascending-sorted spend.
+
+    Determinism: Σi·x and Σx are exact BIGINT (cents); rank ties
+    (equal spends) cannot change Σi·x because permuting equal values
+    among consecutive ranks leaves the sum invariant — the tie-break
+    on custkey is belt-and-braces. One double expression per segment
+    at the end, identical tree both engines.
+
+    Scale: one custkey-keyed combinable aggregation of the fact, then
+    ranking windows PARTITIONED BY SEGMENT (parallel, never a global
+    single-partition sort); each segment's closed form is one
+    combinable agg. At extreme per-segment cardinality the ranking
+    would move to the bucketed prefix-sum scheme in operators/ids.py.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("spend_cents"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("spend_cents", "o_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    seg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend_cents").cast("long").alias("total_cents"),
+        F.sum(F.col("i") * F.col("spend_cents")).cast("long").alias("weighted"),
+    )
+    return seg.select(
+        "c_mktsegment",
+        "n",
+        "total_cents",
+        F.round(
+            (2.0 * F.col("weighted") - (F.col("n") + 1.0) * F.col("total_cents"))
+            / (F.col("n").cast("double") * F.col("total_cents")),
+            6,
+        ).alias("gini"),
+    ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve over user lifetimes
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH user_span AS (
+  SELECT user_id,
+         MIN(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE))) AS f,
+         MAX(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE))) AS l
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT MAX(l) AS max_day FROM user_span),
+lifetimes AS (
+  SELECT u.user_id, CAST(u.l - u.f AS BIGINT) AS t,
+         u.l >= h.max_day - 2 AS censored
+  FROM user_span u CROSS JOIN horizon h
+),
+per_day AS (
+  SELECT t AS j,
+         COUNT(*) AS a_j,
+         CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d_j,
+         CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c_j
+  FROM lifetimes GROUP BY t
+),
+at_risk AS (
+  SELECT j, a_j, d_j, c_j,
+         CAST(SUM(a_j) OVER (ORDER BY j
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS n_j
+  FROM per_day
+),
+factors AS (
+  SELECT j, n_j, d_j, c_j,
+         CAST(ROUND(LN((n_j - d_j) / CAST(n_j AS DOUBLE)) * 1000000)
+              AS BIGINT) AS f_micro
+  FROM at_risk WHERE n_j > d_j
+)
+SELECT j AS day, n_j AS n_at_risk, d_j AS n_deaths, c_j AS n_censored,
+       CAST(SUM(f_micro) OVER (ORDER BY j
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS log_s_micro,
+       ROUND(EXP(SUM(f_micro) OVER (ORDER BY j
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0), 4)
+         AS survival
+FROM factors
+ORDER BY day
+"""
+
+
+@register(
+    "e_survival_km_curve",
+    oracle=_KM_ORACLE,
+    tags=("A1", "W3", "F2", "P6"),
+)
+def e_survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetimes (days between
+    first and last observed event). Users whose last event falls in
+    the final 3 observed days are right-CENSORED (still active): they
+    count in the at-risk denominators but never as churn events — the
+    estimator every retention analysis should use instead of naive
+    "alive after k days" ratios, which silently treat recent signups
+    as churned.
+
+    Determinism: KM is a running PRODUCT, computed in log space with
+    each factor ln((n_j−d_j)/n_j) rounded to integer micro-nats at the
+    leaf (the llm_text convention) so the cumulative sum is exact
+    integer arithmetic; `log_s_micro` is the hash-stable column and
+    `survival` is its display form (EXP of the SAME double on both
+    engines, rounded to 4dp — coarse enough to absorb a last-ulp libm
+    difference in exp()).
+
+    Scale: one user-keyed combinable min/max over events, a 1-row
+    horizon broadcast, then ALL remaining work happens on the per-day
+    rollup (calendar-bounded); at-risk counts come from a suffix-sum
+    window over that rollup rather than a day×user join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    epoch_day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    user_span = e.groupBy("user_id").agg(
+        F.min(epoch_day).alias("f"), F.max(epoch_day).alias("l")
+    )
+    horizon = user_span.agg(F.max("l").alias("max_day"))
+    lifetimes = user_span.crossJoin(F.broadcast(horizon)).select(
+        (F.col("l") - F.col("f")).cast("long").alias("t"),
+        (F.col("l") >= F.col("max_day") - 2).alias("censored"),
+    )
+    per_day = lifetimes.groupBy(F.col("t").alias("j")).agg(
+        F.count(F.lit(1)).alias("a_j"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("long")
+        .alias("d_j"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_j"),
+    )
+    w_suffix = Window.orderBy("j").rowsBetween(0, Window.unboundedFollowing)
+    at_risk = per_day.withColumn(
+        "n_j", F.sum("a_j").over(w_suffix).cast("long")
+    )
+    factors = at_risk.filter(F.col("n_j") > F.col("d_j")).select(
+        "j",
+        "n_j",
+        "d_j",
+        "c_j",
+        F.round(
+            F.log((F.col("n_j") - F.col("d_j")) / F.col("n_j").cast("double"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("f_micro"),
+    )
+    w_prefix = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+    return factors.select(
+        F.col("j").alias("day"),
+        F.col("n_j").alias("n_at_risk"),
+        F.col("d_j").alias("n_deaths"),
+        F.col("c_j").alias("n_censored"),
+        F.sum("f_micro").over(w_prefix).cast("long").alias("log_s_micro"),
+        F.round(
+            F.exp(F.sum("f_micro").over(w_prefix) / 1000000.0), 4
+        ).alias("survival"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV triangle (cumulative revenue by cohort-week × age-week)
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = f"""
+WITH weeks AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    / 7) AS BIGINT) AS w,
+         {CENTS_SQL.format(expr="value")} AS v_cents
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(w) AS cohort_week FROM weeks GROUP BY user_id
+),
+cohort_size AS (
+  SELECT cohort_week, COUNT(*) AS n_users FROM cohorts GROUP BY cohort_week
+),
+weekly AS (
+  SELECT c.cohort_week, CAST(w.w - c.cohort_week AS BIGINT) AS age_week,
+         CAST(SUM(CASE WHEN w.event_type = 'purchase'
+                       THEN w.v_cents ELSE 0 END) AS BIGINT) AS week_rev_cents
+  FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+  GROUP BY c.cohort_week, age_week
+)
+SELECT wk.cohort_week, wk.age_week, cs.n_users, wk.week_rev_cents,
+       CAST(SUM(wk.week_rev_cents) OVER (PARTITION BY wk.cohort_week
+         ORDER BY wk.age_week
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_rev_cents,
+       CAST(CAST(SUM(wk.week_rev_cents) OVER (PARTITION BY wk.cohort_week
+         ORDER BY wk.age_week
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         // cs.n_users AS BIGINT) AS ltv_cents_per_user
+FROM weekly wk JOIN cohort_size cs ON wk.cohort_week = cs.cohort_week
+ORDER BY wk.cohort_week, wk.age_week
+"""
+
+
+@register(
+    "e_cohort_ltv_triangle",
+    oracle=_LTV_ORACLE,
+    tags=("A1", "W3", "J1", "F2"),
+)
+def e_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: users grouped by first-seen epoch-week,
+    purchase revenue accumulated by cohort age in weeks — the
+    cumulative-money companion to `e_retention_cohorts`' activity
+    matrix, and the table finance teams extrapolate payback curves
+    from. `ltv_cents_per_user` divides by ORIGINAL cohort size (not
+    current actives), the standard definition.
+
+    Integer math throughout: epoch-week by floor-division (identical
+    both engines, no week-truncation semantics), revenue in exact
+    cents, per-user LTV by BIGINT floor division. Scale: one user
+    shuffle for cohort assignment (shared by `weeks`⋈`cohorts`), one
+    combinable (cohort, age) rollup, and a window over the
+    weeks×weeks-sized triangle — calendar-bounded, data-volume-free.
+    """
+    e = load_table(spark, sf_dir, "events")
+    epoch_day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    weeks = e.select(
+        "user_id",
+        "event_type",
+        F.floor(epoch_day / 7).cast("long").alias("w"),
+        cents(F.col("value")).alias("v_cents"),
+    )
+    cohorts = weeks.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    cohort_size = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    weekly = (
+        weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("w") - F.col("cohort_week")).cast("long").alias("age_week"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("v_cents"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("week_rev_cents")
+        )
+    )
+    w_cum = Window.partitionBy("cohort_week").orderBy("age_week").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        weekly.join(F.broadcast(cohort_size), "cohort_week")
+        .withColumn(
+            "cum_rev_cents", F.sum("week_rev_cents").over(w_cum).cast("long")
+        )
+        .select(
+            "cohort_week",
+            "age_week",
+            "n_users",
+            "week_rev_cents",
+            "cum_rev_cents",
+            F.expr("CAST(cum_rev_cents DIV n_users AS BIGINT)").alias(
+                "ltv_cents_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "age_week")
+    )

@@ -294,6 +294,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 governance batch: 1-row vocab-size + 5-row lang-totals
     # broadcasts in the NB scorer
     "n_naive_bayes_langid",
+    # round-4 stats batch 2: 1-row dims/horizon/core-count crossJoins
+    "a_chi_square_independence", "e_survival_km_curve",
+    "g_kcore_decomposition",
 })
 
 
