@@ -600,3 +600,118 @@ def n_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("noisy_count"),
         (F.abs("noise_micro") <= 10000000).alias("noise_bounded_ok"),
     ).orderBy("lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# GDPR right-to-be-forgotten: multi-level delete cascade with audit
+# ---------------------------------------------------------------------------
+
+_GDPR_ORACLE = """
+WITH forget AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+),
+orders_gone AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM forget)
+),
+audit AS (
+  SELECT 'customer' AS tbl,
+         (SELECT COUNT(*) FROM customer) AS rows_before,
+         (SELECT COUNT(*) FROM customer
+          WHERE c_custkey NOT IN (SELECT c_custkey FROM forget))
+           AS rows_after
+  UNION ALL
+  SELECT 'orders',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM forget))
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders_gone))
+)
+SELECT tbl, rows_before, rows_after,
+       rows_before - rows_after AS rows_removed,
+       CASE tbl
+         WHEN 'customer' THEN (SELECT COUNT(*) FROM forget)
+         WHEN 'orders'   THEN (SELECT COUNT(*) FROM orders_gone)
+         ELSE (SELECT COUNT(*) FROM lineitem
+               WHERE l_orderkey IN (SELECT o_orderkey FROM orders_gone))
+       END AS rows_tombstoned,
+       rows_before - rows_after = CASE tbl
+         WHEN 'customer' THEN (SELECT COUNT(*) FROM forget)
+         WHEN 'orders'   THEN (SELECT COUNT(*) FROM orders_gone)
+         ELSE (SELECT COUNT(*) FROM lineitem
+               WHERE l_orderkey IN (SELECT o_orderkey FROM orders_gone))
+       END AS cascade_complete_ok
+FROM audit
+ORDER BY tbl
+"""
+
+
+@register(
+    "s_gdpr_forget_cascade",
+    oracle=_GDPR_ORACLE,
+    tags=("J5", "J4", "A2", "P4"),
+)
+def s_gdpr_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten delete cascade: a deterministic forget-set
+    of customers (custkey ≡ 0 mod 97) is erased from `customer`, then
+    cascaded through the foreign keys — their `orders`, then those
+    orders' `lineitem` rows — with a per-table audit row (before /
+    after / removed / tombstoned) and a `cascade_complete_ok` proof
+    that removed == tombstoned at every level, i.e. nothing orphaned
+    and nothing over-deleted.
+
+    Scale: each level is ONE anti join against the (small) key set of
+    the level above — the forget-set broadcast-prunes customer and
+    orders; the orderkey tombstones of a real deletion batch stay
+    small enough to broadcast too, and at worst degrade to a shuffled
+    anti join. Counts are combinable; the audit is a 3-row union.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    forget = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    orders_gone = o.join(
+        F.broadcast(forget), o.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+
+    c_after = c.join(
+        F.broadcast(forget), "c_custkey", "left_anti"
+    )
+    o_after = o.join(
+        F.broadcast(forget), o.o_custkey == forget.c_custkey, "left_anti"
+    )
+    tomb = orders_gone.withColumnRenamed("o_orderkey", "l_orderkey")
+    li_gone = li.join(F.broadcast(tomb), "l_orderkey", "left_semi")
+    li_after = li.join(F.broadcast(tomb), "l_orderkey", "left_anti")
+
+    def audit(tbl, before_df, after_df, tomb_df):
+        return (
+            before_df.agg(F.count(F.lit(1)).alias("rows_before"))
+            .crossJoin(after_df.agg(F.count(F.lit(1)).alias("rows_after")))
+            .crossJoin(tomb_df.agg(F.count(F.lit(1)).alias("rows_tombstoned")))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "rows_before",
+                "rows_after",
+                (F.col("rows_before") - F.col("rows_after")).alias(
+                    "rows_removed"
+                ),
+                "rows_tombstoned",
+                (
+                    F.col("rows_before") - F.col("rows_after")
+                    == F.col("rows_tombstoned")
+                ).alias("cascade_complete_ok"),
+            )
+        )
+
+    return (
+        audit("customer", c, c_after, forget)
+        .unionByName(audit("orders", o, o_after, orders_gone))
+        .unionByName(audit("lineitem", li, li_after, li_gone))
+        .orderBy("tbl")
+    )

@@ -1547,3 +1547,109 @@ def n_rouge_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(2.0) * n_ov / (F.col("n_cand") + F.col("n_ref")), 6).alias("rouge1_f1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence PMI over documents
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH doc_tok AS (
+  SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+  FROM documents
+),
+df AS (
+  SELECT term, COUNT(*) AS c FROM doc_tok GROUP BY term
+),
+vocab AS (
+  SELECT term, c FROM df
+  ORDER BY c DESC, term
+  LIMIT 100
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM doc_tok),
+kept AS (
+  SELECT t.doc_id, t.term, v.c
+  FROM doc_tok t JOIN vocab v ON t.term = v.term
+),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         MAX(a.c) AS c_a, MAX(b.c) AS c_b, COUNT(*) AS c_ab
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id
+  WHERE a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING COUNT(*) >= 3
+)
+SELECT term_a, term_b, c_a, c_b, c_ab,
+       CAST(ROUND(LN(c_ab * CAST(n.n_docs AS DOUBLE) / (c_a * c_b))
+                  * 1000000) AS BIGINT) AS pmi_micro
+FROM pairs CROSS JOIN n
+ORDER BY pmi_micro DESC, term_a, term_b
+LIMIT 30
+"""
+
+
+@register(
+    "n_cooccurrence_pmi",
+    oracle=_PMI_ORACLE,
+    tags=("N5", "J10", "A1", "O2"),
+)
+def n_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in the
+    same document — the collocation detector ("strong coffee" vs
+    chance co-occurrence) behind phrase mining and word-association
+    features. Top-30 pairs by PMI among the top-100 document-frequency
+    vocabulary, with c_ab ≥ 3 support.
+
+    Scale design mirrors `a_market_basket_lift`'s apriori posture:
+    the VOCAB CAP comes first (top-100 by df, deterministic tie-break)
+    so the doc-keyed pair join fans out at most |vocab-hits-per-doc|²
+    — bounded by the cap, never by document length; the df table joins
+    unhinted (vocabulary-sized at crawl scale — the n_vocab_coverage
+    posture). PMI = ln(c_ab·N/(c_a·c_b)) is rounded to integer
+    micro-nats at the leaf, so ordering and hash are integer-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    doc_tok = d.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).dropDuplicates(["doc_id", "term"])
+    df_counts = doc_tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = df_counts.orderBy(F.col("c").desc(), "term").limit(100)
+    n_docs = doc_tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    kept = doc_tok.join(vocab, "term")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(
+            F.max("a.c").alias("c_a"),
+            F.max("b.c").alias("c_b"),
+            F.count(F.lit(1)).alias("c_ab"),
+        )
+        .filter(F.col("c_ab") >= 3)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "c_a",
+            "c_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab")
+                    * F.col("n_docs").cast("double")
+                    / (F.col("c_a") * F.col("c_b"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "term_a", "term_b")
+        .limit(30)
+    )

@@ -1053,3 +1053,341 @@ def e_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_week")
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing via exact power-of-two integer weights
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS rev_cents
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+idx AS (
+  SELECT d, rev_cents,
+         ROW_NUMBER() OVER (ORDER BY d) AS j
+  FROM daily
+),
+scaled AS (
+  SELECT d, rev_cents, j,
+         CAST(SUM(rev_cents * (CAST(1 AS BIGINT) << (j - 1)))
+              OVER (ORDER BY j
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS v
+  FROM idx
+)
+SELECT CAST(d AS VARCHAR) AS d, rev_cents,
+       CAST(v // (CAST(1 AS BIGINT) << j) AS BIGINT) AS ewma_cents
+FROM scaled
+ORDER BY d
+"""
+
+
+@register("t_ewma_smoothing", oracle=_EWMA_ORACLE, tags=("W3", "W1", "F3"))
+def t_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = ½) of daily revenue
+    — computed EXACTLY in integers. The recursion S_t = (x_t+S_{t-1})/2
+    is not window-expressible, but its closed form 2^t·S_t = Σ x_j·2^(j-1)
+    IS a prefix sum: weight each day by a BIGINT left-shift, window-sum,
+    and floor-divide by 2^t. No float ever enters, so both engines agree
+    to the last cent (floor-EWMA differs from real EWMA by < 1 cent).
+
+    Range honesty: the shifted terms stay under 2^63 for series up to
+    ~35 points at these cent magnitudes — fine for the calendar-month
+    series here; an unbounded series would use the truncated-window
+    variant (weights beyond ~40 days are < 2⁻⁴⁰ ≈ 0 anyway). Scale: the
+    heavy pass is one combinable groupBy(day); the window runs on the
+    calendar-bounded rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("rev_cents")
+    )
+    w_idx = Window.orderBy("d")
+    w_cum = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+    idx = daily.withColumn("j", F.row_number().over(w_idx))
+    scaled = idx.withColumn(
+        "v",
+        F.sum(F.col("rev_cents") * F.expr("shiftleft(1L, j - 1)"))
+        .over(w_cum)
+        .cast("long"),
+    )
+    return scaled.select(
+        F.col("d").cast("string").alias("d"),
+        "rev_cents",
+        F.expr("CAST(v DIV shiftleft(1L, j) AS BIGINT)").alias("ewma_cents"),
+    ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition: trend (centered MA) + seasonal (dow) + residual
+# ---------------------------------------------------------------------------
+
+_DECOMP_ORACLE = f"""
+WITH daily AS (
+  SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS rev_cents
+  FROM events GROUP BY 1
+),
+trended AS (
+  SELECT d, rev_cents,
+         CASE WHEN COUNT(*) OVER (ORDER BY d
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+              THEN CAST(SUM(rev_cents) OVER (ORDER BY d
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+              ELSE NULL END AS trend_x7
+  FROM daily
+),
+detr AS (
+  SELECT d, rev_cents, trend_x7,
+         ((d % 7) + 4) % 7 AS dow,
+         7 * rev_cents - trend_x7 AS detrended_x7
+  FROM trended
+),
+seas AS (
+  SELECT dow,
+         CAST(SUM(detrended_x7) AS BIGINT) AS s_sum,
+         COUNT(detrended_x7) AS s_n
+  FROM detr GROUP BY dow
+)
+SELECT de.d, de.rev_cents, de.dow, de.trend_x7,
+       ROUND(s.s_sum / (7.0 * s.s_n), 6) AS seasonal_cents,
+       ROUND(CASE WHEN de.trend_x7 IS NULL THEN NULL
+             ELSE de.detrended_x7 / 7.0 - s.s_sum / (7.0 * s.s_n) END, 6)
+         AS residual_cents
+FROM detr de JOIN seas s ON de.dow = s.dow
+ORDER BY de.d
+"""
+
+
+@register(
+    "t_seasonal_decompose",
+    oracle=_DECOMP_ORACLE,
+    tags=("W3", "A1", "F2", "J2"),
+)
+def t_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue:
+    trend = centered 7-day moving average (NULL at the edges where the
+    window is incomplete), seasonal = day-of-week mean of the detrended
+    series, residual = remainder — the moving-average STL precursor,
+    which is exactly what a batch engine can do deterministically.
+
+    Integer strategy: the centered MA is kept ×7 (a window SUM of
+    cents, never divided) and the detrended series as 7·x − MA_x7, so
+    everything through the dow aggregation is exact BIGINT; only the
+    final display columns divide, each in ONE fixed-shape double
+    expression (integer floor-division is avoided entirely because
+    detrended values go negative, where Spark DIV truncates but DuckDB
+    // floors). Scale: one combinable groupBy(day), windows and the
+    7-row seasonal join on the calendar-bounded rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("rev_cents"))
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.withColumn(
+        "trend_x7",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.sum("rev_cents").over(w7).cast("long"),
+        ),
+    )
+    detr = trended.select(
+        "d",
+        "rev_cents",
+        "trend_x7",
+        ((F.col("d") % 7 + 4) % 7).alias("dow"),
+        (7 * F.col("rev_cents") - F.col("trend_x7")).alias("detrended_x7"),
+    )
+    seas = detr.groupBy("dow").agg(
+        F.sum("detrended_x7").cast("long").alias("s_sum"),
+        F.count("detrended_x7").alias("s_n"),
+    )
+    return (
+        detr.join(F.broadcast(seas), "dow")
+        .select(
+            "d",
+            "rev_cents",
+            "dow",
+            "trend_x7",
+            F.round(F.col("s_sum") / (7.0 * F.col("s_n")), 6).alias(
+                "seasonal_cents"
+            ),
+            F.round(
+                F.when(
+                    F.col("trend_x7").isNotNull(),
+                    F.col("detrended_x7") / 7.0
+                    - F.col("s_sum") / (7.0 * F.col("s_n")),
+                ),
+                6,
+            ).alias("residual_cents"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency: peak simultaneous user sessions
+# ---------------------------------------------------------------------------
+
+_SWEEP_ORACLE = """
+WITH sessions AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS s_start,
+         CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) + 1 AS s_end
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+points AS (
+  SELECT s_start AS t, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT s_end AS t, -1 AS delta FROM sessions
+),
+swept AS (
+  SELECT t, delta,
+         CAST(SUM(delta) OVER (ORDER BY t, delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS concurrency,
+         ROW_NUMBER() OVER (ORDER BY t, delta) AS rn
+  FROM points
+)
+SELECT t, concurrency
+FROM swept
+ORDER BY concurrency DESC, t, rn
+LIMIT 20
+"""
+
+
+@register(
+    "t_concurrency_sweepline",
+    oracle=_SWEEP_ORACLE,
+    tags=("W3", "O3", "O2", "F2"),
+)
+def t_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by sweep line: each user-day session (first to
+    last event, end exclusive) emits a +1 at start and a −1 at end; a
+    running sum over the merged, time-ordered point stream IS the
+    concurrency curve, and the top-20 points are its peaks — the
+    interval-stabbing problem solved without any interval join (the
+    quadratic trap `j_interval_overlap_join` bounds differently).
+
+    Ordering pins determinism twice: the sweep sorts (t, delta) so a
+    −1 at time t applies before a +1 at the same instant (sessions
+    touching end-to-start never double-count), and the running sum over
+    that total order is exact integer arithmetic. The rn tie-break
+    makes the LIMIT deterministic among equal (concurrency, t) rows.
+
+    Scale: sessionization is one combinable user-day min/max; the
+    sweep's global window is the documented calendar/event-boundary
+    rollup exception — at true scale the sweep shards by day (each
+    day's curve starts at the count of sessions spanning midnight,
+    computable with one broadcast prefix table).
+    """
+    e = load_table(spark, sf_dir, "events")
+    sessions = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.unix_timestamp(F.min("ts")).cast("long").alias("s_start"),
+        (F.unix_timestamp(F.max("ts")) + 1).cast("long").alias("s_end"),
+    )
+    points = sessions.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sessions.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy("t", "delta")
+    swept = points.select(
+        "t",
+        "delta",
+        F.sum("delta").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("concurrency"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        swept.select("t", "concurrency", "rn")
+        .orderBy(F.col("concurrency").desc(), "t", "rn")
+        .limit(20)
+        .select("t", "concurrency")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis: required sample size from observed variance
+# ---------------------------------------------------------------------------
+
+_POWER_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT)
+           AS spend_cents
+  FROM events GROUP BY user_id
+),
+stats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(spend_cents) AS BIGINT) AS s,
+         CAST(SUM(spend_cents * spend_cents) AS BIGINT) AS ss
+  FROM per_user
+),
+calc AS (
+  SELECT n, CAST(s AS DOUBLE) / n AS mean_cents,
+         (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) AS var_cents2
+  FROM stats
+)
+SELECT n AS n_users_observed,
+       ROUND(mean_cents / 100, 6) AS mean_spend,
+       ROUND(SQRT(var_cents2) / 100, 6) AS sd_spend,
+       ROUND(0.05 * mean_cents / 100, 6) AS mde_spend,
+       CAST(CEIL(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 * var_cents2 / ((0.05 * mean_cents) * (0.05 * mean_cents)))
+            AS BIGINT) AS n_required_per_arm,
+       n >= 2 * CAST(CEIL(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 * var_cents2 / ((0.05 * mean_cents) * (0.05 * mean_cents)))
+            AS BIGINT) AS currently_powered
+FROM calc
+"""
+
+
+@register(
+    "e_power_analysis", oracle=_POWER_ORACLE, tags=("A2", "A1", "F3")
+)
+def e_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: from the observed per-user spend
+    distribution, the sample size each A/B arm needs to detect a 5%
+    lift at α=0.05 (two-sided) with 80% power —
+    n = 2(z_{α/2}+z_β)²σ²/δ². The pre-registration step before
+    `e_welch_ttest` reads out a result; run on the same metric so σ²
+    is the right one.
+
+    Determinism: n/Σx/Σx² are exact BIGINTs from one combinable
+    user-keyed pass; the closed form evaluates once on a 1-row frame
+    with z-quantiles as double literals and explicit squaring (no libm
+    POW). CEIL on a double is exact. Scale: single aggregation, no
+    joins, 1-row output.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("spend_cents")
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend_cents").cast("long").alias("s"),
+        F.sum(F.col("spend_cents") * F.col("spend_cents"))
+        .cast("long")
+        .alias("ss"),
+    )
+    n = F.col("n")
+    mean_cents = F.col("s").cast("double") / n
+    var_cents2 = (
+        F.col("ss") - F.col("s").cast("double") * F.col("s") / n
+    ) / (n - 1)
+    z2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+    n_req = F.ceil(
+        2.0 * z2 * var_cents2 / ((0.05 * mean_cents) * (0.05 * mean_cents))
+    ).cast("long")
+    return stats.select(
+        n.alias("n_users_observed"),
+        F.round(mean_cents / 100, 6).alias("mean_spend"),
+        F.round(F.sqrt(var_cents2) / 100, 6).alias("sd_spend"),
+        F.round(0.05 * mean_cents / 100, 6).alias("mde_spend"),
+        n_req.alias("n_required_per_arm"),
+        (n >= 2 * n_req).alias("currently_powered"),
+    )

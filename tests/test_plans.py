@@ -297,6 +297,8 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 stats batch 2: 1-row dims/horizon/core-count crossJoins
     "a_chi_square_independence", "e_survival_km_curve",
     "g_kcore_decomposition",
+    # round-4 batch 4: 1-row audit-count / n-docs crossJoins
+    "s_gdpr_forget_cascade", "n_cooccurrence_pmi",
 })
 
 
