@@ -948,3 +948,118 @@ def n_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(ordered, lambda s: s["para"]), " ")
         ).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (asymmetric Jaccard: subset-duplicate detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_K = 5
+
+_CONTAIN_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, LOWER(text) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         LOWER(text) || ' wrapper suffix tokens appended here'
+  FROM documents WHERE doc_id % 89 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ARRAY_TO_STRING(LIST_SLICE(toks, i, i + {_CONTAIN_K} - 1), ' ') AS sh
+  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM corpus),
+       UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - {_CONTAIN_K} + 1, 1)))
+         AS t(i)
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.sh = b.sh
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_a, s.doc_b, s.n_shared, za.n_sh AS n_a,
+       CAST(s.n_shared * 1000000 // za.n_sh AS BIGINT) AS containment_ppm,
+       s.doc_a + 300000 = s.doc_b AS planted
+FROM shared s
+JOIN sizes za ON s.doc_a = za.doc_id
+WHERE za.n_sh >= 10 AND s.n_shared * 2 >= za.n_sh
+ORDER BY containment_ppm DESC, s.doc_a, s.doc_b
+"""
+
+
+@register(
+    "n_containment_dedup",
+    oracle=_CONTAIN_ORACLE,
+    tags=("N2", "N1", "J10", "A1"),
+)
+def n_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric Jaccard) duplicate detection:
+    C(A→B) = |S_A ∩ S_B| / |S_A| over 5-token shingles finds documents
+    CONTAINED in longer ones — the quote/boilerplate/wrapper-page case
+    symmetric Jaccard under-scores (a short doc pasted into a long one
+    has tiny J but containment ≈ 1). Planted positives: every doc with
+    doc_id ≡ 0 mod 89 gets a suffix-extended wrapper at doc_id+300000,
+    and the `planted` column marks those pairs surfacing as expected.
+
+    Scale: the same banded shape as every near-dup path in this
+    engine — candidate pairs come from a shingle-keyed EQUI-join
+    (never doc×doc all-pairs), sizes from one combinable count, and
+    the containment ratio in exact integer ppm. The ≥50% shared
+    threshold is applied on exact integers (n_shared·2 ≥ n_A).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.lower("text").alias("text"))
+    wrappers = (
+        d.filter(F.col("doc_id") % 89 == 0)
+        .select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(
+                F.lower("text"),
+                F.lit(" wrapper suffix tokens appended here"),
+            ).alias("text"),
+        )
+    )
+    corpus = base.unionByName(wrappers)
+
+    from ..operators.dedup import word_shingles
+
+    sh = (
+        corpus.select(
+            "doc_id",
+            F.explode(
+                word_shingles(F.split(F.col("text"), " "), _CONTAIN_K)
+            ).alias("sh"),
+        )
+        .dropDuplicates(["doc_id", "sh"])
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    return (
+        shared.join(za, "doc_a")
+        .filter((F.col("n_a") >= 10) & (F.col("n_shared") * 2 >= F.col("n_a")))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_a",
+            F.expr("CAST(n_shared * 1000000 DIV n_a AS BIGINT)").alias(
+                "containment_ppm"
+            ),
+            (F.col("doc_a") + 300000 == F.col("doc_b")).alias("planted"),
+        )
+        .orderBy(F.col("containment_ppm").desc(), "doc_a", "doc_b")
+    )

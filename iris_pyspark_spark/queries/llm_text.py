@@ -1653,3 +1653,117 @@ def n_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_micro").desc(), "term_a", "term_b")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty rate (memorization / generalization check)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_K = 5
+
+_NOVELTY_ORACLE = f"""
+WITH split AS (
+  SELECT doc_id, lang, STRING_SPLIT(LOWER(text), ' ') AS toks,
+         (doc_id * 48271) % 100 < 80 AS is_train
+  FROM documents
+),
+train_sh AS (
+  SELECT DISTINCT
+         ARRAY_TO_STRING(LIST_SLICE(toks, i, i + {_NOVELTY_K} - 1), ' ') AS sh
+  FROM (SELECT toks FROM split WHERE is_train),
+       UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - {_NOVELTY_K} + 1, 1)))
+         AS t(i)
+),
+test_sh AS (
+  SELECT DISTINCT doc_id, lang,
+         ARRAY_TO_STRING(LIST_SLICE(toks, i, i + {_NOVELTY_K} - 1), ' ') AS sh
+  FROM (SELECT doc_id, lang, toks FROM split WHERE NOT is_train),
+       UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - {_NOVELTY_K} + 1, 1)))
+         AS t(i)
+),
+flagged AS (
+  SELECT e.lang, e.doc_id, e.sh,
+         t.sh IS NULL AS novel
+  FROM test_sh e LEFT JOIN train_sh t ON e.sh = t.sh
+)
+SELECT lang,
+       COUNT(DISTINCT doc_id) AS n_test_docs,
+       COUNT(*) AS tot_shingles,
+       CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_shingles,
+       CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS novelty_ppm
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "n_ngram_novelty_rate",
+    oracle=_NOVELTY_ORACLE,
+    tags=("N5", "N2", "J5", "A1"),
+)
+def n_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram novelty of a held-out split against the training corpus:
+    the fraction of each test document's distinct 5-token shingles
+    never seen in training — the memorization/generalization metric
+    behind "is the eval set actually novel?" checks (the complement of
+    `n_contamination_check`: that flags overlap pairs, this measures
+    the aggregate novelty rate per language).
+
+    Scale: the shingle explode is map-only (the word_shingles
+    codegen); the membership test is ONE digest-keyed LEFT join of
+    test shingles against the DISTINCT train shingle set — never
+    doc×doc; the train set joins unhinted because at crawl scale it is
+    corpus-sized (the n_vocab_coverage posture). Ratios are exact
+    integer ppm.
+    """
+    from ..operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    split = d.select(
+        "doc_id",
+        "lang",
+        tokens("text").alias("toks"),
+        ((F.col("doc_id") * 48271) % 100 < 80).alias("is_train"),
+    )
+    train_sh = (
+        split.filter("is_train")
+        .select(F.explode(word_shingles(F.col("toks"), _NOVELTY_K)).alias("sh"))
+        .dropDuplicates()
+    )
+    test_sh = (
+        split.filter(~F.col("is_train"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(word_shingles(F.col("toks"), _NOVELTY_K)).alias("sh"),
+        )
+        .dropDuplicates(["doc_id", "sh"])
+    )
+    flagged = test_sh.join(
+        train_sh.withColumnRenamed("sh", "tsh"),
+        test_sh.sh == F.col("tsh"),
+        "left",
+    ).select("lang", "doc_id", F.col("tsh").isNull().alias("novel"))
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_test_docs"),
+            F.count(F.lit(1)).alias("tot_shingles"),
+            F.sum(F.when(F.col("novel"), 1).otherwise(0))
+            .cast("long")
+            .alias("novel_shingles"),
+        )
+        .select(
+            "lang",
+            "n_test_docs",
+            "tot_shingles",
+            "novel_shingles",
+            F.expr(
+                "CAST(novel_shingles * 1000000 DIV tot_shingles AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -1391,3 +1391,170 @@ def e_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_req.alias("n_required_per_arm"),
         (n >= 2 * n_req).alias("currently_powered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day OLS trend slope
+# ---------------------------------------------------------------------------
+
+_ROLLSLOPE_ORACLE = f"""
+WITH daily AS (
+  SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT x, y,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+  FROM daily
+  WINDOW w AS (ORDER BY x ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT x AS day, y AS rev_cents,
+       ROUND((n * sxy - sx * sy)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+         AS slope_cents_per_day
+FROM win WHERE n = 7
+ORDER BY day
+"""
+
+
+@register(
+    "w_rolling_regression_slope",
+    oracle=_ROLLSLOPE_ORACLE,
+    tags=("W3", "A1", "F3", "F2"),
+)
+def w_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS trend slope of daily revenue — the windowed
+    regression behind "is this metric trending up?" alerts, reported
+    only where the window is complete. The slope closed form
+    (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) runs on exact BIGINT window sums
+    (x = epoch day, y = cents), so the only float is the final
+    division — one fixed-shape expression per row, identical both
+    engines. Scale: one combinable groupBy(day), then framed windows
+    over the calendar-bounded rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("y"))
+    w = Window.orderBy("x").rowsBetween(-6, 0)
+    win = daily.select(
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return (
+        win.filter(n == 7)
+        .select(
+            F.col("x").alias("day"),
+            F.col("y").alias("rev_cents"),
+            F.round(
+                (n * F.col("sxy") - sx * sy)
+                / (n * F.col("sxx") - sx * sx).cast("double"),
+                6,
+            ).alias("slope_cents_per_day"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto decile concentration (the "80/20" readout)
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT)
+           AS spend_cents
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT spend_cents,
+         ROW_NUMBER() OVER (ORDER BY spend_cents DESC, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM per_user
+),
+deciles AS (
+  SELECT CAST((10 * (rn - 1)) // n AS BIGINT) + 1 AS decile,
+         COUNT(*) AS n_users,
+         CAST(SUM(spend_cents) AS BIGINT) AS decile_cents
+  FROM ranked GROUP BY 1
+),
+cum AS (
+  SELECT decile, n_users, decile_cents,
+         CAST(SUM(decile_cents) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents,
+         CAST(SUM(decile_cents) OVER () AS BIGINT) AS total_cents
+  FROM deciles
+)
+SELECT decile, n_users, decile_cents, cum_cents,
+       CAST(cum_cents * 1000000 // total_cents AS BIGINT) AS cum_share_ppm
+FROM cum
+ORDER BY decile
+"""
+
+
+@register(
+    "e_pareto_8020", oracle=_PARETO_ORACLE, tags=("W1", "W3", "A1", "O1")
+)
+def e_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration by spend decile: users ranked by total
+    spend (descending), bucketed into tenths by explicit integer rank
+    math — decile = ⌊10·(rn−1)/n⌋+1 rather than NTILE, so the bucket
+    boundary rule is pinned identically on both engines — with each
+    decile's spend and the running cumulative share in exact ppm. The
+    "top 10% of users carry X% of revenue" table, the discrete
+    companion to `a_gini_concentration`'s single coefficient.
+
+    Scale: one user-keyed combinable aggregation; the global ranking
+    window is the honest cost of an exact full-population rank (at true
+    scale it becomes the bucketed prefix-sum scheme of
+    operators/ids.py, as a_gini_concentration documents); everything
+    after runs on a 10-row frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("spend_cents")
+    )
+    w_rank = Window.orderBy(F.col("spend_cents").desc(), "user_id")
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "spend_cents",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    deciles = ranked.groupBy(
+        (F.expr("(10 * (rn - 1)) DIV n") + 1).cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("spend_cents").cast("long").alias("decile_cents"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = deciles.select(
+        "decile",
+        "n_users",
+        "decile_cents",
+        F.sum("decile_cents").over(w_cum).cast("long").alias("cum_cents"),
+        F.sum("decile_cents").over(Window.partitionBy()).cast("long").alias(
+            "total_cents"
+        ),
+    )
+    return cum.select(
+        "decile",
+        "n_users",
+        "decile_cents",
+        "cum_cents",
+        F.expr("CAST(cum_cents * 1000000 DIV total_cents AS BIGINT)").alias(
+            "cum_share_ppm"
+        ),
+    ).orderBy("decile")
