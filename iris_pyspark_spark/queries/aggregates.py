@@ -891,3 +891,55 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decimal128 exact aggregation (no cents trick needed)
+# ---------------------------------------------------------------------------
+
+_DECIMAL_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
+         AS revenue_exact,
+       CAST(MIN(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
+         AS min_price,
+       CAST(MAX(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
+         AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "a_decimal128_exact",
+    oracle=_DECIMAL_ORACLE,
+    tags=("A1", "F3", "O1"),
+)
+def a_decimal128_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money aggregation through the DECIMAL type system —
+    Tungsten's decimal128 accumulator sums 2-decimal prices with zero
+    rounding error in ANY partition order, the engine-native
+    alternative to this repo's integer-cents convention (`cents()` /
+    CENTS_SQL): cents scale to BIGINT manually; DECIMAL(20,2) lets the
+    type system carry the scale. The exact decimal sum is cast to
+    DOUBLE once at the boundary (nearest-double of the same exact
+    value on both engines — bit-equal).
+
+    Scale: a single partial+final hash aggregate; decimal sums get
+    map-side combine exactly like longs (Spark widens the accumulator
+    to DECIMAL(30,2) internally, overflow-checked, good to 10^28
+    dollars)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(20,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(dec).cast("double").alias("revenue_exact"),
+            F.min(dec).cast("double").alias("min_price"),
+            F.max(dec).cast("double").alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )

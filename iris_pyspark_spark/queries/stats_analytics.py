@@ -1558,3 +1558,115 @@ def e_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share_ppm"
         ),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day median (robust smoothing)
+# ---------------------------------------------------------------------------
+
+_ROLLMED_ORACLE = f"""
+WITH daily AS (
+  SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS rev_cents
+  FROM events GROUP BY 1
+)
+SELECT d AS day, rev_cents,
+       COUNT(*) OVER w AS n_in_window,
+       ROUND(quantile_cont(rev_cents, 0.5) OVER w / 100.0, 6)
+         AS rolling_median
+FROM daily
+WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+@register(
+    "w_rolling_median", oracle=_ROLLMED_ORACLE, tags=("W3", "A8", "F2")
+)
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN of daily revenue — the robust smoother that
+    shrugs off one-day spikes a moving MEAN would chase (the windowed
+    companion to `a_mad_outliers`' global robust statistics). Exact
+    percentile as a window aggregate: linear-interpolated order
+    statistic over integer cents yields exact .0/.5 doubles, bit-equal
+    across engines before the shared round. Scale: one combinable
+    groupBy(day); the framed window sorts 7 integers per row of a
+    calendar-bounded rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("rev_cents"))
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        F.col("d").alias("day"),
+        "rev_cents",
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+        F.round(F.expr("percentile(rev_cents, 0.5)").over(w) / 100.0, 6).alias(
+            "rolling_median"
+        ),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window rate-limit violations
+# ---------------------------------------------------------------------------
+
+_RATELIMIT_ORACLE = """
+WITH pts AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t
+  FROM events
+),
+counted AS (
+  SELECT user_id, event_id, t,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY t
+           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_in_hour
+  FROM pts
+)
+SELECT user_id, event_id, t, n_in_hour
+FROM counted
+WHERE n_in_hour >= 3
+ORDER BY user_id, t, event_id
+LIMIT 50
+"""
+
+
+@register(
+    "t_rate_limit_violations",
+    oracle=_RATELIMIT_ORACLE,
+    tags=("W3", "T2", "P2", "O2"),
+)
+def t_rate_limit_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate limiting: flag every event that is the 3rd+
+    from its user within any trailing 3600-second window — the
+    fraud/abuse detection shape ("N requests per rolling hour"), done
+    with a RANGE frame over epoch seconds so the window slides per
+    EVENT, not per fixed bucket (a tumbling count misses bursts that
+    straddle bucket edges; `t_sliding_window`'s hop grid only
+    approximates this).
+
+    Determinism: RANGE frames include peer rows identically in both
+    engines (ties at the same second all see the same count), so no
+    tie-break ambiguity exists in `n_in_hour`; the LIMIT orders on the
+    full (user, t, event_id) key. Scale: ONE user-keyed shuffle; the
+    frame is bounded by the user's events-per-hour, and the filter is
+    evaluated inside the window stage — no second pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-3599, 0)
+    )
+    return (
+        pts.withColumn("n_in_hour", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_in_hour") >= 3)
+        .orderBy("user_id", "t", "event_id")
+        .limit(50)
+    )
