@@ -157,3 +157,38 @@ def test_countmin_cells_partition_invariant(spark, sf_dir):
         )
 
     _invariant(cells)
+
+
+def test_round4_stats_shuffle_width_invariant(spark, sf_dir):
+    """The round-4 statistics batch claims every float is derived from
+    exact-integer sufficient statistics, so results must be identical
+    under different shuffle widths (different partition counts reorder
+    every partial-aggregation combine). Run each query at 2 and 32
+    shuffle partitions and require canonically identical output — this
+    would catch a stray float accumulation (e.g. a double SUM before
+    the micro-unit rounding) that the single-layout oracle compare can
+    miss when DuckDB happens to sum in the same order."""
+    from iris_pyspark_spark.registry import load_all
+
+    reg = load_all()
+    names = (
+        "a_market_basket_lift", "t_acf_lags", "e_welch_ttest",
+        "g_degree_assortativity", "w_cusum_changepoint",
+        "a_chi_square_independence", "a_gini_concentration",
+        "e_survival_km_curve", "t_ewma_smoothing",
+        "n_naive_bayes_langid", "e_pareto_8020", "n_cooccurrence_pmi",
+    )
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in names:
+            outs = []
+            for width in ("2", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", width)
+                pdf = reg[name].fn(spark, sf_dir).toPandas()
+                outs.append(canonical_rows(pdf))
+            assert outs[0] == outs[1], (
+                f"{name}: result depends on shuffle width"
+            )
+            assert len(outs[0]) > 0, name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
