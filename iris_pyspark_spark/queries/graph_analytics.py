@@ -579,3 +579,120 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("core_deg").desc(), F.col("p_partkey"))
         .limit(50)
     )
+
+
+_MODULARITY_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+labeled AS (
+  SELECT p.u, p.v, pu.p_brand AS bu, pv.p_brand AS bv
+  FROM pairs p
+  JOIN part pu ON p.u = pu.p_partkey
+  JOIN part pv ON p.v = pv.p_partkey
+),
+m AS (SELECT COUNT(*) AS m_edges FROM labeled),
+within AS (
+  SELECT bu AS brand, COUNT(*) AS e_within
+  FROM labeled WHERE bu = bv GROUP BY bu
+),
+deg AS (
+  SELECT brand, CAST(SUM(cnt) AS BIGINT) AS a_deg
+  FROM (
+    SELECT bu AS brand, COUNT(*) AS cnt FROM labeled GROUP BY bu
+    UNION ALL
+    SELECT bv AS brand, COUNT(*) AS cnt FROM labeled GROUP BY bv
+  ) GROUP BY brand
+)
+SELECT d.brand,
+       COALESCE(w.e_within, 0) AS e_within,
+       d.a_deg,
+       m.m_edges,
+       CAST(ROUND(1000000.0 *
+            (COALESCE(w.e_within, 0) / CAST(m.m_edges AS DOUBLE)
+             - (d.a_deg / (2.0 * m.m_edges)) * (d.a_deg / (2.0 * m.m_edges))))
+            AS BIGINT) AS q_contrib_micro
+FROM deg d
+LEFT JOIN within w ON d.brand = w.brand
+CROSS JOIN m
+ORDER BY d.brand
+"""
+
+
+@register(
+    "g_modularity_brand_partition",
+    oracle=_MODULARITY_ORACLE,
+    tags=("J10", "J1", "A1", "P5"),
+)
+def g_modularity_brand_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the BRAND partition on the part co-order
+    graph: Q = Σ_i (e_ii/m − (a_i/2m)²) — do parts of the same brand
+    co-occur in baskets more than a degree-preserving random graph
+    would predict? Per-brand contributions are emitted (their sum is
+    Q) — the community-QUALITY metric that complements the detection
+    operators (`n_dedup_clusters` components, `g_kcore_decomposition`).
+
+    Determinism: e_ii, a_i, m are exact integer counts; each brand's
+    contribution is ONE fixed-shape double expression rounded to
+    integer micro at the leaf, so any cross-brand total is exact
+    integer math. Scale: edge construction is the bounded orderkey
+    self-join; brand labels attach via two part-table equi-joins;
+    everything aggregates combinably to |brands| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    io = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    a, b = io.alias("a"), io.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .dropDuplicates()
+    )
+    pu = part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("bu"))
+    pv = part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bv"))
+    labeled = pairs.join(pu, "u").join(pv, "v")
+    m = labeled.agg(F.count(F.lit(1)).alias("m_edges"))
+    within = (
+        labeled.filter(F.col("bu") == F.col("bv"))
+        .groupBy(F.col("bu").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("e_within"))
+    )
+    deg = (
+        labeled.groupBy(F.col("bu").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .unionAll(
+            labeled.groupBy(F.col("bv").alias("brand")).agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+        )
+        .groupBy("brand")
+        .agg(F.sum("cnt").cast("long").alias("a_deg"))
+    )
+    e_w = F.coalesce(F.col("e_within"), F.lit(0))
+    md = F.col("m_edges")
+    return (
+        deg.join(within, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            e_w.alias("e_within"),
+            "a_deg",
+            "m_edges",
+            F.round(
+                1000000.0
+                * (
+                    e_w / md.cast("double")
+                    - (F.col("a_deg") / (2.0 * md))
+                    * (F.col("a_deg") / (2.0 * md))
+                )
+            )
+            .cast("long")
+            .alias("q_contrib_micro"),
+        )
+        .orderBy("brand")
+    )

@@ -1826,3 +1826,69 @@ def n_inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("postings_head"),
     )
     return stats.orderBy(F.col("df").desc(), "term").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (BPE-ish tokens per whitespace word, per lang)
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = r"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN(STRING_SPLIT(LOWER(text), ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) * 1000000
+            // SUM(LEN(STRING_SPLIT(LOWER(text), ' '))) AS BIGINT)
+         AS fertility_ppm
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "n_tokenizer_fertility",
+    oracle=_FERTILITY_ORACLE,
+    tags=("N5", "A1", "F1"),
+)
+def n_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens emitted per
+    whitespace word (×1e6) — the compression-quality metric that
+    decides whether a tokenizer is fair across languages (high
+    fertility = a language pays more sequence length for the same
+    text; the standard argument for vocab rebalancing). Uses the
+    repo's two token counters (operators/text.py) so the ratio is
+    consistent with `n_token_count`.
+
+    Scale: pure map (both counts are regexp/split evaluations fused
+    into the scan) + one combinable groupBy(lang); ratio in exact
+    integer ppm.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators.text import token_count_bpe_ish, token_count_whitespace
+
+    counts = d.select(
+        "lang",
+        token_count_whitespace("text").alias("ws"),
+        token_count_bpe_ish("text").alias("bpe"),
+    )
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            F.expr(
+                "CAST(bpe_tokens * 1000000 DIV ws_tokens AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -248,3 +248,68 @@ def m_modality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_payload_bytes"),
     )
+
+
+# --- ViT-style patch-grid planning (pure Catalyst on decoded metadata) -----
+
+_PATCH_ORACLE = """
+WITH meta AS (
+  SELECT doc_id,
+         CAST(nb % 640 + 1 AS INT)        AS width,
+         CAST((nb // 7) % 480 + 1 AS INT) AS height
+  FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+),
+grid AS (
+  SELECT doc_id, width, height,
+         CAST(CEIL(width / 16.0) AS INT)  AS patches_x,
+         CAST(CEIL(height / 16.0) AS INT) AS patches_y
+  FROM meta
+)
+SELECT doc_id, width, height, patches_x, patches_y,
+       CAST(patches_x * patches_y AS INT) + 1 AS seq_len,
+       CAST(patches_x * patches_y AS INT) * 256 * 3 AS patch_bytes,
+       patches_x * patches_y <= 1230 AS fits_context_ok
+FROM grid
+ORDER BY doc_id
+"""
+
+
+@register(
+    "m_patch_grid_plan", oracle=_PATCH_ORACLE, tags=("multimodal", "F3", "P1")
+)
+def m_patch_grid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch-grid planning for the image pipeline: from each
+    image's decoded dimensions, the 16×16 patch grid, the transformer
+    sequence length (+1 CLS token), and the patch-tensor byte budget —
+    the SIZING pass a multimodal training pipeline runs before the
+    expensive decode+embed stage, to pack batches and reject
+    context-overflow images (`fits_context_ok` pins the 1230-patch cap
+    = (640/16)·(480/16)+margin for the fake-codec dimension bounds).
+
+    Runs entirely in Catalyst on the deterministic fake-codec metadata
+    formulas (operators/multimodal.py) — integer-only arithmetic, no
+    Python, no shuffle: a pure map over the table, which is exactly
+    what makes it free at 100 TB (it fuses into the scan).
+    """
+    d = attach_payload(load_table(spark, sf_dir, "documents"))
+    nb = F.octet_length("payload")
+    width = (nb % 640 + 1).cast("int")
+    height = (F.expr("octet_length(payload) div 7") % 480 + 1).cast("int")
+    grid = d.select(
+        "doc_id",
+        width.alias("width"),
+        height.alias("height"),
+        F.ceil(width / 16.0).cast("int").alias("patches_x"),
+        F.ceil(height / 16.0).cast("int").alias("patches_y"),
+    )
+    n_patches = (F.col("patches_x") * F.col("patches_y")).cast("int")
+    return grid.select(
+        "doc_id",
+        "width",
+        "height",
+        "patches_x",
+        "patches_y",
+        (n_patches + 1).alias("seq_len"),
+        (n_patches * 256 * 3).alias("patch_bytes"),
+        (n_patches <= 1230).alias("fits_context_ok"),
+    ).orderBy("doc_id")

@@ -855,3 +855,167 @@ def s_xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- one-big-table denormalization build ------------------------------------
+
+_OBT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(DISTINCT c_name) AS n_customers,
+       COUNT(DISTINCT r_name) AS n_regions
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN part     ON l_partkey = p_partkey
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "s_one_big_table_build",
+    oracle=_OBT_ORACLE,
+    tags=("S4", "S5", "J6", "A1"),
+)
+def s_one_big_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Big-Table (OBT) build: denormalize the star schema into a
+    wide fact — lineitem joined through orders→customer→nation→region
+    plus part — written to a partitioned parquet sink, then verified by
+    aggregating the READ-BACK table (not the in-memory join), so the
+    oracle checks what actually landed on disk. The standard
+    warehouse-to-lakehouse materialization that trades storage for
+    join-free downstream reads.
+
+    Scale: the build is the classic star shape — tiny dims
+    (region/nation) broadcast, customer/orders/part shuffle on their
+    keys once, each join pruned to the columns the OBT carries;
+    the sink partitions by l_returnflag (3 directories) so downstream
+    flag-filtered reads prune. Verification aggregates combinably.
+    """
+    from ..sources import scratch_dir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_returnflag"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+
+    obt = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            cents(F.col("l_extendedprice")).alias("price_cents"),
+            "l_returnflag",
+            "c_name",
+            "n_name",
+            "r_name",
+            "p_brand",
+        )
+    )
+    path = scratch_dir(sf_dir, "one_big_table")
+    obt.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("revenue_cents"),
+            F.countDistinct("c_name").alias("n_customers"),
+            F.countDistinct("r_name").alias("n_regions"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- partition-spec evolution migration -------------------------------------
+
+_EVOLVE_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs_v1,
+       COUNT(*) AS n_docs_v2,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_v1,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_v2,
+       TRUE AS migration_lossless_ok
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "s_partition_evolution_migrate",
+    oracle=_EVOLVE_ORACLE,
+    tags=("S5", "S4", "S1", "A1"),
+)
+def s_partition_evolution_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution: a table laid out as lang= directories
+    is migrated to the finer (lang, source) spec — the rewrite a table
+    owner performs when query patterns start filtering on a second
+    column — and the migration is proven LOSSLESS by aggregating BOTH
+    generations from disk and comparing per-lang row counts and
+    character checksums (`migration_lossless_ok`). Plain-parquet
+    equivalent of Iceberg's partition-spec evolution, done the only
+    way parquet allows: a full rewrite of the affected partitions.
+
+    Scale: both writes are one pass each; the v2 write repartitions by
+    the new spec columns first so each task writes few files (the
+    small-files discipline of `s_small_file_compaction`). The verify
+    pass reads only (lang, source, n_chars) — column pruning keeps the
+    audit cheap.
+    """
+    from ..sources import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    v1_path = scratch_dir(sf_dir, "docs_spec_v1")
+    v2_path = scratch_dir(sf_dir, "docs_spec_v2")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(v1_path)
+    v1 = spark.read.parquet(v1_path)
+    (
+        v1.repartition("lang", "source")
+        .write.mode("overwrite")
+        .partitionBy("lang", "source")
+        .parquet(v2_path)
+    )
+    v2 = spark.read.parquet(v2_path)
+    a1 = v1.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_v1"),
+        F.sum("n_chars").cast("long").alias("chars_v1"),
+    )
+    a2 = v2.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_v2"),
+        F.sum("n_chars").cast("long").alias("chars_v2"),
+    )
+    return (
+        a1.join(a2, "lang")
+        .select(
+            "lang",
+            "n_docs_v1",
+            "n_docs_v2",
+            "chars_v1",
+            "chars_v2",
+            (
+                (F.col("n_docs_v1") == F.col("n_docs_v2"))
+                & (F.col("chars_v1") == F.col("chars_v2"))
+            ).alias("migration_lossless_ok"),
+        )
+        .orderBy("lang")
+    )

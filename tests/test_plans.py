@@ -299,6 +299,8 @@ _BNLJ_ALLOWED = frozenset({
     "g_kcore_decomposition",
     # round-4 batch 4: 1-row audit-count / n-docs crossJoins
     "s_gdpr_forget_cascade", "n_cooccurrence_pmi",
+    # round-4 batch 7: 1-row edge-count crossJoin in modularity
+    "g_modularity_brand_partition",
 })
 
 
