@@ -943,3 +943,66 @@ def a_decimal128_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-of-two (HdrHistogram-style) value histogram
+# ---------------------------------------------------------------------------
+
+_LOG2_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+bucketed AS (
+  SELECT LENGTH(bin(cents)) AS bucket, cents FROM v
+)
+SELECT bucket,
+       CAST(CAST(1 AS BIGINT) << (bucket - 1) AS BIGINT) AS lo_cents,
+       CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS hi_cents,
+       COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "a_log2_histogram", oracle=_LOG2_ORACLE, tags=("A1", "F3", "O1")
+)
+def a_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of order values — the HdrHistogram /
+    latency-bucket layout (exponentially wider bins, constant relative
+    error) that monitoring systems use because a fixed-width histogram
+    wastes all its bins on the body and none on the tail.
+
+    The bucket index is ⌊log2(v)⌋+1 computed EXACTLY as the length of
+    the binary-digit string (`bin`), never as LN(v)/LN(2) — a float
+    log at an exact power of two can land a hair below the integer and
+    floor into the wrong bucket on one engine but not the other.
+    Bounds come from BIGINT shifts. Scale: pure map + one combinable
+    groupBy over ≤64 buckets — histogram cells merge across partitions
+    exactly like the Count-Min cells in `n_countmin_sketch`.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(cents(F.col("o_totalprice")).alias("cents"))
+    bucketed = v.select(F.length(F.bin("cents")).alias("bucket"), "cents")
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            "bucket",
+            F.expr("CAST(shiftleft(1L, bucket - 1) AS BIGINT)").alias(
+                "lo_cents"
+            ),
+            F.expr("CAST(shiftleft(1L, bucket) - 1 AS BIGINT)").alias(
+                "hi_cents"
+            ),
+            "n_orders",
+            "sum_cents",
+        )
+        .orderBy("bucket")
+    )

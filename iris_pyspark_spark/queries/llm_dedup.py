@@ -1063,3 +1063,94 @@ def n_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("containment_ppm").desc(), "doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Survivorship policy: keep the BEST copy, not the first
+# ---------------------------------------------------------------------------
+
+_SURVIVOR_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, lang, source, n_chars, LOWER(TRIM(text)) AS norm
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 400000, lang, 'mirror', n_chars, LOWER(TRIM(text))
+  FROM documents WHERE doc_id % 83 = 0
+),
+hashed AS (
+  SELECT doc_id, lang, source, n_chars, MD5(norm) AS h FROM corpus
+),
+sized AS (
+  SELECT h, COUNT(*) AS n_copies FROM hashed GROUP BY h
+),
+ranked AS (
+  SELECT x.doc_id, x.lang, x.source, s.n_copies,
+         ROW_NUMBER() OVER (PARTITION BY x.h
+           ORDER BY CASE WHEN x.source = 'mirror' THEN 1 ELSE 0 END,
+                    x.doc_id) AS rk
+  FROM hashed x JOIN sized s ON x.h = s.h
+  WHERE s.n_copies >= 2
+)
+SELECT doc_id AS survivor_doc_id, lang, source, n_copies,
+       source <> 'mirror' AS canonical_preferred_ok
+FROM ranked WHERE rk = 1
+ORDER BY survivor_doc_id
+"""
+
+
+@register(
+    "n_dedup_survivorship_policy",
+    oracle=_SURVIVOR_ORACLE,
+    tags=("N1", "W1", "P6", "A1"),
+)
+def n_dedup_survivorship_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SURVIVORSHIP: when a duplicate cluster collapses, which
+    copy lives? `n_exact_dedup` keeps an arbitrary-but-deterministic
+    first row; production dedup ranks copies by a QUALITY POLICY —
+    here "canonical source beats mirror, then lowest id" — and keeps
+    the policy winner. Planted mirror copies (doc_id ≡ 0 mod 83
+    duplicated under source='mirror') guarantee clusters exist, and
+    `canonical_preferred_ok` proves the policy never crowns a mirror
+    while an original is present.
+
+    Scale: identical shape to exact dedup — one hash-keyed shuffle
+    shared by the cluster-size count and the ranking window; the
+    policy is just the window's ORDER BY, so swapping policies costs
+    nothing. Only clusters with ≥2 copies are emitted.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.lower(F.trim("text")).alias("norm"),
+    )
+    mirrors = (
+        d.filter(F.col("doc_id") % 83 == 0)
+        .select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            "lang",
+            F.lit("mirror").alias("source"),
+            "n_chars",
+            F.lower(F.trim("text")).alias("norm"),
+        )
+    )
+    hashed = base.unionByName(mirrors).select(
+        "doc_id", "lang", "source", F.md5("norm").alias("h")
+    )
+    sized = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    w = Window.partitionBy("h").orderBy(
+        F.when(F.col("source") == "mirror", 1).otherwise(0), "doc_id"
+    )
+    return (
+        hashed.join(sized, "h")
+        .filter(F.col("n_copies") >= 2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("doc_id").alias("survivor_doc_id"),
+            "lang",
+            "source",
+            "n_copies",
+            (F.col("source") != "mirror").alias("canonical_preferred_ok"),
+        )
+        .orderBy("survivor_doc_id")
+    )

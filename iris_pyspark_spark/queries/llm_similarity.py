@@ -819,3 +819,126 @@ def n_pq_rerank_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style prefix-dimension coarse search + full-dim re-rank
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16
+_MRL_COARSE_K = 50
+_MRL_FINAL_K = 5
+
+_MRL_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, embedding,
+         {norm_unrolled_sql("embedding", _MRL_DIM)} AS nrm16,
+         {norm_unrolled_sql("embedding", DIM)} AS nrm64
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, nrm16 AS q_nrm16,
+         nrm64 AS q_nrm64
+  FROM normed WHERE vec_id % 101 = 0
+),
+coarse AS (
+  SELECT p.q_id, c.vec_id, c.embedding AS c_emb, c.nrm64, p.q_emb, p.q_nrm64,
+         ({dot_unrolled_sql("p.q_emb", "c.embedding", _MRL_DIM)})
+           / (p.q_nrm16 * c.nrm16) AS cos16,
+         ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+           ({dot_unrolled_sql("p.q_emb", "c.embedding", _MRL_DIM)})
+             / (p.q_nrm16 * c.nrm16) DESC, c.vec_id) AS crk
+  FROM probes p JOIN normed c ON p.q_id <> c.vec_id
+),
+refined AS (
+  SELECT q_id, vec_id, cos16,
+         ({dot_unrolled_sql("q_emb", "c_emb", DIM)}) / (q_nrm64 * nrm64)
+           AS cos64,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+           ({dot_unrolled_sql("q_emb", "c_emb", DIM)}) / (q_nrm64 * nrm64)
+             DESC, vec_id) AS rk
+  FROM coarse WHERE crk <= {_MRL_COARSE_K}
+)
+SELECT q_id, vec_id, rk,
+       ROUND(cos16, 6) AS cos16, ROUND(cos64, 6) AS cos64
+FROM refined WHERE rk <= {_MRL_FINAL_K}
+ORDER BY q_id, rk
+"""
+
+
+@register(
+    "n_mrl_prefix_rerank",
+    oracle=_MRL_ORACLE,
+    tags=("N3", "N4", "W4", "J9"),
+)
+def n_mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation search: coarse-rank the corpus with
+    only the FIRST 16 dimensions (MRL-trained embeddings front-load
+    information, so a prefix is a valid low-cost embedding), keep 50
+    candidates per query, then re-rank exactly on all 64 — the
+    dimension-truncation member of this engine's ANN family
+    (`n_ivf_knn` prunes by cell, `n_pq_adc_search` by quantization,
+    this by prefix width: 4× less arithmetic and memory traffic in the
+    scan stage).
+
+    Fully SQL-oracled (unlike the PQ re-rank, which is rows-only):
+    both stages are the bit-exact unrolled left-fold dot products used
+    across the similarity family, ties broken on vec_id. Scale: the
+    bounded probe set broadcasts against one corpus scan; the refine
+    stage touches only probes×50 rows — the coarse window, not the
+    corpus, absorbs the candidate cut.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    normed = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            dot_unrolled(F.col("embedding"), F.col("embedding"), _MRL_DIM)
+        ).alias("nrm16"),
+        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias(
+            "nrm64"
+        ),
+    )
+    probes = normed.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm16").alias("q_nrm16"),
+        F.col("nrm64").alias("q_nrm64"),
+    )
+    cos16 = dot_unrolled(F.col("q_emb"), F.col("embedding"), _MRL_DIM) / (
+        F.col("q_nrm16") * F.col("nrm16")
+    )
+    coarse = (
+        F.broadcast(probes)
+        .join(normed, F.col("q_id") != F.col("vec_id"))
+        .withColumn("cos16", cos16)
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("cos16").desc(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("crk") <= _MRL_COARSE_K)
+    )
+    cos64 = dot_unrolled(F.col("q_emb"), F.col("embedding"), DIM) / (
+        F.col("q_nrm64") * F.col("nrm64")
+    )
+    refined = coarse.withColumn("cos64", cos64).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("cos64").desc(), "vec_id")
+        ),
+    )
+    return (
+        refined.filter(F.col("rk") <= _MRL_FINAL_K)
+        .select(
+            "q_id",
+            "vec_id",
+            "rk",
+            F.round("cos16", 6).alias("cos16"),
+            F.round("cos64", 6).alias("cos64"),
+        )
+        .orderBy("q_id", "rk")
+    )

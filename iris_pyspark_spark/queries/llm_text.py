@@ -1892,3 +1892,88 @@ def n_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation stats
+# ---------------------------------------------------------------------------
+
+_SENTENCE_ORACLE = """
+WITH sent AS (
+  SELECT lang, doc_id,
+         LIST_FILTER(regexp_split_to_array(LOWER(text), '[.!?]+'),
+                     s -> LEN(TRIM(s)) > 0) AS sents
+  FROM documents
+),
+per_doc AS (
+  SELECT lang, doc_id, LEN(sents) AS n_sents,
+         CAST(LIST_SUM(LIST_TRANSFORM(sents,
+              s -> LEN(STRING_SPLIT(TRIM(s), ' ')))) AS BIGINT) AS n_words
+  FROM sent
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_sents) AS BIGINT) AS tot_sentences,
+       CAST(SUM(n_words) AS BIGINT) AS tot_words,
+       CAST(SUM(n_words) * 1000000 // SUM(n_sents) AS BIGINT)
+         AS words_per_sentence_ppm,
+       MAX(n_sents) AS max_sents_per_doc
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "n_sentence_stats",
+    oracle=_SENTENCE_ORACLE,
+    tags=("N5", "F1", "F4", "A1"),
+)
+def n_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation statistics per language: sentence counts,
+    word totals, and mean sentence length (integer ppm) from a
+    punctuation-rule splitter ([.!?]+) — the readability/structure
+    features quality classifiers consume alongside `n_quality_score`'s
+    character-level ratios (very long or very short mean sentences
+    both flag extraction garbage).
+
+    Scale: pure map — the split and the per-sentence word counts are
+    higher-order array expressions fused into the scan (bounded by
+    document length, no explode row blow-up), then one combinable
+    groupBy(lang). Both engines apply the identical regex class and
+    the identical empty-segment filter.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.lower("text"), r"[.!?]+"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    per_doc = d.select(
+        "lang",
+        F.size(sents).alias("n_sents"),
+        F.aggregate(
+            F.transform(sents, lambda s: F.size(F.split(F.trim(s), " "))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_words"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sents").cast("long").alias("tot_sentences"),
+            F.sum("n_words").cast("long").alias("tot_words"),
+            F.max("n_sents").alias("max_sents_per_doc"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "tot_sentences",
+            "tot_words",
+            F.expr(
+                "CAST(tot_words * 1000000 DIV tot_sentences AS BIGINT)"
+            ).alias("words_per_sentence_ppm"),
+            "max_sents_per_doc",
+        )
+        .orderBy("lang")
+    )

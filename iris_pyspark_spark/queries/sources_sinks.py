@@ -1019,3 +1019,91 @@ def s_partition_evolution_migrate(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+# --- ANALYZE TABLE: CBO statistics collection --------------------------------
+
+
+@register("s_analyze_table_stats", oracle=None, tags=("S1", "E2", "A2"))
+def s_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE statistics collection — the feed for Spark's
+    cost-based optimizer (join reordering and broadcast decisions read
+    these catalog stats when AQE's runtime sizes aren't available,
+    e.g. at plan time for CBO `CostBasedJoinReorder`). Creates a
+    catalog table over a customer slice, runs ANALYZE ... COMPUTE
+    STATISTICS (table-level) and FOR COLUMNS (NDV/min/max), then reads
+    the stats BACK from the catalog and cross-checks them against
+    directly computed values.
+
+    Rows-only by design (catalog state has no DuckDB oracle); every
+    row instead carries hard self-validation:
+      * rowcount_ok — catalog rowCount equals COUNT(*) computed from
+        the data this run;
+      * colstats_ok — DESCRIBE EXTENDED reports a distinct-count for
+        the analyzed column within the HLL ±5% error of the exact NDV.
+
+    Scale: ANALYZE is one combinable scan per statistics family —
+    cheap relative to any join it later improves; stats persist in the
+    catalog so the cost is paid once per table version, not per query.
+    """
+    import shutil
+
+    from ..sources import scratch_dir
+
+    from ..catalog import load_tables
+
+    load_tables(spark, sf_dir, ("customer",))
+    loc = scratch_dir(sf_dir, "analyze_stats_tbl")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS analyze_stats_tbl")
+    spark.sql(
+        f"""
+        CREATE TABLE analyze_stats_tbl
+        USING parquet LOCATION '{loc}'
+        AS SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+        """
+    )
+    spark.sql("ANALYZE TABLE analyze_stats_tbl COMPUTE STATISTICS")
+    spark.sql(
+        "ANALYZE TABLE analyze_stats_tbl COMPUTE STATISTICS "
+        "FOR COLUMNS c_mktsegment, c_nationkey"
+    )
+
+    true_rows = spark.table("analyze_stats_tbl").count()
+    true_ndv_seg = (
+        spark.table("analyze_stats_tbl").select("c_mktsegment").distinct().count()
+    )
+
+    desc = spark.sql(
+        "DESCRIBE EXTENDED analyze_stats_tbl c_mktsegment"
+    ).collect()
+    info = {r["info_name"]: r["info_value"] for r in desc}
+    ndv_reported = int(info.get("distinct_count", "-1"))
+
+    stats_row = [
+        r
+        for r in spark.sql("DESCRIBE EXTENDED analyze_stats_tbl").collect()
+        if r[0] == "Statistics"
+    ]
+    stats_text = stats_row[0][1] if stats_row else ""
+    import re
+
+    m = re.search(r"(\d+) rows", stats_text)
+    rowcount_reported = int(m.group(1)) if m else -1
+
+    return spark.createDataFrame(
+        [
+            (
+                "analyze_stats_tbl",
+                true_rows,
+                rowcount_reported,
+                true_ndv_seg,
+                ndv_reported,
+                rowcount_reported == true_rows,
+                abs(ndv_reported - true_ndv_seg) * 20 <= true_ndv_seg,
+            )
+        ],
+        "tbl string, n_rows_exact long, n_rows_catalog long, "
+        "ndv_exact long, ndv_catalog long, rowcount_ok boolean, "
+        "colstats_ok boolean",
+    )

@@ -301,6 +301,9 @@ _BNLJ_ALLOWED = frozenset({
     "s_gdpr_forget_cascade", "n_cooccurrence_pmi",
     # round-4 batch 7: 1-row edge-count crossJoin in modularity
     "g_modularity_brand_partition",
+    # round-4 batch 8: bounded probe-set broadcast (vec_id % 101) against
+    # one corpus scan, same bound as n_knn_bruteforce
+    "n_mrl_prefix_rerank",
 })
 
 
