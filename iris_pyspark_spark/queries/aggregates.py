@@ -1006,3 +1006,148 @@ def a_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width quantile histogram sketch
+# ---------------------------------------------------------------------------
+
+_QHIST_BUCKETS = 256
+
+_QHIST_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+bounds AS (
+  SELECT MIN(cents) AS lo, MAX(cents) AS hi, COUNT(*) AS n FROM v
+),
+bucketed AS (
+  SELECT LEAST(CAST(({_QHIST_BUCKETS} * (cents - b.lo))
+                    // (b.hi - b.lo + 1) AS BIGINT),
+               {_QHIST_BUCKETS - 1}) AS bkt
+  FROM v CROSS JOIN bounds b
+),
+hist AS (
+  SELECT bkt, COUNT(*) AS c FROM bucketed GROUP BY bkt
+),
+cum AS (
+  SELECT bkt, c,
+         CAST(SUM(c) OVER (ORDER BY bkt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_c
+  FROM hist
+),
+qs AS (SELECT UNNEST([25, 50, 95]) AS q),
+walk AS (
+  SELECT q.q, c.bkt, c.cum_c,
+         ROW_NUMBER() OVER (PARTITION BY q.q ORDER BY c.bkt) AS rn
+  FROM qs q JOIN cum c
+    ON c.cum_c * 100 >= q.q * (SELECT n FROM bounds)
+),
+est AS (
+  SELECT w.q,
+         b.lo + ((w.bkt * (b.hi - b.lo + 1)) // {_QHIST_BUCKETS}) AS est_lo,
+         b.lo + (((w.bkt + 1) * (b.hi - b.lo + 1)) // {_QHIST_BUCKETS})
+           AS est_hi
+  FROM walk w CROSS JOIN bounds b WHERE w.rn = 1
+),
+exact AS (
+  SELECT 25 AS q, quantile_cont(cents, 0.25) AS exact_cents FROM v
+  UNION ALL SELECT 50, quantile_cont(cents, 0.50) FROM v
+  UNION ALL SELECT 95, quantile_cont(cents, 0.95) FROM v
+)
+SELECT e.q, est_lo, est_hi, ROUND(x.exact_cents, 6) AS exact_cents,
+       x.exact_cents >= est_lo AND x.exact_cents <= est_hi
+         AS exact_within_bucket_ok
+FROM est e JOIN exact x ON e.q = x.q
+ORDER BY e.q
+"""
+
+
+@register(
+    "a_quantile_histogram_sketch",
+    oracle=_QHIST_ORACLE,
+    tags=("A8", "A4", "A1", "W3"),
+)
+def a_quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation by equi-width histogram: 256
+    integer buckets over the value range, a cumulative walk to locate
+    p25/p50/p95, and the EXACT quantile proven to land inside the
+    located bucket (`exact_within_bucket_ok`). The fourth member of
+    this engine's mergeable-sketch family (Count-Min = frequencies,
+    HLL = distincts, Misra-Gries = heavy hitters, this = quantiles):
+    per-partition histograms merge by cell-wise ADD — the groupBy IS
+    the merge, so 1000 executors combine map-side for free where an
+    exact percentile needs a full sort.
+
+    Everything is exact integer arithmetic (bucket index by positive
+    floor-division of cents offsets, bounds by the inverse formula);
+    the only float is DuckDB's interpolated exact quantile, used
+    purely as the validation target. Scale: one combinable 256-cell
+    aggregation after a 1-row bounds broadcast; the walk windows over
+    256 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(cents(F.col("o_totalprice")).alias("cents"))
+    bounds = v.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    nb = _QHIST_BUCKETS
+    bucketed = v.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.expr(f"CAST(({nb} * (cents - lo)) DIV (hi - lo + 1) AS BIGINT)"),
+            F.lit(nb - 1).cast("long"),
+        ).alias("bkt"),
+        "lo",
+        "hi",
+        "n",
+    )
+    hist = bucketed.groupBy("bkt", "lo", "hi", "n").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum_c", F.sum("c").over(w_cum).cast("long"))
+    qs = spark.createDataFrame([(25,), (50,), (95,)], "q int")
+    walk = (
+        F.broadcast(qs)
+        .join(cum, F.col("cum_c") * 100 >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("q").orderBy("bkt")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    est = walk.select(
+        "q",
+        F.expr(f"lo + ((bkt * (hi - lo + 1)) DIV {nb})").alias("est_lo"),
+        F.expr(f"lo + (((bkt + 1) * (hi - lo + 1)) DIV {nb})").alias("est_hi"),
+    )
+    exact = v.agg(
+        F.expr("percentile(cents, 0.25)").alias("e25"),
+        F.expr("percentile(cents, 0.50)").alias("e50"),
+        F.expr("percentile(cents, 0.95)").alias("e95"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(25).alias("q"), F.col("e25").alias("x")),
+                F.struct(F.lit(50).alias("q"), F.col("e50").alias("x")),
+                F.struct(F.lit(95).alias("q"), F.col("e95").alias("x")),
+            )
+        ).alias("s")
+    ).select(F.col("s.q").alias("q"), F.col("s.x").alias("exact_cents"))
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            "est_lo",
+            "est_hi",
+            F.round("exact_cents", 6).alias("exact_cents"),
+            (
+                (F.col("exact_cents") >= F.col("est_lo"))
+                & (F.col("exact_cents") <= F.col("est_hi"))
+            ).alias("exact_within_bucket_ok"),
+        )
+        .orderBy("q")
+    )

@@ -682,3 +682,158 @@ def s_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(cents(F.col("bal"))).alias("total_bal_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based multilingual sampling weights (τ = 2)
+# ---------------------------------------------------------------------------
+
+_TEMP_ORACLE = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts),
+weighted AS (
+  SELECT c.lang, c.n_docs, t.n,
+         CAST(c.n_docs * 1000000 // t.n AS BIGINT) AS share_ppm,
+         CAST(ROUND(SQRT(c.n_docs / CAST(t.n AS DOUBLE)) * 1000000)
+              AS BIGINT) AS w_micro
+  FROM counts c CROSS JOIN tot t
+),
+norm AS (
+  SELECT lang, n_docs, share_ppm, w_micro,
+         CAST(SUM(w_micro) OVER () AS BIGINT) AS w_total
+  FROM weighted
+)
+SELECT lang, n_docs, share_ppm, w_micro,
+       CAST(w_micro * 1000000 // w_total AS BIGINT) AS p_ppm,
+       CAST((w_micro * 1000000 // w_total) * 1000 // share_ppm AS BIGINT)
+         AS upsample_milli
+FROM norm
+ORDER BY lang
+"""
+
+
+@register(
+    "n_temperature_sampling_weights",
+    oracle=_TEMP_ORACLE,
+    tags=("N5", "A1", "A2", "F3"),
+)
+def n_temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based sampling weights across languages, τ = 2:
+    p_i ∝ share_i^(1/τ) = √share_i — the standard multilingual
+    pretraining rebalance (mBERT/XLM-R exponent-smoothing) that
+    upsamples low-resource languages without letting them dominate
+    (`upsample_milli` > 1000 marks the upsampled tail). Complements
+    `n_domain_mix_rebalance` (capped uniform) with the smooth
+    power-law policy.
+
+    Determinism: τ = 2 is chosen deliberately — √x is IEEE
+    correctly-rounded, so the weight leaf ROUND(√share·1e6) is
+    bit-identical across engines WITHOUT needing libm pow (a
+    fractional exponent would not be); every downstream number is
+    exact integer ppm off those leaves. Scale: one combinable count
+    per lang, a 1-row total, all remaining math on a |langs|-row frame.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("n"))
+    weighted = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr("CAST(n_docs * 1000000 DIV n AS BIGINT)").alias("share_ppm"),
+        F.round(F.sqrt(F.col("n_docs") / F.col("n").cast("double")) * 1000000)
+        .cast("long")
+        .alias("w_micro"),
+    )
+    norm = weighted.withColumn(
+        "w_total", F.sum("w_micro").over(Window.partitionBy()).cast("long")
+    )
+    return norm.select(
+        "lang",
+        "n_docs",
+        "share_ppm",
+        "w_micro",
+        F.expr("CAST(w_micro * 1000000 DIV w_total AS BIGINT)").alias("p_ppm"),
+        F.expr(
+            "CAST((w_micro * 1000000 DIV w_total) * 1000 DIV share_ppm"
+            " AS BIGINT)"
+        ).alias("upsample_milli"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: difficulty tertiles with per-lang composition
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents
+),
+phased AS (
+  SELECT lang, n_chars,
+         CAST((3 * (rn - 1)) // n AS BIGINT) + 1 AS phase
+  FROM scored
+)
+SELECT phase,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+FROM phased
+GROUP BY phase
+ORDER BY phase
+"""
+
+
+@register(
+    "n_curriculum_phases",
+    oracle=_CURRICULUM_ORACLE,
+    tags=("N5", "W1", "A7", "P6"),
+)
+def n_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: documents ranked by a
+    difficulty proxy (length — short docs first) and cut into three
+    training phases by explicit integer rank-tertile math (the
+    e_pareto_8020 bucket rule, not NTILE), with per-phase length
+    ranges and language composition — the check that a
+    difficulty-ordered curriculum doesn't accidentally become a
+    LANGUAGE curriculum (if one lang dominates a phase, the schedule
+    needs stratification).
+
+    Scale: the global ranking window is the honest exact-order cost
+    (the bucketed prefix-sum alternative in operators/ids.py applies
+    at corpus scale); everything else is one combinable 3-row rollup.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    scored = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    phased = scored.select(
+        "lang",
+        "n_chars",
+        (F.expr("(3 * (rn - 1)) DIV n") + 1).cast("long").alias("phase"),
+    )
+    return (
+        phased.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("n_en"),
+            F.sum(F.when(F.col("lang") == "zh", 1).otherwise(0))
+            .cast("long")
+            .alias("n_zh"),
+        )
+        .orderBy("phase")
+    )

@@ -313,3 +313,73 @@ def m_patch_grid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_patches * 256 * 3).alias("patch_bytes"),
         (n_patches <= 1230).alias("fits_context_ok"),
     ).orderBy("doc_id")
+
+
+# --- A/V sync drift check (pure Catalyst on fake-codec metadata) -----------
+
+_AVSYNC_ORACLE = """
+WITH meta AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+),
+streams AS (
+  SELECT doc_id, nb,
+         CAST(CEIL(nb / 256.0) AS BIGINT) AS n_frames,
+         CAST(nb AS BIGINT) * 3 AS n_samples
+  FROM meta
+),
+timed AS (
+  SELECT doc_id, n_frames, n_samples,
+         CAST(n_frames * 1000 // 24 AS BIGINT) AS video_ms,
+         CAST(n_samples * 1000 // 16000 AS BIGINT) AS audio_ms
+  FROM streams
+)
+SELECT doc_id, n_frames, n_samples, video_ms, audio_ms,
+       video_ms - audio_ms AS drift_ms,
+       ABS(video_ms - audio_ms) > 40 AS needs_resync
+FROM timed
+ORDER BY doc_id
+"""
+
+
+@register(
+    "m_av_sync_drift", oracle=_AVSYNC_ORACLE, tags=("multimodal", "F3", "P2")
+)
+def m_av_sync_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video synchronization audit: from each media item's
+    stream metadata (fake-codec formulas: one frame per 256 payload
+    bytes at 24 fps; 3 audio samples per byte at 16 kHz), the duration
+    of each stream in integer milliseconds and their drift — items
+    drifting beyond the 40 ms lip-sync threshold are flagged for
+    resampling before frame-aligned multimodal training. The QC pass
+    that belongs BEFORE `m_frame_sampling` spends decode budget.
+
+    Pure-map integer arithmetic (positive-only floor division, so
+    Spark DIV and DuckDB // agree) that fuses into the scan — zero
+    shuffle at any scale; swap the fake formulas for real container
+    metadata (ffprobe fields) on a cluster with codecs installed.
+    """
+    d = attach_payload(load_table(spark, sf_dir, "documents"))
+    nb = F.octet_length("payload").cast("long")
+    streams = d.select(
+        "doc_id",
+        F.ceil(nb / 256.0).cast("long").alias("n_frames"),
+        (nb * 3).alias("n_samples"),
+    )
+    timed = streams.select(
+        "doc_id",
+        "n_frames",
+        "n_samples",
+        F.expr("CAST(n_frames * 1000 DIV 24 AS BIGINT)").alias("video_ms"),
+        F.expr("CAST(n_samples * 1000 DIV 16000 AS BIGINT)").alias("audio_ms"),
+    )
+    return timed.select(
+        "doc_id",
+        "n_frames",
+        "n_samples",
+        "video_ms",
+        "audio_ms",
+        (F.col("video_ms") - F.col("audio_ms")).alias("drift_ms"),
+        (F.abs(F.col("video_ms") - F.col("audio_ms")) > 40).alias(
+            "needs_resync"
+        ),
+    ).orderBy("doc_id")

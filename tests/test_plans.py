@@ -304,6 +304,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 batch 8: bounded probe-set broadcast (vec_id % 101) against
     # one corpus scan, same bound as n_knn_bruteforce
     "n_mrl_prefix_rerank",
+    # round-4 batch 9: 1-row bounds/total crossJoins and the 3-row
+    # quantile-probe join in the histogram walk
+    "a_quantile_histogram_sketch", "n_temperature_sampling_weights",
 })
 
 
