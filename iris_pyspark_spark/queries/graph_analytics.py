@@ -696,3 +696,73 @@ def g_modularity_brand_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+_DEGDIST_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+  GROUP BY node
+)
+SELECT LENGTH(bin(d)) AS bucket,
+       CAST(CAST(1 AS BIGINT) << (LENGTH(bin(d)) - 1) AS BIGINT) AS lo_deg,
+       CAST((CAST(1 AS BIGINT) << LENGTH(bin(d))) - 1 AS BIGINT) AS hi_deg,
+       COUNT(*) AS n_nodes,
+       CAST(SUM(d) AS BIGINT) AS sum_deg
+FROM deg
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@register(
+    "g_degree_distribution",
+    oracle=_DEGDIST_ORACLE,
+    tags=("J10", "A1", "F3"),
+)
+def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-order graph in power-of-two
+    buckets — the log-log histogram that reveals whether the basket
+    graph is heavy-tailed (scale-free-ish) or homogeneous, which
+    decides whether skew handling (salting, AQE skew join) matters for
+    graph workloads on this data. Buckets by exact LENGTH(bin(d))
+    (the `a_log2_histogram` rule — no float log), edges from the
+    bounded orderkey self-join, degrees one combinable count.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    io = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    a, b = io.alias("a"), io.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .dropDuplicates()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.groupBy(F.length(F.bin("d")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").cast("long").alias("sum_deg"),
+        )
+        .select(
+            "bucket",
+            F.expr("CAST(shiftleft(1L, bucket - 1) AS BIGINT)").alias("lo_deg"),
+            F.expr("CAST(shiftleft(1L, bucket) - 1 AS BIGINT)").alias("hi_deg"),
+            "n_nodes",
+            "sum_deg",
+        )
+        .orderBy("bucket")
+    )

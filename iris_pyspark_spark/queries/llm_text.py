@@ -1977,3 +1977,98 @@ def n_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption planning statistics
+# ---------------------------------------------------------------------------
+
+_SPAN_ORACLE = """
+WITH per_doc AS (
+  SELECT lang,
+         LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tok
+  FROM documents
+),
+planned AS (
+  SELECT lang, n_tok,
+         ((n_tok - 1) // 7) + 1 AS n_spans,
+         3 * (((n_tok - 1) // 7) + 1 - 1)
+           + LEAST(3, n_tok - (7 * (((n_tok - 1) // 7) + 1 - 1) + 1) + 1)
+           AS n_masked
+  FROM per_doc WHERE n_tok >= 1
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tot_tokens,
+       CAST(SUM(n_masked) AS BIGINT) AS tot_masked,
+       CAST(SUM(n_spans) AS BIGINT) AS tot_sentinels,
+       CAST(SUM(n_masked) * 1000000 // SUM(n_tok) AS BIGINT)
+         AS mask_ratio_ppm,
+       CAST(SUM(n_tok - n_masked + n_spans) AS BIGINT)
+         AS tot_corrupted_len
+FROM planned
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "n_span_corruption_stats",
+    oracle=_SPAN_ORACLE,
+    tags=("N5", "A1", "F3", "P2"),
+)
+def n_span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning: with deterministic mask spans
+    (3 tokens starting at every 7th position), the per-language token,
+    mask, and sentinel totals plus the achieved mask ratio (target
+    ≈3/7·…≈ the 15%-class regimes) and the corrupted sequence length
+    (original − masked + one sentinel per span) — the budgeting pass
+    that sizes encoder/decoder lengths before any tokenization compute
+    is spent.
+
+    The span layout has a CLOSED FORM (span count = ⌊(n−1)/7⌋+1; only
+    the last span can truncate), so the whole plan is per-row integer
+    arithmetic — pure map, no explode, fuses into the scan; one
+    combinable groupBy(lang) aggregates. Positive-only floor division
+    keeps Spark DIV and DuckDB // in agreement.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang", token_count_whitespace("text").alias("n_tok")
+    ).filter(F.col("n_tok") >= 1)
+    n_spans = F.expr("((n_tok - 1) DIV 7) + 1")
+    planned = per_doc.select(
+        "lang",
+        "n_tok",
+        n_spans.alias("n_spans"),
+        (
+            3 * (n_spans - 1)
+            + F.least(F.lit(3), F.col("n_tok") - (7 * (n_spans - 1) + 1) + 1)
+        ).alias("n_masked"),
+    )
+    return (
+        planned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tot_tokens"),
+            F.sum("n_masked").cast("long").alias("tot_masked"),
+            F.sum("n_spans").cast("long").alias("tot_sentinels"),
+            F.sum(
+                F.col("n_tok") - F.col("n_masked") + F.col("n_spans")
+            )
+            .cast("long")
+            .alias("tot_corrupted_len"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "tot_tokens",
+            "tot_masked",
+            "tot_sentinels",
+            F.expr(
+                "CAST(tot_masked * 1000000 DIV tot_tokens AS BIGINT)"
+            ).alias("mask_ratio_ppm"),
+            "tot_corrupted_len",
+        )
+        .orderBy("lang")
+    )

@@ -1670,3 +1670,164 @@ def t_rate_limit_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "t", "event_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (pre/post × treatment/control)
+# ---------------------------------------------------------------------------
+
+_DID_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id,
+         CASE WHEN (user_id * 48271) % 100 < 50 THEN 1 ELSE 0 END AS treated,
+         CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 1 ELSE 0 END
+           AS post,
+         {CENTS_SQL.format(expr="value")} AS v_cents
+  FROM events
+),
+cells AS (
+  SELECT treated, post, COUNT(*) AS n,
+         CAST(SUM(v_cents) AS BIGINT) AS s
+  FROM tagged GROUP BY treated, post
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN s END) AS s_t_pre,
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t_pre,
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN s END) AS s_t_post,
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t_post,
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN s END) AS s_c_pre,
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c_pre,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN s END) AS s_c_post,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c_post
+  FROM cells
+)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       ROUND(CAST(s_t_pre AS DOUBLE) / n_t_pre / 100, 6)  AS mean_t_pre,
+       ROUND(CAST(s_t_post AS DOUBLE) / n_t_post / 100, 6) AS mean_t_post,
+       ROUND(CAST(s_c_pre AS DOUBLE) / n_c_pre / 100, 6)  AS mean_c_pre,
+       ROUND(CAST(s_c_post AS DOUBLE) / n_c_post / 100, 6) AS mean_c_post,
+       ROUND((CAST(s_t_post AS DOUBLE) / n_t_post
+              - CAST(s_t_pre AS DOUBLE) / n_t_pre)
+             - (CAST(s_c_post AS DOUBLE) / n_c_post
+                - CAST(s_c_pre AS DOUBLE) / n_c_pre), 6) / 100 AS did_estimate
+FROM wide
+"""
+
+
+@register(
+    "e_diff_in_diff", oracle=_DID_ORACLE, tags=("A1", "A7", "P6", "F2")
+)
+def e_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: treatment assigned by user hash, the
+    'intervention' at 2024-01-16 splits pre/post, and the DiD estimate
+    (ΔT − ΔC) nets out both the group baseline difference and the
+    shared time trend — the causal-inference workhorse when
+    randomization happened at a cutover date rather than per request
+    (complements `e_welch_ttest`'s randomized-experiment readout).
+
+    Scale: ONE combinable pass builds the 2×2 cell sums (exact BIGINT
+    cents); the estimator is a fixed-shape double expression on a
+    1-row pivot. The date literal predicate pushes down to the scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.select(
+        F.when((F.col("user_id") * 48271) % 100 < 50, 1).otherwise(0).alias(
+            "treated"
+        ),
+        F.when(
+            F.to_date("ts") >= F.lit("2024-01-16").cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        cents(F.col("value")).alias("v_cents"),
+    )
+    cells = tagged.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v_cents").cast("long").alias("s")
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    wide = cells.agg(
+        cell(1, 0, "s").alias("s_t_pre"), cell(1, 0, "n").alias("n_t_pre"),
+        cell(1, 1, "s").alias("s_t_post"), cell(1, 1, "n").alias("n_t_post"),
+        cell(0, 0, "s").alias("s_c_pre"), cell(0, 0, "n").alias("n_c_pre"),
+        cell(0, 1, "s").alias("s_c_post"), cell(0, 1, "n").alias("n_c_post"),
+    )
+    m = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    return wide.select(
+        "n_t_pre", "n_t_post", "n_c_pre", "n_c_post",
+        F.round(m("s_t_pre", "n_t_pre") / 100, 6).alias("mean_t_pre"),
+        F.round(m("s_t_post", "n_t_post") / 100, 6).alias("mean_t_post"),
+        F.round(m("s_c_pre", "n_c_pre") / 100, 6).alias("mean_c_pre"),
+        F.round(m("s_c_post", "n_c_post") / 100, 6).alias("mean_c_post"),
+        (
+            F.round(
+                (m("s_t_post", "n_t_post") - m("s_t_pre", "n_t_pre"))
+                - (m("s_c_post", "n_c_post") - m("s_c_pre", "n_c_pre")),
+                6,
+            )
+            / 100
+        ).alias("did_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repurchase rate within 30 days (temporal self-join via lead)
+# ---------------------------------------------------------------------------
+
+_REPURCHASE_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderdate,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS next_date
+  FROM orders
+)
+SELECT COUNT(*) AS n_orders_with_next,
+       CAST(SUM(CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                                    CAST(next_date AS DATE)) <= 30
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30d,
+       CAST(SUM(CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                                    CAST(next_date AS DATE)) <= 30
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS repurchase_30d_ppm
+FROM seq WHERE next_date IS NOT NULL
+"""
+
+
+@register(
+    "e_repurchase_rate_30d",
+    oracle=_REPURCHASE_ORACLE,
+    tags=("W2", "A2", "F2", "P5"),
+)
+def e_repurchase_rate_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day repurchase rate: of orders that HAVE a next order from
+    the same customer, the share whose gap is ≤30 days — the loyalty
+    metric computed the scalable way: `lead()` over one customer-keyed
+    window replaces the naive temporal self-join (orders × orders per
+    customer is quadratic in orders-per-customer; the window is
+    linear). Exact integer ppm; window ties broken on orderkey.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_orderdate", F.lead("o_orderdate").over(w).alias("next_date")
+    ).filter(F.col("next_date").isNotNull())
+    gap = F.datediff(
+        F.col("next_date").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_orders_with_next"),
+        F.sum(F.when(gap <= 30, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_30d"),
+    ).select(
+        "n_orders_with_next",
+        "n_within_30d",
+        F.expr(
+            "CAST(n_within_30d * 1000000 DIV n_orders_with_next AS BIGINT)"
+        ).alias("repurchase_30d_ppm"),
+    )
