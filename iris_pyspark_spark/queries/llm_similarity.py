@@ -942,3 +942,135 @@ def n_mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@5 retrieval-quality evaluation of exact cosine kNN
+# ---------------------------------------------------------------------------
+
+#: 1/log2(i+1) gain weights for ranks 1..5, pre-rounded to integer micro
+#: so DCG sums are exact integers (log2 evaluated once HERE, never at
+#: query time on either engine).
+_NDCG_W = (1000000, 630930, 500000, 430677, 386853)
+#: Ideal DCG for n relevant items among 5 slots = prefix sums of _NDCG_W.
+_NDCG_IDEAL = (0, 1000000, 1630930, 2130930, 2561607, 2948460)
+
+_NDCG_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, label, embedding,
+         {norm_unrolled_sql("embedding", DIM)} AS nrm
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb, nrm AS q_nrm
+  FROM normed WHERE vec_id % 101 = 0
+),
+ranked AS (
+  SELECT p.q_id, p.q_label, c.label AS c_label,
+         ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+           ({dot_unrolled_sql("p.q_emb", "c.embedding", DIM)})
+             / (p.q_nrm * c.nrm) DESC, c.vec_id) AS rk
+  FROM probes p JOIN normed c ON p.q_id <> c.vec_id
+),
+top5 AS (
+  SELECT q_id,
+         CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS rel,
+         [{", ".join(str(w) for w in _NDCG_W)}][rk] AS w_micro
+  FROM ranked WHERE rk <= 5
+),
+scored AS (
+  SELECT q_id,
+         CAST(SUM(rel) AS BIGINT) AS n_rel,
+         CAST(SUM(rel * w_micro) AS BIGINT) AS dcg_micro
+  FROM top5 GROUP BY q_id
+)
+SELECT q_id, n_rel, dcg_micro,
+       [{", ".join(str(v) for v in _NDCG_IDEAL)}][n_rel + 1] AS idcg_micro,
+       CASE WHEN n_rel = 0 THEN 0
+            ELSE CAST(dcg_micro * 1000000
+                 // [{", ".join(str(v) for v in _NDCG_IDEAL)}][n_rel + 1]
+                 AS BIGINT) END AS ndcg_ppm
+FROM scored
+ORDER BY q_id
+"""
+
+
+@register(
+    "n_ndcg_retrieval_eval",
+    oracle=_NDCG_ORACLE,
+    tags=("N3", "N4", "W4", "A1"),
+)
+def n_ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 evaluation of exact cosine retrieval, with class labels
+    as binary relevance (a neighbor is 'relevant' if it shares the
+    query's label) — the retrieval-quality harness that turns this
+    engine's ANN family from "returns neighbors" into "returns
+    MEASURABLY good neighbors" (run it against the IVF/PQ/MRL variants
+    to quantify their recall-quality trade-offs; `n_ivf_recall_eval`
+    measures overlap-recall, this measures rank-weighted quality).
+
+    Determinism: the 1/log2(rank+1) gains and the ideal-DCG ladder are
+    PRE-ROUNDED integer-micro literals baked into both query texts —
+    no transcendental function runs at query time — so DCG/IDCG/NDCG
+    are exact integer arithmetic; candidate ranking uses the bit-exact
+    unrolled dot products with vec_id tie-breaks.
+
+    Scale: bounded probe broadcast × one corpus scan (the
+    knn_bruteforce shape); scoring windows over ≤5 rows per probe.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias(
+            "nrm"
+        ),
+    )
+    probes = normed.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = dot_unrolled(F.col("q_emb"), F.col("embedding"), DIM) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    ranked = (
+        F.broadcast(probes)
+        .join(normed, F.col("q_id") != F.col("vec_id"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(cos.desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _NDCG_W])
+    ideal_arr = F.array(*[F.lit(v).cast("long") for v in _NDCG_IDEAL])
+    top5 = ranked.select(
+        "q_id",
+        F.when(F.col("label") == F.col("q_label"), 1).otherwise(0).alias("rel"),
+        F.element_at(w_arr, F.col("rk").cast("int")).alias("w_micro"),
+    )
+    scored = top5.groupBy("q_id").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum(F.col("rel") * F.col("w_micro")).cast("long").alias("dcg_micro"),
+    )
+    idcg = F.element_at(ideal_arr, (F.col("n_rel") + 1).cast("int"))
+    return (
+        scored.withColumn("idcg_micro", idcg)
+        .select(
+            "q_id",
+            "n_rel",
+            "dcg_micro",
+            "idcg_micro",
+            F.when(F.col("n_rel") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("CAST(dcg_micro * 1000000 DIV idcg_micro AS BIGINT)")
+            )
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("q_id")
+    )

@@ -851,3 +851,50 @@ def e_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(gap > 7).alias("resurrected"),
         F.count(F.lit(1)).alias("active"),
     )
+
+
+# --- bounce rate ------------------------------------------------------------
+
+_BOUNCE_ORACLE = """
+WITH sessions AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounced,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS bounce_rate_ppm,
+       CAST(SUM(n_events) AS BIGINT) AS tot_events
+FROM sessions
+"""
+
+
+@register(
+    "e_bounce_rate", oracle=_BOUNCE_ORACLE, tags=("A1", "A2", "A7")
+)
+def e_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate: share of user-day sessions containing exactly one
+    event — the single most-watched engagement-quality number in
+    product analytics, and deliberately the SIMPLEST query in the
+    registry's analytics family: one combinable (user, day) count,
+    one global conditional rollup, exact integer ppm. Two shuffles
+    total at any scale, the second over one row per session."""
+    e = load_table(spark, sf_dir, "events")
+    sessions = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounced"),
+        F.sum("n_events").cast("long").alias("tot_events"),
+    ).select(
+        "n_sessions",
+        "n_bounced",
+        F.expr("CAST(n_bounced * 1000000 DIV n_sessions AS BIGINT)").alias(
+            "bounce_rate_ppm"
+        ),
+        "tot_events",
+    )

@@ -307,6 +307,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 batch 9: 1-row bounds/total crossJoins and the 3-row
     # quantile-probe join in the histogram walk
     "a_quantile_histogram_sketch", "n_temperature_sampling_weights",
+    # round-4 batch 11: bounded probe-set broadcast (vec_id % 101),
+    # same bound as n_mrl_prefix_rerank / n_knn_bruteforce
+    "n_ndcg_retrieval_eval",
 })
 
 
