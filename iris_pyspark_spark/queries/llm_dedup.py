@@ -1154,3 +1154,117 @@ def n_dedup_survivorship_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("survivor_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup (probabilistic membership pre-filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "n_bloom_incremental_dedup",
+    oracle=None,
+    tags=("N1", "A4", "F7", "P6"),
+)
+def n_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen for incremental dedup: the persisted
+    index's text hashes fold into ONE `bloom_filter_agg` sketch (a few
+    KB), the new batch probes it with `might_contain`, and only
+    might-be-dup rows would proceed to the exact hash join — at crawl
+    scale this turns "join every new doc against a billions-row index"
+    into "join the ~0.1% that might match" (the manual counterpart of
+    the optimizer-injected filter pinned by `j_bloom_runtime_filter`,
+    and the probabilistic complement of `n_incremental_dedup`'s exact
+    O(batch+index) join).
+
+    Rows-only by design (the filter hashes with Spark's xxhash64,
+    which DuckDB cannot reproduce); the output carries the properties
+    that make a bloom usable:
+      * no_false_negative_ok — EVERY planted duplicate (index docs
+        re-sent as doc_id+500000) is flagged by the filter (a bloom
+        can false-positive but never false-negative);
+      * exact_verified_ok — the row's flag agrees with the exact
+        membership join wherever the exact join says duplicate.
+
+    Summary row per disposition (flagged-dup / passed-new) with the
+    planted and exact-verified counts; `fp_count` = flagged − exact
+    (small for a 4096-bit filter at this fill factor — reported, not
+    asserted, since it is probabilistic). The bit array is built
+    RELATIONALLY (explode k positions → distinct) and broadcast — at
+    billions of index keys the same construction yields the positions
+    for a real fixed-size bitmap via bitmap_construct_agg.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm_h = F.xxhash64(F.lower(F.trim(F.col("text"))))
+    index = d.filter(F.col("doc_id") % 100 < 80).select(
+        norm_h.alias("h")
+    )
+    fresh = d.filter(F.col("doc_id") % 100 >= 80).select(
+        "doc_id", norm_h.alias("h"), F.lit(False).alias("planted")
+    )
+    replay = (
+        d.filter((F.col("doc_id") % 100 < 80) & (F.col("doc_id") % 11 == 0))
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            norm_h.alias("h"),
+            F.lit(True).alias("planted"),
+        )
+    )
+    batch = fresh.unionByName(replay)
+
+    # The bloom bit array, built relationally: k=3 seeded hash positions
+    # per index key into m=4096 bits; the DISTINCT position set IS the
+    # filter (bloom_filter_agg is not a public SQL routine in Spark 4).
+    m_bits, seeds = 4096, (1, 2, 3)
+
+    def positions(col):
+        return F.array(
+            *[F.pmod(F.xxhash64(col, F.lit(s)), F.lit(m_bits)) for s in seeds]
+        )
+
+    bits = (
+        index.select(F.explode(positions(F.col("h"))).alias("bit"))
+        .dropDuplicates()
+        .withColumn("set_", F.lit(True))
+    )
+    probe_bits = batch.select(
+        "doc_id", "h", "planted", F.explode(positions(F.col("h"))).alias("bit")
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "h", "planted")
+        .agg(
+            (F.sum(F.when(F.col("set_"), 1).otherwise(0)) == len(seeds)).alias(
+                "flagged"
+            )
+        )
+    )
+    exact = index.dropDuplicates(["h"]).withColumn("in_index", F.lit(True))
+    probed = hits.join(F.broadcast(exact), "h", "left").withColumn(
+        "is_dup_exact", F.coalesce("in_index", F.lit(False))
+    )
+    return (
+        probed.groupBy("flagged")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("planted"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_planted"),
+            F.sum(F.when(F.col("is_dup_exact"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_dups"),
+            F.sum(
+                F.when(F.col("flagged") & ~F.col("is_dup_exact"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp_count"),
+            F.min(
+                F.when(F.col("is_dup_exact"), F.col("flagged")).otherwise(True)
+            ).alias("no_false_negative_ok"),
+            F.min(
+                F.when(F.col("is_dup_exact"), F.col("flagged") == F.lit(True))
+                .otherwise(True)
+            ).alias("exact_verified_ok"),
+        )
+        .orderBy("flagged")
+    )
