@@ -766,3 +766,114 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_CLUSTERING_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.u ELSE p.v END AS src,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.v ELSE p.u END AS dst
+  FROM pairs p JOIN deg du ON p.u = du.node JOIN deg dv ON p.v = dv.node
+),
+ek AS (
+  SELECT o.src, o.dst, dd.d AS dd FROM oriented o JOIN deg dd ON o.dst = dd.node
+),
+owedges AS (
+  SELECT x.dst AS b, y.dst AS c
+  FROM ek x JOIN ek y ON x.src = y.src
+  WHERE x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst)
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles FROM owedges w
+  JOIN oriented e ON w.b = e.src AND w.c = e.dst
+),
+wedge_total AS (
+  SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT t.n_triangles, w.n_wedges,
+       CAST(3 * t.n_triangles * 1000000 // w.n_wedges AS BIGINT)
+         AS clustering_ppm
+FROM tri t CROSS JOIN wedge_total w
+"""
+
+
+@register(
+    "g_clustering_coefficient",
+    oracle=_CLUSTERING_ORACLE,
+    tags=("J10", "J1", "A2", "F3"),
+)
+def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient C = 3·triangles / open-wedges of
+    the part co-order graph — how much more do baskets close triangles
+    than a random graph would (transitivity), the single-number
+    summary downstream of `g_triangle_count` (whose degree-ordered
+    orientation this reuses — wedge fan-out stays O(E^1.5)) and
+    `g_degree_distribution` (whose degree table feeds the exact
+    Σd(d−1)/2 wedge denominator). Exact integers end-to-end; the
+    coefficient in integer ppm.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    io = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    a, b = io.alias("a"), io.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .dropDuplicates()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lab = pairs.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = lab.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    ek = oriented.join(
+        deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst"
+    )
+    x, y = ek.alias("x"), ek.alias("y")
+    owedges = (
+        x.join(y, "src")
+        .filter(
+            (F.col("x.dd") < F.col("y.dd"))
+            | ((F.col("x.dd") == F.col("y.dd")) & (F.col("x.dst") < F.col("y.dst")))
+        )
+        .select(F.col("x.dst").alias("b"), F.col("y.dst").alias("c"))
+    )
+    tri = (
+        owedges.join(
+            oriented,
+            (F.col("b") == F.col("src")) & (F.col("c") == F.col("dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    wedge_total = deg.agg(
+        F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(wedge_total)).select(
+        "n_triangles",
+        "n_wedges",
+        F.expr(
+            "CAST(3 * n_triangles * 1000000 DIV n_wedges AS BIGINT)"
+        ).alias("clustering_ppm"),
+    )

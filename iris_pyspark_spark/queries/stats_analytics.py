@@ -1831,3 +1831,78 @@ def e_repurchase_rate_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_within_30d * 1000000 DIV n_orders_with_next AS BIGINT)"
         ).alias("repurchase_30d_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VWAP (volume-weighted average price) per shipping week
+# ---------------------------------------------------------------------------
+
+_VWAP_ORACLE = """
+WITH lines AS (
+  SELECT CAST(FLOOR(DATE_DIFF('day', DATE '1970-01-01',
+                              CAST(l_shipdate AS DATE)) / 7) AS BIGINT)
+           AS ship_week,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+)
+SELECT ship_week,
+       COUNT(*) AS n_lines,
+       CAST(SUM(qty) AS BIGINT) AS tot_qty,
+       CAST(SUM(price_cents * qty) AS BIGINT) AS weighted_cents,
+       ROUND(CAST(SUM(price_cents * qty) AS DOUBLE)
+             / SUM(qty) / 100, 6) AS vwap
+FROM lines
+GROUP BY ship_week
+ORDER BY ship_week
+"""
+
+
+@register(
+    "t_vwap_weekly", oracle=_VWAP_ORACLE, tags=("A1", "F2", "F3", "O1")
+)
+def t_vwap_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per shipping week — the finance
+    benchmark aggregate (VWAP = Σp·q / Σq) that a plain AVG(price)
+    silently gets wrong by ignoring lot sizes. Weighted numerator and
+    volume denominator are exact BIGINTs (cents × integer quantity),
+    accumulated in ONE combinable groupBy on the epoch-week integer
+    (the repo's floor-division week convention — no engine
+    week-truncation semantics); the single double division happens per
+    output row. One shuffle at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.floor(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("ship_week"),
+        cents(F.col("l_extendedprice")).alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return (
+        lines.groupBy("ship_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("qty").cast("long").alias("tot_qty"),
+            F.sum(F.col("price_cents") * F.col("qty"))
+            .cast("long")
+            .alias("weighted_cents"),
+        )
+        .select(
+            "ship_week",
+            "n_lines",
+            "tot_qty",
+            "weighted_cents",
+            F.round(
+                F.col("weighted_cents").cast("double") / F.col("tot_qty") / 100,
+                6,
+            ).alias("vwap"),
+        )
+        .orderBy("ship_week")
+    )

@@ -310,6 +310,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 batch 11: bounded probe-set broadcast (vec_id % 101),
     # same bound as n_mrl_prefix_rerank / n_knn_bruteforce
     "n_ndcg_retrieval_eval",
+    # round-4 batch 13: 1-row wedge-total crossJoin onto the 1-row
+    # triangle count
+    "g_clustering_coefficient",
 })
 
 
