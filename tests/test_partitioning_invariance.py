@@ -177,6 +177,8 @@ def test_round4_stats_shuffle_width_invariant(spark, sf_dir):
         "a_chi_square_independence", "a_gini_concentration",
         "e_survival_km_curve", "t_ewma_smoothing",
         "n_naive_bayes_langid", "e_pareto_8020", "n_cooccurrence_pmi",
+        "a_quantile_histogram_sketch", "n_mrl_prefix_rerank",
+        "n_ndcg_retrieval_eval", "t_vwap_weekly", "g_clustering_coefficient",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
