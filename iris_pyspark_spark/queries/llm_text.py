@@ -2072,3 +2072,107 @@ def n_span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection score
+# ---------------------------------------------------------------------------
+
+_CODE_ORACLE = r"""
+WITH feats AS (
+  SELECT doc_id, lang, n_chars,
+         LEN(REGEXP_EXTRACT_ALL(text, '[{}();=\[\]<>]')) AS n_codechars,
+         LEN(REGEXP_EXTRACT_ALL(text,
+             'def |class |import |return |void |int |const |var |function '))
+           AS n_keywords,
+         LEN(STRING_SPLIT(text, CHR(10))) AS n_lines
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(n_codechars * 1000000 // GREATEST(n_chars, 1) AS BIGINT)
+           AS symbol_density_ppm,
+         n_keywords, n_lines,
+         CAST(n_codechars * 1000000 // GREATEST(n_chars, 1) AS BIGINT) >= 20000
+           OR n_keywords >= 3 AS looks_like_code
+  FROM feats
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN looks_like_code THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_code_docs,
+       CAST(SUM(symbol_density_ppm) // COUNT(*) AS BIGINT)
+         AS mean_symbol_density_ppm,
+       CAST(SUM(n_keywords) AS BIGINT) AS tot_keywords
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "n_code_detection_score",
+    oracle=_CODE_ORACLE,
+    tags=("N5", "F1", "A1", "P6"),
+)
+def n_code_detection_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection: per-document symbol density (braces,
+    brackets, assignment/comparison glyphs per character, integer ppm)
+    and programming-keyword hits, rolled up per language — the routing
+    signal that decides whether a crawl document goes to the code
+    pipeline (different dedup, different quality gates, different
+    tokenizer) or the prose pipeline. A pure heuristic like
+    `n_langid`, and honestly so: the 2%-density / 3-keyword thresholds
+    are the tunable bits.
+
+    Scale: regexp counters are map-only and fuse into the scan; one
+    combinable groupBy(lang). All ratios exact integer ppm with
+    GREATEST guards against empty docs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.regexp_count(F.col("text"), F.lit(r"[{}();=\[\]<>]")).alias(
+            "n_codechars"
+        ),
+        F.regexp_count(
+            F.col("text"),
+            F.lit(
+                "def |class |import |return |void |int |const |var "
+                "|function "
+            ),
+        ).alias("n_keywords"),
+    )
+    scored = feats.select(
+        "lang",
+        F.expr(
+            "CAST(n_codechars * 1000000 DIV GREATEST(n_chars, 1) AS BIGINT)"
+        ).alias("symbol_density_ppm"),
+        "n_keywords",
+    ).withColumn(
+        "looks_like_code",
+        (F.col("symbol_density_ppm") >= 20000) | (F.col("n_keywords") >= 3),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("looks_like_code"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_code_docs"),
+            F.sum("symbol_density_ppm").cast("long").alias("_sum_density"),
+            F.sum("n_keywords").cast("long").alias("tot_keywords"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_code_docs",
+            F.expr("CAST(_sum_density DIV n_docs AS BIGINT)").alias(
+                "mean_symbol_density_ppm"
+            ),
+            "tot_keywords",
+        )
+        .orderBy("lang")
+    )

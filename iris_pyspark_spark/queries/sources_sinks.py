@@ -1107,3 +1107,65 @@ def s_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ndv_exact long, ndv_catalog long, rowcount_ok boolean, "
         "colstats_ok boolean",
     )
+
+
+# --- dataset provenance manifest --------------------------------------------
+
+_PROVENANCE_ORACLE = """
+SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS cents_checksum,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
+FROM customer
+UNION ALL
+SELECT 'orders', COUNT(*),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+       CAST(SUM(o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem', COUNT(*),
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT),
+       CAST(SUM(l_orderkey) AS BIGINT)
+FROM lineitem
+ORDER BY tbl
+"""
+
+
+@register(
+    "s_provenance_manifest",
+    oracle=_PROVENANCE_ORACLE,
+    tags=("S1", "A2", "O3"),
+)
+def s_provenance_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset provenance manifest: one audit row per input table with
+    row count, a money checksum (exact cents sum), and a key checksum
+    (exact key sum) — the fingerprint a training-data pipeline records
+    next to every derived artifact so any consumer can verify "was
+    this built from the inputs it claims?" without re-reading them
+    (the cross-table companion to `s_expectations_check`'s
+    within-table gate, and the content-based analogue of the
+    metadata-only `table_fingerprint` used for scratch-artifact
+    reuse).
+
+    Scale: one combinable global aggregate per table (count + two
+    SUMs share a single scan each), a 3-row union. Commutative
+    integer checksums mean any partition layout produces the same
+    manifest — which is the entire point of a checksum.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def manifest(tbl, df, money_col, key_col):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents(F.col(money_col))).cast("long").alias("cents_checksum"),
+            F.sum(key_col).cast("long").alias("key_checksum"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "cents_checksum", "key_checksum")
+
+    return (
+        manifest("customer", c, "c_acctbal", "c_custkey")
+        .unionByName(manifest("orders", o, "o_totalprice", "o_orderkey"))
+        .unionByName(manifest("lineitem", li, "l_extendedprice", "l_orderkey"))
+        .orderBy("tbl")
+    )

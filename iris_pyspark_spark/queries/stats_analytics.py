@@ -1906,3 +1906,87 @@ def t_vwap_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_week")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (ML feature engineering)
+# ---------------------------------------------------------------------------
+
+_TARGETENC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y_cents
+  FROM orders
+),
+cat AS (
+  SELECT o_orderpriority, COUNT(*) AS n_cat,
+         CAST(SUM(y_cents) AS BIGINT) AS s_cat
+  FROM base GROUP BY o_orderpriority
+),
+encoded AS (
+  SELECT b.o_orderkey, b.o_orderpriority,
+         ROUND((c.s_cat - b.y_cents)
+               / (100.0 * (c.n_cat - 1)), 6) AS te_loo
+  FROM base b JOIN cat c ON b.o_orderpriority = c.o_orderpriority
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       ROUND(MIN(te_loo), 6) AS min_te,
+       ROUND(MAX(te_loo), 6) AS max_te,
+       CAST(SUM(CAST(ROUND(te_loo * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_te_micro
+FROM encoded
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "a_target_encoding_loo",
+    oracle=_TARGETENC_ORACLE,
+    tags=("A1", "J2", "F3", "P6"),
+)
+def a_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value — the ML feature-engineering op that replaces a categorical
+    with its target mean while EXCLUDING the row's own target
+    ((Σy_cat − y_i)/(n_cat − 1)), the standard leakage guard; a naive
+    mean encoding leaks each label into its own feature. Summarized
+    per category (min/max/micro-sum of the encodings) so the checked
+    output stays small while pinning every row's value through the
+    sum.
+
+    Determinism: category sums are exact BIGINT cents; each row's LOO
+    value is one fixed-shape double division, and the summary sum is
+    taken on values pre-scaled to exact micro integers. Scale: one
+    combinable category rollup (≤5 rows, broadcast back) and one
+    map-side encode pass — no row-level shuffle at all.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority", cents(F.col("o_totalprice")).alias("y_cents")
+    )
+    cat = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_cat"),
+        F.sum("y_cents").cast("long").alias("s_cat"),
+    )
+    encoded = base.join(F.broadcast(cat), "o_orderpriority").select(
+        "o_orderpriority",
+        F.round(
+            (F.col("s_cat") - F.col("y_cents"))
+            / (100.0 * (F.col("n_cat") - 1)),
+            6,
+        ).alias("te_loo"),
+    )
+    return (
+        encoded.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("te_loo"), 6).alias("min_te"),
+            F.round(F.max("te_loo"), 6).alias("max_te"),
+            F.sum(F.round(F.col("te_loo") * 1000000).cast("long"))
+            .cast("long")
+            .alias("sum_te_micro"),
+        )
+        .orderBy("o_orderpriority")
+    )
