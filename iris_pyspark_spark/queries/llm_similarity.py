@@ -1074,3 +1074,82 @@ def n_ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsampling (equal examples per label)
+# ---------------------------------------------------------------------------
+
+_BALANCE_ORACLE = """
+WITH sizes AS (
+  SELECT label, COUNT(*) AS n_orig FROM embeddings GROUP BY label
+),
+floor_n AS (SELECT MIN(n_orig) AS n_keep FROM sizes),
+ranked AS (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY label
+           ORDER BY (vec_id * 2654435761) % 2147483647, vec_id) AS rk
+  FROM embeddings
+),
+kept AS (
+  SELECT r.label, r.vec_id
+  FROM ranked r CROSS JOIN floor_n f
+  WHERE r.rk <= f.n_keep
+)
+SELECT s.label, s.n_orig,
+       COUNT(k.vec_id) AS n_kept,
+       CAST(SUM(k.vec_id) AS BIGINT) AS kept_id_checksum,
+       COUNT(k.vec_id) = (SELECT n_keep FROM floor_n) AS balanced_ok
+FROM sizes s JOIN kept k ON s.label = k.label
+GROUP BY s.label, s.n_orig
+ORDER BY s.label
+"""
+
+
+@register(
+    "n_class_balanced_downsample",
+    oracle=_BALANCE_ORACLE,
+    tags=("N7", "W1", "A1", "P2"),
+)
+def n_class_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-size examples, chosen by a deterministic
+    multiplicative-hash order (NOT rand() — reruns and engines agree;
+    NOT "first N by id" — id order correlates with collection time and
+    would bias the sample). The standard prep for classifier training
+    on skewed labels; `balanced_ok` pins the equal-size contract and
+    the id checksum pins WHICH rows were kept, not just how many.
+
+    Scale: one combinable size rollup, a 1-row floor broadcast, and a
+    rank window PARTITIONED BY label (parallel across classes). The
+    selection survives re-partitioning because the hash order is a
+    pure row function.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sizes = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_orig"))
+    floor_n = sizes.agg(F.min("n_orig").alias("n_keep"))
+    w = Window.partitionBy("label").orderBy(
+        (F.col("vec_id") * 2654435761) % 2147483647, "vec_id"
+    )
+    ranked = e.select(
+        "label", "vec_id", F.row_number().over(w).alias("rk")
+    )
+    kept = ranked.crossJoin(F.broadcast(floor_n)).filter(
+        F.col("rk") <= F.col("n_keep")
+    )
+    return (
+        kept.groupBy("label", "n_keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").cast("long").alias("kept_id_checksum"),
+        )
+        .join(F.broadcast(sizes), "label")
+        .select(
+            "label",
+            "n_orig",
+            "n_kept",
+            "kept_id_checksum",
+            (F.col("n_kept") == F.col("n_keep")).alias("balanced_ok"),
+        )
+        .orderBy("label")
+    )

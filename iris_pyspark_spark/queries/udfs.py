@@ -761,3 +761,67 @@ def u_pandas_on_spark_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bal_cents").cast("long").alias("bal_cents"),
         F.col("min_key").cast("long").alias("min_key"),
     )
+
+
+_UDTF_PART_ORACLE = """
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 2
+ORDER BY lang, rk
+"""
+
+
+@register("u_udtf_partition_by", oracle=_UDTF_PART_ORACLE, tags=("U4", "E2", "W4"))
+def u_udtf_partition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF over a PARTITIONED table argument — `TABLE(...) PARTITION
+    BY lang ORDER BY ...` (Spark 4): the engine groups and sorts rows
+    BEFORE the Python function sees them, so eval() observes one
+    ordered partition at a time and terminate() fires at each
+    partition boundary — the protocol for per-group streaming logic in
+    a table function (here: top-2 longest docs per language, emitted
+    from bounded per-partition state). The relational equivalent is a
+    rank window, which is exactly what the oracle pins — the query
+    verifies the PARTITION BY/ORDER BY delivery contract, not novel
+    logic.
+
+    Scale: the partitioning clause is a real shuffle planned by
+    Catalyst (same exchange as the window form); Python state is O(k)
+    per partition because rows arrive ordered — no per-group
+    collect."""
+    from pyspark.sql.functions import udtf
+
+    from ..catalog import load_tables
+
+    @udtf(returnType="lang string, doc_id bigint, n_chars bigint, rk int")
+    class TopLongest:
+        def __init__(self):
+            self._emitted = 0
+            self._lang = None
+
+        def eval(self, row):
+            # Rows arrive ordered by (n_chars DESC, doc_id) within each
+            # lang partition; emit the first two only.
+            self._lang = row["lang"]
+            if self._emitted < 2:
+                self._emitted += 1
+                yield (
+                    row["lang"], row["doc_id"], row["n_chars"], self._emitted
+                )
+
+    spark.udtf.register("top_longest", TopLongest)
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT t.lang, t.doc_id, t.n_chars, t.rk
+        FROM top_longest(
+          TABLE(SELECT lang, doc_id, n_chars FROM documents)
+          PARTITION BY lang ORDER BY (n_chars DESC, doc_id)
+        ) t
+        ORDER BY t.lang, t.rk
+        """
+    )

@@ -313,6 +313,8 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 batch 13: 1-row wedge-total crossJoin onto the 1-row
     # triangle count
     "g_clustering_coefficient",
+    # round-4 batch 15: 1-row min-class-size floor crossJoin
+    "n_class_balanced_downsample",
 })
 
 
