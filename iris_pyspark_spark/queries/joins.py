@@ -928,3 +928,85 @@ def j_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(overlap).alias("total_overlap_us"),
         F.max(overlap).alias("max_overlap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation from key histograms (CBO math, exact)
+# ---------------------------------------------------------------------------
+
+_JOINSIZE_ORACLE = """
+WITH ho AS (
+  SELECT o_custkey AS k, COUNT(*) AS c_o FROM orders GROUP BY o_custkey
+),
+hc AS (
+  SELECT c_custkey AS k, COUNT(*) AS c_c FROM customer GROUP BY c_custkey
+),
+est AS (
+  SELECT CAST(SUM(ho.c_o * hc.c_c) AS BIGINT) AS predicted_rows,
+         COUNT(*) AS n_matching_keys
+  FROM ho JOIN hc ON ho.k = hc.k
+),
+actual AS (
+  SELECT COUNT(*) AS actual_rows
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT e.predicted_rows, e.n_matching_keys, a.actual_rows,
+       e.predicted_rows = a.actual_rows AS histogram_exact_ok,
+       (SELECT COUNT(*) FROM ho) AS n_keys_orders,
+       (SELECT COUNT(*) FROM hc) AS n_keys_customer
+FROM est e CROSS JOIN actual a
+"""
+
+
+@register(
+    "j_join_size_estimate",
+    oracle=_JOINSIZE_ORACLE,
+    tags=("J1", "A1", "A2", "P7"),
+)
+def j_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation the way a cost-based optimizer does
+    it — from per-key count histograms: |A ⋈ B| = Σ_k c_A(k)·c_B(k).
+    With FULL histograms the formula is EXACT (`histogram_exact_ok`
+    pins prediction == the real join's count); a CBO uses bucketed
+    histograms and gets an estimate — this query is the ground-truth
+    version, the pre-join sizing report a pipeline runs before
+    committing cluster resources to a potentially exploding join (the
+    quantitative sibling of `s_skew_report`'s per-key share view).
+
+    Scale: two combinable key-count rollups (each FAR smaller than its
+    table), one key-equi join between them, and Σ products — the
+    estimator costs a fraction of the join it predicts. The actual
+    join runs here only to validate the formula.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ho = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_o")
+    )
+    hc = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_c")
+    )
+    est = ho.join(hc, "k").agg(
+        F.sum(F.col("c_o") * F.col("c_c")).cast("long").alias("predicted_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+    )
+    actual = o.join(c, o.o_custkey == c.c_custkey).agg(
+        F.count(F.lit(1)).alias("actual_rows")
+    )
+    n_ho = ho.agg(F.count(F.lit(1)).alias("n_keys_orders"))
+    n_hc = hc.agg(F.count(F.lit(1)).alias("n_keys_customer"))
+    return (
+        est.crossJoin(F.broadcast(actual))
+        .crossJoin(F.broadcast(n_ho))
+        .crossJoin(F.broadcast(n_hc))
+        .select(
+            "predicted_rows",
+            "n_matching_keys",
+            "actual_rows",
+            (F.col("predicted_rows") == F.col("actual_rows")).alias(
+                "histogram_exact_ok"
+            ),
+            "n_keys_orders",
+            "n_keys_customer",
+        )
+    )

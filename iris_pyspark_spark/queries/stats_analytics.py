@@ -1990,3 +1990,111 @@ def a_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# KPI driver-tree decomposition (ΔRevenue = mix of user count × ARPU)
+# ---------------------------------------------------------------------------
+
+_KPI_ORACLE = f"""
+WITH weekly AS (
+  SELECT CAST(FLOOR(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    / 7) AS BIGINT) AS w,
+         user_id,
+         {CENTS_SQL.format(expr="value")} AS v_cents
+  FROM events
+),
+bounds AS (SELECT MIN(w) AS w0, MAX(w) AS w1 FROM weekly),
+per_week AS (
+  SELECT wk.w, COUNT(DISTINCT wk.user_id) AS n_users,
+         CAST(SUM(wk.v_cents) AS BIGINT) AS rev_cents
+  FROM weekly wk CROSS JOIN bounds b
+  WHERE wk.w IN (b.w0, b.w1)
+  GROUP BY wk.w
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN w = (SELECT w0 FROM bounds) THEN n_users END) AS u0,
+    MAX(CASE WHEN w = (SELECT w0 FROM bounds) THEN rev_cents END) AS r0,
+    MAX(CASE WHEN w = (SELECT w1 FROM bounds) THEN n_users END) AS u1,
+    MAX(CASE WHEN w = (SELECT w1 FROM bounds) THEN rev_cents END) AS r1
+  FROM per_week
+)
+SELECT u0, u1, r0, r1,
+       r1 - r0 AS delta_rev_cents,
+       ROUND((u1 - u0) * ((CAST(r0 AS DOUBLE) / u0 +
+                           CAST(r1 AS DOUBLE) / u1) / 2) / 100, 6)
+         AS user_count_contrib,
+       ROUND((CAST(r1 AS DOUBLE) / u1 - CAST(r0 AS DOUBLE) / u0)
+             * ((u0 + u1) / 2.0) / 100, 6) AS arpu_contrib,
+       ROUND(((u1 - u0) * ((CAST(r0 AS DOUBLE) / u0 +
+                            CAST(r1 AS DOUBLE) / u1) / 2)
+              + (CAST(r1 AS DOUBLE) / u1 - CAST(r0 AS DOUBLE) / u0)
+                * ((u0 + u1) / 2.0)
+              - (r1 - r0)) / 100, 6) AS residual_check
+FROM wide
+"""
+
+
+@register(
+    "e_kpi_driver_decomposition",
+    oracle=_KPI_ORACLE,
+    tags=("A1", "A3", "A7", "F2"),
+)
+def e_kpi_driver_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI driver-tree decomposition: revenue change between the first
+    and last observed week split into a USER-COUNT contribution and an
+    ARPU contribution via the symmetric (midpoint) decomposition
+    ΔR = Δu·ARPU̅ + Δarpu·u̅ — the "why did the metric move?" analysis
+    every growth team runs; the symmetric form makes the two
+    contributions sum EXACTLY to ΔR (`residual_check` pins ≈0, up to
+    the shared rounding).
+
+    Scale: the bounds are a 1-row min/max broadcast, the heavy pass
+    aggregates ONLY the two boundary weeks (pushed as an IN filter
+    before the distinct-count shuffle); the algebra runs on a 1-row
+    pivot with exact integer inputs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.select(
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7
+        )
+        .cast("long")
+        .alias("w"),
+        "user_id",
+        cents(F.col("value")).alias("v_cents"),
+    )
+    bounds = weekly.agg(F.min("w").alias("w0"), F.max("w").alias("w1"))
+    per_week = (
+        weekly.crossJoin(F.broadcast(bounds))
+        .filter((F.col("w") == F.col("w0")) | (F.col("w") == F.col("w1")))
+        .groupBy("w", "w0", "w1")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("v_cents").cast("long").alias("rev_cents"),
+        )
+    )
+    wide = per_week.agg(
+        F.max(F.when(F.col("w") == F.col("w0"), F.col("n_users"))).alias("u0"),
+        F.max(F.when(F.col("w") == F.col("w0"), F.col("rev_cents"))).alias("r0"),
+        F.max(F.when(F.col("w") == F.col("w1"), F.col("n_users"))).alias("u1"),
+        F.max(F.when(F.col("w") == F.col("w1"), F.col("rev_cents"))).alias("r1"),
+    )
+    arpu0 = F.col("r0").cast("double") / F.col("u0")
+    arpu1 = F.col("r1").cast("double") / F.col("u1")
+    du = F.col("u1") - F.col("u0")
+    u_contrib = du * ((arpu0 + arpu1) / 2)
+    a_contrib = (arpu1 - arpu0) * ((F.col("u0") + F.col("u1")) / 2.0)
+    return wide.select(
+        "u0",
+        "u1",
+        "r0",
+        "r1",
+        (F.col("r1") - F.col("r0")).alias("delta_rev_cents"),
+        F.round(u_contrib / 100, 6).alias("user_count_contrib"),
+        F.round(a_contrib / 100, 6).alias("arpu_contrib"),
+        F.round(
+            (u_contrib + a_contrib - (F.col("r1") - F.col("r0"))) / 100, 6
+        ).alias("residual_check"),
+    )

@@ -315,6 +315,8 @@ _BNLJ_ALLOWED = frozenset({
     "g_clustering_coefficient",
     # round-4 batch 15: 1-row min-class-size floor crossJoin
     "n_class_balanced_downsample",
+    # round-4 batch 16: 1-row bounds/actual-count crossJoins
+    "e_kpi_driver_decomposition", "j_join_size_estimate",
 })
 
 
