@@ -839,3 +839,78 @@ def f_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_to_due"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Business-day arithmetic (weekend-excluding date math)
+# ---------------------------------------------------------------------------
+
+_BUSDAYS_ORACLE = """
+WITH spans AS (
+  SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d0,
+         DATE_DIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d1
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+bus AS (
+  SELECT d1 - d0 AS calendar_days,
+         (5 * ((d1 + 3) // 7) + LEAST((d1 + 3) % 7, 5))
+         - (5 * ((d0 + 3) // 7) + LEAST((d0 + 3) % 7, 5)) AS business_days
+  FROM spans WHERE d1 >= d0
+)
+SELECT business_days,
+       COUNT(*) AS n_lines,
+       MIN(calendar_days) AS min_calendar,
+       MAX(calendar_days) AS max_calendar
+FROM bus
+GROUP BY business_days
+ORDER BY business_days
+"""
+
+
+@register(
+    "f_business_days_diff",
+    oracle=_BUSDAYS_ORACLE,
+    tags=("F2", "F3", "A1", "J1"),
+)
+def f_business_days_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-excluding date arithmetic: business days between order
+    and ship date, as the distribution of lead times — NETWORKDAYS
+    done in closed form instead of exploding a calendar: with
+    Monday-aligned day numbers x = epoch_day + 3 (1969-12-29 was a
+    Monday), B(x) = 5·⌊x/7⌋ + min(x mod 7, 5) counts business days
+    before x, and the span is B(x1) − B(x0) — O(1) integer arithmetic
+    per row where the join-a-calendar-spine approach costs a join and
+    |span| rows each.
+
+    Scale: the orderkey equi-join is the only shuffle; the
+    business-day math is a pure map (positive-only floor division —
+    epoch days are ~19,700 here, and the +3 alignment keeps x
+    positive for all dates since 1969-12-29).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    spans = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d0"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d1"),
+    )
+
+    bus = spans.filter(F.col("d1") >= F.col("d0")).select(
+        (F.col("d1") - F.col("d0")).alias("calendar_days"),
+        (
+            (5 * F.expr("(d1 + 3) DIV 7") + F.least((F.col("d1") + 3) % 7, F.lit(5)))
+            - (5 * F.expr("(d0 + 3) DIV 7") + F.least((F.col("d0") + 3) % 7, F.lit(5)))
+        ).alias("business_days"),
+    )
+    return (
+        bus.groupBy("business_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("calendar_days").alias("min_calendar"),
+            F.max("calendar_days").alias("max_calendar"),
+        )
+        .orderBy("business_days")
+    )

@@ -1169,3 +1169,98 @@ def s_provenance_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(manifest("lineitem", li, "l_extendedprice", "l_orderkey"))
         .orderBy("tbl")
     )
+
+
+# --- cross-format interop certification -------------------------------------
+
+_INTEROP_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+sums AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(total_cents) AS BIGINT) AS cents_checksum,
+         CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+  FROM base
+)
+SELECT fmt, n_rows, cents_checksum, key_checksum, TRUE AS roundtrip_ok
+FROM sums
+CROSS JOIN (VALUES ('csv'), ('json'), ('orc'), ('parquet')) AS f(fmt)
+ORDER BY fmt
+"""
+
+
+@register(
+    "s_format_interop_matrix",
+    oracle=_INTEROP_ORACLE,
+    tags=("S2", "S3", "S4", "S1"),
+)
+def s_format_interop_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format interop certification: the SAME slice is written
+    to and read back from all four batch formats the engine serves
+    (csv, json, orc, parquet) and every generation must reproduce the
+    identical row count and integer checksums — the matrix test that
+    catches per-format type-mapping bugs (csv stringification, json
+    number widening, orc/parquet logical types) in one query instead
+    of four ad-hoc ones. `roundtrip_ok` pins each format's read-back
+    against the in-memory truth.
+
+    Scale: one bounded slice (10% of orders), four single-pass writes
+    and four combinable read-back aggregates; explicit schema on the
+    csv/json reads (schema inference is both nondeterministic-ish and
+    a second scan). All checksums are commutative BIGINTs.
+    """
+    from ..sources import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents(F.col("o_totalprice")).alias("total_cents"),
+    )
+    schema = "o_orderkey bigint, o_orderstatus string, total_cents bigint"
+    outs = []
+    for fmt in ("csv", "json", "orc", "parquet"):
+        path = scratch_dir(sf_dir, f"interop_{fmt}")
+        w = base.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.save(path)
+        r = spark.read.format(fmt)
+        if fmt in ("csv", "json"):
+            r = r.schema(schema)
+        if fmt == "csv":
+            r = r.option("header", "true")
+        back = r.load(path)
+        outs.append(
+            back.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("total_cents").cast("long").alias("cents_checksum"),
+                F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            ).select(F.lit(fmt).alias("fmt"), "n_rows", "cents_checksum", "key_checksum")
+        )
+    truth = base.agg(
+        F.count(F.lit(1)).alias("t_rows"),
+        F.sum("total_cents").cast("long").alias("t_cents"),
+        F.sum("o_orderkey").cast("long").alias("t_keys"),
+    )
+    matrix = outs[0]
+    for df in outs[1:]:
+        matrix = matrix.unionByName(df)
+    return (
+        matrix.crossJoin(F.broadcast(truth))
+        .select(
+            "fmt",
+            "n_rows",
+            "cents_checksum",
+            "key_checksum",
+            (
+                (F.col("n_rows") == F.col("t_rows"))
+                & (F.col("cents_checksum") == F.col("t_cents"))
+                & (F.col("key_checksum") == F.col("t_keys"))
+            ).alias("roundtrip_ok"),
+        )
+        .orderBy("fmt")
+    )

@@ -2098,3 +2098,98 @@ def e_kpi_driver_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u_contrib + a_contrib - (F.col("r1") - F.col("r0"))) / 100, 6
         ).alias("residual_check"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill estimator: power-law tail exponent of the spend distribution
+# ---------------------------------------------------------------------------
+
+_HILL_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT)
+           AS spend_cents
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT spend_cents,
+         ROW_NUMBER() OVER (ORDER BY spend_cents DESC, user_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM per_user
+),
+tail AS (
+  SELECT r.spend_cents, r.rk,
+         (SELECT MIN(spend_cents) FROM ranked
+          WHERE rk <= GREATEST(CAST(n * 5 // 100 AS BIGINT), 10)) AS x_min,
+         GREATEST(CAST(r.n * 5 // 100 AS BIGINT), 10) AS k
+  FROM ranked r
+  WHERE r.rk <= GREATEST(CAST(r.n * 5 // 100 AS BIGINT), 10)
+),
+logs AS (
+  SELECT k, x_min,
+         CAST(ROUND(LN(spend_cents / CAST(x_min AS DOUBLE)) * 1000000)
+              AS BIGINT) AS log_ratio_micro
+  FROM tail
+)
+SELECT MAX(k) AS k_tail, MAX(x_min) AS x_min_cents,
+       CAST(SUM(log_ratio_micro) AS BIGINT) AS sum_log_micro,
+       ROUND(1 + MAX(k) / (SUM(log_ratio_micro) / 1000000.0), 6)
+         AS alpha_hill
+FROM logs
+"""
+
+
+@register(
+    "a_hill_tail_exponent",
+    oracle=_HILL_ORACLE,
+    tags=("A8", "W1", "A2", "F3"),
+)
+def a_hill_tail_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail exponent of per-user
+    spend: α = 1 + k / Σ ln(x_i/x_min) over the top-5% order
+    statistics — the quantitative answer to "HOW heavy is the tail?"
+    that `e_pareto_8020` (shares) and `a_gini_concentration`
+    (inequality) only describe; α ≤ 2 means infinite variance and
+    mean-based metrics become unstable.
+
+    Determinism: the tail set is an exact rank cut (ties broken on
+    user_id); each log-ratio rounds to integer micro-nats at the LEAF
+    so the tail sum is exact integer arithmetic; one double division
+    at the end. Scale: one user-keyed combine, a global rank window
+    (the documented exact-order cost), then k-row arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("spend_cents")
+    )
+    w = Window.orderBy(F.col("spend_cents").desc(), "user_id")
+    ranked = per_user.select(
+        "spend_cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ).withColumn(
+        "k", F.greatest(F.expr("CAST(n * 5 DIV 100 AS BIGINT)"), F.lit(10))
+    )
+    tail = ranked.filter(F.col("rk") <= F.col("k"))
+    x_min = tail.agg(F.min("spend_cents").alias("x_min"))
+    logs = tail.crossJoin(F.broadcast(x_min)).select(
+        "k",
+        "x_min",
+        F.round(
+            F.log(F.col("spend_cents") / F.col("x_min").cast("double"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("log_ratio_micro"),
+    )
+    return logs.agg(
+        F.max("k").alias("k_tail"),
+        F.max("x_min").alias("x_min_cents"),
+        F.sum("log_ratio_micro").cast("long").alias("sum_log_micro"),
+    ).select(
+        "k_tail",
+        "x_min_cents",
+        "sum_log_micro",
+        F.round(
+            1 + F.col("k_tail") / (F.col("sum_log_micro") / 1000000.0), 6
+        ).alias("alpha_hill"),
+    )

@@ -317,6 +317,8 @@ _BNLJ_ALLOWED = frozenset({
     "n_class_balanced_downsample",
     # round-4 batch 16: 1-row bounds/actual-count crossJoins
     "e_kpi_driver_decomposition", "j_join_size_estimate",
+    # round-4 batch 17: 1-row x_min/truth-checksum crossJoins
+    "a_hill_tail_exponent", "s_format_interop_matrix",
 })
 
 
