@@ -815,41 +815,69 @@ def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient C = 3·triangles / open-wedges of
     the part co-order graph — how much more do baskets close triangles
     than a random graph would (transitivity), the single-number
-    summary downstream of `g_triangle_count` (whose degree-ordered
-    orientation this reuses — wedge fan-out stays O(E^1.5)) and
-    `g_degree_distribution` (whose degree table feeds the exact
-    Σd(d−1)/2 wedge denominator). Exact integers end-to-end; the
-    coefficient in integer ppm.
+    summary downstream of `g_triangle_count`. Reuses g_triangle_count's
+    FINGERPRINTED oriented-edge artifact (src, dst, dd) verbatim, so
+    the expensive orderkey self-join + orientation pass is paid once
+    per data version across both queries; wedge fan-out stays
+    O(E^1.5) by the same degree ordering. Exact integers end-to-end;
+    the coefficient in integer ppm.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    io = li.dropDuplicates(["l_orderkey", "l_partkey"])
-    a, b = io.alias("a"), io.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .dropDuplicates()
+    from ..sources import (
+        artifact_is_current,
+        mark_artifact,
+        scratch_dir,
+        table_fingerprint,
     )
+
+    # Same artifact (path + fingerprint params) as g_triangle_count —
+    # whichever query runs first builds it; the other scans parquet.
+    ek_path = scratch_dir(sf_dir, "triangles") + "/ek"
+    fp = table_fingerprint(sf_dir, "lineitem", params="tri_orient_v1")
+    if not artifact_is_current(ek_path, fp):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        pairs = (
+            li.alias("a")
+            .join(li.alias("b"), "l_orderkey")
+            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .select(
+                F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"),
+            )
+            .distinct()
+        )
+        deg0 = (
+            pairs.select(F.col("u").alias("node"))
+            .unionAll(pairs.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        du = deg0.select(F.col("node").alias("u"), F.col("d").alias("du"))
+        dv = deg0.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+        u_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        (
+            pairs.join(du, "u")
+            .join(dv, "v")
+            .select(
+                F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+                F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+                F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+            )
+            .write.mode("overwrite")
+            .parquet(ek_path)
+        )
+        mark_artifact(ek_path, fp)
+    ek = spark.read.parquet(ek_path)
+    oriented = ek.select("src", "dst")
+    # Undirected degree per node, recovered from the oriented artifact.
     deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
+        ek.select(F.col("src").alias("node"))
+        .unionAll(ek.select(F.col("dst").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    lab = pairs.join(du, "u").join(dv, "v")
-    fwd = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = lab.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
-    ek = oriented.join(
-        deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst"
     )
     x, y = ek.alias("x"), ek.alias("y")
     owedges = (

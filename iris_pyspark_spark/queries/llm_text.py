@@ -2176,3 +2176,173 @@ def n_code_detection_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-policy blocklist filter
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST_RE = "slow|error|fail"
+
+_BLOCKLIST_ORACLE = f"""
+WITH flagged AS (
+  SELECT lang, doc_id,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text), '{_BLOCKLIST_RE}')) AS n_hits
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quarantined,
+       CAST(SUM(n_hits) AS BIGINT) AS tot_hits,
+       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS quarantine_rate_ppm
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "n_blocklist_filter",
+    oracle=_BLOCKLIST_ORACLE,
+    tags=("N5", "F1", "A1", "P6"),
+)
+def n_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-policy blocklist screening: documents matching any term
+    of a policy regex are counted into a per-language quarantine rate
+    — the FIRST, cheapest layer of a safety-filtering stack (regex
+    blocklists catch the unambiguous cases; classifier scores handle
+    nuance) and the same operational shape as `n_pii_redaction`
+    (count/flag) pointed at policy terms instead of PII. The terms
+    here are corpus-vocabulary stand-ins; the pipeline shape — one
+    alternation regex, compiled once, streamed over the scan — is what
+    a real blocklist of thousands of terms uses (regex trie / Aho-
+    Corasick at that size, still map-only).
+
+    Scale: pure-map regexp counter fused into the scan + one
+    combinable groupBy(lang); integer ppm rate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    flagged = d.select(
+        "lang",
+        F.regexp_count(F.lower("text"), F.lit(_BLOCKLIST_RE)).alias("n_hits"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_quarantined"),
+            F.sum("n_hits").cast("long").alias("tot_hits"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_quarantined",
+            "tot_hits",
+            F.expr(
+                "CAST(n_quarantined * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("quarantine_rate_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-encoding audit (mojibake / control-char detection)
+# ---------------------------------------------------------------------------
+
+_ENCODING_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 600000, lang,
+         text || ' corrupt' || CHR(65533) || 'ed Ã¯Â¿Â½ bytes'
+  FROM documents WHERE doc_id % 71 = 0
+),
+audited AS (
+  SELECT doc_id, lang,
+         LEN(REGEXP_EXTRACT_ALL(text, CHR(65533))) AS n_replacement,
+         LEN(REGEXP_EXTRACT_ALL(text, 'Ã[¡-¿]')) AS n_mojibake_pairs,
+         doc_id >= 600000 AS planted
+  FROM corpus
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_replacement + n_mojibake_pairs > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+       CAST(SUM(n_replacement) AS BIGINT) AS tot_replacement_chars,
+       CAST(SUM(n_mojibake_pairs) AS BIGINT) AS tot_mojibake_pairs,
+       CAST(SUM(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+       MIN(CASE WHEN planted
+                THEN n_replacement + n_mojibake_pairs > 0 END)
+         AS planted_all_caught_ok
+FROM audited
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "n_encoding_audit",
+    oracle=_ENCODING_ORACLE,
+    tags=("N5", "F1", "A1", "P5"),
+)
+def n_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-encoding health audit: per language, documents
+    containing U+FFFD replacement characters (a decoder already gave
+    up) or UTF-8-as-Latin-1 mojibake signatures (the 'Ã©'-class double
+    encoding) — the crawl-ingest gate that catches broken transcoding
+    BEFORE it poisons tokenization. Planted corruption (docs ≡0 mod 71
+    re-appended with both artifact classes at doc_id+600000) proves
+    detector recall: `planted_all_caught_ok` requires every planted
+    row flagged.
+
+    Scale: map-only regexp counters over the scan + one combinable
+    groupBy(lang); both engines apply identical Unicode literals
+    (CHR(65533)/\\ufffd resolve to the same codepoint).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") % 71 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        "lang",
+        F.concat(
+            F.col("text"), F.lit(" corrupt�ed Ã¯Â¿Â½ bytes")
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "lang", "text").unionByName(planted)
+    audited = corpus.select(
+        "lang",
+        F.regexp_count(F.col("text"), F.lit("�")).alias("n_replacement"),
+        F.regexp_count(F.col("text"), F.lit("Ã[¡-¿]")).alias(
+            "n_mojibake_pairs"
+        ),
+        (F.col("doc_id") >= 600000).alias("planted"),
+    )
+    return (
+        audited.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("n_replacement") + F.col("n_mojibake_pairs") > 0, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_suspect"),
+            F.sum("n_replacement").cast("long").alias("tot_replacement_chars"),
+            F.sum("n_mojibake_pairs").cast("long").alias("tot_mojibake_pairs"),
+            F.sum(F.when(F.col("planted"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_planted"),
+            F.min(
+                F.when(
+                    F.col("planted"),
+                    F.col("n_replacement") + F.col("n_mojibake_pairs") > 0,
+                )
+            ).alias("planted_all_caught_ok"),
+        )
+        .orderBy("lang")
+    )
