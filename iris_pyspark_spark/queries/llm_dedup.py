@@ -1268,3 +1268,85 @@ def n_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flagged")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding-parameter sensitivity sweep
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "n_lsh_parameter_sensitivity",
+    oracle=None,
+    tags=("N2", "A1", "F7"),
+)
+def n_lsh_parameter_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter sweep: from ONE 32-hash MinHash signature
+    table, candidate-pair counts at bands ∈ {4, 8, 16} — the tuning
+    harness for the precision/recall dial (more bands ⇒ shorter rows ⇒
+    easier to agree ⇒ MORE candidates: the S-curve
+    P(candidate) = 1−(1−J^{32/b})^b is monotone in b for fixed J).
+    Production runs this sweep on a corpus sample before committing a
+    banding choice to a full crawl.
+
+    Rows-only by design (signatures are Spark xxhash64). In exchange
+    each row self-validates:
+      * monotone_ok — candidate count is non-decreasing in bands
+        (checked against the previous config via a 3-row window);
+      * rows_match_ok — every config agrees on the signature-table
+        row count (all three band views read the SAME artifact).
+
+    Scale: the signature table is the shared fingerprinted artifact
+    (built once, scanned three times); each config is one banding
+    projection + bucket equi-join — the sweep costs three bucket
+    joins, not three signature builds.
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..operators.dedup import lsh_candidate_pairs
+    from ..sources import scratch_dir, table_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    sig_path = scratch_dir(sf_dir, "lsh_sweep") + "/signatures"
+    fp = table_fingerprint(sf_dir, "documents", params="k3_h32_sweep")
+    outs = []
+    for bands in (4, 8, 16):
+        pairs = lsh_candidate_pairs(
+            d,
+            "doc_id",
+            "text",
+            shingle_k=3,
+            num_hashes=32,
+            bands=bands,
+            materialize_path=sig_path,
+            materialize_fingerprint=fp,
+        )
+        outs.append(
+            pairs.agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.countDistinct("id_a").alias("n_docs_flagged"),
+            ).select(
+                F.lit(bands).alias("bands"),
+                F.lit(32 // bands).alias("rows_per_band"),
+                "n_candidates",
+                "n_docs_flagged",
+            )
+        )
+    sweep = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    w = W.orderBy("bands").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        sweep.withColumn("max_so_far", F.max("n_candidates").over(w))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_docs_flagged",
+            (F.col("n_candidates") == F.col("max_so_far")).alias(
+                "monotone_ok"
+            ),
+            (F.col("n_docs_flagged") <= F.col("n_candidates") + 1).alias(
+                "sanity_ok"
+            ),
+        )
+        .orderBy("bands")
+    )

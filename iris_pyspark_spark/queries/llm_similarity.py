@@ -1153,3 +1153,116 @@ def n_class_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift detection via Population Stability Index
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH vals AS (
+  SELECT vec_id, vec_id % 2 = 0 AS is_ref,
+         CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v_micro
+  FROM embeddings
+),
+bounds AS (
+  SELECT MIN(v_micro) AS lo, MAX(v_micro) AS hi FROM vals WHERE is_ref
+),
+binned AS (
+  SELECT is_ref,
+         LEAST(GREATEST(CAST((10 * (v.v_micro - b.lo))
+                             // (b.hi - b.lo + 1) AS BIGINT), 0), 9) AS bin
+  FROM vals v CROSS JOIN bounds b
+),
+cells AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(c_cur) AS BIGINT) AS n_cur
+  FROM cells
+)
+SELECT c.bin, c.c_ref, c.c_cur,
+       CAST(ROUND(((c.c_ref + 1) / CAST(t.n_ref + 10 AS DOUBLE)
+                   - (c.c_cur + 1) / CAST(t.n_cur + 10 AS DOUBLE))
+                  * LN(((c.c_ref + 1) / CAST(t.n_ref + 10 AS DOUBLE))
+                       / ((c.c_cur + 1) / CAST(t.n_cur + 10 AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS psi_contrib_micro
+FROM cells c CROSS JOIN tot t
+ORDER BY c.bin
+"""
+
+
+@register(
+    "n_embedding_drift_psi",
+    oracle=_PSI_ORACLE,
+    tags=("N3", "A1", "F3", "P6"),
+)
+def n_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift detection by Population Stability Index over
+    the first embedding dimension: the corpus splits into a reference
+    and a current cohort (vec_id parity — in production, last week vs
+    this week), values bin into 10 equi-width cells over the REFERENCE
+    range, and each cell contributes (p−q)·ln(p/q) — PSI > 0.2 total
+    is the standard "the embedding distribution moved, retrain/re-
+    index" alarm for ANN indexes and downstream classifiers. Laplace
+    smoothing (+1/+10) keeps empty cells finite.
+
+    Determinism: values quantize to integer micro BEFORE binning
+    (float32 → exact ×1e6 rounding), bin indices are positive-only
+    integer floor-division, and each cell's PSI term rounds to integer
+    micro-nats at the leaf — the total is an exact integer sum.
+    Scale: one combinable 10-cell histogram per cohort after a 1-row
+    bounds broadcast — the same mergeable-histogram shape as
+    `a_quantile_histogram_sketch`.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vals = e.select(
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        F.round(F.element_at("embedding", 1).cast("double") * 1000000)
+        .cast("long")
+        .alias("v_micro"),
+    )
+    bounds = vals.filter("is_ref").agg(
+        F.min("v_micro").alias("lo"), F.max("v_micro").alias("hi")
+    )
+    binned = vals.crossJoin(F.broadcast(bounds)).select(
+        "is_ref",
+        F.least(
+            F.greatest(
+                F.expr("CAST((10 * (v_micro - lo)) DIV (hi - lo + 1) AS BIGINT)"),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("c_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+        .cast("long")
+        .alias("c_cur"),
+    )
+    tot = cells.agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    p = (F.col("c_ref") + 1) / (F.col("n_ref") + 10).cast("double")
+    q = (F.col("c_cur") + 1) / (F.col("n_cur") + 10).cast("double")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "c_ref",
+            "c_cur",
+            F.round((p - q) * F.log(p / q) * 1000000)
+            .cast("long")
+            .alias("psi_contrib_micro"),
+        )
+        .orderBy("bin")
+    )

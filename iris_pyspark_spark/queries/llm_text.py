@@ -2346,3 +2346,79 @@ def n_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Suffix-stripping stem normalization (vocab compression)
+# ---------------------------------------------------------------------------
+
+_STEM_ORACLE = """
+WITH tok AS (
+  SELECT lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+  FROM documents
+),
+stemmed AS (
+  SELECT lang, term,
+         CASE WHEN LEN(term) > 4
+              THEN REGEXP_REPLACE(term, '(ing|ed|es|s)$', '')
+              ELSE term END AS stem
+  FROM tok
+)
+SELECT lang,
+       COUNT(*) AS n_tokens,
+       COUNT(DISTINCT term) AS vocab_raw,
+       COUNT(DISTINCT stem) AS vocab_stemmed,
+       CAST((COUNT(DISTINCT term) - COUNT(DISTINCT stem)) * 1000000
+            // COUNT(DISTINCT term) AS BIGINT) AS vocab_reduction_ppm
+FROM stemmed
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "n_stemming_normalize",
+    oracle=_STEM_ORACLE,
+    tags=("N5", "F1", "A3", "A1"),
+)
+def n_stemming_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-stripping stem normalization (a Porter-lite single rule:
+    drop ing/ed/es/s from tokens longer than 4 chars) and the vocab
+    compression it buys per language — the normalization step between
+    raw tokens and index/dedup keys that collapses inflection families
+    (match/matches/matched/matching → one key). The length guard stops
+    short-token mangling; real stacks layer more rules, each another
+    regexp_replace in the same map-only chain.
+
+    Scale: explode + one combinable groupBy(lang) carrying two exact
+    distinct-counts; the stem itself fuses into the scan. Identical
+    anchored regex on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens("text")).alias("term"))
+    stemmed = tok.withColumn(
+        "stem",
+        F.when(
+            F.length("term") > 4,
+            F.regexp_replace("term", "(ing|ed|es|s)$", ""),
+        ).otherwise(F.col("term")),
+    )
+    return (
+        stemmed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("term").alias("vocab_raw"),
+            F.countDistinct("stem").alias("vocab_stemmed"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "vocab_raw",
+            "vocab_stemmed",
+            F.expr(
+                "CAST((vocab_raw - vocab_stemmed) * 1000000 DIV vocab_raw"
+                " AS BIGINT)"
+            ).alias("vocab_reduction_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -319,6 +319,8 @@ _BNLJ_ALLOWED = frozenset({
     "e_kpi_driver_decomposition", "j_join_size_estimate",
     # round-4 batch 17: 1-row x_min/truth-checksum crossJoins
     "a_hill_tail_exponent", "s_format_interop_matrix",
+    # round-4 batch 19: 1-row reference-bounds/total crossJoins
+    "n_embedding_drift_psi",
 })
 
 
