@@ -1010,3 +1010,85 @@ def j_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys_customer",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (closest event in EITHER direction)
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAREST_ORACLE = """
+WITH orders_s AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS t_o
+  FROM orders WHERE o_orderkey % 50 = 0
+),
+events_s AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t_e
+  FROM events
+),
+candidates AS (
+  SELECT o.o_orderkey, o.t_o, e.event_id, e.t_e,
+         ABS(e.t_e - o.t_o) AS dt,
+         ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+           ORDER BY ABS(e.t_e - o.t_o), e.event_id) AS rk
+  FROM orders_s o
+  JOIN events_s e ON e.user_id = o.o_custkey % 100
+),
+nearest AS (
+  SELECT o_orderkey, t_o, event_id AS nearest_event, t_e, dt
+  FROM candidates WHERE rk = 1
+)
+SELECT o_orderkey, nearest_event, dt,
+       t_e >= t_o AS matched_forward
+FROM nearest
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "j_asof_nearest",
+    oracle=_ASOF_NEAREST_ORACLE,
+    tags=("J8", "J7", "W1", "F2"),
+)
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each probe order picks the user's event
+    closest in time in EITHER direction — the third as-of semantic
+    next to backward (`j_asof_last_click`) and backward-with-tolerance
+    (`j_asof_tolerance`); sensor fusion and clickstream stitching use
+    `nearest` when causality doesn't force a direction. Ties (equal
+    |Δt| before and after) break deterministically on event_id, and
+    `matched_forward` reports which side won.
+
+    Scale shape: the probe set is bounded (every-50th order) and the
+    match key (user) equi-joins BEFORE the time window ranks within
+    each probe's candidate set — per-probe fan-out is that user's
+    event count, never the corpus; at dense-probe scale this becomes
+    the union-tag + two-directional window rewrite documented on
+    operators/asof.py (no native nearest exists in either engine).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    orders_s = o.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        (F.col("o_custkey") % 100).alias("probe_user"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("t_o"),
+    )
+    events_s = e.select(
+        "user_id", "event_id", F.unix_timestamp("ts").cast("long").alias("t_e")
+    )
+    cand = orders_s.join(
+        events_s, orders_s.probe_user == events_s.user_id
+    ).withColumn("dt", F.abs(F.col("t_e") - F.col("t_o")))
+    w = Window.partitionBy("o_orderkey").orderBy("dt", "event_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderkey",
+            F.col("event_id").alias("nearest_event"),
+            "dt",
+            (F.col("t_e") >= F.col("t_o")).alias("matched_forward"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1264,3 +1264,92 @@ def s_format_interop_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+# --- lambda-architecture unify (batch history + streaming tail) -------------
+
+_LAMBDA_ORACLE = """
+WITH history AS (
+  SELECT event_id, CAST(ts AS DATE) AS d, user_id
+  FROM events
+  WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
+),
+tail AS (
+  SELECT event_id, CAST(ts AS DATE) AS d, user_id
+  FROM events
+  WHERE CAST(ts AS DATE) >= DATE '2024-01-18'
+),
+unified AS (
+  SELECT COALESCE(t.event_id, h.event_id) AS event_id,
+         COALESCE(t.d, h.d) AS d,
+         t.event_id IS NOT NULL AS from_tail
+  FROM history h FULL OUTER JOIN tail t ON h.event_id = t.event_id
+),
+truth AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_truth FROM events GROUP BY 1
+)
+SELECT CAST(u.d AS VARCHAR) AS day,
+       COUNT(*) AS n_unified,
+       CAST(SUM(CASE WHEN u.from_tail THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_from_tail,
+       MAX(t.n_truth) AS n_truth,
+       COUNT(*) = MAX(t.n_truth) AS complete_ok
+FROM unified u JOIN truth t ON u.d = t.d
+GROUP BY u.d
+ORDER BY day
+"""
+
+
+@register(
+    "s_lambda_unify", oracle=_LAMBDA_ORACLE, tags=("J3", "T6", "A1", "P7")
+)
+def s_lambda_unify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture unification: a batch HISTORY view (through
+    day 20) and a streaming TAIL view (day 18 onward) overlap by
+    design — the serving layer must merge them WITHOUT double-counting
+    the overlap and WITHOUT gaps at the seam. One key-equi FULL OUTER
+    join on event_id resolves it (tail wins where both exist), and
+    `complete_ok` proves per-day counts equal the ground truth on
+    every day — seam days included. The batch-queryable core of what
+    `st_pipeline_ingest` does with a live stream.
+
+    Scale: both views prune at the scan (date predicates push down);
+    the unify join shuffles each side once on event_id; the audit is
+    a combinable day rollup joined to a day-sized truth table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d20 = F.lit("2024-01-20").cast("date")
+    d18 = F.lit("2024-01-18").cast("date")
+    history = e.filter(F.to_date("ts") <= d20).select(
+        F.col("event_id").alias("h_id"), F.to_date("ts").alias("h_d")
+    )
+    tail = e.filter(F.to_date("ts") >= d18).select(
+        F.col("event_id").alias("t_id"), F.to_date("ts").alias("t_d")
+    )
+    unified = history.join(
+        tail, history.h_id == tail.t_id, "full_outer"
+    ).select(
+        F.coalesce("t_d", "h_d").alias("d"),
+        F.col("t_id").isNotNull().alias("from_tail"),
+    )
+    truth = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_truth")
+    )
+    return (
+        unified.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_unified"),
+            F.sum(F.when(F.col("from_tail"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_from_tail"),
+        )
+        .join(truth, "d")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "n_unified",
+            "n_from_tail",
+            "n_truth",
+            (F.col("n_unified") == F.col("n_truth")).alias("complete_ok"),
+        )
+        .orderBy("day")
+    )
