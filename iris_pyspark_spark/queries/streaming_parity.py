@@ -724,3 +724,82 @@ def st_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("us_to_purchase"),
     )
     return drain_to_table(joined, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming observability: query-progress metrics as a table
+# ---------------------------------------------------------------------------
+
+
+@register("st_progress_metrics", oracle=None, tags=("T1", "T5", "A2"))
+def st_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OBSERVABILITY: drain a watermarked windowed aggregate
+    and return the StreamingQueryProgress telemetry — batches executed,
+    rows ingested, state-store rows, watermark advancement — as a
+    queryable table. This is the ops surface every production stream
+    is monitored through (lag dashboards, autoscaling signals); the
+    engine exposes it as data rather than logs.
+
+    Rows-only by design (engine telemetry has no DuckDB analogue);
+    self-validating:
+      * rows_accounted_ok — Σ numInputRows across progress events
+        equals the events table's row count (AvailableNow must ingest
+        everything exactly once);
+      * batches_ok — at least one batch ran and none reported negative
+        durations;
+      * watermark_advanced_ok — the final event-time watermark is
+        non-empty (the watermark machinery actually engaged).
+
+    Scale: telemetry is O(batches), collected from the driver-side
+    listener state after termination — no data-plane cost at all.
+    """
+    from ..streaming import read_events_stream
+
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "progress_metrics_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p is not None]
+    total_input = sum(int(p["numInputRows"]) for p in progresses)
+    n_batches = len(progresses)
+    max_duration = max(
+        (int(p["durationMs"].get("triggerExecution", 0)) for p in progresses),
+        default=0,
+    )
+    state_rows = 0
+    watermark = ""
+    for p in progresses:
+        for so in p.get("stateOperators", []):
+            state_rows = max(state_rows, int(so.get("numRowsTotal", 0)))
+        watermark = p.get("eventTime", {}).get("watermark", watermark) or watermark
+    truth = load_table(spark, sf_dir, "events").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_batches,
+                total_input,
+                truth,
+                state_rows,
+                max_duration,
+                watermark,
+                total_input == truth,
+                n_batches >= 1 and max_duration >= 0,
+                watermark != "",
+            )
+        ],
+        "n_batches int, rows_ingested long, rows_expected long, "
+        "state_rows_peak long, max_trigger_ms long, final_watermark string, "
+        "rows_accounted_ok boolean, batches_ok boolean, "
+        "watermark_advanced_ok boolean",
+    )

@@ -34,7 +34,7 @@ from pyspark.sql.functions import pandas_udf, udtf
 
 from ..catalog import load_table
 from ..registry import register
-from .joins import CENTS_SQL
+from .joins import CENTS_SQL, cents
 
 # --- U1: scalar pandas UDF (Series → Series, Arrow-vectorized) -------------
 
@@ -824,4 +824,83 @@ def u_udtf_partition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         ORDER BY t.lang, t.rk
         """
+    )
+
+
+_GROUPED_OLS_ORACLE = """
+WITH pts AS (
+  SELECT c_mktsegment AS seg,
+         CAST(c_custkey AS DOUBLE) AS x,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS y_cents
+  FROM customer
+),
+stats AS (
+  SELECT seg, COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y_cents) AS DOUBLE) AS sy,
+         CAST(SUM(x * y_cents) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM pts GROUP BY seg
+)
+SELECT seg, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM stats
+ORDER BY seg
+"""
+
+
+@register(
+    "u_grouped_ols_fit",
+    oracle=_GROUPED_OLS_ORACLE,
+    tags=("U2", "A1", "F3"),
+)
+def u_grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fitting — the canonical "many small models"
+    grouped-map pattern: one OLS fit (balance vs custkey) per market
+    segment runs INSIDE applyInPandas, each group's data arriving as a
+    pandas frame on one executor. The Python side computes the SAME
+    closed-form normal equations the SQL oracle uses (deliberately NOT
+    numpy.lstsq: SVD's float path differs in final ulps, the closed
+    form is reproducible) — so the query proves the grouped-map
+    machinery delivers every row of every group exactly once.
+
+    Scale: one shuffle on the grouping key; each model fits in one
+    task's memory because per-group data does (the applyInPandas
+    contract) — 10⁶ segments fit 10⁶ models embarrassingly parallel.
+    Sufficient sums accumulate in numpy float64 from a SORTED frame
+    (deterministic summation order within the group).
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").cast("double").alias("x"),
+        cents(F.col("c_acctbal")).alias("y_cents"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x", kind="mergesort")
+        n = float(len(pdf))
+        x = pdf["x"].to_numpy()
+        y = pdf["y_cents"].to_numpy().astype("float64")
+        sx, sy = float(x.sum()), float(y.sum())
+        sxy = float((x * y).sum())
+        sxx = float((x * x).sum())
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame(
+            {
+                "seg": [pdf["seg"].iloc[0]],
+                "n": [int(n)],
+                "slope": [round(slope, 6)],
+                "intercept": [round(intercept, 6)],
+            }
+        )
+
+    return (
+        d.groupBy("seg")
+        .applyInPandas(fit, "seg string, n long, slope double, intercept double")
+        .orderBy("seg")
     )
