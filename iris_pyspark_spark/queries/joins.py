@@ -1092,3 +1092,93 @@ def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bridge-table M:N allocation (Kimball weighting — no double counting)
+# ---------------------------------------------------------------------------
+
+_BRIDGE_ORACLE = """
+WITH bridge AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+weights AS (
+  SELECT l_partkey, l_suppkey,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n_supps
+  FROM bridge
+),
+part_rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+),
+allocated AS (
+  SELECT s.s_nationkey, w.l_partkey,
+         CAST(p.rev_cents // w.n_supps AS BIGINT) AS alloc_cents
+  FROM weights w
+  JOIN part_rev p ON w.l_partkey = p.l_partkey
+  JOIN supplier s ON w.l_suppkey = s.s_suppkey
+)
+SELECT n.n_name,
+       COUNT(DISTINCT a.l_partkey) AS n_parts,
+       CAST(SUM(a.alloc_cents) AS BIGINT) AS allocated_rev_cents
+FROM allocated a JOIN nation n ON a.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@register(
+    "j_bridge_allocation",
+    oracle=_BRIDGE_ORACLE,
+    tags=("J6", "J1", "W3", "A1"),
+)
+def j_bridge_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-to-many BRIDGE allocation (Kimball): part revenue flows to
+    supplier nations through the part↔supplier bridge, with each
+    part's revenue split 1/n across its suppliers — the weighting that
+    makes the nation totals ADD UP instead of multiplying revenue by
+    the bridge fan-out (the classic M:N double-counting bug: a naive
+    join here would inflate totals by the suppliers-per-part factor).
+
+    Exactness: allocation uses positive BIGINT floor division (the
+    sub-cent remainder is deliberately dropped identically on both
+    engines — production variants assign remainders to a designated
+    owner row). Scale: the bridge and the part-revenue rollup are both
+    combinable aggregates far smaller than lineitem; the weight is a
+    window over the bridge (bounded fan-out per part); dims broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    bridge = li.select("l_partkey", "l_suppkey").dropDuplicates()
+    w = Window.partitionBy("l_partkey")
+    weights = bridge.withColumn("n_supps", F.count(F.lit(1)).over(w))
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(cents(F.col("l_extendedprice"))).cast("long").alias("rev_cents")
+    )
+    allocated = (
+        weights.join(part_rev, "l_partkey")
+        .join(s.select("s_suppkey", "s_nationkey"),
+              weights.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "s_nationkey",
+            "l_partkey",
+            F.expr("CAST(rev_cents DIV n_supps AS BIGINT)").alias(
+                "alloc_cents"
+            ),
+        )
+    )
+    return (
+        allocated.join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            allocated.s_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum("alloc_cents").cast("long").alias("allocated_rev_cents"),
+        )
+        .orderBy("n_name")
+    )

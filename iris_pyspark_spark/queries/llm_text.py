@@ -2422,3 +2422,113 @@ def n_stemming_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical text-watermark detection (greenlist bias test)
+# ---------------------------------------------------------------------------
+
+_WATERMARK_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, LOWER(text) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 700000,
+         'key agg row map par fig log sum min max bit hex oct dec val'
+  FROM documents WHERE doc_id % 79 = 0
+),
+toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM corpus
+),
+pairs AS (
+  SELECT doc_id,
+         UNNEST(GENERATE_SERIES(2, LEN(t))) AS i,
+         t
+  FROM toks WHERE LEN(t) >= 2
+),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN (LEN(t[i - 1]) * 48271 + LEN(t[i]) * 16807) % 2 = 0
+              THEN 1 ELSE 0 END AS green
+  FROM pairs
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n,
+         CAST(SUM(green) AS BIGINT) AS g
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n, g,
+       ROUND((g - n / 2.0) / SQRT(n / 4.0), 6) AS z_score,
+       (g - n / 2.0) / SQRT(n / 4.0) > 4 AS watermark_detected,
+       doc_id >= 700000 AS planted
+FROM per_doc
+WHERE n >= 10 AND ((g - n / 2.0) / SQRT(n / 4.0) > 4 OR doc_id >= 700000)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "n_watermark_detection",
+    oracle=_WATERMARK_ORACLE,
+    tags=("N5", "F4", "A1", "P6"),
+)
+def n_watermark_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical text-watermark detection (Kirchenbauer-style
+    greenlist test): a watermarking generator biases each token toward
+    a 'green list' seeded by the previous token; the detector recounts
+    the green fraction and flags docs where the one-proportion z-score
+    exceeds 4 — organic text sits at g/n ≈ ½, watermarked text far
+    above. The hash here keys on adjacent token LENGTHS (cross-engine
+    reproducible; a production detector uses the generator's seeded
+    vocab hash — same relational shape), and planted fully-green docs
+    (uniform 3-letter tokens at doc_id+700000) prove detector recall
+    while the organic corpus shows the false-positive behavior.
+
+    Scale: pair scoring is a higher-order array expression per doc
+    (no token explode — the GENERATE_SERIES runs inside the row), one
+    combinable per-doc rollup, and a closed-form z per row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") % 79 == 0).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.lit(
+            "key agg row map par fig log sum min max bit hex oct dec val"
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", F.lower("text").alias("text")).unionByName(
+        planted
+    )
+    t = F.split(F.col("text"), " ")
+    green_sum = F.aggregate(
+        F.sequence(F.lit(2), F.size(t)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            (
+                F.length(F.element_at(t, i - 1)) * 48271
+                + F.length(F.element_at(t, i)) * 16807
+            )
+            % 2
+            == 0,
+            1,
+        ).otherwise(0),
+    )
+    per_doc = corpus.filter(F.size(t) >= 2).select(
+        "doc_id",
+        (F.size(t) - 1).cast("long").alias("n"),
+        green_sum.alias("g"),
+    )
+    z = (F.col("g") - F.col("n") / 2.0) / F.sqrt(F.col("n") / 4.0)
+    return (
+        per_doc.filter(
+            (F.col("n") >= 10) & ((z > 4) | (F.col("doc_id") >= 700000))
+        )
+        .select(
+            "doc_id",
+            "n",
+            "g",
+            F.round(z, 6).alias("z_score"),
+            (z > 4).alias("watermark_detected"),
+            (F.col("doc_id") >= 700000).alias("planted"),
+        )
+        .orderBy("doc_id")
+    )
