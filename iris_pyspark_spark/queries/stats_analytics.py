@@ -2193,3 +2193,71 @@ def a_hill_tail_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 + F.col("k_tail") / (F.col("sum_log_micro") / 1000000.0), 6
         ).alias("alpha_hill"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) check for experiment health
+# ---------------------------------------------------------------------------
+
+_SRM_ORACLE = """
+WITH assigned AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN (user_id * 48271) % 100 < 50 THEN 'A' ELSE 'B' END AS arm
+  FROM events
+),
+counts AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM assigned
+)
+SELECT n_a, n_b,
+       ROUND(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b)
+             / (n_a + n_b), 6) AS chi2_srm,
+       CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b) < 10.83
+         AS ratio_healthy,
+       CAST(n_a * 1000000 // (n_a + n_b) AS BIGINT) AS share_a_ppm
+FROM counts
+"""
+
+
+@register(
+    "a_srm_check", oracle=_SRM_ORACLE, tags=("A2", "A7", "P6")
+)
+def a_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment-health gate that
+    must pass BEFORE `e_welch_ttest` or `e_ab_test_lift` are read: a
+    50/50 assignment whose realized split fails the 1-dof chi-square
+    (χ² = (n_a−n_b)²/(n_a+n_b) against the p<0.001 critical value
+    10.83) indicates broken randomization — logging loss, bot
+    filtering, redirect bugs — and invalidates every downstream
+    metric no matter how significant it looks.
+
+    Scale: one distinct-user pass (the assignment unit), one 2-cell
+    conditional rollup, closed-form χ² on a 1-row frame — exact
+    integer counts into one fixed-shape double expression.
+    """
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.select("user_id").dropDuplicates().select(
+        F.when((F.col("user_id") * 48271) % 100 < 50, "A")
+        .otherwise("B")
+        .alias("arm")
+    )
+    counts = assigned.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    diff = (F.col("n_a") - F.col("n_b")).cast("double")
+    chi2 = diff * (F.col("n_a") - F.col("n_b")) / (F.col("n_a") + F.col("n_b"))
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2_srm"),
+        (chi2 < 10.83).alias("ratio_healthy"),
+        F.expr("CAST(n_a * 1000000 DIV (n_a + n_b) AS BIGINT)").alias(
+            "share_a_ppm"
+        ),
+    )
