@@ -1151,3 +1151,99 @@ def a_quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (clamped-tail robust average)
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH v AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+cuts AS (
+  SELECT c_mktsegment,
+         quantile_cont(bal_cents, 0.05) AS p05,
+         quantile_cont(bal_cents, 0.95) AS p95
+  FROM v GROUP BY c_mktsegment
+),
+clamped AS (
+  SELECT v.c_mktsegment,
+         CAST(ROUND(LEAST(GREATEST(CAST(v.bal_cents AS DOUBLE), c.p05),
+                          c.p95)) AS BIGINT) AS w_cents,
+         v.bal_cents
+  FROM v JOIN cuts c ON v.c_mktsegment = c.c_mktsegment
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(bal_cents) AS DOUBLE) / COUNT(*) / 100, 6) AS raw_mean,
+       ROUND(CAST(SUM(w_cents) AS DOUBLE) / COUNT(*) / 100, 6)
+         AS winsorized_mean,
+       CAST(SUM(CASE WHEN w_cents <> bal_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped
+FROM clamped
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "a_winsorized_mean",
+    oracle=_WINSOR_ORACLE,
+    tags=("A8", "A1", "J2", "F3"),
+)
+def a_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per segment: values clamped to the exact
+    [p5, p95] range before averaging — the robust average that KEEPS
+    outlier rows (at clamped magnitude) where trimming drops them:
+    the standard treatment for revenue metrics where a single whale
+    should count, but not dominate. Reported next to the raw mean and
+    the clamp count so the adjustment is auditable.
+
+    Determinism: exact interpolated percentiles of integer cents are
+    .0/.5-exact doubles (the `a_mad_outliers` property); clamped
+    values round back to exact BIGINT cents so the final sums are
+    partition-order-free. Scale: one exact grouped percentile (the
+    honest sort), 5-row cut table broadcast back, one combinable
+    rollup.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    v = c.select(
+        "c_mktsegment", cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    cuts = v.groupBy("c_mktsegment").agg(
+        F.expr("percentile(bal_cents, 0.05)").alias("p05"),
+        F.expr("percentile(bal_cents, 0.95)").alias("p95"),
+    )
+    clamped = v.join(F.broadcast(cuts), "c_mktsegment").select(
+        "c_mktsegment",
+        "bal_cents",
+        F.round(
+            F.least(
+                F.greatest(F.col("bal_cents").cast("double"), F.col("p05")),
+                F.col("p95"),
+            )
+        )
+        .cast("long")
+        .alias("w_cents"),
+    )
+    return (
+        clamped.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("bal_cents").cast("double") / F.count(F.lit(1)) / 100, 6
+            ).alias("raw_mean"),
+            F.round(
+                F.sum("w_cents").cast("double") / F.count(F.lit(1)) / 100, 6
+            ).alias("winsorized_mean"),
+            F.sum(
+                F.when(F.col("w_cents") != F.col("bal_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clamped"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1182,3 +1182,66 @@ def j_bridge_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mark join: EXISTS as a column, not a filter
+# ---------------------------------------------------------------------------
+
+_MARK_ORACLE = """
+WITH marked AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         EXISTS (SELECT 1 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderstatus = 'F') AS has_finished_order
+  FROM customer c
+)
+SELECT c_mktsegment, has_finished_order,
+       COUNT(*) AS n_customers,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM marked
+GROUP BY c_mktsegment, has_finished_order
+ORDER BY c_mktsegment, has_finished_order
+"""
+
+
+@register(
+    "j_mark_join_exists_flag",
+    oracle=_MARK_ORACLE,
+    tags=("J4", "J3", "A1", "P6"),
+)
+def j_mark_join_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark join: EXISTS kept as a BOOLEAN COLUMN instead of a filter
+    — the shape behind "segment customers by whether they ever
+    completed an order" where semi/anti joins can only keep or drop
+    rows, never label them. Implemented as a left join against the
+    DISTINCT key set + null-flag (what DuckDB calls a mark join and
+    plans natively for EXISTS in a projection; Spark reaches the same
+    result with the distinct-key outer join — same single shuffle as
+    a semi join because the distinct collapses the fact side first).
+
+    Exactness: pure counts and key min/max per (segment, flag) cell.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    finished = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .dropDuplicates()
+        .withColumn("mark", F.lit(True))
+    )
+    marked = c.join(finished, "c_custkey", "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("mark", F.lit(False)).alias("has_finished_order"),
+    )
+    return (
+        marked.groupBy("c_mktsegment", "has_finished_order")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").cast("long").alias("min_key"),
+            F.max("c_custkey").cast("long").alias("max_key"),
+        )
+        .orderBy("c_mktsegment", "has_finished_order")
+    )

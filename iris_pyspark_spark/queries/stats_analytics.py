@@ -2261,3 +2261,133 @@ def a_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_a_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction for the A/B readout
+# ---------------------------------------------------------------------------
+
+_CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN (user_id * 48271) % 100 < 50 THEN 'A' ELSE 'B' END AS arm,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN {CENTS_SQL.format(expr="value")} ELSE 0 END)
+              AS BIGINT) AS x_pre,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                  THEN {CENTS_SQL.format(expr="value")} ELSE 0 END)
+              AS BIGINT) AS y_post
+  FROM events GROUP BY user_id
+),
+moments AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x_pre) AS BIGINT) AS sx,
+         CAST(SUM(y_post) AS BIGINT) AS sy,
+         CAST(SUM(x_pre * y_post) AS BIGINT) AS sxy,
+         CAST(SUM(x_pre * x_pre) AS BIGINT) AS sxx,
+         CAST(SUM(y_post * y_post) AS BIGINT) AS syy
+  FROM per_user
+),
+theta AS (
+  SELECT n, sx, sy, syy,
+         (sxy - CAST(sx AS DOUBLE) * sy / n)
+           / (sxx - CAST(sx AS DOUBLE) * sx / n) AS th,
+         (sxy - CAST(sx AS DOUBLE) * sy / n)
+           * ((sxy - CAST(sx AS DOUBLE) * sy / n)
+              / (sxx - CAST(sx AS DOUBLE) * sx / n)) AS explained
+  FROM moments
+),
+arms AS (
+  SELECT p.arm, COUNT(*) AS n_arm,
+         CAST(SUM(p.y_post) AS BIGINT) AS sy_arm,
+         CAST(SUM(p.x_pre) AS BIGINT) AS sx_arm
+  FROM per_user p GROUP BY p.arm
+),
+adj AS (
+  SELECT a.arm, a.n_arm,
+         CAST(a.sy_arm AS DOUBLE) / a.n_arm
+           - t.th * (CAST(a.sx_arm AS DOUBLE) / a.n_arm
+                     - CAST(t.sx AS DOUBLE) / t.n) AS y_cuped_mean,
+         t.th, t.explained, t.sy, t.syy, t.n
+  FROM arms a CROSS JOIN theta t
+)
+SELECT arm, n_arm,
+       ROUND(y_cuped_mean / 100, 6) AS cuped_mean_spend,
+       ROUND(th, 6) AS theta,
+       ROUND(explained
+             / (syy - CAST(sy AS DOUBLE) * sy / n), 6)
+         AS variance_reduction_frac
+FROM adj
+ORDER BY arm
+"""
+
+
+@register(
+    "e_cuped_adjustment", oracle=_CUPED_ORACLE, tags=("A1", "A7", "F2", "P6")
+)
+def e_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction: per-user PRE-period spend (days
+    before the cutover) is the control covariate; θ = cov(Y,X)/var(X)
+    is fit on the pooled population, and each arm's post-period mean
+    is adjusted to Ŷ = Ȳ_arm − θ(X̄_arm − X̄) — the industry-standard
+    trick that shrinks experiment confidence intervals by the R² of
+    pre on post (reported as `variance_reduction_frac`) without
+    touching the treatment effect. Pre-period data is valid as a
+    covariate precisely because assignment can't affect it.
+
+    Determinism: one combinable pass builds per-user (x, y) in exact
+    cents; pooled moments and arm sums are exact BIGINTs (magnitudes
+    checked: x·y products stay under 2⁵³ at these scales); θ and the
+    adjustment evaluate in fixed-shape double expressions on 1-row /
+    2-row frames.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.to_date("ts") < cut, cents(F.col("value"))).otherwise(0)
+        )
+        .cast("long")
+        .alias("x_pre"),
+        F.sum(
+            F.when(F.to_date("ts") >= cut, cents(F.col("value"))).otherwise(0)
+        )
+        .cast("long")
+        .alias("y_post"),
+    ).withColumn(
+        "arm",
+        F.when((F.col("user_id") * 48271) % 100 < 50, "A").otherwise("B"),
+    )
+    moments = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_pre").cast("long").alias("sx"),
+        F.sum("y_post").cast("long").alias("sy"),
+        F.sum(F.col("x_pre") * F.col("y_post")).cast("long").alias("sxy"),
+        F.sum(F.col("x_pre") * F.col("x_pre")).cast("long").alias("sxx"),
+        F.sum(F.col("y_post") * F.col("y_post")).cast("long").alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    varx = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    theta = moments.select(
+        "n", "sx", "sy", "syy",
+        (cov / varx).alias("th"),
+        (cov * (cov / varx)).alias("explained"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("y_post").cast("long").alias("sy_arm"),
+        F.sum("x_pre").cast("long").alias("sx_arm"),
+    )
+    adj = arms.crossJoin(F.broadcast(theta))
+    y_cuped = F.col("sy_arm").cast("double") / F.col("n_arm") - F.col("th") * (
+        F.col("sx_arm").cast("double") / F.col("n_arm")
+        - F.col("sx").cast("double") / F.col("n")
+    )
+    vary = F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    return adj.select(
+        "arm",
+        "n_arm",
+        F.round(y_cuped / 100, 6).alias("cuped_mean_spend"),
+        F.round(F.col("th"), 6).alias("theta"),
+        F.round(F.col("explained") / vary, 6).alias("variance_reduction_frac"),
+    ).orderBy("arm")

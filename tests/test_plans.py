@@ -321,6 +321,8 @@ _BNLJ_ALLOWED = frozenset({
     "a_hill_tail_exponent", "s_format_interop_matrix",
     # round-4 batch 19: 1-row reference-bounds/total crossJoins
     "n_embedding_drift_psi",
+    # round-4 batch 24: 1-row pooled-theta crossJoin onto the 2-row arms
+    "e_cuped_adjustment",
 })
 
 
