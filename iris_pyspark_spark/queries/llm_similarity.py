@@ -1266,3 +1266,101 @@ def n_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, label, embedding,
+         {norm_unrolled_sql("embedding", DIM)} AS nrm
+  FROM embeddings
+),
+anchors AS (
+  SELECT vec_id AS a_id, label AS a_label, embedding AS a_emb, nrm AS a_nrm
+  FROM normed WHERE vec_id % 101 = 0
+),
+ranked AS (
+  SELECT a.a_id, a.a_label, c.vec_id, c.label,
+         ROUND(({dot_unrolled_sql("a.a_emb", "c.embedding", DIM)})
+               / (a.a_nrm * c.nrm), 6) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY a.a_id ORDER BY
+           ({dot_unrolled_sql("a.a_emb", "c.embedding", DIM)})
+             / (a.a_nrm * c.nrm) DESC, c.vec_id) AS rk
+  FROM anchors a JOIN normed c
+    ON c.vec_id <> a.a_id AND c.label <> a.a_label
+)
+SELECT a_id, a_label, vec_id AS hard_negative,
+       label AS neg_label, cos_sim,
+       a_label <> label AS label_differs_ok
+FROM ranked WHERE rk = 1
+ORDER BY a_id
+"""
+
+
+@register(
+    "n_hard_negative_mining",
+    oracle=_HARDNEG_ORACLE,
+    tags=("N3", "N4", "N7", "W4"),
+)
+def n_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each anchor, the single most
+    cosine-similar vector with a DIFFERENT label — the contrastive-
+    training data op (triplet/InfoNCE batches built from random
+    negatives barely train; hard negatives near the decision boundary
+    carry the gradient). `label_differs_ok` pins the defining
+    constraint on every emitted pair.
+
+    Scale: the label-mismatch predicate is applied INSIDE the probe ⋈
+    corpus join (before ranking), so each anchor ranks only
+    wrong-label candidates; bounded anchor set broadcast against one
+    corpus scan, bit-exact unrolled dots, vec_id tie-break — the
+    knn_bruteforce posture with an inequality predicate fused in.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias(
+            "nrm"
+        ),
+    )
+    anchors = normed.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    cos = dot_unrolled(F.col("a_emb"), F.col("embedding"), DIM) / (
+        F.col("a_nrm") * F.col("nrm")
+    )
+    ranked = (
+        F.broadcast(anchors)
+        .join(
+            normed,
+            (F.col("vec_id") != F.col("a_id"))
+            & (F.col("label") != F.col("a_label")),
+        )
+        .withColumn("cos_sim", F.round(cos, 6))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("a_id").orderBy(cos.desc(), "vec_id")
+            ),
+        )
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "a_id",
+            "a_label",
+            F.col("vec_id").alias("hard_negative"),
+            F.col("label").alias("neg_label"),
+            "cos_sim",
+            (F.col("a_label") != F.col("label")).alias("label_differs_ok"),
+        )
+        .orderBy("a_id")
+    )

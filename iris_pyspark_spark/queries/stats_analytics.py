@@ -2391,3 +2391,110 @@ def e_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("th"), 6).alias("theta"),
         F.round(F.col("explained") / vary, 6).alias("variance_reduction_frac"),
     ).orderBy("arm")
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test in exact integers
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = f"""
+WITH cohorts AS (
+  SELECT user_id,
+         (user_id * 48271) % 100 < 50 AS in_a,
+         CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS spend
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n2
+  FROM cohorts
+),
+steps AS (
+  SELECT spend, in_a,
+         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END)
+              OVER (ORDER BY spend, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END)
+              OVER (ORDER BY spend, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c2
+  FROM cohorts
+),
+d AS (
+  SELECT MAX(ABS(c1 * s.n2 - c2 * s.n1)) AS d_scaled, s.n1, s.n2
+  FROM steps CROSS JOIN sizes s
+  GROUP BY s.n1, s.n2
+)
+SELECT n1, n2, CAST(d_scaled AS BIGINT) AS d_scaled,
+       ROUND(CAST(d_scaled AS DOUBLE) / (n1 * n2), 6) AS ks_d,
+       ROUND(1.358 * SQRT((n1 + n2) / (CAST(n1 AS DOUBLE) * n2)), 6)
+         AS crit_05,
+       CAST(d_scaled AS DOUBLE) / (n1 * n2)
+         > 1.358 * SQRT((n1 + n2) / (CAST(n1 AS DOUBLE) * n2))
+         AS distributions_differ
+FROM d
+"""
+
+
+@register(
+    "a_ks_two_sample", oracle=_KS_ORACLE, tags=("A8", "W3", "A2", "P6")
+)
+def a_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on per-user spend between
+    hash-assigned cohorts: D = max |F₁(x) − F₂(x)| — the
+    nonparametric "did the WHOLE distribution shift?" test that
+    catches changes a mean test misses (variance, shape, tails), with
+    the α=0.05 critical value 1.358·√((n₁+n₂)/n₁n₂).
+
+    The integer trick: cross-scale the ECDF gap to
+    |c₁·n₂ − c₂·n₁| — exact BIGINT at every step of the merged sort,
+    so the supremum is an exact integer MAX and only the final
+    normalization divides. The running counts come from one window
+    over the merged cohort sort (ties broken on user_id identically
+    both engines). Scale: one user-keyed combine, then the global
+    sorted window — the documented exact-order cost (a banded
+    approximation splits the value range at scale).
+    """
+    e = load_table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("spend")
+    ).withColumn("in_a", (F.col("user_id") * 48271) % 100 < 50)
+    sizes = cohorts.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("n2"),
+    )
+    w = Window.orderBy("spend", "user_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    steps = cohorts.select(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+        .over(w)
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1))
+        .over(w)
+        .cast("long")
+        .alias("c2"),
+    )
+    d = (
+        steps.crossJoin(F.broadcast(sizes))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("d_scaled")
+        )
+    )
+    ks = F.col("d_scaled").cast("double") / (F.col("n1") * F.col("n2"))
+    crit = 1.358 * F.sqrt(
+        (F.col("n1") + F.col("n2")) / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return d.select(
+        "n1",
+        "n2",
+        F.col("d_scaled").cast("long").alias("d_scaled"),
+        F.round(ks, 6).alias("ks_d"),
+        F.round(crit, 6).alias("crit_05"),
+        (ks > crit).alias("distributions_differ"),
+    )

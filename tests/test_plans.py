@@ -323,6 +323,9 @@ _BNLJ_ALLOWED = frozenset({
     "n_embedding_drift_psi",
     # round-4 batch 24: 1-row pooled-theta crossJoin onto the 2-row arms
     "e_cuped_adjustment",
+    # round-4 batch 25: 1-row cohort-sizes crossJoin; bounded anchor
+    # broadcast with fused label-mismatch predicate
+    "a_ks_two_sample", "n_hard_negative_mining",
 })
 
 
