@@ -2532,3 +2532,130 @@ def n_watermark_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF document-document cosine similarity (sparse lexical near-dup)
+# ---------------------------------------------------------------------------
+
+_TFIDF_SIM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+  FROM documents WHERE doc_id % 7 = 0
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+w AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(ROUND(tf.tf * (LN((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE))
+                             + 1) * 1000) AS BIGINT) AS w_milli
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+  WHERE df.df * 5 <= (SELECT n_docs FROM n)
+),
+norms AS (
+  SELECT doc_id, CAST(SUM(w_milli * w_milli) AS BIGINT) AS norm2
+  FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.w_milli * b.w_milli) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b, d.dot,
+       ROUND(d.dot / (SQRT(CAST(na.norm2 AS DOUBLE))
+                      * SQRT(CAST(nb.norm2 AS DOUBLE))), 6) AS cosine
+FROM dots d
+JOIN norms na ON d.doc_a = na.doc_id
+JOIN norms nb ON d.doc_b = nb.doc_id
+ORDER BY cosine DESC, d.doc_a, d.doc_b
+LIMIT 20
+"""
+
+
+@register(
+    "n_tfidf_doc_similarity",
+    oracle=_TFIDF_SIM_ORACLE,
+    tags=("N5", "N3", "J10", "O2"),
+)
+def n_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse LEXICAL document similarity: tf-idf-weighted cosine over
+    a shared-term equi-join — the classic IR doc-doc measure that
+    complements the DENSE embedding cosine (`n_cosine_topk`) and the
+    SET measures (Jaccard/containment): it finds docs sharing
+    distinctive VOCABULARY with term-frequency weighting neither of
+    those captures. Top-20 pairs over a doc_id%7 sample.
+
+    Scale posture: the dot products come from a TERM-keyed equi-join
+    over the sparse weight table, and the join is bounded by dropping
+    COMMON terms first (df ≤ n/5 — a stopword-df cut, the lexical
+    analogue of the LSH banding bound: frequent terms generate
+    quadratic fan-out and carry no discriminative weight anyway).
+    Weights are rounded to integer milli at the leaf, so dots and
+    norms² are exact BIGINTs; one double expression normalizes.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = (
+        tf.join(df_t, "tok")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") * 5 <= F.col("n_docs"))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")
+                    )
+                    + 1
+                )
+                * 1000
+            )
+            .cast("long")
+            .alias("w_milli"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w_milli") * F.col("w_milli")).cast("long").alias("norm2")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum(F.col("a.w_milli") * F.col("b.w_milli"))
+            .cast("long")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("n2b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("n2a").cast("double"))
+                    * F.sqrt(F.col("n2b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )

@@ -2498,3 +2498,107 @@ def a_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("crit_05"),
         (ks > crit).alias("distributions_differ"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly spectral power (single-bin DFT with pre-rounded weights)
+# ---------------------------------------------------------------------------
+
+#: cos/sin(2πt/7) for t = 0..6, pre-rounded to integer micro — the DFT
+#: weights are LITERALS so no trig function runs at query time on
+#: either engine (libm cos/sin are not cross-engine bit-stable).
+_DFT_COS = (1000000, 623490, -222521, -900969, -900969, -222521, 623490)
+_DFT_SIN = (0, 781831, 974928, 433884, -433884, -974928, -781831)
+
+_SPECTRAL_ORACLE = f"""
+WITH daily AS (
+  SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT COUNT(*) AS n, CAST(SUM(rev_cents) AS BIGINT) AS s FROM daily
+),
+dev AS (
+  SELECT d.d % 7 AS phase,
+         d.rev_cents * t.n - t.s AS dev_scaled,
+         t.n
+  FROM daily d CROSS JOIN tot t
+),
+proj AS (
+  SELECT n,
+         CAST(SUM(dev_scaled *
+           [{", ".join(str(c) for c in _DFT_COS)}][phase + 1]) AS HUGEINT)
+           AS re_part,
+         CAST(SUM(dev_scaled *
+           [{", ".join(str(s) for s in _DFT_SIN)}][phase + 1]) AS HUGEINT)
+           AS im_part
+  FROM dev GROUP BY n
+)
+SELECT n AS n_days,
+       CAST(re_part AS DOUBLE) AS re_micro,
+       CAST(im_part AS DOUBLE) AS im_micro,
+       ROUND(SQRT(CAST(re_part AS DOUBLE) * re_part
+                  + CAST(im_part AS DOUBLE) * im_part)
+             / (CAST(n AS DOUBLE) * n * 1000000 * 100), 6)
+         AS weekly_amplitude_dollars
+FROM proj
+"""
+
+
+@register(
+    "t_weekly_spectral_power",
+    oracle=_SPECTRAL_ORACLE,
+    tags=("A2", "F3", "F2"),
+)
+def t_weekly_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bin DFT at the weekly frequency: project the
+    mean-removed daily revenue series onto cos/sin(2πt/7) and report
+    the amplitude — the frequency-domain confirmation of what
+    `t_seasonality_dow_profile` and `t_acf_lags` show in the time
+    domain (a large weekly amplitude = strong day-of-week cycle).
+
+    Determinism: the trig weights are PRE-ROUNDED integer-micro
+    literals indexed by t mod 7 (no libm trig at query time — the
+    NDCG gain-ladder move applied to Fourier); deviations are
+    mean-removed in scaled integers (x·n − Σx, the CUSUM trick), so
+    both projections are exact integer sums (HUGEINT in DuckDB;
+    Spark's re/im sums stay within long range at these scales and are
+    cast to double only for the final amplitude). Scale: one
+    combinable groupBy(day), then arithmetic on a 7-phase rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("rev_cents"))
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev_cents").cast("long").alias("s")
+    )
+    cos_arr = F.array(*[F.lit(c).cast("long") for c in _DFT_COS])
+    sin_arr = F.array(*[F.lit(s).cast("long") for s in _DFT_SIN])
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        ((F.col("d") % 7) + 1).cast("int").alias("phase1"),
+        (F.col("rev_cents") * F.col("n") - F.col("s")).alias("dev_scaled"),
+        "n",
+    )
+    proj = dev.groupBy("n").agg(
+        F.sum(F.col("dev_scaled") * F.element_at(cos_arr, F.col("phase1")))
+        .cast("double")
+        .alias("re_micro"),
+        F.sum(F.col("dev_scaled") * F.element_at(sin_arr, F.col("phase1")))
+        .cast("double")
+        .alias("im_micro"),
+    )
+    return proj.select(
+        F.col("n").alias("n_days"),
+        "re_micro",
+        "im_micro",
+        F.round(
+            F.sqrt(
+                F.col("re_micro") * F.col("re_micro")
+                + F.col("im_micro") * F.col("im_micro")
+            )
+            / (F.col("n").cast("double") * F.col("n") * 1000000 * 100),
+            6,
+        ).alias("weekly_amplitude_dollars"),
+    )

@@ -326,6 +326,8 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 batch 25: 1-row cohort-sizes crossJoin; bounded anchor
     # broadcast with fused label-mismatch predicate
     "a_ks_two_sample", "n_hard_negative_mining",
+    # round-4 batch 26: 1-row n-docs/series-total crossJoins
+    "n_tfidf_doc_similarity", "t_weekly_spectral_power",
 })
 
 
