@@ -1247,3 +1247,87 @@ def a_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP with ratio-to-parent (hierarchy share report)
+# ---------------------------------------------------------------------------
+
+_SHARE_PARENT_ORACLE = """
+WITH leaf AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS bal_cents
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+),
+region_tot AS (
+  SELECT region, CAST(SUM(bal_cents) AS BIGINT) AS region_cents
+  FROM leaf GROUP BY region
+),
+grand AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS grand_cents FROM leaf)
+SELECT l.region, l.nation, l.bal_cents,
+       rt.region_cents,
+       CAST(l.bal_cents * 1000000 // rt.region_cents AS BIGINT)
+         AS share_of_region_ppm,
+       CAST(rt.region_cents * 1000000 // g.grand_cents AS BIGINT)
+         AS region_share_of_total_ppm
+FROM leaf l
+JOIN region_tot rt ON l.region = rt.region
+CROSS JOIN grand g
+ORDER BY l.region, l.nation
+"""
+
+
+@register(
+    "a_rollup_share_of_parent",
+    oracle=_SHARE_PARENT_ORACLE,
+    tags=("A5", "A1", "J6", "W3"),
+)
+def a_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy share-of-parent report: each nation's balance as a
+    share of its REGION, and each region's share of the grand total —
+    the ratio-to-parent OLAP shape (`a_rollup` emits the levels; this
+    RELATES them). Implemented with partition windows over the leaf
+    rollup rather than joining GROUPING-SETS outputs back to
+    themselves: the leaf aggregate is computed ONCE and both parent
+    levels come from windows over its (|nations|-sized) result —
+    shares in exact integer ppm.
+
+    Scale: one star join + one combinable leaf rollup; the windows
+    run over 25 rows.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    leaf = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents(F.col("c_acctbal"))).cast("long").alias("bal_cents"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return (
+        leaf.withColumn(
+            "region_cents", F.sum("bal_cents").over(w_region).cast("long")
+        )
+        .withColumn(
+            "grand_cents", F.sum("bal_cents").over(w_all).cast("long")
+        )
+        .select(
+            "region",
+            "nation",
+            "bal_cents",
+            "region_cents",
+            F.expr(
+                "CAST(bal_cents * 1000000 DIV region_cents AS BIGINT)"
+            ).alias("share_of_region_ppm"),
+            F.expr(
+                "CAST(region_cents * 1000000 DIV grand_cents AS BIGINT)"
+            ).alias("region_share_of_total_ppm"),
+        )
+        .orderBy("region", "nation")
+    )

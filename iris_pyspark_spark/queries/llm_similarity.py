@@ -1364,3 +1364,124 @@ def n_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Uncertainty sampling (active learning: lowest kNN vote margin)
+# ---------------------------------------------------------------------------
+
+_UNCERTAINTY_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, label, embedding,
+         {norm_unrolled_sql("embedding", DIM)} AS nrm
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+  FROM normed WHERE vec_id % 61 = 0
+),
+neigh AS (
+  SELECT p.q_id, c.label,
+         ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+           ({dot_unrolled_sql("p.q_emb", "c.embedding", DIM)})
+             / (p.q_nrm * c.nrm) DESC, c.vec_id) AS rk
+  FROM probes p JOIN normed c ON p.q_id <> c.vec_id
+),
+votes AS (
+  SELECT q_id, label, COUNT(*) AS v
+  FROM neigh WHERE rk <= 9 GROUP BY q_id, label
+),
+vr AS (
+  SELECT q_id, label, v,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY v DESC, label) AS vrk
+  FROM votes
+),
+margins AS (
+  SELECT a.q_id,
+         MAX(CASE WHEN vrk = 1 THEN v END) AS top_votes,
+         MAX(CASE WHEN vrk = 1 THEN label END) AS top_label,
+         COALESCE(MAX(CASE WHEN vrk = 2 THEN v END), 0) AS second_votes
+  FROM vr a GROUP BY a.q_id
+)
+SELECT q_id, top_label, top_votes, second_votes,
+       CAST(top_votes - second_votes AS BIGINT) AS margin,
+       top_votes - second_votes <= 2 AS needs_labeling
+FROM margins
+ORDER BY margin, q_id
+"""
+
+
+@register(
+    "n_uncertainty_sampling",
+    oracle=_UNCERTAINTY_ORACLE,
+    tags=("N4", "N7", "W4", "A1"),
+)
+def n_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty sampling for active learning: probes ranked by
+    their 9-NN vote MARGIN (top label's votes minus runner-up's) —
+    the smallest-margin items sit closest to the decision boundary
+    and are where a labeling budget buys the most model improvement
+    (`needs_labeling` flags margin ≤ 2). The data-selection layer
+    above `n_knn_classify`: same neighbor machinery, but the output
+    is which UNLABELED items to send to annotators, not predictions.
+
+    Scale: bounded probe broadcast × one corpus scan; vote counting
+    and the two-level ranking windows operate on ≤9 rows per probe.
+    Margins are exact integer vote counts — no float anywhere past
+    the neighbor ranking.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias(
+            "nrm"
+        ),
+    )
+    probes = normed.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = dot_unrolled(F.col("q_emb"), F.col("embedding"), DIM) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    neigh = (
+        F.broadcast(probes)
+        .join(normed, F.col("q_id") != F.col("vec_id"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(cos.desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("rk") <= 9)
+    )
+    votes = neigh.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("v"))
+    vr = votes.withColumn(
+        "vrk",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("v").desc(), "label")
+        ),
+    )
+    margins = vr.groupBy("q_id").agg(
+        F.max(F.when(F.col("vrk") == 1, F.col("v"))).alias("top_votes"),
+        F.max(F.when(F.col("vrk") == 1, F.col("label"))).alias("top_label"),
+        F.coalesce(
+            F.max(F.when(F.col("vrk") == 2, F.col("v"))), F.lit(0)
+        ).alias("second_votes"),
+    )
+    return margins.select(
+        "q_id",
+        "top_label",
+        "top_votes",
+        "second_votes",
+        (F.col("top_votes") - F.col("second_votes"))
+        .cast("long")
+        .alias("margin"),
+        (F.col("top_votes") - F.col("second_votes") <= 2).alias(
+            "needs_labeling"
+        ),
+    ).orderBy("margin", "q_id")

@@ -803,3 +803,75 @@ def st_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_accounted_ok boolean, batches_ok boolean, "
         "watermark_advanced_ok boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming replay determinism: two independent drains agree bit-for-bit
+# ---------------------------------------------------------------------------
+
+
+@register("st_replay_determinism", oracle=None, tags=("T1", "T5", "T7"))
+def st_replay_determinism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming REPLAY determinism: the same watermarked windowed
+    aggregate drained TWICE — independent queries, independent
+    checkpoints, independent sinks — must produce bit-identical
+    results, the property that makes streaming pipelines re-runnable
+    after failure (if a replay could differ, checkpoint recovery
+    would be semantically lossy). The batch suite proves partition
+    invariance; this proves the STREAMING execution path (micro-batch
+    planning, state store, watermark bookkeeping) adds no
+    nondeterminism either.
+
+    Rows-only by design (the assertion is between two Spark runs);
+    per-window self-validation:
+      * replay_match_ok — both drains produced this (window, count,
+        cents) row exactly (full outer join finds no one-sided rows);
+      * both_present_ok — neither side's row is missing.
+    """
+    from ..streaming import drain_to_table, read_events_stream
+
+    def one_drain():
+        e = read_events_stream(spark, sf_dir)
+        agg = (
+            e.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "6 hours"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("value"))).cast("long").alias("cents"),
+            )
+            .select(
+                F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                    "w_start"
+                ),
+                "n",
+                "cents",
+            )
+        )
+        return drain_to_table(agg, output_mode="complete")
+
+    run1 = one_drain().select(
+        F.col("w_start"), F.col("n").alias("n1"), F.col("cents").alias("c1")
+    )
+    run2 = one_drain().select(
+        F.col("w_start"), F.col("n").alias("n2"), F.col("cents").alias("c2")
+    )
+    return (
+        run1.join(run2, "w_start", "full_outer")
+        .select(
+            "w_start",
+            F.coalesce("n1", F.lit(-1)).alias("n1_filled"),
+            F.coalesce("n2", F.lit(-2)).alias("n2_filled"),
+            F.coalesce("c1", F.lit(-1)).alias("c1_filled"),
+            F.coalesce("c2", F.lit(-2)).alias("c2_filled"),
+            # eqNullSafe: a one-sided row must read FALSE, never NULL
+            # (a NULL would slip through an .all() truthiness check).
+            (
+                F.col("n1").eqNullSafe(F.col("n2"))
+                & F.col("c1").eqNullSafe(F.col("c2"))
+            ).alias("replay_match_ok"),
+            (F.col("n1").isNotNull() & F.col("n2").isNotNull()).alias(
+                "both_present_ok"
+            ),
+        )
+        .orderBy("w_start")
+    )

@@ -328,6 +328,8 @@ _BNLJ_ALLOWED = frozenset({
     "a_ks_two_sample", "n_hard_negative_mining",
     # round-4 batch 26: 1-row n-docs/series-total crossJoins
     "n_tfidf_doc_similarity", "t_weekly_spectral_power",
+    # round-4 batch 27: bounded probe broadcast (vec_id % 61)
+    "n_uncertainty_sampling",
 })
 
 
