@@ -2602,3 +2602,187 @@ def t_weekly_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weekly_amplitude_dollars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-propensity weighting (observational effect estimate)
+# ---------------------------------------------------------------------------
+
+_IPW_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         (user_id * 2654435761) % 100 < 40 + (user_id % 3) * 10 AS treated,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN {CENTS_SQL.format(expr="value")} ELSE 0 END)
+              AS BIGINT) AS x_pre,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                  THEN {CENTS_SQL.format(expr="value")} ELSE 0 END)
+              AS BIGINT) AS y_post
+  FROM events GROUP BY user_id
+),
+strata AS (
+  SELECT user_id, treated, y_post, user_id % 3 AS stratum FROM per_user
+),
+propensity AS (
+  SELECT stratum,
+         CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         COUNT(*) AS n_s
+  FROM strata GROUP BY stratum
+),
+weighted AS (
+  SELECT s.stratum, s.treated, s.y_post, p.n_t, p.n_s,
+         CASE WHEN s.treated
+              THEN CAST(p.n_s AS DOUBLE) / p.n_t
+              ELSE CAST(p.n_s AS DOUBLE) / (p.n_s - p.n_t) END AS w
+  FROM strata s JOIN propensity p ON s.stratum = p.stratum
+)
+SELECT treated,
+       COUNT(*) AS n_users,
+       ROUND(SUM(w * y_post) / SUM(w) / 100, 6) AS ipw_mean_spend,
+       ROUND(SUM(CAST(y_post AS DOUBLE)) / COUNT(*) / 100, 6)
+         AS naive_mean_spend
+FROM weighted
+GROUP BY treated
+ORDER BY treated
+"""
+
+
+@register(
+    "e_ipw_adjustment", oracle=_IPW_ORACLE, tags=("A1", "A7", "J2", "P6")
+)
+def e_ipw_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity weighting for an OBSERVATIONAL comparison:
+    'treatment' here is deliberately CONFOUNDED with a user stratum
+    (assignment probability varies by user_id%3), so the naive group
+    means are biased; weighting each user by 1/P(their assignment |
+    stratum) rebalances the strata and recovers comparable means —
+    the third member of the causal toolkit (DiD nets out time trends,
+    CUPED cuts variance, IPW corrects selection). Stratum propensities
+    are exact count ratios, not a fitted model, so the whole estimator
+    is deterministic.
+
+    Caveat (float sums): the weighted sums Σw·y are double — here the
+    weights are one of three exact rational values per stratum and
+    the comparison survives because both engines sum the same
+    ~thousands of products into well-separated magnitudes and round
+    to 6dp; sub-ulp ordering effects are absorbed by the rounding.
+    Scale: one user pass, a 3-row propensity table broadcast back,
+    one combinable weighted rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.to_date("ts") >= cut, cents(F.col("value"))).otherwise(0)
+        )
+        .cast("long")
+        .alias("y_post"),
+    ).select(
+        "user_id",
+        "y_post",
+        (
+            (F.col("user_id") * 2654435761) % 100
+            < 40 + (F.col("user_id") % 3) * 10
+        ).alias("treated"),
+        (F.col("user_id") % 3).alias("stratum"),
+    )
+    propensity = per_user.groupBy("stratum").agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.count(F.lit(1)).alias("n_s"),
+    )
+    weighted = per_user.join(F.broadcast(propensity), "stratum").select(
+        "treated",
+        "y_post",
+        F.when(
+            F.col("treated"), F.col("n_s").cast("double") / F.col("n_t")
+        )
+        .otherwise(F.col("n_s").cast("double") / (F.col("n_s") - F.col("n_t")))
+        .alias("w"),
+    )
+    return (
+        weighted.groupBy("treated")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum(F.col("w") * F.col("y_post")) / F.sum("w") / 100, 6
+            ).alias("ipw_mean_spend"),
+            F.round(
+                F.sum(F.col("y_post").cast("double")) / F.count(F.lit(1)) / 100,
+                6,
+            ).alias("naive_mean_spend"),
+        )
+        .orderBy("treated")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score confidence interval for a conversion rate
+# ---------------------------------------------------------------------------
+
+_WILSON_ORACLE = """
+WITH conv AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+counts AS (
+  SELECT COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS k FROM conv
+),
+calc AS (
+  SELECT n, k,
+         CAST(k AS DOUBLE) / n AS p,
+         1.959964 * 1.959964 AS z2
+  FROM counts
+)
+SELECT n, k,
+       ROUND(p, 6) AS rate,
+       ROUND((p + z2 / (2 * n)
+              - 1.959964 * SQRT((p * (1 - p) + z2 / (4 * n)) / n))
+             / (1 + z2 / n), 6) AS wilson_lo,
+       ROUND((p + z2 / (2 * n)
+              + 1.959964 * SQRT((p * (1 - p) + z2 / (4 * n)) / n))
+             / (1 + z2 / n), 6) AS wilson_hi
+FROM calc
+"""
+
+
+@register(
+    "a_wilson_ci", oracle=_WILSON_ORACLE, tags=("A2", "A7", "F3")
+)
+def a_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for the user conversion
+    rate — the binomial interval that behaves at the boundaries where
+    the naive Wald interval collapses (p near 0 or 1, small n): the
+    number that belongs next to every conversion-rate readout
+    (`e_ab_test_lift` reports the point estimates; this bounds them).
+
+    Determinism: n and k are exact integers from one user-keyed
+    combine; the closed form evaluates once on a 1-row frame with
+    z² written as an explicit product and identical expression shape
+    on both engines (√ correctly rounded).
+    """
+    e = load_table(spark, sf_dir, "events")
+    conv = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    counts = conv.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("long").alias("k")
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    z = 1.959964
+    z2 = z * z
+    n = F.col("n")
+    center = p + z2 / (2 * n)
+    half = z * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
+    denom = 1 + z2 / n
+    return counts.select(
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
