@@ -2659,3 +2659,80 @@ def n_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length histogram (context-window planning)
+# ---------------------------------------------------------------------------
+
+_SEQLEN_ORACLE = r"""
+WITH lens AS (
+  SELECT LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+           AS n_tok
+  FROM documents
+),
+bucketed AS (
+  SELECT LENGTH(bin(GREATEST(n_tok, 1))) AS bucket, n_tok FROM lens
+),
+tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS all_tok FROM lens)
+SELECT bucket,
+       CAST(CAST(1 AS BIGINT) << (bucket - 1) AS BIGINT) AS lo_tokens,
+       CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS hi_tokens,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_in_bucket,
+       CAST(SUM(n_tok) * 1000000 // t.all_tok AS BIGINT) AS token_share_ppm
+FROM bucketed CROSS JOIN tot t
+GROUP BY bucket, t.all_tok
+ORDER BY bucket
+"""
+
+
+@register(
+    "n_seq_length_histogram",
+    oracle=_SEQLEN_ORACLE,
+    tags=("N5", "A1", "F3"),
+)
+def n_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in power-of-two buckets — the
+    context-window planning table: what fraction of TOKENS (not docs —
+    training cost is token-weighted) lives in each length doubling,
+    which decides the max_seq_len / packing-budget trade-off
+    (`n_token_packing` consumes the budget this query justifies).
+    BPE-ish token counts; exact LENGTH(bin()) bucketing (the
+    a_log2_histogram rule).
+
+    Scale: map-only counting fused into the scan, a 1-row token total
+    broadcast, ≤32 combinable buckets.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        token_count_bpe_ish("text").alias("n_tok")
+    )
+    bucketed = lens.select(
+        F.length(F.bin(F.greatest(F.col("n_tok"), F.lit(1)))).alias("bucket"),
+        "n_tok",
+    )
+    tot = lens.agg(F.sum("n_tok").cast("long").alias("all_tok"))
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("bucket", "all_tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens_in_bucket"),
+        )
+        .select(
+            "bucket",
+            F.expr("CAST(shiftleft(1L, bucket - 1) AS BIGINT)").alias(
+                "lo_tokens"
+            ),
+            F.expr("CAST(shiftleft(1L, bucket) - 1 AS BIGINT)").alias(
+                "hi_tokens"
+            ),
+            "n_docs",
+            "tokens_in_bucket",
+            F.expr(
+                "CAST(tokens_in_bucket * 1000000 DIV all_tok AS BIGINT)"
+            ).alias("token_share_ppm"),
+        )
+        .orderBy("bucket")
+    )

@@ -1353,3 +1353,106 @@ def s_lambda_unify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- MERGE idempotency proof -------------------------------------------------
+
+_MERGE_IDEM_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+batch AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN total_cents + 700
+              ELSE total_cents END AS new_cents
+  FROM base WHERE o_orderkey % 2 = 0
+),
+merged AS (
+  SELECT b.o_orderkey, b.o_orderstatus,
+         COALESCE(u.new_cents, b.total_cents) AS total_cents
+  FROM base b LEFT JOIN batch u ON b.o_orderkey = u.o_orderkey
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(total_cents) AS BIGINT) AS cents_checksum,
+       TRUE AS idempotent_ok
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "s_merge_idempotency",
+    oracle=_MERGE_IDEM_ORACLE,
+    tags=("S4", "J3", "A1", "P6"),
+)
+def s_merge_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE idempotency proof: the same upsert batch applied TWICE
+    against the parquet state must land exactly where applying it once
+    does — the transactional property that makes retry-after-failure
+    safe (a replayed batch that drifted state would make every
+    at-least-once delivery pipeline corrupting). The query materializes
+    state₀ → merge → state₁ → merge(same batch) → state₂ to disk and
+    emits per-status checksums of state₂ with `idempotent_ok` pinning
+    state₁ ≡ state₂ row-for-row (anti-join both directions is empty).
+
+    The oracle is the ONCE-applied final state — so the hash check
+    itself proves the twice-applied result equals it. Scale: each
+    merge is the `s_merge_upsert` shape (key anti-join + union, one
+    pass); the idempotency audit is two cheap anti-joins on the key.
+    """
+    from ..sources import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents(F.col("o_totalprice")).alias("total_cents"),
+    )
+    batch = base.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("total_cents") + 700
+        )
+        .otherwise(F.col("total_cents"))
+        .alias("total_cents"),
+    )
+    root = scratch_dir(sf_dir, "merge_idem")
+
+    def merge_into(state_path, out_path):
+        state = spark.read.parquet(state_path)
+        kept = state.join(batch.select("o_orderkey"), "o_orderkey", "left_anti")
+        kept.unionByName(batch).write.mode("overwrite").parquet(out_path)
+        return spark.read.parquet(out_path)
+
+    base.write.mode("overwrite").parquet(f"{root}/state0")
+    s1 = merge_into(f"{root}/state0", f"{root}/state1")
+    s2 = merge_into(f"{root}/state1", f"{root}/state2")
+
+    diff_a = s1.select("o_orderkey", "total_cents").exceptAll(
+        s2.select("o_orderkey", "total_cents")
+    )
+    diff_b = s2.select("o_orderkey", "total_cents").exceptAll(
+        s1.select("o_orderkey", "total_cents")
+    )
+    idem = (
+        diff_a.agg(F.count(F.lit(1)).alias("d1"))
+        .crossJoin(diff_b.agg(F.count(F.lit(1)).alias("d2")))
+        .select(
+            ((F.col("d1") == 0) & (F.col("d2") == 0)).alias("idempotent_ok")
+        )
+    )
+    return (
+        s2.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("total_cents").cast("long").alias("cents_checksum"),
+        )
+        .crossJoin(F.broadcast(idem))
+        .select("o_orderstatus", "n_rows", "cents_checksum", "idempotent_ok")
+        .orderBy("o_orderstatus")
+    )

@@ -2786,3 +2786,118 @@ def a_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention-curve exponential fit (log-linear decay rate)
+# ---------------------------------------------------------------------------
+
+_RETFIT_ORACLE = """
+WITH days AS (
+  SELECT user_id,
+         DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+weeks AS (
+  SELECT user_id, CAST(FLOOR(d / 7) AS BIGINT) AS w FROM days
+),
+cohort AS (SELECT MIN(w) AS w0, COUNT(DISTINCT user_id) AS n0 FROM weeks),
+activity AS (
+  SELECT CAST(wk.w - c.w0 AS BIGINT) AS age,
+         COUNT(DISTINCT wk.user_id) AS active
+  FROM weeks wk CROSS JOIN cohort c
+  GROUP BY age
+),
+pts AS (
+  SELECT a.age AS x,
+         CAST(ROUND(LN(a.active * 1000000.0 / c.n0) * 1000000) AS BIGINT)
+           AS y_micro
+  FROM activity a CROSS JOIN cohort c
+  WHERE a.age >= 1
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y_micro) AS BIGINT) AS sy,
+         CAST(SUM(x * y_micro) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_weeks,
+       ROUND((n * sxy - sx * sy)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000, 6)
+         AS weekly_log_decay,
+       ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * sxx - sx * sx) * sx) / n / 1000000, 6)
+         AS log_intercept
+FROM stats
+"""
+
+
+@register(
+    "e_retention_curve_fit",
+    oracle=_RETFIT_ORACLE,
+    tags=("A3", "A1", "F3", "F2"),
+)
+def e_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention-curve fit: weekly active share by cohort
+    age, fit as ln(retention) = a + b·age by OLS — `weekly_log_decay`
+    (b) is the churn half-life in one number (half-life = ln2/|b|),
+    the summary that turns `e_retention_cohorts`' matrix into a
+    forecastable parameter. Week-0 is excluded (it is 100% by
+    construction and would bias the fit).
+
+    Determinism: retention ratios round to micro-nat logs at the LEAF
+    (llm_text convention), so the OLS sufficient statistics are exact
+    BIGINTs; the two closed-form divisions run on a 1-row frame.
+    Scale: one distinct-user pass per (user, week), a 1-row cohort
+    broadcast, then arithmetic on a weeks-sized rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    weeks = e.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7
+        )
+        .cast("long")
+        .alias("w"),
+    ).dropDuplicates()
+    cohort = weeks.agg(
+        F.min("w").alias("w0"), F.countDistinct("user_id").alias("n0")
+    )
+    activity = (
+        weeks.crossJoin(F.broadcast(cohort))
+        .groupBy((F.col("w") - F.col("w0")).cast("long").alias("age"))
+        .agg(
+            F.countDistinct("user_id").alias("active"),
+            F.max("n0").alias("n0"),
+        )
+    )
+    pts = activity.filter(F.col("age") >= 1).select(
+        F.col("age").alias("x"),
+        F.round(
+            F.log(F.col("active") * 1000000.0 / F.col("n0")) * 1000000
+        )
+        .cast("long")
+        .alias("y_micro"),
+    )
+    stats = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y_micro").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y_micro")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    n, sx = F.col("n"), F.col("sx")
+    slope_num = n * F.col("sxy") - sx * F.col("sy")
+    slope_den = (n * F.col("sxx") - sx * sx).cast("double")
+    return stats.select(
+        n.alias("n_weeks"),
+        F.round(slope_num / slope_den / 1000000, 6).alias("weekly_log_decay"),
+        F.round(
+            (F.col("sy") - slope_num.cast("double") / (n * F.col("sxx") - sx * sx) * sx)
+            / n
+            / 1000000,
+            6,
+        ).alias("log_intercept"),
+    )

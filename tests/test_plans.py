@@ -330,6 +330,10 @@ _BNLJ_ALLOWED = frozenset({
     "n_tfidf_doc_similarity", "t_weekly_spectral_power",
     # round-4 batch 27: bounded probe broadcast (vec_id % 61)
     "n_uncertainty_sampling",
+    # round-4 batch 29: 1-row token-total/cohort/idempotency-flag
+    # crossJoins
+    "n_seq_length_histogram", "e_retention_curve_fit",
+    "s_merge_idempotency",
 })
 
 
