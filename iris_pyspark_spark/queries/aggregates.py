@@ -1331,3 +1331,90 @@ def a_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pythagorean means (arithmetic / geometric / harmonic) per group
+# ---------------------------------------------------------------------------
+
+_PYTH_MEANS_ORACLE = """
+WITH v AS (
+  SELECT o_orderpriority AS prio,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+leaves AS (
+  SELECT prio, cents,
+         CAST(ROUND(LN(cents) * 1000000) AS BIGINT) AS log_micro,
+         CAST(ROUND(1000000000000.0 / cents) AS BIGINT) AS recip_pico
+  FROM v
+),
+agg AS (
+  SELECT prio, COUNT(*) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(log_micro) AS BIGINT) AS slog,
+         CAST(SUM(recip_pico) AS BIGINT) AS srecip
+  FROM leaves GROUP BY prio
+)
+SELECT prio, n,
+       ROUND(CAST(s AS DOUBLE) / n / 100, 6) AS arithmetic_mean,
+       ROUND(EXP(CAST(slog AS DOUBLE) / n / 1000000) / 100, 4)
+         AS geometric_mean,
+       ROUND(CAST(n AS DOUBLE) * 1000000000000 / srecip / 100, 4)
+         AS harmonic_mean
+FROM agg
+ORDER BY prio
+"""
+
+
+@register(
+    "a_pythagorean_means",
+    oracle=_PYTH_MEANS_ORACLE,
+    tags=("A1", "A8", "F3"),
+)
+def a_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three Pythagorean means of order value per priority class —
+    arithmetic (total magnitude), geometric (multiplicative-scale
+    center, robust to right skew), harmonic (rate-style averaging) —
+    the A ≥ G ≥ H triple that answers different questions about the
+    same skewed money distribution.
+
+    Determinism discipline per mean: arithmetic from exact cent sums;
+    geometric in log space with micro-nat LEAF rounding (so the sum is
+    exact) and the single EXP at the end rounded to 4dp (the
+    e_survival_km_curve allowance for libm exp's final ulp); harmonic
+    from reciprocals rounded to exact pico-units at the leaf — no
+    float accumulates across rows anywhere. One combinable pass.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    leaves = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        cents(F.col("o_totalprice")).alias("cents"),
+    ).select(
+        "prio",
+        "cents",
+        F.round(F.log("cents") * 1000000).cast("long").alias("log_micro"),
+        F.round(1000000000000.0 / F.col("cents")).cast("long").alias(
+            "recip_pico"
+        ),
+    )
+    agg = leaves.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum("log_micro").cast("long").alias("slog"),
+        F.sum("recip_pico").cast("long").alias("srecip"),
+    )
+    return agg.select(
+        "prio",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n") / 100, 6).alias(
+            "arithmetic_mean"
+        ),
+        F.round(
+            F.exp(F.col("slog").cast("double") / F.col("n") / 1000000) / 100, 4
+        ).alias("geometric_mean"),
+        F.round(
+            F.col("n").cast("double") * 1000000000000 / F.col("srecip") / 100,
+            4,
+        ).alias("harmonic_mean"),
+    ).orderBy("prio")

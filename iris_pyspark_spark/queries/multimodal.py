@@ -383,3 +383,92 @@ def m_av_sync_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "needs_resync"
         ),
     ).orderBy("doc_id")
+
+
+# --- payload integrity audit (claimed vs actual byte counts) ---------------
+
+_INTEGRITY_ORACLE = """
+WITH claimed AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 59 = 0 THEN n_chars + 1 ELSE n_chars END
+           AS claimed_bytes,
+         octet_length(encode(text)) AS actual_bytes,
+         doc_id % 59 = 0 AS planted
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_items,
+       CAST(SUM(CASE WHEN claimed_bytes <> actual_bytes THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatched,
+       CAST(SUM(actual_bytes) AS BIGINT) AS total_actual_bytes,
+       CAST(SUM(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+       MIN(CASE WHEN planted THEN claimed_bytes <> actual_bytes END)
+         AS planted_all_caught_ok,
+       MIN(CASE WHEN NOT planted THEN claimed_bytes = actual_bytes END)
+         AS clean_all_pass_ok
+FROM claimed
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "m_payload_integrity_audit",
+    oracle=_INTEGRITY_ORACLE,
+    tags=("multimodal", "A1", "P6"),
+)
+def m_payload_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-payload integrity audit: every item's CLAIMED byte count
+    (the metadata a manifest or upstream crawler recorded) checked
+    against the ACTUAL payload length — the transfer-corruption /
+    truncated-download gate that belongs before any decode budget is
+    spent (a media lake ingesting without this check discovers
+    truncation as decoder crashes, much later and much more
+    expensively). Planted mismatches (claimed+1 on doc_id ≡ 0 mod 59)
+    pin detector recall and `clean_all_pass_ok` pins zero false
+    alarms on untampered items.
+
+    Scale: pure map (octet_length fuses into the scan) + one
+    combinable groupBy(lang). The synthetic corpus is ASCII so
+    n_chars == utf-8 bytes for clean rows; with real multibyte text
+    the claimed size comes from the manifest, not n_chars.
+    """
+    d = attach_payload(load_table(spark, sf_dir, "documents"))
+    claimed = d.select(
+        "lang",
+        F.when(F.col("doc_id") % 59 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("claimed_bytes"),
+        F.octet_length("payload").cast("long").alias("actual_bytes"),
+        (F.col("doc_id") % 59 == 0).alias("planted"),
+    )
+    return (
+        claimed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.when(
+                    F.col("claimed_bytes") != F.col("actual_bytes"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_mismatched"),
+            F.sum("actual_bytes").cast("long").alias("total_actual_bytes"),
+            F.sum(F.when(F.col("planted"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_planted"),
+            F.min(
+                F.when(
+                    F.col("planted"),
+                    F.col("claimed_bytes") != F.col("actual_bytes"),
+                )
+            ).alias("planted_all_caught_ok"),
+            F.min(
+                F.when(
+                    ~F.col("planted"),
+                    F.col("claimed_bytes") == F.col("actual_bytes"),
+                )
+            ).alias("clean_all_pass_ok"),
+        )
+        .orderBy("lang")
+    )
