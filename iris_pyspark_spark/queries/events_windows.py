@@ -947,3 +947,173 @@ def t_seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Regular-grid resample with last-observation-carried-forward
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_LOCF_ORACLE = """
+WITH obs AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MAX({'t': ts, 'id': event_id,
+              'v': CAST(ROUND(value * 100) AS BIGINT)}).v AS close_cents
+  FROM events
+  WHERE user_id % 3 = 0
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS dmin, MAX(day) AS dmax FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(CAST(dmin AS TIMESTAMP),
+                                     CAST(dmax AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT g.user_id, CAST(g.day AS VARCHAR) AS day,
+       o.close_cents IS NOT NULL AS observed,
+       LAST_VALUE(o.close_cents IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS close_cents_locf
+FROM grid g
+LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+"""
+
+
+@register(
+    "t_resample_grid_locf",
+    oracle=_RESAMPLE_LOCF_ORACLE,
+    tags=("T4", "W3", "F2", "F4"),
+)
+def t_resample_grid_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample an irregular event stream onto a regular daily grid and
+    carry the last observation forward — the canonical feature-store /
+    market-data densification (distinct from `w_forward_fill`, which
+    fills nulls on EXISTING rows; this one GENERATES the missing grid
+    rows first). Per user: daily close (deterministic argmax by
+    (ts, event_id) via lexicographic struct MAX, integer cents), the
+    per-user [min_day, max_day] span exploded through `sequence()`, a
+    left join back to observations, then `last(..., ignorenulls)` over
+    the grid.
+
+    Scale: grid cardinality is users x days — bounded by the CALENDAR,
+    not event volume; the heavy pass is one combinable groupBy(user,
+    day). The grid explode, the join, and the LOCF window all hash on
+    user_id, so AQE coalesces them onto one exchange. Values stay
+    integer cents end-to-end — no float drift."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 3 == 0)
+    obs = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max(
+            F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("id"),
+                cents(F.col("value")).alias("v"),
+            )
+        )
+        .getField("v")
+        .alias("close_cents")
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("dmin", "dmax")).alias("day")
+    )
+    joined = grid.join(obs, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.col("close_cents").isNotNull().alias("observed"),
+        F.last("close_cents", ignorenulls=True).over(w).alias("close_cents_locf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time out-of-orderness profile (watermark sizing)
+# ---------------------------------------------------------------------------
+
+_ORDER_SKEW_ORACLE = """
+WITH arr AS (
+  SELECT user_id, event_id, event_type, ts,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS hwm
+  FROM events
+),
+late AS (
+  SELECT event_type,
+         CASE WHEN hwm IS NOT NULL AND hwm > ts
+              THEN DATE_DIFF('second', ts, hwm) ELSE 0 END AS late_s
+  FROM arr
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_out_of_order,
+       MAX(late_s) AS max_lateness_s,
+       CAST(SUM(late_s) AS BIGINT) AS total_lateness_s,
+       ROUND(CAST(SUM(late_s) AS DOUBLE) / COUNT(*), 6) AS avg_lateness_s
+FROM late
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "t_event_order_skew",
+    oracle=_ORDER_SKEW_ORACLE,
+    tags=("T5", "W3", "A1", "F2"),
+)
+def t_event_order_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit: how late does each event arrive behind
+    the high-water mark of event-time already seen on its key? This is
+    the measurement you size `withWatermark` from — the streaming
+    queries in this engine declare lateness bounds, and this batch
+    profile is where those bounds come from. Arrival order is the
+    monotone ingest id (event_id); the per-key high-water mark is a
+    MAX(ts) window over arrival order ending 1 PRECEDING, and lateness
+    is whole seconds behind it (integer on both engines; both
+    DATE_DIFF and unix_timestamp truncate to the second boundary).
+
+    Scale: the window partitions by user_id — per-key sequential scan,
+    embarrassingly parallel across keys, never a global arrival sort;
+    the rollup to event_type is one combinable groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hwm = F.max("ts").over(w)
+    arr = e.select(
+        "event_type",
+        F.when(
+            hwm.isNotNull() & (hwm > F.col("ts")),
+            F.unix_timestamp(hwm) - F.unix_timestamp(F.col("ts")),
+        )
+        .otherwise(F.lit(0))
+        .alias("late_s"),
+    )
+    return (
+        arr.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0)).alias(
+                "n_out_of_order"
+            ),
+            F.max("late_s").alias("max_lateness_s"),
+            F.sum("late_s").cast("long").alias("total_lateness_s"),
+            F.round(
+                F.sum("late_s").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_lateness_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -715,3 +715,68 @@ def s_gdpr_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("lineitem", li, li_after, li_gone))
         .orderBy("tbl")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column-masking / row-filter policy view
+# ---------------------------------------------------------------------------
+
+_MASK_ORACLE = """
+SELECT c_custkey,
+       CONCAT(SUBSTR(c_name, 1, 9), '***') AS name_masked,
+       r.r_name AS geo_coarse,
+       SUBSTR(SHA256(CAST(c_custkey AS VARCHAR)), 1, 16) AS stable_token,
+       CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS balance_band,
+       c_mktsegment
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "s_column_masking_view",
+    oracle=_MASK_ORACLE,
+    tags=("P6", "F1", "F7", "P4"),
+)
+def s_column_masking_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row/column-level security as a policy view: analysts get a
+    masked projection — name truncated to its constant prefix,
+    location coarsened from nation to region (generalization, the
+    k-anonymity move, via two broadcast joins against the 25/5-row
+    dims), a STABLE pseudonymous join token (sha2 of the key,
+    truncated; the same customer tokenizes identically across
+    datasets, so joins still work without exposing the key space),
+    account balance coarsened to bands — plus a row filter restricting
+    to permitted market segments. The policy is projection + filter +
+    broadcast-dim lookups: the filter pushes down to the scan,
+    unmasked columns are pruned out of ReadSchema, and no shuffle
+    exists at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "c_custkey",
+            F.concat(F.substring("c_name", 1, 9), F.lit("***")).alias(
+                "name_masked"
+            ),
+            F.col("r_name").alias("geo_coarse"),
+            F.substring(
+                F.sha2(F.col("c_custkey").cast("string"), 256), 1, 16
+            ).alias("stable_token"),
+            F.when(F.col("c_acctbal") < 0, "negative")
+            .when(F.col("c_acctbal") < 5000, "low")
+            .otherwise("high")
+            .alias("balance_band"),
+            "c_mktsegment",
+        )
+        .orderBy("c_custkey")
+    )

@@ -2901,3 +2901,120 @@ def e_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("log_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix (one pass, long format)
+# ---------------------------------------------------------------------------
+
+_CORRMAT_ORACLE = """
+WITH leaves AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS t
+  FROM lineitem
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd, SUM(t) AS st,
+         SUM(q*q) AS sqq, SUM(p*p) AS spp,
+         SUM(d*d) AS sdd, SUM(t*t) AS stt,
+         SUM(q*p) AS sqp, SUM(q*d) AS sqd, SUM(q*t) AS sqt,
+         SUM(p*d) AS spd, SUM(p*t) AS spt, SUM(d*t) AS sdt
+  FROM leaves
+),
+pairs AS (
+  SELECT 'discount' AS var_x, 'price' AS var_y,
+         n, spd AS sxy, sd AS sx, sp AS sy, sdd AS sxx, spp AS syy
+  FROM stats
+  UNION ALL SELECT 'discount', 'quantity', n, sqd, sd, sq, sdd, sqq FROM stats
+  UNION ALL SELECT 'discount', 'tax',      n, sdt, sd, st, sdd, stt FROM stats
+  UNION ALL SELECT 'price',    'quantity', n, sqp, sp, sq, spp, sqq FROM stats
+  UNION ALL SELECT 'price',    'tax',      n, spt, sp, st, spp, stt FROM stats
+  UNION ALL SELECT 'quantity', 'tax',      n, sqt, sq, st, sqq, stt FROM stats
+)
+SELECT var_x, var_y, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
+FROM pairs
+ORDER BY var_x, var_y
+"""
+
+
+@register(
+    "a_correlation_matrix",
+    oracle=_CORRMAT_ORACLE,
+    tags=("A8", "A1", "F3", "A2"),
+)
+def a_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix over four lineitem
+    measures in ONE pass: fifteen exact-integer sufficient statistics
+    (four sums, four sums-of-squares, six cross-products, one count)
+    from a single combinable aggregate, then six output rows unpivoted
+    via stack() and one float formula per row. The single-pass shape is
+    the one that scales — a naive corr() per pair rescans the fact
+    table six times; this scans once.
+
+    Determinism: leaves are exact integers (quantity units, price
+    cents, discount/tax percent points); sums accumulate as
+    decimal(38,0) (Spark) / HUGEINT (DuckDB) because cents-squared
+    sums exceed int64 near sf1; the Pearson numerator/denominators
+    are computed in exact integer arithmetic and only the final ratio
+    is evaluated in doubles, identically ordered on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    q, p = F.col("q"), F.col("p")
+    d, t = F.col("d"), F.col("t")
+    leaves = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        cents(F.col("l_extendedprice")).alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    stats = leaves.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(q)).alias("sq"),
+        F.sum(dec(p)).alias("sp"),
+        F.sum(dec(d)).alias("sd"),
+        F.sum(dec(t)).alias("st"),
+        F.sum(dec(q * q)).alias("sqq"),
+        F.sum(dec(p * p)).alias("spp"),
+        F.sum(dec(d * d)).alias("sdd"),
+        F.sum(dec(t * t)).alias("stt"),
+        F.sum(dec(q * p)).alias("sqp"),
+        F.sum(dec(q * d)).alias("sqd"),
+        F.sum(dec(q * t)).alias("sqt"),
+        F.sum(dec(p * d)).alias("spd"),
+        F.sum(dec(p * t)).alias("spt"),
+        F.sum(dec(d * t)).alias("sdt"),
+    )
+    pairs = stats.selectExpr(
+        "n",
+        """stack(6,
+           'discount', 'price',    spd, sd, sp, sdd, spp,
+           'discount', 'quantity', sqd, sd, sq, sdd, sqq,
+           'discount', 'tax',      sdt, sd, st, sdd, stt,
+           'price',    'quantity', sqp, sp, sq, spp, sqq,
+           'price',    'tax',      spt, sp, st, spp, stt,
+           'quantity', 'tax',      sqt, sq, st, sqq, stt
+         ) AS (var_x, var_y, sxy, sx, sy, sxx, syy)""",
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return pairs.select(
+        "var_x",
+        "var_y",
+        "n",
+        F.round(
+            num.cast("double")
+            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+            6,
+        ).alias("pearson_r"),
+    ).orderBy("var_x", "var_y")

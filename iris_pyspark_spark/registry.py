@@ -281,6 +281,10 @@ _PRIORITY = (
     "g_bfs_hops",                        # J10 J1 A1 (frontier BFS, recursive oracle)
     "e_dau_mau_stickiness",              # A3 A1 W3 (sliding distinct via explode)
     "e_growth_accounting",               # A1 A7 W2 (new/retained/resurrected)
+    "t_resample_grid_locf",              # T4 W3 F2 F4 (grid densify + LOCF)
+    "t_event_order_skew",                # T5 W3 A1 (watermark sizing profile)
+    "a_correlation_matrix",              # A8 A1 F3 (one-pass pairwise Pearson)
+    "s_column_masking_view",             # P6 F1 F7 (masking/row-filter policy)
 )
 
 
