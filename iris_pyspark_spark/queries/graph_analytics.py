@@ -905,3 +905,116 @@ def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(3 * n_triangles * 1000000 DIV n_wedges AS BIGINT)"
         ).alias("clustering_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (two synchronous mode-update rounds, brand seeds)
+# ---------------------------------------------------------------------------
+
+_LP_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM pairs a JOIN pairs b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+seed AS (
+  SELECT p_partkey AS node, p_brand AS label FROM part
+  WHERE p_partkey IN (SELECT src FROM edges)
+),
+r1_votes AS (
+  SELECT e.src AS node, s.label, COUNT(*) AS cnt
+  FROM edges e JOIN seed s ON e.dst = s.node
+  GROUP BY e.src, s.label
+),
+r1 AS (
+  SELECT node, MIN({'nc': -cnt, 'l': label}).l AS label
+  FROM r1_votes GROUP BY node
+),
+r2_votes AS (
+  SELECT e.src AS node, l1.label, COUNT(*) AS cnt
+  FROM edges e JOIN r1 l1 ON e.dst = l1.node
+  GROUP BY e.src, l1.label
+),
+r2 AS (
+  SELECT node, MIN({'nc': -cnt, 'l': label}).l AS label
+  FROM r2_votes GROUP BY node
+)
+SELECT r2.label,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CASE WHEN r2.label = seed.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept_seed
+FROM r2 JOIN seed ON r2.node = seed.node
+GROUP BY r2.label
+ORDER BY r2.label
+"""
+
+
+@register(
+    "g_label_propagation",
+    oracle=_LP_ORACLE,
+    tags=("J10", "J1", "A1"),
+)
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation on the
+    co-order part graph: seed each part with its brand, then for two
+    rounds every node adopts the MOST FREQUENT label among its
+    neighbors (tie → lexicographically smallest — the min-of-struct
+    (-count, label) argmax trick, fully deterministic where textbook
+    LPA is tie-random). Complements connected components (pure
+    reachability) and modularity scoring (fixed partition): LPA is the
+    *mode* dynamic, and two synchronized rounds are exactly
+    SQL-expressible as stacked aggregates, so the oracle is a full
+    value check rather than rows-only.
+
+    Scale: each round is one groupBy(node, label) + one argmax
+    groupBy(node) on the edge list — combinable aggregates on a
+    shuffle keyed by node, no driver state, no recursion; rounds are
+    data-independent stages, and deeper propagation would materialize
+    per round exactly like operators.graph.connected_components."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
+    )
+    seed = part.join(
+        edges.select(F.col("src").alias("node")).distinct(), "node", "left_semi"
+    )
+
+    def lp_round(labels: DataFrame) -> DataFrame:
+        votes = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return votes.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l")))
+            .getField("l")
+            .alias("label")
+        )
+
+    r2 = lp_round(lp_round(seed))
+    return (
+        r2.join(seed.withColumnRenamed("label", "seed_label"), "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(
+                F.when(F.col("label") == F.col("seed_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept_seed"),
+        )
+        .orderBy("label")
+    )

@@ -138,3 +138,81 @@ def ml_kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("corpus_total")
         .orderBy("cell_id")
     )
+
+
+@register("ml_als_recommender", oracle=None, tags=("N7", "J1", "A1"))
+def ml_als_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative-filtering recommender: MLlib ALS factorizes the
+    customer x part quantity matrix (ratings from orders ⋈ lineitem).
+    Completes the N7 ML surface with the third canonical MLlib
+    workload next to classification (LR) and clustering (KMeans) —
+    distributed alternating least squares, the matrix-factorization
+    engine every large-scale recommender starts from.
+
+    Rows-only self-validation (factor matrices have no SQL oracle):
+    the single summary row carries the exact rating-matrix shape
+    (n_users/n_items/n_ratings — deterministic, data-derived) plus
+    train-set RMSE of the model next to the RMSE of the
+    predict-the-global-mean baseline, and `beats_baseline_ok` asserts
+    the factorization actually learned structure (model RMSE strictly
+    below baseline by ≥10%). `shape_ok` pins n_ratings ≥ n_users.
+
+    Determinism: fixed seed, fixed rank/iters; the deterministic
+    rating aggregation feeds ALS the same matrix at any partition
+    layout. Scale notes: ALS is MLlib's blocked factorization — the
+    ratings shuffle by user/item block, factors update with
+    treeAggregate joins; ids are cast to int (the ALS API contract —
+    at >2^31 key spaces, dictionary-encode ids into a dense int
+    domain first). Scoring is a broadcast-factor join."""
+    from pyspark.ml.recommendation import ALS
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.least(F.sum("l_quantity"), F.lit(100.0)).alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=8,
+        regParam=0.05,
+        seed=42,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        nonnegative=True,
+    )
+    model = als.fit(ratings)
+    scored = model.transform(ratings)
+    err = scored.select(
+        "rating",
+        (F.col("rating") - F.col("prediction")).alias("e"),
+    )
+    summary = err.agg(
+        F.count(F.lit(1)).alias("n_ratings"),
+        F.sqrt(F.avg(F.col("e") * F.col("e"))).alias("rmse_model"),
+        F.sqrt(
+            F.avg(F.col("rating") * F.col("rating"))
+            - F.avg("rating") * F.avg("rating")
+        ).alias("rmse_mean_baseline"),
+    )
+    shape = ratings.agg(
+        F.count_distinct("user").alias("n_users"),
+        F.count_distinct("item").alias("n_items"),
+    )
+    return summary.crossJoin(F.broadcast(shape)).select(
+        "n_users",
+        "n_items",
+        "n_ratings",
+        F.round("rmse_model", 4).alias("rmse_model"),
+        F.round("rmse_mean_baseline", 4).alias("rmse_mean_baseline"),
+        (F.col("rmse_model") < 0.9 * F.col("rmse_mean_baseline")).alias(
+            "beats_baseline_ok"
+        ),
+        (F.col("n_ratings") >= F.col("n_users")).alias("shape_ok"),
+    )

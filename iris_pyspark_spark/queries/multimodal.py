@@ -472,3 +472,78 @@ def m_payload_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- container-format sniffing: magic bytes vs claimed format --------------
+
+_MAGIC_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 AS INT) AS c,
+         CAST(CASE WHEN doc_id % 97 = 0 THEN (doc_id % 3 + 1) % 3
+                   ELSE doc_id % 3 END AS INT) AS a
+  FROM documents
+)
+SELECT ['png', 'jpeg', 'mp3'][c + 1] AS claimed_format,
+       ['png', 'jpeg', 'mp3'][a + 1] AS detected_format,
+       COUNT(*) AS n_docs,
+       c <> a AS is_mismatch
+FROM d
+GROUP BY 1, 2, 4
+ORDER BY 1, 2
+"""
+
+#: (format, 4-byte magic prefix, uppercase hex) — real container signatures.
+_MAGIC_SIGS = (("png", "89504E47"), ("jpeg", "FFD8FFE0"), ("mp3", "49443303"))
+
+
+@register(
+    "m_magic_bytes_sniff",
+    oracle=_MAGIC_ORACLE,
+    tags=("multimodal", "P6", "F7"),
+)
+def m_magic_bytes_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-format sniffing: read the payload's leading magic
+    bytes (real PNG/JPEG/ID3 signatures) and cross-tab detected
+    format against the claimed one — the ingest-time integrity gate
+    that catches mislabeled or transcoded media before an expensive
+    decode fan-out. Payloads are synthesized with a real 4-byte header
+    prepended to the text bytes, and every 97th document is planted
+    with the WRONG header; the Spark side then genuinely sniffs bytes
+    (binary substring → hex → signature table) while the oracle
+    predicts the cross-tab analytically from the planting arithmetic —
+    the sniff must reproduce the plant exactly to hash-match.
+
+    Scale: map-only over the media table (no shuffle until the final
+    tiny cross-tab rollup); the sniff reads 4 bytes per row and stays
+    entirely in codegen — no Python, no decode."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    names = F.array(*[F.lit(n) for n, _ in _MAGIC_SIGS])
+    headers = F.array(*[F.lit(h) for _, h in _MAGIC_SIGS])
+    c = (F.col("doc_id") % 3).cast("int")
+    a = (
+        F.when(F.col("doc_id") % 97 == 0, ((F.col("doc_id") % 3) + 1) % 3)
+        .otherwise(F.col("doc_id") % 3)
+        .cast("int")
+    )
+    with_payload = docs.select(
+        F.element_at(names, c + 1).alias("claimed_format"),
+        F.concat(
+            F.unhex(F.element_at(headers, a + 1)), F.encode("text", "UTF-8")
+        ).alias("payload"),
+    )
+    prefix = F.upper(F.hex(F.substring(F.col("payload"), 1, 4)))
+    detected = F.lit("unknown")
+    for name, sig in reversed(_MAGIC_SIGS):
+        detected = F.when(prefix == sig, name).otherwise(detected)
+    sniffed = with_payload.select(
+        "claimed_format", detected.alias("detected_format")
+    )
+    return (
+        sniffed.groupBy("claimed_format", "detected_format")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "is_mismatch", F.col("claimed_format") != F.col("detected_format")
+        )
+        .orderBy("claimed_format", "detected_format")
+    )

@@ -285,6 +285,9 @@ _PRIORITY = (
     "t_event_order_skew",                # T5 W3 A1 (watermark sizing profile)
     "a_correlation_matrix",              # A8 A1 F3 (one-pass pairwise Pearson)
     "s_column_masking_view",             # P6 F1 F7 (masking/row-filter policy)
+    "g_label_propagation",               # J10 J1 A1 (2-round mode LPA, full oracle)
+    "m_magic_bytes_sniff",               # multimodal P6 F7 (magic-byte integrity)
+    "ml_als_recommender",                # N7 J1 A1 (ALS factorization, rows-only)
 )
 
 
