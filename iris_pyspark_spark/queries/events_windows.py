@@ -1117,3 +1117,97 @@ def t_event_order_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heartbeat downtime / availability SLA per service
+# ---------------------------------------------------------------------------
+
+_SLA_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS n_beats,
+         CAST(SUM(CASE WHEN gap_us > 600000000 THEN gap_us - 600000000
+                       ELSE 0 END) AS BIGINT) AS downtime_us,
+         CAST(SUM(CASE WHEN gap_us > 600000000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_outages,
+         CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+  FROM gaps GROUP BY event_type
+),
+span AS (
+  SELECT event_type,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type, a.n_beats, a.n_outages,
+       a.downtime_us // 1000000 AS downtime_s,
+       a.max_gap_us // 1000000 AS max_gap_s,
+       (s.span_us - a.downtime_us) * 1000000 // s.span_us
+         AS availability_ppm
+FROM agg a JOIN span s ON a.event_type = s.event_type
+ORDER BY a.event_type
+"""
+
+
+@register(
+    "t_downtime_sla",
+    oracle=_SLA_ORACLE,
+    tags=("T4", "W2", "F2", "A1"),
+)
+def t_downtime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Availability SLA from heartbeats: treating each event_type as a
+    service emitting irregular heartbeats, any inter-arrival gap over
+    the 600s tolerance counts its excess as downtime; the service's
+    availability over its observed span is reported in exact ppm.
+    The lag-gap + conditional-sum pattern is the standard uptime
+    calculation for monitoring pipelines.
+
+    Determinism/scale: all arithmetic is integer microseconds (epoch
+    diffs, floor division — no float until never); the lag window
+    partitions by service so each service's timeline scans in
+    parallel and the rollup is one combinable groupBy. Ordering ties
+    on identical timestamps break by event_id on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    tsc = F.col("ts").cast("timestamp")
+    gap_us = F.unix_micros(tsc) - F.unix_micros(F.lag(tsc).over(w))
+    tol = 600_000_000
+    gaps = e.select("event_type", gap_us.alias("gap_us"))
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_beats"),
+        F.sum(
+            F.when(F.col("gap_us") > tol, F.col("gap_us") - tol).otherwise(0)
+        )
+        .cast("long")
+        .alias("downtime_us"),
+        F.sum(F.when(F.col("gap_us") > tol, 1).otherwise(0))
+        .cast("long")
+        .alias("n_outages"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+    span = e.groupBy("event_type").agg(
+        (
+            F.unix_micros(F.max(F.col("ts").cast("timestamp")))
+            - F.unix_micros(F.min(F.col("ts").cast("timestamp")))
+        ).alias("span_us")
+    )
+    return (
+        agg.join(span, "event_type")
+        .select(
+            "event_type",
+            "n_beats",
+            "n_outages",
+            F.expr("downtime_us DIV 1000000").alias("downtime_s"),
+            F.expr("max_gap_us DIV 1000000").alias("max_gap_s"),
+            F.expr(
+                "(span_us - downtime_us) * 1000000 DIV span_us"
+            ).alias("availability_ppm"),
+        )
+        .orderBy("event_type")
+    )

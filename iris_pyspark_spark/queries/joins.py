@@ -1245,3 +1245,87 @@ def j_mark_join_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "has_finished_order")
     )
+
+
+# ---------------------------------------------------------------------------
+# Drill-across: two fact tables merged on a conformed dimension
+# ---------------------------------------------------------------------------
+
+_DRILL_ACROSS_ORACLE = f"""
+WITH fact_orders AS (
+  SELECT o_custkey % 100 AS bucket,
+         COUNT(*) AS n_orders,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY o_custkey % 100
+),
+fact_events AS (
+  SELECT user_id % 100 AS bucket,
+         COUNT(*) AS n_events,
+         CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT)
+           AS engagement_cents
+  FROM events GROUP BY user_id % 100
+)
+SELECT COALESCE(o.bucket, e.bucket) AS bucket,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.revenue_cents, 0) AS revenue_cents,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.engagement_cents, 0) AS engagement_cents,
+       o.bucket IS NOT NULL AND e.bucket IS NOT NULL AS both_sources,
+       CASE WHEN COALESCE(e.n_events, 0) > 0
+            THEN CAST(COALESCE(o.revenue_cents, 0) AS BIGINT)
+                 // e.n_events
+            ELSE NULL END AS revenue_cents_per_event
+FROM fact_orders o FULL OUTER JOIN fact_events e ON o.bucket = e.bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "j_drill_across_facts",
+    oracle=_DRILL_ACROSS_ORACLE,
+    tags=("J3", "A1", "O3"),
+)
+def j_drill_across_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball drill-across: two SEPARATE fact tables (orders revenue,
+    events engagement) each aggregated to the same conformed-dimension
+    grain, then merged with a FULL OUTER join and zero-filled — the
+    standard way to put metrics from different fact tables on one row
+    without double-counting (joining facts row-to-row before
+    aggregating would fan out both measures). Buckets present in only
+    one fact survive with the other side zeroed and are flagged.
+
+    Scale: each fact aggregates independently (combinable, map-side
+    partial) BEFORE the join, so the outer join runs on two
+    dimension-sized rollups, not on fact x fact; the conformed grain
+    is the only shuffle key. Cross-fact ratio math stays in integer
+    cents (floor division, identical on both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    fo = o.groupBy((F.col("o_custkey") % 100).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("revenue_cents"),
+    )
+    fe = e.groupBy((F.col("user_id") % 100).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents(F.col("value"))).cast("long").alias("engagement_cents"),
+    )
+    ob, eb = fo.alias("o"), fe.alias("e")
+    joined = ob.join(eb, F.col("o.bucket") == F.col("e.bucket"), "full_outer")
+    n_events = F.coalesce(F.col("e.n_events"), F.lit(0))
+    revenue = F.coalesce(F.col("o.revenue_cents"), F.lit(0))
+    return joined.select(
+        F.coalesce(F.col("o.bucket"), F.col("e.bucket")).alias("bucket"),
+        F.coalesce(F.col("o.n_orders"), F.lit(0)).alias("n_orders"),
+        revenue.alias("revenue_cents"),
+        n_events.alias("n_events"),
+        F.coalesce(F.col("e.engagement_cents"), F.lit(0)).alias(
+            "engagement_cents"
+        ),
+        (F.col("o.bucket").isNotNull() & F.col("e.bucket").isNotNull()).alias(
+            "both_sources"
+        ),
+        F.when(n_events > 0, F.expr(
+            "COALESCE(o.revenue_cents, 0L) DIV e.n_events"
+        )).otherwise(F.lit(None).cast("long")).alias("revenue_cents_per_event"),
+    ).orderBy("bucket")

@@ -914,3 +914,58 @@ def f_business_days_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("business_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Timezone conversion family (F2): UTC instants to zone wall-clocks
+# ---------------------------------------------------------------------------
+
+_TZ_ORACLE = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_str,
+       strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York',
+                '%Y-%m-%d %H:%M:%S') AS ny_str,
+       strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo',
+                '%Y-%m-%d %H:%M:%S') AS tokyo_str,
+       strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kolkata',
+                '%Y-%m-%d %H:%M:%S') AS kolkata_str,
+       CAST(EXTRACT(hour FROM (ts AT TIME ZONE 'UTC')
+                    AT TIME ZONE 'America/New_York') AS INT) AS ny_hour,
+       DATE_DIFF('day', CAST(ts AS DATE),
+                 CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo'
+                      AS DATE)) AS tokyo_day_shift
+FROM events
+WHERE user_id % 7 = 0
+"""
+
+
+@register("f_timezone_functions", oracle=_TZ_ORACLE, tags=("F2", "F1"))
+def f_timezone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion: UTC event instants rendered as wall-clock
+    in named IANA zones — whole-hour offsets (America/New_York, DST
+    aware via the zone db; Asia/Tokyo, no DST) and the half-hour
+    offset case (Asia/Kolkata +05:30, the classic bug-finder), plus
+    the derived local hour and the date rollover flag (Tokyo evenings
+    land on tomorrow's date). Both engines resolve the SAME IANA tzdb
+    names, so wall-clock strings compare exactly.
+
+    Scale: pure per-row codegen projection — from_utc_timestamp is a
+    JVM intrinsic over the session tzdb; no shuffle, pushes the
+    user_id filter to the scan."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+
+    def wall(tz: str) -> F.Column:
+        return F.from_utc_timestamp(F.col("ts"), tz)
+
+    return e.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("utc_str"),
+        F.date_format(wall("America/New_York"), fmt).alias("ny_str"),
+        F.date_format(wall("Asia/Tokyo"), fmt).alias("tokyo_str"),
+        F.date_format(wall("Asia/Kolkata"), fmt).alias("kolkata_str"),
+        F.hour(wall("America/New_York")).alias("ny_hour"),
+        F.datediff(
+            F.to_date(wall("Asia/Tokyo")), F.to_date("ts")
+        ).alias("tokyo_day_shift"),
+    )

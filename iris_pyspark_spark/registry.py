@@ -288,6 +288,9 @@ _PRIORITY = (
     "g_label_propagation",               # J10 J1 A1 (2-round mode LPA, full oracle)
     "m_magic_bytes_sniff",               # multimodal P6 F7 (magic-byte integrity)
     "ml_als_recommender",                # N7 J1 A1 (ALS factorization, rows-only)
+    "f_timezone_functions",              # F2 F1 (IANA zone wall-clocks, half-hour)
+    "j_drill_across_facts",              # J3 A1 O3 (conformed-dim fact merge)
+    "t_downtime_sla",                    # T4 W2 F2 A1 (heartbeat availability)
 )
 
 
