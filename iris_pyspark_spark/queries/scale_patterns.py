@@ -1009,3 +1009,96 @@ def s_benford_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expected, 6).alias("expected"),
         F.round(F.abs(share - expected), 6).alias("abs_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard routing with minimal movement
+# ---------------------------------------------------------------------------
+
+_RDV_ORACLE = """
+WITH k AS (SELECT doc_id FROM documents),
+s10 AS (
+  SELECT doc_id, CAST(s AS BIGINT) AS s,
+         -((doc_id * 2654435761 + (s + 1) * 40503) % 1000003) AS nw
+  FROM k, (SELECT UNNEST(range(10)) AS s)
+),
+a10 AS (
+  SELECT doc_id, MIN({'nw': nw, 's': s}).s AS shard10
+  FROM s10 GROUP BY doc_id
+),
+s11 AS (
+  SELECT doc_id, CAST(s AS BIGINT) AS s,
+         -((doc_id * 2654435761 + (s + 1) * 40503) % 1000003) AS nw
+  FROM k, (SELECT UNNEST(range(11)) AS s)
+),
+a11 AS (
+  SELECT doc_id, MIN({'nw': nw, 's': s}).s AS shard11
+  FROM s11 GROUP BY doc_id
+)
+SELECT CAST(a11.shard11 AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN a10.shard10 <> a11.shard11 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM a11 JOIN a10 USING (doc_id)
+GROUP BY a11.shard11
+ORDER BY shard
+"""
+
+
+@register(
+    "s_rendezvous_sharding",
+    oracle=_RDV_ORACLE,
+    tags=("F7", "A1", "F4"),
+)
+def s_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing: every key scores
+    each shard with a per-(key, shard) hash and routes to the argmax —
+    the stateless consistent-routing scheme for shard maps, cache
+    rings, and index placement. The query assigns every document
+    under a 10-shard AND an 11-shard layout and cross-tabs movement:
+    HRW's guarantee is that growing to 11 shards moves ONLY the keys
+    the new shard wins (~1/11 of them) — a modulo router would move
+    ~10/11. The weight is a multiplicative-prime integer hash, exact
+    on both engines (a shared cross-engine stand-in for e.g.
+    xxhash64, whose seeds differ between Spark and DuckDB).
+
+    Scale: keys x shards is a map-only explode of a literal
+    shard-count sequence (no join against a shard table, no shuffle
+    until the final per-shard rollup); the argmax is the
+    deterministic min-of-struct (-weight, shard) aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def assign(n_shards: int, out: str) -> DataFrame:
+        exploded = docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("s0"),
+        ).select("doc_id", F.col("s0").cast("long").alias("s"))
+        w = (
+            F.col("doc_id") * F.lit(2654435761)
+            + (F.col("s") + 1) * F.lit(40503)
+        ) % F.lit(1000003)
+        return (
+            exploded.select("doc_id", "s", (-w).alias("nw"))
+            .groupBy("doc_id")
+            .agg(
+                F.min(F.struct(F.col("nw"), F.col("s")))
+                .getField("s")
+                .alias(out)
+            )
+        )
+
+    a10 = assign(10, "shard10")
+    a11 = assign(11, "shard11")
+    return (
+        a11.join(a10, "doc_id")
+        .groupBy(F.col("shard11").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard10") != F.col("shard11"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .orderBy("shard")
+    )

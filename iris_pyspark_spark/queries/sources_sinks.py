@@ -1456,3 +1456,120 @@ def s_merge_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "n_rows", "cents_checksum", "idempotent_ok")
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish: staged write, expectation gate, atomic-style publish
+# ---------------------------------------------------------------------------
+
+_WAP_ORACLE = """
+WITH g AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01'
+                                      AND DATE '1995-03-31'
+),
+batches AS (
+  SELECT 'good' AS batch,
+         COUNT(*) AS n_staged,
+         CAST(0 AS BIGINT) AS n_null_keys,
+         CAST(0 AS BIGINT) AS n_nonpositive
+  FROM g
+  UNION ALL
+  SELECT 'poisoned',
+         COUNT(*),
+         CAST(SUM(CASE WHEN o_orderkey % 50 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM g
+)
+SELECT batch, n_staged, n_null_keys, n_nonpositive,
+       n_null_keys = 0 AND n_nonpositive = 0 AND n_staged > 0
+         AS audit_passed,
+       CASE WHEN n_null_keys = 0 AND n_nonpositive = 0 AND n_staged > 0
+            THEN n_staged ELSE 0 END AS n_published
+FROM batches
+ORDER BY batch
+"""
+
+
+@register(
+    "s_write_audit_publish",
+    oracle=_WAP_ORACLE,
+    tags=("S4", "A2", "P5", "P2"),
+)
+def s_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish: every batch lands in a STAGED location
+    first, an expectation gate audits the staged files (null keys,
+    non-positive amounts, emptiness), and only a clean batch is
+    promoted to the published location — consumers never observe a
+    half-validated table. Two real batches run through the actual
+    file-level protocol here: a clean extract publishes; the same
+    extract with planted null keys is staged, FAILS the audit, and
+    the published location provably stays empty. The oracle predicts
+    the whole protocol outcome from the planting arithmetic, so the
+    gate logic itself is value-checked.
+
+    Scale: the audit is one combinable aggregate over the staged
+    files (a metadata-sized collect of a single row — the decision,
+    not the data, reaches the driver); publish is a rewrite of
+    already-validated files (on object stores, a server-side copy /
+    atomic pointer swap). Rejected batches cost zero downstream
+    reads."""
+    base = scratch_dir(sf_dir, "wap")
+    o = load_table(spark, sf_dir, "orders")
+    extract = o.filter(
+        F.col("o_orderdate")
+        .cast("date")
+        .between("1995-01-01", "1995-03-31")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    poisoned = extract.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit(None)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    rows = []
+    for name, batch in (("good", extract), ("poisoned", poisoned)):
+        staged_path = f"{base}/staged_{name}"
+        published_path = f"{base}/published_{name}"
+        batch.write.mode("overwrite").parquet(staged_path)
+        staged = spark.read.parquet(staged_path)
+        audit = staged.agg(
+            F.count(F.lit(1)).alias("n_staged"),
+            F.sum(
+                F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_null_keys"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+            ).cast("long").alias("n_nonpositive"),
+        ).collect()[0]
+        passed = (
+            audit.n_null_keys == 0
+            and audit.n_nonpositive == 0
+            and audit.n_staged > 0
+        )
+        n_published = 0
+        if passed:
+            staged.write.mode("overwrite").parquet(published_path)
+            n_published = spark.read.parquet(published_path).count()
+        else:
+            # a failed audit must leave nothing published
+            import shutil
+
+            shutil.rmtree(published_path, ignore_errors=True)
+        rows.append(
+            (
+                name,
+                audit.n_staged,
+                audit.n_null_keys,
+                audit.n_nonpositive,
+                passed,
+                n_published,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch string, n_staged long, n_null_keys long, "
+        "n_nonpositive long, audit_passed boolean, n_published long",
+    ).orderBy("batch")

@@ -291,6 +291,8 @@ _PRIORITY = (
     "f_timezone_functions",              # F2 F1 (IANA zone wall-clocks, half-hour)
     "j_drill_across_facts",              # J3 A1 O3 (conformed-dim fact merge)
     "t_downtime_sla",                    # T4 W2 F2 A1 (heartbeat availability)
+    "s_write_audit_publish",             # S4 A2 P5 (WAP staged/audit/publish)
+    "s_rendezvous_sharding",             # F7 A1 F4 (HRW minimal-movement routing)
 )
 
 

