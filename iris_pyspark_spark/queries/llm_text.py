@@ -2736,3 +2736,90 @@ def n_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix autocomplete: top completion per 3-char prefix
+# ---------------------------------------------------------------------------
+
+_AUTOCOMPLETE_ORACLE = """
+WITH toks AS (
+  SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term FROM documents
+),
+terms AS (
+  SELECT term, COUNT(*) AS freq
+  FROM toks
+  WHERE LEN(term) >= 4 AND regexp_matches(term, '^[a-z]+$')
+  GROUP BY term
+),
+ranked AS (
+  SELECT SUBSTR(term, 1, 3) AS prefix, term, freq,
+         SUM(freq) OVER (PARTITION BY SUBSTR(term, 1, 3)) AS prefix_freq,
+         ROW_NUMBER() OVER (PARTITION BY SUBSTR(term, 1, 3)
+                            ORDER BY freq DESC, term) AS rn
+  FROM terms
+)
+SELECT prefix, term AS top_completion, freq AS completion_freq,
+       CAST(prefix_freq AS BIGINT) AS prefix_freq,
+       CAST(freq * 1000000 // prefix_freq AS BIGINT) AS confidence_ppm
+FROM ranked
+WHERE rn = 1 AND prefix_freq >= 20
+ORDER BY prefix
+"""
+
+
+@register(
+    "n_autocomplete_prefix_topk",
+    oracle=_AUTOCOMPLETE_ORACLE,
+    tags=("N5", "W4", "F1", "A1"),
+)
+def n_autocomplete_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix → top-completion table, the serving artifact behind
+    search-box autocomplete: alphabetic terms roll up to exact corpus
+    frequencies, group under their 3-character prefix, and each
+    prefix keeps its most frequent completion (ties break
+    alphabetically) with an exact-ppm confidence = completion share
+    of all prefix traffic. Thin prefixes (<20 total) are dropped, as
+    a ranker would.
+
+    Scale: term frequencies are one combinable groupBy over the
+    token explode (the only pass touching raw text); the top-1 window
+    then runs on the VOCABULARY rolled up by prefix — crawl-scale
+    corpora shrink to vocab-sized state before any ordering
+    happens. Integer floor-division ppm, no float."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    terms = (
+        toks.filter(
+            (F.length("term") >= 4) & F.col("term").rlike("^[a-z]+$")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    prefixed = terms.select(
+        F.substring("term", 1, 3).alias("prefix"), "term", "freq"
+    )
+    wsum = Window.partitionBy("prefix")
+    wrank = Window.partitionBy("prefix").orderBy(
+        F.col("freq").desc(), F.col("term")
+    )
+    ranked = prefixed.select(
+        "prefix",
+        "term",
+        "freq",
+        F.sum("freq").over(wsum).alias("prefix_freq"),
+        F.row_number().over(wrank).alias("rn"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("prefix_freq") >= 20))
+        .select(
+            "prefix",
+            F.col("term").alias("top_completion"),
+            F.col("freq").alias("completion_freq"),
+            F.col("prefix_freq").cast("long").alias("prefix_freq"),
+            F.expr("freq * 1000000 DIV prefix_freq").alias("confidence_ppm"),
+        )
+        .orderBy("prefix")
+    )

@@ -444,3 +444,71 @@ def w_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) via a single running-min window
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH pts AS (
+  SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+         p_size AS size,
+         COUNT(*) AS n_parts
+  FROM part
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT price_cents, size, n_parts,
+         MIN(size) OVER (ORDER BY price_cents, size
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS min_size_before
+  FROM pts
+)
+SELECT price_cents, size, n_parts
+FROM flagged
+WHERE min_size_before IS NULL OR size < min_size_before
+ORDER BY price_cents, size
+"""
+
+
+@register(
+    "w_pareto_skyline",
+    oracle=_SKYLINE_ORACLE,
+    tags=("W3", "O1", "P2", "A1"),
+)
+def w_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: the parts not dominated on
+    (price, size) — no other part is at-most-equal on both axes and
+    strictly better on one. The classic multi-criteria operator
+    (cheapest-and-smallest tradeoff set) that naive SQL writes as a
+    NOT EXISTS self-join — O(n²). Here it is the sort-scan algorithm:
+    after deduplicating to distinct points, sort by (price, size) and
+    keep a point iff its size is STRICTLY below the running minimum of
+    everything sorted before it — one window, provably equivalent to
+    2-D dominance (earlier rows have price ≤ current; ties on price
+    sort smaller-size first and eliminate larger; duplicates collapse
+    in the dedup).
+
+    Scale: the heavy pass is the combinable groupBy to distinct
+    (price, size) points — bounded by the ATTRIBUTE grid, not row
+    count; only that compact point set enters the ordered window.
+    Exact integer cents/sizes throughout."""
+    p = load_table(spark, sf_dir, "part")
+    pts = p.groupBy(
+        cents(F.col("p_retailprice")).alias("price_cents"),
+        F.col("p_size").alias("size"),
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    w = (
+        Window.orderBy("price_cents", "size")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pts.withColumn("min_size_before", F.min("size").over(w))
+    return (
+        flagged.filter(
+            F.col("min_size_before").isNull()
+            | (F.col("size") < F.col("min_size_before"))
+        )
+        .select("price_cents", "size", "n_parts")
+        .orderBy("price_cents", "size")
+    )

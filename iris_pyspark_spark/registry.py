@@ -293,6 +293,9 @@ _PRIORITY = (
     "t_downtime_sla",                    # T4 W2 F2 A1 (heartbeat availability)
     "s_write_audit_publish",             # S4 A2 P5 (WAP staged/audit/publish)
     "s_rendezvous_sharding",             # F7 A1 F4 (HRW minimal-movement routing)
+    "e_propensity_rank_matching",        # P6 A1 W1 J1 (matched-pairs ATT)
+    "w_pareto_skyline",                  # W3 O1 P2 (2-D skyline via running min)
+    "n_autocomplete_prefix_topk",        # N5 W4 F1 (prefix -> top completion)
 )
 
 
