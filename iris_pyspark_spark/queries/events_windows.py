@@ -1211,3 +1211,85 @@ def t_downtime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown from the running peak (per series)
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS rev_cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+tracked AS (
+  SELECT event_type, day, rev_cents,
+         MAX(rev_cents) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS peak_cents
+  FROM daily
+)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       MAX(peak_cents) AS peak_cents,
+       MAX(peak_cents - rev_cents) AS max_drawdown_cents,
+       CAST(MIN({{'dd': -(peak_cents - rev_cents), 'd': day}}).d
+            AS VARCHAR) AS max_drawdown_day,
+       CAST(MAX((peak_cents - rev_cents) * 1000000 // peak_cents)
+            AS BIGINT) AS max_drawdown_ppm
+FROM tracked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "t_max_drawdown",
+    oracle=_DRAWDOWN_ORACLE,
+    tags=("W3", "F3", "A1", "F2"),
+)
+def t_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown: the deepest fall of each series below its
+    running peak — the risk metric behind every trading/revenue
+    monitoring dashboard, and the canonical running-max window
+    composition (cummax → deviation → argmax with a deterministic
+    earliest-day tie-break). Reported absolute (exact cents) and
+    relative (exact integer ppm of the peak).
+
+    Scale: the only pass over raw events is one combinable
+    groupBy(event_type, day); the window runs on the calendar-bounded
+    daily rollup, partitioned per series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("rev_cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tracked = daily.withColumn("peak_cents", F.max("rev_cents").over(w))
+    dd = F.col("peak_cents") - F.col("rev_cents")
+    return (
+        tracked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("peak_cents").alias("peak_cents"),
+            F.max(dd).alias("max_drawdown_cents"),
+            F.min(
+                F.struct((-dd).alias("dd"), F.col("day").alias("d"))
+            )
+            .getField("d")
+            .cast("string")
+            .alias("max_drawdown_day"),
+            F.max(
+                F.expr(
+                    "(peak_cents - rev_cents) * 1000000 DIV peak_cents"
+                )
+            )
+            .cast("long")
+            .alias("max_drawdown_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -1329,3 +1329,112 @@ def j_drill_across_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "COALESCE(o.revenue_cents, 0L) DIV e.n_events"
         )).otherwise(F.lit(None).cast("long")).alias("revenue_cents_per_event"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog aging at month-end snapshots
+# ---------------------------------------------------------------------------
+
+_BACKLOG_ORACLE = f"""
+WITH spans AS (
+  SELECT o.o_orderkey,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS value_cents,
+         EXTRACT(year FROM o.o_orderdate) * 12
+           + EXTRACT(month FROM o.o_orderdate) - 1 AS open_m,
+         EXTRACT(year FROM MAX(l.l_shipdate)) * 12
+           + EXTRACT(month FROM MAX(l.l_shipdate)) - 1 AS close_m
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_totalprice, o.o_orderdate
+),
+snap AS (
+  SELECT o_orderkey, value_cents, open_m,
+         UNNEST(GENERATE_SERIES(open_m, close_m - 1)) AS m
+  FROM spans
+  WHERE close_m > open_m
+),
+bucketed AS (
+  SELECT CONCAT(CAST(m // 12 AS VARCHAR), '-',
+                LPAD(CAST(m % 12 + 1 AS VARCHAR), 2, '0')) AS snapshot_month,
+         CASE WHEN m - open_m = 0 THEN '0'
+              WHEN m - open_m <= 2 THEN '1-2'
+              WHEN m - open_m <= 5 THEN '3-5'
+              ELSE '6+' END AS age_bucket,
+         value_cents
+  FROM snap
+  WHERE m // 12 = 1995
+)
+SELECT snapshot_month, age_bucket,
+       COUNT(*) AS n_open_orders,
+       CAST(SUM(value_cents) AS BIGINT) AS backlog_cents
+FROM bucketed
+GROUP BY snapshot_month, age_bucket
+ORDER BY snapshot_month, age_bucket
+"""
+
+
+@register(
+    "j_backlog_aging_snapshots",
+    oracle=_BACKLOG_ORACLE,
+    tags=("J7", "A1", "F2", "F4"),
+)
+def j_backlog_aging_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: at every 1995 month-end, how many
+    orders are placed but not yet fully shipped, and how old are they
+    — the finance/ops snapshot report (aged receivables / WIP
+    backlog). An order is open at a month-end iff it was placed on or
+    before it and its LAST lineitem ships after it; each open order
+    lands in an age bucket by months outstanding.
+
+    Scale shape: this is an interval x snapshot-grid overlap, solved
+    WITHOUT a theta join — each order explodes only its own open
+    month span (sequence(open_m, close_m-1), bounded by order
+    lifetime, ~3-4 rows), turning the range predicate into plain
+    per-row generation + a combinable rollup. The order-close lookup
+    is one groupBy(l_orderkey) max — the only shuffle on the big
+    table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_dt"))
+    month_idx = lambda c: (F.year(c) * 12 + F.month(c) - 1)  # noqa: E731
+    spans = (
+        o.join(close, o.o_orderkey == close.l_orderkey)
+        .select(
+            cents(F.col("o_totalprice")).alias("value_cents"),
+            month_idx(F.col("o_orderdate")).alias("open_m"),
+            month_idx(F.col("close_dt")).alias("close_m"),
+        )
+        .filter(F.col("close_m") > F.col("open_m"))
+    )
+    snap = spans.select(
+        "value_cents",
+        "open_m",
+        F.explode(
+            F.sequence(F.col("open_m"), F.col("close_m") - 1)
+        ).alias("m"),
+    ).filter(F.expr("m DIV 12 = 1995"))
+    age = F.col("m") - F.col("open_m")
+    bucketed = snap.select(
+        F.concat(
+            F.expr("CAST(m DIV 12 AS STRING)"),
+            F.lit("-"),
+            F.lpad((F.col("m") % 12 + 1).cast("string"), 2, "0"),
+        ).alias("snapshot_month"),
+        F.when(age == 0, "0")
+        .when(age <= 2, "1-2")
+        .when(age <= 5, "3-5")
+        .otherwise("6+")
+        .alias("age_bucket"),
+        "value_cents",
+    )
+    return (
+        bucketed.groupBy("snapshot_month", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_open_orders"),
+            F.sum("value_cents").cast("long").alias("backlog_cents"),
+        )
+        .orderBy("snapshot_month", "age_bucket")
+    )

@@ -2823,3 +2823,107 @@ def n_autocomplete_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick featurization (signed feature hashing into 64 buckets)
+# ---------------------------------------------------------------------------
+
+_FEATHASH_ORACLE = """
+WITH base AS (
+  SELECT doc_id, LOWER(text) AS t FROM documents WHERE doc_id % 17 = 0
+),
+shingles AS (
+  SELECT doc_id,
+         SUBSTR(t, i, 3) AS sh
+  FROM base, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0))) AS g(i)
+),
+coded AS (
+  SELECT doc_id,
+         ASCII(SUBSTR(sh, 1, 1)) * 961
+         + ASCII(SUBSTR(sh, 2, 1)) * 31
+         + ASCII(SUBSTR(sh, 3, 1)) AS h
+  FROM shingles
+  WHERE regexp_matches(sh, '^[a-z]{3}$')
+),
+feats AS (
+  SELECT doc_id, h % 64 AS bucket,
+         CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)
+              AS BIGINT) AS v
+  FROM coded GROUP BY doc_id, h % 64
+),
+nz AS (SELECT * FROM feats WHERE v <> 0)
+SELECT doc_id,
+       COUNT(*) AS nnz,
+       CAST(SUM(v * v) AS BIGINT) AS l2_sq,
+       MIN({'na': -ABS(v), 'b': bucket}).b AS top_bucket
+FROM nz
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "n_feature_hashing",
+    oracle=_FEATHASH_ORACLE,
+    tags=("N5", "F7", "F1", "A1"),
+)
+def n_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: character 3-shingles hash into a
+    fixed 64-bucket signed feature space (sign from the hash's next
+    bit, the Weinberger et al. collision-debiasing trick) — the
+    vocabulary-free featurizer that needs NO fitted dictionary, so a
+    100 TB corpus featurizes in one stateless map pass. Per document:
+    non-zero bucket count, exact squared L2 norm, dominant bucket
+    (|value| argmax, tie → lowest bucket).
+
+    Determinism: the hash is explicit base-31 ASCII arithmetic on
+    [a-z]{3} shingles (identical integer math on both engines — no
+    engine-native hash whose seeds differ); all aggregates are exact
+    integers. Scale: shingle explode → two combinable groupBys, all
+    keyed by doc; nothing global."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 17 == 0
+    ).select("doc_id", F.lower(F.col("text")).alias("t"))
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(0)))
+        ).alias("i"),
+        "t",
+    ).select("doc_id", F.expr("substr(t, i, 3)").alias("sh"))
+    coded = shingles.filter(F.col("sh").rlike("^[a-z]{3}$")).select(
+        "doc_id",
+        (
+            F.ascii(F.expr("substr(sh, 1, 1)")) * 961
+            + F.ascii(F.expr("substr(sh, 2, 1)")) * 31
+            + F.ascii(F.expr("substr(sh, 3, 1)"))
+        ).alias("h"),
+    )
+    feats = (
+        coded.groupBy("doc_id", (F.col("h") % 64).alias("bucket"))
+        .agg(
+            F.sum(
+                F.when(F.expr("(h DIV 64) % 2 = 0"), 1).otherwise(-1)
+            )
+            .cast("long")
+            .alias("v")
+        )
+        .filter(F.col("v") != 0)
+    )
+    return (
+        feats.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("l2_sq"),
+            F.min(
+                F.struct(
+                    (-F.abs(F.col("v"))).alias("na"),
+                    F.col("bucket").alias("b"),
+                )
+            )
+            .getField("b")
+            .alias("top_bucket"),
+        )
+        .orderBy("doc_id")
+    )

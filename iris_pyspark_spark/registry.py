@@ -296,6 +296,9 @@ _PRIORITY = (
     "e_propensity_rank_matching",        # P6 A1 W1 J1 (matched-pairs ATT)
     "w_pareto_skyline",                  # W3 O1 P2 (2-D skyline via running min)
     "n_autocomplete_prefix_topk",        # N5 W4 F1 (prefix -> top completion)
+    "n_feature_hashing",                 # N5 F7 F1 (signed hashing trick)
+    "j_backlog_aging_snapshots",         # J7 A1 F2 F4 (open-order aging grid)
+    "t_max_drawdown",                    # W3 F3 A1 (running-peak drawdown)
 )
 
 
