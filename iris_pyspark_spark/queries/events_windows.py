@@ -1293,3 +1293,190 @@ def t_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing: merge overlapping padded activity intervals
+# ---------------------------------------------------------------------------
+
+_COALESCE_ORACLE = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 - 300 AS s,
+         epoch_us(ts) // 1000000 + 300 AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) >= s
+              THEN 0 ELSE 1 END AS is_new
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, island,
+         MIN(s) AS span_start, MAX(e) AS span_end, COUNT(*) AS n_events
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(span_end - span_start) AS BIGINT) AS covered_s,
+       CAST(MAX(span_end - span_start) AS BIGINT) AS longest_span_s,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM merged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "t_interval_coalesce",
+    oracle=_COALESCE_ORACLE,
+    tags=("T4", "W2", "W3", "F2"),
+)
+def t_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (merge overlapping intervals): every event
+    contributes a ±5-minute activity interval; overlapping intervals
+    union into maximal disjoint spans per user — the foundation of
+    screen-time, machine-utilization, and SLA-coverage metrics, where
+    double-counting overlap is the classic bug. A span breaks exactly
+    where an interval's start clears the running max of all earlier
+    ends (sort by start, one window) — the O(n log n) sweep instead of
+    the O(n²) self-join reachability formulation.
+
+    Determinism/scale: integer epoch seconds; the sweep partitions by
+    user (parallel across keys, the one shuffle), and the two stacked
+    windows plus the rollup share that partitioning so AQE reuses one
+    exchange."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000")
+    iv = e.select(
+        "user_id", (sec - 300).alias("s"), (sec + 300).alias("e")
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(F.max("e").over(wprev) >= F.col("s"), 0).otherwise(1),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island", F.sum("is_new").over(wrun))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("covered_s"),
+            F.max(F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("longest_span_s"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (MAE / sMAPE over the holdout week)
+# ---------------------------------------------------------------------------
+
+_SNAIVE_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS rev_cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+joined AS (
+  SELECT d.event_type, d.day, d.rev_cents,
+         LAG(d.rev_cents, 7) OVER (PARTITION BY d.event_type
+                                   ORDER BY d.day) AS forecast_cents
+  FROM daily d
+),
+holdout AS (
+  SELECT * FROM joined
+  WHERE forecast_cents IS NOT NULL
+    AND day > (SELECT MAX(day) FROM daily) - INTERVAL 7 DAY
+)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       CAST(SUM(ABS(rev_cents - forecast_cents)) // COUNT(*) AS BIGINT)
+         AS mae_cents,
+       CAST(SUM(ABS(rev_cents - forecast_cents) * 1000000
+                // (rev_cents + forecast_cents)) // COUNT(*) AS BIGINT)
+         AS smape_ppm_x2
+FROM holdout
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "e_snaive_forecast_backtest",
+    oracle=_SNAIVE_ORACLE,
+    tags=("W2", "A1", "F2", "P2"),
+)
+def e_snaive_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting with the seasonal-naive baseline: predict
+    each day as the same weekday last week (lag 7 on the daily
+    series) and score the final week holdout with MAE and sMAPE — the
+    evaluation harness every forecasting system runs FIRST, because a
+    model that can't beat seasonal-naive is noise. Exact integer
+    scoring: floor-divided cents MAE and the doubled-sMAPE in ppm
+    (numerator/denominator both integer, no float anywhere).
+
+    Scale: one combinable groupBy(event_type, day) over raw events;
+    lag-7 runs on the calendar-bounded rollup partitioned per series;
+    the holdout bound is a 1-row MAX(day) broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("rev_cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    joined = daily.withColumn(
+        "forecast_cents", F.lag("rev_cents", 7).over(w)
+    )
+    maxday = daily.agg(F.max("day").alias("max_day"))
+    holdout = (
+        joined.crossJoin(F.broadcast(maxday))
+        .filter(
+            F.col("forecast_cents").isNotNull()
+            & (F.col("day") > F.date_sub(F.col("max_day"), 7))
+        )
+    )
+    abs_err = F.abs(F.col("rev_cents") - F.col("forecast_cents"))
+    return (
+        holdout.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr(
+                "CAST(SUM(ABS(rev_cents - forecast_cents)) DIV COUNT(*) "
+                "AS BIGINT)"
+            ).alias("mae_cents"),
+            F.expr(
+                "CAST(SUM(ABS(rev_cents - forecast_cents) * 1000000 "
+                "DIV (rev_cents + forecast_cents)) DIV COUNT(*) AS BIGINT)"
+            ).alias("smape_ppm_x2"),
+        )
+        .orderBy("event_type")
+    )

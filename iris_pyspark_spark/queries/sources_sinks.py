@@ -1573,3 +1573,61 @@ def s_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch string, n_staged long, n_null_keys long, "
         "n_nonpositive long, audit_passed boolean, n_published long",
     ).orderBy("batch")
+
+
+# ---------------------------------------------------------------------------
+# Hidden _metadata column: file-level provenance from inside the scan
+# ---------------------------------------------------------------------------
+
+
+@register("s_file_metadata_column", oracle=None, tags=("S1", "S5", "A1"))
+def s_file_metadata_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's hidden `_metadata` scan column: every parquet row can
+    expose the file it came from (path, name, size, row index) with
+    ZERO extra I/O — the debugging/provenance hook for bad-file
+    triage and per-file skew forensics on 100 TB tables, where
+    "which file did this row come from" is otherwise unanswerable.
+    Documents are re-laid-out into 4 scratch files, then read back
+    grouping by `_metadata.file_name`.
+
+    Rows-only (DuckDB has no analogue of another engine's hidden scan
+    schema) with self-validation: `rows_ok` pins that per-file row
+    counts sum back to the table's exact row count (no row lost or
+    double-attributed to a file), `files_ok` pins the 4-file layout,
+    and `size_ok` pins a positive on-disk size for every file."""
+    from pyspark.sql.window import Window
+
+    from ..sources import (
+        artifact_is_current,
+        mark_artifact,
+        scratch_dir,
+        table_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = scratch_dir(sf_dir, "meta4files")
+    fp = table_fingerprint(sf_dir, "documents", params="n=4")
+    if not artifact_is_current(path, fp):
+        docs.repartition(4).write.mode("overwrite").parquet(path)
+        mark_artifact(path, fp)
+    total = docs.count()
+    per_file = (
+        spark.read.parquet(path)
+        .select("doc_id", "_metadata.file_name", "_metadata.file_size")
+        .groupBy("file_name", "file_size")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    wall = Window.partitionBy()
+    return (
+        per_file.withColumn("total_rows", F.sum("n_rows").over(wall))
+        .withColumn("n_files", F.count(F.lit(1)).over(wall))
+        .select(
+            "file_name",
+            "file_size",
+            "n_rows",
+            (F.col("total_rows") == F.lit(total)).alias("rows_ok"),
+            (F.col("n_files") == 4).alias("files_ok"),
+            (F.col("file_size") > 0).alias("size_ok"),
+        )
+        .orderBy("file_name")
+    )

@@ -299,6 +299,9 @@ _PRIORITY = (
     "n_feature_hashing",                 # N5 F7 F1 (signed hashing trick)
     "j_backlog_aging_snapshots",         # J7 A1 F2 F4 (open-order aging grid)
     "t_max_drawdown",                    # W3 F3 A1 (running-peak drawdown)
+    "t_interval_coalesce",               # T4 W2 W3 (merge overlapping intervals)
+    "e_snaive_forecast_backtest",        # W2 A1 F2 (lag-7 MAE/sMAPE holdout)
+    "s_file_metadata_column",            # S1 S5 A1 (_metadata provenance, rows-only)
 )
 
 

@@ -337,6 +337,8 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 batch 32: 1-row matrix-shape crossJoin onto the 1-row
     # RMSE summary in the ALS evaluation
     "ml_als_recommender",
+    # round-4 batch 38: 1-row MAX(day) holdout-bound crossJoin
+    "e_snaive_forecast_backtest",
 })
 
 
