@@ -1418,3 +1418,179 @@ def a_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("harmonic_mean"),
     ).orderBy("prio")
+
+
+# ---------------------------------------------------------------------------
+# Relational division: on-time-in-full orders via bool_and (FORALL)
+# ---------------------------------------------------------------------------
+
+_OTIF_ORACLE = """
+WITH lines AS (
+  SELECT l.l_orderkey,
+         o.o_orderdate,
+         CAST(l.l_shipdate AS DATE)
+           <= CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY AS on_time
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         STRFTIME(CAST(o_orderdate AS DATE), '%Y') AS order_year,
+         BOOL_AND(on_time) AS all_on_time,
+         BOOL_OR(NOT on_time) AS any_late,
+         COUNT(*) AS n_lines
+  FROM lines
+  GROUP BY l_orderkey, STRFTIME(CAST(o_orderdate AS DATE), '%Y')
+)
+SELECT order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN all_on_time THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_otif,
+       CAST(SUM(CASE WHEN all_on_time THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS otif_ppm,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines
+FROM per_order
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+@register(
+    "a_relational_division_otif",
+    oracle=_OTIF_ORACLE,
+    tags=("A1", "A7", "J1", "F2"),
+)
+def a_relational_division_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — the FORALL quantifier as an aggregate:
+    an order is on-time-in-full (OTIF, the supply-chain perfect-order
+    KPI) only if EVERY one of its lines ships within 30 days of the
+    order date. Division ("orders ⊇ all qualifying lines") is the
+    one relational-algebra operator SQL lacks syntax for; the
+    scalable spelling is bool_and per group — one combinable
+    aggregate — instead of the textbook double-NOT-EXISTS
+    correlated subquery, which plans as two anti joins.
+
+    Scale: the fact-side join carries only (orderkey, shipdate)
+    against (orderkey, orderdate); both the per-order bool_and and
+    the yearly rollup are map-side combinable."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy").alias(
+            "order_year"
+        ),
+        (
+            F.col("l_shipdate").cast("date")
+            <= F.date_add(F.col("o_orderdate").cast("date"), 30)
+        ).alias("on_time"),
+    )
+    per_order = lines.groupBy("l_orderkey", "order_year").agg(
+        F.bool_and("on_time").alias("all_on_time"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        per_order.groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("all_on_time"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_otif"),
+            F.expr(
+                "CAST(SUM(CASE WHEN all_on_time THEN 1 ELSE 0 END) "
+                "* 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("otif_ppm"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+        )
+        .orderBy("order_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic layer: metric definitions as data, compiled to ONE pass
+# ---------------------------------------------------------------------------
+
+#: The metric registry a semantic layer would hold: name -> (filter
+#: predicate over events, value expression). Compiled into conditional
+#: aggregates so N metrics still cost ONE scan.
+_METRIC_SPECS = (
+    ("purchase_revenue", "event_type = 'purchase'", "cents"),
+    ("purchase_count", "event_type = 'purchase'", "one"),
+    ("error_count", "event_type = 'error'", "one"),
+    ("signup_count", "event_type = 'signup'", "one"),
+    ("engagement_value", "event_type IN ('click', 'view')", "cents"),
+    ("weekend_revenue",
+     "event_type = 'purchase' AND dayofweek IN (1, 7)", "cents"),
+)
+
+_SEMANTIC_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         1 AS one,
+         DAYOFWEEK(CAST(ts AS DATE)) + 1 AS dayofweek
+  FROM events
+)
+SELECT metric, val FROM (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+         AS BIGINT) AS purchase_revenue,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN one ELSE 0 END)
+         AS BIGINT) AS purchase_count,
+    CAST(SUM(CASE WHEN event_type = 'error' THEN one ELSE 0 END)
+         AS BIGINT) AS error_count,
+    CAST(SUM(CASE WHEN event_type = 'signup' THEN one ELSE 0 END)
+         AS BIGINT) AS signup_count,
+    CAST(SUM(CASE WHEN event_type IN ('click', 'view') THEN cents ELSE 0 END)
+         AS BIGINT) AS engagement_value,
+    CAST(SUM(CASE WHEN event_type = 'purchase' AND dayofweek IN (1, 7)
+             THEN cents ELSE 0 END) AS BIGINT) AS weekend_revenue
+  FROM base
+) UNPIVOT (val FOR metric IN (purchase_revenue, purchase_count,
+  error_count, signup_count, engagement_value, weekend_revenue))
+ORDER BY metric
+"""
+
+
+@register(
+    "a_semantic_layer_metrics",
+    oracle=_SEMANTIC_ORACLE,
+    tags=("A7", "A1", "E2"),
+)
+def a_semantic_layer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A semantic layer in miniature: metric definitions live as DATA
+    (name, filter predicate, value expression — `_METRIC_SPECS`), and
+    the engine COMPILES them into conditional aggregates at plan
+    time, so six governed metrics cost exactly one scan of the fact
+    table instead of six dashboard queries. This
+    compile-metrics-to-one-pass move is how metric stores (and this
+    engine's A7 family) keep consistent definitions cheap at 100 TB.
+
+    Determinism: Spark's dayofweek is aligned to DuckDB's via an
+    explicit +1 shift on the DuckDB side (Sunday=1 convention);
+    money stays integer cents; output is long-format (metric, val) via
+    stack/UNPIVOT so new metric definitions never change the
+    schema."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        cents(F.col("value")).alias("cents"),
+        F.lit(1).alias("one"),
+        F.dayofweek(F.col("ts").cast("date")).alias("dayofweek"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.expr(pred), F.col(val)).otherwise(0)
+        ).cast("long").alias(name)
+        for name, pred, val in _METRIC_SPECS
+    ]
+    wide = base.agg(*aggs)
+    names = ", ".join(
+        f"'{name}', {name}" for name, _, _ in _METRIC_SPECS
+    )
+    return wide.selectExpr(
+        f"stack({len(_METRIC_SPECS)}, {names}) AS (metric, val)"
+    ).orderBy("metric")

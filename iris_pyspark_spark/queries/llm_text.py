@@ -2927,3 +2927,146 @@ def n_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law: vocabulary growth V = K * T^beta fit over the corpus prefix
+# ---------------------------------------------------------------------------
+
+_HEAPS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+  FROM documents
+),
+tok_per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+),
+first_occ AS (
+  SELECT MIN(doc_id) AS first_doc FROM toks GROUP BY term
+),
+new_per_doc AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS n_new
+  FROM first_occ GROUP BY first_doc
+),
+spine AS (
+  SELECT t.doc_id, t.n_tok, COALESCE(n.n_new, 0) AS n_new
+  FROM tok_per_doc t LEFT JOIN new_per_doc n ON t.doc_id = n.doc_id
+),
+cum AS (
+  SELECT doc_id,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS t_cum,
+         SUM(n_new) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS v_cum
+  FROM spine
+),
+pts AS (
+  SELECT CAST(ROUND(LN(CAST(t_cum AS DOUBLE)) * 1000000) AS BIGINT)
+           AS x_micro,
+         CAST(ROUND(LN(CAST(v_cum AS DOUBLE)) * 1000000) AS BIGINT)
+           AS y_micro
+  FROM cum
+  WHERE doc_id % 25 = 0 AND v_cum > 0
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x_micro) AS BIGINT) AS sx,
+         CAST(SUM(y_micro) AS BIGINT) AS sy,
+         CAST(SUM(x_micro * y_micro) AS HUGEINT) AS sxy,
+         CAST(SUM(x_micro * x_micro) AS HUGEINT) AS sxx
+  FROM stats_src
+), stats_src AS (SELECT * FROM pts),
+tot AS (
+  SELECT (SELECT MAX(t_cum) FROM cum) AS total_tokens,
+         (SELECT MAX(v_cum) FROM cum) AS vocab_size
+)
+SELECT s.n AS n_points,
+       CAST(t.total_tokens AS BIGINT) AS total_tokens,
+       CAST(t.vocab_size AS BIGINT) AS vocab_size,
+       ROUND((s.n * s.sxy - s.sx * s.sy)
+             / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE), 6) AS heaps_beta
+FROM stats s CROSS JOIN tot t
+"""
+
+
+@register(
+    "n_heaps_law_fit",
+    oracle=_HEAPS_ORACLE,
+    tags=("N5", "A1", "W3", "F3"),
+)
+def n_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit: vocabulary size grows as V ≈ K·T^β with corpus
+    tokens T — the sublinear exponent β (~0.4-0.6 for natural text)
+    that capacity-plans tokenizer vocabularies and predicts how much
+    NEW vocabulary the next 10x of crawl will add. Per-doc token
+    counts and first-occurrence ("new term") counts roll up in one
+    combinable pass each; their running sums over corpus order give
+    the growth curve; a 1-in-25 systematic sample of milestones feeds
+    a log-log OLS (micro-nat leaves → exact BIGINT/HUGEINT sufficient
+    statistics, the retention-fit convention).
+
+    Scale note (honest): prefix-cumulative vocabulary growth is
+    inherently ordered — the running sums run in ONE partition, but
+    over the per-doc rollup (two longs per doc), not over tokens; at
+    crawl scale you would run the same windows over coarser milestone
+    prefixes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tok_per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    new_per_doc = (
+        toks.groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    spine = tok_per_doc.join(new_per_doc, "doc_id", "left").select(
+        "doc_id", "n_tok", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    wcum = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = spine.select(
+        "doc_id",
+        F.sum("n_tok").over(wcum).alias("t_cum"),
+        F.sum("n_new").over(wcum).alias("v_cum"),
+    )
+    pts = cum.filter((F.col("doc_id") % 25 == 0) & (F.col("v_cum") > 0)).select(
+        F.round(F.log(F.col("t_cum").cast("double")) * 1000000)
+        .cast("long")
+        .alias("x_micro"),
+        F.round(F.log(F.col("v_cum").cast("double")) * 1000000)
+        .cast("long")
+        .alias("y_micro"),
+    )
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    stats = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_micro").cast("long").alias("sx"),
+        F.sum("y_micro").cast("long").alias("sy"),
+        F.sum(dec(F.col("x_micro") * F.col("y_micro"))).alias("sxy"),
+        F.sum(dec(F.col("x_micro") * F.col("x_micro"))).alias("sxx"),
+    )
+    tot = cum.agg(
+        F.max("t_cum").cast("long").alias("total_tokens"),
+        F.max("v_cum").cast("long").alias("vocab_size"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = nd * F.col("sxy") - (F.col("sx").cast("decimal(38,0)") * F.col("sy"))
+    den = nd * F.col("sxx") - (
+        F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    )
+    return stats.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_points"),
+        "total_tokens",
+        "vocab_size",
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "heaps_beta"
+        ),
+    )

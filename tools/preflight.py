@@ -13,7 +13,9 @@ strictly MORE checking than the driver:
   * rows-only queries must return rows and their `*_ok` self-validation
     columns must be all-true.
 
-Usage:  python tools/preflight.py [sf_dir]      (default sf0.01)
+Usage:  python tools/preflight.py [sf_dir] [name_substr ...]
+(default sf0.01, all queries; extra args filter by exact name or
+substring so one query can be re-checked in seconds)
 Exit code 0 = every query green; 1 = failures (listed).
 """
 
@@ -33,6 +35,7 @@ TABLES = (
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filters = sys.argv[2:]
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -45,6 +48,12 @@ def main() -> int:
     spark = SparkSession.builder.master("local[8]").getOrCreate()  # vanilla!
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = se.queries(), se.oracle_sql()
+    if name_filters:
+        qs = {
+            n: fn
+            for n, fn in qs.items()
+            if any(f == n or f in n for f in name_filters)
+        }
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
