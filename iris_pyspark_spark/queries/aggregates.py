@@ -1594,3 +1594,112 @@ def a_semantic_layer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(_METRIC_SPECS)}, {names}) AS (metric, val)"
     ).orderBy("metric")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with an exact merge proof
+# ---------------------------------------------------------------------------
+
+_KMV_ORACLE = """
+WITH hashed AS (
+  SELECT DISTINCT (l_partkey * 48271 + 11) % 2147483647 AS h
+  FROM lineitem
+),
+kmin_full AS (SELECT h FROM hashed ORDER BY h LIMIT 64),
+full_est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(h) AS BIGINT) AS hk
+  FROM kmin_full
+),
+by_flag AS (
+  SELECT l_returnflag AS flag,
+         (l_partkey * 48271 + 11) % 2147483647 AS h
+  FROM lineitem
+  GROUP BY l_returnflag, (l_partkey * 48271 + 11) % 2147483647
+),
+flag_kmin AS (
+  SELECT flag, h,
+         ROW_NUMBER() OVER (PARTITION BY flag ORDER BY h) AS rn
+  FROM by_flag
+),
+merged AS (
+  SELECT DISTINCT h FROM flag_kmin WHERE rn <= 64 ORDER BY h LIMIT 64
+),
+merged_est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(h) AS BIGINT) AS hk
+  FROM merged
+),
+exact AS (
+  SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd FROM lineitem
+)
+SELECT f.k AS k,
+       f.hk AS h_k,
+       (f.k - 1) * 2147483647 // f.hk AS est_full,
+       (m.k - 1) * 2147483647 // m.hk AS est_merged,
+       exact_nd,
+       ABS((f.k - 1) * 2147483647 // f.hk - exact_nd) * 1000000 // exact_nd
+         AS rel_err_ppm
+FROM full_est f CROSS JOIN merged_est m CROSS JOIN exact
+"""
+
+
+@register(
+    "a_kmv_distinct_sketch",
+    oracle=_KMV_ORACLE,
+    tags=("A4", "A3", "O2", "W1"),
+)
+def a_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch over
+    part keys, with its mergeability proven IN the output: the sketch
+    merged from per-returnflag partial sketches lands on the exact same
+    k-min set — est_merged == est_full, row for row — which is the
+    whole point of a mergeable sketch at 100 TB (partials combine on
+    the reduce side, the raw keys never travel).
+
+    Unlike approx_count_distinct (HLL, engine-private hash → rows-only),
+    every step here is deterministic SQL on both engines: a pinned
+    Lehmer-style hash (key * 48271 + 11 mod 2^31-1, products far from
+    BIGINT overflow), distinct-hash rollup, per-group bottom-64 via one
+    ranked window, merge = union ∪ re-take bottom-64, estimate
+    (k-1)*M/h_k in positive integer division — so the driver hash-checks
+    the SKETCH itself, not just its error. rel_err_ppm documents the
+    k=64 accuracy (~1/√k ≈ 12.5% envelope) against the exact distinct
+    count computed once for the proof."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (F.col("l_partkey") * 48271 + 11) % 2147483647
+    hashed = li.select(h.alias("h")).distinct()
+    kmin_full = hashed.orderBy("h").limit(64)
+    full_est = kmin_full.agg(
+        F.count(F.lit(1)).alias("k"), F.max("h").alias("hk")
+    )
+    by_flag = li.select(F.col("l_returnflag").alias("flag"), h.alias("h")).distinct()
+    flag_kmin = by_flag.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("flag").orderBy("h"))
+    )
+    merged = (
+        flag_kmin.filter(F.col("rn") <= 64)
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(64)
+    )
+    merged_est = merged.agg(
+        F.count(F.lit(1)).alias("k"), F.max("h").alias("hk")
+    )
+    exact = li.agg(F.count_distinct(F.col("l_partkey")).alias("exact_nd"))
+    f_ = full_est.select(F.col("k").alias("kf"), F.col("hk").alias("hkf"))
+    m_ = merged_est.select(F.col("k").alias("km"), F.col("hk").alias("hkm"))
+    return (
+        f_.crossJoin(broadcast(m_))
+        .crossJoin(broadcast(exact))
+        .select(
+            F.col("kf").alias("k"),
+            F.col("hkf").alias("h_k"),
+            F.expr("((kf - 1) * 2147483647) DIV hkf").alias("est_full"),
+            F.expr("((km - 1) * 2147483647) DIV hkm").alias("est_merged"),
+            "exact_nd",
+            F.expr(
+                "ABS(((kf - 1) * 2147483647) DIV hkf - exact_nd) * 1000000"
+                " DIV exact_nd"
+            ).alias("rel_err_ppm"),
+        )
+    )

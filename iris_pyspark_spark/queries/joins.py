@@ -1438,3 +1438,141 @@ def j_backlog_aging_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("snapshot_month", "age_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked entity resolution (record linkage with Fellegi-Sunter-style scores)
+# ---------------------------------------------------------------------------
+
+_ER_ORACLE = f"""
+WITH clean AS (
+  SELECT c_custkey,
+         SUBSTRING(c_name, 10, 6) AS name_key,
+         {CENTS_SQL.format(expr="c_acctbal")} AS bal_cents,
+         c_nationkey, c_mktsegment
+  FROM customer
+),
+dirty AS (
+  SELECT c_custkey AS src_key,
+         SUBSTRING(c_name, 10, 6) AS name_key,
+         {CENTS_SQL.format(expr="c_acctbal")} + (c_custkey % 7) - 3
+           AS bal_cents,
+         c_nationkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END
+           AS seg
+  FROM customer
+),
+cand AS (
+  SELECT c.c_custkey, d.src_key,
+         CASE WHEN c.name_key = d.name_key THEN 24 ELSE -24 END
+         + CASE WHEN ABS(c.bal_cents - d.bal_cents) <= 3 THEN 16 ELSE -16 END
+         + CASE WHEN d.seg = 'UNKNOWN' THEN 0
+                WHEN c.c_mktsegment = d.seg THEN 8 ELSE -8 END AS score
+  FROM clean c
+  JOIN dirty d
+    ON c.c_nationkey = d.c_nationkey
+   AND (c.bal_cents + 100000) // 10000 = (d.bal_cents + 100000) // 10000
+),
+pred AS (SELECT * FROM cand WHERE score >= 40),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pred,
+         CAST(SUM(CASE WHEN c_custkey = src_key THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp
+  FROM pred
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand
+),
+truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM customer)
+SELECT n_cand, n_pred, tp, n_true,
+       tp * 1000000 // n_pred AS precision_ppm,
+       tp * 1000000 // n_true AS recall_ppm
+FROM stats CROSS JOIN tot CROSS JOIN truth
+"""
+
+
+@register(
+    "j_entity_resolution_blocked",
+    oracle=_ER_ORACLE,
+    tags=("J1", "A1", "A7", "P6", "F1", "N1"),
+)
+def j_entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: link a deterministically-dirtied copy of the
+    customer table (balance jittered ±3 cents by key, 20% of segments
+    blanked to UNKNOWN) back to the clean table with blocking +
+    Fellegi-Sunter-style integer agreement weights, and report
+    precision/recall against the planted ground truth.
+
+    Scale design — the all-pairs comparison space (n² across files) is
+    cut by BLOCKING before any scoring: candidates must share
+    (nationkey, $100-balance-bucket), an equi-join whose block sizes
+    are bounded by the balance histogram, never a cross join. The
+    bucket is floor-division on OFFSET-POSITIVE cents ((bal+100000)//10000)
+    so Spark's truncating DIV and DuckDB's flooring // agree on
+    negative balances. Scoring is pure integer weight arithmetic
+    (match/mismatch on a 6-digit name key, |Δbal| ≤ 3 cents, segment
+    agreement with UNKNOWN scored 0); threshold 40 requires name AND
+    balance agreement. Recall < 100% is REAL: a jitter that crosses a
+    $100 bucket boundary makes that true pair unblocked — the classic
+    blocking/recall trade every production linker tunes. All metrics
+    exact integer ppm."""
+    c = load_table(spark, sf_dir, "customer")
+    clean = c.select(
+        "c_custkey",
+        F.substring("c_name", 10, 6).alias("name_key"),
+        cents(F.col("c_acctbal")).alias("bal_cents"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    dirty = c.select(
+        F.col("c_custkey").alias("src_key"),
+        F.substring("c_name", 10, 6).alias("d_name_key"),
+        (cents(F.col("c_acctbal")) + (F.col("c_custkey") % 7) - 3).alias(
+            "d_bal_cents"
+        ),
+        F.col("c_nationkey").alias("d_nationkey"),
+        F.when(F.col("c_custkey") % 5 == 0, "UNKNOWN")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    cand = clean.join(
+        dirty,
+        (F.col("c_nationkey") == F.col("d_nationkey"))
+        & (
+            F.expr("(bal_cents + 100000) DIV 10000")
+            == F.expr("(d_bal_cents + 100000) DIV 10000")
+        ),
+    ).select(
+        "c_custkey",
+        "src_key",
+        (
+            F.when(F.col("name_key") == F.col("d_name_key"), 24).otherwise(-24)
+            + F.when(
+                F.abs(F.col("bal_cents") - F.col("d_bal_cents")) <= 3, 16
+            ).otherwise(-16)
+            + F.when(F.col("seg") == "UNKNOWN", 0)
+            .when(F.col("c_mktsegment") == F.col("seg"), 8)
+            .otherwise(-8)
+        ).alias("score"),
+    )
+    pred = cand.filter(F.col("score") >= 40)
+    stats = pred.agg(
+        F.count(F.lit(1)).alias("n_pred"),
+        F.sum(
+            F.when(F.col("c_custkey") == F.col("src_key"), 1).otherwise(0)
+        ).alias("tp"),
+    )
+    tot = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    truth = c.agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        stats.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(truth))
+        .select(
+            "n_cand",
+            "n_pred",
+            "tp",
+            "n_true",
+            F.expr("tp * 1000000 DIV n_pred").alias("precision_ppm"),
+            F.expr("tp * 1000000 DIV n_true").alias("recall_ppm"),
+        )
+    )

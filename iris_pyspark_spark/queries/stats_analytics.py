@@ -3121,3 +3121,269 @@ def e_propensity_rank_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_gap_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (nonparametric A/B readout)
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         SUM({CENTS_SQL.format(expr="value")}) AS spend_cents,
+         CASE WHEN (user_id * 48271) % 100 < 50 THEN 'A' ELSE 'B' END AS arm
+  FROM events
+  GROUP BY user_id
+),
+vals AS (
+  SELECT spend_cents,
+         COUNT(*) AS t,
+         SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS t1
+  FROM per_user
+  GROUP BY spend_cents
+),
+ranked AS (
+  SELECT t, t1,
+         COALESCE(SUM(t) OVER (ORDER BY spend_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below
+  FROM vals
+),
+agg AS (
+  SELECT CAST(SUM(t1) AS BIGINT)                       AS n1,
+         CAST(SUM(t) AS BIGINT)                        AS n,
+         CAST(SUM(t1 * (2 * below + t + 1)) AS BIGINT) AS r1_x2,
+         CAST(SUM(t * t * t - t) AS BIGINT)            AS tie_cube
+  FROM ranked
+),
+u AS (
+  SELECT n1, n - n1 AS n2, n, tie_cube,
+         r1_x2 - n1 * (n1 + 1) AS u1_x2
+  FROM agg
+)
+SELECT n1, n2, u1_x2,
+       2 * n1 * n2 - u1_x2 AS u2_x2,
+       ROUND((CAST(u1_x2 AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+             / (2 * SQRT(CAST(n1 AS DOUBLE) * n2 / 12.0
+                * ((n + 1) - CAST(tie_cube AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * (n - 1))))), 6) AS z_stat
+FROM u
+"""
+
+
+@register(
+    "e_mann_whitney_u",
+    oracle=_MWU_ORACLE,
+    tags=("A1", "A2", "A7", "W3"),
+)
+def e_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test on per-user spend between two
+    hash-assigned experiment arms — the nonparametric complement of
+    `e_welch_ttest` for skewed revenue metrics, with the tie-corrected
+    normal approximation.
+
+    Scale design — the ranks are never materialized per row. Doubled
+    average ranks of a tie group are exact integers (2*min_rank + t - 1
+    where min_rank = below + 1), so the whole test reduces to sufficient
+    statistics over the DISTINCT-VALUE rollup: one combinable per-user
+    aggregation (the only shuffle of the fact), one combinable
+    distinct-cents rollup, and one O(distinct values) cumulative window
+    over that rollup — cardinality bounded by the money grid, not the
+    user count. U1 + U2 == n1*n2 by construction (both emitted, the
+    oracle pins the identity). The z denominator applies the standard
+    tie correction Σ(t³-t)/(n(n-1)); all inputs to the one float
+    expression are exact BIGINTs, so the round-6 double matches DuckDB
+    bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.sum(cents(F.col("value"))).alias("spend_cents"))
+        .withColumn(
+            "arm",
+            F.when((F.col("user_id") * 48271) % 100 < 50, "A").otherwise("B"),
+        )
+    )
+    vals = per_user.groupBy("spend_cents").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("t1"),
+    )
+    w = Window.orderBy("spend_cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "t", "t1", F.coalesce(F.sum("t").over(w), F.lit(0)).alias("below")
+    )
+    agg = ranked.agg(
+        F.sum("t1").alias("n1"),
+        F.sum("t").alias("n"),
+        F.sum(F.col("t1") * (2 * F.col("below") + F.col("t") + 1)).alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_cube"),
+    )
+    u = agg.select(
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        "n",
+        "tie_cube",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
+    )
+    n1d = F.col("n1").cast("double")
+    nd = F.col("n").cast("double")
+    return u.select(
+        "n1",
+        "n2",
+        "u1_x2",
+        (2 * F.col("n1") * F.col("n2") - F.col("u1_x2")).alias("u2_x2"),
+        F.round(
+            (F.col("u1_x2").cast("double") - (F.col("n1") * F.col("n2")).cast("double"))
+            / (
+                2
+                * F.sqrt(
+                    n1d
+                    * F.col("n2")
+                    / 12.0
+                    * (
+                        (F.col("n") + 1)
+                        - F.col("tie_cube").cast("double")
+                        / (nd * (F.col("n") - 1))
+                    )
+                )
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend estimator (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+_THEIL_SEN_ORACLE = f"""
+WITH weekly AS (
+  SELECT (DATEDIFF('day', DATE '1994-01-01', CAST(l_shipdate AS DATE))) // 7
+           AS wk,
+         CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")})
+              AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  GROUP BY 1
+),
+pairs AS (
+  SELECT a.wk AS w1, b.wk AS w2,
+         CAST(b.rev_cents - a.rev_cents AS DOUBLE) / (b.wk - a.wk) AS slope
+  FROM weekly a JOIN weekly b ON a.wk < b.wk
+),
+ordered AS (
+  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, w1, w2) AS pos,
+         COUNT(*) OVER () AS n_pairs
+  FROM pairs
+),
+sen AS (
+  SELECT MAX(n_pairs) AS n_pairs,
+         SUM(CASE WHEN pos = (n_pairs + 1) // 2 THEN slope ELSE 0 END) AS s_lo,
+         SUM(CASE WHEN pos = (n_pairs + 2) // 2 THEN slope ELSE 0 END) AS s_hi
+  FROM ordered
+),
+ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT)            AS n,
+         CAST(SUM(wk) AS BIGINT)             AS sx,
+         CAST(SUM(rev_cents) AS BIGINT)      AS sy,
+         CAST(SUM(wk * rev_cents) AS BIGINT) AS sxy,
+         CAST(SUM(wk * wk) AS BIGINT)        AS sxx
+  FROM weekly
+)
+SELECT ols.n AS n_weeks, sen.n_pairs,
+       ROUND((s_lo + s_hi) / 2 / 100, 6) AS sen_slope_dollars_per_week,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100, 6)
+         AS ols_slope_dollars_per_week
+FROM sen CROSS JOIN ols
+"""
+
+
+@register(
+    "t_theil_sen_trend",
+    oracle=_THEIL_SEN_ORACLE,
+    tags=("A1", "J10", "W1", "F2"),
+)
+def t_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of 1994 weekly revenue — the median of all
+    pairwise slopes — next to the OLS slope from exact sufficient
+    statistics, the robust-vs-classical pair every monitoring stack
+    wants (one outlier week moves OLS but not Theil-Sen).
+
+    Scale design — the O(n²) pair generation runs on the CALENDAR
+    rollup, never the fact: one combinable groupBy(week) pass over
+    lineitem (the only shuffle of the fact), then ≤52 weekly points →
+    ≤1326 slope pairs, a bounded theta self-join. The median is picked
+    by explicit middle positions ((n+1)//2, (n+2)//2 over a total order
+    with (slope, w1, w2) tie-break), identical integer arithmetic on
+    both engines — no engine median() whose interpolation rule could
+    differ. Slopes are exact-BIGINT cent differences divided once as
+    DOUBLE (same operands, same order → same bits). OLS sufficient
+    stats are BIGINT (wk ≤ 52 keeps n*Σxy far from overflow; at larger
+    calendars scale y to dollars first)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+        )
+        .groupBy(
+            F.floor(
+                F.datediff(F.col("l_shipdate").cast("date"), F.lit("1994-01-01"))
+                / 7
+            ).alias("wk")
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("rev_cents")
+        )
+    )
+    a, b = weekly.alias("a"), weekly.alias("b")
+    pairs = a.join(b, F.col("a.wk") < F.col("b.wk")).select(
+        F.col("a.wk").alias("w1"),
+        F.col("b.wk").alias("w2"),
+        (
+            (F.col("b.rev_cents") - F.col("a.rev_cents")).cast("double")
+            / (F.col("b.wk") - F.col("a.wk"))
+        ).alias("slope"),
+    )
+    wpos = Window.orderBy("slope", "w1", "w2")
+    ordered = pairs.select(
+        "slope",
+        F.row_number().over(wpos).alias("pos"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n_pairs"),
+    )
+    sen = ordered.agg(
+        F.max("n_pairs").alias("n_pairs"),
+        F.sum(
+            F.when(
+                F.col("pos") == F.floor((F.col("n_pairs") + 1) / 2), F.col("slope")
+            ).otherwise(0.0)
+        ).alias("s_lo"),
+        F.sum(
+            F.when(
+                F.col("pos") == F.floor((F.col("n_pairs") + 2) / 2), F.col("slope")
+            ).otherwise(0.0)
+        ).alias("s_hi"),
+    )
+    ols = weekly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wk").alias("sx"),
+        F.sum("rev_cents").alias("sy"),
+        F.sum(F.col("wk") * F.col("rev_cents")).alias("sxy"),
+        F.sum(F.col("wk") * F.col("wk")).alias("sxx"),
+    )
+    return sen.crossJoin(F.broadcast(ols)).select(
+        F.col("n").alias("n_weeks"),
+        "n_pairs",
+        F.round((F.col("s_lo") + F.col("s_hi")) / 2 / 100, 6).alias(
+            "sen_slope_dollars_per_week"
+        ),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / 100,
+            6,
+        ).alias("ols_slope_dollars_per_week"),
+    )

@@ -339,6 +339,12 @@ _BNLJ_ALLOWED = frozenset({
     "ml_als_recommender",
     # round-4 batch 38: 1-row MAX(day) holdout-bound crossJoin
     "e_snaive_forecast_backtest",
+    # round-4 batch 40: 1-row sufficient-stats x 1-row totals crossJoin
+    # in the Heaps-law OLS fit
+    "n_heaps_law_fit",
+    # round-4 fifth continuation: <=52-row calendar-rollup theta
+    # self-join (pairwise slopes) + 1-row OLS-stats crossJoin
+    "t_theil_sen_trend",
 })
 
 
