@@ -837,3 +837,86 @@ def n_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe group k-fold assignment
+# ---------------------------------------------------------------------------
+
+_GROUP_KFOLD_ORACLE = """
+WITH srcs AS (
+  SELECT source,
+         (ROW_NUMBER() OVER (ORDER BY source) - 1) % 5 AS fold
+  FROM (SELECT DISTINCT source FROM documents)
+),
+assigned AS (
+  SELECT d.doc_id, d.n_chars, s.fold, d.source
+  FROM documents d JOIN srcs s ON d.source = s.source
+),
+leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_sources
+  FROM (
+    SELECT source FROM assigned GROUP BY source
+    HAVING COUNT(DISTINCT fold) > 1
+  )
+)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT)               AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT)           AS total_chars,
+       n_leaky_sources
+FROM assigned CROSS JOIN leak
+GROUP BY fold, n_leaky_sources
+ORDER BY fold
+"""
+
+
+@register(
+    "n_group_kfold",
+    oracle=_GROUP_KFOLD_ORACLE,
+    tags=("N5", "A1", "J1", "W1"),
+)
+def n_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group k-fold assignment for leakage-safe evaluation: every
+    document of a SOURCE lands in the same fold (grouped splitting is
+    what keeps near-duplicate documents from the same crawl domain out
+    of both train and validation), and the output carries the leakage
+    audit inline — n_leaky_sources counts sources spanning >1 fold and
+    must be 0 by construction.
+
+    Scale design — fold assignment is a deterministic function of the
+    GROUP, not the row: one tiny distinct-source rollup (bounded by
+    source cardinality) gets row-numbered round-robin into 5 folds,
+    then broadcast-joins back onto the fact — no hash function whose
+    implementation could differ between engines, no shuffle of the
+    fact beyond the final per-fold rollup. The leakage audit aggregates
+    the assignment, not the fact."""
+    d = load_table(spark, sf_dir, "documents")
+    srcs = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            ((F.row_number().over(Window.orderBy("source")) - 1) % 5).alias(
+                "fold"
+            ),
+        )
+    )
+    assigned = d.join(F.broadcast(srcs), "source")
+    leak = (
+        assigned.groupBy("source")
+        .agg(F.count_distinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaky_sources"))
+    )
+    return (
+        assigned.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("fold", "n_docs", "n_sources", "total_chars", "n_leaky_sources")
+        .orderBy("fold")
+    )

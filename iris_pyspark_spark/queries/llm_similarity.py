@@ -28,6 +28,7 @@ from ..operators.similarity import (
     dot_unrolled_sql,
     ivf_assign,
     knn_bruteforce,
+    l2_sq_unrolled,
     l2_sq_unrolled_sql,
     norm_unrolled_sql,
 )
@@ -1485,3 +1486,226 @@ def n_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "needs_labeling"
         ),
     ).orderBy("margin", "q_id")
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center (farthest-point) diverse subset selection
+# ---------------------------------------------------------------------------
+
+def _kcenter_round_sql(round_idx: int) -> str:
+    """One greedy round as a CTE pair: min distance to the selected set
+    so far, then the argmax (ties → smallest vec_id)."""
+    prev = ", ".join(f"p{j}" for j in range(round_idx))
+    mins = "LEAST(" + ", ".join(f"d{j}" for j in range(round_idx)) + ")" \
+        if round_idx > 1 else "d0"
+    dists = ",\n         ".join(
+        f"ROUND({l2_sq_unrolled_sql('c.embedding', f'p{j}.embedding', 64)}, 9)"
+        f" AS d{j}"
+        for j in range(round_idx)
+    )
+    return f"""
+dist{round_idx} AS (
+  SELECT c.vec_id, c.embedding,
+         {dists}
+  FROM corpus c, {prev}
+),
+agg{round_idx} AS (
+  SELECT vec_id, embedding, {mins} AS mind FROM dist{round_idx}
+),
+p{round_idx} AS (
+  SELECT vec_id, embedding, mind FROM agg{round_idx}
+  ORDER BY mind DESC, vec_id LIMIT 1
+)"""
+
+
+_KCENTER_ORACLE = (
+    """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+),
+p0 AS (
+  SELECT vec_id, embedding, CAST(0 AS DOUBLE) AS mind
+  FROM corpus ORDER BY vec_id LIMIT 1
+),"""
+    + ",".join(_kcenter_round_sql(i) for i in (1, 2, 3))
+    + """
+SELECT 0 AS order_idx, vec_id, CAST(ROUND(mind * 1000000) AS BIGINT)
+         AS minmax_dist_micro FROM p0
+UNION ALL
+SELECT 1, vec_id, CAST(ROUND(mind * 1000000) AS BIGINT) FROM p1
+UNION ALL
+SELECT 2, vec_id, CAST(ROUND(mind * 1000000) AS BIGINT) FROM p2
+UNION ALL
+SELECT 3, vec_id, CAST(ROUND(mind * 1000000) AS BIGINT) FROM p3
+ORDER BY order_idx
+"""
+)
+
+
+@register(
+    "n_kcenter_diverse_selection",
+    oracle=_KCENTER_ORACLE,
+    tags=("N4", "N3", "O2", "J9"),
+)
+def n_kcenter_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point traversal) over the embedding
+    corpus: seed with the smallest vec_id, then 3 rounds of "add the
+    point farthest from the selected set" — the classic diverse-subset
+    selection used to seed clustering and to pick maximally-diverse
+    training examples. Output is the selection order with each pick's
+    max-min squared-L2 radius (the k-center objective), in micro units.
+
+    Scale design — greedy k-center is k SCANS, not a k×n join: each
+    round broadcasts the ≤k-row selected set against one pass over the
+    corpus (map-side LEAST over k unrolled codegen distances), takes a
+    global argmax (ties → smallest vec_id), and collects exactly ONE
+    row to the driver — the only driver traffic is k rows total, so the
+    loop is O(k·scan) at any corpus size. Distances are bit-exact
+    unrolled IEEE sums (same operand order both engines), rounded to
+    9 dp before ordering the argmax — the same determinism contract as
+    the cosine family."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = e.orderBy("vec_id").limit(1).first()
+    selected = [(0, seed.vec_id, seed.embedding, 0.0)]
+    for round_idx in (1, 2, 3):
+        mind = None
+        for _, _, emb, _ in selected:
+            d = F.round(
+                l2_sq_unrolled(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in emb]),
+                    64,
+                ),
+                9,
+            )
+            mind = d if mind is None else F.least(mind, d)
+        pick = (
+            e.select("vec_id", "embedding", mind.alias("mind"))
+            .orderBy(F.col("mind").desc(), F.col("vec_id"))
+            .limit(1)
+            .first()
+        )
+        selected.append((round_idx, pick.vec_id, pick.embedding, pick.mind))
+    return spark.createDataFrame(
+        [
+            (order_idx, int(vec_id), int(round(mind * 1000000)))
+            for order_idx, vec_id, _, mind in selected
+        ],
+        "order_idx INT, vec_id BIGINT, minmax_dist_micro BIGINT",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MRR@10 / Recall@10 retrieval evaluation (rank-reciprocal + hit-rate)
+# ---------------------------------------------------------------------------
+
+_MRR_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, label, embedding,
+         {norm_unrolled_sql("embedding", DIM)} AS nrm
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb, nrm AS q_nrm
+  FROM normed WHERE vec_id % 101 = 0
+),
+ranked AS (
+  SELECT p.q_id, p.q_label, c.label AS c_label,
+         ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+           ({dot_unrolled_sql("p.q_emb", "c.embedding", DIM)})
+             / (p.q_nrm * c.nrm) DESC, c.vec_id) AS rk
+  FROM probes p JOIN normed c ON p.q_id <> c.vec_id
+),
+per_query AS (
+  SELECT q_id,
+         CAST(COALESCE(MIN(CASE WHEN c_label = q_label THEN rk END), 0)
+              AS BIGINT) AS first_rel_rank,
+         CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel_at_10
+  FROM ranked WHERE rk <= 10
+  GROUP BY q_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN first_rel_rank > 0
+                     THEN 1000000 // first_rel_rank ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS mrr_at_10_ppm,
+       CAST(SUM(CASE WHEN first_rel_rank > 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS recall_at_10_ppm,
+       CAST(SUM(n_rel_at_10) AS BIGINT) AS total_rel_hits
+FROM per_query
+"""
+
+
+@register(
+    "n_mrr_retrieval_eval",
+    oracle=_MRR_ORACLE,
+    tags=("N3", "N4", "W4", "A2"),
+)
+def n_mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 and Recall@10 for exact cosine retrieval with same-label
+    relevance — the rank-reciprocal companion to `n_ndcg_retrieval_eval`
+    (MRR cares only where the FIRST relevant hit lands; recall@k cares
+    whether ANY landed). Together the three metrics are the standard
+    retrieval-eval battery for embedding models.
+
+    Determinism: reciprocal ranks are exact integer micro-units
+    (1000000 // rank, positive floor division identical on both
+    engines); the mean is one more positive floor division — no float
+    anywhere. Ranking reuses the bit-exact unrolled dot products with
+    vec_id tie-breaks.
+
+    Scale: same bounded-probe-broadcast × one-corpus-scan shape as
+    n_knn_bruteforce; the per-query reduction keeps only rank-1 and a
+    count, so the shuffle after the scan is probes-sized."""
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias(
+            "nrm"
+        ),
+    )
+    probes = normed.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = dot_unrolled(F.col("q_emb"), F.col("embedding"), DIM) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    ranked = (
+        F.broadcast(probes)
+        .join(normed, F.col("q_id") != F.col("vec_id"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(cos.desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+    )
+    per_query = ranked.groupBy("q_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("label") == F.col("q_label"), F.col("rk"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("first_rel_rank"),
+        F.sum(F.when(F.col("label") == F.col("q_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel_at_10"),
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.expr(
+            "SUM(CASE WHEN first_rel_rank > 0"
+            " THEN 1000000 DIV first_rel_rank ELSE 0 END) DIV COUNT(*)"
+        ).alias("mrr_at_10_ppm"),
+        F.expr(
+            "SUM(CASE WHEN first_rel_rank > 0 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*)"
+        ).alias("recall_at_10_ppm"),
+        F.sum("n_rel_at_10").cast("long").alias("total_rel_hits"),
+    )

@@ -3070,3 +3070,92 @@ def n_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaps_beta"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-language feature-scaler parameter table (min-max / z-score / robust)
+# ---------------------------------------------------------------------------
+
+_SCALER_ORACLE = """
+WITH stats AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT)                 AS n,
+         CAST(MIN(n_chars) AS BIGINT)             AS min_chars,
+         CAST(MAX(n_chars) AS BIGINT)             AS max_chars,
+         CAST(SUM(n_chars) AS BIGINT)             AS s,
+         CAST(SUM(n_chars * n_chars) AS BIGINT)   AS ss,
+         PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY n_chars) AS q25,
+         PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY n_chars) AS q50,
+         PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY n_chars) AS q75
+  FROM documents
+  GROUP BY lang
+)
+SELECT lang, n, min_chars, max_chars,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_chars,
+       ROUND(SQRT((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6) AS std_chars,
+       q50 AS median_chars,
+       q75 - q25 AS iqr_chars,
+       ROUND((1000 - CAST(min_chars AS DOUBLE))
+             / (max_chars - min_chars), 6) AS probe_minmax,
+       ROUND((1000 - CAST(s AS DOUBLE) / n)
+             / SQRT((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6)
+         AS probe_zscore,
+       ROUND((1000 - q50) / (q75 - q25), 6) AS probe_robust
+FROM stats
+ORDER BY lang
+"""
+
+
+@register(
+    "n_feature_scaling_params",
+    oracle=_SCALER_ORACLE,
+    tags=("N5", "A1", "A8", "A2"),
+)
+def n_feature_scaling_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language feature-scaler parameter table for the document
+    length feature — min-max, z-score, and robust (median/IQR) scaling
+    side by side, each also applied to a fixed 1000-char probe so the
+    three scalers' different outlier sensitivity is visible in one row.
+    This is the fit() half of a fit/transform scaling pipeline: at
+    serving time the small parameter table broadcasts onto any fact.
+
+    Scale design — one combinable groupBy(lang) computes every
+    parameter in a single pass: min/max/Σx/Σx² are exact BIGINTs;
+    the quartiles are percentile_cont order statistics (sort-based
+    per group, interpolation a + f*(b-a) identical on both engines,
+    proven by a_percentile_cont_disc). The float formulas (std via the
+    sufficient-statistics identity, the three probe projections) run
+    once per language row, identical expression trees, round-6."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+        F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars)").alias("q25"),
+        F.expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY n_chars)").alias("q50"),
+        F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars)").alias("q75"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean = s.cast("double") / n
+    std = F.sqrt((ss - s.cast("double") * s / n) / (n - 1))
+    return stats.select(
+        "lang",
+        "n",
+        "min_chars",
+        "max_chars",
+        F.round(mean, 6).alias("mean_chars"),
+        F.round(std, 6).alias("std_chars"),
+        F.col("q50").alias("median_chars"),
+        (F.col("q75") - F.col("q25")).alias("iqr_chars"),
+        F.round(
+            (1000 - F.col("min_chars").cast("double"))
+            / (F.col("max_chars") - F.col("min_chars")),
+            6,
+        ).alias("probe_minmax"),
+        F.round((1000 - mean) / std, 6).alias("probe_zscore"),
+        F.round(
+            (1000 - F.col("q50")) / (F.col("q75") - F.col("q25")), 6
+        ).alias("probe_robust"),
+    ).orderBy("lang")

@@ -898,3 +898,144 @@ def e_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "tot_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value channel attribution over coalition conversion rates
+# ---------------------------------------------------------------------------
+
+_SHAPLEY_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS c,
+         MAX(CASE WHEN event_type = 'view'     THEN 2 ELSE 0 END) AS v,
+         MAX(CASE WHEN event_type = 'signup'   THEN 4 ELSE 0 END) AS s,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events
+  GROUP BY user_id
+),
+masked AS (
+  SELECT c + v + s AS mask, conv FROM per_user WHERE c + v + s > 0
+),
+rates AS (
+  SELECT mask,
+         CAST(SUM(conv) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT)
+           AS conv_ppm,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM masked GROUP BY mask
+),
+wide AS (
+  SELECT
+    CAST(COALESCE(MAX(CASE WHEN mask = 1 THEN conv_ppm END), 0) AS DOUBLE) AS v1,
+    CAST(COALESCE(MAX(CASE WHEN mask = 2 THEN conv_ppm END), 0) AS DOUBLE) AS v2,
+    CAST(COALESCE(MAX(CASE WHEN mask = 3 THEN conv_ppm END), 0) AS DOUBLE) AS v3,
+    CAST(COALESCE(MAX(CASE WHEN mask = 4 THEN conv_ppm END), 0) AS DOUBLE) AS v4,
+    CAST(COALESCE(MAX(CASE WHEN mask = 5 THEN conv_ppm END), 0) AS DOUBLE) AS v5,
+    CAST(COALESCE(MAX(CASE WHEN mask = 6 THEN conv_ppm END), 0) AS DOUBLE) AS v6,
+    CAST(COALESCE(MAX(CASE WHEN mask = 7 THEN conv_ppm END), 0) AS DOUBLE) AS v7,
+    CAST(SUM(n_users) AS BIGINT) AS n_users
+  FROM rates
+)
+SELECT channel, ROUND(shapley_ppm, 6) AS shapley_ppm, n_users,
+       ROUND(v7_ppm, 6) AS grand_coalition_ppm,
+       ROUND(efficiency_gap, 6) AS efficiency_gap
+FROM (
+  SELECT 'click' AS channel,
+         (2 * (v1 - 0) + (v3 - v2) + (v5 - v4) + 2 * (v7 - v6)) / 6 AS shapley_ppm,
+         n_users, v7 AS v7_ppm,
+         ((2 * (v1 - 0) + (v3 - v2) + (v5 - v4) + 2 * (v7 - v6)) / 6
+          + (2 * (v2 - 0) + (v3 - v1) + (v6 - v4) + 2 * (v7 - v5)) / 6
+          + (2 * (v4 - 0) + (v5 - v1) + (v6 - v2) + 2 * (v7 - v3)) / 6) - v7
+           AS efficiency_gap
+  FROM wide
+  UNION ALL
+  SELECT 'view',
+         (2 * (v2 - 0) + (v3 - v1) + (v6 - v4) + 2 * (v7 - v5)) / 6,
+         n_users, v7,
+         ((2 * (v1 - 0) + (v3 - v2) + (v5 - v4) + 2 * (v7 - v6)) / 6
+          + (2 * (v2 - 0) + (v3 - v1) + (v6 - v4) + 2 * (v7 - v5)) / 6
+          + (2 * (v4 - 0) + (v5 - v1) + (v6 - v2) + 2 * (v7 - v3)) / 6) - v7
+  FROM wide
+  UNION ALL
+  SELECT 'signup',
+         (2 * (v4 - 0) + (v5 - v1) + (v6 - v2) + 2 * (v7 - v3)) / 6,
+         n_users, v7,
+         ((2 * (v1 - 0) + (v3 - v2) + (v5 - v4) + 2 * (v7 - v6)) / 6
+          + (2 * (v2 - 0) + (v3 - v1) + (v6 - v4) + 2 * (v7 - v5)) / 6
+          + (2 * (v4 - 0) + (v5 - v1) + (v6 - v2) + 2 * (v7 - v3)) / 6) - v7
+  FROM wide
+) t
+ORDER BY channel
+"""
+
+
+@register(
+    "e_shapley_attribution",
+    oracle=_SHAPLEY_ORACLE,
+    tags=("A1", "A7", "P6", "O3"),
+)
+def e_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value marketing attribution over three touch
+    channels (click/view/signup): the characteristic function v(S) is
+    the observed conversion rate of users whose exact contact set is S
+    (v(∅)=0), and each channel's credit is the exact 3-player Shapley
+    sum with weights (2,1,1,2)/6. The efficiency axiom — credits sum to
+    v(grand coalition) — is emitted as `efficiency_gap` (0 up to float
+    round-off), so the output proves its own bookkeeping.
+
+    Scale design — Shapley attribution at 100 TB is NOT a per-user
+    permutation walk: the coalition space is 2^channels (8 here),
+    so the heavy work is one combinable per-user bitmask aggregation
+    (the only shuffle of the fact) + one 7-row rate rollup; the
+    factorial-weighted sums then run on a single pivoted row.
+    Coalition rates are exact integer ppm (floor division on positive
+    counts); the weighted sums are the only float step, identical
+    expression trees both engines, round-6."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "view", 2).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "signup", 4).otherwise(0)).alias("s"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    masked = per_user.select(
+        (F.col("c") + F.col("v") + F.col("s")).alias("mask"), "conv"
+    ).filter(F.col("mask") > 0)
+    rates = masked.groupBy("mask").agg(
+        F.expr("SUM(conv) * 1000000 DIV COUNT(*)").alias("conv_ppm"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    wide = rates.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("mask") == m, F.col("conv_ppm"))), F.lit(0)
+            )
+            .cast("double")
+            .alias(f"v{m}")
+            for m in range(1, 8)
+        ],
+        F.sum("n_users").alias("n_users"),
+    )
+    v = {m: F.col(f"v{m}") for m in range(1, 8)}
+    shap = {
+        "click": (2 * (v[1] - 0) + (v[3] - v[2]) + (v[5] - v[4]) + 2 * (v[7] - v[6])) / 6,
+        "view": (2 * (v[2] - 0) + (v[3] - v[1]) + (v[6] - v[4]) + 2 * (v[7] - v[5])) / 6,
+        "signup": (2 * (v[4] - 0) + (v[5] - v[1]) + (v[6] - v[2]) + 2 * (v[7] - v[3])) / 6,
+    }
+    total = shap["click"] + shap["view"] + shap["signup"]
+    rows = [
+        wide.select(
+            F.lit(ch).alias("channel"),
+            F.round(expr, 6).alias("shapley_ppm"),
+            "n_users",
+            F.round(v[7], 6).alias("grand_coalition_ppm"),
+            F.round(total - v[7], 6).alias("efficiency_gap"),
+        )
+        for ch, expr in shap.items()
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("channel")

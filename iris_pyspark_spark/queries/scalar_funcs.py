@@ -969,3 +969,101 @@ def f_timezone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(wall("Asia/Tokyo")), F.to_date("ts")
         ).alias("tokyo_day_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snowflake-style ID encode/decode round-trip
+# ---------------------------------------------------------------------------
+
+_SNOWFLAKE_ORACLE = """
+WITH encoded AS (
+  SELECT o_orderkey,
+         DATEDIFF('ms', TIMESTAMP '1992-01-01 00:00:00', o_orderdate)
+           AS epoch_ms,
+         o_custkey % 1024          AS shard,
+         o_orderkey % 4096         AS seq,
+         (DATEDIFF('ms', TIMESTAMP '1992-01-01 00:00:00', o_orderdate))
+           * 4194304 + (o_custkey % 1024) * 4096 + (o_orderkey % 4096)
+           AS snowflake_id
+  FROM orders
+),
+decoded AS (
+  SELECT o_orderkey, snowflake_id, epoch_ms, shard, seq,
+         snowflake_id // 4194304                    AS dec_ms,
+         (snowflake_id // 4096) % 1024              AS dec_shard,
+         snowflake_id % 4096                        AS dec_seq
+  FROM encoded
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ids,
+       CAST(SUM(CASE WHEN dec_ms = epoch_ms AND dec_shard = shard
+                      AND dec_seq = seq THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_roundtrip_ok,
+       CAST(COUNT(DISTINCT snowflake_id) AS BIGINT) AS n_distinct_ids,
+       CAST(MIN(snowflake_id) AS BIGINT) AS min_id,
+       CAST(MAX(snowflake_id) AS BIGINT) AS max_id
+FROM decoded
+"""
+
+
+@register(
+    "f_snowflake_id_codec",
+    oracle=_SNOWFLAKE_ORACLE,
+    tags=("F7", "F3", "F2", "A3"),
+)
+def f_snowflake_id_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-style distributed ID codec: pack (ms-since-epoch,
+    10-bit shard, 12-bit sequence) into one BIGINT and decode it back,
+    proving the round-trip on every order — the time-sortable,
+    coordination-free ID scheme every event pipeline reinvents. IDs
+    from different shards interleave but remain globally time-ordered
+    to the millisecond, which is why these keys range-prune on time.
+
+    Determinism/scale: encode is row-local integer arithmetic
+    (epoch_ms * 2^22 + shard * 2^12 + seq — spelled as multiplication,
+    and decode as positive floor division/modulo, identical in Spark
+    DIV and DuckDB //); the only shuffle is the final count-distinct
+    rollup. 1992-epoch milliseconds * 2^22 stays under 2^63 for ~69
+    years of timestamps — the same budget real Snowflake has."""
+    o = load_table(spark, sf_dir, "orders")
+    encoded = o.select(
+        "o_orderkey",
+        (
+            F.unix_timestamp(F.col("o_orderdate"))
+            - F.unix_timestamp(F.lit("1992-01-01 00:00:00").cast("timestamp"))
+        ).alias("epoch_s"),
+        (F.col("o_custkey") % 1024).alias("shard"),
+        (F.col("o_orderkey") % 4096).alias("seq"),
+    ).select(
+        "o_orderkey",
+        (F.col("epoch_s") * 1000).alias("epoch_ms"),
+        "shard",
+        "seq",
+        (
+            F.col("epoch_s") * 1000 * 4194304
+            + F.col("shard") * 4096
+            + F.col("seq")
+        ).alias("snowflake_id"),
+    )
+    decoded = encoded.select(
+        "snowflake_id",
+        "epoch_ms",
+        "shard",
+        "seq",
+        F.expr("snowflake_id DIV 4194304").alias("dec_ms"),
+        F.expr("(snowflake_id DIV 4096) % 1024").alias("dec_shard"),
+        (F.col("snowflake_id") % 4096).alias("dec_seq"),
+    )
+    return decoded.agg(
+        F.count(F.lit(1)).alias("n_ids"),
+        F.sum(
+            F.when(
+                (F.col("dec_ms") == F.col("epoch_ms"))
+                & (F.col("dec_shard") == F.col("shard"))
+                & (F.col("dec_seq") == F.col("seq")),
+                1,
+            ).otherwise(0)
+        ).alias("n_roundtrip_ok"),
+        F.count_distinct(F.col("snowflake_id")).alias("n_distinct_ids"),
+        F.min("snowflake_id").alias("min_id"),
+        F.max("snowflake_id").alias("max_id"),
+    )

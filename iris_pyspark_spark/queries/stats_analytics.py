@@ -3387,3 +3387,405 @@ def t_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ols_slope_dollars_per_week"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-feature OLS via exact normal equations (multiple regression in SQL)
+# ---------------------------------------------------------------------------
+
+_OLS2_ORACLE = f"""
+WITH obs AS (
+  SELECT {CENTS_SQL.format(expr="l_extendedprice")}        AS y,
+         CAST(ROUND(l_quantity) AS BIGINT)                 AS x1,
+         CAST(ROUND(l_discount * 100) AS BIGINT)           AS x2
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT)      AS n,
+         CAST(SUM(x1) AS BIGINT)       AS sx1,
+         CAST(SUM(x2) AS BIGINT)       AS sx2,
+         CAST(SUM(y) AS BIGINT)        AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT)  AS sx1x1,
+         CAST(SUM(x2 * x2) AS BIGINT)  AS sx2x2,
+         CAST(SUM(x1 * x2) AS BIGINT)  AS sx1x2,
+         CAST(SUM(x1 * y) AS BIGINT)   AS sx1y,
+         CAST(SUM(x2 * y) AS BIGINT)   AS sx2y,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM obs
+),
+m AS (
+  SELECT n, sx1, sx2, sy,
+         CAST(n AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1 AS s11,
+         CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2 AS s12,
+         CAST(n AS DOUBLE) * sx2x2 - CAST(sx2 AS DOUBLE) * sx2 AS s22,
+         CAST(n AS DOUBLE) * sx1y  - CAST(sx1 AS DOUBLE) * sy  AS sy1,
+         CAST(n AS DOUBLE) * sx2y  - CAST(sx2 AS DOUBLE) * sy  AS sy2,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * sy                           AS syy_c
+  FROM s
+)
+SELECT n,
+       ROUND((s22 * sy1 - s12 * sy2) / (s11 * s22 - s12 * s12) / 100, 6)
+         AS b_qty_dollars,
+       ROUND((s11 * sy2 - s12 * sy1) / (s11 * s22 - s12 * s12) / 100, 6)
+         AS b_disc_dollars,
+       ROUND((CAST(sy AS DOUBLE)
+              - (s22 * sy1 - s12 * sy2) / (s11 * s22 - s12 * s12) * sx1
+              - (s11 * sy2 - s12 * sy1) / (s11 * s22 - s12 * s12) * sx2)
+             / n / 100, 6) AS b0_dollars,
+       ROUND(((s22 * sy1 - s12 * sy2) / (s11 * s22 - s12 * s12) * sy1
+              + (s11 * sy2 - s12 * sy1) / (s11 * s22 - s12 * s12) * sy2)
+             / syy_c, 6) AS r2
+FROM m
+"""
+
+
+@register(
+    "a_ols_two_feature",
+    oracle=_OLS2_ORACLE,
+    tags=("A1", "A2", "F3"),
+)
+def a_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple regression in pure SQL: price ~ quantity + discount fit
+    by the closed-form 2-feature normal equations (Cramer's rule on the
+    centered cross-product matrix), with R² — the "small model, huge
+    data" shape where the FIT is one combinable aggregation and only
+    the 3x3 solve is scalar math.
+
+    Scale design — one pass accumulates the 10 sufficient statistics as
+    exact BIGINTs (x1 ≤ 50, x2 ≤ 10 keep cross-products far from
+    overflow through sf100; Σy² alone is DECIMAL(38,0) because cents²
+    ~1e14/row). The centered moments and the solve then run in DOUBLE
+    with identical expression trees on both engines — deterministic
+    because every operand derives from exact integers, not from
+    float accumulation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        cents(F.col("l_extendedprice")).alias("y"),
+        F.round(F.col("l_quantity")).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+    )
+    s = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    m = s.select(
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        (nd * F.col("sx1x1") - F.col("sx1").cast("double") * F.col("sx1")).alias("s11"),
+        (nd * F.col("sx1x2") - F.col("sx1").cast("double") * F.col("sx2")).alias("s12"),
+        (nd * F.col("sx2x2") - F.col("sx2").cast("double") * F.col("sx2")).alias("s22"),
+        (nd * F.col("sx1y") - F.col("sx1").cast("double") * F.col("sy")).alias("sy1"),
+        (nd * F.col("sx2y") - F.col("sx2").cast("double") * F.col("sy")).alias("sy2"),
+        (nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")).alias(
+            "syy_c"
+        ),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s22") * F.col("sy1") - F.col("s12") * F.col("sy2")) / det
+    b2 = (F.col("s11") * F.col("sy2") - F.col("s12") * F.col("sy1")) / det
+    return m.select(
+        "n",
+        F.round(b1 / 100, 6).alias("b_qty_dollars"),
+        F.round(b2 / 100, 6).alias("b_disc_dollars"),
+        F.round(
+            (F.col("sy").cast("double") - b1 * F.col("sx1") - b2 * F.col("sx2"))
+            / F.col("n")
+            / 100,
+            6,
+        ).alias("b0_dollars"),
+        F.round((b1 * F.col("sy1") + b2 * F.col("sy2")) / F.col("syy_c"), 6).alias(
+            "r2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa inter-rater agreement
+# ---------------------------------------------------------------------------
+
+_KAPPA_ORACLE = """
+WITH rated AS (
+  SELECT CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 80 THEN 1 ELSE 0 END AS r2
+  FROM documents
+),
+conf AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r1 * r2) AS BIGINT)                   AS n11,
+         CAST(SUM(r1 * (1 - r2)) AS BIGINT)             AS n10,
+         CAST(SUM((1 - r1) * r2) AS BIGINT)             AS n01,
+         CAST(SUM((1 - r1) * (1 - r2)) AS BIGINT)       AS n00
+  FROM rated
+)
+SELECT n, n11, n10, n01, n00,
+       ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+       ROUND((CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+              + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+             / (CAST(n AS DOUBLE) * n), 6) AS pe,
+       ROUND((CAST(n11 + n00 AS DOUBLE) / n
+              - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                 + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                / (CAST(n AS DOUBLE) * n))
+             / (1 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                     + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                    / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+FROM conf
+"""
+
+
+@register(
+    "a_cohens_kappa",
+    oracle=_KAPPA_ORACLE,
+    tags=("A2", "A7", "P6", "N5"),
+)
+def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document-quality
+    'raters' (char-length vs token-count thresholds) — the
+    chance-corrected agreement statistic every labeling/eval pipeline
+    reports before trusting its annotations. The two raters here are
+    correlated by construction (long docs have many tokens), so kappa
+    lands well above 0 and the query demonstrates exactly why raw
+    agreement (po) overstates reliability.
+
+    Scale design — kappa is four confusion counts: one combinable
+    aggregation over the fact computes n11/n10/n01/n00 as exact
+    BIGINTs (the rater functions are row-local), and po/pe/kappa are
+    one fixed float expression per output value, identical trees both
+    engines, round-6. No shuffle beyond the single global rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    rated = d.select(
+        F.when(F.col("n_chars") >= 500, 1).otherwise(0).alias("r1"),
+        F.when(F.size(F.split(F.col("text"), " ")) >= 80, 1)
+        .otherwise(0)
+        .alias("r2"),
+    )
+    conf = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r1") * F.col("r2")).alias("n11"),
+        F.sum(F.col("r1") * (1 - F.col("r2"))).alias("n10"),
+        F.sum((1 - F.col("r1")) * F.col("r2")).alias("n01"),
+        F.sum((1 - F.col("r1")) * (1 - F.col("r2"))).alias("n00"),
+    )
+    n = F.col("n")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double") * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double") * (F.col("n10") + F.col("n00"))
+    ) / (n.cast("double") * n)
+    return conf.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta-method CI for a ratio metric (clicks per view), per experiment arm
+# ---------------------------------------------------------------------------
+
+_RATIO_CI_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN (user_id * 48271) % 100 < 50 THEN 'A' ELSE 'B' END AS arm,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS x,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS y
+  FROM events
+  GROUP BY user_id
+),
+s AS (
+  SELECT arm,
+         CAST(COUNT(*) AS BIGINT)     AS n,
+         CAST(SUM(x) AS BIGINT)       AS sx,
+         CAST(SUM(y) AS BIGINT)       AS sy,
+         CAST(SUM(x * x) AS BIGINT)   AS sxx,
+         CAST(SUM(y * y) AS BIGINT)   AS syy,
+         CAST(SUM(x * y) AS BIGINT)   AS sxy
+  FROM per_user
+  GROUP BY arm
+)
+SELECT arm, n, sx, sy,
+       ROUND(CAST(sx AS DOUBLE) / sy, 6) AS ratio,
+       ROUND(SQRT(((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+              - 2 * (CAST(sx AS DOUBLE) / sy)
+                  * ((sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1))
+              + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                  * ((syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1)))
+             / n) / (CAST(sy AS DOUBLE) / n), 6) AS se,
+       ROUND(CAST(sx AS DOUBLE) / sy
+             - 1.959964 * SQRT(((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+              - 2 * (CAST(sx AS DOUBLE) / sy)
+                  * ((sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1))
+              + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                  * ((syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1)))
+             / n) / (CAST(sy AS DOUBLE) / n), 6) AS ci_lo,
+       ROUND(CAST(sx AS DOUBLE) / sy
+             + 1.959964 * SQRT(((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+              - 2 * (CAST(sx AS DOUBLE) / sy)
+                  * ((sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1))
+              + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                  * ((syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1)))
+             / n) / (CAST(sy AS DOUBLE) / n), 6) AS ci_hi
+FROM s
+ORDER BY arm
+"""
+
+
+@register(
+    "e_ratio_delta_method_ci",
+    oracle=_RATIO_CI_ORACLE,
+    tags=("A1", "A7", "P6"),
+)
+def e_ratio_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric
+    (clicks-per-view) per experiment arm — the correct inference when
+    the randomization unit (user) differs from the metric's numerator/
+    denominator events, where a naive binomial CI is simply wrong.
+    Var(x̄/ȳ) ≈ (σx² − 2Rσxy + R²σy²) / (n·ȳ²) with R = Σx/Σy; the
+    z-multiplier is the pre-rounded literal 1.959964 on both engines
+    (no inverse-normal function runs at query time).
+
+    Scale design — one combinable per-user aggregation (the only
+    shuffle of the fact), then a 2-row arm rollup of exact BIGINT
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy). The delta-method
+    formula is one fixed expression tree per output column over those
+    integers — bit-stable, round-6."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("y"),
+    ).withColumn(
+        "arm",
+        F.when((F.col("user_id") * 48271) % 100 < 50, "A").otherwise("B"),
+    )
+    s = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    ratio = F.col("sx").cast("double") / F.col("sy")
+    var_x = (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / n) / (n - 1)
+    cov_xy = (F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / n) / (n - 1)
+    var_y = (F.col("syy") - F.col("sy").cast("double") * F.col("sy") / n) / (n - 1)
+    se = F.sqrt((var_x - 2 * ratio * cov_xy + ratio * ratio * var_y) / n) / (
+        F.col("sy").cast("double") / n
+    )
+    return s.select(
+        "arm",
+        "n",
+        "sx",
+        "sy",
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(ratio - 1.959964 * se, 6).alias("ci_lo"),
+        F.round(ratio + 1.959964 * se, 6).alias("ci_hi"),
+    ).orderBy("arm")
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F-test across return flags
+# ---------------------------------------------------------------------------
+
+_ANOVA_ORACLE = f"""
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM({CENTS_SQL.format(expr="l_extendedprice")}) AS BIGINT) AS s_g,
+         CAST(SUM(CAST({CENTS_SQL.format(expr="l_extendedprice")}
+                        AS DECIMAL(38,0))
+                  * {CENTS_SQL.format(expr="l_extendedprice")})
+              AS DECIMAL(38,0)) AS ss_g
+  FROM lineitem
+  GROUP BY l_returnflag
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(ss_g) AS DECIMAL(38,0)) AS ss,
+         SUM(CAST(s_g AS DOUBLE) * s_g / n_g) AS sum_sq_over_n
+  FROM g
+)
+SELECT k, n,
+       ROUND((sum_sq_over_n - CAST(s AS DOUBLE) * s / n)
+             / (CAST(ss AS DOUBLE) - sum_sq_over_n)
+             * (n - k) / (k - 1), 6) AS f_stat,
+       ROUND((sum_sq_over_n - CAST(s AS DOUBLE) * s / n)
+             / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)
+         AS eta_squared
+FROM tot
+"""
+
+
+@register(
+    "a_oneway_anova_f",
+    oracle=_ANOVA_ORACLE,
+    tags=("A1", "A2", "F3"),
+)
+def a_oneway_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic for price across the three return
+    flags, with η² effect size — the k-group generalization of the
+    two-arm t-test (`e_welch_ttest`); the between/within sum-of-squares
+    decomposition IS the sufficient-statistics discipline: SSB and SSW
+    both derive from per-group (n, Σy, Σy²).
+
+    Scale design — one combinable groupBy(flag) collects exact
+    integer-cents statistics (Σy² in DECIMAL(38,0): cents² ~1e14/row
+    overflows BIGINT beyond ~sf0.5); the 3-row rollup and the F/η²
+    formulas run once, identical float expression trees both engines,
+    round-6. The per-group Σ²/n fold is the only mixed-type sum and is
+    summed over exactly k=3 rows in a fixed groupwise order-independent
+    way (addition of 3 doubles from exact ints — commutative set is
+    tiny and DuckDB/Spark both reduce over the same 3 values; the
+    round-6 absorbs any ordering ulp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = cents(F.col("l_extendedprice"))
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(y).alias("s_g"),
+        F.sum(y.cast("decimal(38,0)") * y).alias("ss_g"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")).alias(
+            "sum_sq_over_n"
+        ),
+    )
+    ssb = F.col("sum_sq_over_n") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("ss").cast("double") - F.col("sum_sq_over_n")
+    sst = F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col(
+        "n"
+    )
+    return tot.select(
+        "k",
+        "n",
+        F.round(ssb / ssw * (F.col("n") - F.col("k")) / (F.col("k") - 1), 6).alias(
+            "f_stat"
+        ),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )

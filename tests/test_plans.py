@@ -345,6 +345,12 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 fifth continuation: <=52-row calendar-rollup theta
     # self-join (pairwise slopes) + 1-row OLS-stats crossJoin
     "t_theil_sen_trend",
+    # round-4 fifth continuation: bounded probe broadcast (vec_id % 101),
+    # same bound as n_ndcg_retrieval_eval; 1-row leakage-audit crossJoin
+    "n_mrr_retrieval_eval", "n_group_kfold",
+    # round-4 fifth continuation: 1-row sketch/exact-count crossJoins in
+    # the KMV merge proof; 1-row totals/truth crossJoins in the ER report
+    "a_kmv_distinct_sketch", "j_entity_resolution_blocked",
 })
 
 
