@@ -1703,3 +1703,104 @@ def a_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates: intersection + Jaccard from mergeable sketches
+# ---------------------------------------------------------------------------
+
+_KMV_SETOPS_ORACLE = """
+WITH a_keys AS (
+  SELECT DISTINCT (l_partkey * 48271 + 11) % 2147483647 AS h
+  FROM lineitem WHERE l_shipdate < DATE '1995-01-01'
+),
+b_keys AS (
+  SELECT DISTINCT (l_partkey * 48271 + 11) % 2147483647 AS h
+  FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+),
+ka AS (SELECT h FROM a_keys ORDER BY h LIMIT 64),
+kb AS (SELECT h FROM b_keys ORDER BY h LIMIT 64),
+ku AS (
+  SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+  ORDER BY h LIMIT 64
+),
+est AS (
+  SELECT
+    (SELECT (COUNT(*) - 1) * 2147483647 // MAX(h) FROM ka) AS est_a,
+    (SELECT (COUNT(*) - 1) * 2147483647 // MAX(h) FROM kb) AS est_b,
+    (SELECT (COUNT(*) - 1) * 2147483647 // MAX(h) FROM ku) AS est_union,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ku
+      WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+      AS k_both,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ku) AS k_u
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter
+  FROM (SELECT h FROM a_keys INTERSECT SELECT h FROM b_keys)
+)
+SELECT est_a, est_b, est_union,
+       est_a + est_b - est_union AS est_inter,
+       exact_inter,
+       k_both * 1000000 // k_u AS jaccard_est_ppm
+FROM est CROSS JOIN exact
+"""
+
+
+@register(
+    "a_kmv_set_intersection",
+    oracle=_KMV_SETOPS_ORACLE,
+    tags=("A4", "A3", "O4", "O2"),
+)
+def a_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation estimates from KMV sketches: parts shipped pre-1995
+    vs from-1995 — intersection by inclusion-exclusion over the three
+    sketch estimates, Jaccard by the fraction of the union's k-min set
+    present in BOTH input sketches (the textbook KMV set-similarity
+    estimator). The exact intersection rides along as ground truth, so
+    the sweep output quantifies the k=64 estimator's error directly.
+
+    Scale shape — this is how distinct-intersections are answered at
+    100 TB: each side reduces to a 64-value bottom-k sketch (combinable,
+    map-side partial as in a_kmv_distinct_sketch), set algebra then
+    runs on 64-row sets. Every step is deterministic pinned-hash
+    integer arithmetic, so even the ESTIMATES hash-match the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (F.col("l_partkey") * 48271 + 11) % 2147483647
+    a_keys = (
+        li.filter(F.col("l_shipdate") < "1995-01-01").select(h.alias("h")).distinct()
+    )
+    b_keys = (
+        li.filter(F.col("l_shipdate") >= "1995-01-01").select(h.alias("h")).distinct()
+    )
+    ka = a_keys.orderBy("h").limit(64)
+    kb = b_keys.orderBy("h").limit(64)
+    ku = ka.unionAll(kb).distinct().orderBy("h").limit(64)
+
+    def est(kdf: DataFrame, name: str) -> DataFrame:
+        return kdf.agg(
+            F.expr("(COUNT(*) - 1) * 2147483647 DIV MAX(h)").alias(name)
+        )
+
+    k_both = (
+        ku.join(ka.withColumnRenamed("h", "h"), "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("k_both"))
+    )
+    k_u = ku.agg(F.count(F.lit(1)).alias("k_u"))
+    exact = a_keys.intersect(b_keys).agg(F.count(F.lit(1)).alias("exact_inter"))
+    out = (
+        est(ka, "est_a")
+        .crossJoin(broadcast(est(kb, "est_b")))
+        .crossJoin(broadcast(est(ku, "est_union")))
+        .crossJoin(broadcast(k_both))
+        .crossJoin(broadcast(k_u))
+        .crossJoin(broadcast(exact))
+    )
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias("est_inter"),
+        "exact_inter",
+        F.expr("k_both * 1000000 DIV k_u").alias("jaccard_est_ppm"),
+    )

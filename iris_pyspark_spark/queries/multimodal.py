@@ -646,3 +646,126 @@ def m_scene_cut_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity segments over fake audio frames (threshold + gaps-islands)
+# ---------------------------------------------------------------------------
+
+_VAD_ORACLE = """
+WITH frames AS (
+  SELECT doc_id, i,
+         LENGTH(SUBSTRING(text, CAST(i * 256 + 1 AS INT), 256))
+         - LENGTH(REPLACE(SUBSTRING(text, CAST(i * 256 + 1 AS INT), 256),
+                          ' ', '')) AS sig
+  FROM documents,
+       UNNEST(generate_series(0,
+         CAST(CEIL(LENGTH(text) / 256.0) AS BIGINT) - 1)) AS t(i)
+),
+active AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM frames WHERE sig >= 30
+),
+segs AS (
+  SELECT doc_id, island,
+         CAST(COUNT(*) AS BIGINT) AS seg_len,
+         CAST(MIN(i) AS BIGINT) AS seg_start
+  FROM active GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT f.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(SUM(CASE WHEN sig >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_active
+  FROM frames f GROUP BY f.doc_id
+)
+SELECT p.doc_id, p.n_frames, p.n_active,
+       CAST(COALESCE(COUNT(s.island), 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(MAX(s.seg_len), 0) AS BIGINT) AS longest_segment,
+       CAST(COALESCE(MIN(s.seg_start), -1) AS BIGINT) AS first_active_frame,
+       p.n_active * 1000000 // p.n_frames AS active_ppm
+FROM per_doc p LEFT JOIN segs s ON p.doc_id = s.doc_id
+GROUP BY p.doc_id, p.n_frames, p.n_active
+ORDER BY p.doc_id
+"""
+
+
+@register(
+    "m_vad_segments",
+    oracle=_VAD_ORACLE,
+    tags=("multimodal", "U5", "W1", "J3"),
+)
+def m_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over the opaque audio payload:
+    per-frame energy (stand-in: blank-byte count per 256-byte frame,
+    extracted by the same Arrow-batched mapInPandas as
+    m_scene_cut_detection) is thresholded into active/silent, then
+    consecutive active frames coalesce into SEGMENTS via gaps-islands —
+    the utterance segmentation every speech pipeline runs before
+    transcription, with per-recording segment count, longest utterance,
+    first active frame and active-time ppm.
+
+    Scale design — decode+energy is map-only over the media table's
+    native partitioning; islands labeling is one per-recording window
+    (frames of one recording co-locate); segment stats aggregate the
+    LABELED islands, not the raw frames, and the final join is
+    per-recording. At 100 TB of audio each stage's shuffle key is
+    recording id — bounded rows per key by recording length."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    sig_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("i", T.LongType()),
+            T.StructField("sig", T.LongType()),
+        ]
+    )
+
+    def frame_sigs(batches):
+        for pdf in batches:
+            out_doc, out_i, out_sig = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = -(-len(buf) // 256)
+                for i in range(n_frames):
+                    out_doc.append(doc_id)
+                    out_i.append(i)
+                    out_sig.append(int((buf[i * 256:(i + 1) * 256] == 32).sum()))
+            yield pd.DataFrame({"doc_id": out_doc, "i": out_i, "sig": out_sig})
+
+    frames = docs.select("doc_id", "payload").mapInPandas(frame_sigs, sig_schema)
+    active = frames.filter(F.col("sig") >= 30).withColumn(
+        "island",
+        F.col("i")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("i")),
+    )
+    segs = active.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("seg_len"), F.min("i").alias("seg_start")
+    )
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.when(F.col("sig") >= 30, 1).otherwise(0)).alias("n_active"),
+    )
+    return (
+        per_doc.join(segs, "doc_id", "left")
+        .groupBy("doc_id", "n_frames", "n_active")
+        .agg(
+            F.coalesce(F.count(F.col("island")), F.lit(0)).alias("n_segments"),
+            F.coalesce(F.max("seg_len"), F.lit(0)).alias("longest_segment"),
+            F.coalesce(F.min("seg_start"), F.lit(-1)).alias("first_active_frame"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_active",
+            "n_segments",
+            "longest_segment",
+            "first_active_frame",
+            F.expr("n_active * 1000000 DIV n_frames").alias("active_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
@@ -3788,4 +3789,248 @@ def a_oneway_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_stat"
         ),
         F.round(ssb / sst, 6).alias("eta_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information of a 2-D feature histogram (micro-nat ladder)
+# ---------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH feat AS (
+  SELECT n_chars // 200 AS xb,
+         LEN(STRING_SPLIT(text, ' ')) // 40 AS yb
+  FROM documents
+),
+cells AS (
+  SELECT xb, yb, CAST(COUNT(*) AS BIGINT) AS c FROM feat GROUP BY xb, yb
+),
+mx AS (SELECT xb, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY xb),
+my AS (SELECT yb, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY yb),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT cells.xb, cells.yb,
+         CAST(ROUND(CAST(c AS DOUBLE) / n.n
+              * LN(CAST(c AS DOUBLE) * n.n / (CAST(cx AS DOUBLE) * cy))
+              * 1000000) AS BIGINT) AS mi_term_micro
+  FROM cells
+  JOIN mx USING (xb) JOIN my USING (yb) CROSS JOIN n
+),
+hx AS (
+  SELECT CAST(SUM(CAST(ROUND(-(CAST(cx AS DOUBLE) / n.n)
+              * LN(CAST(cx AS DOUBLE) / n.n) * 1000000) AS BIGINT)) AS BIGINT)
+           AS hx_micro
+  FROM mx CROSS JOIN n
+),
+hy AS (
+  SELECT CAST(SUM(CAST(ROUND(-(CAST(cy AS DOUBLE) / n.n)
+              * LN(CAST(cy AS DOUBLE) / n.n) * 1000000) AS BIGINT)) AS BIGINT)
+           AS hy_micro
+  FROM my CROSS JOIN n
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_cells,
+       (SELECT n FROM n) AS n_docs,
+       CAST(SUM(mi_term_micro) AS BIGINT) AS mi_micro_nats,
+       (SELECT hx_micro FROM hx) AS hx_micro_nats,
+       (SELECT hy_micro FROM hy) AS hy_micro_nats
+FROM terms
+"""
+
+
+@register(
+    "a_mutual_information_2d",
+    oracle=_MI_ORACLE,
+    tags=("A1", "A3", "N5"),
+)
+def a_mutual_information_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two document features (char-length
+    bucket × token-count bucket), with both marginal entropies — the
+    feature-redundancy detector for curation pipelines (MI ≈ min(H)
+    means one feature is the other in disguise; MI ≈ 0 means they
+    filter independently).
+
+    Float-determinism recipe (the n_char_entropy contract): each
+    histogram cell contributes p·ln(p·N²/(cx·cy)) ROUNDED TO INTEGER
+    MICRO-NATS before summation, so the only float op per cell is one
+    fixed expression over exact BIGINT counts and the aggregation is
+    an order-free integer sum. Scale: one combinable 2-D histogram
+    rollup (cells bounded by the bucket grid, not the corpus), marginals
+    re-aggregated FROM the cells (no second pass over the fact), both
+    broadcast back onto cells."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        F.expr("n_chars DIV 200").alias("xb"),
+        F.expr("size(split(text, ' ')) DIV 40").alias("yb"),
+    )
+    cells = feat.groupBy("xb", "yb").agg(F.count(F.lit(1)).alias("c"))
+    mx = cells.groupBy("xb").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("yb").agg(F.sum("c").alias("cy"))
+    n = cells.agg(F.sum("c").alias("n"))
+    terms = (
+        cells.join(broadcast(mx), "xb")
+        .join(broadcast(my), "yb")
+        .crossJoin(broadcast(n))
+        .select(
+            F.round(
+                F.col("c").cast("double")
+                / F.col("n")
+                * F.log(
+                    F.col("c").cast("double")
+                    * F.col("n")
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("mi_term_micro")
+        )
+    )
+    hx = (
+        mx.crossJoin(broadcast(n))
+        .select(
+            F.round(
+                -(F.col("cx").cast("double") / F.col("n"))
+                * F.log(F.col("cx").cast("double") / F.col("n"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("hx_micro_nats"))
+    )
+    hy = (
+        my.crossJoin(broadcast(n))
+        .select(
+            F.round(
+                -(F.col("cy").cast("double") / F.col("n"))
+                * F.log(F.col("cy").cast("double") / F.col("n"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("hy_micro_nats"))
+    )
+    n_cells = cells.agg(F.count(F.lit(1)).alias("n_cells"))
+    return (
+        terms.agg(F.sum("mi_term_micro").cast("long").alias("mi_micro_nats"))
+        .crossJoin(broadcast(n_cells))
+        .crossJoin(broadcast(n.select(F.col("n").alias("n_docs"))))
+        .crossJoin(broadcast(hx))
+        .crossJoin(broadcast(hy))
+        .select(
+            "n_cells", "n_docs", "mi_micro_nats", "hx_micro_nats", "hy_micro_nats"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson residual autocorrelation of the weekly-trend OLS
+# ---------------------------------------------------------------------------
+
+_DW_ORACLE = f"""
+WITH weekly AS (
+  SELECT (DATEDIFF('day', DATE '1994-01-01', CAST(l_shipdate AS DATE))) // 7
+           AS wk,
+         CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")})
+              AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  GROUP BY 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT)            AS n,
+         CAST(SUM(wk) AS BIGINT)             AS sx,
+         CAST(SUM(rev_cents) AS BIGINT)      AS sy,
+         CAST(SUM(wk * rev_cents) AS BIGINT) AS sxy,
+         CAST(SUM(wk * wk) AS BIGINT)        AS sxx
+  FROM weekly
+),
+resid AS (
+  SELECT wk,
+         rev_cents
+         - (CAST(s.sy AS DOUBLE) / s.n
+            - CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+              / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
+              * s.sx / s.n)
+         - CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+           / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE) * wk AS e
+  FROM weekly CROSS JOIN s
+),
+lagged AS (
+  SELECT e, e - LAG(e) OVER (ORDER BY wk) AS de FROM resid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       ROUND(SUM(de * de) / SUM(e * e), 6) AS durbin_watson,
+       ROUND(1 - SUM(de * de) / SUM(e * e) / 2, 6) AS rho_approx
+FROM lagged
+"""
+
+
+@register(
+    "t_durbin_watson_residuals",
+    oracle=_DW_ORACLE,
+    tags=("W2", "A1", "F2"),
+)
+def t_durbin_watson_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson test on the residuals of the 1994 weekly-revenue
+    trend fit — the standard "did OLS leave serial correlation on the
+    table" diagnostic that decides whether a trend model's error bars
+    can be trusted (DW ≈ 2 means independent residuals; ρ ≈ 1 − DW/2).
+    Completes the trend toolkit: `t_theil_sen_trend` fits robustly,
+    this audits the classical fit.
+
+    Scale design — same as the Theil-Sen query: the fact is touched
+    once by a combinable groupBy(week); residuals, the lag window and
+    the DW ratio all run on the ≤52-row calendar rollup. Slope and
+    intercept come from exact BIGINT sufficient statistics; residuals
+    are one fixed double expression; Σ(Δe)² / Σe² divides two sums of
+    ≤52 doubles accumulated in the same order both engines (ORDER BY wk
+    lag), rounded to 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+        )
+        .groupBy(
+            F.floor(
+                F.datediff(F.col("l_shipdate").cast("date"), F.lit("1994-01-01"))
+                / 7
+            ).alias("wk")
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("rev_cents")
+        )
+    )
+    s = weekly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wk").alias("sx"),
+        F.sum("rev_cents").alias("sy"),
+        F.sum(F.col("wk") * F.col("rev_cents")).alias("sxy"),
+        F.sum(F.col("wk") * F.col("wk")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    intercept = F.col("sy").cast("double") / F.col("n") - slope * F.col("sx") / F.col(
+        "n"
+    )
+    resid = weekly.crossJoin(broadcast(s)).select(
+        "wk", (F.col("rev_cents") - intercept - slope * F.col("wk")).alias("e")
+    )
+    lagged = resid.select(
+        "e", (F.col("e") - F.lag("e").over(Window.orderBy("wk"))).alias("de")
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.round(
+            F.sum(F.col("de") * F.col("de")) / F.sum(F.col("e") * F.col("e")), 6
+        ).alias("durbin_watson"),
+        F.round(
+            1
+            - F.sum(F.col("de") * F.col("de")) / F.sum(F.col("e") * F.col("e")) / 2,
+            6,
+        ).alias("rho_approx"),
     )

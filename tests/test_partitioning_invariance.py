@@ -194,3 +194,39 @@ def test_round4_stats_shuffle_width_invariant(spark, sf_dir):
             assert len(outs[0]) > 0, name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_round4_fifth_continuation_shuffle_width_invariant(spark, sf_dir):
+    """Same exact-sufficient-statistics contract for the fifth
+    continuation batch: identical canonical output at 2 and 32 shuffle
+    partitions. Notable members: Mann-Whitney's doubled-rank sums (any
+    float rank averaging would break), the KMV sketches (bottom-k sets
+    must not depend on layout), mutual information (per-cell micro-nat
+    rounding BEFORE the sum), and the mapInPandas frame-signature
+    extractors (per-row arithmetic, so partitioning must be invisible)."""
+    from iris_pyspark_spark.registry import load_all
+
+    reg = load_all()
+    names = (
+        "e_mann_whitney_u", "t_theil_sen_trend", "a_kmv_distinct_sketch",
+        "j_entity_resolution_blocked", "e_shapley_attribution",
+        "n_group_kfold", "n_feature_scaling_params", "n_mrr_retrieval_eval",
+        "a_ols_two_feature", "a_cohens_kappa", "e_ratio_delta_method_ci",
+        "f_snowflake_id_codec", "m_scene_cut_detection", "a_oneway_anova_f",
+        "a_kmv_set_intersection", "a_mutual_information_2d",
+        "t_durbin_watson_residuals", "m_vad_segments",
+    )
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in names:
+            outs = []
+            for width in ("2", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", width)
+                pdf = reg[name].fn(spark, sf_dir).toPandas()
+                outs.append(canonical_rows(pdf))
+            assert outs[0] == outs[1], (
+                f"{name}: result depends on shuffle width"
+            )
+            assert len(outs[0]) > 0, name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)

@@ -351,6 +351,12 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 fifth continuation: 1-row sketch/exact-count crossJoins in
     # the KMV merge proof; 1-row totals/truth crossJoins in the ER report
     "a_kmv_distinct_sketch", "j_entity_resolution_blocked",
+    # round-4 fifth continuation: 64-row sketch set-algebra + 1-row
+    # estimate crossJoins; 1-row grand-total broadcasts onto the bounded
+    # histogram/marginal rollups; 1-row OLS-stats crossJoin onto the
+    # <=52-row weekly rollup
+    "a_kmv_set_intersection", "a_mutual_information_2d",
+    "t_durbin_watson_residuals",
 })
 
 
