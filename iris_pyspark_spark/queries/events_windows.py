@@ -1480,3 +1480,171 @@ def e_snaive_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# 4-4-5 fiscal calendar alignment (retail period-over-period comparability)
+# ---------------------------------------------------------------------------
+
+_FISCAL_445_ORACLE = f"""
+WITH facts AS (
+  SELECT DATEDIFF('day', DATE '1993-12-27', CAST(l_shipdate AS DATE)) AS d,
+         {CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")}
+           AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1993-12-27' AND l_shipdate < DATE '1994-12-26'
+),
+labeled AS (
+  SELECT d // 7 AS fiscal_week,
+         (d // 7) // 13 AS fiscal_quarter,
+         CASE WHEN ((d // 7) % 13) < 4 THEN 1
+              WHEN ((d // 7) % 13) < 8 THEN 2
+              ELSE 3 END AS period_in_quarter,
+         CASE WHEN ((d // 7) % 13) < 4 THEN ((d // 7) % 13) * 7
+              WHEN ((d // 7) % 13) < 8 THEN (((d // 7) % 13) - 4) * 7
+              ELSE (((d // 7) % 13) - 8) * 7 END >= 0 AS _always,
+         rev_cents
+  FROM facts
+)
+SELECT fiscal_quarter,
+       period_in_quarter,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(rev_cents) AS BIGINT) / 100.0 AS revenue,
+       CAST(COUNT(DISTINCT fiscal_week) AS BIGINT) AS n_weeks
+FROM labeled
+GROUP BY fiscal_quarter, period_in_quarter
+ORDER BY fiscal_quarter, period_in_quarter
+"""
+
+
+@register(
+    "t_fiscal_445_calendar",
+    oracle=_FISCAL_445_ORACLE,
+    tags=("F2", "A1", "P6"),
+)
+def t_fiscal_445_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue on a 4-4-5 fiscal calendar (retail NRF convention): the
+    fiscal year starts on a fixed Monday (1993-12-27), every quarter is
+    exactly 13 weeks split 4+4+5, so each period contains a whole
+    number of each weekday and period-over-period comparisons are free
+    of the weekday-mix distortion that wrecks calendar-month compares.
+    The n_weeks column pins the 4/4/5 pattern in the output (periods
+    1,2 → 4 weeks; period 3 → 5 weeks).
+
+    Determinism & scale — fiscal labeling is pure positive integer
+    arithmetic on the day offset from the fiscal epoch (// 7 weeks,
+    // 13 quarters, thresholds 4/8 within the quarter): no locale, no
+    WEEKOFYEAR whose ISO rules differ per engine. One combinable
+    rollup; calendar filter pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1993-12-27"))
+    wk = F.expr(
+        "datediff(CAST(l_shipdate AS DATE), DATE '1993-12-27') DIV 7"
+    )
+    facts = li.filter(
+        (F.col("l_shipdate") >= "1993-12-27") & (F.col("l_shipdate") < "1994-12-26")
+    ).select(
+        wk.alias("fiscal_week"),
+        F.expr(
+            "(datediff(CAST(l_shipdate AS DATE), DATE '1993-12-27') DIV 7) DIV 13"
+        ).alias("fiscal_quarter"),
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_cents"
+        ),
+    ).withColumn(
+        "period_in_quarter",
+        F.when((F.col("fiscal_week") % 13) < 4, 1)
+        .when((F.col("fiscal_week") % 13) < 8, 2)
+        .otherwise(3),
+    )
+    return (
+        facts.groupBy("fiscal_quarter", "period_in_quarter")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("rev_cents") / 100.0).alias("revenue"),
+            F.count_distinct("fiscal_week").alias("n_weeks"),
+        )
+        .orderBy("fiscal_quarter", "period_in_quarter")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 time-series downsampling (min/max/first/last per pixel bucket)
+# ---------------------------------------------------------------------------
+
+_M4_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         DATEDIFF('day', DATE '1994-01-01', CAST(l_shipdate AS DATE)) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")})
+              AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  GROUP BY 1, 2
+),
+bucketed AS (
+  SELECT d // 8 AS pixel, d, rev_cents FROM daily
+)
+SELECT pixel,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(rev_cents) AS BIGINT) AS y_min,
+       CAST(MAX(rev_cents) AS BIGINT) AS y_max,
+       CAST(MIN_BY(rev_cents, d) AS BIGINT) AS y_first,
+       CAST(MAX_BY(rev_cents, d) AS BIGINT) AS y_last,
+       CAST(MIN(d) AS BIGINT) AS d_first,
+       CAST(MAX(d) AS BIGINT) AS d_last
+FROM bucketed
+GROUP BY pixel
+ORDER BY pixel
+"""
+
+
+@register(
+    "t_m4_downsample",
+    oracle=_M4_ORACLE,
+    tags=("A1", "W1", "F2", "O1"),
+)
+def t_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling of the daily revenue series: per pixel-bucket
+    (8 days → one screen column) keep min, max, first and last — the
+    four points that make the downsampled polyline PIXEL-IDENTICAL to
+    the full series at that resolution (Jugel et al.'s M4), unlike
+    LTTB (`t_lttb_downsample`) which trades exactness for shape. M4 is
+    what dashboards should run server-side before shipping points to a
+    browser.
+
+    Determinism & scale — one combinable rollup per pixel: min/max are
+    plain aggregates; first/last are MIN_BY/MAX_BY on the day index
+    (unique within the series, so no tie ambiguity on either engine).
+    The day index is positive integer floor division into buckets. At
+    100 TB the daily rollup below it is the only fact-sized shuffle;
+    the M4 pass is calendar-bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+        )
+        .groupBy(
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1994-01-01")).alias(
+                "d"
+            )
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("rev_cents")
+        )
+    )
+    return (
+        daily.groupBy(F.expr("d DIV 8").alias("pixel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("rev_cents").alias("y_min"),
+            F.max("rev_cents").alias("y_max"),
+            F.expr("MIN_BY(rev_cents, d)").alias("y_first"),
+            F.expr("MAX_BY(rev_cents, d)").alias("y_last"),
+            F.min("d").alias("d_first"),
+            F.max("d").alias("d_last"),
+        )
+        .orderBy("pixel")
+    )

@@ -1018,3 +1018,99 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Community conductance of the brand partition (cut quality per community)
+# ---------------------------------------------------------------------------
+
+_CONDUCTANCE_ORACLE = """
+WITH io AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM io a JOIN io b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+labeled AS (
+  SELECT pairs.u, pairs.v, pu.p_brand AS bu, pv.p_brand AS bv
+  FROM pairs
+  JOIN part pu ON pairs.u = pu.p_partkey
+  JOIN part pv ON pairs.v = pv.p_partkey
+),
+cut AS (
+  SELECT brand, CAST(SUM(is_cut) AS BIGINT) AS cut_edges,
+         CAST(COUNT(*) AS BIGINT) AS vol
+  FROM (
+    SELECT bu AS brand, CASE WHEN bu <> bv THEN 1 ELSE 0 END AS is_cut
+    FROM labeled
+    UNION ALL
+    SELECT bv, CASE WHEN bu <> bv THEN 1 ELSE 0 END FROM labeled
+  ) t
+  GROUP BY brand
+),
+m AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS vol_total FROM labeled)
+SELECT brand, cut_edges, vol,
+       cut_edges * 1000000
+         // CASE WHEN vol <= vol_total - vol THEN vol
+                 ELSE vol_total - vol END AS conductance_ppm
+FROM cut CROSS JOIN m
+ORDER BY brand
+"""
+
+
+@register(
+    "g_community_conductance",
+    oracle=_CONDUCTANCE_ORACLE,
+    tags=("J1", "J10", "A1", "O3"),
+)
+def g_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance φ(S) = cut(S) / min(vol(S), vol(V∖S)) for every
+    brand community on the part co-order graph — the cut-quality
+    metric that complements modularity (`g_modularity_brand_partition`
+    asks "denser than random inside?"; conductance asks "how leaky is
+    the boundary?"). Low conductance communities are the ones worth
+    sharding together at 100 TB: cross-shard traffic IS the cut.
+
+    Determinism & scale — same bounded edge construction as the
+    modularity query (orderkey self-join capped by lines-per-order);
+    per-brand cut and volume are exact integer counts from ONE
+    stacked-endpoint aggregation; conductance is positive integer ppm
+    floor division. The 1-row total-volume broadcast closes the
+    min(vol, complement) comparison without a second edge pass."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    io = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    a, b = io.alias("a"), io.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .dropDuplicates()
+    )
+    pu = part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("bu"))
+    pv = part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bv"))
+    labeled = pairs.join(pu, "u").join(pv, "v")
+    is_cut = F.when(F.col("bu") != F.col("bv"), 1).otherwise(0)
+    stacked = labeled.select(F.col("bu").alias("brand"), is_cut.alias("is_cut")).unionAll(
+        labeled.select(F.col("bv").alias("brand"), is_cut.alias("is_cut"))
+    )
+    cut = stacked.groupBy("brand").agg(
+        F.sum("is_cut").cast("long").alias("cut_edges"),
+        F.count(F.lit(1)).alias("vol"),
+    )
+    m = labeled.agg((2 * F.count(F.lit(1))).alias("vol_total"))
+    return (
+        cut.crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            "cut_edges",
+            "vol",
+            F.expr(
+                "cut_edges * 1000000 DIV CASE WHEN vol <= vol_total - vol"
+                " THEN vol ELSE vol_total - vol END"
+            ).alias("conductance_ppm"),
+        )
+        .orderBy("brand")
+    )

@@ -1709,3 +1709,111 @@ def n_mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall_at_10_ppm"),
         F.sum("n_rel_at_10").cast("long").alias("total_rel_hits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction MaxSim scoring (ColBERT-style multi-vector retrieval)
+# ---------------------------------------------------------------------------
+
+_MAXSIM_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, vec_id % 50 AS group_id, embedding,
+         {norm_unrolled_sql("embedding", DIM)} AS nrm
+  FROM embeddings
+),
+qvecs AS (
+  SELECT vec_id AS q_vec_id, embedding AS q_emb, nrm AS q_nrm
+  FROM vecs WHERE group_id = 0 AND vec_id < 500
+),
+dvecs AS (
+  SELECT group_id, vec_id AS d_vec_id, embedding AS d_emb, nrm AS d_nrm
+  FROM vecs WHERE group_id <> 0
+),
+sims AS (
+  SELECT d.group_id, q.q_vec_id,
+         MAX(ROUND(({dot_unrolled_sql("q.q_emb", "d.d_emb", DIM)})
+                   / (q.q_nrm * d.d_nrm), 9)) AS best_sim
+  FROM qvecs q JOIN dvecs d ON TRUE
+  GROUP BY d.group_id, q.q_vec_id
+),
+scored AS (
+  SELECT group_id,
+         CAST(SUM(CAST(ROUND(best_sim * 1000000) AS BIGINT)) AS BIGINT)
+           AS maxsim_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_query_vectors
+  FROM sims GROUP BY group_id
+)
+SELECT group_id, maxsim_micro, n_query_vectors
+FROM scored
+ORDER BY maxsim_micro DESC, group_id
+LIMIT 10
+"""
+
+
+@register(
+    "n_colbert_maxsim_rerank",
+    oracle=_MAXSIM_ORACLE,
+    tags=("N3", "N4", "W4", "A1"),
+)
+def n_colbert_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction scoring: the query is a BAG of
+    vectors (group 0), each candidate document is a bag of vectors
+    (vec_id mod 50 groups), and the score is MaxSim — for every query
+    vector take its best cosine against the document's vectors, then
+    sum. This is the multi-vector retrieval operator that single-vector
+    cosine top-k (`n_cosine_topk`) cannot express: a document matches
+    if it covers EACH aspect of the query somewhere, not on one pooled
+    centroid. Top-10 documents by summed micro score.
+
+    Determinism — per-(query-vector, document) best_sim is rounded to
+    9 dp (bit-exact unrolled dots below it), then to integer micro
+    before the per-document sum, so aggregation order can't matter.
+    Scale — the query bag (group 0 capped to vec_id < 500: ≤10
+    vectors at ANY corpus size) broadcasts; one scan of the
+    corpus vectors computes all pairwise sims map-side; the two
+    reductions (max per (doc, query-vector), sum per doc) are
+    combinable on document id. At 100 TB of token vectors this is the
+    PLAID/ColBERTv2 re-rank shape: bounded probe set × streamed
+    candidate vectors, never a materialized similarity matrix."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        (F.col("vec_id") % 50).alias("group_id"),
+        "embedding",
+        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias(
+            "nrm"
+        ),
+    )
+    qvecs = vecs.filter((F.col("group_id") == 0) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dvecs = vecs.filter(F.col("group_id") != 0).select(
+        "group_id",
+        F.col("vec_id").alias("d_vec_id"),
+        F.col("embedding").alias("d_emb"),
+        F.col("nrm").alias("d_nrm"),
+    )
+    cos = F.round(
+        dot_unrolled(F.col("q_emb"), F.col("d_emb"), DIM)
+        / (F.col("q_nrm") * F.col("d_nrm")),
+        9,
+    )
+    sims = (
+        F.broadcast(qvecs)
+        .crossJoin(dvecs)
+        .groupBy("group_id", "q_vec_id")
+        .agg(F.max(cos).alias("best_sim"))
+    )
+    scored = sims.groupBy("group_id").agg(
+        F.sum(F.round(F.col("best_sim") * 1000000).cast("long"))
+        .cast("long")
+        .alias("maxsim_micro"),
+        F.count(F.lit(1)).alias("n_query_vectors"),
+    )
+    return (
+        scored.orderBy(F.col("maxsim_micro").desc(), F.col("group_id"))
+        .limit(10)
+        .select("group_id", "maxsim_micro", "n_query_vectors")
+    )

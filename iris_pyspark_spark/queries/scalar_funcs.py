@@ -1067,3 +1067,109 @@ def f_snowflake_id_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("snowflake_id").alias("min_id"),
         F.max("snowflake_id").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Luhn check-digit computation and validation (PII/payment-card hygiene)
+# ---------------------------------------------------------------------------
+
+_LUHN_ORACLE = """
+WITH pans AS (
+  SELECT o_orderkey,
+         LPAD(CAST(o_orderkey % 1000000000 AS VARCHAR), 9, '0')
+           || LPAD(CAST(o_custkey % 1000000 AS VARCHAR), 6, '0') AS body
+  FROM orders
+),
+digits AS (
+  SELECT o_orderkey, body, pos,
+         CAST(SUBSTRING(body, CAST(pos AS INT), 1) AS BIGINT) AS d,
+         -- doubling applies to positions with odd distance from the
+         -- RIGHT end of body||check (body length 15 -> odd positions)
+         CASE WHEN pos % 2 = 1 THEN 1 ELSE 0 END AS dbl
+  FROM pans, UNNEST(generate_series(1, 15)) AS t(pos)
+),
+sums AS (
+  SELECT o_orderkey, body,
+         CAST(SUM(CASE WHEN dbl = 1
+                       THEN (2 * d) % 10 + (2 * d) // 10
+                       ELSE d END) AS BIGINT) AS s
+  FROM digits GROUP BY o_orderkey, body
+),
+carded AS (
+  SELECT o_orderkey, body, (10 - s % 10) % 10 AS check_digit, s
+  FROM sums
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cards,
+       CAST(SUM(CASE WHEN (s + check_digit) % 10 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_valid,
+       CAST(SUM(CASE WHEN (s + ((check_digit + 1) % 10)) % 10 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tampered_pass,
+       CAST(SUM(check_digit) AS BIGINT) AS checksum_digit_total
+FROM carded
+"""
+
+
+@register(
+    "f_luhn_checksum",
+    oracle=_LUHN_ORACLE,
+    tags=("F1", "F3", "F7"),
+)
+def f_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) check-digit computation and validation over
+    synthetic 15-digit card bodies derived from order/customer keys —
+    the checksum behind every PAN detector in a PII-scanning pipeline
+    (`n_pii_redaction` finds number SHAPES; Luhn separates real card
+    numbers from random digit runs). Every generated check digit
+    validates (n_valid == n_cards) and every single-digit tamper fails
+    (n_tampered_pass == 0) — the checksum's guarantee, proven inline.
+
+    Scale design — pure row-local integer arithmetic: the 15-digit
+    explode is a map-side sequence (bounded fan-out 15), the doubled
+    digits fold as (2d)%10 + (2d)//10 (positive operands, so Spark DIV
+    and DuckDB // agree), and one combinable rollup produces the
+    summary. No UDF, no shuffle beyond the final aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    pans = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lpad((F.col("o_orderkey") % 1000000000).cast("string"), 9, "0"),
+            F.lpad((F.col("o_custkey") % 1000000).cast("string"), 6, "0"),
+        ).alias("body"),
+    )
+    digits = pans.select(
+        "o_orderkey",
+        "body",
+        F.explode(F.sequence(F.lit(1), F.lit(15))).alias("pos"),
+    ).select(
+        "o_orderkey",
+        "body",
+        F.substring(F.col("body"), 1, 15).substr(F.col("pos"), F.lit(1))
+        .cast("long")
+        .alias("d"),
+        F.when(F.col("pos") % 2 == 1, 1).otherwise(0).alias("dbl"),
+    )
+    sums = digits.groupBy("o_orderkey", "body").agg(
+        F.sum(
+            F.when(
+                F.col("dbl") == 1,
+                (2 * F.col("d")) % 10 + F.expr("(2 * d) DIV 10"),
+            ).otherwise(F.col("d"))
+        ).alias("s")
+    )
+    carded = sums.select(
+        "o_orderkey",
+        "s",
+        ((10 - F.col("s") % 10) % 10).alias("check_digit"),
+    )
+    return carded.agg(
+        F.count(F.lit(1)).alias("n_cards"),
+        F.sum(
+            F.when((F.col("s") + F.col("check_digit")) % 10 == 0, 1).otherwise(0)
+        ).alias("n_valid"),
+        F.sum(
+            F.when(
+                (F.col("s") + ((F.col("check_digit") + 1) % 10)) % 10 == 0, 1
+            ).otherwise(0)
+        ).alias("n_tampered_pass"),
+        F.sum("check_digit").cast("long").alias("checksum_digit_total"),
+    )

@@ -1631,3 +1631,111 @@ def s_file_metadata_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Merkle tree root over sharded table content (tamper-evident audit)
+# ---------------------------------------------------------------------------
+
+def _merkle_oracle() -> str:
+    leaves = """
+WITH leaf AS (
+  SELECT o_orderkey % 16 AS shard,
+         SHA256(STRING_AGG(CAST(o_orderkey AS VARCHAR) || ':'
+                           || CAST({cents} AS VARCHAR), ','
+                           ORDER BY o_orderkey)) AS h
+  FROM orders
+  GROUP BY o_orderkey % 16
+),
+l0 AS (SELECT shard, h FROM leaf)""".format(
+        cents="CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    )
+    rounds = []
+    width = 16
+    lvl = 0
+    while width > 1:
+        rounds.append(
+            f""",
+l{lvl + 1} AS (
+  SELECT a.shard // 2 AS shard, SHA256(a.h || b.h) AS h
+  FROM l{lvl} a JOIN l{lvl} b
+    ON a.shard % 2 = 0 AND b.shard = a.shard + 1
+)"""
+        )
+        width //= 2
+        lvl += 1
+    return (
+        leaves
+        + "".join(rounds)
+        + f"""
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM l0) AS n_shards,
+       (SELECT h FROM l{lvl}) AS merkle_root
+"""
+    )
+
+
+@register(
+    "s_merkle_tree_root",
+    oracle=_merkle_oracle(),
+    tags=("F7", "A9", "J1", "S1"),
+)
+def s_merkle_tree_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle tree root over 16 content-hashed shards of the orders
+    table — the tamper-evident fingerprint that lets two replicas
+    prove equality (or locate the FIRST divergent shard in log₂ probes)
+    without exchanging data: the audit primitive behind data-sharing
+    contracts and cross-region replication checks.
+
+    Determinism — leaf content is canonicalized before hashing
+    (within-shard rows concatenated in orderkey order, integer cents),
+    so the root is a pure function of table CONTENT, not of layout;
+    interior nodes are SHA-256 over concatenated child hex digests
+    with a fixed left-right order. Scale — leaves are one combinable
+    shuffle (the ORDER BY inside the shard-local string_agg sorts
+    within 16 groups); the 4 interior rounds join 16→8→4→2→1 rows —
+    driver-free, statically unrolled, O(log shards) tiny stages."""
+    o = load_table(spark, sf_dir, "orders")
+    leaf = (
+        o.select(
+            (F.col("o_orderkey") % 16).alias("shard"),
+            F.concat_ws(
+                ":",
+                F.col("o_orderkey").cast("string"),
+                cents(F.col("o_totalprice")).cast("string"),
+            ).alias("row_str"),
+            "o_orderkey",
+        )
+        .groupBy("shard")
+        .agg(
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("o_orderkey"), F.col("row_str"))
+                            )
+                        ),
+                        lambda s: s.getField("row_str"),
+                    ),
+                    ",",
+                ),
+                256,
+            ).alias("h")
+        )
+    )
+    lvl = leaf
+    width = 16
+    while width > 1:
+        a = lvl.filter(F.col("shard") % 2 == 0).select(
+            (F.col("shard") / 2).cast("long").alias("shard"),
+            F.col("h").alias("ha"),
+        )
+        b = lvl.filter(F.col("shard") % 2 == 1).select(
+            F.expr("shard DIV 2").alias("shard"), F.col("h").alias("hb")
+        )
+        lvl = a.join(b, "shard").select(
+            "shard", F.sha2(F.concat(F.col("ha"), F.col("hb")), 256).alias("h")
+        )
+        width //= 2
+    n_shards = leaf.agg(F.count(F.lit(1)).alias("n_shards"))
+    return n_shards.crossJoin(F.broadcast(lvl.select(F.col("h").alias("merkle_root"))))

@@ -1051,3 +1051,49 @@ ORDER BY nation, o_year DESC
 def sql_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(_Q9)
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS Q88-shaped multi-band counts: one scan instead of N subqueries
+# ---------------------------------------------------------------------------
+
+_Q88_BANDS = [(0, 3), (3, 6), (6, 9), (9, 12), (12, 15), (15, 18), (18, 21), (21, 24)]
+
+_Q88_ORACLE = " CROSS JOIN ".join(
+    f"(SELECT CAST(COUNT(*) AS BIGINT) AS band_{lo:02d}_{hi:02d} FROM events"
+    f" WHERE EXTRACT(hour FROM ts) >= {lo} AND EXTRACT(hour FROM ts) < {hi}"
+    f" AND event_type IN ('click', 'view')) b{i}"
+    for i, (lo, hi) in enumerate(_Q88_BANDS)
+)
+_Q88_ORACLE = "SELECT * FROM " + _Q88_ORACLE
+
+
+@register(
+    "sql_q88_time_bands",
+    oracle=_Q88_ORACLE,
+    tags=("E2", "A7", "A2", "P4"),
+)
+def sql_q88_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape: eight hour-of-day traffic-band counts in one
+    row. The BENCHMARK spells it as eight independent scalar subqueries
+    cross-joined (the oracle keeps that spelling, counts are identical
+    by construction); the engine-side implementation demonstrates the
+    rewrite every optimizer-minded user applies — ONE scan with eight
+    conditional aggregates, turning 8 passes over a 100 TB fact into 1.
+    The filter common to all bands (event_type) is pushed to the scan;
+    each band is a CASE-WHEN count that combines map-side.
+
+    Both engines extract hour-of-day from the same wall-clock
+    timestamps (no timezone shift: NTZ semantics on both sides)."""
+    load_tables(spark, sf_dir)
+    bands = ", ".join(
+        f"CAST(SUM(CASE WHEN _hour >= {lo} AND _hour < {hi} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS band_{lo:02d}_{hi:02d}"
+        for lo, hi in _Q88_BANDS
+    )
+    return spark.sql(
+        "SELECT "
+        + bands
+        + " FROM (SELECT hour(ts) AS _hour FROM events"
+        " WHERE event_type IN ('click', 'view'))"
+    )

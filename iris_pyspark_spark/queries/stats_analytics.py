@@ -4034,3 +4034,285 @@ def t_durbin_watson_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rho_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SPC XmR (individuals / moving-range) control chart
+# ---------------------------------------------------------------------------
+
+_XMR_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")})
+              AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1994-07-01'
+  GROUP BY 1
+),
+mr AS (
+  SELECT day, rev_cents,
+         ABS(rev_cents - LAG(rev_cents) OVER (ORDER BY day)) AS moving_range
+  FROM daily
+),
+limits AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(rev_cents) AS BIGINT) AS s,
+         CAST(SUM(moving_range) AS BIGINT) AS smr,
+         CAST(COUNT(moving_range) AS BIGINT) AS nmr
+  FROM mr
+),
+judged AS (
+  SELECT m.day, m.rev_cents,
+         CASE WHEN ABS(m.rev_cents - CAST(l.s AS DOUBLE) / l.n_days)
+                   > 2.66 * (CAST(l.smr AS DOUBLE) / l.nmr)
+              THEN 1 ELSE 0 END AS out_of_control,
+         CASE WHEN m.rev_cents > CAST(l.s AS DOUBLE) / l.n_days
+              THEN 1 ELSE 0 END AS above
+  FROM mr m CROSS JOIN limits l
+),
+runs AS (
+  SELECT above,
+         ROW_NUMBER() OVER (ORDER BY day)
+         - ROW_NUMBER() OVER (PARTITION BY above ORDER BY day) AS island
+  FROM judged
+),
+longest AS (
+  SELECT CAST(MAX(run_len) AS BIGINT) AS longest_run
+  FROM (SELECT COUNT(*) AS run_len FROM runs GROUP BY above, island)
+)
+SELECT l.n_days,
+       ROUND(CAST(l.s AS DOUBLE) / l.n_days / 100, 6) AS center_dollars,
+       ROUND(2.66 * (CAST(l.smr AS DOUBLE) / l.nmr) / 100, 6)
+         AS limit_halfwidth_dollars,
+       (SELECT CAST(SUM(out_of_control) AS BIGINT) FROM judged)
+         AS n_out_of_control,
+       (SELECT longest_run FROM longest) AS longest_run
+FROM limits l
+"""
+
+
+@register(
+    "t_spc_xmr_chart",
+    oracle=_XMR_ORACLE,
+    tags=("W2", "A1", "W1"),
+)
+def t_spc_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals & moving-range) statistical process control on
+    daily revenue: center line, ±2.66·mR̄ natural process limits, the
+    out-of-control point count, and the longest same-side-of-center run
+    (the Western-Electric runs signal) — the control chart every
+    data-quality/SLO monitor reduces to.
+
+    Scale design — the fact is touched once (combinable groupBy(day));
+    the moving range, control limits, violation judging and
+    gaps-islands runs detection all operate on the calendar-bounded
+    rollup (~180 rows). The 2.66 anti-biasing constant is a pinned
+    literal; limits derive from exact BIGINT sums, judged against
+    integer cents, so the violation counts are exact integers and the
+    two dollar outputs are single round-6 float expressions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1994-07-01")
+        )
+        .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("day")
+    mr = daily.withColumn(
+        "moving_range", F.abs(F.col("rev_cents") - F.lag("rev_cents").over(w))
+    )
+    limits = mr.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev_cents").alias("s"),
+        F.sum("moving_range").alias("smr"),
+        F.count("moving_range").alias("nmr"),
+    )
+    center = F.col("s").cast("double") / F.col("n_days")
+    halfwidth = 2.66 * (F.col("smr").cast("double") / F.col("nmr"))
+    judged = mr.crossJoin(broadcast(limits)).select(
+        "day",
+        "rev_cents",
+        F.when(F.abs(F.col("rev_cents") - center) > halfwidth, 1)
+        .otherwise(0)
+        .alias("out_of_control"),
+        F.when(F.col("rev_cents") > center, 1).otherwise(0).alias("above"),
+    )
+    runs = judged.select(
+        "above",
+        (
+            F.row_number().over(Window.orderBy("day"))
+            - F.row_number().over(Window.partitionBy("above").orderBy("day"))
+        ).alias("island"),
+    )
+    longest = (
+        runs.groupBy("above", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .agg(F.max("run_len").alias("longest_run"))
+    )
+    ooc = judged.agg(F.sum("out_of_control").cast("long").alias("n_out_of_control"))
+    return (
+        limits.crossJoin(broadcast(ooc))
+        .crossJoin(broadcast(longest))
+        .select(
+            "n_days",
+            F.round(center / 100, 6).alias("center_dollars"),
+            F.round(halfwidth / 100, 6).alias("limit_halfwidth_dollars"),
+            "n_out_of_control",
+            "longest_run",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential experiment monitoring (integer micro-nat LLR walk)
+# ---------------------------------------------------------------------------
+
+# ln(p1/p0), ln((1-p1)/(1-p0)) for H0: p=0.50 vs H1: p=0.55, and the
+# Wald boundaries ln((1-b)/a), ln(b/(1-a)) at a=b=0.05 — pre-rounded
+# micro-nat literals so no transcendental runs at query time.
+_SPRT_L1 = 95310    # round(ln(0.55/0.50) * 1e6)
+_SPRT_L0 = -105361  # round(ln(0.45/0.50) * 1e6)
+_SPRT_A = 2944439   # round(ln(19) * 1e6)
+_SPRT_B = -2944439  # round(ln(1/19) * 1e6)
+
+_SPRT_ORACLE = f"""
+WITH trials AS (
+  SELECT user_id,
+         MIN(CAST(ts AS DATE)) AS day,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events
+  GROUP BY user_id
+),
+daily AS (
+  SELECT day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS k
+  FROM trials GROUP BY day
+),
+walk AS (
+  SELECT day,
+         CAST(SUM(k) OVER w AS BIGINT) AS k_cum,
+         CAST(SUM(n) OVER w AS BIGINT) AS n_cum,
+         CAST(SUM(k) OVER w AS BIGINT) * {_SPRT_L1}
+           + (CAST(SUM(n) OVER w AS BIGINT) - CAST(SUM(k) OVER w AS BIGINT))
+             * {_SPRT_L0} AS llr_micro
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+crossing AS (
+  SELECT MIN(CASE WHEN llr_micro >= {_SPRT_A} THEN day END) AS first_h1_day,
+         MIN(CASE WHEN llr_micro <= {_SPRT_B} THEN day END) AS first_h0_day
+  FROM walk
+),
+final AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(MAX(n_cum) AS BIGINT) AS total_trials,
+         CAST(MAX(k_cum) AS BIGINT) AS total_conversions
+  FROM walk
+)
+SELECT f.n_days, f.total_trials, f.total_conversions,
+       (SELECT CAST(llr_micro AS BIGINT) FROM walk
+         ORDER BY day DESC LIMIT 1) AS final_llr_micro,
+       CAST(COALESCE(DATEDIFF('day', DATE '1970-01-01', c.first_h1_day), -1)
+            AS BIGINT) AS first_h1_epoch_day,
+       CAST(COALESCE(DATEDIFF('day', DATE '1970-01-01', c.first_h0_day), -1)
+            AS BIGINT) AS first_h0_epoch_day,
+       CASE WHEN c.first_h1_day IS NOT NULL
+                 AND (c.first_h0_day IS NULL OR c.first_h1_day <= c.first_h0_day)
+              THEN 'accept_h1'
+            WHEN c.first_h0_day IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM final f CROSS JOIN crossing c
+"""
+
+
+@register(
+    "e_sprt_sequential_test",
+    oracle=_SPRT_ORACLE,
+    tags=("W3", "A1", "F2"),
+)
+def e_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential monitoring of a conversion rate (H0: 50%
+    vs H1: 55%, α=β=0.05): the cumulative log-likelihood-ratio walk by
+    cohort day, the first boundary crossing, and the decision — the
+    always-valid alternative to fixed-horizon testing that lets an
+    experiment stop the day the evidence suffices.
+
+    Determinism — the walk is EXACT INTEGER arithmetic end to end: the
+    two per-trial log-likelihood increments and both Wald boundaries
+    are pre-rounded micro-nat literals (no ln at query time), so
+    LLR_t = k_t·L1 + (n_t−k_t)·L0 is a BIGINT and the crossing day is
+    an exact comparison. Scale — one combinable per-user reduction
+    (the only shuffle of the fact), a calendar-bounded daily rollup,
+    and one O(days) cumulative window."""
+    e = load_table(spark, sf_dir, "events")
+    trials = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    daily = trials.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("k")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.select(
+        "day",
+        F.sum("k").over(w).alias("k_cum"),
+        F.sum("n").over(w).alias("n_cum"),
+        (
+            F.sum("k").over(w) * _SPRT_L1
+            + (F.sum("n").over(w) - F.sum("k").over(w)) * _SPRT_L0
+        ).alias("llr_micro"),
+    )
+    crossing = walk.agg(
+        F.min(F.when(F.col("llr_micro") >= _SPRT_A, F.col("day"))).alias(
+            "first_h1_day"
+        ),
+        F.min(F.when(F.col("llr_micro") <= _SPRT_B, F.col("day"))).alias(
+            "first_h0_day"
+        ),
+    )
+    final = walk.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("n_cum").alias("total_trials"),
+        F.max("k_cum").alias("total_conversions"),
+    )
+    last_llr = (
+        walk.orderBy(F.col("day").desc())
+        .limit(1)
+        .select(F.col("llr_micro").cast("long").alias("final_llr_micro"))
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    return (
+        final.crossJoin(broadcast(crossing))
+        .crossJoin(broadcast(last_llr))
+        .select(
+            "n_days",
+            "total_trials",
+            "total_conversions",
+            "final_llr_micro",
+            F.coalesce(F.datediff(F.col("first_h1_day"), epoch), F.lit(-1))
+            .cast("long")
+            .alias("first_h1_epoch_day"),
+            F.coalesce(F.datediff(F.col("first_h0_day"), epoch), F.lit(-1))
+            .cast("long")
+            .alias("first_h0_epoch_day"),
+            F.when(
+                F.col("first_h1_day").isNotNull()
+                & (
+                    F.col("first_h0_day").isNull()
+                    | (F.col("first_h1_day") <= F.col("first_h0_day"))
+                ),
+                "accept_h1",
+            )
+            .when(F.col("first_h0_day").isNotNull(), "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+    )

@@ -357,6 +357,12 @@ _BNLJ_ALLOWED = frozenset({
     # <=52-row weekly rollup
     "a_kmv_set_intersection", "a_mutual_information_2d",
     "t_durbin_watson_residuals",
+    # round-4 fifth continuation: 1-row control-limit/violation-count,
+    # boundary-crossing, and graph-volume broadcasts
+    "t_spc_xmr_chart", "e_sprt_sequential_test", "g_community_conductance",
+    # round-4 fifth continuation: <=10-row query-bag broadcast in the
+    # MaxSim scorer (vec_id < 500 cap); 1-row root/shard-count crossJoin
+    "n_colbert_maxsim_rerank", "s_merkle_tree_root",
 })
 
 
