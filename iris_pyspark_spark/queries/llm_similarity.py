@@ -1817,3 +1817,141 @@ def n_colbert_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("group_id", "maxsim_micro", "n_query_vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-hash embedding retrieval (sign binarization + Hamming distance)
+# ---------------------------------------------------------------------------
+
+def _signbits_sql(col: str, lo: int, hi: int) -> str:
+    """DuckDB: pack sign bits of dims [lo, hi) into a BIGINT."""
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN CAST({1 << (i - lo)} AS BIGINT)"
+        f" ELSE 0 END)"
+        for i in range(lo, hi)
+    )
+
+
+def _signbits_spark(col, lo: int, hi: int):
+    out = None
+    for i in range(lo, hi):
+        t = F.when(col.getItem(i) >= 0, F.lit(1 << (i - lo)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        out = t if out is None else out + t
+    return out
+
+
+_BINARY_HASH_ORACLE = f"""
+WITH codes AS (
+  SELECT vec_id,
+         {_signbits_sql("embedding", 0, 32)}  AS code_lo,
+         {_signbits_sql("embedding", 32, 64)} AS code_hi,
+         embedding,
+         {norm_unrolled_sql("embedding", DIM)} AS nrm
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS q_id, code_lo AS q_lo, code_hi AS q_hi,
+         embedding AS q_emb, nrm AS q_nrm
+  FROM codes WHERE vec_id % 97 = 0
+),
+ham AS (
+  SELECT p.q_id, c.vec_id,
+         CAST(bit_count(xor(p.q_lo, c.code_lo))
+              + bit_count(xor(p.q_hi, c.code_hi)) AS BIGINT) AS hamming,
+         ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+           bit_count(xor(p.q_lo, c.code_lo))
+           + bit_count(xor(p.q_hi, c.code_hi)), c.vec_id) AS hrk
+  FROM probes p JOIN codes c ON p.q_id <> c.vec_id
+),
+exact AS (
+  SELECT p.q_id, c.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+           ROUND(({dot_unrolled_sql("p.q_emb", "c.embedding", DIM)})
+                 / (p.q_nrm * c.nrm), 9) DESC, c.vec_id) AS crk
+  FROM probes p JOIN codes c ON p.q_id <> c.vec_id
+),
+overlap AS (
+  SELECT h.q_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM (SELECT q_id, vec_id FROM ham WHERE hrk <= 10) h
+  JOIN (SELECT q_id, vec_id FROM exact WHERE crk <= 10) e
+    ON h.q_id = e.q_id AND h.vec_id = e.vec_id
+  GROUP BY h.q_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(n_common) AS BIGINT) AS total_common,
+       CAST(SUM(n_common) * 1000000 // (COUNT(*) * 10) AS BIGINT)
+         AS recall_at_10_ppm
+FROM overlap
+"""
+
+
+@register(
+    "n_binary_hash_retrieval",
+    oracle=_BINARY_HASH_ORACLE,
+    tags=("N3", "N4", "F3", "F7"),
+)
+def n_binary_hash_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-hash ANN: sign-binarize each 64-dim embedding into two
+    32-bit codes packed in BIGINTs, retrieve by Hamming distance
+    (bit_count of XOR — two machine instructions per candidate), and
+    report recall@10 against exact cosine — the 64x-compression /
+    100x-speed tier below PQ in the ANN ladder (`n_pq_adc_search`),
+    and the same measurement harness (`n_ivf_recall_eval`) applied
+    to it.
+
+    Determinism — binarization, XOR popcount and both rankings are
+    exact integer/9dp-rounded arithmetic with vec_id tie-breaks, so
+    even the recall percentage hash-matches the oracle. Scale — codes
+    are 16 bytes/vector (the RAM-resident index layout); probes
+    broadcast; one corpus scan serves both arms; at 100 TB the exact
+    arm disappears and Hamming top-k feeds the standard re-rank."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    codes = e.select(
+        "vec_id",
+        _signbits_spark(emb, 0, 32).alias("code_lo"),
+        _signbits_spark(emb, 32, 64).alias("code_hi"),
+        "embedding",
+        F.sqrt(dot_unrolled(emb, emb, DIM)).alias("nrm"),
+    )
+    probes = codes.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    joined = F.broadcast(probes).join(codes, F.col("q_id") != F.col("vec_id"))
+    hamming = F.expr("bit_count(q_lo ^ code_lo) + bit_count(q_hi ^ code_hi)")
+    ham = joined.withColumn(
+        "hrk",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(hamming, F.col("vec_id"))
+        ),
+    ).filter(F.col("hrk") <= 10)
+    cos = F.round(
+        dot_unrolled(F.col("q_emb"), F.col("embedding"), DIM)
+        / (F.col("q_nrm") * F.col("nrm")),
+        9,
+    )
+    exact = joined.withColumn(
+        "crk",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(cos.desc(), F.col("vec_id"))
+        ),
+    ).filter(F.col("crk") <= 10)
+    overlap = (
+        ham.select("q_id", "vec_id")
+        .join(exact.select("q_id", "vec_id"), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return overlap.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("n_common").cast("long").alias("total_common"),
+        F.expr("SUM(n_common) * 1000000 DIV (COUNT(*) * 10)").alias(
+            "recall_at_10_ppm"
+        ),
+    )

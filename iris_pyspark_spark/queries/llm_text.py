@@ -3159,3 +3159,215 @@ def n_feature_scaling_params(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1000 - F.col("q50")) / (F.col("q75") - F.col("q25")), 6
         ).alias("probe_robust"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier calibration: reliability table + ECE
+# ---------------------------------------------------------------------------
+
+_ECE_ORACLE = """
+WITH scored AS (
+  SELECT doc_id,
+         -- 'confidence' proxy in [0,1]: clamped n_chars/1000, milli units
+         CAST(LEAST(n_chars, 1000) AS BIGINT) * 1000000 // 1000 // 1000
+           AS conf_milli_raw,
+         CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 80 THEN 1 ELSE 0 END
+           AS label
+  FROM documents
+),
+binned AS (
+  SELECT conf_milli_raw // 100 AS bin,
+         conf_milli_raw, label
+  FROM scored
+),
+per_bin AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(conf_milli_raw) AS BIGINT) AS conf_sum_milli,
+         CAST(SUM(label) AS BIGINT) AS n_pos
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM per_bin)
+SELECT bin, n_b,
+       conf_sum_milli * 1000 // n_b AS mean_conf_micro,
+       n_pos * 1000000 // n_b AS obs_rate_micro,
+       ABS(conf_sum_milli * 1000 // n_b - n_pos * 1000000 // n_b) * n_b
+         // (SELECT n FROM tot) AS ece_contribution_micro
+FROM per_bin
+ORDER BY bin
+"""
+
+
+@register(
+    "n_calibration_ece",
+    oracle=_ECE_ORACLE,
+    tags=("N5", "A1", "A7"),
+)
+def n_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for a document-quality 'classifier': documents
+    bin by predicted confidence (length-based score in exact
+    milli-units), each bin reports mean confidence vs observed positive
+    rate, and the per-bin |gap|·n_b/N terms sum to the Expected
+    Calibration Error — the audit that decides whether a quality
+    score's 0.9 means 90%. A well-calibrated curation threshold needs
+    this BEFORE the score gates a 100 TB corpus.
+
+    Determinism — confidence, bin edges, rates and ECE contributions
+    are all positive integer floor divisions in milli/micro units; no
+    float enters the query. Scale — one combinable pass builds the
+    ≤10-row reliability table; the 1-row total broadcasts back for the
+    ECE weights."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.expr("LEAST(n_chars, 1000) * 1000000 DIV 1000 DIV 1000").alias(
+            "conf_milli_raw"
+        ),
+        F.when(F.size(F.split(F.col("text"), " ")) >= 80, 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    binned = scored.select(
+        F.expr("conf_milli_raw DIV 100").alias("bin"),
+        "conf_milli_raw",
+        "label",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("conf_milli_raw").alias("conf_sum_milli"),
+        F.sum("label").alias("n_pos"),
+    )
+    tot = per_bin.agg(F.sum("n_b").alias("n"))
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_b",
+            F.expr("conf_sum_milli * 1000 DIV n_b").alias("mean_conf_micro"),
+            F.expr("n_pos * 1000000 DIV n_b").alias("obs_rate_micro"),
+            F.expr(
+                "ABS(conf_sum_milli * 1000 DIV n_b - n_pos * 1000000 DIV n_b)"
+                " * n_b DIV n"
+            ).alias("ece_contribution_micro"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chat-turn alternation audit (SFT conversation-format validation)
+# ---------------------------------------------------------------------------
+
+_CHAT_AUDIT_ORACLE = """
+WITH turns AS (
+  SELECT user_id AS conv_id, ts, event_id,
+         CASE WHEN event_type IN ('click', 'purchase') THEN 'user'
+              WHEN event_type IN ('view', 'signup') THEN 'assistant'
+              ELSE 'system' END AS role
+  FROM events
+),
+flagged AS (
+  SELECT conv_id, role,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY ts, event_id)
+           AS prev_role,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, event_id)
+           AS turn_idx
+  FROM turns
+),
+per_conv AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(SUM(CASE WHEN role <> 'system' AND prev_role = role
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_violations,
+         CAST(SUM(CASE WHEN role = 'system' AND turn_idx > 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced_system,
+         CAST(MAX(CASE WHEN turn_idx = 1 AND role = 'assistant'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS starts_with_assistant
+  FROM flagged
+  GROUP BY conv_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_conversations,
+       CAST(SUM(n_turns) AS BIGINT) AS total_turns,
+       CAST(SUM(CASE WHEN n_repeat_violations = 0 AND n_misplaced_system = 0
+                      AND starts_with_assistant = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_wellformed,
+       CAST(SUM(n_repeat_violations) AS BIGINT) AS total_repeat_violations,
+       CAST(SUM(n_misplaced_system) AS BIGINT) AS total_misplaced_system,
+       CAST(SUM(CASE WHEN n_repeat_violations = 0 AND n_misplaced_system = 0
+                      AND starts_with_assistant = 0
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS wellformed_ppm
+FROM per_conv
+"""
+
+
+@register(
+    "n_chat_alternation_audit",
+    oracle=_CHAT_AUDIT_ORACLE,
+    tags=("N5", "W2", "A1", "P6"),
+)
+def n_chat_alternation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template validation over event streams recast as
+    conversations: roles must alternate (no consecutive same-role
+    turns), system turns may only lead, and a conversation must not
+    open with the assistant — the structural checks every SFT/RLHF
+    ingest runs before a malformed transcript poisons a chat fine-tune.
+    Reports total/repeat/misplaced violations and the well-formed rate
+    in exact ppm.
+
+    Scale design — one per-conversation lag window (conversations
+    co-locate on their shuffle key; state is one previous-role per
+    row) and one combinable rollup; the deterministic turn order is
+    (ts, event_id) so replays can't reorder ties. Same shape at 100 TB:
+    nothing global except the final 1-row summary."""
+    e = load_table(spark, sf_dir, "events")
+    turns = e.select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type").isin("click", "purchase"), "user")
+        .when(F.col("event_type").isin("view", "signup"), "assistant")
+        .otherwise("system")
+        .alias("role"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    flagged = turns.select(
+        "conv_id",
+        "role",
+        F.lag("role").over(w).alias("prev_role"),
+        F.row_number().over(w).alias("turn_idx"),
+    )
+    per_conv = flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(
+            F.when(
+                (F.col("role") != "system") & (F.col("prev_role") == F.col("role")),
+                1,
+            ).otherwise(0)
+        ).alias("n_repeat_violations"),
+        F.sum(
+            F.when((F.col("role") == "system") & (F.col("turn_idx") > 1), 1).otherwise(
+                0
+            )
+        ).alias("n_misplaced_system"),
+        F.max(
+            F.when((F.col("turn_idx") == 1) & (F.col("role") == "assistant"), 1)
+            .otherwise(0)
+        ).alias("starts_with_assistant"),
+    )
+    wellformed = (
+        (F.col("n_repeat_violations") == 0)
+        & (F.col("n_misplaced_system") == 0)
+        & (F.col("starts_with_assistant") == 0)
+    )
+    return per_conv.agg(
+        F.count(F.lit(1)).alias("n_conversations"),
+        F.sum("n_turns").cast("long").alias("total_turns"),
+        F.sum(F.when(wellformed, 1).otherwise(0)).alias("n_wellformed"),
+        F.sum("n_repeat_violations").cast("long").alias("total_repeat_violations"),
+        F.sum("n_misplaced_system").cast("long").alias("total_misplaced_system"),
+        F.expr(
+            "SUM(CASE WHEN n_repeat_violations = 0 AND n_misplaced_system = 0"
+            " AND starts_with_assistant = 0 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*)"
+        ).alias("wellformed_ppm"),
+    )

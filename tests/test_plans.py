@@ -363,6 +363,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 fifth continuation: <=10-row query-bag broadcast in the
     # MaxSim scorer (vec_id < 500 cap); 1-row root/shard-count crossJoin
     "n_colbert_maxsim_rerank", "s_merkle_tree_root",
+    # round-4 fifth continuation: bounded probe broadcast (vec_id % 97)
+    # serving both retrieval arms; 1-row total broadcast for ECE weights
+    "n_binary_hash_retrieval", "n_calibration_ece",
 })
 
 
