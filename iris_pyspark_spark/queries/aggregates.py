@@ -1602,7 +1602,7 @@ def a_semantic_layer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMV_ORACLE = """
 WITH hashed AS (
-  SELECT DISTINCT (l_partkey * 48271 + 11) % 2147483647 AS h
+  SELECT DISTINCT (l_partkey * 2654435761 + 40503) % 2147483647 AS h
   FROM lineitem
 ),
 kmin_full AS (SELECT h FROM hashed ORDER BY h LIMIT 64),
@@ -1612,9 +1612,9 @@ full_est AS (
 ),
 by_flag AS (
   SELECT l_returnflag AS flag,
-         (l_partkey * 48271 + 11) % 2147483647 AS h
+         (l_partkey * 2654435761 + 40503) % 2147483647 AS h
   FROM lineitem
-  GROUP BY l_returnflag, (l_partkey * 48271 + 11) % 2147483647
+  GROUP BY l_returnflag, (l_partkey * 2654435761 + 40503) % 2147483647
 ),
 flag_kmin AS (
   SELECT flag, h,
@@ -1657,15 +1657,16 @@ def a_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike approx_count_distinct (HLL, engine-private hash → rows-only),
     every step here is deterministic SQL on both engines: a pinned
-    Lehmer-style hash (key * 48271 + 11 mod 2^31-1, products far from
-    BIGINT overflow), distinct-hash rollup, per-group bottom-64 via one
+    multiplicative hash (key * 2654435761 + 40503 mod 2^31-1 — the
+    multiplier exceeds the modulus so every key wraps and sequential
+    keys equidistribute; products stay far from BIGINT overflow), distinct-hash rollup, per-group bottom-64 via one
     ranked window, merge = union ∪ re-take bottom-64, estimate
     (k-1)*M/h_k in positive integer division — so the driver hash-checks
     the SKETCH itself, not just its error. rel_err_ppm documents the
     k=64 accuracy (~1/√k ≈ 12.5% envelope) against the exact distinct
     count computed once for the proof."""
     li = load_table(spark, sf_dir, "lineitem")
-    h = (F.col("l_partkey") * 48271 + 11) % 2147483647
+    h = (F.col("l_partkey") * 2654435761 + 40503) % 2147483647
     hashed = li.select(h.alias("h")).distinct()
     kmin_full = hashed.orderBy("h").limit(64)
     full_est = kmin_full.agg(
@@ -1711,11 +1712,11 @@ def a_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMV_SETOPS_ORACLE = """
 WITH a_keys AS (
-  SELECT DISTINCT (l_partkey * 48271 + 11) % 2147483647 AS h
+  SELECT DISTINCT (l_partkey * 2654435761 + 40503) % 2147483647 AS h
   FROM lineitem WHERE l_shipdate < DATE '1995-01-01'
 ),
 b_keys AS (
-  SELECT DISTINCT (l_partkey * 48271 + 11) % 2147483647 AS h
+  SELECT DISTINCT (l_partkey * 2654435761 + 40503) % 2147483647 AS h
   FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
 ),
 ka AS (SELECT h FROM a_keys ORDER BY h LIMIT 64),
@@ -1765,7 +1766,7 @@ def a_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on 64-row sets. Every step is deterministic pinned-hash
     integer arithmetic, so even the ESTIMATES hash-match the oracle."""
     li = load_table(spark, sf_dir, "lineitem")
-    h = (F.col("l_partkey") * 48271 + 11) % 2147483647
+    h = (F.col("l_partkey") * 2654435761 + 40503) % 2147483647
     a_keys = (
         li.filter(F.col("l_shipdate") < "1995-01-01").select(h.alias("h")).distinct()
     )
@@ -1804,3 +1805,57 @@ def a_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_inter",
         F.expr("k_both * 1000000 DIV k_u").alias("jaccard_est_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count estimator comparison study (exact vs HLL vs KMV)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a_distinct_estimator_comparison",
+    oracle=None,
+    tags=("A3", "A4", "A2"),
+)
+def a_distinct_estimator_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One table, three distinct-count answers: exact COUNT(DISTINCT),
+    HyperLogLog++ (approx_count_distinct, rsd=0.02), and the KMV
+    bottom-64 sketch — side by side with each estimator's relative
+    error in ppm. This is the decision table for the 100 TB trade:
+    exact needs a full shuffle of the keys, HLL is 1.5 KB of mergeable
+    state with engine-private hashing, KMV is 512 bytes and
+    cross-engine reproducible (`a_kmv_distinct_sketch` proves it by
+    hash). Rows-only because HLL's estimate is engine-private; each
+    row self-validates: err_ok pins HLL within 3·rsd and KMV within
+    3/√k of exact — the standard-error envelopes both sketches
+    guarantee."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (F.col("l_partkey") * 2654435761 + 40503) % 2147483647
+    exact = li.agg(F.count_distinct("l_partkey").alias("v")).first().v
+    hll = (
+        li.agg(F.approx_count_distinct("l_partkey", 0.02).alias("v")).first().v
+    )
+    kmin = li.select(h.alias("h")).distinct().orderBy("h").limit(64)
+    krow = kmin.agg(
+        F.count(F.lit(1)).alias("k"), F.max("h").alias("hk")
+    ).first()
+    kmv = (
+        krow.k if krow.k < 64 else (krow.k - 1) * 2147483647 // krow.hk
+    )
+    rows = [
+        ("exact", int(exact), 0, True),
+        (
+            "hll_rsd02",
+            int(hll),
+            abs(int(hll) - exact) * 1000000 // exact,
+            abs(int(hll) - exact) <= max(3 * 0.02 * exact, 1),
+        ),
+        (
+            "kmv_k64",
+            int(kmv),
+            abs(int(kmv) - exact) * 1000000 // exact,
+            abs(int(kmv) - exact) <= max(3 * exact / 8.0, 1),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "estimator STRING, estimate BIGINT, rel_err_ppm BIGINT, err_ok BOOLEAN"
+    ).orderBy("estimator")

@@ -1039,3 +1039,120 @@ def e_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Funnel with an exclusion step (signup -> purchase with no error between)
+# ---------------------------------------------------------------------------
+
+_EXCL_FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT f.user_id, f.t_signup,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > f.t_signup
+                  THEN e.ts END) AS t_purchase
+  FROM firsts f JOIN events e ON f.user_id = e.user_id
+  WHERE f.t_signup IS NOT NULL
+  GROUP BY f.user_id, f.t_signup
+),
+judged AS (
+  SELECT c.user_id,
+         c.t_purchase IS NOT NULL AS converted,
+         CAST(COALESCE(SUM(CASE WHEN e.event_type = 'error'
+                                 AND e.ts > c.t_signup
+                                 AND e.ts < c.t_purchase
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_errors_between
+  FROM conv c LEFT JOIN events e ON c.user_id = e.user_id
+  GROUP BY c.user_id, c.t_purchase IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_entered,
+       CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       CAST(SUM(CASE WHEN converted AND n_errors_between = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_converted,
+       CAST(SUM(CASE WHEN converted AND n_errors_between > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded,
+       CAST(SUM(CASE WHEN converted AND n_errors_between = 0
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS clean_conversion_ppm
+FROM judged
+"""
+
+
+@register(
+    "e_funnel_exclusion_steps",
+    oracle=_EXCL_FUNNEL_ORACLE,
+    tags=("A7", "J3", "W2", "A1"),
+)
+def e_funnel_exclusion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with an EXCLUSION step — signup → purchase counts as a
+    clean conversion only if no error event fell strictly between the
+    two — the funnel semantics plain step-matching
+    (`e_funnel_ordered`) cannot express, and the first thing a product
+    team asks once a checkout-error hypothesis appears. Reports
+    entered/converted/clean/excluded and the clean-conversion ppm.
+
+    Scale design — all three passes are keyed on user_id (one shuffle
+    key end to end, no time-range self-join): first-signup reduction,
+    first-subsequent-purchase reduction, and an exclusion-count
+    reduction against the conversion interval; each is combinable.
+    The exclusion interval uses strict bounds so an error at exactly
+    the purchase timestamp doesn't disqualify."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        )
+    ).filter(F.col("t_signup").isNotNull())
+    conv = (
+        firsts.join(e, "user_id")
+        .groupBy("user_id", "t_signup")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_signup")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    judged = (
+        conv.join(e, "user_id", "left")
+        .groupBy("user_id", F.col("t_purchase").isNotNull().alias("converted"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "error")
+                        & (F.col("ts") > F.col("t_signup"))
+                        & (F.col("ts") < F.col("t_purchase")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_errors_between")
+        )
+    )
+    clean = F.col("converted") & (F.col("n_errors_between") == 0)
+    return judged.agg(
+        F.count(F.lit(1)).alias("n_entered"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("n_converted"),
+        F.sum(F.when(clean, 1).otherwise(0)).alias("n_clean_converted"),
+        F.sum(
+            F.when(F.col("converted") & (F.col("n_errors_between") > 0), 1).otherwise(
+                0
+            )
+        ).alias("n_excluded"),
+        F.expr(
+            "SUM(CASE WHEN converted AND n_errors_between = 0 THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(*)"
+        ).alias("clean_conversion_ppm"),
+    )

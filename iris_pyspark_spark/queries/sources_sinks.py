@@ -1739,3 +1739,92 @@ def s_merkle_tree_root(spark: SparkSession, sf_dir: str) -> DataFrame:
         width //= 2
     n_shards = leaf.agg(F.count(F.lit(1)).alias("n_shards"))
     return n_shards.crossJoin(F.broadcast(lvl.select(F.col("h").alias("merkle_root"))))
+
+
+# ---------------------------------------------------------------------------
+# Parquet physical-layout introspection report (footer-level storage audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s_parquet_storage_report",
+    oracle=None,
+    tags=("S4", "S1", "A1"),
+)
+def s_parquet_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout audit of a written parquet artifact: per column,
+    the footer-level facts that decide scan cost at 100 TB — physical
+    type, dictionary encoding (the difference between pruning by
+    2000-entry dictionaries and decoding 60M values), page encodings,
+    value counts, and compressed/uncompressed bytes with the
+    compression ratio in ppm. This is the report a storage engineer
+    reads before choosing sort keys and row-group sizes; Spark exposes
+    none of it in SQL, so the footers are read directly (pyarrow) and
+    parallelized would be a binaryFile scan over footers.
+
+    Rows-only by necessity (no SQL oracle can see footers); every row
+    self-validates: `stats_ok` pins that min/max statistics exist and
+    are ordered, `rows_ok` pins that the per-column value count equals
+    the table's row count (no column silently truncated), and
+    `dict_ok` pins dictionary encoding on the low-cardinality key
+    column where the writer must choose it."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from ..sources import artifact_is_current, mark_artifact, scratch_dir, table_fingerprint
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    path = scratch_dir(sf_dir, "storage_report_lineitem")
+    fp = table_fingerprint(sf_dir, "lineitem", params="storage-report-v1")
+    if not artifact_is_current(path, fp):
+        li.coalesce(1).write.mode("overwrite").parquet(path)
+        mark_artifact(path, fp)
+    part_file = sorted(_glob.glob(path + "/part-*.parquet"))[0]
+    md = _pq.ParquetFile(part_file).metadata
+    rows = []
+    total_rows = md.num_rows
+    for ci in range(md.num_columns):
+        n_values = 0
+        comp = 0
+        uncomp = 0
+        has_dict = True
+        stats_ok = True
+        encodings = set()
+        name = None
+        for rg in range(md.num_row_groups):
+            cc = md.row_group(rg).column(ci)
+            name = cc.path_in_schema
+            n_values += cc.num_values
+            comp += cc.total_compressed_size
+            uncomp += cc.total_uncompressed_size
+            has_dict = has_dict and cc.has_dictionary_page
+            st = cc.statistics
+            stats_ok = stats_ok and (
+                st is not None and st.has_min_max and st.min <= st.max
+            )
+            encodings.update(cc.encodings)
+        rows.append(
+            (
+                name,
+                md.row_group(0).column(ci).physical_type,
+                int(n_values),
+                bool(has_dict),
+                ",".join(sorted(encodings)),
+                int(comp),
+                int(uncomp),
+                int(comp * 1000000 // uncomp),
+                bool(stats_ok),
+                n_values == total_rows,
+                (name != "l_partkey") or has_dict,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column STRING, physical_type STRING, n_values BIGINT,"
+        " has_dictionary BOOLEAN, encodings STRING, compressed_bytes BIGINT,"
+        " uncompressed_bytes BIGINT, compression_ppm BIGINT,"
+        " stats_ok BOOLEAN, rows_ok BOOLEAN, dict_ok BOOLEAN",
+    ).orderBy("column")
