@@ -1648,3 +1648,98 @@ def t_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pixel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss evaluation of the seasonal-naive forecast
+# ---------------------------------------------------------------------------
+
+_PINBALL_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         DATEDIFF('day', DATE '1994-01-01', CAST(l_shipdate AS DATE)) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")})
+              AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1994-04-01'
+  GROUP BY 1, 2
+),
+paired AS (
+  SELECT a.d, a.y, f.y AS yhat
+  FROM daily a JOIN daily f ON f.d = a.d - 7
+),
+losses AS (
+  SELECT d,
+         CASE WHEN y >= yhat THEN (y - yhat) * 50
+              ELSE (yhat - y) * 50 END            AS pin50_x100,
+         CASE WHEN y >= yhat THEN (y - yhat) * 90
+              ELSE (yhat - y) * 10 END            AS pin90_x100,
+         ABS(y - yhat)                            AS abs_err
+  FROM paired
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_scored_days,
+       CAST(SUM(pin50_x100) AS BIGINT) / 100.0 / 100.0 / COUNT(*)
+         AS mean_pinball_q50_dollars,
+       CAST(SUM(pin90_x100) AS BIGINT) / 100.0 / 100.0 / COUNT(*)
+         AS mean_pinball_q90_dollars,
+       CAST(SUM(abs_err) AS BIGINT) / 100.0 / COUNT(*) AS mae_dollars
+FROM losses
+"""
+
+
+@register(
+    "t_pinball_loss_eval",
+    oracle=_PINBALL_ORACLE,
+    tags=("A1", "J10", "F2"),
+)
+def t_pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss scoring of the lag-7 seasonal-naive
+    forecast at q=0.5 and q=0.9, next to MAE — the scoring rule that
+    makes QUANTILE forecasts comparable (a q90 forecast should lose
+    10:90 asymmetrically; scoring it with MAE silently rewards
+    median-chasing). Complements `e_snaive_forecast_backtest`'s point
+    scores with the probabilistic-forecast vocabulary.
+
+    Determinism & scale — the q-weighted losses are exact integer
+    cents×100 (weights 50/50, 90/10 as integer factors; floor-free),
+    summed combinably over the calendar rollup; the final per-day
+    means are single float divisions. The forecast pairing is a lag-7
+    equi-join on the day index within the bounded daily rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1994-04-01")
+        )
+        .groupBy(
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1994-01-01")).alias(
+                "d"
+            )
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("y")
+        )
+    )
+    a, f_ = daily.alias("a"), daily.alias("f")
+    paired = a.join(f_, F.col("f.d") == F.col("a.d") - 7).select(
+        F.col("a.d").alias("d"), F.col("a.y").alias("y"), F.col("f.y").alias("yhat")
+    )
+    err = F.col("y") - F.col("yhat")
+    losses = paired.select(
+        F.when(err >= 0, err * 50).otherwise(-err * 50).alias("pin50_x100"),
+        F.when(err >= 0, err * 90).otherwise(-err * 10).alias("pin90_x100"),
+        F.abs(err).alias("abs_err"),
+    )
+    return losses.agg(
+        F.count(F.lit(1)).alias("n_scored_days"),
+        (F.sum("pin50_x100").cast("long") / 100.0 / 100.0 / F.count(F.lit(1))).alias(
+            "mean_pinball_q50_dollars"
+        ),
+        (F.sum("pin90_x100").cast("long") / 100.0 / 100.0 / F.count(F.lit(1))).alias(
+            "mean_pinball_q90_dollars"
+        ),
+        (F.sum("abs_err").cast("long") / 100.0 / F.count(F.lit(1))).alias(
+            "mae_dollars"
+        ),
+    )

@@ -3371,3 +3371,201 @@ def n_chat_alternation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV COUNT(*)"
         ).alias("wellformed_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix with per-class precision/recall/F1
+# ---------------------------------------------------------------------------
+
+def _langid_confusion_oracle() -> str:
+    inner = _langid_oracle().strip()
+    return f"""
+WITH pred AS ({inner}),
+cells AS (
+  SELECT lang AS true_lang, pred_lang,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang, pred_lang
+),
+row_tot AS (
+  SELECT true_lang, CAST(SUM(n) AS BIGINT) AS n_true
+  FROM cells GROUP BY true_lang
+),
+col_tot AS (
+  SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS n_pred
+  FROM cells GROUP BY pred_lang
+),
+diag AS (
+  SELECT true_lang AS lang, n AS tp FROM cells WHERE true_lang = pred_lang
+)
+SELECT r.true_lang AS lang,
+       r.n_true,
+       CAST(COALESCE(c.n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(COALESCE(d.tp, 0) AS BIGINT) AS tp,
+       CASE WHEN COALESCE(c.n_pred, 0) = 0 THEN 0
+            ELSE COALESCE(d.tp, 0) * 1000000 // c.n_pred END AS precision_ppm,
+       COALESCE(d.tp, 0) * 1000000 // r.n_true AS recall_ppm,
+       CASE WHEN COALESCE(d.tp, 0) = 0 THEN 0
+            ELSE 2 * COALESCE(d.tp, 0) * 1000000
+                 // (r.n_true + COALESCE(c.n_pred, 0)) END AS f1_ppm
+FROM row_tot r
+LEFT JOIN col_tot c ON r.true_lang = c.pred_lang
+LEFT JOIN diag d ON r.true_lang = d.lang
+ORDER BY r.true_lang
+"""
+
+
+@register(
+    "n_langid_confusion_matrix",
+    oracle=_langid_confusion_oracle(),
+    tags=("N5", "A1", "J3"),
+)
+def n_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall/F1 of the marker-lexicon language
+    identifier against the corpus's declared labels — the evaluation
+    matrix that turns `n_langid`'s per-document predictions into a
+    deployable/not-deployable decision per language (a 95% English
+    recall means nothing if Spanish recall is 40% and Spanish docs get
+    dropped from the corpus). F1 uses the 2·tp/(|true|+|pred|)
+    identity so every metric is positive integer ppm floor division.
+
+    Scale design — predictions are row-local (marker counting); the
+    confusion matrix is one combinable (true, pred) rollup bounded by
+    |langs|²; marginals re-aggregate the CELLS, never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("true_lang"),
+        predicted_lang(tokens("text")).alias("pred_lang"),
+    )
+    cells = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = cells.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    col_tot = cells.groupBy("pred_lang").agg(F.sum("n").alias("n_pred"))
+    diag = cells.filter(F.col("true_lang") == F.col("pred_lang")).select(
+        F.col("true_lang").alias("lang"), F.col("n").alias("tp")
+    )
+    return (
+        row_tot.join(
+            col_tot, row_tot.true_lang == col_tot.pred_lang, "left"
+        )
+        .join(diag, row_tot.true_lang == diag.lang, "left")
+        .select(
+            F.col("true_lang").alias("lang"),
+            "n_true",
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            F.expr(
+                "CASE WHEN COALESCE(n_pred, 0) = 0 THEN 0"
+                " ELSE COALESCE(tp, 0) * 1000000 DIV n_pred END"
+            ).alias("precision_ppm"),
+            F.expr("COALESCE(tp, 0) * 1000000 DIV n_true").alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN COALESCE(tp, 0) = 0 THEN 0"
+                " ELSE 2 * COALESCE(tp, 0) * 1000000"
+                " DIV (n_true + COALESCE(n_pred, 0)) END"
+            ).alias("f1_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair transitivity audit (Condorcet cycles in pairwise labels)
+# ---------------------------------------------------------------------------
+
+_PREF_CYCLE_ORACLE = """
+WITH items AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 29 = 0
+),
+prefs AS (
+  -- a beats b iff longer, with a deterministic 10% label-noise flip:
+  -- exactly how real preference datasets acquire inconsistencies.
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CASE WHEN (a.n_chars > b.n_chars
+                    OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id))
+                   <> ((a.doc_id * 31 + b.doc_id * 17) % 10 = 0)
+              THEN 1 ELSE 0 END AS a_wins
+  FROM items a JOIN items b ON a.doc_id < b.doc_id
+),
+triads AS (
+  SELECT ab.a_wins AS r_ab, bc.a_wins AS r_bc, ac.a_wins AS r_ac
+  FROM prefs ab
+  JOIN prefs bc ON ab.b_id = bc.a_id
+  JOIN prefs ac ON ab.a_id = ac.a_id AND bc.b_id = ac.b_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM items) AS n_items,
+       CAST(COUNT(*) AS BIGINT) AS n_triads,
+       CAST(SUM(CASE WHEN (r_ab = 1 AND r_bc = 1 AND r_ac = 0)
+                       OR (r_ab = 0 AND r_bc = 0 AND r_ac = 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cycles,
+       CAST(SUM(CASE WHEN (r_ab = 1 AND r_bc = 1 AND r_ac = 0)
+                       OR (r_ab = 0 AND r_bc = 0 AND r_ac = 1)
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS cycle_ppm
+FROM triads
+"""
+
+
+@register(
+    "n_preference_cycle_audit",
+    oracle=_PREF_CYCLE_ORACLE,
+    tags=("J10", "J9", "A7", "N5"),
+)
+def n_preference_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of a pairwise-preference dataset: count
+    Condorcet cycles (A≻B≻C≻A) among all labeled triads — the
+    consistency check run before fitting a Bradley-Terry/RLHF reward
+    model, because cyclic preferences put a hard ceiling on any scalar
+    reward's agreement rate. Preferences derive from a length prior
+    with a deterministic 10% hash-flip noise, so cycles genuinely
+    occur and the cycle rate is reproducible.
+
+    Scale design — the audit runs on a SAMPLED item set (doc_id % 29:
+    bounded regardless of corpus size — cycle RATE estimation needs a
+    sample, not the full O(n³) triad space); pair labels are one
+    bounded theta self-join, triads close over two more equi-joins on
+    the pair table. All counts exact integers, rate in ppm."""
+    d = load_table(spark, sf_dir, "documents")
+    items = d.filter(F.col("doc_id") % 29 == 0).select("doc_id", "n_chars")
+    a, b = items.alias("a"), items.alias("b")
+    better = (F.col("a.n_chars") > F.col("b.n_chars")) | (
+        (F.col("a.n_chars") == F.col("b.n_chars"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    flip = (F.col("a.doc_id") * 31 + F.col("b.doc_id") * 17) % 10 == 0
+    prefs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        F.when(better != flip, 1).otherwise(0).alias("a_wins"),
+    )
+    ab, bc, ac = prefs.alias("ab"), prefs.alias("bc"), prefs.alias("ac")
+    triads = (
+        ab.join(bc, F.col("ab.b_id") == F.col("bc.a_id"))
+        .join(
+            ac,
+            (F.col("ab.a_id") == F.col("ac.a_id"))
+            & (F.col("bc.b_id") == F.col("ac.b_id")),
+        )
+        .select(
+            F.col("ab.a_wins").alias("r_ab"),
+            F.col("bc.a_wins").alias("r_bc"),
+            F.col("ac.a_wins").alias("r_ac"),
+        )
+    )
+    cyc = (
+        (F.col("r_ab") == 1) & (F.col("r_bc") == 1) & (F.col("r_ac") == 0)
+    ) | ((F.col("r_ab") == 0) & (F.col("r_bc") == 0) & (F.col("r_ac") == 1))
+    n_items = items.agg(F.count(F.lit(1)).alias("n_items"))
+    return (
+        triads.agg(
+            F.count(F.lit(1)).alias("n_triads"),
+            F.sum(F.when(cyc, 1).otherwise(0)).alias("n_cycles"),
+            F.expr(
+                "SUM(CASE WHEN (r_ab = 1 AND r_bc = 1 AND r_ac = 0)"
+                " OR (r_ab = 0 AND r_bc = 0 AND r_ac = 1)"
+                " THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*)"
+            ).alias("cycle_ppm"),
+        )
+        .crossJoin(F.broadcast(n_items))
+        .select("n_items", "n_triads", "n_cycles", "cycle_ppm")
+    )

@@ -366,6 +366,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 fifth continuation: bounded probe broadcast (vec_id % 97)
     # serving both retrieval arms; 1-row total broadcast for ECE weights
     "n_binary_hash_retrieval", "n_calibration_ece",
+    # round-4 fifth continuation: bounded sampled-item (doc_id % 29)
+    # theta self-join for preference pairs + 1-row item-count crossJoin
+    "n_preference_cycle_audit",
 })
 
 
