@@ -1713,11 +1713,13 @@ def a_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_SETOPS_ORACLE = """
 WITH a_keys AS (
   SELECT DISTINCT (l_partkey * 2654435761 + 40503) % 2147483647 AS h
-  FROM lineitem WHERE l_shipdate < DATE '1995-01-01'
+  FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1996-01-15'
 ),
 b_keys AS (
   SELECT DISTINCT (l_partkey * 2654435761 + 40503) % 2147483647 AS h
-  FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+  FROM lineitem WHERE l_shipdate >= DATE '1996-01-08'
+                  AND l_shipdate < DATE '1996-01-22'
 ),
 ka AS (SELECT h FROM a_keys ORDER BY h LIMIT 64),
 kb AS (SELECT h FROM b_keys ORDER BY h LIMIT 64),
@@ -1753,8 +1755,8 @@ FROM est CROSS JOIN exact
     tags=("A4", "A3", "O4", "O2"),
 )
 def a_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-operation estimates from KMV sketches: parts shipped pre-1995
-    vs from-1995 — intersection by inclusion-exclusion over the three
+    """Set-operation estimates from KMV sketches: parts shipped in two OVERLAPPING fortnights
+    (Jan 1-14 vs Jan 8-21, 1996) — intersection by inclusion-exclusion over the three
     sketch estimates, Jaccard by the fraction of the union's k-min set
     present in BOTH input sketches (the textbook KMV set-similarity
     estimator). The exact intersection rides along as ground truth, so
@@ -1768,10 +1770,16 @@ def a_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     h = (F.col("l_partkey") * 2654435761 + 40503) % 2147483647
     a_keys = (
-        li.filter(F.col("l_shipdate") < "1995-01-01").select(h.alias("h")).distinct()
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-01-15")
+        ).select(h.alias("h")).distinct()
     )
     b_keys = (
-        li.filter(F.col("l_shipdate") >= "1995-01-01").select(h.alias("h")).distinct()
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-08")
+            & (F.col("l_shipdate") < "1996-01-22")
+        ).select(h.alias("h")).distinct()
     )
     ka = a_keys.orderBy("h").limit(64)
     kb = b_keys.orderBy("h").limit(64)

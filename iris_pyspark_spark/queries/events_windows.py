@@ -1488,11 +1488,11 @@ def e_snaive_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FISCAL_445_ORACLE = f"""
 WITH facts AS (
-  SELECT DATEDIFF('day', DATE '1993-12-27', CAST(l_shipdate AS DATE)) AS d,
+  SELECT DATEDIFF('day', DATE '1995-12-25', CAST(l_shipdate AS DATE)) AS d,
          {CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")}
            AS rev_cents
   FROM lineitem
-  WHERE l_shipdate >= DATE '1993-12-27' AND l_shipdate < DATE '1994-12-26'
+  WHERE l_shipdate >= DATE '1995-12-25' AND l_shipdate < DATE '1996-12-23'
 ),
 labeled AS (
   SELECT d // 7 AS fiscal_week,
@@ -1524,7 +1524,7 @@ ORDER BY fiscal_quarter, period_in_quarter
 )
 def t_fiscal_445_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue on a 4-4-5 fiscal calendar (retail NRF convention): the
-    fiscal year starts on a fixed Monday (1993-12-27), every quarter is
+    fiscal year starts on a fixed Monday (1995-12-25), every quarter is
     exactly 13 weeks split 4+4+5, so each period contains a whole
     number of each weekday and period-over-period comparisons are free
     of the weekday-mix distortion that wrecks calendar-month compares.
@@ -1537,16 +1537,16 @@ def t_fiscal_445_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     WEEKOFYEAR whose ISO rules differ per engine. One combinable
     rollup; calendar filter pushed to the scan."""
     li = load_table(spark, sf_dir, "lineitem")
-    d = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1993-12-27"))
+    d = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-12-25"))
     wk = F.expr(
-        "datediff(CAST(l_shipdate AS DATE), DATE '1993-12-27') DIV 7"
+        "datediff(CAST(l_shipdate AS DATE), DATE '1995-12-25') DIV 7"
     )
     facts = li.filter(
-        (F.col("l_shipdate") >= "1993-12-27") & (F.col("l_shipdate") < "1994-12-26")
+        (F.col("l_shipdate") >= "1995-12-25") & (F.col("l_shipdate") < "1996-12-23")
     ).select(
         wk.alias("fiscal_week"),
         F.expr(
-            "(datediff(CAST(l_shipdate AS DATE), DATE '1993-12-27') DIV 7) DIV 13"
+            "(datediff(CAST(l_shipdate AS DATE), DATE '1995-12-25') DIV 7) DIV 13"
         ).alias("fiscal_quarter"),
         cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "rev_cents"
@@ -1575,11 +1575,11 @@ def t_fiscal_445_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
 _M4_ORACLE = f"""
 WITH daily AS (
   SELECT CAST(l_shipdate AS DATE) AS day,
-         DATEDIFF('day', DATE '1994-01-01', CAST(l_shipdate AS DATE)) AS d,
+         DATEDIFF('day', DATE '1996-01-01', CAST(l_shipdate AS DATE)) AS d,
          CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")})
               AS BIGINT) AS rev_cents
   FROM lineitem
-  WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   GROUP BY 1, 2
 ),
 bucketed AS (
@@ -1622,11 +1622,11 @@ def t_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     daily = (
         li.filter(
-            (F.col("l_shipdate") >= "1994-01-01")
-            & (F.col("l_shipdate") < "1995-01-01")
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
         )
         .groupBy(
-            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1994-01-01")).alias(
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1996-01-01")).alias(
                 "d"
             )
         )
@@ -1657,11 +1657,11 @@ def t_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PINBALL_ORACLE = f"""
 WITH daily AS (
   SELECT CAST(l_shipdate AS DATE) AS day,
-         DATEDIFF('day', DATE '1994-01-01', CAST(l_shipdate AS DATE)) AS d,
+         DATEDIFF('day', DATE '1996-01-01', CAST(l_shipdate AS DATE)) AS d,
          CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")})
               AS BIGINT) AS y
   FROM lineitem
-  WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1994-04-01'
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
   GROUP BY 1, 2
 ),
 paired AS (
@@ -1708,11 +1708,11 @@ def t_pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     daily = (
         li.filter(
-            (F.col("l_shipdate") >= "1994-01-01")
-            & (F.col("l_shipdate") < "1994-04-01")
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
         )
         .groupBy(
-            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1994-01-01")).alias(
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1996-01-01")).alias(
                 "d"
             )
         )

@@ -63,12 +63,15 @@ def sql_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 #: EXISTS + NOT EXISTS in one query: nations that have customers but no
-#: suppliers. Catalyst decorrelates into semi/anti joins (J4/J5 via SQL).
+#: supplier in arrears (negative balance). Catalyst decorrelates into
+#: semi/anti joins (J4/J5 via SQL). Every nation has suppliers in this
+#: data, so the anti arm filters on balance to stay non-vacuous.
 _EXISTS = """
 SELECT n_nationkey, n_name
 FROM nation n
 WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
-  AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+  AND NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal < 0)
 """
 
 
@@ -178,8 +181,8 @@ def sql_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q4 = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders o
-WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1994-10-01 00:00:00'
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
   AND EXISTS (
     SELECT 1 FROM lineitem l
     WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
@@ -204,8 +207,8 @@ JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN nation   ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1994-07-01 00:00:00'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
@@ -227,8 +230,8 @@ SELECT l_linestatus,
                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate > o_orderdate
-  AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY l_linestatus
 """
 

@@ -3258,12 +3258,12 @@ def e_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _THEIL_SEN_ORACLE = f"""
 WITH weekly AS (
-  SELECT (DATEDIFF('day', DATE '1994-01-01', CAST(l_shipdate AS DATE))) // 7
+  SELECT (DATEDIFF('day', DATE '1996-01-01', CAST(l_shipdate AS DATE))) // 7
            AS wk,
          CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")})
               AS BIGINT) AS rev_cents
   FROM lineitem
-  WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   GROUP BY 1
 ),
 pairs AS (
@@ -3305,7 +3305,7 @@ FROM sen CROSS JOIN ols
     tags=("A1", "J10", "W1", "F2"),
 )
 def t_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil-Sen robust trend of 1994 weekly revenue — the median of all
+    """Theil-Sen robust trend of 1996 weekly revenue — the median of all
     pairwise slopes — next to the OLS slope from exact sufficient
     statistics, the robust-vs-classical pair every monitoring stack
     wants (one outlier week moves OLS but not Theil-Sen).
@@ -3324,12 +3324,12 @@ def t_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     weekly = (
         li.filter(
-            (F.col("l_shipdate") >= "1994-01-01")
-            & (F.col("l_shipdate") < "1995-01-01")
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
         )
         .groupBy(
             F.floor(
-                F.datediff(F.col("l_shipdate").cast("date"), F.lit("1994-01-01"))
+                F.datediff(F.col("l_shipdate").cast("date"), F.lit("1996-01-01"))
                 / 7
             ).alias("wk")
         )
@@ -3930,12 +3930,12 @@ def a_mutual_information_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DW_ORACLE = f"""
 WITH weekly AS (
-  SELECT (DATEDIFF('day', DATE '1994-01-01', CAST(l_shipdate AS DATE))) // 7
+  SELECT (DATEDIFF('day', DATE '1996-01-01', CAST(l_shipdate AS DATE))) // 7
            AS wk,
          CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")})
               AS BIGINT) AS rev_cents
   FROM lineitem
-  WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   GROUP BY 1
 ),
 s AS (
@@ -3973,7 +3973,7 @@ FROM lagged
     tags=("W2", "A1", "F2"),
 )
 def t_durbin_watson_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Durbin-Watson test on the residuals of the 1994 weekly-revenue
+    """Durbin-Watson test on the residuals of the 1996 weekly-revenue
     trend fit — the standard "did OLS leave serial correlation on the
     table" diagnostic that decides whether a trend model's error bars
     can be trusted (DW ≈ 2 means independent residuals; ρ ≈ 1 − DW/2).
@@ -3990,12 +3990,12 @@ def t_durbin_watson_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     weekly = (
         li.filter(
-            (F.col("l_shipdate") >= "1994-01-01")
-            & (F.col("l_shipdate") < "1995-01-01")
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
         )
         .groupBy(
             F.floor(
-                F.datediff(F.col("l_shipdate").cast("date"), F.lit("1994-01-01"))
+                F.datediff(F.col("l_shipdate").cast("date"), F.lit("1996-01-01"))
                 / 7
             ).alias("wk")
         )
@@ -4046,7 +4046,7 @@ WITH daily AS (
          CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")})
               AS BIGINT) AS rev_cents
   FROM lineitem
-  WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1994-07-01'
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
   GROUP BY 1
 ),
 mr AS (
@@ -4113,8 +4113,8 @@ def t_spc_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     daily = (
         li.filter(
-            (F.col("l_shipdate") >= "1994-01-01")
-            & (F.col("l_shipdate") < "1994-07-01")
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-07-01")
         )
         .groupBy(F.col("l_shipdate").cast("date").alias("day"))
         .agg(

@@ -25,6 +25,13 @@ def test_oracle_match(name, query_result, oracle):
     except EnvironmentGated as e:
         pytest.skip(str(e))
     assert_driver_safe_schema(df, name)
+    # Vacuity gate: empty-vs-empty (or all-NULL aggregate over an empty
+    # input vs its identical oracle NULLs) passes a value compare while
+    # proving nothing — seen when date windows predate the data range.
+    assert len(spark_pdf) >= 1, f"{name}: no rows (vacuous result)"
+    assert not bool(spark_pdf.isna().all(axis=1).all()), (
+        f"{name}: all rows entirely NULL (vacuous result)"
+    )
     oracle_pdf = oracle.execute(q.oracle).df()
     res = compare_frames(spark_pdf, oracle_pdf)
     assert res.ok, f"{name}: {res.detail}"

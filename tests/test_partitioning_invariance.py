@@ -215,6 +215,14 @@ def test_round4_fifth_continuation_shuffle_width_invariant(spark, sf_dir):
         "f_snowflake_id_codec", "m_scene_cut_detection", "a_oneway_anova_f",
         "a_kmv_set_intersection", "a_mutual_information_2d",
         "t_durbin_watson_residuals", "m_vad_segments",
+        "t_spc_xmr_chart", "e_sprt_sequential_test", "sql_q88_time_bands",
+        "f_luhn_checksum", "g_community_conductance",
+        "n_colbert_maxsim_rerank", "t_fiscal_445_calendar",
+        "s_merkle_tree_root", "t_m4_downsample", "n_binary_hash_retrieval",
+        "n_calibration_ece", "n_chat_alternation_audit",
+        "n_langid_confusion_matrix", "t_pinball_loss_eval",
+        "n_preference_cycle_audit", "e_funnel_exclusion_steps",
+        "a_distinct_estimator_comparison",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -75,6 +75,17 @@ def main() -> int:
                 bad.append((name, f"complex checked columns {complex_cols}"))
                 continue
             pdf = df.toPandas()
+            # Vacuity gate (applies to ORACLED queries too): an empty
+            # result trivially matches an empty oracle, and a 1-row
+            # all-NULL aggregate over an empty input matches its oracle's
+            # identical NULLs — both were observed when date windows
+            # predated the data's range. Neither proves anything.
+            if len(pdf) < 1:
+                bad.append((name, "no rows (vacuous result)"))
+                continue
+            if len(pdf.columns) > 0 and bool(pdf.isna().all(axis=1).all()):
+                bad.append((name, "all rows entirely NULL (vacuous result)"))
+                continue
             if osql.get(name):
                 res = compare_frames(pdf, con.execute(osql[name]).df())
                 if not res.ok:
