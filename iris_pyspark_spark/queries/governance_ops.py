@@ -780,3 +780,125 @@ def s_column_masking_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-wide constraint audit (PK uniqueness + FK referential integrity)
+# ---------------------------------------------------------------------------
+
+_CONSTRAINT_AUDIT_ORACLE = """
+SELECT * FROM (
+  SELECT 'pk_customer' AS constraint_name,
+         CAST((SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+              AS BIGINT) AS n_violations
+  UNION ALL
+  SELECT 'pk_orders',
+         CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+              AS BIGINT)
+  UNION ALL
+  SELECT 'pk_part',
+         CAST((SELECT COUNT(*) - COUNT(DISTINCT p_partkey) FROM part)
+              AS BIGINT)
+  UNION ALL
+  SELECT 'pk_lineitem_composite',
+         CAST((SELECT COUNT(*) - COUNT(DISTINCT l_orderkey * 100 + l_linenumber)
+               FROM lineitem) AS BIGINT)
+  UNION ALL
+  SELECT 'fk_orders_customer',
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+  UNION ALL
+  SELECT 'fk_lineitem_orders',
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+  UNION ALL
+  SELECT 'fk_lineitem_part',
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+  UNION ALL
+  SELECT 'fk_customer_nation',
+         CAST((SELECT COUNT(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = c.c_nationkey))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'fk_supplier_nation',
+         CAST((SELECT COUNT(*) FROM supplier s
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = s.s_nationkey))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'fk_nation_region',
+         CAST((SELECT COUNT(*) FROM nation n
+               WHERE NOT EXISTS (SELECT 1 FROM region r
+                                 WHERE r.r_regionkey = n.n_regionkey))
+              AS BIGINT)
+) ORDER BY constraint_name
+"""
+
+
+@register(
+    "s_constraint_audit_all_tables",
+    oracle=_CONSTRAINT_AUDIT_ORACLE,
+    tags=("A3", "J5", "A2", "S1"),
+)
+def s_constraint_audit_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide constraint audit, dbt-test style: primary-key
+    uniqueness on every dimension/fact key (including lineitem's
+    composite key) and referential integrity along every foreign-key
+    edge of the schema graph — ten constraints, one violation count
+    each, in a single report. This is the nightly data-contract gate
+    that pages before a broken upstream load reaches consumers;
+    `s_expectations_check` samples one table deeply, this sweeps the
+    whole schema's join spine.
+
+    Scale design — each PK check is one combinable count-distinct;
+    each FK check is a LEFT ANTI join (never EXISTS-per-row) whose
+    build side is the referenced key set; at 100 TB the anti joins on
+    shared keys reuse the same shuffle partitioning. The ten counts
+    union into a 10-row report — the audit's cost is one pass per
+    constraint regardless of table count."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    def pk(name: str, df: DataFrame, key) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("constraint_name"),
+            (F.count(F.lit(1)) - F.count_distinct(key)).alias("n_violations"),
+        )
+
+    def fk(name: str, child: DataFrame, ck: str, parent: DataFrame, pk_: str) -> DataFrame:
+        return (
+            child.join(parent.select(pk_), child[ck] == parent[pk_], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(F.lit(name).alias("constraint_name"), "n_violations")
+        )
+
+    checks = [
+        pk("pk_customer", c, F.col("c_custkey")),
+        pk("pk_orders", o, F.col("o_orderkey")),
+        pk("pk_part", p, F.col("p_partkey")),
+        pk(
+            "pk_lineitem_composite",
+            li,
+            F.col("l_orderkey") * 100 + F.col("l_linenumber"),
+        ),
+        fk("fk_orders_customer", o, "o_custkey", c, "c_custkey"),
+        fk("fk_lineitem_orders", li, "l_orderkey", o, "o_orderkey"),
+        fk("fk_lineitem_part", li, "l_partkey", p, "p_partkey"),
+        fk("fk_customer_nation", c, "c_nationkey", n, "n_nationkey"),
+        fk("fk_supplier_nation", s, "s_nationkey", n, "n_nationkey"),
+        fk("fk_nation_region", n, "n_regionkey", r, "r_regionkey"),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("constraint_name")

@@ -1156,3 +1156,109 @@ def e_funnel_exclusion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV COUNT(*)"
         ).alias("clean_conversion_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event model backtested on a temporal holdout
+# ---------------------------------------------------------------------------
+
+_MARKOV_EVAL_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END
+           AS fold
+  FROM events
+),
+train AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE fold = 0 AND next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+model AS (
+  SELECT event_type, next_type AS pred_next
+  FROM (
+    SELECT event_type, next_type, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY n DESC, next_type) AS rk
+    FROM train
+  ) WHERE rk = 1
+),
+test AS (
+  SELECT s.event_type, s.next_type, m.pred_next
+  FROM seq s JOIN model m ON s.event_type = m.event_type
+  WHERE s.fold = 1 AND s.next_type IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_test_transitions,
+       CAST(SUM(CASE WHEN next_type = pred_next THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN next_type = pred_next THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS top1_accuracy_ppm,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM model) AS n_states_modeled
+FROM test
+"""
+
+
+@register(
+    "e_markov_next_event_eval",
+    oracle=_MARKOV_EVAL_ORACLE,
+    tags=("W2", "A1", "J1", "W4"),
+)
+def e_markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov next-event model on a TEMPORAL
+    holdout: transitions from the first half of the month train a
+    per-state argmax predictor, transitions from the second half score
+    it — the "can last month's clickstream model predict this month"
+    check that separates a real sequence model from an overfit
+    transition table (`e_markov_transitions` describes; this one
+    PREDICTS and is graded). Top-1 accuracy in exact ppm.
+
+    Scale design — the sequence pass is one per-user lag window (the
+    split flag rides each transition, so train/test need no second
+    scan); the model is a bounded |states|² rollup with a deterministic
+    argmax (count desc, label asc); scoring broadcasts the tiny model
+    back onto held-out transitions. No leakage: fold is assigned by
+    the TRANSITION's source-event time, strictly before the split for
+    every training pair."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.when(F.col("ts") < "2024-01-16 00:00:00", 0).otherwise(1).alias("fold"),
+    )
+    train = (
+        seq.filter((F.col("fold") == 0) & F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    model = (
+        train.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("n").desc(), F.col("next_type")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("next_type").alias("pred_next"))
+    )
+    test = seq.filter((F.col("fold") == 1) & F.col("next_type").isNotNull()).join(
+        F.broadcast(model), "event_type"
+    )
+    n_states = model.agg(F.count(F.lit(1)).alias("n_states_modeled"))
+    return (
+        test.agg(
+            F.count(F.lit(1)).alias("n_test_transitions"),
+            F.sum(
+                F.when(F.col("next_type") == F.col("pred_next"), 1).otherwise(0)
+            ).alias("n_correct"),
+            F.expr(
+                "SUM(CASE WHEN next_type = pred_next THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*)"
+            ).alias("top1_accuracy_ppm"),
+        )
+        .crossJoin(F.broadcast(n_states))
+    )
