@@ -369,6 +369,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 fifth continuation: bounded sampled-item (doc_id % 29)
     # theta self-join for preference pairs + 1-row item-count crossJoin
     "n_preference_cycle_audit",
+    # round-4 sixth continuation: 1-row model-size crossJoin onto the
+    # 1-row backtest summary
+    "e_markov_next_event_eval",
 })
 
 
