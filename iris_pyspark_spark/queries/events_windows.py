@@ -1743,3 +1743,106 @@ def t_pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mae_dollars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly PSI drift monitor (distribution drift of a metric over time)
+# ---------------------------------------------------------------------------
+
+_PSI_WEEKLY_ORACLE = """
+WITH binned AS (
+  SELECT (DATEDIFF('day', TIMESTAMP '2024-01-01 00:00:00', ts)) // 7 AS wk,
+         LEAST(CAST(FLOOR(value) AS BIGINT) // 100, 9) AS bin
+  FROM events
+),
+counts AS (
+  SELECT wk, bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM binned GROUP BY wk, bin
+),
+ref AS (
+  SELECT bin, c AS c_ref,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM counts WHERE wk = 0) AS n_ref
+  FROM counts WHERE wk = 0
+),
+cur AS (
+  SELECT wk, bin, c AS c_cur,
+         CAST(SUM(c) OVER (PARTITION BY wk) AS BIGINT) AS n_cur
+  FROM counts WHERE wk > 0
+),
+terms AS (
+  SELECT cur.wk,
+         CAST(ROUND((CAST(c_cur AS DOUBLE) / n_cur
+                     - CAST(c_ref AS DOUBLE) / n_ref)
+              * LN((CAST(c_cur AS DOUBLE) / n_cur)
+                   / (CAST(c_ref AS DOUBLE) / n_ref)) * 1000000) AS BIGINT)
+           AS psi_term_micro
+  FROM cur JOIN ref USING (bin)
+)
+SELECT wk,
+       CAST(SUM(psi_term_micro) AS BIGINT) AS psi_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_compared
+FROM terms
+GROUP BY wk
+ORDER BY wk
+"""
+
+
+@register(
+    "t_drift_psi_weekly",
+    oracle=_PSI_WEEKLY_ORACLE,
+    tags=("A1", "F2", "J1"),
+)
+def t_drift_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: each week's event-value
+    distribution (capped $100 bins) scored against week 0 as the
+    reference — the production alarm wiring for "the metric's
+    DISTRIBUTION moved even though its mean didn't". PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 action; complements the one-shot
+    embedding-space PSI (`n_embedding_drift_psi`) with the
+    time-series form every model monitor runs.
+
+    Determinism — the n_char_entropy float recipe: each bin's
+    (p_cur − p_ref)·ln(p_cur/p_ref) term is rounded to integer
+    micro-units BEFORE the per-week sum, so aggregation order is
+    irrelevant. Scale — one combinable (week, bin) histogram rollup
+    over the fact; reference and per-week totals derive from the
+    bounded histogram, and the term join is |weeks|×|bins|."""
+    e = load_table(spark, sf_dir, "events")
+    binned = e.select(
+        F.expr(
+            "datediff(ts, TIMESTAMP '2024-01-01 00:00:00') DIV 7"
+        ).alias("wk"),
+        F.expr("LEAST(CAST(FLOOR(value) AS BIGINT) DIV 100, 9)").alias("bin"),
+    )
+    counts = binned.groupBy("wk", "bin").agg(F.count(F.lit(1)).alias("c"))
+    ref_counts = counts.filter(F.col("wk") == 0).select(
+        "bin", F.col("c").alias("c_ref")
+    )
+    n_ref = ref_counts.agg(F.sum("c_ref").alias("n_ref"))
+    ref = ref_counts.crossJoin(F.broadcast(n_ref))
+    wcur = Window.partitionBy("wk")
+    cur = (
+        counts.filter(F.col("wk") > 0)
+        .select(
+            "wk",
+            "bin",
+            F.col("c").alias("c_cur"),
+            F.sum("c").over(wcur).cast("long").alias("n_cur"),
+        )
+    )
+    p_cur = F.col("c_cur").cast("double") / F.col("n_cur")
+    p_ref = F.col("c_ref").cast("double") / F.col("n_ref")
+    terms = cur.join(F.broadcast(ref), "bin").select(
+        "wk",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1000000)
+        .cast("long")
+        .alias("psi_term_micro"),
+    )
+    return (
+        terms.groupBy("wk")
+        .agg(
+            F.sum("psi_term_micro").cast("long").alias("psi_micro"),
+            F.count(F.lit(1)).alias("n_bins_compared"),
+        )
+        .orderBy("wk")
+    )

@@ -1350,3 +1350,85 @@ def n_lsh_parameter_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-method near-dup agreement audit (MinHash-LSH vs SimHash)
+# ---------------------------------------------------------------------------
+
+@register("n_dedup_method_agreement", oracle=None, tags=("N2", "O4", "A2"))
+def n_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the two production near-dup detectors on
+    the same planted corpus: MinHash-LSH (3-gram Jaccard world) vs
+    64-bit SimHash (Hamming world). Each method's candidate-pair set,
+    their intersection/union, and each set's recall of the 50 planted
+    near-dup pairs in ppm — the calibration readout that tells a
+    curation team whether the two methods are redundant (high overlap)
+    or complementary (each catching pairs the other misses), and which
+    to trust when they disagree.
+
+    Rows-only (both signature families are Spark xxhash64). The single
+    summary row self-validates structurally and against the plant:
+    `set_algebra_ok` pins |both| ≤ min(|A|,|B|) and
+    |union| = |A|+|B|−|both|; `planted_recall_ok` pins that the UNION
+    catches every planted pair that either method is designed to catch
+    (LSH's banding guarantees the planted ~0.97-Jaccard pairs; SimHash's
+    pigeonhole bands guarantee Hamming ≤ 8) — recall_union must be
+    1.000000.
+
+    Scale — both detectors are banded equi-joins (never all-pairs);
+    the agreement join operates on bare (id_a, id_b) longs."""
+    from ..operators.dedup import lsh_candidate_pairs, simhash64, simhash_near_pairs
+    from ..sources import scratch_dir, table_fingerprint
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sig_path = scratch_dir(sf_dir, "minhash_signatures")
+    fp = table_fingerprint(
+        sf_dir, "documents", params="neardup-shingle3-hash32"
+    )
+    mh = lsh_candidate_pairs(
+        corpus, "doc_id", "text",
+        materialize_path=sig_path, materialize_fingerprint=fp,
+    ).select("id_a", "id_b")
+    sigs = corpus.select(
+        "doc_id", simhash64("split(lower(text), ' ')").alias("simhash")
+    )
+    sh = simhash_near_pairs(sigs, "doc_id", "simhash", max_hamming=8).select(
+        "id_a", "id_b"
+    )
+    both = mh.join(sh, ["id_a", "id_b"]).select("id_a", "id_b")
+    planted = F.col("id_b") == F.col("id_a") + 100000
+
+    def stats(df: DataFrame, prefix: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(f"n_{prefix}"),
+            F.sum(F.when(planted, 1).otherwise(0)).alias(f"planted_{prefix}"),
+        )
+
+    out = (
+        stats(mh, "minhash")
+        .crossJoin(F.broadcast(stats(sh, "simhash")))
+        .crossJoin(F.broadcast(stats(both, "both")))
+    )
+    n_planted = 50
+    recall_union = (
+        F.col("planted_minhash")
+        + F.col("planted_simhash")
+        - F.col("planted_both")
+    ) * 1000000 / n_planted
+    return out.select(
+        "n_minhash",
+        "n_simhash",
+        "n_both",
+        (F.col("n_minhash") + F.col("n_simhash") - F.col("n_both")).alias(
+            "n_union"
+        ),
+        F.expr("planted_minhash * 1000000 DIV 50").alias("recall_minhash_ppm"),
+        F.expr("planted_simhash * 1000000 DIV 50").alias("recall_simhash_ppm"),
+        recall_union.cast("long").alias("recall_union_ppm"),
+        (
+            (F.col("n_both") <= F.least(F.col("n_minhash"), F.col("n_simhash")))
+            & (F.col("planted_both") <= F.least(F.col("planted_minhash"), F.col("planted_simhash")))
+        ).alias("set_algebra_ok"),
+        (recall_union == 1000000).alias("planted_recall_ok"),
+    )
