@@ -920,3 +920,77 @@ def n_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fold", "n_docs", "n_sources", "total_chars", "n_leaky_sources")
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletes (deletion-vector read path) vs copy-on-write parity
+# ---------------------------------------------------------------------------
+
+_MOR_ORACLE = """
+WITH alive AS (
+  SELECT * FROM orders WHERE NOT (o_orderkey % 37 = 0)
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_price,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 37 = 0) AS BIGINT)
+         AS n_deleted
+FROM alive
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "s_merge_on_read_deletes",
+    oracle=_MOR_ORACLE,
+    tags=("S4", "S1", "J5", "A1"),
+)
+def s_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector (merge-on-read) delete semantics on plain
+    parquet: the base file is written ONCE and never rewritten; deletes
+    land as a tiny side file of deleted keys; readers anti-join the
+    deletion vector at scan time. This is the Iceberg/Delta
+    deletion-vector trade — O(deleted) write cost instead of
+    copy-on-write's O(table) rewrite — expressed with the primitives
+    this engine has (the jars aren't installable offline; the
+    PROTOCOL is what matters). The aggregate over the merged view must
+    equal querying the logical table directly — which is exactly what
+    the oracle computes, so the driver hash-proves MoR == logical
+    truth. n_deleted rides along to prove the vector was applied.
+
+    Scale — the deletion vector is broadcast (deletes ≪ table, the
+    premise of MoR); the base scan stays pruned/columnar; compaction
+    (fold the vector into a rewrite) is `s_small_file_compaction`'s
+    job."""
+    from ..sources import artifact_is_current, mark_artifact, scratch_dir, table_fingerprint
+
+    o = load_table(spark, sf_dir, "orders")
+    base_path = scratch_dir(sf_dir, "mor_base_orders")
+    dv_path = scratch_dir(sf_dir, "mor_deletes_orders")
+    fp = table_fingerprint(sf_dir, "orders", params="mor-v1")
+    if not artifact_is_current(base_path, fp):
+        o.write.mode("overwrite").parquet(base_path)
+        mark_artifact(base_path, fp)
+    if not artifact_is_current(dv_path, fp):
+        o.filter(F.col("o_orderkey") % 37 == 0).select("o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(dv_path)
+        mark_artifact(dv_path, fp)
+    base = spark.read.parquet(base_path)
+    dv = spark.read.parquet(dv_path)
+    alive = base.join(F.broadcast(dv), "o_orderkey", "left_anti")
+    n_deleted = dv.agg(F.count(F.lit(1)).alias("n_deleted"))
+    return (
+        alive.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0
+            ).alias("total_price"),
+        )
+        .crossJoin(F.broadcast(n_deleted))
+        .select("o_orderstatus", "n_rows", "total_price", "n_deleted")
+        .orderBy("o_orderstatus")
+    )

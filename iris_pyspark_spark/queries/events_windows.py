@@ -1846,3 +1846,120 @@ def t_drift_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak detection with prominence on the daily revenue series
+# ---------------------------------------------------------------------------
+
+_PEAKS_ORACLE = f"""
+WITH daily AS (
+  SELECT DATEDIFF('day', DATE '1996-01-01', CAST(l_shipdate AS DATE)) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")})
+              AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
+  GROUP BY 1
+),
+ctx AS (
+  SELECT d, y,
+         LAG(y, 1)  OVER w AS y_m1, LAG(y, 2)  OVER w AS y_m2,
+         LEAD(y, 1) OVER w AS y_p1, LEAD(y, 2) OVER w AS y_p2,
+         MIN(y) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+           AS valley_l,
+         MIN(y) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING)
+           AS valley_r
+  FROM daily
+  WINDOW w AS (ORDER BY d)
+),
+peaks AS (
+  SELECT d, y,
+         y - GREATEST(valley_l, valley_r) AS prominence_cents
+  FROM ctx
+  WHERE y > y_m1 AND y > y_m2 AND y > y_p1 AND y > y_p2
+    AND valley_l IS NOT NULL AND valley_r IS NOT NULL
+)
+SELECT d AS day_idx, CAST(y AS BIGINT) / 100.0 AS peak_dollars,
+       CAST(prominence_cents AS BIGINT) / 100.0 AS prominence_dollars
+FROM peaks
+WHERE prominence_cents > 0
+ORDER BY prominence_cents DESC, d
+LIMIT 10
+"""
+
+
+@register(
+    "t_peak_detection",
+    oracle=_PEAKS_ORACLE,
+    tags=("W2", "W3", "O2", "F2"),
+)
+def t_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most prominent peaks in the daily revenue series: a local
+    maximum over a ±2-day neighborhood, scored by PROMINENCE (height
+    above the deeper of the two flanking 7-day valleys) — the
+    signal-processing definition that separates real demand spikes
+    from ripple, and the labeling pass ahead of anomaly triage or
+    event-correlation ("what launched that day?").
+
+    Determinism & scale — one combinable groupBy(day) over the fact;
+    neighborhood tests and both valley minima are frame-bounded windows
+    over the ≤181-row calendar rollup; everything stays exact integer
+    cents until the two display divisions. Edge days (incomplete
+    valleys) are excluded rather than padded — a peak needs real
+    flanks. Tie-break on (prominence desc, day) makes the top-10 total
+    order deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-07-01")
+        )
+        .groupBy(
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1996-01-01")).alias(
+                "d"
+            )
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("y")
+        )
+    )
+    w = Window.orderBy("d")
+    wl = Window.orderBy("d").rowsBetween(-7, -1)
+    wr = Window.orderBy("d").rowsBetween(1, 7)
+    ctx = daily.select(
+        "d",
+        "y",
+        F.lag("y", 1).over(w).alias("y_m1"),
+        F.lag("y", 2).over(w).alias("y_m2"),
+        F.lead("y", 1).over(w).alias("y_p1"),
+        F.lead("y", 2).over(w).alias("y_p2"),
+        F.min("y").over(wl).alias("valley_l"),
+        F.min("y").over(wr).alias("valley_r"),
+    )
+    peaks = ctx.filter(
+        (F.col("y") > F.col("y_m1"))
+        & (F.col("y") > F.col("y_m2"))
+        & (F.col("y") > F.col("y_p1"))
+        & (F.col("y") > F.col("y_p2"))
+        & F.col("valley_l").isNotNull()
+        & F.col("valley_r").isNotNull()
+    ).select(
+        "d",
+        "y",
+        (F.col("y") - F.greatest(F.col("valley_l"), F.col("valley_r"))).alias(
+            "prominence_cents"
+        ),
+    )
+    return (
+        peaks.filter(F.col("prominence_cents") > 0)
+        .select(
+            F.col("d").alias("day_idx"),
+            (F.col("y") / 100.0).alias("peak_dollars"),
+            (F.col("prominence_cents") / 100.0).alias("prominence_dollars"),
+            "prominence_cents",
+        )
+        .orderBy(F.col("prominence_cents").desc(), F.col("day_idx"))
+        .limit(10)
+        .drop("prominence_cents")
+    )

@@ -4316,3 +4316,99 @@ def e_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-brand return rates (ranking low-n fairly)
+# ---------------------------------------------------------------------------
+
+_EB_SHRINK_ORACLE = """
+WITH per_brand AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS k
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand
+),
+global AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS k_tot, CAST(SUM(n) AS BIGINT) AS n_tot
+  FROM per_brand
+),
+scored AS (
+  SELECT p_brand, n, k,
+         k * 1000000 // n AS raw_ppm,
+         ROUND((k + 20.0 * k_tot / n_tot) / (n + 20.0) * 1000000, 6)
+           AS shrunk_ppm
+  FROM per_brand CROSS JOIN global
+)
+SELECT p_brand, n, k, raw_ppm, shrunk_ppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY raw_ppm DESC, p_brand) AS BIGINT)
+         AS rank_raw,
+       CAST(ROW_NUMBER() OVER (ORDER BY shrunk_ppm DESC, p_brand) AS BIGINT)
+         AS rank_shrunk
+FROM scored
+ORDER BY p_brand
+"""
+
+
+@register(
+    "a_empirical_bayes_shrinkage",
+    oracle=_EB_SHRINK_ORACLE,
+    tags=("A1", "A7", "W1", "J1"),
+)
+def a_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (Beta-binomial) shrinkage of per-brand return
+    rates: each brand's rate pulls toward the global prior with
+    strength α=20 pseudo-observations — the ranking fix for the
+    classic small-n pathology where a brand with 2 returns out of 3
+    items tops the raw leaderboard. Both rankings are emitted so the
+    rank churn IS the output: rows where rank_raw and rank_shrunk
+    disagree are exactly the low-evidence entries the shrinkage
+    demoted.
+
+    Determinism & scale — one combinable join+rollup produces exact
+    (n, k) per brand; the global prior is a 1-row broadcast; the
+    shrunk rate is one fixed float expression (α literal, round-6);
+    both rank windows run over the |brands|-row rollup. At 100 TB
+    nothing beyond the first rollup touches the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_brand = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("k"),
+        )
+    )
+    g = per_brand.agg(
+        F.sum("k").alias("k_tot"), F.sum("n").alias("n_tot")
+    )
+    scored = per_brand.crossJoin(broadcast(g)).select(
+        "p_brand",
+        "n",
+        "k",
+        F.expr("k * 1000000 DIV n").alias("raw_ppm"),
+        F.round(
+            (F.col("k") + 20.0 * F.col("k_tot") / F.col("n_tot"))
+            / (F.col("n") + 20.0)
+            * 1000000,
+            6,
+        ).alias("shrunk_ppm"),
+    )
+    return scored.select(
+        "p_brand",
+        "n",
+        "k",
+        "raw_ppm",
+        "shrunk_ppm",
+        F.row_number()
+        .over(Window.orderBy(F.col("raw_ppm").desc(), F.col("p_brand")))
+        .cast("long")
+        .alias("rank_raw"),
+        F.row_number()
+        .over(Window.orderBy(F.col("shrunk_ppm").desc(), F.col("p_brand")))
+        .cast("long")
+        .alias("rank_shrunk"),
+    ).orderBy("p_brand")

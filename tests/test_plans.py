@@ -372,6 +372,10 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 sixth continuation: 1-row model-size crossJoin onto the
     # 1-row backtest summary
     "e_markov_next_event_eval",
+    # round-4 sixth continuation: 1-row delete-count / method-stats /
+    # global-prior broadcasts
+    "s_merge_on_read_deletes", "n_dedup_method_agreement",
+    "a_empirical_bayes_shrinkage",
 })
 
 
