@@ -1963,3 +1963,101 @@ def t_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("prominence_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest (4 expanding-window folds)
+# ---------------------------------------------------------------------------
+
+_ROLLING_ORIGIN_ORACLE = f"""
+WITH daily AS (
+  SELECT DATEDIFF('day', DATE '1996-01-01', CAST(l_shipdate AS DATE)) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")})
+              AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-05-26'
+  GROUP BY 1
+),
+folds AS (
+  SELECT f.fold, d, y
+  FROM daily, UNNEST([1, 2, 3, 4]) AS f(fold)
+),
+scored AS (
+  SELECT a.fold, a.d, a.y, b.y AS yhat
+  FROM (SELECT * FROM folds
+        WHERE d >= 70 + (fold - 1) * 21 AND d < 70 + fold * 21) a
+  JOIN daily b ON b.d = a.d - 7
+)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(y - yhat)) AS BIGINT) / 100.0 / COUNT(*) AS mae_dollars,
+       CAST(SUM(CASE WHEN y >= yhat THEN y - yhat ELSE yhat - y END) * 1000000
+            // CAST(SUM(y) AS BIGINT) AS BIGINT) AS wape_ppm
+FROM scored
+GROUP BY fold
+ORDER BY fold
+"""
+
+
+@register(
+    "t_rolling_origin_backtest",
+    oracle=_ROLLING_ORIGIN_ORACLE,
+    tags=("A1", "J10", "F2", "P4"),
+)
+def t_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) backtest of the lag-7
+    seasonal-naive forecast: four consecutive 21-day test folds, each
+    scored with MAE and WAPE — the forecast-evaluation protocol that
+    respects time (no fold ever sees its future), and the difference
+    between "the model scored well once" and "the model scores well
+    EVERY month" (`e_snaive_forecast_backtest` is one fold of this).
+
+    Determinism & scale — one combinable groupBy(day) over the fact;
+    fold membership is pure integer arithmetic on the day index
+    (explode over 4 fold literals, filter to each fold's window);
+    scoring is the lag-7 equi-join within the bounded rollup; MAE/WAPE
+    derive from exact cents (WAPE as integer ppm floor division)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-05-26")
+        )
+        .groupBy(
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1996-01-01")).alias(
+                "d"
+            )
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("y")
+        )
+    )
+    folds = daily.select(
+        F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("fold"),
+        "d",
+        "y",
+    ).filter(
+        (F.col("d") >= 70 + (F.col("fold") - 1) * 21)
+        & (F.col("d") < 70 + F.col("fold") * 21)
+    )
+    b = daily.select(F.col("d").alias("bd"), F.col("y").alias("yhat"))
+    scored = folds.join(b, F.col("bd") == F.col("d") - 7).select(
+        "fold", "d", "y", "yhat"
+    )
+    return (
+        scored.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (
+                F.sum(F.abs(F.col("y") - F.col("yhat"))).cast("long")
+                / 100.0
+                / F.count(F.lit(1))
+            ).alias("mae_dollars"),
+            F.expr(
+                "SUM(CASE WHEN y >= yhat THEN y - yhat ELSE yhat - y END)"
+                " * 1000000 DIV SUM(y)"
+            ).alias("wape_ppm"),
+        )
+        .orderBy("fold")
+    )

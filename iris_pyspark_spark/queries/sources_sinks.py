@@ -1828,3 +1828,71 @@ def s_parquet_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         " uncompressed_bytes BIGINT, compression_ppm BIGINT,"
         " stats_ok BOOLEAN, rows_ok BOOLEAN, dict_ok BOOLEAN",
     ).orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# Type-widening read across heterogeneous parquet files (int32 vs int64)
+# ---------------------------------------------------------------------------
+
+_TYPE_WIDEN_ORACLE = """
+WITH unioned AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS qty_like
+  FROM lineitem WHERE l_orderkey % 2 = 0
+  UNION ALL
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+  FROM lineitem WHERE l_orderkey % 2 = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(qty_like) AS BIGINT) AS qty_sum,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM unioned
+"""
+
+
+@register(
+    "s_type_widening_read",
+    oracle=_TYPE_WIDEN_ORACLE,
+    tags=("S1", "S4", "P1"),
+)
+def s_type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution: half the table was written with
+    an INT32 column, half with INT64 (the classic drift after a
+    producer upgrade). A naive mergeSchema read FAILS on the type
+    conflict; the production path — demonstrated here — is reading
+    with an explicit widened schema, which the parquet reader honors
+    by upcasting the int32 files at scan time. The aggregate must equal
+    the logical union, which is what the oracle computes.
+
+    Scale note — explicit-schema reads also skip the footer-sampling
+    pass mergeSchema needs (a real cost at 100k files); the upcast
+    happens inside the columnar reader, not as a post-scan Project."""
+    from pyspark.sql import types as T
+
+    from ..sources import artifact_is_current, mark_artifact, scratch_dir, table_fingerprint
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    pa = scratch_dir(sf_dir, "widen_int32")
+    pb = scratch_dir(sf_dir, "widen_int64")
+    fp = table_fingerprint(sf_dir, "lineitem", params="type-widen-v1")
+    if not artifact_is_current(pa, fp):
+        li.filter(F.col("l_orderkey") % 2 == 0).select(
+            "l_orderkey", F.col("l_linenumber").cast("int").alias("qty_like")
+        ).write.mode("overwrite").parquet(pa)
+        mark_artifact(pa, fp)
+    if not artifact_is_current(pb, fp):
+        li.filter(F.col("l_orderkey") % 2 == 1).select(
+            "l_orderkey", F.col("l_linenumber").cast("long").alias("qty_like")
+        ).write.mode("overwrite").parquet(pb)
+        mark_artifact(pb, fp)
+    widened = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("qty_like", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(widened).parquet(pa, pb)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty_like").alias("qty_sum"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )

@@ -4412,3 +4412,141 @@ def a_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank_shrunk"),
     ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox detector (aggregate vs stratified sign disagreement)
+# ---------------------------------------------------------------------------
+
+_SIMPSON_ORACLE = """
+WITH labeled AS (
+  SELECT CASE WHEN l_discount >= 0.05 THEN 'high_disc' ELSE 'low_disc' END
+           AS arm,
+         CAST(ROUND(l_quantity) AS BIGINT) // 10 AS qty_stratum,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem
+),
+overall AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'high_disc' THEN ret ELSE 0 END) AS BIGINT)
+           * 1000000
+           // CAST(SUM(CASE WHEN arm = 'high_disc' THEN 1 ELSE 0 END) AS BIGINT)
+           AS rate_high_ppm,
+         CAST(SUM(CASE WHEN arm = 'low_disc' THEN ret ELSE 0 END) AS BIGINT)
+           * 1000000
+           // CAST(SUM(CASE WHEN arm = 'low_disc' THEN 1 ELSE 0 END) AS BIGINT)
+           AS rate_low_ppm
+  FROM labeled
+),
+strata AS (
+  SELECT qty_stratum,
+         CAST(SUM(CASE WHEN arm = 'high_disc' THEN ret ELSE 0 END) AS BIGINT)
+           * 1000000
+           // CAST(SUM(CASE WHEN arm = 'high_disc' THEN 1 ELSE 0 END) AS BIGINT)
+           AS s_high_ppm,
+         CAST(SUM(CASE WHEN arm = 'low_disc' THEN ret ELSE 0 END) AS BIGINT)
+           * 1000000
+           // CAST(SUM(CASE WHEN arm = 'low_disc' THEN 1 ELSE 0 END) AS BIGINT)
+           AS s_low_ppm
+  FROM labeled
+  GROUP BY qty_stratum
+  HAVING SUM(CASE WHEN arm = 'high_disc' THEN 1 ELSE 0 END) > 0
+     AND SUM(CASE WHEN arm = 'low_disc' THEN 1 ELSE 0 END) > 0
+),
+verdicts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(CASE WHEN s_high_ppm > s_low_ppm THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_high_wins,
+         CAST(SUM(CASE WHEN s_high_ppm < s_low_ppm THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_low_wins
+  FROM strata
+)
+SELECT o.rate_high_ppm, o.rate_low_ppm,
+       v.n_strata, v.n_high_wins, v.n_low_wins,
+       (o.rate_high_ppm > o.rate_low_ppm AND v.n_low_wins > v.n_high_wins)
+       OR (o.rate_high_ppm < o.rate_low_ppm AND v.n_high_wins > v.n_low_wins)
+         AS paradox_detected
+FROM overall o CROSS JOIN verdicts v
+"""
+
+
+@register(
+    "a_simpsons_paradox_detector",
+    oracle=_SIMPSON_ORACLE,
+    tags=("A7", "A1", "P6"),
+)
+def a_simpsons_paradox_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's paradox audit: the high-discount vs low-discount
+    return-rate comparison computed BOTH ways — pooled over all
+    lineitems and stratified by quantity band — with a detector that
+    fires when the pooled winner loses in the majority of strata. This
+    is the stratification sanity check every observational metric
+    comparison needs before anyone acts on it (the pooled number is
+    confounded by whatever drives stratum membership).
+
+    Determinism & scale — two combinable conditional-aggregate passes
+    (pooled 1-row, per-stratum bounded rollup); all rates exact
+    integer ppm (positive floor division), the verdict pure boolean
+    algebra on integers. Strata missing either arm are excluded — a
+    one-armed stratum has no within-stratum comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    labeled = li.select(
+        F.when(F.col("l_discount") >= 0.05, "high_disc")
+        .otherwise("low_disc")
+        .alias("arm"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT) DIV 10").alias("qty_stratum"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    high_ret = F.sum(F.when(F.col("arm") == "high_disc", F.col("ret")).otherwise(0))
+    high_n = F.sum(F.when(F.col("arm") == "high_disc", 1).otherwise(0))
+    low_ret = F.sum(F.when(F.col("arm") == "low_disc", F.col("ret")).otherwise(0))
+    low_n = F.sum(F.when(F.col("arm") == "low_disc", 1).otherwise(0))
+    overall = labeled.agg(
+        F.expr(
+            "SUM(CASE WHEN arm = 'high_disc' THEN ret ELSE 0 END) * 1000000"
+            " DIV SUM(CASE WHEN arm = 'high_disc' THEN 1 ELSE 0 END)"
+        ).alias("rate_high_ppm"),
+        F.expr(
+            "SUM(CASE WHEN arm = 'low_disc' THEN ret ELSE 0 END) * 1000000"
+            " DIV SUM(CASE WHEN arm = 'low_disc' THEN 1 ELSE 0 END)"
+        ).alias("rate_low_ppm"),
+    )
+    strata = (
+        labeled.groupBy("qty_stratum")
+        .agg(
+            high_ret.alias("hr"),
+            high_n.alias("hn"),
+            low_ret.alias("lr"),
+            low_n.alias("ln_"),
+        )
+        .filter((F.col("hn") > 0) & (F.col("ln_") > 0))
+        .select(
+            F.expr("hr * 1000000 DIV hn").alias("s_high_ppm"),
+            F.expr("lr * 1000000 DIV ln_").alias("s_low_ppm"),
+        )
+    )
+    verdicts = strata.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(
+            F.when(F.col("s_high_ppm") > F.col("s_low_ppm"), 1).otherwise(0)
+        ).alias("n_high_wins"),
+        F.sum(
+            F.when(F.col("s_high_ppm") < F.col("s_low_ppm"), 1).otherwise(0)
+        ).alias("n_low_wins"),
+    )
+    return overall.crossJoin(broadcast(verdicts)).select(
+        "rate_high_ppm",
+        "rate_low_ppm",
+        "n_strata",
+        "n_high_wins",
+        "n_low_wins",
+        (
+            (
+                (F.col("rate_high_ppm") > F.col("rate_low_ppm"))
+                & (F.col("n_low_wins") > F.col("n_high_wins"))
+            )
+            | (
+                (F.col("rate_high_ppm") < F.col("rate_low_ppm"))
+                & (F.col("n_high_wins") > F.col("n_low_wins"))
+            )
+        ).alias("paradox_detected"),
+    )

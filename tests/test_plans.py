@@ -376,6 +376,9 @@ _BNLJ_ALLOWED = frozenset({
     # global-prior broadcasts
     "s_merge_on_read_deletes", "n_dedup_method_agreement",
     "a_empirical_bayes_shrinkage",
+    # round-4 sixth continuation: 1-row stratified-verdict crossJoin
+    # onto the 1-row pooled rates
+    "a_simpsons_paradox_detector",
 })
 
 
