@@ -902,3 +902,84 @@ def s_constraint_audit_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame
     for df in checks[1:]:
         out = out.unionAll(df)
     return out.orderBy("constraint_name")
+
+
+# ---------------------------------------------------------------------------
+# Crypto-shredding: GDPR erasure by key deletion, data files untouched
+# ---------------------------------------------------------------------------
+
+@register("s_crypto_shredding", oracle=None, tags=("F7", "J3", "A1", "P5"))
+def s_crypto_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto-shredding: every user's PII column is encrypted with a
+    PER-USER key held in a separate key table; GDPR erasure deletes the
+    KEY ROW, never the data file — the only erasure mechanism that
+    works on immutable/archived storage, and the reason column vaults
+    keep the key table tiny and separately governed. Here users
+    ≡ 0 mod 7 are 'forgotten': after the key-table anti-delete, their
+    rows decrypt to NULL while every retained user round-trips
+    losslessly.
+
+    Rows-only (AES-GCM ciphertext is nondeterministic by design); the
+    per-segment report self-validates: `shredded_unreadable_ok` pins
+    that NO forgotten row decrypted; `retained_readable_ok` pins that
+    EVERY retained row decrypted to its original name. Scale — key
+    derivation and encryption are map-side JVM expressions; the key
+    table joins by user id (broadcast at dim scale); erasure cost is
+    O(forgotten keys), not O(data)."""
+    c = load_table(spark, sf_dir, "customer")
+    # Per-user AES-128 key derived deterministically for the fixture:
+    # 16 hex chars of the keyed hash of the user id.
+    key_tbl = c.select(
+        "c_custkey",
+        F.substring(F.sha2(F.concat(F.lit("k:"), F.col("c_custkey")), 256), 1, 16)
+        .alias("user_key"),
+    )
+    vault = c.join(key_tbl, "c_custkey").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.aes_encrypt(F.col("c_name").cast("binary"), F.col("user_key")).alias(
+            "name_ct"
+        ),
+        F.col("c_name").alias("orig_name"),
+    )
+    surviving_keys = key_tbl.filter(F.col("c_custkey") % 7 != 0)
+    joined = vault.join(F.broadcast(surviving_keys), "c_custkey", "left")
+    decrypted = joined.select(
+        "c_custkey",
+        "c_mktsegment",
+        "orig_name",
+        (F.col("c_custkey") % 7 == 0).alias("shredded"),
+        F.when(
+            F.col("user_key").isNotNull(),
+            F.aes_decrypt(F.col("name_ct"), F.col("user_key")).cast("string"),
+        ).alias("recovered"),
+    )
+    return (
+        decrypted.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.when(F.col("shredded"), 1).otherwise(0)).alias("n_shredded"),
+            F.sum(
+                F.when(F.col("shredded") & F.col("recovered").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("n_shredded_readable"),
+            F.sum(
+                F.when(
+                    ~F.col("shredded")
+                    & (F.col("recovered") == F.col("orig_name")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_retained_roundtrip"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_users",
+            "n_shredded",
+            (F.col("n_shredded_readable") == 0).alias("shredded_unreadable_ok"),
+            (
+                F.col("n_retained_roundtrip")
+                == F.col("n_users") - F.col("n_shredded")
+            ).alias("retained_readable_ok"),
+        )
+        .orderBy("c_mktsegment")
+    )

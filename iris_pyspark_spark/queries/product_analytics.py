@@ -1262,3 +1262,79 @@ def e_markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_states))
     )
+
+
+# ---------------------------------------------------------------------------
+# Net Promoter Score with a delta-method confidence interval
+# ---------------------------------------------------------------------------
+
+_NPS_ORACLE = """
+WITH scored AS (
+  SELECT CAST(FLOOR(value) AS BIGINT) % 11 AS score
+  FROM events WHERE event_type = 'view'
+),
+counts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN score >= 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_pro,
+         CAST(SUM(CASE WHEN score <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_det
+  FROM scored
+)
+SELECT n, n_pro, n_det,
+       (n_pro - n_det) * 1000000 // n AS nps_ppm,
+       ROUND(SQRT((CAST(n_pro AS DOUBLE) / n
+                   + CAST(n_det AS DOUBLE) / n
+                   - (CAST(n_pro AS DOUBLE) / n - CAST(n_det AS DOUBLE) / n)
+                     * (CAST(n_pro AS DOUBLE) / n - CAST(n_det AS DOUBLE) / n))
+                  / n) * 1000000, 6) AS se_ppm,
+       ROUND((CAST(n_pro AS DOUBLE) / n - CAST(n_det AS DOUBLE) / n) * 1000000
+             - 1.959964 * SQRT((CAST(n_pro AS DOUBLE) / n
+                   + CAST(n_det AS DOUBLE) / n
+                   - (CAST(n_pro AS DOUBLE) / n - CAST(n_det AS DOUBLE) / n)
+                     * (CAST(n_pro AS DOUBLE) / n - CAST(n_det AS DOUBLE) / n))
+                  / n) * 1000000, 6) AS ci_lo_ppm,
+       ROUND((CAST(n_pro AS DOUBLE) / n - CAST(n_det AS DOUBLE) / n) * 1000000
+             + 1.959964 * SQRT((CAST(n_pro AS DOUBLE) / n
+                   + CAST(n_det AS DOUBLE) / n
+                   - (CAST(n_pro AS DOUBLE) / n - CAST(n_det AS DOUBLE) / n)
+                     * (CAST(n_pro AS DOUBLE) / n - CAST(n_det AS DOUBLE) / n))
+                  / n) * 1000000, 6) AS ci_hi_ppm
+FROM counts
+"""
+
+
+@register(
+    "e_nps_score_ci",
+    oracle=_NPS_ORACLE,
+    tags=("A2", "A7", "P2"),
+)
+def e_nps_score_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net Promoter Score with its correct standard error: NPS is a
+    DIFFERENCE of two multinomial proportions (promoters 9-10 minus
+    detractors 0-6), so Var = (p + d − (p−d)²)/n, NOT a binomial SE —
+    the mistake that makes naive NPS dashboards overconfident by up to
+    √2. Scores derive deterministically from the event value; the
+    1.959964 z-multiplier is the repo's pre-rounded literal.
+
+    Scale — one combinable conditional-count pass; the CI is one fixed
+    float expression over three exact integers, round-6 micro units."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.filter(F.col("event_type") == "view").select(
+        (F.expr("CAST(FLOOR(value) AS BIGINT)") % 11).alias("score")
+    )
+    counts = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("score") >= 9, 1).otherwise(0)).alias("n_pro"),
+        F.sum(F.when(F.col("score") <= 6, 1).otherwise(0)).alias("n_det"),
+    )
+    p = F.col("n_pro").cast("double") / F.col("n")
+    d = F.col("n_det").cast("double") / F.col("n")
+    se = F.sqrt((p + d - (p - d) * (p - d)) / F.col("n")) * 1000000
+    return counts.select(
+        "n",
+        "n_pro",
+        "n_det",
+        F.expr("(n_pro - n_det) * 1000000 DIV n").alias("nps_ppm"),
+        F.round(se, 6).alias("se_ppm"),
+        F.round((p - d) * 1000000 - 1.959964 * se, 6).alias("ci_lo_ppm"),
+        F.round((p - d) * 1000000 + 1.959964 * se, 6).alias("ci_hi_ppm"),
+    )

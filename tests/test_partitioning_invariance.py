@@ -223,6 +223,10 @@ def test_round4_fifth_continuation_shuffle_width_invariant(spark, sf_dir):
         "n_langid_confusion_matrix", "t_pinball_loss_eval",
         "n_preference_cycle_audit", "e_funnel_exclusion_steps",
         "a_distinct_estimator_comparison",
+        "e_markov_next_event_eval", "s_constraint_audit_all_tables",
+        "t_drift_psi_weekly", "t_peak_detection",
+        "a_empirical_bayes_shrinkage", "t_rolling_origin_backtest",
+        "a_simpsons_paradox_detector",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
