@@ -531,3 +531,45 @@ def test_downtime_sla_partitions_by_service(spark, sf_dir):
     win = plan[plan.find("Window"):]
     assert "event_type" in win[:400]
     assert "Exchange SinglePartition" not in plan.split("Window")[0] or True
+
+
+def test_mor_deletes_broadcast_anti_join(spark, sf_dir):
+    """The deletion vector must broadcast (deletes << table is the MoR
+    premise); a shuffled anti join would defeat the read path."""
+    plan = _executed_plan(spark, "s_merge_on_read_deletes", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_type_widening_reads_bigint_schema(spark, sf_dir):
+    """The explicit widened schema must reach the scan: qty_like reads
+    as bigint from BOTH file groups, with no mergeSchema pass."""
+    plan = _executed_plan(spark, "s_type_widening_read", sf_dir)
+    read = plan.split("ReadSchema")[-1]
+    assert "qty_like:bigint" in read.replace(" ", "")
+
+
+def test_markov_eval_model_broadcasts(spark, sf_dir):
+    """The |states|-row argmax model must broadcast onto held-out
+    transitions — a shuffle join on event_type would be a 5-key skew
+    disaster at scale."""
+    plan = _executed_plan(spark, "e_markov_next_event_eval", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_peak_detection_pushes_date_filter(spark, sf_dir):
+    """The 6-month calendar window must reach the parquet scan."""
+    plan = _executed_plan(spark, "t_peak_detection", sf_dir)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_constraint_audit_all_anti_joins_broadcast(spark, sf_dir):
+    """Every FK check is an anti join against a referenced-key set;
+    none may degenerate to a cartesian, and the dimension-sized key
+    sets (nation, region) must broadcast."""
+    plan = _executed_plan(spark, "s_constraint_audit_all_tables", sf_dir)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
