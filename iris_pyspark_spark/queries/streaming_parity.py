@@ -875,3 +875,70 @@ def st_replay_determinism(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Union of two streams: the combined watermark is the MIN of the sources
+# ---------------------------------------------------------------------------
+
+_UNION_WM_ORACLE = f"""
+WITH unioned AS (
+  SELECT ts, value FROM events WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT ts, value FROM events WHERE event_type = 'purchase'
+),
+win AS (
+  SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w_start,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
+  FROM unioned
+  GROUP BY 1
+)
+SELECT w_start, n_events, total_cents
+FROM win
+ORDER BY w_start
+"""
+
+
+@register(
+    "st_union_two_streams",
+    oracle=_UNION_WM_ORACLE,
+    tags=("T1", "T5", "O3"),
+)
+def st_union_two_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independently-watermarked streams (a high-rate click/view
+    feed at 10-minute lateness, a low-rate purchase feed at 1 hour)
+    UNIONed into one tumbling-hour aggregate — the fan-in topology
+    every multi-source pipeline has, with the semantics people get
+    wrong: the combined operator watermark is the MINIMUM of the
+    sources, so the laggiest feed gates every window's finalization.
+    Drained AvailableNow in complete mode, the sink's final window
+    states must equal the batch oracle exactly — the union-watermark
+    parity proof (append mode would hold back the tail windows the
+    laggiest feed has not yet released — exactly the gating this
+    topology exists to demonstrate).
+
+    Scale — per-source watermarks are tracked independently by the
+    engine; the union is not a shuffle (partitions concatenate); the
+    only wide op is the windowed aggregation keyed by window start."""
+    s = read_events_stream(spark, sf_dir)
+    fast = s.filter(F.col("event_type").isin("click", "view")).withWatermark(
+        "ts", "10 minutes"
+    )
+    slow = s.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
+    unioned = fast.unionByName(slow)
+    agged = (
+        unioned.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("total_cents"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            "n_events",
+            "total_cents",
+        )
+    )
+    return drain_to_table(agged, "complete").orderBy("w_start")
