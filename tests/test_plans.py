@@ -379,6 +379,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 sixth continuation: 1-row stratified-verdict crossJoin
     # onto the 1-row pooled rates
     "a_simpsons_paradox_detector",
+    # round-4 sixth continuation: 1-row reference-total broadcast onto
+    # the bounded (week, bin) histogram
+    "t_drift_psi_weekly",
 })
 
 
