@@ -1432,3 +1432,164 @@ def n_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("set_algebra_ok"),
         (recall_union == 1000000).alias("planted_recall_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup stage funnel: raw -> exact -> near-dup, with per-stage reductions
+# ---------------------------------------------------------------------------
+
+_DEDUP_FUNNEL_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text, source FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 100000, text || ' appended token', source
+  FROM documents WHERE doc_id < 50
+),
+sized AS (
+  SELECT doc_id, text, source,
+         CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS BIGINT) AS n_tok
+  FROM corpus
+),
+exact_kept AS (
+  SELECT doc_id, text, source, n_tok FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY SHA256(LOWER(TRIM(text))) ORDER BY doc_id) AS rn
+    FROM sized
+  ) WHERE rn = 1
+),
+toks AS (
+  SELECT doc_id, source, tok
+  FROM (SELECT doc_id, source,
+               UNNEST(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS tok
+        FROM exact_kept)
+),
+tsizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd FROM toks GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM toks a JOIN toks b
+    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+near_removed AS (
+  SELECT DISTINCT p.id_b AS doc_id
+  FROM pairs p
+  JOIN tsizes sa ON p.id_a = sa.doc_id
+  JOIN tsizes sb ON p.id_b = sb.doc_id
+  WHERE CAST(n_shared AS DOUBLE) / (sa.nd + sb.nd - n_shared) >= 0.8
+),
+near_kept AS (
+  SELECT e.* FROM exact_kept e
+  WHERE NOT EXISTS (SELECT 1 FROM near_removed r WHERE r.doc_id = e.doc_id)
+),
+stages AS (
+  SELECT 0 AS stage_idx, 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM sized
+  UNION ALL
+  SELECT 1, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tok) AS BIGINT) FROM exact_kept
+  UNION ALL
+  SELECT 2, 'near_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tok) AS BIGINT) FROM near_kept
+)
+SELECT stage_idx, stage, n_docs, n_tokens,
+       COALESCE(LAG(n_docs) OVER (ORDER BY stage_idx) - n_docs, 0)
+         AS docs_removed,
+       COALESCE(LAG(n_tokens) OVER (ORDER BY stage_idx) - n_tokens, 0)
+         AS tokens_removed
+FROM stages
+ORDER BY stage_idx
+"""
+
+
+@register(
+    "n_dedup_stage_funnel",
+    oracle=_DEDUP_FUNNEL_ORACLE,
+    tags=("N1", "N2", "N5", "W2"),
+)
+def n_dedup_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup funnel report every corpus build publishes: document
+    and token counts after each stage — raw (with planted exact copies
+    AND near-dup variants), exact dedup (normalized-hash keep-first),
+    near-dup removal (exact token-set Jaccard ≥ 0.8, source-blocked) —
+    with per-stage removal deltas. The funnel is the accounting that
+    justifies the pipeline's cost: 'stage 2 removed N docs / M tokens'
+    is the number that goes in the dataset card
+    (`n_dataset_card`), and a stage that removes ~nothing is a stage
+    to delete.
+
+    Scale design — each stage is the production shape proven by its
+    standalone operator: exact dedup is ONE digest-partitioned
+    keep-first shuffle; near-dup is the blocked token equi-join (never
+    all-pairs); the funnel adds only 3-row bookkeeping windows. Exact
+    integer counts end to end."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = (
+        d.unionByName(
+            d.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text", "source"
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" appended token")).alias("text"),
+                "source",
+            )
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sized = corpus.withColumn(
+        "n_tok", F.size(F.split(F.lower(F.col("text")), " ")).cast("long")
+    )
+    exact_kept = (
+        sized.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(
+                    F.sha2(F.lower(F.trim(F.col("text"))), 256)
+                ).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    from ..operators.dedup import jaccard_pairs
+
+    near_removed = (
+        jaccard_pairs(exact_kept, "doc_id", "text", "source", 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    near_kept = exact_kept.join(near_removed, "doc_id", "left_anti")
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+
+    stages = (
+        stage(0, "raw", sized)
+        .unionAll(stage(1, "exact_dedup", exact_kept))
+        .unionAll(stage(2, "near_dedup", near_kept))
+    )
+    w = Window.orderBy("stage_idx")
+    return stages.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        F.coalesce(F.lag("n_docs").over(w) - F.col("n_docs"), F.lit(0)).alias(
+            "docs_removed"
+        ),
+        F.coalesce(
+            F.lag("n_tokens").over(w) - F.col("n_tokens"), F.lit(0)
+        ).alias("tokens_removed"),
+    ).orderBy("stage_idx")

@@ -4550,3 +4550,90 @@ def a_simpsons_paradox_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("paradox_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Direct standardization (stratum-weighted adjusted rates)
+# ---------------------------------------------------------------------------
+
+_DIRECT_STD_ORACLE = """
+WITH labeled AS (
+  SELECT CASE WHEN l_discount >= 0.05 THEN 'high_disc' ELSE 'low_disc' END
+           AS arm,
+         CAST(ROUND(l_quantity) AS BIGINT) // 10 AS qty_stratum,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem
+),
+strata AS (
+  SELECT qty_stratum, arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ret) AS BIGINT) AS k
+  FROM labeled GROUP BY qty_stratum, arm
+),
+ref AS (
+  SELECT qty_stratum, CAST(SUM(n) AS BIGINT) AS w
+  FROM strata GROUP BY qty_stratum
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_tot FROM ref),
+adjusted AS (
+  SELECT s.arm,
+         CAST(SUM(s.k * r.w * 1000000 // s.n // t.w_tot) AS BIGINT)
+           AS adj_rate_ppm,
+         CAST(SUM(s.k) AS BIGINT) * 1000000 // CAST(SUM(s.n) AS BIGINT)
+           AS crude_rate_ppm,
+         CAST(COUNT(*) AS BIGINT) AS n_strata
+  FROM strata s JOIN ref r USING (qty_stratum) CROSS JOIN tot t
+  GROUP BY s.arm
+)
+SELECT arm, crude_rate_ppm, adj_rate_ppm, n_strata
+FROM adjusted
+ORDER BY arm
+"""
+
+
+@register(
+    "e_direct_standardization",
+    oracle=_DIRECT_STD_ORACLE,
+    tags=("A1", "A7", "J1", "P6"),
+)
+def e_direct_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct standardization — the FIX for the confounding
+    `a_simpsons_paradox_detector` detects: each arm's return rate is
+    re-weighted to the POOLED quantity-stratum distribution, so both
+    arms are compared as if they had the same stratum mix. Crude and
+    adjusted rates ride the same row; when they disagree materially,
+    the crude comparison was confounded by stratum membership — the
+    epidemiology-standard adjustment, applied to product metrics.
+
+    Determinism & scale — one combinable (stratum, arm) rollup over the
+    fact; reference weights re-aggregate the rollup; the adjusted rate
+    is a sum of per-stratum exact-integer terms (k·w·10⁶ // n // W —
+    positive floor divisions nested innermost-first identically on both
+    engines). Nothing beyond the first rollup touches the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    labeled = li.select(
+        F.when(F.col("l_discount") >= 0.05, "high_disc")
+        .otherwise("low_disc")
+        .alias("arm"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT) DIV 10").alias("qty_stratum"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    strata = labeled.groupBy("qty_stratum", "arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("ret").alias("k")
+    )
+    ref = strata.groupBy("qty_stratum").agg(F.sum("n").alias("w"))
+    tot = ref.agg(F.sum("w").alias("w_tot"))
+    return (
+        strata.join(broadcast(ref), "qty_stratum")
+        .crossJoin(broadcast(tot))
+        .groupBy("arm")
+        .agg(
+            F.sum(F.expr("k * w * 1000000 DIV n DIV w_tot"))
+            .cast("long")
+            .alias("adj_rate_ppm"),
+            F.expr("SUM(k) * 1000000 DIV SUM(n)").alias("crude_rate_ppm"),
+            F.count(F.lit(1)).alias("n_strata"),
+        )
+        .select("arm", "crude_rate_ppm", "adj_rate_ppm", "n_strata")
+        .orderBy("arm")
+    )
