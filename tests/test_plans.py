@@ -382,6 +382,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 sixth continuation: 1-row reference-total broadcast onto
     # the bounded (week, bin) histogram
     "t_drift_psi_weekly",
+    # round-4 sixth continuation: 1-row pooled-weight-total broadcast
+    # onto the bounded (stratum, arm) rollup
+    "e_direct_standardization",
 })
 
 
