@@ -4637,3 +4637,190 @@ def e_direct_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("arm", "crude_rate_ppm", "adj_rate_ppm", "n_strata")
         .orderBy("arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Price-volume decomposition of year-over-year revenue change per brand
+# ---------------------------------------------------------------------------
+
+_PVM_ORACLE = f"""
+WITH yr AS (
+  SELECT p_brand,
+         CASE WHEN l_shipdate < DATE '1997-01-01' THEN 0 ELSE 1 END AS y,
+         CAST(SUM({CENTS_SQL.format(expr="l_extendedprice")}) AS BIGINT) AS rev,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+  GROUP BY p_brand, CASE WHEN l_shipdate < DATE '1997-01-01' THEN 0 ELSE 1 END
+),
+wide AS (
+  SELECT p_brand,
+         CAST(MAX(CASE WHEN y = 0 THEN rev END) AS BIGINT) AS rev0,
+         CAST(MAX(CASE WHEN y = 1 THEN rev END) AS BIGINT) AS rev1,
+         CAST(MAX(CASE WHEN y = 0 THEN qty END) AS BIGINT) AS qty0,
+         CAST(MAX(CASE WHEN y = 1 THEN qty END) AS BIGINT) AS qty1
+  FROM yr GROUP BY p_brand
+  HAVING MAX(CASE WHEN y = 0 THEN rev END) IS NOT NULL
+     AND MAX(CASE WHEN y = 1 THEN rev END) IS NOT NULL
+)
+SELECT p_brand, rev0, rev1, rev1 - rev0 AS d_rev_cents,
+       ROUND((qty1 - qty0)
+             * ((CAST(rev0 AS DOUBLE) / qty0 + CAST(rev1 AS DOUBLE) / qty1) / 2)
+             / 100, 6) AS volume_effect_dollars,
+       ROUND((CAST(rev1 AS DOUBLE) / qty1 - CAST(rev0 AS DOUBLE) / qty0)
+             * ((qty0 + qty1) / 2.0) / 100, 6) AS price_effect_dollars,
+       ROUND((rev1 - rev0) / 100.0
+             - (qty1 - qty0)
+               * ((CAST(rev0 AS DOUBLE) / qty0 + CAST(rev1 AS DOUBLE) / qty1) / 2)
+               / 100
+             - (CAST(rev1 AS DOUBLE) / qty1 - CAST(rev0 AS DOUBLE) / qty0)
+               * ((qty0 + qty1) / 2.0) / 100, 6) + 0.0 AS residual_dollars
+FROM wide
+ORDER BY p_brand
+"""
+
+
+@register(
+    "e_price_volume_mix",
+    oracle=_PVM_ORACLE,
+    tags=("A1", "A7", "J1", "F2"),
+)
+def e_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of each brand's 1996→1997 revenue
+    change — the FP&A bridge that answers 'did we sell MORE, or at
+    HIGHER prices?' per product line. The symmetric (midpoint) form
+    Δrev = Δq·p̄ + Δp·q̄ makes the two effects sum exactly to the
+    revenue delta; `residual_dollars` carries the identity (0 up to
+    the shared round-6) so every row proves its own bookkeeping.
+
+    Determinism & scale — one combinable (brand, year) rollup behind a
+    pushed two-year scan filter; the decomposition is per-brand scalar
+    algebra over exact integer cents/quantities. Brands missing either
+    year are excluded (no year-over-year bridge exists for them)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    yr = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.when(F.col("l_shipdate") < "1997-01-01", 0).otherwise(1).alias("y"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("rev"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+        )
+    )
+    wide = (
+        yr.groupBy("p_brand")
+        .agg(
+            F.max(F.when(F.col("y") == 0, F.col("rev"))).alias("rev0"),
+            F.max(F.when(F.col("y") == 1, F.col("rev"))).alias("rev1"),
+            F.max(F.when(F.col("y") == 0, F.col("qty"))).alias("qty0"),
+            F.max(F.when(F.col("y") == 1, F.col("qty"))).alias("qty1"),
+        )
+        .filter(F.col("rev0").isNotNull() & F.col("rev1").isNotNull())
+    )
+    p0 = F.col("rev0").cast("double") / F.col("qty0")
+    p1 = F.col("rev1").cast("double") / F.col("qty1")
+    p_mid = (p0 + p1) / 2
+    q_mid = (F.col("qty0") + F.col("qty1")) / 2.0
+    vol = (F.col("qty1") - F.col("qty0")) * p_mid / 100
+    prc = (p1 - p0) * q_mid / 100
+    return wide.select(
+        "p_brand",
+        "rev0",
+        "rev1",
+        (F.col("rev1") - F.col("rev0")).alias("d_rev_cents"),
+        F.round(vol, 6).alias("volume_effect_dollars"),
+        F.round(prc, 6).alias("price_effect_dollars"),
+        (
+            F.round((F.col("rev1") - F.col("rev0")) / 100.0 - vol - prc, 6)
+            + 0.0  # normalize IEEE -0.0 to +0.0 (both engines)
+        ).alias("residual_dollars"),
+    ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# Expected shortfall (CVaR): the mean of the tail beyond the p95 order value
+# ---------------------------------------------------------------------------
+
+_CVAR_ORACLE = """
+WITH vals AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+ranked AS (
+  SELECT o_orderpriority, v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY v DESC, v)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM vals
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(MAX(CASE WHEN rk = (n + 19) // 20 THEN v END) AS BIGINT) / 100.0
+         AS var95_dollars,
+       CAST(SUM(CASE WHEN rk <= (n + 19) // 20 THEN v ELSE 0 END) AS BIGINT)
+         / 100.0
+         / CAST(MAX((n + 19) // 20) AS BIGINT) AS cvar95_dollars,
+       CAST(MAX((n + 19) // 20) AS BIGINT) AS n_tail
+FROM ranked
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "a_cvar_expected_shortfall",
+    oracle=_CVAR_ORACLE,
+    tags=("A8", "W1", "A1"),
+)
+def a_cvar_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Expected Shortfall (CVaR) of order values per
+    priority class: VaR95 is the top-5% threshold, CVaR95 the MEAN of
+    everything beyond it — the coherent tail metric risk teams (and
+    capacity planners: 'what does a p95+ day actually cost?') use
+    because a percentile alone says nothing about how bad the tail is.
+    n_tail = ⌈n/20⌉ spells the tail definition into the output.
+
+    Determinism & scale — per-group descending rank with a value
+    tie-break, tail size by positive ceil-division ((n+19)//20,
+    identical on both engines), tail mean from an exact integer cents
+    sum. One shuffle on the group key; the window state is one rank
+    counter per group."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        "o_orderpriority", cents(F.col("o_totalprice")).alias("v")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("v").desc(), "v")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = vals.select(
+        "o_orderpriority",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    tail_n = F.expr("(n + 19) DIV 20")
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            (
+                F.max(F.when(F.col("rk") == tail_n, F.col("v"))).cast("long")
+                / 100.0
+            ).alias("var95_dollars"),
+            (
+                F.sum(F.when(F.col("rk") <= tail_n, F.col("v")).otherwise(0))
+                .cast("long")
+                / 100.0
+                / F.max(tail_n).cast("long")
+            ).alias("cvar95_dollars"),
+            F.max(tail_n).cast("long").alias("n_tail"),
+        )
+        .orderBy("o_orderpriority")
+    )
