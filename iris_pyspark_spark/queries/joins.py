@@ -1583,3 +1583,101 @@ def j_entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("tp * 1000000 DIV n_true").alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal reconstruction: "as known at T, effective for period V"
+# ---------------------------------------------------------------------------
+
+_BITEMPORAL_ORACLE = """
+WITH versions AS (
+  -- Original statement of every 1996 order, known since day 0...
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amount_cents,
+         0 AS known_seq
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  UNION ALL
+  -- ...plus a later restatement (+$10) of every 13th order, known at seq 1.
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1000,
+         1
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    AND o_orderkey % 13 = 0
+),
+as_known AS (
+  SELECT k.t AS known_at, v.o_orderkey, v.amount_cents,
+         ROW_NUMBER() OVER (PARTITION BY k.t, v.o_orderkey
+                            ORDER BY v.known_seq DESC) AS rn
+  FROM versions v JOIN (SELECT UNNEST([0, 1]) AS t) k ON v.known_seq <= k.t
+)
+SELECT known_at,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(amount_cents) AS BIGINT) / 100.0 AS total_dollars,
+       CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_restatable
+FROM as_known WHERE rn = 1
+GROUP BY known_at
+ORDER BY known_at
+"""
+
+
+@register(
+    "j_bitemporal_reconstruction",
+    oracle=_BITEMPORAL_ORACLE,
+    tags=("J1", "W1", "A1", "O3"),
+)
+def j_bitemporal_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal accounting: 1996 revenue 'as known at' two
+    transaction times — before and after a restatement batch corrects
+    every 13th order by +$10. Valid time (the order's 1996 effective
+    period) never changes; transaction time decides WHICH version each
+    reconstruction sees: latest version with known_seq ≤ T wins. The
+    two report rows differ by exactly n_restatable × $10 — the audit
+    trail regulators mean when they say 'reproduce the January report
+    as filed'.
+
+    Scale design — versions are a union of the base scan and the
+    (sparse) correction scan; reconstruction is one per-(T, key)
+    latest-version window over the version table, grouped to the
+    report grain. The version table grows by corrections, not by
+    reports: each new 'as known at' is a filter, never a rewrite."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    v0 = base.select(
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("amount_cents"),
+        F.lit(0).alias("known_seq"),
+    )
+    v1 = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        (cents(F.col("o_totalprice")) + 1000).alias("amount_cents"),
+        F.lit(1).alias("known_seq"),
+    )
+    versions = v0.unionByName(v1)
+    ts = spark.range(2).select(F.col("id").cast("int").alias("known_at"))
+    as_known = versions.join(
+        F.broadcast(ts), versions.known_seq <= ts.known_at
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("known_at", "o_orderkey").orderBy(
+                F.col("known_seq").desc()
+            )
+        ),
+    )
+    return (
+        as_known.filter(F.col("rn") == 1)
+        .groupBy("known_at")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("amount_cents").cast("long") / 100.0).alias("total_dollars"),
+            F.sum(F.when(F.col("o_orderkey") % 13 == 0, 1).otherwise(0)).alias(
+                "n_restatable"
+            ),
+        )
+        .orderBy("known_at")
+    )

@@ -1173,3 +1173,78 @@ def f_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_tampered_pass"),
         F.sum("check_digit").cast("long").alias("checksum_digit_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Penny allocation: split money into N parts that sum EXACTLY (largest
+# remainder method)
+# ---------------------------------------------------------------------------
+
+_PENNY_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+parts AS (
+  SELECT o_orderkey, total_cents, i,
+         total_cents // 3
+         + CASE WHEN i <= total_cents % 3 THEN 1 ELSE 0 END AS installment
+  FROM base, UNNEST([1, 2, 3]) AS t(i)
+)
+SELECT o_orderkey, total_cents,
+       CAST(MAX(CASE WHEN i = 1 THEN installment END) AS BIGINT) AS inst_1,
+       CAST(MAX(CASE WHEN i = 2 THEN installment END) AS BIGINT) AS inst_2,
+       CAST(MAX(CASE WHEN i = 3 THEN installment END) AS BIGINT) AS inst_3,
+       CAST(SUM(installment) AS BIGINT) = total_cents AS sums_exact,
+       CAST(MAX(installment) - MIN(installment) AS BIGINT) AS max_skew_cents
+FROM parts
+GROUP BY o_orderkey, total_cents
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "f_penny_allocation",
+    oracle=_PENNY_ORACLE,
+    tags=("F3", "F7", "A1"),
+)
+def f_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder penny allocation: each order total splits into
+    3 installments that sum EXACTLY to the total (the first
+    `total mod 3` installments carry the extra cent) — the billing
+    arithmetic naive division gets wrong by a cent, which is how
+    reconciliation breaks at month-end. `sums_exact` proves the
+    invariant on every row; `max_skew_cents` pins the fairness bound
+    (installments differ by at most 1 cent).
+
+    Determinism & scale — pure row-local positive integer arithmetic
+    (// and % identical across engines), bounded 3-way explode; no
+    shuffle beyond the per-order regroup of the exploded parts (and a
+    production allocator would keep it columnar: three expressions,
+    zero explode)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    parts = base.select(
+        "o_orderkey",
+        "total_cents",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("i"),
+    ).withColumn(
+        "installment",
+        F.expr("total_cents DIV 3")
+        + F.when(F.col("i") <= F.col("total_cents") % 3, 1).otherwise(0),
+    )
+    return (
+        parts.groupBy("o_orderkey", "total_cents")
+        .agg(
+            F.max(F.when(F.col("i") == 1, F.col("installment"))).alias("inst_1"),
+            F.max(F.when(F.col("i") == 2, F.col("installment"))).alias("inst_2"),
+            F.max(F.when(F.col("i") == 3, F.col("installment"))).alias("inst_3"),
+            (F.sum("installment") == F.col("total_cents")).alias("sums_exact"),
+            (F.max("installment") - F.min("installment")).alias("max_skew_cents"),
+        )
+        .orderBy("o_orderkey")
+    )

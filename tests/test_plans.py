@@ -385,6 +385,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 sixth continuation: 1-row pooled-weight-total broadcast
     # onto the bounded (stratum, arm) rollup
     "e_direct_standardization",
+    # round-4 sixth continuation: 2-row transaction-time broadcast onto
+    # the version table (theta on known_seq <= T)
+    "j_bitemporal_reconstruction",
 })
 
 
