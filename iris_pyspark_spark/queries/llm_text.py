@@ -3569,3 +3569,131 @@ def n_preference_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_items))
         .select("n_items", "n_triads", "n_cycles", "cycle_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter ablation matrix (solo kills, unique kills, overlap)
+# ---------------------------------------------------------------------------
+
+_ABLATION_ORACLE = """
+WITH feats AS (
+  SELECT doc_id,
+         LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tok,
+         LENGTH(text) AS n_char,
+         LENGTH(REPLACE(text, ' ', '')) AS n_nonspace,
+         LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS n_uniq
+  FROM documents
+),
+flags AS (
+  SELECT doc_id,
+         CASE WHEN n_tok < 40 THEN 1 ELSE 0 END AS f_too_short,
+         CASE WHEN n_char - n_nonspace < n_tok - 1 THEN 1 ELSE 0 END
+           AS f_spacing_anomaly,
+         CASE WHEN n_uniq * 1000 // n_tok < 450 THEN 1 ELSE 0 END
+           AS f_repetitive,
+         CASE WHEN n_char * 10 // n_tok > 90 THEN 1 ELSE 0 END
+           AS f_long_tokens
+  FROM feats
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(f_too_short) AS BIGINT)        AS k_too_short,
+  CAST(SUM(f_spacing_anomaly) AS BIGINT)  AS k_spacing,
+  CAST(SUM(f_repetitive) AS BIGINT)       AS k_repetitive,
+  CAST(SUM(f_long_tokens) AS BIGINT)      AS k_long_tokens,
+  CAST(SUM(CASE WHEN f_too_short = 1 AND f_spacing_anomaly = 0
+                 AND f_repetitive = 0 AND f_long_tokens = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS u_too_short,
+  CAST(SUM(CASE WHEN f_repetitive = 1 AND f_too_short = 0
+                 AND f_spacing_anomaly = 0 AND f_long_tokens = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS u_repetitive,
+  CAST(SUM(CASE WHEN f_too_short + f_spacing_anomaly + f_repetitive
+                     + f_long_tokens >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS k_any,
+  CAST(SUM(f_too_short * f_repetitive) AS BIGINT) AS both_short_repetitive,
+  CAST(SUM(f_too_short * f_long_tokens) AS BIGINT) AS both_short_longtok
+FROM flags
+"""
+
+
+@register(
+    "n_filter_ablation_matrix",
+    oracle=_ABLATION_ORACLE,
+    tags=("N5", "A7", "A2"),
+)
+def n_filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ablation accounting for a four-heuristic quality-filter stack
+    (too-short, spacing anomaly, repetition, overlong tokens): each
+    filter's total kills, its UNIQUE kills (docs no other filter
+    catches — the only number that justifies keeping a filter), the
+    union kill count, and the biggest pairwise overlaps. This is the
+    analysis that turns a filter pile into a filter PORTFOLIO —
+    `n_quality_gopher_filters` applies the stack; this measures which
+    parts of it earn their false-positive budget.
+
+    Determinism & scale — every filter is a row-local integer
+    predicate (ratios as positive floor divisions in milli-units);
+    the whole matrix is ONE combinable conditional-aggregate pass,
+    no joins, no second scan."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tok"),
+        F.length("text").alias("n_char"),
+        F.length(F.regexp_replace(F.col("text"), " ", "")).alias("n_nonspace"),
+        F.size(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias(
+            "n_uniq"
+        ),
+    )
+    flags = feats.select(
+        F.when(F.col("n_tok") < 40, 1).otherwise(0).alias("f_too_short"),
+        F.when(
+            F.col("n_char") - F.col("n_nonspace") < F.col("n_tok") - 1, 1
+        ).otherwise(0).alias("f_spacing_anomaly"),
+        F.when(F.expr("n_uniq * 1000 DIV n_tok") < 450, 1)
+        .otherwise(0)
+        .alias("f_repetitive"),
+        F.when(F.expr("n_char * 10 DIV n_tok") > 90, 1)
+        .otherwise(0)
+        .alias("f_long_tokens"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_too_short").alias("k_too_short"),
+        F.sum("f_spacing_anomaly").alias("k_spacing"),
+        F.sum("f_repetitive").alias("k_repetitive"),
+        F.sum("f_long_tokens").alias("k_long_tokens"),
+        F.sum(
+            F.when(
+                (F.col("f_too_short") == 1)
+                & (F.col("f_spacing_anomaly") == 0)
+                & (F.col("f_repetitive") == 0)
+                & (F.col("f_long_tokens") == 0),
+                1,
+            ).otherwise(0)
+        ).alias("u_too_short"),
+        F.sum(
+            F.when(
+                (F.col("f_repetitive") == 1)
+                & (F.col("f_too_short") == 0)
+                & (F.col("f_spacing_anomaly") == 0)
+                & (F.col("f_long_tokens") == 0),
+                1,
+            ).otherwise(0)
+        ).alias("u_repetitive"),
+        F.sum(
+            F.when(
+                F.col("f_too_short")
+                + F.col("f_spacing_anomaly")
+                + F.col("f_repetitive")
+                + F.col("f_long_tokens")
+                >= 1,
+                1,
+            ).otherwise(0)
+        ).alias("k_any"),
+        F.sum(F.col("f_too_short") * F.col("f_repetitive")).alias(
+            "both_short_repetitive"
+        ),
+        F.sum(F.col("f_too_short") * F.col("f_long_tokens")).alias(
+            "both_short_longtok"
+        ),
+    )

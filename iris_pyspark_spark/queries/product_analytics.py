@@ -1338,3 +1338,106 @@ def e_nps_score_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p - d) * 1000000 - 1.959964 * se, 6).alias("ci_lo_ppm"),
         F.round((p - d) * 1000000 + 1.959964 * se, 6).alias("ci_hi_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gains / lift table (decile discrimination of a scoring model)
+# ---------------------------------------------------------------------------
+
+_GAINS_ORACLE = """
+WITH scored AS (
+  SELECT doc_id,
+         LEAST(n_chars, 2000) AS score,
+         CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 80 THEN 1 ELSE 0 END
+           AS label
+  FROM documents
+),
+ranked AS (
+  SELECT label,
+         NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+  FROM scored
+),
+per_decile AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS n_pos
+  FROM ranked GROUP BY decile
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot, CAST(SUM(n_pos) AS BIGINT) AS pos_tot
+  FROM per_decile
+)
+SELECT decile, n, n_pos,
+       n_pos * 1000000 // n AS rate_ppm,
+       CAST(SUM(n_pos) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         * 1000000 // pos_tot AS cum_capture_ppm,
+       (n_pos * 1000000 // n) * 1000 / (pos_tot * 1000000 // n_tot)
+         AS lift_x1000_approx,
+       n_pos * n_tot * 1000 // (n * pos_tot) AS lift_x1000
+FROM per_decile CROSS JOIN tot
+ORDER BY decile
+"""
+
+
+@register(
+    "e_gains_lift_table",
+    oracle=_GAINS_ORACLE,
+    tags=("W1", "A1", "W3"),
+)
+def e_gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table for a document-quality scoring model: score
+    deciles (best first), per-decile positive rate, cumulative capture
+    of all positives, and lift vs the base rate — the DISCRIMINATION
+    readout that pairs with `n_calibration_ece`'s calibration readout
+    (a model can be well-calibrated and useless, or sharp and
+    miscalibrated; you need both tables). 'Decile 1 captures 18% of
+    positives at 1.8x lift' is the sentence that sells a targeting
+    model.
+
+    Determinism & scale — NTILE over a total order (score desc, id) is
+    deterministic on both engines; per-decile stats are a 10-row
+    combinable rollup; capture and lift are positive integer
+    floor-division ppm (lift in exact x1000 units via the
+    cross-multiplied integer form). The only full shuffle is the
+    NTILE sort."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.least(F.col("n_chars"), F.lit(2000)).alias("score"),
+        F.when(F.size(F.split(F.col("text"), " ")) >= 80, 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    ranked = scored.select(
+        "label",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("decile"),
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("n_pos")
+    )
+    tot = per_decile.agg(
+        F.sum("n").alias("n_tot"), F.sum("n_pos").alias("pos_tot")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.expr("n_pos * 1000000 DIV n").alias("rate_ppm"),
+            F.expr(
+                "SUM(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
+                " PRECEDING AND CURRENT ROW) * 1000000 DIV pos_tot"
+            ).alias("cum_capture_ppm"),
+            (
+                F.expr("n_pos * 1000000 DIV n") * 1000
+                / F.expr("pos_tot * 1000000 DIV n_tot")
+            ).alias("lift_x1000_approx"),
+            F.expr("n_pos * n_tot * 1000 DIV (n * pos_tot)").alias("lift_x1000"),
+        )
+        .orderBy("decile")
+    )

@@ -388,6 +388,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 sixth continuation: 2-row transaction-time broadcast onto
     # the version table (theta on known_seq <= T)
     "j_bitemporal_reconstruction",
+    # round-4 sixth continuation: 1-row totals broadcast onto the
+    # 10-row decile rollup
+    "e_gains_lift_table",
 })
 
 
