@@ -227,6 +227,10 @@ def test_round4_fifth_continuation_shuffle_width_invariant(spark, sf_dir):
         "t_drift_psi_weekly", "t_peak_detection",
         "a_empirical_bayes_shrinkage", "t_rolling_origin_backtest",
         "a_simpsons_paradox_detector",
+        "e_nps_score_ci", "e_direct_standardization", "n_dedup_stage_funnel",
+        "e_price_volume_mix", "a_cvar_expected_shortfall",
+        "f_penny_allocation", "j_bitemporal_reconstruction",
+        "n_filter_ablation_matrix", "e_gains_lift_table",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
