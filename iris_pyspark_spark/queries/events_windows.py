@@ -2061,3 +2061,130 @@ def t_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spike root-cause drilldown: which dimension drove the anomalous day
+# ---------------------------------------------------------------------------
+
+_SPIKE_DRILLDOWN_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")})
+              AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
+  GROUP BY 1
+),
+spike AS (
+  SELECT day FROM daily ORDER BY y DESC, day LIMIT 1
+),
+base_days AS (
+  SELECT d.day FROM daily d CROSS JOIN spike s
+  WHERE d.day >= s.day - INTERVAL 7 DAY AND d.day < s.day
+),
+by_dim AS (
+  SELECT l_returnflag AS dim_value,
+         CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE) = (SELECT day FROM spike)
+                       THEN {CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")}
+                       ELSE 0 END) AS BIGINT) AS spike_cents,
+         CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE) IN (SELECT day FROM base_days)
+                       THEN {CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")}
+                       ELSE 0 END) AS BIGINT) AS base_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
+  GROUP BY l_returnflag
+),
+tot AS (
+  SELECT CAST(SUM(spike_cents) AS BIGINT) AS spike_tot,
+         CAST(SUM(base_cents) AS BIGINT) AS base_tot,
+         CAST((SELECT COUNT(*) FROM base_days) AS BIGINT) AS n_base_days
+  FROM by_dim
+)
+SELECT dim_value,
+       spike_cents / 100.0 AS spike_dollars,
+       ROUND(CAST(base_cents AS DOUBLE) / n_base_days / 100, 6)
+         AS baseline_daily_dollars,
+       ROUND((spike_cents - CAST(base_cents AS DOUBLE) / n_base_days) / 100, 6)
+         AS delta_dollars,
+       ROUND((spike_cents - CAST(base_cents AS DOUBLE) / n_base_days)
+             / ((spike_tot - CAST(base_tot AS DOUBLE) / n_base_days) / 100)
+             / 100, 6) AS share_of_spike
+FROM by_dim CROSS JOIN tot
+ORDER BY dim_value
+"""
+
+
+@register(
+    "e_spike_root_cause_drilldown",
+    oracle=_SPIKE_DRILLDOWN_ORACLE,
+    tags=("A7", "A1", "O2", "F2"),
+)
+def e_spike_root_cause_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-cause drilldown for the biggest revenue day of H1 1996:
+    each return-flag segment's spike-day revenue vs its trailing-7-day
+    daily baseline, with the segment's SHARE of the total anomaly —
+    the 'which dimension drove the spike?' decomposition an on-call
+    analyst runs right after `t_peak_detection` fires. Shares sum to 1
+    across segments by construction (each segment's delta over the
+    total delta).
+
+    Determinism & scale — the spike day is a deterministic argmax
+    (revenue desc, day tie-break) over the calendar rollup; the
+    drilldown is ONE conditional-aggregate pass over the fact per
+    dimension (spike-day vs baseline-window sums side by side), so
+    adding dimensions adds columns, not scans. All inputs exact cents;
+    the share division is the one float step, round-6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    half = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    daily = half.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(rev).alias("y")
+    )
+    spike_day = (
+        daily.orderBy(F.col("y").desc(), F.col("day")).limit(1).first().day
+    )
+    import datetime as _dt
+
+    base_lo = spike_day - _dt.timedelta(days=7)
+    by_dim = half.groupBy(F.col("l_returnflag").alias("dim_value")).agg(
+        F.sum(
+            F.when(F.col("l_shipdate").cast("date") == F.lit(spike_day), rev)
+            .otherwise(0)
+        ).alias("spike_cents"),
+        F.sum(
+            F.when(
+                (F.col("l_shipdate").cast("date") >= F.lit(base_lo))
+                & (F.col("l_shipdate").cast("date") < F.lit(spike_day)),
+                rev,
+            ).otherwise(0)
+        ).alias("base_cents"),
+    )
+    n_base_days = daily.filter(
+        (F.col("day") >= F.lit(base_lo)) & (F.col("day") < F.lit(spike_day))
+    ).count()
+    tot = by_dim.agg(
+        F.sum("spike_cents").alias("spike_tot"),
+        F.sum("base_cents").alias("base_tot"),
+    )
+    base_daily = F.col("base_cents").cast("double") / n_base_days
+    tot_delta = (
+        F.col("spike_tot") - F.col("base_tot").cast("double") / n_base_days
+    ) / 100
+    return (
+        by_dim.crossJoin(F.broadcast(tot))
+        .select(
+            "dim_value",
+            (F.col("spike_cents") / 100.0).alias("spike_dollars"),
+            F.round(base_daily / 100, 6).alias("baseline_daily_dollars"),
+            F.round((F.col("spike_cents") - base_daily) / 100, 6).alias(
+                "delta_dollars"
+            ),
+            F.round(
+                (F.col("spike_cents") - base_daily) / tot_delta / 100, 6
+            ).alias("share_of_spike"),
+        )
+        .orderBy("dim_value")
+    )

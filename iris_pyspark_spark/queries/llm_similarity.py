@@ -1955,3 +1955,112 @@ def n_binary_hash_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_10_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding isotropy diagnostics (norm concentration + mean pairwise cosine)
+# ---------------------------------------------------------------------------
+
+_ISOTROPY_ORACLE = f"""
+WITH sample AS (
+  SELECT vec_id, embedding,
+         {norm_unrolled_sql("embedding", DIM)} AS nrm
+  FROM embeddings WHERE vec_id % 11 = 0
+),
+norm_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         ROUND(MIN(nrm), 6) AS min_norm,
+         ROUND(MAX(nrm), 6) AS max_norm,
+         CAST(SUM(CAST(ROUND(nrm * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_norm_micro
+  FROM sample
+),
+pair_cos AS (
+  SELECT CAST(ROUND(({dot_unrolled_sql("a.embedding", "b.embedding", DIM)})
+               / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cos_micro
+  FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+),
+pair_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(cos_micro) AS BIGINT) AS sum_cos_micro,
+         CAST(SUM(ABS(cos_micro)) AS BIGINT) AS sum_abs_cos_micro
+  FROM pair_cos
+)
+SELECT n_sampled, n_pairs,
+       min_norm, max_norm,
+       sum_norm_micro // n_sampled AS mean_norm_micro,
+       -- offset-positive division: cos >= -1 so sum >= -n*1e6; the
+       -- shift keeps floor(//) and Spark's truncating DIV identical
+       -- for a possibly-negative numerator.
+       (sum_cos_micro + n_pairs * 1000000) // n_pairs - 1000000
+         AS mean_cos_micro,
+       sum_abs_cos_micro // n_pairs AS mean_abs_cos_micro
+FROM norm_stats CROSS JOIN pair_stats
+"""
+
+
+@register(
+    "n_embedding_isotropy",
+    oracle=_ISOTROPY_ORACLE,
+    tags=("N3", "A2", "J10"),
+)
+def n_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy diagnostics on a deterministic sample:
+    norm concentration (min/max/mean) and mean (signed and absolute)
+    pairwise cosine. Anisotropic embeddings — everything crammed into a
+    narrow cone, mean cosine ≫ 0 — are why raw cosine similarity
+    saturates and why whitening/centering exists; this is the
+    one-query health check to run BEFORE trusting any of the
+    similarity operators downstream.
+
+    Determinism & scale — the pairwise pass runs on a MOD-SAMPLED
+    subset (vec_id % 11: isotropy is a property estimate, not an
+    enumeration) as a bounded theta self-join of bit-exact unrolled
+    cosines, each rounded to integer micro before the order-free sums;
+    norms are single-pass. At billions of vectors the sample keeps the
+    quadratic term constant-sized while every other stat stays
+    one-pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sample = e.filter(F.col("vec_id") % 11 == 0).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias(
+            "nrm"
+        ),
+    )
+    norm_stats = sample.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.sum(F.round(F.col("nrm") * 1000000).cast("long"))
+        .cast("long")
+        .alias("sum_norm_micro"),
+    )
+    a, b = sample.alias("a"), sample.alias("b")
+    cos_micro = F.round(
+        dot_unrolled(F.col("a.embedding"), F.col("b.embedding"), DIM)
+        / (F.col("a.nrm") * F.col("b.nrm"))
+        * 1000000
+    ).cast("long")
+    pair_stats = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(cos_micro.alias("cos_micro"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("cos_micro").cast("long").alias("sum_cos_micro"),
+            F.sum(F.abs(F.col("cos_micro"))).cast("long").alias(
+                "sum_abs_cos_micro"
+            ),
+        )
+    )
+    return norm_stats.crossJoin(F.broadcast(pair_stats)).select(
+        "n_sampled",
+        "n_pairs",
+        "min_norm",
+        "max_norm",
+        F.expr("sum_norm_micro DIV n_sampled").alias("mean_norm_micro"),
+        F.expr(
+            "(sum_cos_micro + n_pairs * 1000000) DIV n_pairs - 1000000"
+        ).alias("mean_cos_micro"),
+        F.expr("sum_abs_cos_micro DIV n_pairs").alias("mean_abs_cos_micro"),
+    )

@@ -391,6 +391,10 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 sixth continuation: 1-row totals broadcast onto the
     # 10-row decile rollup
     "e_gains_lift_table",
+    # round-4 sixth continuation: mod-sampled (vec_id % 11) theta
+    # self-join for pairwise cosines + 1-row pair-stats crossJoin;
+    # 1-row spike-totals crossJoin onto the |dims|-row drilldown
+    "n_embedding_isotropy", "e_spike_root_cause_drilldown",
 })
 
 
