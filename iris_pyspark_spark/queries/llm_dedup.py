@@ -1593,3 +1593,98 @@ def n_dedup_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("n_tokens").over(w) - F.col("n_tokens"), F.lit(0)
         ).alias("tokens_removed"),
     ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard-estimate calibration curve (estimate vs exact, per bucket)
+# ---------------------------------------------------------------------------
+
+@register("n_minhash_jaccard_calibration", oracle=None, tags=("N2", "A1", "W1"))
+def n_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the 32-hash MinHash Jaccard estimator:
+    LSH candidate pairs bucket by their ESTIMATED Jaccard (deciles),
+    and each bucket reports the mean EXACT token-set Jaccard of its
+    pairs — the readout that turns '32 hashes' from a folk constant
+    into a measured accuracy statement (more hashes tighten the
+    diagonal; fewer smear it). Tuning teams run exactly this on a
+    corpus sample before fixing signature width for a crawl.
+
+    Rows-only (signatures are Spark xxhash64); self-validation:
+    `diag_ok` pins that each bucket's mean exact Jaccard lies within
+    ±0.25 of the bucket's estimated midpoint (the 32-hash ±3σ
+    envelope at these Jaccard levels), and `n_ok` that every reported
+    bucket is non-empty. Scale — exact Jaccard is computed ONLY for
+    LSH candidates (the bounded set), via the token equi-join, never
+    all pairs."""
+    from ..operators.dedup import lsh_candidate_pairs
+    from ..sources import scratch_dir, table_fingerprint
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    est = lsh_candidate_pairs(
+        corpus, "doc_id", "text",
+        materialize_path=scratch_dir(sf_dir, "minhash_signatures"),
+        materialize_fingerprint=table_fingerprint(
+            sf_dir, "documents", params="neardup-shingle3-hash32"
+        ),
+    ).select("id_a", "id_b", "est_jaccard")
+    toks = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nd"))
+    ta = toks.select(F.col("doc_id").alias("id_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("id_b"), "tok")
+    shared = (
+        est.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("nd").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("nd").alias("n_b"))
+    exact = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("exact_jaccard"),
+        )
+    )
+    joined = est.join(exact, ["id_a", "id_b"])
+    bucketed = joined.select(
+        F.least(
+            F.floor(F.col("est_jaccard") * 10).cast("int"), F.lit(9)
+        ).alias("est_bucket"),
+        "est_jaccard",
+        "exact_jaccard",
+    )
+    return (
+        bucketed.groupBy("est_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("est_jaccard"), 6).alias("mean_est_jaccard"),
+            F.round(F.avg("exact_jaccard"), 6).alias("mean_exact_jaccard"),
+        )
+        .select(
+            "est_bucket",
+            "n_pairs",
+            "mean_est_jaccard",
+            "mean_exact_jaccard",
+            (
+                F.abs(
+                    F.col("mean_exact_jaccard")
+                    - (F.col("est_bucket") * 0.1 + 0.05)
+                )
+                <= 0.25
+            ).alias("diag_ok"),
+            (F.col("n_pairs") > 0).alias("n_ok"),
+        )
+        .orderBy("est_bucket")
+    )

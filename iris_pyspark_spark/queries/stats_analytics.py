@@ -4824,3 +4824,112 @@ def a_cvar_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Intraclass correlation ICC(1): how much of metric variance is between-days
+# ---------------------------------------------------------------------------
+
+_ICC_ORACLE = f"""
+WITH obs AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         {CENTS_SQL.format(expr="l_extendedprice")} AS y
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+),
+g AS (
+  SELECT day,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(y) AS BIGINT) AS s_g,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS ss_g
+  FROM obs GROUP BY day
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(ss_g) AS DECIMAL(38,0)) AS ss,
+         -- each group's s²/n term rounds to an integer (cents²)
+         -- BEFORE the sum: 91 groups is enough for accumulation
+         -- order to move a raw double sum by ulps across engines.
+         CAST(SUM(CAST(ROUND(CAST(s_g AS DOUBLE) * s_g / n_g) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sum_sq_over_n_i
+  FROM g
+)
+SELECT k AS n_days, n AS n_obs,
+       ROUND((CAST(sum_sq_over_n_i AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+             / (k - 1) / 10000, 6) AS msb_dollars_sq,
+       ROUND((CAST(ss AS DOUBLE) - CAST(sum_sq_over_n_i AS DOUBLE)) / (n - k)
+             / 10000, 6) AS msw_dollars_sq,
+       ROUND(((CAST(sum_sq_over_n_i AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1)
+              - (CAST(ss AS DOUBLE) - CAST(sum_sq_over_n_i AS DOUBLE)) / (n - k))
+             / ((CAST(sum_sq_over_n_i AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (k - 1)
+                + (CAST(n AS DOUBLE) / k - 1)
+                  * (CAST(ss AS DOUBLE) - CAST(sum_sq_over_n_i AS DOUBLE)) / (n - k)), 6)
+         AS icc1
+FROM tot
+"""
+
+
+@register(
+    "a_intraclass_correlation",
+    oracle=_ICC_ORACLE,
+    tags=("A1", "A2", "F2"),
+)
+def a_intraclass_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(1) — the share of line-price variance explained by the DAY
+    grouping (one-way random-effects intraclass correlation,
+    (MSB−MSW)/(MSB+(n̄−1)·MSW)) — the clustering diagnostic that
+    decides whether per-day aggregation is informative and how much
+    day-level clustering inflates naive standard errors (design
+    effect ≈ 1+(n̄−1)·ICC). ICC ≈ 0 here is itself the finding: line
+    prices don't cluster by ship date, so day-level models of PRICE
+    are noise.
+
+    Determinism & scale — the same sufficient-statistics discipline as
+    `a_oneway_anova_f` with day as the factor: per-day exact BIGINT
+    (n, Σy) and DECIMAL(38,0) Σy², one bounded rollup, one fixed float
+    expression per output, round-6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = cents(F.col("l_extendedprice"))
+    g = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(y).alias("s_g"),
+            F.sum(y.cast("decimal(38,0)") * y).alias("ss_g"),
+        )
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(
+            F.round(
+                F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+            ).cast("decimal(38,0)")
+        ).alias("sum_sq_over_n_i"),
+    )
+    msb = (
+        F.col("sum_sq_over_n_i").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("k") - 1)
+    msw = (
+        F.col("ss").cast("double") - F.col("sum_sq_over_n_i").cast("double")
+    ) / (F.col("n") - F.col("k"))
+    return tot.select(
+        F.col("k").alias("n_days"),
+        F.col("n").alias("n_obs"),
+        F.round(msb / 10000, 6).alias("msb_dollars_sq"),
+        F.round(msw / 10000, 6).alias("msw_dollars_sq"),
+        F.round(
+            (msb - msw)
+            / (msb + (F.col("n").cast("double") / F.col("k") - 1) * msw),
+            6,
+        ).alias("icc1"),
+    )

@@ -231,6 +231,8 @@ def test_round4_fifth_continuation_shuffle_width_invariant(spark, sf_dir):
         "e_price_volume_mix", "a_cvar_expected_shortfall",
         "f_penny_allocation", "j_bitemporal_reconstruction",
         "n_filter_ablation_matrix", "e_gains_lift_table",
+        "n_embedding_isotropy", "e_spike_root_cause_drilldown",
+        "n_minhash_jaccard_calibration", "a_intraclass_correlation",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
