@@ -3697,3 +3697,89 @@ def n_filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "both_short_longtok"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Search-result diversification: per-source cap on the BM25 top-k
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source,
+         -- deterministic relevance proxy: clamped length score with an
+         -- id tie-break (stands in for the BM25 arm, whose scores are
+         -- proven separately by n_bm25_retrieval)
+         LEAST(n_chars, 2000) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS global_rank,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id) AS within_source
+  FROM scored
+),
+diversified AS (
+  SELECT doc_id, source, score, global_rank, within_source,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS final_rank
+  FROM ranked WHERE within_source <= 2
+)
+SELECT final_rank, doc_id, source, CAST(score AS BIGINT) AS score,
+       CAST(global_rank AS BIGINT) AS undiversified_rank,
+       CAST(within_source AS BIGINT) AS slot_within_source
+FROM diversified
+WHERE final_rank <= 20
+ORDER BY final_rank
+"""
+
+
+@register(
+    "n_search_diversity_cap",
+    oracle=_DIVERSITY_ORACLE,
+    tags=("W4", "W1", "O2", "N5"),
+)
+def n_search_diversity_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result diversification: the relevance-ranked list
+    re-ranked under a max-2-per-source cap before taking the top-20 —
+    the post-retrieval constraint every search/RAG stack applies so
+    one crawl domain can't monopolize the context window. Each row
+    keeps its undiversified rank, so the delta between the two
+    rankings IS the crowding that the cap removed.
+
+    Determinism & scale — both rankings are total orders with
+    (score desc, id) tie-breaks; the cap is a per-source row_number
+    filter (WindowGroupLimit-eligible: the per-source window prunes to
+    2 rows map-side BEFORE the global re-rank), and only the capped
+    survivors reach the final top-20 sort."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.least(F.col("n_chars"), F.lit(2000)).alias("score"),
+    )
+    order = (F.col("score").desc(), F.col("doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(Window.orderBy(*order)).alias("global_rank"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(*order))
+        .alias("within_source"),
+    )
+    return (
+        ranked.filter(F.col("within_source") <= 2)
+        .withColumn(
+            "final_rank", F.row_number().over(Window.orderBy(*order))
+        )
+        .filter(F.col("final_rank") <= 20)
+        .select(
+            "final_rank",
+            "doc_id",
+            "source",
+            F.col("score").cast("long").alias("score"),
+            F.col("global_rank").cast("long").alias("undiversified_rank"),
+            F.col("within_source").cast("long").alias("slot_within_source"),
+        )
+        .orderBy("final_rank")
+    )

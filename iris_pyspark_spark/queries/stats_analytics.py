@@ -4933,3 +4933,125 @@ def a_intraclass_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("icc1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (the significance companion to Theil-Sen)
+# ---------------------------------------------------------------------------
+
+_MANN_KENDALL_ORACLE = f"""
+WITH weekly AS (
+  SELECT (DATEDIFF('day', DATE '1996-01-01', CAST(l_shipdate AS DATE))) // 7
+           AS wk,
+         CAST(SUM({CENTS_SQL.format(expr="l_extendedprice * (1 - l_discount)")})
+              AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY 1
+),
+pairs AS (
+  SELECT CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+  FROM weekly a JOIN weekly b ON a.wk < b.wk
+),
+s_stat AS (
+  SELECT CAST(SUM(sgn) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs
+),
+n_rows AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM weekly),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM weekly GROUP BY y
+        HAVING COUNT(*) > 1)
+)
+SELECT n, n_pairs, s,
+       ROUND((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+              - CAST(tie_term AS DOUBLE)) / 18, 6) AS var_s,
+       ROUND(CASE WHEN s > 0 THEN (s - 1)
+                  WHEN s < 0 THEN (s + 1)
+                  ELSE 0 END
+             / SQRT((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                     - CAST(tie_term AS DOUBLE)) / 18), 6) AS z_stat
+FROM s_stat CROSS JOIN n_rows CROSS JOIN ties
+"""
+
+
+@register(
+    "t_mann_kendall_test",
+    oracle=_MANN_KENDALL_ORACLE,
+    tags=("J10", "A1", "A2", "F2"),
+)
+def t_mann_kendall_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the 1996 weekly revenue series — the
+    nonparametric "is there ANY monotone trend?" significance test that
+    pairs with `t_theil_sen_trend`'s slope estimate (Sen estimates the
+    magnitude, Mann-Kendall says whether to believe its sign at all):
+    S = Σ sign(y_j − y_i) over ordered pairs, tie-corrected variance
+    n(n−1)(2n+5)/18 − Σt(t−1)(2t+5)/18, continuity-corrected z.
+
+    Determinism & scale — the pair pass is the SAME bounded
+    calendar-rollup theta self-join as Theil-Sen (≤1378 pairs); S and
+    the tie term are exact integers; the z is one fixed float
+    expression, round-6. The fact is touched once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy(
+            F.expr(
+                "datediff(CAST(l_shipdate AS DATE), DATE '1996-01-01') DIV 7"
+            ).alias("wk")
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("y")
+        )
+    )
+    a, b = weekly.alias("a"), weekly.alias("b")
+    pairs = a.join(b, F.col("a.wk") < F.col("b.wk")).select(
+        F.when(F.col("b.y") > F.col("a.y"), 1)
+        .when(F.col("b.y") < F.col("a.y"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s_stat = pairs.agg(
+        F.sum("sgn").cast("long").alias("s"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    n_rows = weekly.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        weekly.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var_s = (
+        F.col("n").cast("double") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term").cast("double")
+    ) / 18
+    z = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+        / F.sqrt(var_s)
+    )
+    return (
+        s_stat.crossJoin(broadcast(n_rows))
+        .crossJoin(broadcast(ties))
+        .select(
+            "n",
+            "n_pairs",
+            "s",
+            F.round(var_s, 6).alias("var_s"),
+            F.round(z, 6).alias("z_stat"),
+        )
+    )

@@ -395,6 +395,9 @@ _BNLJ_ALLOWED = frozenset({
     # self-join for pairwise cosines + 1-row pair-stats crossJoin;
     # 1-row spike-totals crossJoin onto the |dims|-row drilldown
     "n_embedding_isotropy", "e_spike_root_cause_drilldown",
+    # round-4 sixth continuation: <=53-row calendar-rollup theta
+    # self-join (sign pairs) + 1-row n/tie-term crossJoins
+    "t_mann_kendall_test",
 })
 
 
