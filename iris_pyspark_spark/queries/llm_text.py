@@ -3783,3 +3783,108 @@ def n_search_diversity_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("final_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Slice-based evaluation: classifier accuracy per (lang, length-band) slice
+# ---------------------------------------------------------------------------
+
+_SLICE_EVAL_ORACLE = """
+WITH scored AS (
+  SELECT lang,
+         CASE WHEN n_chars < 500 THEN 'short'
+              WHEN n_chars < 1200 THEN 'medium'
+              ELSE 'long' END AS len_band,
+         CASE WHEN n_chars >= 700 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 110 THEN 1 ELSE 0 END
+           AS label
+  FROM documents
+),
+slices AS (
+  SELECT lang, len_band,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+         CAST(SUM(label) AS BIGINT) AS n_pos
+  FROM scored GROUP BY lang, len_band
+),
+overall AS (
+  SELECT CAST(SUM(n_correct) AS BIGINT) * 1000000
+           // CAST(SUM(n) AS BIGINT) AS overall_acc_ppm,
+         CAST(MIN(n_correct * 1000000 // n) AS BIGINT) AS worst_acc_ppm
+  FROM slices
+)
+SELECT lang, len_band, n, n_pos,
+       n_correct * 1000000 // n AS acc_ppm,
+       overall_acc_ppm,
+       (n_correct * 1000000 // n) = worst_acc_ppm AS is_worst_slice,
+       (n_correct * 1000000 // n) + 100000 < overall_acc_ppm
+         AS lags_overall_by_10pts
+FROM slices CROSS JOIN overall
+ORDER BY lang, len_band
+"""
+
+
+@register(
+    "n_slice_eval_metrics",
+    oracle=_SLICE_EVAL_ORACLE,
+    tags=("N5", "A1", "A7", "P6"),
+)
+def n_slice_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice-based model evaluation: the quality classifier's accuracy
+    on every (language × length-band) slice, each row also carrying the
+    overall accuracy, a worst-slice marker, and a lags-by-10-points
+    flag — the Robustness-Gym-style report that catches a model whose
+    aggregate accuracy hides a collapsed slice (aggregate 85%, Spanish
+    short-docs 40% → the aggregate is a lie for that traffic). Ships
+    with `n_langid_confusion_matrix` and `n_calibration_ece` as the
+    three-view eval battery: per-class, calibration, per-slice.
+
+    Determinism & scale — predictions and labels are row-local integer
+    predicates; one combinable (lang, band) rollup; overall and worst
+    re-aggregate the |slices| rows; every rate is positive integer ppm
+    floor division."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        F.when(F.col("n_chars") < 500, "short")
+        .when(F.col("n_chars") < 1200, "medium")
+        .otherwise("long")
+        .alias("len_band"),
+        F.when(F.col("n_chars") >= 700, 1).otherwise(0).alias("pred"),
+        F.when(F.size(F.split(F.col("text"), " ")) >= 110, 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    slices = scored.groupBy("lang", "len_band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0)).alias(
+            "n_correct"
+        ),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    overall = slices.agg(
+        F.expr("SUM(n_correct) * 1000000 DIV SUM(n)").alias("overall_acc_ppm"),
+        F.min(F.expr("n_correct * 1000000 DIV n")).cast("long").alias(
+            "worst_acc_ppm"
+        ),
+    )
+    return (
+        slices.crossJoin(F.broadcast(overall))
+        .select(
+            "lang",
+            "len_band",
+            "n",
+            "n_pos",
+            F.expr("n_correct * 1000000 DIV n").alias("acc_ppm"),
+            "overall_acc_ppm",
+            (F.expr("n_correct * 1000000 DIV n") == F.col("worst_acc_ppm")).alias(
+                "is_worst_slice"
+            ),
+            (
+                F.expr("n_correct * 1000000 DIV n") + 100000
+                < F.col("overall_acc_ppm")
+            ).alias("lags_overall_by_10pts"),
+        )
+        .orderBy("lang", "len_band")
+    )

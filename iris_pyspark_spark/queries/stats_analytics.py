@@ -5055,3 +5055,118 @@ def t_mann_kendall_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects (distributional lift, not just the mean)
+# ---------------------------------------------------------------------------
+
+_QTE_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN (user_id * 48271) % 100 < 50 THEN 'A' ELSE 'B' END AS arm,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS spend
+  FROM events GROUP BY user_id
+),
+q AS (
+  SELECT arm,
+         PERCENTILE_CONT(0.10) WITHIN GROUP (ORDER BY spend) AS q10,
+         PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY spend) AS q25,
+         PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY spend) AS q50,
+         PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY spend) AS q75,
+         PERCENTILE_CONT(0.90) WITHIN GROUP (ORDER BY spend) AS q90,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM per_user GROUP BY arm
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN arm = 'A' THEN q10 END) AS a10,
+    MAX(CASE WHEN arm = 'B' THEN q10 END) AS b10,
+    MAX(CASE WHEN arm = 'A' THEN q25 END) AS a25,
+    MAX(CASE WHEN arm = 'B' THEN q25 END) AS b25,
+    MAX(CASE WHEN arm = 'A' THEN q50 END) AS a50,
+    MAX(CASE WHEN arm = 'B' THEN q50 END) AS b50,
+    MAX(CASE WHEN arm = 'A' THEN q75 END) AS a75,
+    MAX(CASE WHEN arm = 'B' THEN q75 END) AS b75,
+    MAX(CASE WHEN arm = 'A' THEN q90 END) AS a90,
+    MAX(CASE WHEN arm = 'B' THEN q90 END) AS b90,
+    CAST(MAX(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
+    CAST(MAX(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b
+  FROM q
+)
+SELECT quantile, ROUND(q_a / 100, 6) AS q_a_dollars,
+       ROUND(q_b / 100, 6) AS q_b_dollars,
+       ROUND((q_a - q_b) / 100, 6) AS qte_dollars, n_a, n_b
+FROM (
+  SELECT 'p10' AS quantile, a10 AS q_a, b10 AS q_b, n_a, n_b FROM wide
+  UNION ALL SELECT 'p25', a25, b25, n_a, n_b FROM wide
+  UNION ALL SELECT 'p50', a50, b50, n_a, n_b FROM wide
+  UNION ALL SELECT 'p75', a75, b75, n_a, n_b FROM wide
+  UNION ALL SELECT 'p90', a90, b90, n_a, n_b FROM wide
+)
+ORDER BY quantile
+"""
+
+
+@register(
+    "e_quantile_treatment_effects",
+    oracle=_QTE_ORACLE,
+    tags=("A8", "A1", "O3", "P6"),
+)
+def e_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the A-vs-B per-user spend difference
+    at p10/p25/p50/p75/p90 — the distributional readout a mean-effect
+    test (`e_welch_ttest`) cannot give: an intervention that lifts the
+    median while gutting the p90 has a zero mean effect and a very
+    nonzero product decision. Per-quantile arm values and their
+    difference, dollars, round-6.
+
+    Determinism & scale — one combinable per-user reduction, exact
+    percentile_cont order statistics per 2-row arm group (a + f·(b−a)
+    interpolation identical both engines, proven by
+    a_percentile_cont_disc), a 1-row pivot and a 5-row unpivot. The
+    fact is touched once."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("spend")
+    ).withColumn(
+        "arm",
+        F.when((F.col("user_id") * 48271) % 100 < 50, "A").otherwise("B"),
+    )
+    q = per_user.groupBy("arm").agg(
+        *[
+            F.expr(
+                f"percentile_cont({p}) WITHIN GROUP (ORDER BY spend)"
+            ).alias(f"q{int(p * 100)}")
+            for p in (0.10, 0.25, 0.50, 0.75, 0.90)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    wide = q.agg(
+        *[
+            F.max(F.when(F.col("arm") == arm, F.col(f"q{pct}"))).alias(
+                f"{arm.lower()}{pct}"
+            )
+            for arm in ("A", "B")
+            for pct in (10, 25, 50, 75, 90)
+        ],
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).cast("long").alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).cast("long").alias("n_b"),
+    )
+    rows = [
+        wide.select(
+            F.lit(f"p{pct}").alias("quantile"),
+            F.round(F.col(f"a{pct}") / 100, 6).alias("q_a_dollars"),
+            F.round(F.col(f"b{pct}") / 100, 6).alias("q_b_dollars"),
+            F.round((F.col(f"a{pct}") - F.col(f"b{pct}")) / 100, 6).alias(
+                "qte_dollars"
+            ),
+            "n_a",
+            "n_b",
+        )
+        for pct in (10, 25, 50, 75, 90)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("quantile")

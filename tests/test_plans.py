@@ -398,6 +398,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 sixth continuation: <=53-row calendar-rollup theta
     # self-join (sign pairs) + 1-row n/tie-term crossJoins
     "t_mann_kendall_test",
+    # round-4 sixth continuation: 1-row overall/worst-slice broadcast
+    # onto the bounded (lang, band) rollup
+    "n_slice_eval_metrics",
 })
 
 
