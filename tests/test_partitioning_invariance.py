@@ -233,6 +233,8 @@ def test_round4_fifth_continuation_shuffle_width_invariant(spark, sf_dir):
         "n_filter_ablation_matrix", "e_gains_lift_table",
         "n_embedding_isotropy", "e_spike_root_cause_drilldown",
         "n_minhash_jaccard_calibration", "a_intraclass_correlation",
+        "n_search_diversity_cap", "t_mann_kendall_test",
+        "e_quantile_treatment_effects", "n_slice_eval_metrics",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
