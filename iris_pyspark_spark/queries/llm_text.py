@@ -3888,3 +3888,279 @@ def n_slice_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "len_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's law: rank-frequency slope of the term distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term FROM documents
+),
+freq AS (
+  SELECT term, COUNT(*) AS n_occ FROM toks GROUP BY term
+),
+vocab AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         CAST(MAX(n_occ) AS BIGINT) AS top_freq
+  FROM freq
+),
+ranked AS (
+  SELECT term, n_occ,
+         ROW_NUMBER() OVER (ORDER BY n_occ DESC, term) AS rnk
+  FROM freq
+),
+pts AS (
+  SELECT CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x_micro,
+         CAST(ROUND(LN(CAST(n_occ AS DOUBLE)) * 1000000) AS BIGINT) AS y_micro
+  FROM ranked WHERE rnk <= 200
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x_micro) AS BIGINT) AS sx,
+         CAST(SUM(y_micro) AS BIGINT) AS sy,
+         CAST(SUM(x_micro * y_micro) AS HUGEINT) AS sxy,
+         CAST(SUM(x_micro * x_micro) AS HUGEINT) AS sxx
+  FROM pts
+)
+SELECT s.n AS n_points,
+       v.vocab_size,
+       v.top_freq,
+       ROUND((s.n * s.sxy - s.sx * s.sy)
+             / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE), 6) AS zipf_slope
+FROM stats s CROSS JOIN vocab v
+"""
+
+
+@register(
+    "n_zipf_law_fit",
+    oracle=_ZIPF_ORACLE,
+    tags=("N5", "A1", "W1", "O2", "F3"),
+)
+def n_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's law fit: OLS slope of ln(frequency) on ln(rank) over the
+    top-200 terms — the rank-frequency exponent (~-1 for natural text)
+    that sanity-checks a crawl's token distribution (a slope far from
+    -1 flags boilerplate or spam domination) and is the companion
+    diagnostic to Heaps' law (`n_heaps_law_fit`).
+
+    Scale design: term frequencies are ONE combinable groupBy (map-side
+    partial counts); the top-200 selection is a distributed
+    TakeOrderedAndProject with a total-order tie-break (freq desc,
+    term), NEVER a global sort; ranking and the OLS run on the 200-row
+    result. Log leaves are micro-nat rounded BIGINTs so the sufficient
+    statistics are exact integers — partition layout cannot move a bit
+    (the Heaps/retention-fit convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
+    vocab = freq.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.max("n_occ").alias("top_freq"),
+    )
+    top = freq.orderBy(F.col("n_occ").desc(), "term").limit(200)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("n_occ").desc(), "term")),
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1000000)
+        .cast("long")
+        .alias("x_micro"),
+        F.round(F.log(F.col("n_occ").cast("double")) * 1000000)
+        .cast("long")
+        .alias("y_micro"),
+    )
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    stats = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_micro").cast("long").alias("sx"),
+        F.sum("y_micro").cast("long").alias("sy"),
+        F.sum(dec(F.col("x_micro") * F.col("y_micro"))).alias("sxy"),
+        F.sum(dec(F.col("x_micro") * F.col("x_micro"))).alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = nd * F.col("sxy") - (F.col("sx").cast("decimal(38,0)") * F.col("sy"))
+    den = nd * F.col("sxx") - (F.col("sx").cast("decimal(38,0)") * F.col("sx"))
+    return stats.crossJoin(F.broadcast(vocab)).select(
+        F.col("n").alias("n_points"),
+        "vocab_size",
+        "top_freq",
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "zipf_slope"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between per-source unigram distributions
+# ---------------------------------------------------------------------------
+
+_JSD_ORACLE = """
+WITH toks AS (
+  SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+  FROM documents
+),
+term_counts AS (
+  SELECT source, term, COUNT(*) AS c FROM toks GROUP BY source, term
+),
+top_terms AS (
+  SELECT term FROM (
+    SELECT term, SUM(c) AS tot FROM term_counts GROUP BY term
+    ORDER BY tot DESC, term LIMIT 300
+  )
+),
+counts AS (
+  SELECT tc.source, tc.term, tc.c
+  FROM term_counts tc JOIN top_terms USING (term)
+),
+totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY source),
+grid AS (
+  SELECT s.source, t.term
+  FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN top_terms t
+),
+filled AS (
+  SELECT g.source, g.term, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM grid g LEFT JOIN counts c ON g.source = c.source AND g.term = c.term
+),
+pairs AS (
+  SELECT a.term, a.source AS source_a, b.source AS source_b,
+         a.c AS ca, b.c AS cb, ta.tot AS ta, tb.tot AS tb
+  FROM filled a
+  JOIN filled b ON a.term = b.term AND a.source < b.source
+  JOIN totals ta ON a.source = ta.source
+  JOIN totals tb ON b.source = tb.source
+),
+contrib AS (
+  SELECT source_a, source_b,
+         CASE WHEN ca = 0 THEN 0 ELSE
+           CAST(ROUND((CAST(ca AS DOUBLE) / ta)
+                * LN(2.0 * ca * tb / (ca * tb + cb * ta))
+                * 1000000000) AS BIGINT) END AS kp_nano,
+         CASE WHEN cb = 0 THEN 0 ELSE
+           CAST(ROUND((CAST(cb AS DOUBLE) / tb)
+                * LN(2.0 * cb * ta / (cb * ta + ca * tb))
+                * 1000000000) AS BIGINT) END AS kq_nano
+  FROM pairs
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(kp_nano) AS BIGINT) AS kl_p_m_nano,
+       CAST(SUM(kq_nano) AS BIGINT) AS kl_q_m_nano,
+       ROUND((SUM(kp_nano) + SUM(kq_nano)) / 2.0 / 1000000000, 6) AS jsd_nats
+FROM contrib
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "n_js_divergence_sources",
+    oracle=_JSD_ORACLE,
+    tags=("N5", "A1", "J1", "J9", "P5"),
+)
+def n_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of per-source
+    unigram distributions over a shared top-300 vocabulary — the
+    standard domain-shift / mixture-distance metric a pretraining
+    curator reads before setting domain mix weights (JSD is symmetric,
+    bounded by ln 2, and defined even where one side has zero mass).
+
+    Scale design: (1) per-(source, term) counts are ONE combinable
+    groupBy over the token explode; (2) the vocabulary is capped to the
+    top-300 global terms BEFORE any pair fan-out (the apriori posture —
+    the join fan-out is |sources|² per term, a data-model constant,
+    never vocabulary-sized); (3) the sources × vocab grid is a cross of
+    two tiny dims so zero counts are explicit rows and the KL terms
+    stay total; (4) each term's KL contribution is nano-nat rounded to
+    an exact BIGINT at the leaf, making the final sums bit-stable
+    across partition layouts and engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    term_counts = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top_terms = (
+        term_counts.groupBy("term")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.col("tot").desc(), "term")
+        .limit(300)
+        .select("term")
+    )
+    counts = term_counts.join(F.broadcast(top_terms), "term")
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    sources = docs.select("source").distinct()
+    grid = sources.crossJoin(F.broadcast(top_terms))
+    filled = (
+        grid.join(counts, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    a = filled.select(
+        F.col("term").alias("term"),
+        F.col("source").alias("source_a"),
+        F.col("c").alias("ca"),
+    )
+    b = filled.select(
+        F.col("term").alias("term"),
+        F.col("source").alias("source_b"),
+        F.col("c").alias("cb"),
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("tot").alias("ta")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("tot").alias("tb")
+    )
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+    )
+    contrib = pairs.select(
+        "source_a",
+        "source_b",
+        # NOTE: the `2.0D` double literal is load-bearing — a bare `2.0`
+        # parses as DECIMAL(2,1) in Spark SQL and drags the whole ratio
+        # into decimal arithmetic (scale-truncated ≈1e-7), silently
+        # diverging from DuckDB's double evaluation of the same text.
+        F.expr(
+            "CASE WHEN ca = 0 THEN 0 ELSE "
+            "CAST(ROUND((CAST(ca AS DOUBLE) / ta) "
+            "* LN(2.0D * ca * tb / (ca * tb + cb * ta)) "
+            "* 1000000000) AS BIGINT) END"
+        ).alias("kp_nano"),
+        F.expr(
+            "CASE WHEN cb = 0 THEN 0 ELSE "
+            "CAST(ROUND((CAST(cb AS DOUBLE) / tb) "
+            "* LN(2.0D * cb * ta / (cb * ta + ca * tb)) "
+            "* 1000000000) AS BIGINT) END"
+        ).alias("kq_nano"),
+    )
+    return (
+        contrib.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("kp_nano").cast("long").alias("kl_p_m_nano"),
+            F.sum("kq_nano").cast("long").alias("kl_q_m_nano"),
+            F.round(
+                (F.sum("kp_nano") + F.sum("kq_nano")) / 2.0 / 1000000000, 6
+            ).alias("jsd_nats"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -5170,3 +5170,172 @@ def e_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("quantile")
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR correction over a family of Welch tests
+# ---------------------------------------------------------------------------
+
+_BH_FDR_ORACLE = f"""
+WITH spend AS (
+  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS yr,
+         {CENTS_SQL.format(expr="o_totalprice")} AS pc
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1998-01-01'
+),
+stats AS (
+  SELECT nation, yr, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS s,
+         CAST(SUM(pc * pc) AS HUGEINT) AS ss
+  FROM spend GROUP BY nation, yr
+),
+welch AS (
+  SELECT a.nation, a.n AS n1, b.n AS n2,
+         ROUND((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+           / SQRT((CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s / a.n)
+                    / (a.n - 1) / a.n
+                + (CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n)
+                    / (b.n - 1) / b.n), 6) AS z
+  FROM stats a JOIN stats b
+    ON a.nation = b.nation AND a.yr = 1996 AND b.yr = 1997
+),
+ptab AS (
+  SELECT nation, n1, n2, z,
+         CAST(ROUND(2000000.0
+           / (1.0 + EXP(1.5976 * ABS(z)
+                        + 0.07056 * ABS(z) * ABS(z) * ABS(z))))
+           AS BIGINT) AS p_ppm
+  FROM welch
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, nation) AS BIGINT)
+              AS p_rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM ptab
+),
+adj AS (
+  SELECT *, MIN(p_ppm * m * 1000 // p_rank)
+              OVER (ORDER BY p_rank
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS bh_raw
+  FROM ranked
+)
+SELECT nation, n1, n2, z, p_ppm, p_rank,
+       CAST(LEAST(bh_raw, 1000000000) AS BIGINT) AS bh_adj_nano,
+       LEAST(bh_raw, 1000000000) <= 50000000 AS significant_fdr05
+FROM adj ORDER BY p_rank, nation
+"""
+
+
+@register(
+    "e_bh_fdr_correction",
+    oracle=_BH_FDR_ORACLE,
+    tags=("A1", "J1", "W1", "W3", "F3"),
+)
+def e_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction across a family of 25
+    simultaneous Welch tests (per-nation mean order value, 1996 vs
+    1997) — the multiple-comparisons step every metrics platform needs
+    once it reports more than one A/B readout: adjusted p = min over
+    j >= rank of p_(j) * m / j, monotone by construction.
+
+    Scale + determinism design: the heavy pass is ONE combinable
+    sufficient-stats groupBy (n, sum-cents, sum-cents² as BIGINT/
+    decimal) over the joined fact — the family table itself is m = 25
+    rows, so the rank window and the suffix-running-min frame (ROWS
+    CURRENT ROW → UNBOUNDED FOLLOWING) run on a broadcast-sized frame.
+    Two-sided p-values come from Page's logistic approximation of the
+    normal CDF on the 6-dp-rounded z (EXP's sub-ulp jitter is absorbed
+    by ppm rounding at the leaf), and the BH ladder p*m*1000 DIV rank
+    is exact BIGINT floor division — both engines walk identical
+    integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+            cents(F.col("o_totalprice")).alias("pc"),
+        )
+    )
+    stats = spend.groupBy("nation", "yr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pc").cast("long").alias("s"),
+        F.sum(F.col("pc").cast("decimal(38,0)") * F.col("pc")).alias("ss"),
+    )
+    a = stats.filter(F.col("yr") == 1996).select(
+        "nation",
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"),
+    )
+    b = stats.filter(F.col("yr") == 1997).select(
+        "nation",
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("ss").alias("ss2"),
+    )
+    welch = a.join(b, "nation").select(
+        "nation",
+        "n1",
+        "n2",
+        F.expr(
+            "ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) "
+            "/ SQRT((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) "
+            "/ (n1 - 1) / n1 "
+            "+ (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) "
+            "/ (n2 - 1) / n2), 6)"
+        ).alias("z"),
+    )
+    ptab = welch.select(
+        "nation",
+        "n1",
+        "n2",
+        "z",
+        F.expr(
+            "CAST(ROUND(2000000.0 "
+            "/ (1.0 + EXP(1.5976 * ABS(z) "
+            "+ 0.07056 * ABS(z) * ABS(z) * ABS(z)))) AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+    w_rank = Window.orderBy("p_ppm", "nation")
+    ranked = ptab.select(
+        "*",
+        F.row_number().over(w_rank).cast("long").alias("p_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("m"),
+    )
+    w_suffix = Window.orderBy("p_rank").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    adj = ranked.select(
+        "*",
+        F.min(F.expr("p_ppm * m * 1000 DIV p_rank")).over(w_suffix).alias(
+            "bh_raw"
+        ),
+    )
+    return adj.select(
+        "nation",
+        "n1",
+        "n2",
+        "z",
+        "p_ppm",
+        "p_rank",
+        F.least(F.col("bh_raw"), F.lit(1000000000))
+        .cast("long")
+        .alias("bh_adj_nano"),
+        (F.least(F.col("bh_raw"), F.lit(1000000000)) <= 50000000).alias(
+            "significant_fdr05"
+        ),
+    ).orderBy("p_rank", "nation")

@@ -401,6 +401,10 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 sixth continuation: 1-row overall/worst-slice broadcast
     # onto the bounded (lang, band) rollup
     "n_slice_eval_metrics",
+    # round-4 seventh continuation: 1-row OLS-stats x 1-row vocab-stats
+    # crossJoin (Heaps-companion shape); sources-dim x top-300-vocab
+    # grid cross (both tiny dims, zero-count rows made explicit)
+    "n_zipf_law_fit", "n_js_divergence_sources",
 })
 
 
