@@ -4164,3 +4164,127 @@ def n_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Self-BLEU corpus diversity — the pairwise metric without the pair join
+# ---------------------------------------------------------------------------
+
+_SELF_BLEU_ORACLE = """
+WITH sample_docs AS (
+  SELECT doc_id, lang, STRING_SPLIT(LOWER(text), ' ') AS t
+  FROM documents WHERE doc_id % 7 = 0
+),
+doc_bigrams AS (
+  SELECT DISTINCT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM sample_docs, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS g(i)
+),
+df AS (
+  SELECT w1, w2, COUNT(*) AS df FROM doc_bigrams GROUP BY w1, w2
+),
+per_doc AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(f.df - 1) AS BIGINT) AS shared
+  FROM doc_bigrams b JOIN df f ON b.w1 = f.w1 AND b.w2 = f.w2
+  GROUP BY b.doc_id
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM per_doc),
+doc_scores AS (
+  SELECT p.doc_id, s.lang,
+         p.shared * 1000000 // ((m.m - 1) * p.nb) AS self_bleu2_ppm
+  FROM per_doc p
+  CROSS JOIN m
+  JOIN sample_docs s ON p.doc_id = s.doc_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(self_bleu2_ppm) // COUNT(*) AS BIGINT)
+         AS avg_self_bleu2_ppm,
+       CAST(1000000 - SUM(self_bleu2_ppm) // COUNT(*) AS BIGINT)
+         AS diversity_ppm
+FROM doc_scores
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "n_self_bleu_diversity",
+    oracle=_SELF_BLEU_ORACLE,
+    tags=("N5", "A1", "J1", "P7", "F4"),
+)
+def n_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU (bigram) corpus-diversity score per language — high
+    self-BLEU means documents parrot each other (mode collapse in
+    synthetic data, boilerplate in crawls); diversity = 1 − self-BLEU.
+
+    Scale design — the restructured quadratic: self-BLEU is defined
+    pairwise (each doc scored against every other), but the mean
+    bigram-precision against the rest decomposes as
+    Σ_{g∈doc}(df(g) − 1) / ((m−1)·|doc bigrams|) where df is the
+    bigram's document frequency in the sample — so ONE combinable df
+    groupBy + ONE join back replaces the m² pair join entirely (the
+    same Σ(df−1) identity that makes the containment/PMI family
+    scale). The deterministic doc_id % 7 sample bounds m; every score
+    is exact-integer ppm floor division, bit-stable on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    doc_bigrams = (
+        sample.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(
+                        F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))
+                    ),
+                    F.slice(
+                        F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            F.col("bg.0").alias("w1"),
+            F.col("bg.1").alias("w2"),
+        )
+        .dropDuplicates(["doc_id", "w1", "w2"])
+    )
+    df_tab = doc_bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    per_doc = (
+        doc_bigrams.join(df_tab, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.sum(F.col("df") - 1).cast("long").alias("shared"),
+        )
+    )
+    m = per_doc.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    doc_scores = (
+        per_doc.crossJoin(F.broadcast(m))
+        .join(sample.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang",
+            F.expr("shared * 1000000 DIV ((m - 1) * nb)").alias(
+                "self_bleu2_ppm"
+            ),
+        )
+    )
+    return (
+        doc_scores.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("SUM(self_bleu2_ppm) DIV COUNT(*)").alias(
+                "avg_self_bleu2_ppm"
+            ),
+            F.expr("1000000 - SUM(self_bleu2_ppm) DIV COUNT(*)").alias(
+                "diversity_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )

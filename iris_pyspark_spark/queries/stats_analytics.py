@@ -5339,3 +5339,261 @@ def e_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant_fdr05"
         ),
     ).orderBy("p_rank", "nation")
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation on the daily series (tie-corrected, exact ranks)
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT)
+           AS rev_cents,
+         COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY o_orderdate
+),
+ranked AS (
+  SELECT d, rev_cents, n_orders,
+         2 * RANK() OVER (ORDER BY rev_cents)
+           + COUNT(*) OVER (PARTITION BY rev_cents) - 1 AS rx2,
+         2 * RANK() OVER (ORDER BY n_orders)
+           + COUNT(*) OVER (PARTITION BY n_orders) - 1 AS ry2
+  FROM daily
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(rx2) AS BIGINT) AS sx,
+         CAST(SUM(ry2) AS BIGINT) AS sy,
+         CAST(SUM(rx2 * ry2) AS HUGEINT) AS sxy,
+         CAST(SUM(rx2 * rx2) AS HUGEINT) AS sxx,
+         CAST(SUM(ry2 * ry2) AS HUGEINT) AS syy
+  FROM ranked
+)
+SELECT n AS n_days,
+       ROUND((n * sxy - sx * sy)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+             / SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+         AS spearman_rho
+FROM stats
+"""
+
+
+@register(
+    "a_spearman_rank_corr",
+    oracle=_SPEARMAN_ORACLE,
+    tags=("A1", "W1", "W3", "F3", "F2"),
+)
+def a_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily revenue and daily order
+    count over 1996 — the robust (monotone, outlier-insensitive)
+    companion to the Pearson `a_correlation_matrix`: rho is Pearson on
+    tie-corrected average ranks.
+
+    Determinism + scale design: average ranks with ties are stored
+    DOUBLED so they stay exact integers — rx2 = 2·RANK() + tiecount − 1
+    (the doubling cancels in the correlation). The heavy pass is ONE
+    combinable day rollup; the rank windows run over the CALENDAR-
+    bounded daily series (≤366 rows — the series-query convention), so
+    the global window is O(days), never data-sized. Sufficient stats
+    are exact BIGINT/decimal; the one float formula is evaluated with
+    an identical expression tree on both engines and rounded to 6 dp."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias(
+                "rev_cents"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    ranked = daily.select(
+        "d",
+        (
+            2 * F.rank().over(Window.orderBy("rev_cents"))
+            + F.count(F.lit(1)).over(Window.partitionBy("rev_cents"))
+            - 1
+        ).alias("rx2"),
+        (
+            2 * F.rank().over(Window.orderBy("n_orders"))
+            + F.count(F.lit(1)).over(Window.partitionBy("n_orders"))
+            - 1
+        ).alias("ry2"),
+    )
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(dec(F.col("rx2") * F.col("ry2"))).alias("sxy"),
+        F.sum(dec(F.col("rx2") * F.col("rx2"))).alias("sxx"),
+        F.sum(dec(F.col("ry2") * F.col("ry2"))).alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    return stats.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            (nd * F.col("sxy") - sxd * F.col("sy")).cast("double")
+            / F.sqrt((nd * F.col("sxx") - sxd * F.col("sx")).cast("double"))
+            / F.sqrt((nd * F.col("syy") - syd * F.col("sy")).cast("double")),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed Wasserstein-1 distance between two spend distributions
+# ---------------------------------------------------------------------------
+
+_W1_ORACLE = f"""
+WITH vals AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         {CENTS_SQL.format(expr="o_totalprice")} AS pc
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+),
+bounds AS (
+  SELECT CAST(MIN(pc) AS BIGINT) AS mn, CAST(MAX(pc) AS BIGINT) AS mx
+  FROM vals
+),
+binned AS (
+  SELECT LEAST(255, (v.pc - b.mn) * 256 // (b.mx - b.mn + 1)) AS bin,
+         CAST(SUM(CASE WHEN v.yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN v.yr = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM vals v CROSS JOIN bounds b
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM binned
+),
+cum AS (
+  SELECT bin,
+         CAST(SUM(c1) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS c1c,
+         CAST(SUM(c2) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS c2c,
+         LEAD(bin, 1, bin) OVER (ORDER BY bin) AS next_bin
+  FROM binned
+),
+integral AS (
+  SELECT CAST(SUM(ABS(c1c * t.n2 - c2c * t.n1) * (next_bin - bin))
+              AS HUGEINT) AS s
+  FROM cum CROSS JOIN tot t
+)
+SELECT t.n1, t.n2,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM binned) AS n_bins_used,
+       ROUND(CAST(i.s AS DOUBLE) / t.n1 / t.n2
+             * (b.mx - b.mn + 1) / 256 / 100.0, 6) AS w1_dollars
+FROM integral i CROSS JOIN tot t CROSS JOIN bounds b
+"""
+
+
+@register(
+    "e_wasserstein_spend_shift",
+    oracle=_W1_ORACLE,
+    tags=("A1", "A7", "W3", "W2", "F3"),
+)
+def e_wasserstein_spend_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between the 1996 and 1997
+    order-value distributions on a fixed 256-bin grid — the
+    distribution-shift metric that, unlike KS or PSI, reports HOW MUCH
+    money moved, in dollars: W1 = ∫|F₁−F₂|dx.
+
+    Scale design: one combinable conditional-aggregate pass bins both
+    years simultaneously (bin id is pure integer math against the
+    broadcast 1-row min/max bounds); the CDF difference integral runs
+    over the ≤256-row bin rollup with run-length compression of empty
+    bins (LEAD(bin) supplies the gap width, so absent bins cost
+    nothing). |F₁−F₂| is kept as the exact integer |c1c·n2 − c2c·n1|
+    (common-denominator trick) and every product stays in BIGINT/
+    decimal — the single float division happens once, on the 1-row
+    result."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select(
+        F.year("o_orderdate").alias("yr"),
+        cents(F.col("o_totalprice")).alias("pc"),
+    )
+    bounds = vals.agg(
+        F.min("pc").cast("long").alias("mn"),
+        F.max("pc").cast("long").alias("mx"),
+    )
+    binned = (
+        vals.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr("LEAST(255, (pc - mn) * 256 DIV (mx - mn + 1))").alias(
+                "bin"
+            ),
+            "yr",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    n_bins = binned.agg(F.count(F.lit(1)).alias("n_bins_used"))
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.select(
+        "bin",
+        F.sum("c1").over(w_cum).cast("long").alias("c1c"),
+        F.sum("c2").over(w_cum).cast("long").alias("c2c"),
+        F.lead("bin", 1).over(Window.orderBy("bin")).alias("next_bin_raw"),
+    ).withColumn("next_bin", F.coalesce("next_bin_raw", F.col("bin")))
+    integral = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (
+                F.abs(
+                    F.col("c1c").cast("decimal(38,0)") * F.col("n2")
+                    - F.col("c2c").cast("decimal(38,0)") * F.col("n1")
+                )
+                * (F.col("next_bin") - F.col("bin"))
+            )
+        ).alias("s")
+    )
+    return (
+        integral.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_bins))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "n1",
+            "n2",
+            "n_bins_used",
+            F.round(
+                F.col("s").cast("double")
+                / F.col("n1")
+                / F.col("n2")
+                * (F.col("mx") - F.col("mn") + 1)
+                / 256
+                / 100.0,
+                6,
+            ).alias("w1_dollars"),
+        )
+    )

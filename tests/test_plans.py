@@ -405,6 +405,10 @@ _BNLJ_ALLOWED = frozenset({
     # crossJoin (Heaps-companion shape); sources-dim x top-300-vocab
     # grid cross (both tiny dims, zero-count rows made explicit)
     "n_zipf_law_fit", "n_js_divergence_sources",
+    # round-4 seventh continuation: 1-row min/max-bounds + totals
+    # broadcasts onto the <=256-bin rollup; 1-row sample-size crossJoin
+    # in the pair-join-free self-BLEU decomposition
+    "e_wasserstein_spend_shift", "n_self_bleu_diversity",
 })
 
 
