@@ -5597,3 +5597,257 @@ def e_wasserstein_spend_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w1_dollars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H test across day-of-week groups (rank-based k-sample)
+# ---------------------------------------------------------------------------
+
+_KRUSKAL_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         DAYOFWEEK(o_orderdate) + 1 AS dow,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT)
+           AS rev_cents
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT dow, rev_cents,
+         2 * RANK() OVER (ORDER BY rev_cents)
+           + COUNT(*) OVER (PARTITION BY rev_cents) - 1 AS r2
+  FROM daily
+),
+grp AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_j,
+         CAST(SUM(r2) AS BIGINT) AS sr2
+  FROM ranked GROUP BY dow
+),
+terms AS (
+  SELECT CAST(SUM(sr2 * sr2 * 1000000 // n_j) AS BIGINT) AS term_micro,
+         CAST(SUM(n_j) AS BIGINT) AS n
+  FROM grp
+),
+ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev_cents)
+),
+h AS (
+  SELECT n,
+         CAST(3 AS DOUBLE) * term_micro / n / (n + 1) / 1000000
+           - CAST(3 AS DOUBLE) * (n + 1) AS h_raw,
+         1.0 - CAST(tie_term AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)
+           AS c
+  FROM terms CROSS JOIN ties
+)
+SELECT n AS n_days, CAST(6 AS BIGINT) AS df,
+       ROUND(h_raw, 6) AS h_stat,
+       ROUND(h_raw / c, 6) AS h_tie_corrected,
+       h_raw / c > 12.591587 AS reject_at_05
+FROM h
+"""
+
+
+@register(
+    "a_kruskal_wallis_dow",
+    oracle=_KRUSKAL_ORACLE,
+    tags=("A1", "W1", "W3", "F3", "F2"),
+)
+def a_kruskal_wallis_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: does daily revenue differ by day of week?
+    The rank-based (distribution-free) k-sample companion to
+    `a_oneway_anova_f` — robust to the heavy right tail that makes the
+    F-test's normality assumption suspect on revenue data.
+
+    Determinism + scale design: same doubled-average-rank trick as
+    `a_spearman_rank_corr` (r2 = 2·RANK + tiecount − 1 stays integer),
+    and Σ R_j²/n_j is carried as the exact integer
+    Σ sr2²·10⁶ DIV n_j so the per-group division never produces an
+    order-sensitive float sum. The heavy pass is ONE combinable day
+    rollup; ranks and group stats live on the ≤366-row calendar-bounded
+    series. Tie correction C = 1 − Σ(t³−t)/(N³−N) is exact-integer in
+    both operands; the χ²₆ critical value 12.591587 is a literal."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(
+            F.col("o_orderdate").alias("d"),
+            F.dayofweek("o_orderdate").alias("dow"),
+        )
+        .agg(
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias(
+                "rev_cents"
+            )
+        )
+    )
+    ranked = daily.select(
+        "dow",
+        "rev_cents",
+        (
+            2 * F.rank().over(Window.orderBy("rev_cents"))
+            + F.count(F.lit(1)).over(Window.partitionBy("rev_cents"))
+            - 1
+        ).alias("r2"),
+    )
+    grp = ranked.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_j"),
+        F.sum("r2").cast("long").alias("sr2"),
+    )
+    terms = grp.agg(
+        F.sum(F.expr("sr2 * sr2 * 1000000 DIV n_j")).cast("long").alias(
+            "term_micro"
+        ),
+        F.sum("n_j").cast("long").alias("n"),
+    )
+    ties = (
+        daily.groupBy("rev_cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum(F.expr("t * t * t - t")).cast("long").alias("tie_term"))
+    )
+    h = terms.crossJoin(F.broadcast(ties)).select(
+        "n",
+        F.expr(
+            "CAST(3 AS DOUBLE) * term_micro / n / (n + 1) / 1000000 "
+            "- CAST(3 AS DOUBLE) * (n + 1)"
+        ).alias("h_raw"),
+        F.expr(
+            "1.0 - CAST(tie_term AS DOUBLE) "
+            "/ (CAST(n AS DOUBLE) * n * n - n)"
+        ).alias("c"),
+    )
+    return h.select(
+        F.col("n").alias("n_days"),
+        F.lit(6).cast("long").alias("df"),
+        F.round(F.col("h_raw"), 6).alias("h_stat"),
+        F.round(F.col("h_raw") / F.col("c"), 6).alias("h_tie_corrected"),
+        (F.col("h_raw") / F.col("c") > 12.591587).alias("reject_at_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation: order revenue leads shipped quantity
+# ---------------------------------------------------------------------------
+
+_CCF_ORACLE = f"""
+WITH x AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS xr
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1
+),
+y AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS yq
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-06-01'
+  GROUP BY 1
+),
+lags AS (SELECT UNNEST(GENERATE_SERIES(0, 14)) AS k),
+paired AS (
+  SELECT l.k, x.xr, y.yq
+  FROM x CROSS JOIN lags l
+  JOIN y ON y.d = x.d + CAST(l.k AS INTEGER)
+),
+stats AS (
+  SELECT k, COUNT(*) AS n,
+         CAST(SUM(xr) AS BIGINT) AS sx,
+         CAST(SUM(yq) AS BIGINT) AS sy,
+         CAST(SUM(CAST(xr AS HUGEINT) * yq) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(xr AS HUGEINT) * xr) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(yq AS HUGEINT) * yq) AS HUGEINT) AS syy
+  FROM paired GROUP BY k
+),
+r AS (
+  SELECT k, n,
+         ROUND((n * sxy - CAST(sx AS HUGEINT) * sy)
+               / SQRT(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+               / SQRT(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6)
+           AS ccf_r
+  FROM stats
+)
+SELECT CAST(k AS BIGINT) AS lag_days, CAST(n AS BIGINT) AS n_days, ccf_r,
+       ccf_r = MAX(ccf_r) OVER () AS is_peak_lag
+FROM r ORDER BY lag_days
+"""
+
+
+@register(
+    "t_cross_correlation_lags",
+    oracle=_CCF_ORACLE,
+    tags=("A1", "J7", "W3", "F2", "F3"),
+)
+def t_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation function between daily order revenue
+    and daily SHIPPED quantity at lags 0..14 — the lead-lag diagnostic
+    that reads the order→fulfilment delay directly off the data (the
+    peak lag is the typical shipping latency), the precursor to any
+    transfer-function forecast.
+
+    Scale design: both series are combinable one-pass day rollups
+    bounded by the CALENDAR; the lag alignment is the 366-row x-series
+    cross the 15-row lag dim joined to y on an exact shifted-date equi
+    key (≤5.5k rows — never a data-sized shuffle). Pearson sufficient
+    statistics per lag are exact BIGINT/decimal (products cast wide
+    BEFORE multiply, the sf1-overflow posture); one float formula per
+    lag row, identical trees both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    x = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("xr"))
+    )
+    y = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-06-01")
+        )
+        .groupBy(F.col("l_shipdate").cast("date").alias("yd"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("yq"))
+    )
+    lags = spark.range(0, 15).select(F.col("id").cast("int").alias("k"))
+    paired = (
+        x.crossJoin(F.broadcast(lags))
+        .withColumn("yd", F.expr("date_add(d, k)"))
+        .join(y, "yd")
+    )
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    stats = paired.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xr").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(dec(F.col("xr")) * F.col("yq")).alias("sxy"),
+        F.sum(dec(F.col("xr")) * F.col("xr")).alias("sxx"),
+        F.sum(dec(F.col("yq")) * F.col("yq")).alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    r = stats.select(
+        F.col("k").cast("long").alias("lag_days"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            (nd * F.col("sxy") - sxd * F.col("sy")).cast("double")
+            / F.sqrt((nd * F.col("sxx") - sxd * F.col("sx")).cast("double"))
+            / F.sqrt((nd * F.col("syy") - syd * F.col("sy")).cast("double")),
+            6,
+        ).alias("ccf_r"),
+    )
+    return r.select(
+        "*",
+        (F.col("ccf_r") == F.max("ccf_r").over(Window.partitionBy())).alias(
+            "is_peak_lag"
+        ),
+    ).orderBy("lag_days")

@@ -409,6 +409,10 @@ _BNLJ_ALLOWED = frozenset({
     # broadcasts onto the <=256-bin rollup; 1-row sample-size crossJoin
     # in the pair-join-free self-BLEU decomposition
     "e_wasserstein_spend_shift", "n_self_bleu_diversity",
+    # round-4 seventh continuation: 1-row tie-term crossJoin onto the
+    # 1-row KW terms; 15-row lag-dim broadcast cross onto the
+    # calendar-bounded daily series
+    "a_kruskal_wallis_dow", "t_cross_correlation_lags",
 })
 
 
