@@ -1688,3 +1688,152 @@ def n_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("est_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# MOSS winnowing fingerprints: window-min k-gram selection + candidate pairs
+# ---------------------------------------------------------------------------
+
+_WINNOW_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, 'dup prefix ' || text
+  FROM documents WHERE doc_id % 50 = 0
+),
+grams AS (
+  SELECT doc_id, i AS pos, MD5(SUBSTR(text, i, 5)) AS h
+  FROM corpus, UNNEST(GENERATE_SERIES(1, LENGTH(text) - 4)) AS g(i)
+  WHERE LENGTH(text) >= 5
+),
+winnowed AS (
+  SELECT DISTINCT doc_id,
+         MIN(h || ':' || LPAD(CAST(99999 - pos AS VARCHAR), 5, '0'))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, SUBSTR(sel, 1, 32) AS h FROM winnowed
+),
+doc_sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps FROM fps GROUP BY doc_id
+),
+rare AS (
+  SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= 20
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fps a
+  JOIN rare r ON a.h = r.h
+  JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 3
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       CAST(p.n_shared * 1000000 // sa.n_fps AS BIGINT)
+         AS containment_a_ppm,
+       p.doc_b = p.doc_a + 100000 AS is_planted_pair
+FROM pairs p JOIN doc_sizes sa ON p.doc_a = sa.doc_id
+ORDER BY p.n_shared DESC, p.doc_a, p.doc_b
+LIMIT 20
+"""
+
+
+@register(
+    "n_winnowing_fingerprints",
+    oracle=_WINNOW_ORACLE,
+    tags=("N1", "N2", "N5", "W3", "J10"),
+)
+def n_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing: every 4-window of 5-gram MD5 hashes
+    contributes its RIGHTMOST MINIMAL hash as a fingerprint, which
+    guarantees any shared substring of length ≥ 8 shares a fingerprint
+    — position-robust local dedup that survives insertions (the
+    plagiarism-detection / code-clone selection rule, a different
+    guarantee from MinHash's whole-document Jaccard).
+
+    Scale + determinism design: the rightmost-min-in-window selection
+    is ONE window pass — MIN over the lexicographic key
+    h || ':' || LPAD(99999 − pos) encodes (hash asc, pos desc) so ties
+    break rightward identically on both engines with no struct
+    ordering. The pair stage joins fingerprint sets only through
+    RARE fingerprints (document frequency ≤ 20 — the stop-fingerprint
+    cut that bounds join fan-out the way apriori bounds basket pairs);
+    planted `dup prefix` copies prove insertion-robustness end-to-end
+    (is_planted_pair). Everything is equi-join + combinable counts;
+    the windows partition by doc_id (never global)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("dup prefix "), F.col("text")).alias("text"),
+        )
+    )
+    grams = (
+        corpus.filter(F.length("text") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - 4)
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.expr("SUBSTR(text, pos, 5)")).alias("h"),
+        )
+    )
+    w_sel = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.currentRow, 3
+    )
+    winnowed = grams.select(
+        "doc_id",
+        F.min(
+            F.expr("h || ':' || LPAD(CAST(99999 - pos AS STRING), 5, '0')")
+        )
+        .over(w_sel)
+        .alias("sel"),
+    ).dropDuplicates()
+    fps = winnowed.select(
+        "doc_id", F.expr("SUBSTR(sel, 1, 32)").alias("h")
+    ).dropDuplicates()
+    doc_sizes = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps")
+    )
+    rare = (
+        fps.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 20)
+        .select("h")
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "h").join(rare, "h")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    sa = doc_sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("n_fps_a")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.expr("n_shared * 1000000 DIV n_fps_a").alias(
+                "containment_a_ppm"
+            ),
+            (F.col("doc_b") == F.col("doc_a") + 100000).alias(
+                "is_planted_pair"
+            ),
+        )
+        .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )

@@ -5851,3 +5851,206 @@ def t_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_peak_lag"
         ),
     ).orderBy("lag_days")
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis of the daily series
+# ---------------------------------------------------------------------------
+
+_HURST_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS x
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1
+),
+idx AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS i,
+         COUNT(*) OVER () AS n_days
+  FROM daily
+),
+sized AS (
+  SELECT s.size, (i.i - 1) // s.size AS blk,
+         i.i - ((i.i - 1) // s.size) * s.size AS k,
+         i.x, i.i, i.n_days
+  FROM idx i CROSS JOIN (
+    SELECT UNNEST([8, 16, 32, 64]) AS size) s
+  WHERE (i.i - 1) // s.size < i.n_days // s.size
+),
+win AS (
+  SELECT size, blk, k, x,
+         SUM(x) OVER (PARTITION BY size, blk ORDER BY k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pk,
+         CAST(SUM(x) OVER (PARTITION BY size, blk) AS BIGINT) AS s,
+         CAST(SUM(CAST(x AS HUGEINT) * x) OVER (PARTITION BY size, blk)
+              AS HUGEINT) AS ss
+  FROM sized
+),
+nz AS (
+  SELECT size, blk, s, ss,
+         size * pk - k * s AS nzk
+  FROM win
+),
+blocks AS (
+  SELECT size, blk,
+         CAST(MAX(nzk) - MIN(nzk) AS BIGINT) AS rn,
+         MAX(s) AS s, MAX(ss) AS ss
+  FROM nz GROUP BY size, blk
+),
+lnrs AS (
+  SELECT size,
+         CAST(ROUND(LN(CAST(rn AS DOUBLE)
+                       / SQRT(CAST(size * ss - CAST(s AS HUGEINT) * s
+                                   AS DOUBLE))) * 1000000) AS BIGINT)
+           AS ln_rs_micro
+  FROM blocks
+  WHERE rn > 0 AND size * ss - CAST(s AS HUGEINT) * s > 0
+),
+per_size AS (
+  SELECT size, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(ln_rs_micro) // COUNT(*) AS BIGINT) AS y_micro,
+         CAST(ROUND(LN(CAST(size AS DOUBLE)) * 1000000) AS BIGINT)
+           AS x_micro
+  FROM lnrs GROUP BY size
+),
+ols AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x_micro) AS BIGINT) AS sx,
+         CAST(SUM(y_micro) AS BIGINT) AS sy,
+         CAST(SUM(x_micro * y_micro) AS HUGEINT) AS sxy,
+         CAST(SUM(x_micro * x_micro) AS HUGEINT) AS sxx
+  FROM per_size
+)
+SELECT p.size AS block_size, p.n_blocks,
+       ROUND(p.y_micro / 1000000.0, 6) AS mean_ln_rs,
+       ROUND((o.n * o.sxy - o.sx * o.sy)
+             / CAST(o.n * o.sxx - o.sx * o.sx AS DOUBLE), 6) AS hurst_h
+FROM per_size p CROSS JOIN ols o
+ORDER BY block_size
+"""
+
+
+@register(
+    "t_hurst_exponent",
+    oracle=_HURST_ORACLE,
+    tags=("A1", "W3", "W1", "F3", "J9"),
+)
+def t_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue via rescaled-range (R/S)
+    analysis — H > 0.5 means long-range persistence (trends compound),
+    H < 0.5 mean reversion, H ≈ 0.5 a random walk; the classic
+    long-memory diagnostic that decides whether naive i.i.d. confidence
+    intervals on time aggregates are lies.
+
+    Determinism + scale design: within each block the cumulative
+    deviation is kept exact by scaling — n·Z_k = n·P_k − k·Σx is pure
+    BIGINT (no mean subtraction in floats), so the range R·n =
+    max − min is exact, and R/S = rn / √(n·Σx² − (Σx)²) has
+    exact-integer operands (the Welch/variance identity). ln(R/S) is
+    micro-nat rounded per block, per-size means use integer floor
+    division, and the final log-log OLS runs on 4 exact points. The
+    heavy pass is ONE combinable day rollup; every window partitions by
+    (size, block) over the ≤4×366-row calendar-bounded spine."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("x"))
+    )
+    idx = daily.select(
+        "x",
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_days"),
+    )
+    sizes = spark.range(0, 4).select(
+        F.expr("CAST(shiftleft(8, CAST(id AS INT)) AS INT)").alias("size")
+    )
+    sized = (
+        idx.crossJoin(F.broadcast(sizes))
+        .withColumn("blk", F.expr("(i - 1) DIV size"))
+        .withColumn("k", F.expr("i - ((i - 1) DIV size) * size"))
+        .filter(F.expr("(i - 1) DIV size < n_days DIV size"))
+    )
+    w_blk = Window.partitionBy("size", "blk")
+    w_run = w_blk.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    win = sized.select(
+        "size",
+        "blk",
+        "k",
+        F.sum("x").over(w_run).alias("pk"),
+        F.sum("x").over(w_blk).cast("long").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .over(w_blk)
+        .alias("ss"),
+    )
+    blocks = (
+        win.withColumn("nzk", F.expr("size * pk - k * s"))
+        .groupBy("size", "blk")
+        .agg(
+            (F.max("nzk") - F.min("nzk")).cast("long").alias("rn"),
+            F.max("s").alias("s"),
+            F.max("ss").alias("ss"),
+        )
+    )
+    lnrs = blocks.filter(
+        (F.col("rn") > 0)
+        & (
+            F.col("size") * F.col("ss")
+            - F.col("s").cast("decimal(38,0)") * F.col("s")
+            > 0
+        )
+    ).select(
+        "size",
+        F.expr(
+            "CAST(ROUND(LN(CAST(rn AS DOUBLE) "
+            "/ SQRT(CAST(size * ss - CAST(s AS DECIMAL(38,0)) * s "
+            "AS DOUBLE))) * 1000000) AS BIGINT)"
+        ).alias("ln_rs_micro"),
+    )
+    per_size = (
+        lnrs.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.expr("SUM(ln_rs_micro) DIV COUNT(*)").alias("y_micro"),
+        )
+        .withColumn(
+            "x_micro",
+            F.expr(
+                "CAST(ROUND(LN(CAST(size AS DOUBLE)) * 1000000) AS BIGINT)"
+            ),
+        )
+    )
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    ols = per_size.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_micro").cast("long").alias("sx"),
+        F.sum("y_micro").cast("long").alias("sy"),
+        F.sum(dec(F.col("x_micro") * F.col("y_micro"))).alias("sxy"),
+        F.sum(dec(F.col("x_micro") * F.col("x_micro"))).alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    return (
+        per_size.crossJoin(F.broadcast(ols))
+        .select(
+            F.col("size").cast("long").alias("block_size"),
+            "n_blocks",
+            F.round(F.col("y_micro") / 1000000.0, 6).alias("mean_ln_rs"),
+            F.round(
+                (nd * F.col("sxy") - sxd * F.col("sy")).cast("double")
+                / (nd * F.col("sxx") - sxd * F.col("sx")).cast("double"),
+                6,
+            ).alias("hurst_h"),
+        )
+        .orderBy("block_size")
+    )

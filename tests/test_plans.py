@@ -413,6 +413,9 @@ _BNLJ_ALLOWED = frozenset({
     # 1-row KW terms; 15-row lag-dim broadcast cross onto the
     # calendar-bounded daily series
     "a_kruskal_wallis_dow", "t_cross_correlation_lags",
+    # round-4 seventh continuation: 4-row block-size dim broadcast onto
+    # the calendar-bounded daily series + 1-row OLS crossJoin
+    "t_hurst_exponent",
 })
 
 
