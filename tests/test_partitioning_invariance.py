@@ -250,3 +250,38 @@ def test_round4_fifth_continuation_shuffle_width_invariant(spark, sf_dir):
             assert len(outs[0]) > 0, name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
+    """Same exact-sufficient-statistics contract for the seventh
+    continuation batch: identical canonical output at 2 and 32 shuffle
+    partitions. Notable members: the doubled-rank family (Spearman,
+    Kruskal-Wallis) whose tie-corrected ranks must stay integer; the
+    nano-nat KL leaves of the JSD pair table (a float sum before the
+    leaf rounding would drift with combine order); the Hurst blocks
+    (n·Z_k scaling); and the winnowing selection, whose rightmost-min
+    window key must be layout-independent."""
+    from iris_pyspark_spark.registry import load_all
+
+    reg = load_all()
+    names = (
+        "n_zipf_law_fit", "n_js_divergence_sources", "e_bh_fdr_correction",
+        "a_spearman_rank_corr", "e_wasserstein_spend_shift",
+        "n_self_bleu_diversity", "a_kruskal_wallis_dow",
+        "t_cross_correlation_lags", "t_hurst_exponent",
+        "n_winnowing_fingerprints",
+    )
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in names:
+            outs = []
+            for width in ("2", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", width)
+                pdf = reg[name].fn(spark, sf_dir).toPandas()
+                outs.append(canonical_rows(pdf))
+            assert outs[0] == outs[1], (
+                f"{name}: result depends on shuffle width"
+            )
+            assert len(outs[0]) > 0, name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
