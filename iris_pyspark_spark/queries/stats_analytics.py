@@ -6054,3 +6054,314 @@ def t_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Segmented (hinge) regression: mid-year trend break via exact Cramer solve
+# ---------------------------------------------------------------------------
+
+_SEGREG_ORACLE = f"""
+WITH daily AS (
+  SELECT DATEDIFF('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) + 1
+           AS t,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS y
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1
+),
+feats AS (
+  SELECT t, y, GREATEST(t - 183, 0) AS h FROM daily
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(t) AS HUGEINT) AS st,
+         CAST(SUM(h) AS HUGEINT) AS sh,
+         CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+         CAST(SUM(CAST(t AS HUGEINT) * h) AS HUGEINT) AS sth,
+         CAST(SUM(CAST(h AS HUGEINT) * h) AS HUGEINT) AS shh,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty,
+         CAST(SUM(CAST(h AS HUGEINT) * y) AS HUGEINT) AS shy
+  FROM feats
+),
+dets AS (
+  SELECT n,
+         n * (stt * shh - sth * sth) - st * (st * shh - sth * sh)
+           + sh * (st * sth - stt * sh) AS det,
+         sy * (stt * shh - sth * sth) - st * (sty * shh - shy * sth)
+           + sh * (sty * sth - stt * shy) AS det_a,
+         n * (sty * shh - shy * sth) - sy * (st * shh - sth * sh)
+           + sh * (st * shy - sty * sh) AS det_b,
+         n * (stt * shy - sth * sty) - st * (st * shy - sty * sh)
+           + sy * (st * sth - stt * sh) AS det_c
+  FROM sums
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(183 AS BIGINT) AS knot_day,
+       ROUND(CAST(det_a AS DOUBLE) / CAST(det AS DOUBLE) / 100, 6)
+         AS intercept_dollars,
+       ROUND(CAST(det_b AS DOUBLE) / CAST(det AS DOUBLE) / 100, 6)
+         AS slope_pre_dollars_per_day,
+       ROUND((CAST(det_b AS DOUBLE) + CAST(det_c AS DOUBLE))
+             / CAST(det AS DOUBLE) / 100, 6)
+         AS slope_post_dollars_per_day,
+       ROUND(CAST(det_c AS DOUBLE) / CAST(det AS DOUBLE) / 100, 6)
+         AS slope_change_dollars_per_day
+FROM dets
+"""
+
+
+@register(
+    "t_segmented_regression",
+    oracle=_SEGREG_ORACLE,
+    tags=("A1", "F3", "F2", "A2"),
+)
+def t_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented (piecewise-linear) regression with a mid-year knot:
+    y = a + b·t + c·max(0, t−183) fit by EXACT normal equations — the
+    trend-break readout (did growth change slope after H1?) that a
+    plain OLS line averages away; c is the slope change at the knot.
+
+    Determinism + scale design: the 3×3 normal-equations system is
+    solved by Cramer's rule on exact integer sufficient statistics —
+    all four determinants are pure HUGEINT/decimal arithmetic (products
+    cast wide BEFORE multiply), so the fit is bit-identical under any
+    partitioning; the only floats are the four final determinant
+    ratios. ONE combinable day rollup feeds nine sufficient sums; the
+    hinge feature is plain integer math (no knot search — the knot is
+    a declared literal, as in interrupted-time-series designs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(
+            (
+                F.datediff(
+                    F.col("o_orderdate").cast("date"), F.lit("1996-01-01")
+                )
+                + 1
+            ).alias("t")
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("y"))
+    )
+    feats = daily.select(
+        "t", "y", F.greatest(F.col("t") - 183, F.lit(0)).alias("h")
+    )
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    sums = feats.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("t").cast("decimal(38,0)").alias("st"),
+        F.sum("h").cast("decimal(38,0)").alias("sh"),
+        F.sum(dec(F.col("t")) * F.col("t")).alias("stt"),
+        F.sum(dec(F.col("t")) * F.col("h")).alias("sth"),
+        F.sum(dec(F.col("h")) * F.col("h")).alias("shh"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(F.col("t")) * F.col("y")).alias("sty"),
+        F.sum(dec(F.col("h")) * F.col("y")).alias("shy"),
+    )
+    dets = sums.select(
+        "n",
+        F.expr(
+            "n * (stt * shh - sth * sth) - st * (st * shh - sth * sh) "
+            "+ sh * (st * sth - stt * sh)"
+        ).alias("det"),
+        F.expr(
+            "sy * (stt * shh - sth * sth) - st * (sty * shh - shy * sth) "
+            "+ sh * (sty * sth - stt * shy)"
+        ).alias("det_a"),
+        F.expr(
+            "n * (sty * shh - shy * sth) - sy * (st * shh - sth * sh) "
+            "+ sh * (st * shy - sty * sh)"
+        ).alias("det_b"),
+        F.expr(
+            "n * (stt * shy - sth * sty) - st * (st * shy - sty * sh) "
+            "+ sy * (st * sth - stt * sh)"
+        ).alias("det_c"),
+    )
+    return dets.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(183).cast("long").alias("knot_day"),
+        F.round(
+            F.col("det_a").cast("double") / F.col("det").cast("double") / 100,
+            6,
+        ).alias("intercept_dollars"),
+        F.round(
+            F.col("det_b").cast("double") / F.col("det").cast("double") / 100,
+            6,
+        ).alias("slope_pre_dollars_per_day"),
+        F.round(
+            (F.col("det_b").cast("double") + F.col("det_c").cast("double"))
+            / F.col("det").cast("double")
+            / 100,
+            6,
+        ).alias("slope_post_dollars_per_day"),
+        F.round(
+            F.col("det_c").cast("double") / F.col("det").cast("double") / 100,
+            6,
+        ).alias("slope_change_dollars_per_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cook's distance: influential-day diagnostics for the daily trend fit
+# ---------------------------------------------------------------------------
+
+_COOKS_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         DATEDIFF('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) + 1
+           AS t,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS y
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1, 2
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(t) AS HUGEINT) AS st,
+         CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
+  FROM daily
+),
+fit AS (
+  SELECT n, st,
+         n * stt - st * st AS det,
+         sy * stt - st * sty AS det_a,
+         n * sty - st * sy AS det_b
+  FROM sums
+),
+resid AS (
+  SELECT d.d, d.t, d.y,
+         CAST(ROUND(CAST(d.y * f.det - f.det_a - f.det_b * d.t AS DOUBLE)
+                    / CAST(f.det AS DOUBLE) * 1000) AS BIGINT) AS e_milli,
+         CAST(f.det + (f.n * d.t - f.st) * (f.n * d.t - f.st) AS HUGEINT)
+           AS hnum,
+         CAST(f.n * f.det AS HUGEINT) AS hden,
+         f.n AS n
+  FROM daily d CROSS JOIN fit f
+),
+sse AS (
+  SELECT CAST(SUM(CAST(e_milli AS HUGEINT) * e_milli) AS HUGEINT)
+           AS sse_milli2
+  FROM resid
+)
+SELECT CAST(r.t AS BIGINT) AS day_index, r.y AS revenue_cents,
+       CAST(ROUND(r.e_milli / 1000.0) AS BIGINT) AS residual_cents,
+       ROUND(CAST(r.e_milli AS DOUBLE) * r.e_milli * r.hnum * r.hden
+             * (CAST(r.n AS DOUBLE) - 2)
+             / (2.0 * CAST(s.sse_milli2 AS DOUBLE)
+                * CAST(r.hden - r.hnum AS DOUBLE)
+                * CAST(r.hden - r.hnum AS DOUBLE)), 6) AS cooks_d,
+       CAST(r.e_milli AS DOUBLE) * r.e_milli * r.hnum * r.hden
+         * (CAST(r.n AS DOUBLE) - 2)
+         / (2.0 * CAST(s.sse_milli2 AS DOUBLE)
+            * CAST(r.hden - r.hnum AS DOUBLE)
+            * CAST(r.hden - r.hnum AS DOUBLE))
+         > 4.0 / CAST(r.n AS DOUBLE) AS is_influential
+FROM resid r CROSS JOIN sse s
+ORDER BY cooks_d DESC, day_index
+LIMIT 10
+"""
+
+
+@register(
+    "a_cooks_distance_outliers",
+    oracle=_COOKS_ORACLE,
+    tags=("A1", "A8", "F3", "O2", "J9"),
+)
+def a_cooks_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance on the daily-revenue trend fit: the top-10 days
+    whose removal would most move the regression line — regression
+    influence diagnostics (leverage × residual), the principled version
+    of 'delete the weird day and refit'.
+
+    Determinism + scale design: the OLS fit is exact-integer Cramer
+    (det, det_a, det_b); residuals are leaf-rounded to millicents
+    through e·det = y·det − det_a − det_b·t (one exact integer per row
+    before any float), so SSE = Σe² is an exact integer sum. Leverage
+    uses the rational identity h_i = [det + (n·t−Σt)²] / (n·det) —
+    Cook's D becomes a single fixed-shape product of integer-valued
+    doubles per row, identical trees both engines. Heavy pass: ONE
+    combinable day rollup; diagnostics run on the ≤366-row
+    calendar-bounded series; deterministic (cooks_d, day) top-10."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("d"),
+            (
+                F.datediff(
+                    F.col("o_orderdate").cast("date"), F.lit("1996-01-01")
+                )
+                + 1
+            ).alias("t"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("y"))
+    )
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    sums = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("t").cast("decimal(38,0)").alias("st"),
+        F.sum(dec(F.col("t")) * F.col("t")).alias("stt"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(F.col("t")) * F.col("y")).alias("sty"),
+    )
+    fit = sums.select(
+        "n",
+        "st",
+        F.expr("n * stt - st * st").alias("det"),
+        F.expr("sy * stt - st * sty").alias("det_a"),
+        F.expr("n * sty - st * sy").alias("det_b"),
+    )
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "d",
+        "t",
+        "y",
+        F.expr(
+            "CAST(ROUND(CAST(y * det - det_a - det_b * t AS DOUBLE) "
+            "/ CAST(det AS DOUBLE) * 1000) AS BIGINT)"
+        ).alias("e_milli"),
+        F.expr(
+            "CAST(det + (n * t - st) * (n * t - st) AS DECIMAL(38,0))"
+        ).alias("hnum"),
+        F.expr("CAST(n * det AS DECIMAL(38,0))").alias("hden"),
+        "n",
+    )
+    sse = resid.agg(
+        F.sum(dec(F.col("e_milli")) * F.col("e_milli")).alias("sse_milli2")
+    )
+    cook_expr = (
+        "CAST(e_milli AS DOUBLE) * e_milli * hnum * hden "
+        "* (CAST(n AS DOUBLE) - 2) "
+        "/ (2.0 * CAST(sse_milli2 AS DOUBLE) "
+        "* CAST(hden - hnum AS DOUBLE) "
+        "* CAST(hden - hnum AS DOUBLE))"
+    )
+    return (
+        resid.crossJoin(F.broadcast(sse))
+        .select(
+            F.col("t").cast("long").alias("day_index"),
+            F.col("y").alias("revenue_cents"),
+            F.expr("CAST(ROUND(e_milli / 1000.0) AS BIGINT)").alias(
+                "residual_cents"
+            ),
+            F.expr(f"ROUND({cook_expr}, 6)").alias("cooks_d"),
+            F.expr(f"{cook_expr} > 4.0 / CAST(n AS DOUBLE)").alias(
+                "is_influential"
+            ),
+        )
+        .orderBy(F.col("cooks_d").desc(), "day_index")
+        .limit(10)
+    )

@@ -269,7 +269,8 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "a_spearman_rank_corr", "e_wasserstein_spend_shift",
         "n_self_bleu_diversity", "a_kruskal_wallis_dow",
         "t_cross_correlation_lags", "t_hurst_exponent",
-        "n_winnowing_fingerprints",
+        "n_winnowing_fingerprints", "t_segmented_regression",
+        "a_cooks_distance_outliers",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -416,6 +416,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 4-row block-size dim broadcast onto
     # the calendar-bounded daily series + 1-row OLS crossJoin
     "t_hurst_exponent",
+    # round-4 seventh continuation: 1-row exact-Cramer fit + 1-row SSE
+    # broadcasts onto the calendar-bounded daily series
+    "a_cooks_distance_outliers",
 })
 
 
