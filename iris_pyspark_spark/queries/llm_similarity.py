@@ -2064,3 +2064,162 @@ def n_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_cos_micro"),
         F.expr("sum_abs_cos_micro DIV n_pairs").alias("mean_abs_cos_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space distribution divergence between labels (MAUVE-style)
+# ---------------------------------------------------------------------------
+
+_EMB_JSD_ORACLE = """
+WITH binned AS (
+  SELECT label,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS cell
+  FROM embeddings
+),
+counts AS (
+  SELECT label, cell, CAST(COUNT(*) AS BIGINT) AS c
+  FROM binned GROUP BY label, cell
+),
+totals AS (
+  SELECT label, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY label
+),
+grid AS (
+  SELECT l.label, g.cell
+  FROM (SELECT DISTINCT label FROM binned) l
+  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS cell) g
+),
+filled AS (
+  SELECT g.label, g.cell, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM grid g LEFT JOIN counts c
+    ON g.label = c.label AND g.cell = c.cell
+),
+pairs AS (
+  SELECT a.cell, a.label AS label_a, b.label AS label_b,
+         a.c AS ca, b.c AS cb, ta.tot AS ta, tb.tot AS tb
+  FROM filled a
+  JOIN filled b ON a.cell = b.cell AND a.label < b.label
+  JOIN totals ta ON a.label = ta.label
+  JOIN totals tb ON b.label = tb.label
+),
+contrib AS (
+  SELECT label_a, label_b,
+         CASE WHEN ca = 0 THEN 0 ELSE
+           CAST(ROUND((CAST(ca AS DOUBLE) / ta)
+                * LN(2.0 * ca * tb / (ca * tb + cb * ta))
+                * 1000000000) AS BIGINT) END AS kp_nano,
+         CASE WHEN cb = 0 THEN 0 ELSE
+           CAST(ROUND((CAST(cb AS DOUBLE) / tb)
+                * LN(2.0 * cb * ta / (cb * ta + ca * tb))
+                * 1000000000) AS BIGINT) END AS kq_nano
+  FROM pairs
+),
+jsd AS (
+  SELECT label_a, label_b,
+         ROUND((SUM(kp_nano) + SUM(kq_nano)) / 2.0 / 1000000000, 6)
+           AS jsd_nats
+  FROM contrib GROUP BY label_a, label_b
+)
+SELECT label_a, label_b, jsd_nats,
+       jsd_nats = MAX(jsd_nats) OVER () AS is_most_divergent
+FROM jsd ORDER BY label_a, label_b
+"""
+
+
+@register(
+    "n_embedding_cluster_jsd",
+    oracle=_EMB_JSD_ORACLE,
+    tags=("N3", "N6", "A1", "J1", "J9"),
+)
+def n_embedding_cluster_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAUVE-style embedding-space divergence: Jensen-Shannon distance
+    between every label pair's distribution over 64 sign-LSH cells —
+    the two-distribution comparison that detects whether data slices
+    occupy DIFFERENT REGIONS of embedding space (token-level JSD in
+    `n_js_divergence_sources` cannot see paraphrase-level drift; this
+    can). High-JSD label pairs are the separable ones; the flagged
+    maximum is the most distribution-shifted pair.
+
+    Scale design: the cell id is pure codegen integer math fused into
+    the scan (6 sign bits — the `n_semdedup_clusters` convention, no
+    trained centroids so the oracle stays SQL-exact); per-(label, cell)
+    counts are ONE combinable groupBy; the labels × 64-cell grid makes
+    zero cells explicit, and the pair stage joins on cell with
+    |labels|² bounded fan-out. KL leaves are nano-nat rounded exact
+    BIGINTs (the JSD convention), so sums are bit-stable under any
+    partitioning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cell = None
+    for i in range(6):
+        term = F.when(
+            F.col("embedding").getItem(i) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        cell = term if cell is None else cell + term
+    binned = emb.select("label", cell.alias("cell"))
+    counts = binned.groupBy("label", "cell").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy("label").agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    labels = binned.select("label").distinct()
+    cells = spark.range(0, 64).select(F.col("id").cast("int").alias("cell"))
+    grid = labels.crossJoin(F.broadcast(cells))
+    filled = grid.join(counts, ["label", "cell"], "left").select(
+        "label",
+        "cell",
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+    )
+    a = filled.select(
+        "cell", F.col("label").alias("label_a"), F.col("c").alias("ca")
+    )
+    b = filled.select(
+        "cell", F.col("label").alias("label_b"), F.col("c").alias("cb")
+    )
+    ta = totals.select(
+        F.col("label").alias("label_a"), F.col("tot").alias("ta")
+    )
+    tb = totals.select(
+        F.col("label").alias("label_b"), F.col("tot").alias("tb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .join(F.broadcast(ta), "label_a")
+        .join(F.broadcast(tb), "label_b")
+    )
+    contrib = pairs.select(
+        "label_a",
+        "label_b",
+        # 2.0D double literal is load-bearing (see n_js_divergence_sources)
+        F.expr(
+            "CASE WHEN ca = 0 THEN 0 ELSE "
+            "CAST(ROUND((CAST(ca AS DOUBLE) / ta) "
+            "* LN(2.0D * ca * tb / (ca * tb + cb * ta)) "
+            "* 1000000000) AS BIGINT) END"
+        ).alias("kp_nano"),
+        F.expr(
+            "CASE WHEN cb = 0 THEN 0 ELSE "
+            "CAST(ROUND((CAST(cb AS DOUBLE) / tb) "
+            "* LN(2.0D * cb * ta / (cb * ta + ca * tb)) "
+            "* 1000000000) AS BIGINT) END"
+        ).alias("kq_nano"),
+    )
+    jsd = contrib.groupBy("label_a", "label_b").agg(
+        F.round(
+            (F.sum("kp_nano") + F.sum("kq_nano")) / 2.0 / 1000000000, 6
+        ).alias("jsd_nats")
+    )
+    return jsd.select(
+        "label_a",
+        "label_b",
+        "jsd_nats",
+        (
+            F.col("jsd_nats")
+            == F.max("jsd_nats").over(Window.partitionBy())
+        ).alias("is_most_divergent"),
+    ).orderBy("label_a", "label_b")

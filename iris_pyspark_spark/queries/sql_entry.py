@@ -1100,3 +1100,54 @@ def sql_q88_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " FROM (SELECT hour(ts) AS _hour FROM events"
         " WHERE event_type IN ('click', 'view'))"
     )
+
+
+#: DATA-scale RECURSIVE CTE: the month-spine query above recurses on a
+#: driver-tiny frontier; this one carries the WHOLE part table through
+#: the recursion — an ancestor walk up the implicit decimal hierarchy
+#: (parent(k) = floor(k / 10), the BOM/org-chart shape) rolled up to
+#: the 9 roots. Scale contract: recursion depth is ceil(log10(max
+#: key)) — 6-7 at ANY data scale — and each round is a MAP-ONLY
+#: projection of the surviving frontier (integer division, no join, no
+#: shuffle inside the loop); the engine's UnionLoop materializes
+#: rounds. floor(node / 10.0) is used instead of integer division so
+#: the IDENTICAL text runs on DuckDB (Spark spells it DIV, DuckDB //);
+#: keys stay < 2^53 so the double round-trip is exact.
+_RECURSIVE_ANCESTOR = """
+WITH RECURSIVE walk(pk, node, depth, cost_cents) AS (
+  SELECT p_partkey, p_partkey, 0,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT)
+  FROM part
+  UNION ALL
+  SELECT pk, CAST(FLOOR(node / 10.0) AS BIGINT), depth + 1, cost_cents
+  FROM walk WHERE node >= 10
+),
+rooted AS (
+  SELECT pk, node AS root, depth, cost_cents FROM walk WHERE node < 10
+)
+SELECT CAST(root AS BIGINT) AS root,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       CAST(SUM(cost_cents) AS BIGINT) AS subtree_cost_cents
+FROM rooted GROUP BY root ORDER BY root
+"""
+
+
+@register(
+    "sql_recursive_ancestor_rollup",
+    oracle=_RECURSIVE_ANCESTOR,
+    tags=("E2", "A1", "F3", "P2"),
+)
+def sql_recursive_ancestor_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOM-style recursive rollup: every part walks UP the implicit
+    decimal hierarchy (parent = floor(key/10)) to its single-digit
+    root; subtree count, max depth, and exact retail cost roll up per
+    root. The recursion carries the full table (data-scale frontier),
+    unlike the month-spine query whose frontier is driver-tiny — this
+    pins Spark 4.1's recursive-CTE operator on the shape users
+    actually fear: bounded-depth hierarchy traversal over a fact
+    table. Identical SQL text runs on both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_RECURSIVE_ANCESTOR)

@@ -270,7 +270,8 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "n_self_bleu_diversity", "a_kruskal_wallis_dow",
         "t_cross_correlation_lags", "t_hurst_exponent",
         "n_winnowing_fingerprints", "t_segmented_regression",
-        "a_cooks_distance_outliers",
+        "a_cooks_distance_outliers", "sql_recursive_ancestor_rollup",
+        "n_embedding_cluster_jsd",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -419,6 +419,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 1-row exact-Cramer fit + 1-row SSE
     # broadcasts onto the calendar-bounded daily series
     "a_cooks_distance_outliers",
+    # round-4 seventh continuation: labels-dim x 64-cell grid cross
+    # (both tiny dims, explicit zero cells for total KL terms)
+    "n_embedding_cluster_jsd",
 })
 
 
