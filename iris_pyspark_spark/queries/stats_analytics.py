@@ -6365,3 +6365,351 @@ def a_cooks_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cooks_d").desc(), "day_index")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Chain-ladder LTV projection over the cohort-month development triangle
+# ---------------------------------------------------------------------------
+
+_CHAIN_LADDER_ORACLE = f"""
+WITH first_order AS (
+  SELECT o_custkey AS ck,
+         MIN(EXTRACT(year FROM o_orderdate) * 12
+             + EXTRACT(month FROM o_orderdate) - 1) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+rev AS (
+  SELECT f.cohort,
+         EXTRACT(year FROM o.o_orderdate) * 12
+           + EXTRACT(month FROM o.o_orderdate) - 1 - f.cohort AS age,
+         CAST(SUM({CENTS_SQL.format(expr="o.o_totalprice")}) AS BIGINT)
+           AS inc_cents
+  FROM orders o JOIN first_order f ON o.o_custkey = f.ck
+  WHERE f.cohort >= 1996 * 12 AND f.cohort < 1996 * 12 + 12
+  GROUP BY 1, 2
+),
+max_ym AS (
+  SELECT MAX(cohort + age) AS m FROM rev
+),
+cum AS (
+  SELECT cohort, age,
+         CAST(SUM(inc_cents) OVER (PARTITION BY cohort ORDER BY age
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS c
+  FROM rev
+),
+dense AS (
+  SELECT g.cohort, g.age,
+         CAST(MAX(c.c) OVER (PARTITION BY g.cohort ORDER BY g.age
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS c
+  FROM (SELECT DISTINCT r.cohort, a.age
+        FROM rev r CROSS JOIN (SELECT DISTINCT age FROM rev) a
+        CROSS JOIN max_ym m
+        WHERE r.cohort + a.age <= m.m) g
+  LEFT JOIN cum c ON g.cohort = c.cohort AND g.age = c.age
+),
+factors AS (
+  SELECT a.age AS j,
+         CAST(SUM(b.c) AS BIGINT) AS num,
+         CAST(SUM(a.c) AS BIGINT) AS den,
+         CAST(ROUND(LN(CAST(SUM(b.c) AS DOUBLE) / SUM(a.c)) * 1000000)
+              AS BIGINT) AS lnf_micro
+  FROM dense a JOIN dense b ON a.cohort = b.cohort AND b.age = a.age + 1
+  GROUP BY a.age
+  HAVING SUM(a.c) > 0 AND SUM(b.c) > 0
+),
+suffix AS (
+  SELECT j, CAST(SUM(lnf_micro) OVER (ORDER BY j
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+              AS log_growth_micro
+  FROM factors
+),
+latest AS (
+  SELECT d.cohort, MAX(d.age) AS last_age
+  FROM dense d GROUP BY d.cohort
+)
+SELECT l.cohort - 1996 * 12 AS cohort_month,
+       CAST(l.last_age AS BIGINT) AS last_age,
+       d.c AS c_latest_cents,
+       CAST(COALESCE(s.log_growth_micro, 0) AS BIGINT) AS log_growth_micro,
+       ROUND(d.c * EXP(COALESCE(s.log_growth_micro, 0) / 1000000.0) / 100,
+             2) AS ultimate_ltv_dollars
+FROM latest l
+JOIN dense d ON l.cohort = d.cohort AND l.last_age = d.age
+LEFT JOIN suffix s ON s.j = l.last_age
+ORDER BY cohort_month
+"""
+
+
+@register(
+    "e_chain_ladder_ltv",
+    oracle=_CHAIN_LADDER_ORACLE,
+    tags=("A1", "J1", "W3", "F2", "F3"),
+)
+def e_chain_ladder_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder ultimate-LTV projection (the actuarial
+    loss-development method applied to revenue cohorts): development
+    factor f_j = Σᵢ C(i, j+1) / Σᵢ C(i, j) over cohorts observed at both
+    ages, and each cohort's latest cumulative revenue is projected to
+    ultimate by the product of the remaining factors — the standard
+    answer to 'what will the June cohort be worth?' from a
+    right-censored triangle.
+
+    Determinism + scale design: the only data-sized work is the
+    first-order-month customer rollup and ONE (cohort, age) groupBy —
+    the triangle itself is months² ≤ 144 rows, so the densify grid,
+    cumulative windows, factor joins, and the suffix-sum of log factors
+    (the KM log-space convention: ln f_j micro-nat rounded to exact
+    BIGINT, summed as integers; `log_growth_micro` is the hash-stable
+    column, the dollars column is EXP of the same double both sides)
+    all run on a broadcast-sized frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+        "ym"
+    )
+    first_order = (
+        orders.select(F.col("o_custkey").alias("ck"), ym)
+        .groupBy("ck")
+        .agg(F.min("ym").alias("cohort"))
+        .filter(
+            (F.col("cohort") >= 1996 * 12)
+            & (F.col("cohort") < 1996 * 12 + 12)
+        )
+    )
+    rev = (
+        orders.select("o_custkey", ym, "o_totalprice")
+        .join(first_order, F.col("o_custkey") == F.col("ck"))
+        .groupBy(
+            "cohort", (F.col("ym") - F.col("cohort")).alias("age")
+        )
+        .agg(
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias(
+                "inc_cents"
+            )
+        )
+    )
+    max_ym = rev.agg(F.max(F.col("cohort") + F.col("age")).alias("m"))
+    w_cum = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.select(
+        "cohort", "age", F.sum("inc_cents").over(w_cum).cast("long").alias("c")
+    )
+    grid = (
+        rev.select("cohort")
+        .distinct()
+        .crossJoin(F.broadcast(rev.select("age").distinct()))
+        .crossJoin(F.broadcast(max_ym))
+        .filter(F.col("cohort") + F.col("age") <= F.col("m"))
+        .select("cohort", "age")
+    )
+    dense = grid.join(cum, ["cohort", "age"], "left").select(
+        "cohort",
+        "age",
+        F.max("c").over(w_cum).cast("long").alias("c"),
+    )
+    a = dense.select("cohort", F.col("age").alias("j"), F.col("c").alias("ca"))
+    b = dense.select(
+        "cohort", (F.col("age") - 1).alias("j"), F.col("c").alias("cb")
+    )
+    factors = (
+        a.join(b, ["cohort", "j"])
+        .groupBy("j")
+        .agg(
+            F.sum("cb").cast("long").alias("num"),
+            F.sum("ca").cast("long").alias("den"),
+        )
+        .filter((F.col("num") > 0) & (F.col("den") > 0))
+        .select(
+            "j",
+            F.expr(
+                "CAST(ROUND(LN(CAST(num AS DOUBLE) / den) * 1000000) "
+                "AS BIGINT)"
+            ).alias("lnf_micro"),
+        )
+    )
+    w_suffix = Window.orderBy("j").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    suffix = factors.select(
+        "j",
+        F.sum("lnf_micro").over(w_suffix).cast("long").alias(
+            "log_growth_micro"
+        ),
+    )
+    latest = dense.groupBy("cohort").agg(F.max("age").alias("last_age"))
+    return (
+        latest.join(
+            dense.select(
+                "cohort", F.col("age").alias("last_age"), F.col("c")
+            ),
+            ["cohort", "last_age"],
+        )
+        .join(
+            F.broadcast(suffix.select(F.col("j").alias("last_age"),
+                                      "log_growth_micro")),
+            "last_age",
+            "left",
+        )
+        .select(
+            (F.col("cohort") - 1996 * 12).alias("cohort_month"),
+            F.col("last_age").cast("long").alias("last_age"),
+            F.col("c").alias("c_latest_cents"),
+            F.coalesce(F.col("log_growth_micro"), F.lit(0))
+            .cast("long")
+            .alias("log_growth_micro"),
+            F.round(
+                F.col("c")
+                * F.exp(
+                    F.coalesce(F.col("log_growth_micro"), F.lit(0))
+                    / 1000000.0
+                )
+                / 100,
+                2,
+            ).alias("ultimate_ltv_dollars"),
+        )
+        .orderBy("cohort_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Little's law: L = λW proven EXACTLY on the order fulfilment pipeline
+# ---------------------------------------------------------------------------
+
+_LITTLES_ORACLE = """
+WITH spans AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS arrive,
+         MAX(CAST(l.l_shipdate AS DATE)) AS depart
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderdate >= DATE '1996-01-01'
+    AND o.o_orderdate < DATE '1997-01-01'
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(DATEDIFF('day', arrive, depart) + 1) AS BIGINT)
+           AS w_sum_days,
+         CAST(DATEDIFF('day', MIN(arrive), MAX(depart)) + 1 AS BIGINT)
+           AS t_days
+  FROM spans
+),
+deltas AS (
+  SELECT arrive AS d, CAST(COUNT(*) AS BIGINT) AS delta FROM spans GROUP BY 1
+  UNION ALL
+  SELECT depart + CAST(1 AS INTEGER) AS d, CAST(-COUNT(*) AS BIGINT)
+  FROM spans GROUP BY 1
+),
+merged AS (
+  SELECT d, CAST(SUM(delta) AS BIGINT) AS delta FROM deltas GROUP BY d
+),
+sweep AS (
+  SELECT d,
+         CAST(SUM(delta) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS in_system,
+         LEAD(d) OVER (ORDER BY d) AS next_d
+  FROM merged
+),
+area AS (
+  SELECT CAST(SUM(in_system * DATEDIFF('day', d, next_d)) AS BIGINT)
+           AS area_days
+  FROM sweep WHERE next_d IS NOT NULL
+)
+SELECT t.n_orders, t.t_days, t.w_sum_days, a.area_days,
+       ROUND(CAST(t.w_sum_days AS DOUBLE) / t.n_orders, 6)
+         AS avg_lead_days,
+       ROUND(CAST(t.n_orders AS DOUBLE) / t.t_days, 6)
+         AS arrival_rate_per_day,
+       ROUND(CAST(a.area_days AS DOUBLE) / t.t_days, 6)
+         AS avg_in_system,
+       a.area_days = t.w_sum_days AS littles_law_exact
+FROM tot t CROSS JOIN area a
+"""
+
+
+@register(
+    "t_littles_law_check",
+    oracle=_LITTLES_ORACLE,
+    tags=("A1", "J1", "W2", "W3", "F2"),
+)
+def t_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law on the order-fulfilment pipeline: average
+    work-in-progress L must equal arrival rate λ × average lead time W.
+    The query computes L two INDEPENDENT ways — Σ(lead days) from the
+    per-order spans, and the time integral of the in-system count from
+    a +1/−1 sweepline — and proves them EQUAL as exact integers
+    (Fubini: summing durations row-wise or time-slice-wise is the same
+    double-counting), so `littles_law_exact` is a built-in proof that
+    the sweepline/run-length machinery drops nothing.
+
+    Scale design: per-order spans are one combinable max-receipt
+    groupBy; the sweepline is run-length compressed (one row per
+    DISTINCT event day, gap width from LEAD) so the prefix sum runs
+    over the calendar-bounded delta table, never per-order rows; all
+    areas are exact BIGINT day units."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("arrive"),
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("depart"))
+    )
+    tot = spans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.datediff("depart", "arrive") + 1).cast("long").alias(
+            "w_sum_days"
+        ),
+        (F.datediff(F.max("depart"), F.min("arrive")) + 1)
+        .cast("long")
+        .alias("t_days"),
+    )
+    deltas = (
+        spans.groupBy(F.col("arrive").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("delta"))
+        .unionAll(
+            spans.groupBy(F.date_add("depart", 1).alias("d")).agg(
+                (-F.count(F.lit(1))).cast("long").alias("delta")
+            )
+        )
+    )
+    merged = deltas.groupBy("d").agg(
+        F.sum("delta").cast("long").alias("delta")
+    )
+    w_ord = Window.orderBy("d")
+    sweep = merged.select(
+        "d",
+        F.sum("delta")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("in_system"),
+        F.lead("d").over(w_ord).alias("next_d"),
+    )
+    area = sweep.filter(F.col("next_d").isNotNull()).agg(
+        F.sum(F.col("in_system") * F.datediff("next_d", "d"))
+        .cast("long")
+        .alias("area_days")
+    )
+    return tot.crossJoin(F.broadcast(area)).select(
+        "n_orders",
+        "t_days",
+        "w_sum_days",
+        "area_days",
+        F.round(F.col("w_sum_days").cast("double") / F.col("n_orders"), 6)
+        .alias("avg_lead_days"),
+        F.round(F.col("n_orders").cast("double") / F.col("t_days"), 6)
+        .alias("arrival_rate_per_day"),
+        F.round(F.col("area_days").cast("double") / F.col("t_days"), 6)
+        .alias("avg_in_system"),
+        (F.col("area_days") == F.col("w_sum_days")).alias(
+            "littles_law_exact"
+        ),
+    )

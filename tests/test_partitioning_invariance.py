@@ -271,7 +271,8 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "t_cross_correlation_lags", "t_hurst_exponent",
         "n_winnowing_fingerprints", "t_segmented_regression",
         "a_cooks_distance_outliers", "sql_recursive_ancestor_rollup",
-        "n_embedding_cluster_jsd",
+        "n_embedding_cluster_jsd", "e_chain_ladder_ltv",
+        "t_littles_law_check",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -422,6 +422,10 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: labels-dim x 64-cell grid cross
     # (both tiny dims, explicit zero cells for total KL terms)
     "n_embedding_cluster_jsd",
+    # round-4 seventh continuation: <=144-row triangle grid crosses +
+    # <=24-row factor-suffix broadcast; 1-row span-totals x sweep-area
+    # crossJoin
+    "e_chain_ladder_ltv", "t_littles_law_check",
 })
 
 
