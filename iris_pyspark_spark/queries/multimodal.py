@@ -769,3 +769,166 @@ def m_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- perceptual-hash (dHash) near-duplicate detection -----------------------
+
+_PHASH_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 16
+  UNION ALL
+  SELECT doc_id + 100000,
+         SUBSTR(text, 1, LENGTH(text) - 1) || 'x'
+  FROM documents WHERE LENGTH(text) >= 16 AND doc_id % 40 = 0
+),
+samples AS (
+  SELECT doc_id,
+         i,
+         ASCII(SUBSTR(text,
+                      1 + ((LENGTH(text) - 1) * i) // 15, 1)) AS inten
+  FROM corpus, UNNEST(GENERATE_SERIES(0, 15)) AS g(i)
+),
+bits AS (
+  SELECT a.doc_id,
+         CAST(SUM(CASE WHEN a.inten > b.inten
+                       THEN CAST(POWER(2, a.i) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM samples a JOIN samples b
+    ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY a.doc_id
+),
+bands AS (
+  SELECT doc_id, dhash, k,
+         CAST((dhash // CAST(POWER(32, k) AS BIGINT)) % 32 AS BIGINT)
+           AS band_val
+  FROM bits, UNNEST(GENERATE_SERIES(0, 2)) AS g(k)
+),
+buckets AS (
+  SELECT k, band_val FROM bands
+  GROUP BY k, band_val HAVING COUNT(*) <= 50
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.dhash AS ha, b.dhash AS hb
+  FROM bands a
+  JOIN buckets u ON a.k = u.k AND a.band_val = u.band_val
+  JOIN bands b ON a.k = b.k AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+       doc_b = doc_a + 100000 AS is_planted_pair
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 2
+ORDER BY hamming, doc_a, doc_b
+LIMIT 20
+"""
+
+
+@register(
+    "m_perceptual_hash_dedup",
+    oracle=_PHASH_ORACLE,
+    tags=("N6", "N2", "F1", "J10"),
+)
+def m_perceptual_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) near-duplicate detection — the IMAGE
+    dedup path: sample 16 intensities across the media stream, hash the
+    15 adjacent-pair gradients into bits, and find pairs within Hamming
+    distance 2 via banded buckets. Intensities here are deterministic
+    byte samples of the payload stand-in (the honest-stub convention:
+    with a real codec the samples are downscaled pixels; every
+    downstream stage — gradient bits, banding, Hamming refine — is the
+    production shape and oracle-exact).
+
+    Scale design: SimHash's pigeonhole argument with 3 bands of 5 bits
+    — Hamming ≤ 2 on 15 bits forces at least one identical band, so
+    candidates come from a band-value EQUI-join, never all-pairs; hot
+    buckets are capped at 50 docs (stop-bucket cut). The hash itself is
+    pure codegen integer math fused into the scan; planted
+    last-byte-edited copies (same length, so sample positions align)
+    prove the ≤2-bit tolerance end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.length("text") >= 16)
+    corpus = base.select("doc_id", "text").unionAll(
+        base.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr(
+                "SUBSTR(text, 1, LENGTH(text) - 1) || 'x'"
+            ).alias("text"),
+        )
+    )
+    samples = corpus.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "i",
+        F.expr(
+            "ASCII(SUBSTR(text, 1 + ((LENGTH(text) - 1) * i) DIV 15, 1))"
+        ).alias("inten"),
+    )
+    a = samples.select("doc_id", "i", F.col("inten").alias("ia"))
+    b = samples.select(
+        "doc_id", (F.col("i") - 1).alias("i"), F.col("inten").alias("ib")
+    )
+    bits = (
+        a.join(b, ["doc_id", "i"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ia") > F.col("ib"),
+                    F.expr("CAST(POWER(2, i) AS BIGINT)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("dhash")
+        )
+    )
+    bands = bits.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"),
+    ).withColumn(
+        "band_val",
+        F.expr("(dhash DIV CAST(POWER(32, k) AS BIGINT)) % 32"),
+    )
+    buckets = (
+        bands.groupBy("k", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= 50)
+        .select("k", "band_val")
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash").alias("ha"),
+        "k",
+        "band_val",
+    ).join(buckets, ["k", "band_val"])
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash").alias("hb"),
+        "k",
+        "band_val",
+    )
+    cand = (
+        ba.join(bb, ["k", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .dropDuplicates()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+        .filter(F.col("hamming") <= 2)
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            (F.col("doc_b") == F.col("doc_a") + 100000).alias(
+                "is_planted_pair"
+            ),
+        )
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(20)
+    )

@@ -272,7 +272,7 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "n_winnowing_fingerprints", "t_segmented_regression",
         "a_cooks_distance_outliers", "sql_recursive_ancestor_rollup",
         "n_embedding_cluster_jsd", "e_chain_ladder_ltv",
-        "t_littles_law_check",
+        "t_littles_law_check", "m_perceptual_hash_dedup",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
