@@ -6713,3 +6713,91 @@ def t_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "littles_law_exact"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann robust location estimator (median of Walsh averages)
+# ---------------------------------------------------------------------------
+
+_HL_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS x
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1
+),
+walsh AS (
+  SELECT a.x + b.x AS w2
+  FROM daily a JOIN daily b ON a.d <= b.d
+),
+est AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM walsh) AS n_walsh,
+         (SELECT quantile_cont(w2, 0.5) FROM walsh) AS hl2_cents,
+         (SELECT quantile_cont(x, 0.5) FROM daily) AS med_cents,
+         (SELECT CAST(SUM(x) AS BIGINT) FROM daily) AS sum_cents
+)
+SELECT n_days, n_walsh,
+       ROUND(hl2_cents / 200.0, 6) AS hl_estimate_dollars,
+       ROUND(med_cents / 100.0, 6) AS median_dollars,
+       ROUND(CAST(sum_cents AS DOUBLE) / n_days / 100.0, 6)
+         AS mean_dollars
+FROM est
+"""
+
+
+@register(
+    "a_hodges_lehmann_estimator",
+    oracle=_HL_ORACLE,
+    tags=("A8", "A2", "J7", "J10", "F3"),
+)
+def a_hodges_lehmann_estimator(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hodges-Lehmann location estimate of daily revenue — the median
+    of all pairwise Walsh averages (xᵢ+xⱼ)/2, i ≤ j: the estimator
+    behind the Wilcoxon signed-rank test, ~95% as efficient as the mean
+    under normality yet 29%-breakdown robust; reported next to the
+    plain mean and median so a reader sees the three-way disagreement
+    that flags skew.
+
+    Determinism + scale design: Walsh sums stay DOUBLED integers
+    (xᵢ+xⱼ, no halving float), and the n(n+1)/2 pair set is a theta
+    self-join of the ≤366-row CALENDAR-bounded day rollup — 67k pairs
+    regardless of data volume, the same bounded-pairs posture as
+    Theil-Sen and Mann-Kendall. The exact median over an odd pair
+    count selects an integer; both engines interpolate identically
+    (Spark percentile ≡ DuckDB quantile_cont)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("x"))
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    walsh = a.join(b, F.col("da") <= F.col("db")).select(
+        (F.col("xa") + F.col("xb")).alias("w2")
+    )
+    n_days = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.percentile("x", F.lit(0.5)).alias("med_cents"),
+        F.sum("x").cast("long").alias("sum_cents"),
+    )
+    hl = walsh.agg(
+        F.count(F.lit(1)).cast("long").alias("n_walsh"),
+        F.percentile("w2", F.lit(0.5)).alias("hl2_cents"),
+    )
+    return n_days.crossJoin(F.broadcast(hl)).select(
+        "n_days",
+        "n_walsh",
+        F.round(F.col("hl2_cents") / 200.0, 6).alias("hl_estimate_dollars"),
+        F.round(F.col("med_cents") / 100.0, 6).alias("median_dollars"),
+        F.round(
+            F.col("sum_cents").cast("double") / F.col("n_days") / 100.0, 6
+        ).alias("mean_dollars"),
+    )

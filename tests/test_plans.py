@@ -426,6 +426,9 @@ _BNLJ_ALLOWED = frozenset({
     # <=24-row factor-suffix broadcast; 1-row span-totals x sweep-area
     # crossJoin
     "e_chain_ladder_ltv", "t_littles_law_check",
+    # round-4 seventh continuation: <=366-row calendar-rollup theta
+    # self-join (Walsh pairs) + 1-row estimator crossJoin
+    "a_hodges_lehmann_estimator",
 })
 
 
