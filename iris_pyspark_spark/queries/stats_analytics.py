@@ -6801,3 +6801,291 @@ def a_hodges_lehmann_estimator(
             F.col("sum_cents").cast("double") / F.col("n_days") / 100.0, 6
         ).alias("mean_dollars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer segment migration matrix (tertile flows, 1996 -> 1997)
+# ---------------------------------------------------------------------------
+
+_MIGRATION_ORACLE = f"""
+WITH spend AS (
+  SELECT o_custkey AS ck, EXTRACT(year FROM o_orderdate) AS yr,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS s
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1, 2
+),
+seg AS (
+  SELECT ck, yr,
+         (ROW_NUMBER() OVER (PARTITION BY yr ORDER BY s, ck) - 1) * 3
+           // COUNT(*) OVER (PARTITION BY yr) AS tertile
+  FROM spend
+),
+flows AS (
+  SELECT a.tertile AS seg_1996,
+         COALESCE(b.tertile, -1) AS seg_1997,
+         CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM (SELECT * FROM seg WHERE yr = 1996) a
+  LEFT JOIN (SELECT * FROM seg WHERE yr = 1997) b ON a.ck = b.ck
+  GROUP BY 1, 2
+)
+SELECT CAST(seg_1996 AS BIGINT) AS seg_1996,
+       CAST(seg_1997 AS BIGINT) AS seg_1997,
+       n_customers,
+       CAST(n_customers * 1000000
+            // SUM(n_customers) OVER (PARTITION BY seg_1996) AS BIGINT)
+         AS row_share_ppm,
+       seg_1997 = seg_1996 AS is_retained_in_segment
+FROM flows
+ORDER BY seg_1996, seg_1997
+"""
+
+
+@register(
+    "e_segment_migration_matrix",
+    oracle=_MIGRATION_ORACLE,
+    tags=("A1", "W1", "J3", "P6", "F3"),
+)
+def e_segment_migration_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer spend-tertile migration matrix 1996 → 1997 — the
+    segment-flow table (upgraded / downgraded / churned per tertile,
+    with row-share ppm) that sits behind every retention deck; the
+    diagonal is segment stickiness and the -1 column is churn.
+
+    Determinism + scale design: tertiles use the explicit integer
+    rank-bucket rule (rank−1)·3 DIV n with a (spend, custkey) total
+    order — NTILE spelled out so ties are deterministic on both
+    engines. The heavy pass is ONE (customer, year) rollup; the rank
+    window runs per year over the customer rollup (the Pareto-deciles
+    convention — at crawl scale the rank window becomes quantile
+    cutpoints, same downstream matrix). Flows are one left join +
+    combinable counts; shares are exact integer ppm."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("s"))
+    )
+    w_rank = Window.partitionBy("yr").orderBy("s", "ck")
+    w_n = Window.partitionBy("yr")
+    seg = spend.select(
+        "ck",
+        "yr",
+        ((F.row_number().over(w_rank) - 1) * 3).alias("_r3"),
+        F.count(F.lit(1)).over(w_n).alias("_n"),
+    ).select("ck", "yr", F.expr("_r3 DIV _n").alias("tertile"))
+    a = seg.filter(F.col("yr") == 1996).select(
+        "ck", F.col("tertile").alias("seg_1996")
+    )
+    b = seg.filter(F.col("yr") == 1997).select(
+        "ck", F.col("tertile").alias("seg_1997_raw")
+    )
+    flows = (
+        a.join(b, "ck", "left")
+        .select(
+            "seg_1996",
+            F.coalesce(F.col("seg_1997_raw"), F.lit(-1)).alias("seg_1997"),
+        )
+        .groupBy("seg_1996", "seg_1997")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    w_row = Window.partitionBy("seg_1996")
+    return flows.select(
+        F.col("seg_1996").cast("long").alias("seg_1996"),
+        F.col("seg_1997").cast("long").alias("seg_1997"),
+        "n_customers",
+        F.expr(
+            "n_customers * 1000000 DIV "
+            "SUM(n_customers) OVER (PARTITION BY seg_1996)"
+        )
+        .cast("long")
+        .alias("row_share_ppm"),
+        (F.col("seg_1997") == F.col("seg_1996")).alias(
+            "is_retained_in_segment"
+        ),
+    ).orderBy("seg_1996", "seg_1997")
+
+
+# ---------------------------------------------------------------------------
+# Fano factor burstiness per event type (overdispersion vs Poisson)
+# ---------------------------------------------------------------------------
+
+_FANO_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS n_active_days
+  FROM daily GROUP BY event_type
+)
+SELECT t.event_type, p.n_days, t.n_active_days, t.s AS n_events,
+       ROUND(CAST(t.s AS DOUBLE) / p.n_days, 6) AS mean_per_day,
+       ROUND((CAST(t.ss AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s / p.n_days)
+             / p.n_days
+             / (CAST(t.s AS DOUBLE) / p.n_days), 6) AS fano_factor,
+       (CAST(t.ss AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s / p.n_days)
+         / p.n_days
+         > CAST(t.s AS DOUBLE) / p.n_days AS is_overdispersed
+FROM stats t CROSS JOIN spine p
+ORDER BY t.event_type
+"""
+
+
+@register(
+    "t_burstiness_fano",
+    oracle=_FANO_ORACLE,
+    tags=("A1", "A2", "F2", "F3"),
+)
+def t_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean of daily counts, zero days
+    included) per event type — the burstiness diagnostic: ≈1 is
+    Poisson, >1 is bursty (campaign spikes, bot storms), <1 is
+    pacemaker-regular; it decides whether rate alerts can assume
+    Poisson thresholds.
+
+    Determinism + scale design: population variance over ALL calendar
+    days comes from the zero-inclusive identity — Σc and Σc² over the
+    ACTIVE days plus the global day count N (absent days add zero to
+    both sums), so no grid densify is needed: ONE combinable
+    (type, day) rollup, one 1-row day-count broadcast, exact integer
+    sufficient statistics, one fixed-shape double formula per type."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    spine = events.agg(
+        F.countDistinct(F.col("ts").cast("date")).cast("long").alias(
+            "n_days"
+        )
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(spine))
+        .select(
+            "event_type",
+            "n_days",
+            "n_active_days",
+            F.col("s").alias("n_events"),
+            F.round(F.col("s").cast("double") / F.col("n_days"), 6).alias(
+                "mean_per_day"
+            ),
+            F.expr(
+                "ROUND((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days)"
+                " / n_days / (CAST(s AS DOUBLE) / n_days), 6)"
+            ).alias("fano_factor"),
+            F.expr(
+                "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days) "
+                "/ n_days > CAST(s AS DOUBLE) / n_days"
+            ).alias("is_overdispersed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity of demand from the discount ladder (log-log OLS)
+# ---------------------------------------------------------------------------
+
+_ELASTICITY_ORACLE = """
+WITH buckets AS (
+  SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem
+  GROUP BY 1
+),
+pts AS (
+  SELECT disc_pct,
+         CAST(ROUND(LN(1.0 - disc_pct / 100.0) * 1000000) AS BIGINT)
+           AS x_micro,
+         CAST(ROUND(LN(CAST(q AS DOUBLE)) * 1000000) AS BIGINT) AS y_micro
+  FROM buckets
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x_micro) AS BIGINT) AS sx,
+         CAST(SUM(y_micro) AS BIGINT) AS sy,
+         CAST(SUM(x_micro * y_micro) AS HUGEINT) AS sxy,
+         CAST(SUM(x_micro * x_micro) AS HUGEINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_price_points,
+       ROUND((n * sxy - sx * sy)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS elasticity,
+       (n * sxy - sx * sy)
+         / CAST(n * sxx - sx * sx AS DOUBLE) < -1.0 AS is_elastic
+FROM stats
+"""
+
+
+@register(
+    "e_price_elasticity",
+    oracle=_ELASTICITY_ORACLE,
+    tags=("A1", "A2", "F3"),
+)
+def e_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand read off the discount ladder:
+    log-log OLS of total quantity on relative price (1 − discount)
+    across the 11 discrete discount levels — elasticity < −1 means
+    revenue-positive discounting (demand grows faster than price
+    falls), the single number a pricing team asks for first.
+
+    Determinism + scale design: the discount ladder is a DATA-MODEL
+    constant (11 levels), so the heavy pass is ONE combinable groupBy
+    to 11 rows; relative price is exact two-decimal arithmetic
+    (disc_pct integer ÷ 100), both log leaves are micro-nat rounded
+    BIGINTs, and the OLS runs on exact integer sufficient statistics —
+    the Heaps/Zipf convention."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    buckets = lineitem.groupBy(
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+    pts = buckets.select(
+        "disc_pct",
+        F.expr(
+            "CAST(ROUND(LN(1.0D - disc_pct / 100.0D) * 1000000) AS BIGINT)"
+        ).alias("x_micro"),
+        F.expr(
+            "CAST(ROUND(LN(CAST(q AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("y_micro"),
+    )
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    stats = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_micro").cast("long").alias("sx"),
+        F.sum("y_micro").cast("long").alias("sy"),
+        F.sum(dec(F.col("x_micro") * F.col("y_micro"))).alias("sxy"),
+        F.sum(dec(F.col("x_micro") * F.col("x_micro"))).alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")).cast("double") / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    ).cast("double")
+    return stats.select(
+        F.col("n").alias("n_price_points"),
+        F.round(slope, 6).alias("elasticity"),
+        (slope < -1.0).alias("is_elastic"),
+    )

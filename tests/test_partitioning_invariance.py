@@ -273,7 +273,8 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "a_cooks_distance_outliers", "sql_recursive_ancestor_rollup",
         "n_embedding_cluster_jsd", "e_chain_ladder_ltv",
         "t_littles_law_check", "m_perceptual_hash_dedup",
-        "a_hodges_lehmann_estimator",
+        "a_hodges_lehmann_estimator", "e_segment_migration_matrix",
+        "t_burstiness_fano", "e_price_elasticity",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

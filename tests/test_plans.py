@@ -429,6 +429,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: <=366-row calendar-rollup theta
     # self-join (Walsh pairs) + 1-row estimator crossJoin
     "a_hodges_lehmann_estimator",
+    # round-4 seventh continuation: 1-row day-count broadcast onto the
+    # per-type Fano stats
+    "t_burstiness_fano",
 })
 
 
