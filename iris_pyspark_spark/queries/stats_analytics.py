@@ -7089,3 +7089,105 @@ def e_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("elasticity"),
         (slope < -1.0).alias("is_elastic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Record-breaking days vs the harmonic-number i.i.d. expectation
+# ---------------------------------------------------------------------------
+
+_RECORDS_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS x
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1
+),
+idx AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS i,
+         MAX(x) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM daily
+),
+rec AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CASE WHEN prev_max IS NULL OR x > prev_max
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_records
+  FROM idx
+),
+harmonic AS (
+  SELECT CAST(SUM(1000000 // i) AS BIGINT) AS h_micro
+  FROM idx
+)
+SELECT r.n_days, r.n_records,
+       ROUND(h.h_micro / 1000000.0, 6) AS expected_records_iid,
+       ROUND(r.n_records / (h.h_micro / 1000000.0), 6)
+         AS record_excess_ratio,
+       r.n_records > 2 * h.h_micro / 1000000.0 AS trending_flag
+FROM rec r CROSS JOIN harmonic h
+"""
+
+
+@register(
+    "t_record_days_check",
+    oracle=_RECORDS_ORACLE,
+    tags=("W3", "W1", "A2", "F3"),
+)
+def t_record_days_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking-day count vs the i.i.d. expectation: under
+    exchangeability the number of running-maximum records in n days is
+    the harmonic number H_n ≈ ln n + γ (~6.4 for a year) — observing
+    far more records is a distribution-free trend detector that needs
+    NO variance estimate (the classic records test; pairs with
+    Mann-Kendall, which counts all pairs rather than records).
+
+    Determinism + scale design: records come from ONE window pass
+    (prefix MAX up to the previous row) over the calendar-bounded daily
+    rollup; H_n is computed as the exact integer Σ 10⁶ DIV i over the
+    same ≤366-row spine (floor-division micro units — no float sum),
+    and the two meet in one fixed-shape ratio on a 1-row frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("x"))
+    )
+    w = Window.orderBy("d")
+    idx = daily.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.max("x")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_max"),
+    )
+    rec = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("x") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_records"),
+    )
+    harmonic = idx.agg(
+        F.sum(F.expr("1000000 DIV i")).cast("long").alias("h_micro")
+    )
+    return rec.crossJoin(F.broadcast(harmonic)).select(
+        "n_days",
+        "n_records",
+        F.round(F.col("h_micro") / 1000000.0, 6).alias(
+            "expected_records_iid"
+        ),
+        F.round(
+            F.col("n_records") / (F.col("h_micro") / 1000000.0), 6
+        ).alias("record_excess_ratio"),
+        (
+            F.col("n_records") > 2 * F.col("h_micro") / 1000000.0
+        ).alias("trending_flag"),
+    )

@@ -432,6 +432,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 1-row day-count broadcast onto the
     # per-type Fano stats
     "t_burstiness_fano",
+    # round-4 seventh continuation: 1-row record-count x harmonic-sum
+    # crossJoin on the calendar-bounded spine
+    "t_record_days_check",
 })
 
 
