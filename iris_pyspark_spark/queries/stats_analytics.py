@@ -7191,3 +7191,237 @@ def t_record_days_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_records") > 2 * F.col("h_micro") / 1000000.0
         ).alias("trending_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative-binomial method-of-moments fit for overdispersed daily counts
+# ---------------------------------------------------------------------------
+
+_NEGBIN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM daily GROUP BY event_type
+),
+mv AS (
+  SELECT t.event_type, p.n_days, t.s,
+         CAST(t.s AS DOUBLE) / p.n_days AS m,
+         (CAST(t.ss AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s / p.n_days)
+           / p.n_days AS v
+  FROM stats t CROSS JOIN spine p
+)
+SELECT event_type, n_days, s AS n_events,
+       ROUND(m, 6) AS mean_per_day,
+       ROUND(v, 6) AS var_per_day,
+       CASE WHEN v > m THEN ROUND(m * m / (v - m), 6) END AS nb_r,
+       CASE WHEN v > m THEN ROUND(m / v, 6) END AS nb_p,
+       v > m AS nb_applicable
+FROM mv ORDER BY event_type
+"""
+
+
+@register(
+    "a_negbin_moments_fit",
+    oracle=_NEGBIN_ORACLE,
+    tags=("A1", "A2", "P6", "F3"),
+)
+def a_negbin_moments_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit per event type — the
+    parametric follow-up to `t_burstiness_fano`: once counts are
+    overdispersed (v > m), NB(r, p) with r = m²/(v−m), p = m/v gives
+    usable alert thresholds where Poisson quantiles false-alarm;
+    nb_applicable routes types back to Poisson when v ≤ m (NULL
+    params, never a negative r).
+
+    Determinism + scale design: identical sufficient-statistics shape
+    as the Fano query (zero-day-inclusive variance from active-day
+    Σc/Σc² + the 1-row calendar day count — no densify); the two
+    moment formulas are fixed-shape doubles on the per-type 1-row
+    frame, guarded by an exact comparison so the CASE branch cannot
+    disagree between engines."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    spine = events.agg(
+        F.countDistinct(F.col("ts").cast("date")).cast("long").alias(
+            "n_days"
+        )
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    mv = stats.crossJoin(F.broadcast(spine)).select(
+        "event_type",
+        "n_days",
+        "s",
+        F.expr("CAST(s AS DOUBLE) / n_days").alias("m"),
+        F.expr(
+            "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days) / n_days"
+        ).alias("v"),
+    )
+    return mv.select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("n_events"),
+        F.round(F.col("m"), 6).alias("mean_per_day"),
+        F.round(F.col("v"), 6).alias("var_per_day"),
+        F.when(
+            F.col("v") > F.col("m"),
+            F.round(F.col("m") * F.col("m") / (F.col("v") - F.col("m")), 6),
+        ).alias("nb_r"),
+        F.when(
+            F.col("v") > F.col("m"), F.round(F.col("m") / F.col("v"), 6)
+        ).alias("nb_p"),
+        (F.col("v") > F.col("m")).alias("nb_applicable"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Interarrival burstiness (CV² of per-user gaps) — point-process level
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+           AS gap_s
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS s,
+         CAST(SUM(CAST(gap_s AS HUGEINT) * gap_s) AS HUGEINT) AS ss
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= 5
+),
+cv2 AS (
+  SELECT user_id, n_gaps,
+         CAST(ROUND(
+           ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_gaps) / n_gaps)
+           / ((CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps))
+           * 1000000) AS BIGINT) AS cv2_micro
+  FROM per_user
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cv2_micro) AS rn,
+         COUNT(*) OVER () AS n
+  FROM cv2
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+       CAST(SUM(n_gaps) AS BIGINT) AS n_gaps_total,
+       ROUND(MAX(CASE WHEN rn = (n + 1) // 2 THEN cv2_micro END)
+             / 1000000.0, 6) AS median_cv2,
+       ROUND(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN cv2_micro END)
+             / 1000000.0, 6) AS p90_cv2,
+       CAST(SUM(CASE WHEN cv2_micro > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bursty_users,
+       CAST(SUM(CASE WHEN cv2_micro > 1000000 THEN 1 ELSE 0 END) * 1000000
+            // MAX(n) AS BIGINT) AS bursty_share_ppm
+FROM ranked
+"""
+
+
+@register(
+    "t_interarrival_burstiness",
+    oracle=_INTERARRIVAL_ORACLE,
+    tags=("W2", "A1", "A8", "F2", "F3"),
+)
+def t_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interarrival burstiness: squared coefficient of variation of
+    per-user event gaps (CV² = var/mean² of interarrival times, exact
+    integer microseconds — CV² is scale-free so the unit cancels) —
+    the POINT-PROCESS burstiness measure (Barabási): CV² ≈ 1 is
+    Poisson, ≫ 1 is bursty sessions-then-silence. Complements the
+    daily-binned Fano factor, which cannot see sub-day structure.
+
+    Determinism + scale design: gaps are one per-user LAG window (one
+    user-keyed shuffle, total order (ts, event_id) so equal timestamps
+    cannot flip); per-user CV² comes from exact integer gap sums
+    (Σgap² widened to decimal — microseconds² overflows INT64
+    immediately) and is micro-rounded at the leaf; the population quantiles
+    are DISCRETE rank selections ((n+1) DIV 2 and ceil(0.9n) as
+    (9n+9) DIV 10) because interpolated percentiles mix floats in an
+    engine-specific order. Users with < 5 gaps are
+    excluded (CV² is noise there) — identically on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_s"),
+    )
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    per_user = (
+        gaps.filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap_s").cast("long").alias("s"),
+            F.sum(dec(F.col("gap_s")) * F.col("gap_s")).alias("ss"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    cv2 = per_user.select(
+        "n_gaps",
+        F.expr(
+            "CAST(ROUND(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s "
+            "/ n_gaps) / n_gaps) / ((CAST(s AS DOUBLE) / n_gaps) "
+            "* (CAST(s AS DOUBLE) / n_gaps)) * 1000000) AS BIGINT)"
+        ).alias("cv2_micro"),
+    )
+    ranked = cv2.select(
+        "*",
+        F.row_number().over(Window.orderBy("cv2_micro")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.sum("n_gaps").cast("long").alias("n_gaps_total"),
+        F.round(
+            F.max(
+                F.when(
+                    F.expr("rn = (n + 1) DIV 2"), F.col("cv2_micro")
+                )
+            )
+            / 1000000.0,
+            6,
+        ).alias("median_cv2"),
+        F.round(
+            F.max(
+                F.when(
+                    F.expr("rn = (9 * n + 9) DIV 10"), F.col("cv2_micro")
+                )
+            )
+            / 1000000.0,
+            6,
+        ).alias("p90_cv2"),
+        F.sum(F.when(F.col("cv2_micro") > 1000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bursty_users"),
+        F.expr(
+            "SUM(CASE WHEN cv2_micro > 1000000 THEN 1 ELSE 0 END) "
+            "* 1000000 DIV MAX(n)"
+        )
+        .cast("long")
+        .alias("bursty_share_ppm"),
+    )

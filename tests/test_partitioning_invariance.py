@@ -275,7 +275,8 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "t_littles_law_check", "m_perceptual_hash_dedup",
         "a_hodges_lehmann_estimator", "e_segment_migration_matrix",
         "t_burstiness_fano", "e_price_elasticity",
-        "t_record_days_check",
+        "t_record_days_check", "a_negbin_moments_fit",
+        "t_interarrival_burstiness",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

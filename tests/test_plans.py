@@ -435,6 +435,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 1-row record-count x harmonic-sum
     # crossJoin on the calendar-bounded spine
     "t_record_days_check",
+    # round-4 seventh continuation: 1-row day-count broadcast onto the
+    # per-type NB moment stats (Fano-family shape)
+    "a_negbin_moments_fit",
 })
 
 
