@@ -7425,3 +7425,132 @@ def t_interarrival_burstiness(
         .cast("long")
         .alias("bursty_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution-window sensitivity sweep (last-click, w ∈ {1,3,7,14} days)
+# ---------------------------------------------------------------------------
+
+_ATTR_SWEEP_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_cents,
+         MAX(CASE WHEN event_type = 'click' THEN EPOCH_US(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_us
+  FROM events
+),
+purchases AS (
+  SELECT v_cents,
+         EPOCH_US(ts) - last_click_us AS gap_us
+  FROM ordered WHERE event_type = 'purchase'
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         CAST(SUM(v_cents) AS BIGINT) AS rev_cents
+  FROM purchases
+),
+sweep AS (
+  SELECT w.w_days,
+         CAST(SUM(CASE WHEN p.gap_us IS NOT NULL
+                        AND p.gap_us <= w.w_days * 86400000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+         CAST(SUM(CASE WHEN p.gap_us IS NOT NULL
+                        AND p.gap_us <= w.w_days * 86400000000
+                       THEN p.v_cents ELSE 0 END) AS BIGINT)
+           AS attributed_cents
+  FROM purchases p
+  CROSS JOIN (SELECT UNNEST([1, 3, 7, 14]) AS w_days) w
+  GROUP BY w.w_days
+)
+SELECT CAST(s.w_days AS BIGINT) AS window_days,
+       t.n_purchases, s.n_attributed, s.attributed_cents,
+       CAST(s.n_attributed * 1000000 // t.n_purchases AS BIGINT)
+         AS attributed_share_ppm,
+       CAST(s.attributed_cents * 1000000 // t.rev_cents AS BIGINT)
+         AS revenue_share_ppm
+FROM sweep s CROSS JOIN tot t
+ORDER BY window_days
+"""
+
+
+@register(
+    "e_attribution_window_sweep",
+    oracle=_ATTR_SWEEP_ORACLE,
+    tags=("A7", "W3", "W2", "F2", "J9"),
+)
+def e_attribution_window_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribution-window sensitivity: how much purchase count and
+    revenue a LAST-CLICK model attributes at lookback windows of 1, 3,
+    7, and 14 days — the table that settles 'our conversion rate
+    doubled' arguments by showing how much of the lift is just a wider
+    window (monotone by construction, so the marginal column between
+    rows is the incremental claim).
+
+    Scale design: the last-click timestamp comes from ONE per-user
+    interleaved window pass (prefix MAX of click epoch-µs up to the
+    PREVIOUS row, total order (ts, event_id)), so no click×purchase
+    join exists; the 4-row window dim then fans each purchase out
+    bounded-constant-fold wide. Gaps are exact integer microseconds;
+    shares are exact integer ppm of the 1-row broadcast totals."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ordered = events.select(
+        "event_type",
+        cents(F.col("value")).alias("v_cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.max(
+            F.when(
+                F.col("event_type") == "click",
+                F.unix_micros(F.col("ts").cast("timestamp")),
+            )
+        )
+        .over(w)
+        .alias("last_click_us"),
+    )
+    purchases = ordered.filter(F.col("event_type") == "purchase").select(
+        "v_cents", (F.col("ts_us") - F.col("last_click_us")).alias("gap_us")
+    )
+    tot = purchases.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("v_cents").cast("long").alias("rev_cents"),
+    )
+    wins = spark.createDataFrame(
+        [(1,), (3,), (7,), (14,)], ["w_days"]
+    )
+    attributed = F.col("gap_us").isNotNull() & (
+        F.col("gap_us") <= F.col("w_days") * 86400000000
+    )
+    sweep = (
+        purchases.crossJoin(F.broadcast(wins))
+        .groupBy("w_days")
+        .agg(
+            F.sum(F.when(attributed, 1).otherwise(0))
+            .cast("long")
+            .alias("n_attributed"),
+            F.sum(F.when(attributed, F.col("v_cents")).otherwise(0))
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+    )
+    return (
+        sweep.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w_days").cast("long").alias("window_days"),
+            "n_purchases",
+            "n_attributed",
+            "attributed_cents",
+            F.expr("n_attributed * 1000000 DIV n_purchases")
+            .cast("long")
+            .alias("attributed_share_ppm"),
+            F.expr("attributed_cents * 1000000 DIV rev_cents")
+            .cast("long")
+            .alias("revenue_share_ppm"),
+        )
+        .orderBy("window_days")
+    )

@@ -438,6 +438,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 1-row day-count broadcast onto the
     # per-type NB moment stats (Fano-family shape)
     "a_negbin_moments_fit",
+    # round-4 seventh continuation: 4-row window-dim broadcast cross +
+    # 1-row totals broadcast in the attribution sweep
+    "e_attribution_window_sweep",
 })
 
 
