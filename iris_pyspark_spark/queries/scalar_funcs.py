@@ -1248,3 +1248,97 @@ def f_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rounding-mode audit: how often half-even vs half-away would disagree
+# ---------------------------------------------------------------------------
+
+_ROUNDING_AUDIT_ORACLE = """
+WITH probe AS (
+  SELECT l_extendedprice * (1 - l_discount) AS x FROM lineitem
+),
+modes AS (
+  SELECT x,
+         CAST(ROUND(x * 100) AS BIGINT) AS half_away_cents,
+         CAST(FLOOR(x * 100) AS BIGINT)
+           + CASE
+               WHEN x * 100 - FLOOR(x * 100) > 0.5 THEN 1
+               WHEN x * 100 - FLOOR(x * 100) < 0.5 THEN 0
+               WHEN CAST(FLOOR(x * 100) AS BIGINT) % 2 = 0 THEN 0
+               ELSE 1
+             END AS half_even_cents,
+         CAST(FLOOR(x * 100) AS BIGINT) AS trunc_cents
+  FROM probe
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN half_away_cents <> half_even_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mode_disagreements,
+       CAST(SUM(CASE WHEN half_away_cents <> trunc_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_round_vs_trunc,
+       CAST(SUM(half_away_cents) AS BIGINT) AS sum_half_away_cents,
+       CAST(SUM(half_even_cents) AS BIGINT) AS sum_half_even_cents,
+       CAST(SUM(half_away_cents) - SUM(half_even_cents) AS BIGINT)
+         AS mode_bias_cents
+FROM modes
+"""
+
+
+@register(
+    "f_rounding_mode_audit",
+    oracle=_ROUNDING_AUDIT_ORACLE,
+    tags=("F3", "F7", "A2", "P6"),
+)
+def f_rounding_mode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-mode audit on the money hot path: counts rows where
+    half-away-from-zero (this engine's `cents()` convention, Spark
+    ROUND) and banker's half-even (numpy/pandas default) would land on
+    DIFFERENT cents, plus the aggregate bias between the two modes —
+    the empirical justification for the repo-wide integer-cents rule,
+    and the QC probe that catches a library swap silently changing
+    financial totals (the round-3 streaming bug class:
+    streaming_parity.py's pandas round() divergence).
+
+    Determinism design: the half-even arm is spelled out with
+    FLOOR/parity CASE arithmetic (identical text both engines) rather
+    than each engine's native banker's rounding, so the audit itself
+    cannot suffer the disagreement it measures. Exactly-.5 fraction
+    compares are exact in binary doubles (x*100 either IS or IS NOT a
+    representable half), so the three-way CASE is bit-stable. One
+    combinable scan pass, zero joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    modes = li.select(
+        F.expr("l_extendedprice * (1 - l_discount)").alias("x")
+    ).select(
+        F.expr("CAST(ROUND(x * 100) AS BIGINT)").alias("half_away_cents"),
+        F.expr(
+            "CAST(FLOOR(x * 100) AS BIGINT) + CASE "
+            "WHEN x * 100 - FLOOR(x * 100) > 0.5 THEN 1 "
+            "WHEN x * 100 - FLOOR(x * 100) < 0.5 THEN 0 "
+            "WHEN CAST(FLOOR(x * 100) AS BIGINT) % 2 = 0 THEN 0 "
+            "ELSE 1 END"
+        ).alias("half_even_cents"),
+        F.expr("CAST(FLOOR(x * 100) AS BIGINT)").alias("trunc_cents"),
+    )
+    return modes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("half_away_cents") != F.col("half_even_cents"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mode_disagreements"),
+        F.sum(
+            F.when(
+                F.col("half_away_cents") != F.col("trunc_cents"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_round_vs_trunc"),
+        F.sum("half_away_cents").cast("long").alias("sum_half_away_cents"),
+        F.sum("half_even_cents").cast("long").alias("sum_half_even_cents"),
+        (F.sum("half_away_cents") - F.sum("half_even_cents"))
+        .cast("long")
+        .alias("mode_bias_cents"),
+    )
