@@ -2223,3 +2223,172 @@ def n_embedding_cluster_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.max("jsd_nats").over(Window.partitionBy())
         ).alias("is_most_divergent"),
     ).orderBy("label_a", "label_b")
+
+
+# ---------------------------------------------------------------------------
+# Hubness skew: the high-dimensional k-occurrence pathology, measured
+# ---------------------------------------------------------------------------
+
+
+def _hubness_oracle() -> str:
+    from ..operators.similarity import dot_unrolled_sql
+
+    return """
+WITH corpus AS (
+  SELECT vec_id, embedding AS emb FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS q_id, emb AS q_emb FROM corpus WHERE vec_id % 5 = 0
+),
+sims AS (
+  SELECT p.q_id, c.vec_id,
+         ({dot_ab})
+           / SQRT({dot_aa}) / SQRT({dot_bb}) AS sim
+  FROM corpus c CROSS JOIN probes p
+  WHERE c.vec_id <> p.q_id
+),
+topk AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, vec_id) AS rnk
+    FROM sims
+  ) WHERE rnk <= 5
+),
+occ AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS c FROM topk GROUP BY vec_id
+),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_queries,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2,
+         CAST(SUM(c * c * c) AS BIGINT) AS s3,
+         CAST(MAX(c) AS BIGINT) AS max_occ,
+         CAST(SUM(CASE WHEN c >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hubs
+  FROM occ
+)
+SELECT n AS n_vectors, n_queries, CAST(5 AS BIGINT) AS k,
+       max_occ AS max_k_occurrence, hubs AS n_hubs_2k,
+       CAST(hubs * 1000000 // n AS BIGINT) AS hub_share_ppm,
+       ROUND(
+         (CAST(s3 AS DOUBLE) / n
+          - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+          + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+            * (CAST(s1 AS DOUBLE) / n))
+         / (SQRT(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+            * (CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))),
+         6) AS k_occurrence_skewness
+FROM stats
+""".format(
+        dot_ab=dot_unrolled_sql("c.emb", "p.q_emb", 64),
+        dot_aa=dot_unrolled_sql("c.emb", "c.emb", 64),
+        dot_bb=dot_unrolled_sql("p.q_emb", "p.q_emb", 64),
+    )
+
+
+@register(
+    "n_hubness_skew",
+    oracle=None,
+    tags=("N3", "N4", "A1", "A8"),
+)
+def n_hubness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic for the embedding space: the skewness of the
+    k-occurrence distribution (how often each vector shows up in other
+    vectors' top-5) — in high dimensions a few 'hub' vectors dominate
+    every neighbor list, silently degrading kNN search, kNN
+    classification, and semantic dedup; skewness ≫ 0 plus a fat
+    max-occurrence is the standard alarm (Radovanović et al.).
+
+    Scale design: the neighbor pass is the brute-force probe shape
+    (deterministic vec_id % 5 probe set broadcast against ONE corpus
+    scan — the n_knn_bruteforce posture; at 100 TB the probe set stays
+    bounded and the scan is embarrassingly parallel). The k-occurrence
+    moments come from exact integer Σc, Σc², Σc³ over the occurrence
+    rollup with the zero-count identity (absent vectors contribute
+    nothing), so the one skewness formula runs on a 1-row frame with
+    identical expression trees — cosine itself is the repo's bit-exact
+    left-fold dot product."""
+    from ..operators.similarity import dot_unrolled
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    probes = corpus.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    sims = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                dot_unrolled(F.col("emb"), F.col("q_emb"), 64)
+                / F.sqrt(dot_unrolled(F.col("emb"), F.col("emb"), 64))
+                / F.sqrt(dot_unrolled(F.col("q_emb"), F.col("q_emb"), 64))
+            ).alias("sim"),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), "vec_id"
+    )
+    topk = sims.select(
+        "q_id", "vec_id", F.row_number().over(w_rank).alias("rnk")
+    ).filter(F.col("rnk") <= 5)
+    occ = topk.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_tot = corpus.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_q = probes.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    stats = occ.agg(
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).cast("long").alias("s3"),
+        F.max("c").cast("long").alias("max_occ"),
+        F.sum(F.when(F.col("c") >= 10, 1).otherwise(0))
+        .cast("long")
+        .alias("hubs"),
+    )
+    skew_expr = (
+        "ROUND((CAST(s3 AS DOUBLE) / n "
+        "- 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n) "
+        "+ 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) "
+        "* (CAST(s1 AS DOUBLE) / n)) "
+        "/ (SQRT(CAST(s2 AS DOUBLE) / n "
+        "- (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) "
+        "* (CAST(s2 AS DOUBLE) / n "
+        "- (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))), 6)"
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            F.col("n").alias("n_vectors"),
+            "n_queries",
+            F.lit(5).cast("long").alias("k"),
+            F.col("max_occ").alias("max_k_occurrence"),
+            F.col("hubs").alias("n_hubs_2k"),
+            F.expr("hubs * 1000000 DIV n").cast("long").alias(
+                "hub_share_ppm"
+            ),
+            F.expr(skew_expr).alias("k_occurrence_skewness"),
+        )
+    )
+
+
+def _install_hubness_oracle() -> None:
+    import dataclasses
+
+    from ..registry import REGISTRY
+
+    REGISTRY["n_hubness_skew"] = dataclasses.replace(
+        REGISTRY["n_hubness_skew"], oracle=_hubness_oracle()
+    )
+
+
+_install_hubness_oracle()

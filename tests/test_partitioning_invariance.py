@@ -277,7 +277,7 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "t_burstiness_fano", "e_price_elasticity",
         "t_record_days_check", "a_negbin_moments_fit",
         "t_interarrival_burstiness", "e_attribution_window_sweep",
-        "f_rounding_mode_audit",
+        "f_rounding_mode_audit", "n_hubness_skew",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

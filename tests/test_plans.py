@@ -441,6 +441,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 4-row window-dim broadcast cross +
     # 1-row totals broadcast in the attribution sweep
     "e_attribution_window_sweep",
+    # round-4 seventh continuation: bounded probe broadcast (vec_id % 5)
+    # against one corpus scan + 1-row totals crossJoins (hubness)
+    "n_hubness_skew",
 })
 
 
