@@ -1114,3 +1114,122 @@ def g_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient: do high-degree parts preferentially co-order?
+# ---------------------------------------------------------------------------
+
+_RICH_CLUB_ORACLE = """
+WITH io AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM io a JOIN io b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY node
+),
+ks AS (SELECT UNNEST([2, 4, 8]) AS k),
+club AS (
+  SELECT k.k, CAST(COUNT(*) AS BIGINT) AS n_k
+  FROM deg d CROSS JOIN ks k
+  WHERE d.d > k.k
+  GROUP BY k.k
+),
+club_edges AS (
+  SELECT k.k, CAST(COUNT(*) AS BIGINT) AS e_k
+  FROM pairs p
+  JOIN deg du ON p.u = du.node
+  JOIN deg dv ON p.v = dv.node
+  CROSS JOIN ks k
+  WHERE du.d > k.k AND dv.d > k.k
+  GROUP BY k.k
+)
+SELECT CAST(c.k AS BIGINT) AS degree_threshold,
+       c.n_k AS n_club_nodes,
+       COALESCE(e.e_k, 0) AS n_club_edges,
+       CAST(COALESCE(e.e_k, 0) * 2000000
+            // (c.n_k * (c.n_k - 1)) AS BIGINT) AS phi_ppm
+FROM club c LEFT JOIN club_edges e ON c.k = e.k
+WHERE c.n_k >= 2
+ORDER BY degree_threshold
+"""
+
+
+@register(
+    "g_rich_club_coefficient",
+    oracle=_RICH_CLUB_ORACLE,
+    tags=("J10", "J1", "A1", "J9"),
+)
+def g_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) of the part
+    co-order graph at degree thresholds 2/4/8 — do popular parts
+    preferentially appear in baskets WITH EACH OTHER (φ rising with k:
+    an elite core, merchandising bundles work) or spread across the
+    catalog (φ flat: hub-and-spoke)?
+
+    Scale design: edges come from the bounded orderkey self-join
+    (fan-out capped by lines-per-order, the whole graph family's
+    posture); degrees are one combinable count; club membership is a
+    broadcast of the 3-row threshold dim against the degree table, and
+    club edges are two degree-table equi-joins back onto the edge list
+    — no pair enumeration beyond the existing edges. φ is exact
+    integer ppm (2·E_k·10⁶ DIV N_k(N_k−1))."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    io = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    a, b = io.alias("a"), io.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .dropDuplicates()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ks = spark.createDataFrame([(2,), (4,), (8,)], ["k"])
+    club = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    club_edges = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    return (
+        club.join(club_edges, "k", "left")
+        .filter(F.col("n_k") >= 2)
+        .select(
+            F.col("k").cast("long").alias("degree_threshold"),
+            F.col("n_k").alias("n_club_nodes"),
+            F.coalesce(F.col("e_k"), F.lit(0)).cast("long").alias(
+                "n_club_edges"
+            ),
+            F.expr(
+                "COALESCE(e_k, 0) * 2000000 DIV (n_k * (n_k - 1))"
+            )
+            .cast("long")
+            .alias("phi_ppm"),
+        )
+        .orderBy("degree_threshold")
+    )

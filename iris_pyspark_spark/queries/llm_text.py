@@ -4288,3 +4288,103 @@ def n_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window truncation loss sweep (ctx ∈ {64, 128, 256, 512} tokens)
+# ---------------------------------------------------------------------------
+
+_TRUNC_SWEEP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+  FROM toks
+),
+sweep AS (
+  SELECT c.ctx,
+         CAST(SUM(LEAST(t.n_tok, c.ctx)) AS BIGINT) AS kept_tokens,
+         CAST(SUM(CASE WHEN t.n_tok > c.ctx THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_truncated_docs
+  FROM toks t
+  CROSS JOIN (SELECT UNNEST([64, 128, 256, 512]) AS ctx) c
+  GROUP BY c.ctx
+)
+SELECT CAST(s.ctx AS BIGINT) AS ctx_tokens,
+       t.n_docs, t.total_tokens, s.kept_tokens, s.n_truncated_docs,
+       CAST(s.kept_tokens * 1000000 // t.total_tokens AS BIGINT)
+         AS retention_ppm,
+       CAST(s.n_truncated_docs * 1000000 // t.n_docs AS BIGINT)
+         AS truncated_docs_ppm
+FROM sweep s CROSS JOIN tot t
+ORDER BY ctx_tokens
+"""
+
+
+@register(
+    "n_truncation_loss_sweep",
+    oracle=_TRUNC_SWEEP_ORACLE,
+    tags=("N5", "A1", "A7", "J9"),
+)
+def n_truncation_loss_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation loss: at each candidate context length
+    (64/128/256/512 whitespace tokens), what fraction of corpus tokens
+    survive naive truncation and how many documents get cut — the
+    planning table that, read against `n_seq_length_histogram`, decides
+    whether to pack, chunk (`n_doc_chunking`), or drop long documents
+    before training.
+
+    Scale design: ONE map-only token count per document (fused into the
+    scan, no explode — LEN of the split array), then the 4-row context
+    dim fans each doc a constant factor into a combinable conditional
+    aggregate; shares are exact integer ppm of 1-row broadcast totals.
+    Monotone in ctx by construction, so adjacent rows read as marginal
+    gains."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.size(F.split(F.lower(F.col("text")), " "))
+        .cast("long")
+        .alias("n_tok")
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    ctxs = spark.createDataFrame(
+        [(64,), (128,), (256,), (512,)], ["ctx"]
+    )
+    sweep = (
+        toks.crossJoin(F.broadcast(ctxs))
+        .groupBy("ctx")
+        .agg(
+            F.sum(F.least(F.col("n_tok"), F.col("ctx").cast("long")))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.sum(
+                F.when(F.col("n_tok") > F.col("ctx"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_truncated_docs"),
+        )
+    )
+    return (
+        sweep.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("ctx").cast("long").alias("ctx_tokens"),
+            "n_docs",
+            "total_tokens",
+            "kept_tokens",
+            "n_truncated_docs",
+            F.expr("kept_tokens * 1000000 DIV total_tokens")
+            .cast("long")
+            .alias("retention_ppm"),
+            F.expr("n_truncated_docs * 1000000 DIV n_docs")
+            .cast("long")
+            .alias("truncated_docs_ppm"),
+        )
+        .orderBy("ctx_tokens")
+    )

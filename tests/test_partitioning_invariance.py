@@ -278,6 +278,7 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "t_record_days_check", "a_negbin_moments_fit",
         "t_interarrival_burstiness", "e_attribution_window_sweep",
         "f_rounding_mode_audit", "n_hubness_skew",
+        "n_truncation_loss_sweep", "g_rich_club_coefficient",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

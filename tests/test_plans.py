@@ -444,6 +444,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: bounded probe broadcast (vec_id % 5)
     # against one corpus scan + 1-row totals crossJoins (hubness)
     "n_hubness_skew",
+    # round-4 seventh continuation: 4-row ctx-dim / 3-row k-dim
+    # broadcast crosses + 1-row totals broadcasts
+    "n_truncation_loss_sweep", "g_rich_club_coefficient",
 })
 
 
