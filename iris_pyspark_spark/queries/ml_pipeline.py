@@ -216,3 +216,102 @@ def ml_als_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_ratings") >= F.col("n_users")).alias("shape_ok"),
     )
+
+
+@register("ml_linreg_normal_eq_check", oracle=None, tags=("N7", "A1", "F3"))
+def ml_linreg_normal_eq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib LinearRegression (solver='normal', no regularization)
+    cross-checked against the engine's OWN exact closed-form OLS
+    (`a_ols_two_feature`'s Cramer solve on exact-integer sufficient
+    statistics): both fit price_cents ~ quantity + discount_pct on the
+    full lineitem table, and the output carries per-coefficient
+    `*_ok` agreement flags — a library-vs-arithmetic consistency gate
+    that catches either an MLlib regression (solver change, silent
+    standardization) or a mistake in our sufficient-statistics algebra.
+    Rows-only by necessity (model output has no SQL oracle), but the
+    in-row invariants make it self-validating: the normal-equation
+    solver is algebraically the same math, so agreement to 1e-4 cents
+    is the expected outcome, not a tuned threshold.
+
+    Scale notes: the exact side is ONE combinable aggregation; the
+    MLlib side is WeightedLeastSquares' single treeAggregate pass over
+    the same rows (normal solver — no iterations); both are linear
+    scans at any SF."""
+    from pyspark.ml.regression import LinearRegression
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("double").alias("y"),
+        F.round(F.col("l_quantity")).cast("double").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("double").alias("x2"),
+    )
+    train = obs.select(
+        array_to_vector(F.array("x1", "x2")).alias("features"),
+        F.col("y").alias("label"),
+    )
+    model = LinearRegression(
+        solver="normal", regParam=0.0, elasticNetParam=0.0
+    ).fit(train)
+    b1_ml, b2_ml = float(model.coefficients[0]), float(model.coefficients[1])
+    b0_ml = float(model.intercept)
+
+    s = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx1x2"),
+        F.sum(F.col("x1").cast("decimal(38,0)") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2").cast("decimal(38,0)") * F.col("y")).alias("sx2y"),
+    )
+    nd = F.col("n").cast("double")
+    m = s.select(
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        (nd * F.col("sx1x1") - F.col("sx1").cast("double") * F.col("sx1"))
+        .alias("s11"),
+        (nd * F.col("sx1x2") - F.col("sx1").cast("double") * F.col("sx2"))
+        .alias("s12"),
+        (nd * F.col("sx2x2") - F.col("sx2").cast("double") * F.col("sx2"))
+        .alias("s22"),
+        (
+            nd * F.col("sx1y").cast("double")
+            - F.col("sx1").cast("double") * F.col("sy").cast("double")
+        ).alias("sy1"),
+        (
+            nd * F.col("sx2y").cast("double")
+            - F.col("sx2").cast("double") * F.col("sy").cast("double")
+        ).alias("sy2"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s22") * F.col("sy1") - F.col("s12") * F.col("sy2")) / det
+    b2 = (F.col("s11") * F.col("sy2") - F.col("s12") * F.col("sy1")) / det
+    b0 = (
+        F.col("sy").cast("double") - b1 * F.col("sx1") - b2 * F.col("sx2")
+    ) / F.col("n")
+    tol = 1e-4
+    return m.select(
+        "n",
+        F.round(b1, 6).alias("b_qty_exact"),
+        F.lit(round(b1_ml, 6)).alias("b_qty_mllib"),
+        F.round(b2, 6).alias("b_disc_exact"),
+        F.lit(round(b2_ml, 6)).alias("b_disc_mllib"),
+        F.round(b0, 6).alias("b0_exact"),
+        F.lit(round(b0_ml, 6)).alias("b0_mllib"),
+        (
+            F.abs(b1 - F.lit(b1_ml))
+            <= tol + 1e-6 * F.abs(b1)
+        ).alias("agree_qty_ok"),
+        (
+            F.abs(b2 - F.lit(b2_ml))
+            <= tol + 1e-6 * F.abs(b2)
+        ).alias("agree_disc_ok"),
+        (
+            F.abs(b0 - F.lit(b0_ml))
+            <= tol + 1e-6 * F.abs(b0)
+        ).alias("agree_intercept_ok"),
+    )
