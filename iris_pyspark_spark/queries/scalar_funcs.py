@@ -1342,3 +1342,101 @@ def f_rounding_mode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mode_bias_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F5: map aggregation pipeline — build, inspect, and unfold map columns
+# ---------------------------------------------------------------------------
+
+_MAP_AGG_ORACLE = """
+WITH cnt AS (
+  SELECT n.n_name AS nation, o.o_orderpriority AS prio,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders o
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_priorities,
+       STRING_AGG(prio, ',' ORDER BY prio) AS priorities_sorted,
+       CAST(SUM(c) AS BIGINT) AS total_orders,
+       CAST(MAX(CASE WHEN prio = '1-URGENT' THEN c ELSE 0 END) AS BIGINT)
+         AS urgent_orders,
+       CAST(MAX(CASE WHEN c = (SELECT MAX(c2.c) FROM cnt c2
+                               WHERE c2.nation = cnt.nation)
+                THEN prio END) AS VARCHAR) AS top_priority
+FROM cnt
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@register(
+    "f_map_aggregation_pipeline",
+    oracle=_MAP_AGG_ORACLE,
+    tags=("F5", "F4", "A9", "A1", "J1"),
+)
+def f_map_aggregation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full map-column lifecycle in one query: per-nation priority
+    counts are COLLECTED into a real MapType column
+    (map_from_entries over a sorted entry array), then interrogated
+    with the map function family — size, map_keys, map_values,
+    element_at, and an argmax over entries — before unfolding back to
+    scalar columns. This is the semi-structured aggregation pattern
+    (feature maps, per-key counters) users reach for between rigid
+    columns and opaque JSON.
+
+    Determinism + scale design: ONE combinable (nation, priority)
+    rollup feeds a bounded collect (≤5 entries per nation — the
+    priority domain is a data-model constant); the entry array is
+    array_sort-ed BEFORE map construction so map iteration order —
+    which Spark does not define — can never leak into output; the
+    argmax uses struct ordering (c, prio) so count ties break on the
+    key identically to the oracle's correlated-max spelling. Output is
+    scalars only (the no-maps-in-checked-output rule)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cnt = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    mapped = cnt.groupBy("nation").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("prio"), F.col("c")))
+            )
+        ).alias("prio_map")
+    )
+    return mapped.select(
+        "nation",
+        F.size("prio_map").cast("long").alias("n_priorities"),
+        F.array_join(F.array_sort(F.map_keys("prio_map")), ",").alias(
+            "priorities_sorted"
+        ),
+        F.aggregate(
+            F.map_values("prio_map"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_orders"),
+        F.coalesce(
+            F.element_at("prio_map", "1-URGENT"), F.lit(0)
+        )
+        .cast("long")
+        .alias("urgent_orders"),
+        F.expr(
+            "array_max(transform(map_entries(prio_map), "
+            "e -> struct(e.value AS c, e.key AS prio))).prio"
+        ).alias("top_priority"),
+    ).orderBy("nation")

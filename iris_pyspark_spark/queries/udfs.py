@@ -904,3 +904,116 @@ def u_grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(fit, "seg string, n long, slope double, intercept double")
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# U3: pandas grouped-agg UDAF Gini, cross-checked against the SQL rank form
+# ---------------------------------------------------------------------------
+
+_UDAF_GINI_ORACLE = f"""
+WITH spend AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT)
+           AS spend_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, spend_cents,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+           ORDER BY spend_cents, o_custkey) AS i
+  FROM spend
+),
+seg AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(spend_cents) AS BIGINT) AS total_cents,
+         CAST(SUM(i * spend_cents) AS BIGINT) AS weighted
+  FROM ranked GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n, total_cents,
+       ROUND((2.0 * weighted - (n + 1.0) * total_cents)
+             / (CAST(n AS DOUBLE) * total_cents), 6) AS gini
+FROM seg
+ORDER BY c_mktsegment
+"""
+
+
+def _make_gini_udaf():
+    import math
+
+    import numpy as np
+
+    @pandas_udf("double")
+    def gini_udaf(x: pd.Series) -> float:
+        # Exact-integer rank form: sort values ascending, i = 1..n,
+        # G = (2Σi·x − (n+1)Σx)/(nΣx). The Σi·x weight is invariant
+        # under tie order (equal x swap freely), so sorting VALUES only
+        # matches the oracle's (value, custkey) total order. Arithmetic
+        # mirrors the oracle's double tree; final rounding is explicit
+        # half-away-from-zero (Python round() is banker's).
+        v = np.sort(x.to_numpy(dtype="int64"))
+        n = len(v)
+        total = int(v.sum())
+        weighted = int((np.arange(1, n + 1, dtype="int64") * v).sum())
+        g = (2.0 * weighted - (n + 1.0) * total) / (float(n) * total)
+        return math.floor(g * 1000000 + 0.5) / 1000000
+
+    return gini_udaf
+
+
+def _make_long_udafs():
+    @pandas_udf("long")
+    def n_udaf(x: pd.Series) -> int:
+        return int(len(x))
+
+    @pandas_udf("long")
+    def sum_udaf(x: pd.Series) -> int:
+        return int(x.to_numpy(dtype="int64").sum())
+
+    return n_udaf, sum_udaf
+
+
+@register(
+    "u_udaf_gini_crosscheck",
+    oracle=_UDAF_GINI_ORACLE,
+    tags=("U3", "A1", "J1", "F3"),
+)
+def u_udaf_gini_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Gini computed by a pandas grouped-agg UDAF and
+    hash-checked against the pure-SQL rank formulation
+    (`a_gini_concentration`'s oracle verbatim) — the Arrow UDAF path
+    proven value-identical to Catalyst window arithmetic, which is the
+    guarantee a user needs before trusting custom Python aggregates on
+    money columns.
+
+    Scale notes: the heavy pass is the (segment, customer) rollup;
+    the UDAF receives one Arrow batch per segment (customer-bounded,
+    not row-bounded) and runs O(n log n) numpy sort per group — the
+    exact shape MLlib-free custom metrics take at 100 TB. Exact int64
+    rank weights (Σi·x far from overflow through sf1), double formula
+    mirroring the oracle's tree, explicit half-away rounding (Python
+    round() is banker's and WOULD diverge)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(cents(F.col("o_totalprice")))
+            .cast("long")
+            .alias("spend_cents")
+        )
+    )
+    n_udaf, sum_udaf = _make_long_udafs()
+    # Spark forbids mixing pandas UDAFs with built-in aggregates in one
+    # agg() — so n/total are (trivial) pandas UDAFs too, keeping the
+    # whole aggregation on the Arrow path.
+    return (
+        spend.groupBy("c_mktsegment")
+        .agg(
+            n_udaf("spend_cents").alias("n"),
+            sum_udaf("spend_cents").alias("total_cents"),
+            _make_gini_udaf()("spend_cents").alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -279,6 +279,7 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "t_interarrival_burstiness", "e_attribution_window_sweep",
         "f_rounding_mode_audit", "n_hubness_skew",
         "n_truncation_loss_sweep", "g_rich_club_coefficient",
+        "u_udaf_gini_crosscheck", "f_map_aggregation_pipeline",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
