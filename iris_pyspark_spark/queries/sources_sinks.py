@@ -1896,3 +1896,93 @@ def s_type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty_like").alias("qty_sum"),
         F.count_distinct("l_orderkey").alias("n_orders"),
     )
+
+
+# --- S3: nested-JSON scan with EXPLICIT schema (arrays of structs) ----------
+
+_NESTED_JSON_ORACLE = """
+SELECT l.l_returnflag AS returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-02-01'
+GROUP BY l.l_returnflag
+ORDER BY returnflag
+"""
+
+
+@register(
+    "s_json_nested_scan",
+    oracle=_NESTED_JSON_ORACLE,
+    tags=("S3", "S4", "F4", "J1"),
+)
+def s_json_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON ingestion, the API-dump shape: orders serialized
+    WITH their line items as an array of structs, then scanned back
+    with an EXPLICIT schema (the production path — inference on nested
+    JSON is a full extra pass and type-unstable), exploded, and
+    aggregated. The round-trip is proven against the original
+    relational tables, so a single dropped array element or coerced
+    field fails the hash.
+
+    Scale notes: the nested write is one order-keyed groupBy
+    (collect_list bounded by lines-per-order, a data-model constant);
+    the explicit-schema read is a distributed JSONL scan; explode is
+    map-only. At 100 TB you land exactly here: JSON events with nested
+    arrays → explode → columnar aggregate."""
+    import pyspark.sql.types as T
+
+    path = scratch_dir(sf_dir, "orders_nested_json")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-02-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("line"),
+                    F.col("l_returnflag").alias("flag"),
+                    F.col("l_extendedprice").alias("price"),
+                )
+            ).alias("lines")
+        )
+    )
+    nested.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField(
+                "lines",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("line", T.LongType()),
+                            T.StructField("flag", T.StringType()),
+                            T.StructField("price", T.DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    exploded = back.select(
+        "o_orderkey", F.explode("lines").alias("ln")
+    )
+    return (
+        exploded.groupBy(F.col("ln.flag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("ln.price") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("returnflag")
+    )

@@ -280,6 +280,7 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "f_rounding_mode_audit", "n_hubness_skew",
         "n_truncation_loss_sweep", "g_rich_club_coefficient",
         "u_udaf_gini_crosscheck", "f_map_aggregation_pipeline",
+        "s_json_nested_scan",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
