@@ -2188,3 +2188,113 @@ def e_spike_root_cause_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_value")
     )
+
+
+# --- T3/T4: native session_window + in-session ordered funnel ---------------
+
+_SESSION_FUNNEL_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id))
+              > 1800 * 1000000 OR LAG(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, sid,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(CASE WHEN event_type = 'view' THEN EPOCH_US(ts) END) AS v_us,
+         MIN(CASE WHEN event_type = 'click' THEN EPOCH_US(ts) END) AS c_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN EPOCH_US(ts) END) AS p_us
+  FROM sess GROUP BY user_id, sid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN v_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS sessions_with_view,
+       CAST(SUM(CASE WHEN v_us IS NOT NULL AND c_us IS NOT NULL
+                      AND v_us < c_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS view_then_click,
+       CAST(SUM(CASE WHEN v_us IS NOT NULL AND c_us IS NOT NULL
+                      AND p_us IS NOT NULL AND v_us < c_us AND c_us < p_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel,
+       CAST(SUM(CASE WHEN v_us IS NOT NULL AND c_us IS NOT NULL
+                      AND p_us IS NOT NULL AND v_us < c_us AND c_us < p_us
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS full_funnel_ppm,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM per_session
+"""
+
+
+@register(
+    "t_session_window_funnel",
+    oracle=_SESSION_FUNNEL_ORACLE,
+    tags=("T3", "T4", "A7", "W2", "F2"),
+)
+def t_session_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel INSIDE native session windows: per 30-minute-gap
+    session, did the user view, then click, then purchase — strictly
+    ordered by first occurrence — with the corpus-level completion
+    rate. Combines the two things product analytics always wants
+    together (sessionization + ordered funnel) on the engine's NATIVE
+    session_window operator, while the oracle derives identical
+    sessions from the running-gap-sum spelling — so the query also
+    PROVES the native operator's merge semantics equal the textbook
+    rewrite.
+
+    Scale design: session_window is one user-keyed shuffle; per-session
+    stage ordering uses MIN(epoch-µs) per stage (exact integers, total
+    order (ts, event_id) in the oracle's LAG); the final rollup is one
+    combinable pass to a 1-row summary with exact ppm."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_session = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(F.when(F.col("event_type") == "view", us)).alias("v_us"),
+            F.min(F.when(F.col("event_type") == "click", us)).alias("c_us"),
+            F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+                "p_us"
+            ),
+        )
+    )
+    v, c, p = F.col("v_us"), F.col("c_us"), F.col("p_us")
+    full = (
+        v.isNotNull()
+        & c.isNotNull()
+        & p.isNotNull()
+        & (v < c)
+        & (c < p)
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(v.isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("sessions_with_view"),
+        F.sum(
+            F.when(v.isNotNull() & c.isNotNull() & (v < c), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("view_then_click"),
+        F.sum(F.when(full, 1).otherwise(0)).cast("long").alias(
+            "full_funnel"
+        ),
+        F.expr(
+            "SUM(CASE WHEN v_us IS NOT NULL AND c_us IS NOT NULL "
+            "AND p_us IS NOT NULL AND v_us < c_us AND c_us < p_us "
+            "THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*)"
+        )
+        .cast("long")
+        .alias("full_funnel_ppm"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )

@@ -204,3 +204,95 @@ def o_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(50)
         .limit(25)
     )
+
+
+# --- O4: multiset (ALL) set operations — EXCEPT ALL / INTERSECT ALL ---------
+
+_MULTISET_ORACLE = """
+WITH l AS (
+  SELECT l_partkey AS key, COUNT(*) AS cl FROM lineitem
+  WHERE l_returnflag = 'R' GROUP BY 1
+),
+r AS (
+  SELECT l_partkey AS key, COUNT(*) AS cr FROM lineitem
+  WHERE l_returnflag = 'A' GROUP BY 1
+),
+joined AS (
+  SELECT COALESCE(l.key, r.key) AS key,
+         COALESCE(cl, 0) AS cl, COALESCE(cr, 0) AS cr
+  FROM l FULL OUTER JOIN r ON l.key = r.key
+)
+SELECT key,
+       CAST(cl AS BIGINT) AS n_returned,
+       CAST(cr AS BIGINT) AS n_accepted,
+       CAST(GREATEST(cl - cr, 0) AS BIGINT) AS except_all_copies,
+       CAST(LEAST(cl, cr) AS BIGINT) AS intersect_all_copies
+FROM joined
+WHERE GREATEST(cl - cr, 0) >= 3
+ORDER BY key
+"""
+
+
+@register(
+    "o_except_all_intersect_all",
+    oracle=_MULTISET_ORACLE,
+    tags=("O4", "O3", "J3", "A1"),
+)
+def o_except_all_intersect_all(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiset set operations: EXCEPT ALL keeps max(cl−cr, 0) copies
+    and INTERSECT ALL keeps min(cl, cr) — the bag semantics DISTINCT
+    set-ops silently destroy (auditing 'how many MORE returned than
+    accepted line items does each part have' needs multiplicities,
+    not membership). The query runs Spark's native exceptAll /
+    intersectAll operators and verifies their per-key copy counts
+    against the count-difference identity.
+
+    Scale design: Spark plans exceptAll/intersectAll as
+    count-aggregate + generate (replicate) — exactly the identity the
+    oracle states — so both engines do two combinable counts + one
+    key-equi full-outer join; no row-level anti semantics at scale.
+    The ≥3-copies filter keeps output bounded and non-vacuous."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lhs = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("key")
+    )
+    rhs = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_partkey").alias("key")
+    )
+    except_all = lhs.exceptAll(rhs).groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("except_all_copies")
+    )
+    intersect_all = lhs.intersectAll(rhs).groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("intersect_all_copies")
+    )
+    cl = lhs.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_returned")
+    )
+    cr = rhs.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_accepted")
+    )
+    return (
+        cl.join(cr, "key", "full_outer")
+        .select(
+            "key",
+            F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
+            F.coalesce("n_accepted", F.lit(0)).alias("n_accepted"),
+        )
+        .join(except_all, "key", "left")
+        .join(intersect_all, "key", "left")
+        .select(
+            "key",
+            "n_returned",
+            "n_accepted",
+            F.coalesce("except_all_copies", F.lit(0)).alias(
+                "except_all_copies"
+            ),
+            F.coalesce("intersect_all_copies", F.lit(0)).alias(
+                "intersect_all_copies"
+            ),
+        )
+        .filter(F.col("except_all_copies") >= 3)
+        .orderBy("key")
+    )

@@ -280,7 +280,8 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "f_rounding_mode_audit", "n_hubness_skew",
         "n_truncation_loss_sweep", "g_rich_club_coefficient",
         "u_udaf_gini_crosscheck", "f_map_aggregation_pipeline",
-        "s_json_nested_scan",
+        "s_json_nested_scan", "o_except_all_intersect_all",
+        "t_session_window_funnel",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
