@@ -2298,3 +2298,101 @@ def t_session_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("full_funnel_ppm"),
         F.max("n_events").cast("long").alias("max_session_events"),
     )
+
+
+# --- T2: sliding 14d/7d window aggregation + overlap-aware WoW growth -------
+
+_SLIDING_WOW_ORACLE = """
+WITH days AS (
+  SELECT DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+),
+assigned AS (
+  SELECT u.s AS win_start_day, pc
+  FROM days, UNNEST([ (d // 7) * 7, (d // 7) * 7 - 7 ]) AS u(s)
+  WHERE d >= u.s AND d < u.s + 14
+),
+win AS (
+  SELECT win_start_day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(pc) AS BIGINT) AS rev_cents
+  FROM assigned GROUP BY win_start_day
+),
+grown AS (
+  SELECT win_start_day, n_orders, rev_cents,
+         LAG(rev_cents, 1) OVER (ORDER BY win_start_day) AS prev_rev
+  FROM win
+)
+SELECT CAST(win_start_day AS BIGINT) AS win_start_day,
+       n_orders, rev_cents,
+       CAST(prev_rev AS BIGINT) AS prev_window_rev_cents,
+       CAST(CASE WHEN prev_rev > 0
+            THEN (rev_cents - prev_rev) * 1000000 // prev_rev END AS BIGINT)
+         AS wow_growth_ppm
+FROM grown
+ORDER BY win_start_day
+"""
+
+
+@register(
+    "t_sliding_window_wow",
+    oracle=_SLIDING_WOW_ORACLE,
+    tags=("T2", "T1", "W2", "A1", "F2"),
+)
+def t_sliding_window_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 14-day windows advancing 7 days (every order lands in
+    EXACTLY two windows) via the native F.window(slide) operator, plus
+    window-over-window growth — the smoothed WoW readout that tumbling
+    weeks cannot give (each comparison shares 7 days of data, halving
+    variance). The oracle states the window-assignment arithmetic
+    explicitly — start ∈ {⌊d/7⌋·7, ⌊d/7⌋·7 − 7} relative to the Unix
+    epoch, which IS Spark's documented window origin — so a silent
+    change in alignment or overlap fan-out fails the hash.
+
+    Scale design: the 2× window fan-out happens map-side inside the
+    window operator (bounded constant), one combinable groupBy per
+    window; the LAG runs over the ≤54-row calendar-bounded window
+    spine; growth is exact integer ppm."""
+    orders = load_table(spark, sf_dir, "orders")
+    win = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.window("o_orderdate", "14 days", "7 days").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias(
+                "rev_cents"
+            ),
+        )
+        .select(
+            F.datediff(
+                F.col("w.start").cast("date"), F.lit("1970-01-01")
+            )
+            .cast("long")
+            .alias("win_start_day"),
+            "n_orders",
+            "rev_cents",
+        )
+    )
+    grown = win.select(
+        "*",
+        F.lag("rev_cents", 1)
+        .over(Window.orderBy("win_start_day"))
+        .alias("prev_rev"),
+    )
+    return grown.select(
+        "win_start_day",
+        "n_orders",
+        "rev_cents",
+        F.col("prev_rev").cast("long").alias("prev_window_rev_cents"),
+        F.when(
+            F.col("prev_rev") > 0,
+            F.expr("(rev_cents - prev_rev) * 1000000 DIV prev_rev"),
+        )
+        .cast("long")
+        .alias("wow_growth_ppm"),
+    ).orderBy("win_start_day")
