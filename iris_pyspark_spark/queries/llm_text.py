@@ -4388,3 +4388,138 @@ def n_truncation_loss_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ctx_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-switching audit: sentence-level language votes within each document
+# ---------------------------------------------------------------------------
+
+
+def _codeswitch_oracle() -> str:
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"LEN(LIST_FILTER(STRING_SPLIT(sent, ' '), "
+            f"t -> LIST_CONTAINS([{lst}], t))) AS score_{lang}"
+        )
+    langs_desc = sorted(LANG_MARKERS, reverse=True)
+    case = "CASE " + " ".join(
+        f"WHEN score_{code} = best THEN '{code}'" for code in langs_desc
+    ) + " END"
+    greatest = (
+        "GREATEST(" + ", ".join(f"score_{c}" for c in sorted(LANG_MARKERS)) + ")"
+    )
+    return f"""
+WITH sents AS (
+  SELECT doc_id, lang, TRIM(u.s) AS sent
+  FROM documents,
+       UNNEST(LIST_FILTER(regexp_split_to_array(LOWER(text), '[.!?]+'),
+                          s -> LEN(TRIM(s)) > 0)) AS u(s)
+),
+scored AS (
+  SELECT doc_id, lang, {", ".join(score_cols)} FROM sents
+),
+best AS (SELECT *, {greatest} AS best FROM scored),
+votes AS (
+  SELECT doc_id, lang, {case} AS pred, CAST(COUNT(*) AS BIGINT) AS c
+  FROM best GROUP BY doc_id, lang, {case}
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(SUM(c) AS BIGINT) AS n_sent,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         MAX(LPAD(CAST(c AS VARCHAR), 6, '0') || pred) AS mx
+  FROM votes GROUP BY doc_id, lang
+),
+flagged AS (
+  SELECT lang, n_sent, n_langs,
+         (n_sent - CAST(SUBSTR(mx, 1, 6) AS BIGINT)) * 1000000 // n_sent
+           AS minority_ppm
+  FROM per_doc
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_langs >= 2 AND minority_ppm >= 200000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_codeswitched,
+       CAST(SUM(CASE WHEN n_langs >= 2 AND minority_ppm >= 200000
+                THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS codeswitch_ppm,
+       CAST(MAX(minority_ppm) AS BIGINT) AS max_minority_ppm
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "n_codeswitch_audit",
+    oracle=_codeswitch_oracle(),
+    tags=("N5", "F4", "A1", "A7"),
+)
+def n_codeswitch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching audit: language-ID voted PER SENTENCE (the
+    `n_sentence_stats` segmentation rule × the `n_langid` marker
+    argmax), then per-document minority-language share — documents
+    where ≥2 languages each hold ≥20% of sentences are flagged, the
+    mixed-language pages that doc-level language-ID mislabels and
+    quality filters should route to their own bucket.
+
+    Determinism + scale design: sentence explode and marker scoring
+    are map-only and fuse into the scan; votes are ONE combinable
+    (doc, pred) rollup; the dominant-language argmax uses the
+    LPAD(count)||lang string-max trick so count ties break on the
+    largest language code identically in both engines (counts < 10⁶
+    keep the fixed-width key total). Shares are exact integer ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[.!?]+"),
+                lambda s: F.length(F.trim(s)) > 0,
+            )
+        ).alias("raw_sent"),
+    ).select("doc_id", "lang", F.trim(F.col("raw_sent")).alias("sent"))
+    pred = predicted_lang(F.split(F.col("sent"), " "))
+    votes = (
+        sents.select("doc_id", "lang", pred.alias("pred"))
+        .groupBy("doc_id", "lang", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_doc = votes.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("long").alias("n_sent"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max(
+            F.concat(
+                F.lpad(F.col("c").cast("string"), 6, "0"), F.col("pred")
+            )
+        ).alias("mx"),
+    )
+    flagged = per_doc.select(
+        "lang",
+        "n_langs",
+        F.expr(
+            "(n_sent - CAST(SUBSTR(mx, 1, 6) AS BIGINT)) * 1000000 "
+            "DIV n_sent"
+        ).alias("minority_ppm"),
+    )
+    switched = (F.col("n_langs") >= 2) & (F.col("minority_ppm") >= 200000)
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(switched, 1).otherwise(0))
+            .cast("long")
+            .alias("n_codeswitched"),
+            F.expr(
+                "SUM(CASE WHEN n_langs >= 2 AND minority_ppm >= 200000 "
+                "THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*)"
+            )
+            .cast("long")
+            .alias("codeswitch_ppm"),
+            F.max("minority_ppm").cast("long").alias("max_minority_ppm"),
+        )
+        .orderBy("lang")
+    )
