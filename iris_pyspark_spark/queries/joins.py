@@ -1681,3 +1681,140 @@ def j_bitemporal_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("known_at")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string join: trigram-blocked name matching (the pg_trgm shape)
+# ---------------------------------------------------------------------------
+
+_TRGM_ORACLE = """
+WITH names AS (
+  SELECT p_partkey AS id, LOWER(p_name) AS nm FROM part
+  WHERE p_partkey % 20 = 0
+  UNION ALL
+  SELECT p_partkey + 1000000,
+         LOWER(SUBSTR(p_name, 1, LENGTH(p_name) - 2)) || 'xy'
+  FROM part WHERE p_partkey % 40 = 0
+),
+grams AS (
+  SELECT DISTINCT id, SUBSTR(nm, i, 3) AS g
+  FROM names, UNNEST(GENERATE_SERIES(1, LENGTH(nm) - 2)) AS u(i)
+),
+sizes AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_g FROM grams GROUP BY id
+),
+rare AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 60
+),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM grams a
+  JOIN rare r ON a.g = r.g
+  JOIN grams b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+scored AS (
+  SELECT s.id_a, s.id_b, s.n_shared,
+         sa.n_g AS n_a, sb.n_g AS n_b,
+         s.n_shared * 1000000
+           // (sa.n_g + sb.n_g - s.n_shared) AS jaccard_ppm
+  FROM shared s
+  JOIN sizes sa ON s.id_a = sa.id
+  JOIN sizes sb ON s.id_b = sb.id
+)
+SELECT id_a, id_b, n_shared, n_a, n_b,
+       CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm,
+       id_b = id_a + 1000000 AS is_planted_pair
+FROM scored
+WHERE jaccard_ppm >= 600000
+ORDER BY jaccard_ppm DESC, id_a, id_b
+LIMIT 25
+"""
+
+
+@register(
+    "j_fuzzy_name_trigram",
+    oracle=_TRGM_ORACLE,
+    tags=("J10", "J1", "F1", "N1", "O2"),
+)
+def j_fuzzy_name_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join on part names via character-trigram Jaccard —
+    the pg_trgm / record-linkage shape: candidate pairs come ONLY from
+    shared trigrams (blocked equi-join, never name × name), then exact
+    set-Jaccard ≥ 0.6 confirms. Planted tail-edited copies (last two
+    characters replaced, same key + 10⁶ offset) prove the matcher
+    catches real near-misses, not just equality.
+
+    Scale design: per-name DISTINCT trigrams are a map-only explode;
+    frequent trigrams (document frequency > 60 — 'ing', spaces) are
+    dropped BEFORE the pair join, the stop-gram cut that bounds
+    fan-out exactly like the winnowing/apriori cuts; Jaccard is exact
+    integer ppm via |A∩B| / (|A|+|B|−|A∩B|). The %20 sample bounds the
+    demo corpus; at scale the same plan runs on the full catalog
+    because every stage is an equi-join or combinable count."""
+    part = load_table(spark, sf_dir, "part")
+    base = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("id"), F.lower(F.col("p_name")).alias("nm")
+    )
+    planted = part.filter(F.col("p_partkey") % 40 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("id"),
+        F.concat(
+            F.lower(F.expr("SUBSTR(p_name, 1, LENGTH(p_name) - 2)")),
+            F.lit("xy"),
+        ).alias("nm"),
+    )
+    names = base.unionAll(planted)
+    grams = (
+        names.select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("nm") - 2)
+            ).alias("i"),
+            "nm",
+        )
+        .select("id", F.expr("SUBSTR(nm, i, 3)").alias("g"))
+        .dropDuplicates()
+    )
+    sizes = grams.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 60)
+        .select("g")
+    )
+    a = grams.select(F.col("id").alias("id_a"), "g").join(rare, "g")
+    b = grams.select(F.col("id").alias("id_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_g").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_g").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("n_shared * 1000000 DIV (n_a + n_b - n_shared)").cast(
+                "long"
+            ),
+        )
+        .filter(F.col("jaccard_ppm") >= 600000)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            "jaccard_ppm",
+            (F.col("id_b") == F.col("id_a") + 1000000).alias(
+                "is_planted_pair"
+            ),
+        )
+        .orderBy(F.col("jaccard_ppm").desc(), "id_a", "id_b")
+        .limit(25)
+    )

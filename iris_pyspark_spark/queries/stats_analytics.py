@@ -7554,3 +7554,147 @@ def e_attribution_window_sweep(
         )
         .orderBy("window_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative proportional fitting (raking) to population marginals
+# ---------------------------------------------------------------------------
+
+_IPF_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+),
+dims AS (
+  SELECT c.c_custkey, c.c_mktsegment AS seg, r.r_name AS region,
+         CASE WHEN a.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_active
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  LEFT JOIN active a ON c.c_custkey = a.o_custkey
+),
+cells AS (
+  SELECT seg, region,
+         CAST(SUM(is_active) AS BIGINT) AS m0,
+         CAST(COUNT(*) AS BIGINT) AS pop
+  FROM dims GROUP BY seg, region
+),
+t_seg AS (SELECT seg, CAST(SUM(pop) AS BIGINT) AS t FROM cells GROUP BY seg),
+t_reg AS (SELECT region, CAST(SUM(pop) AS BIGINT) AS c FROM cells GROUP BY region),
+base AS (
+  SELECT cells.seg, cells.region, m0, pop,
+         CAST(m0 AS DOUBLE) AS m, t_seg.t AS t, t_reg.c AS c
+  FROM cells JOIN t_seg ON cells.seg = t_seg.seg
+             JOIN t_reg ON cells.region = t_reg.region
+),
+i1r AS (SELECT *, m * t / SUM(m) OVER (PARTITION BY seg) AS m1 FROM base),
+i1c AS (SELECT *, m1 * c / SUM(m1) OVER (PARTITION BY region) AS m2 FROM i1r),
+i2r AS (SELECT *, m2 * t / SUM(m2) OVER (PARTITION BY seg) AS m3 FROM i1c),
+i2c AS (SELECT *, m3 * c / SUM(m3) OVER (PARTITION BY region) AS m4 FROM i2r),
+i3r AS (SELECT *, m4 * t / SUM(m4) OVER (PARTITION BY seg) AS m5 FROM i2c),
+i3c AS (SELECT *, m5 * c / SUM(m5) OVER (PARTITION BY region) AS m6 FROM i3r),
+rowsums AS (
+  SELECT seg, region, m0, pop, m6, t,
+         SUM(m6) OVER (PARTITION BY seg) AS rowsum
+  FROM i3c
+),
+final AS (
+  SELECT *, MAX(ABS(rowsum - t)) OVER () AS row_gap FROM rowsums
+)
+SELECT seg, region, m0 AS observed_active, pop AS population,
+       ROUND(m6, 6) AS raked_estimate,
+       ROUND(m6 / m0, 6) AS raking_weight,
+       ROUND(row_gap, 6) AS max_rowsum_gap,
+       row_gap < 1.0 AS converged_3_iters
+FROM final
+ORDER BY seg, region
+"""
+
+
+@register(
+    "a_ipf_raking",
+    oracle=_IPF_ORACLE,
+    tags=("A1", "W3", "J1", "J2", "F3"),
+)
+def a_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking): the 1996-active
+    customer sample is reweighted so its (segment × region) cell
+    estimates match BOTH population marginals — the survey
+    post-stratification step behind every 'weighted to be
+    representative' statistic; the per-cell raking weight is what a
+    downstream weighted mean consumes. Three row/column iterations are
+    UNROLLED as six window passes (IPF converges geometrically; the
+    output carries the remaining row-marginal gap and a converged
+    flag, so the truncation is honest).
+
+    Scale design: the only data-sized work is one distinct-active
+    semi-ish join and one (seg, region) rollup — the IPF itself runs
+    entirely on the 25-cell bounded table, where window sums ARE the
+    marginal sums. Deterministic: integer inputs, identical
+    double-expression trees on both engines, 6-dp display rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    active = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    dims = (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(active, customer.c_custkey == active.o_custkey, "left")
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("r_name").alias("region"),
+            F.when(F.col("o_custkey").isNotNull(), 1)
+            .otherwise(0)
+            .alias("is_active"),
+        )
+    )
+    cells = dims.groupBy("seg", "region").agg(
+        F.sum("is_active").cast("long").alias("m0"),
+        F.count(F.lit(1)).cast("long").alias("pop"),
+    )
+    w_seg = Window.partitionBy("seg")
+    w_reg = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    base = cells.select(
+        "*",
+        F.col("m0").cast("double").alias("m"),
+        F.sum("pop").over(w_seg).cast("long").alias("t"),
+        F.sum("pop").over(w_reg).cast("long").alias("c"),
+    )
+    cur = base
+    col = "m"
+    for i, (w, tgt) in enumerate(
+        [(w_seg, "t"), (w_reg, "c")] * 3, start=1
+    ):
+        nxt = f"m{i}"
+        cur = cur.withColumn(
+            nxt,
+            F.col(col) * F.col(tgt) / F.sum(F.col(col)).over(w),
+        )
+        col = nxt
+    rowsums = cur.withColumn("rowsum", F.sum("m6").over(w_seg))
+    final = rowsums.withColumn(
+        "row_gap",
+        F.max(F.abs(F.col("rowsum") - F.col("t"))).over(w_all),
+    )
+    return final.select(
+        "seg",
+        "region",
+        F.col("m0").alias("observed_active"),
+        F.col("pop").alias("population"),
+        F.round(F.col("m6"), 6).alias("raked_estimate"),
+        F.round(F.col("m6") / F.col("m0"), 6).alias("raking_weight"),
+        F.round(F.col("row_gap"), 6).alias("max_rowsum_gap"),
+        (F.col("row_gap") < 1.0).alias("converged_3_iters"),
+    ).orderBy("seg", "region")
