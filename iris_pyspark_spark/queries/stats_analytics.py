@@ -7698,3 +7698,159 @@ def a_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("row_gap"), 6).alias("max_rowsum_gap"),
         (F.col("row_gap") < 1.0).alias("converged_3_iters"),
     ).orderBy("seg", "region")
+
+
+# ---------------------------------------------------------------------------
+# Weibull fit of order-fulfilment durations (empirical-survival linearization)
+# ---------------------------------------------------------------------------
+
+_WEIBULL_ORACLE = """
+WITH spans AS (
+  SELECT o.o_orderkey,
+         CAST(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                       MAX(CAST(l.l_shipdate AS DATE))) + 1 AS BIGINT) AS t
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderdate >= DATE '1996-01-01'
+    AND o.o_orderdate < DATE '1997-01-01'
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spans),
+per_t AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS a FROM spans GROUP BY t
+),
+surv AS (
+  SELECT t,
+         CAST(SUM(a) OVER (ORDER BY t
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS n_gt
+  FROM per_t
+),
+pts AS (
+  SELECT CAST(ROUND(LN(CAST(s.t AS DOUBLE)) * 1000000) AS BIGINT)
+           AS x_micro,
+         CAST(ROUND(LN(-LN(CAST(s.n_gt AS DOUBLE) / o.n)) * 1000000)
+              AS BIGINT) AS y_micro
+  FROM surv s CROSS JOIN tot o
+  WHERE s.t > 0 AND s.n_gt > 0 AND s.n_gt < o.n
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x_micro) AS BIGINT) AS sx,
+         CAST(SUM(y_micro) AS BIGINT) AS sy,
+         CAST(SUM(x_micro * y_micro) AS HUGEINT) AS sxy,
+         CAST(SUM(x_micro * x_micro) AS HUGEINT) AS sxx
+  FROM pts
+),
+fit1 AS (
+  SELECT n, sx, sy,
+         (n * sxy - CAST(sx AS HUGEINT) * sy)
+           / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS k
+  FROM stats
+),
+fit AS (
+  SELECT n, k,
+         (CAST(sy AS DOUBLE) / n / 1000000.0)
+           - k * (CAST(sx AS DOUBLE) / n / 1000000.0) AS b0
+  FROM fit1
+)
+SELECT n AS n_points,
+       ROUND(k, 6) AS weibull_shape_k,
+       ROUND(EXP(-b0 / k), 6) AS weibull_scale_days,
+       k > 1.0 AS hazard_increasing
+FROM fit
+"""
+
+
+@register(
+    "e_weibull_survival_fit",
+    oracle=_WEIBULL_ORACLE,
+    tags=("A1", "W3", "F3", "F2", "J1"),
+)
+def e_weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of order-fulfilment durations by linearizing the
+    empirical survival curve: under Weibull lifetimes ln(−ln S(t)) is
+    linear in ln t, so the OLS slope IS the shape k — k > 1 means the
+    completion hazard RISES with order age (backlogs get cleared), the
+    parametric readout that turns a duration histogram into a
+    forecastable model with a scale in days. (The events table cannot
+    host this fit: every synthetic user is active to the horizon, so
+    the KM curve there is all-censored and flat — durations with real
+    spread live on the fulfilment pipeline.)
+
+    Determinism + scale design: one order-keyed max-ship rollup; the
+    survival curve is a suffix-sum window over the bounded distinct-
+    duration spine (n_gt = #orders strictly longer, exact integers);
+    both log-log leaves are micro-nat rounded BIGINTs feeding the
+    Heaps/Zipf exact-OLS form; degenerate endpoints (S = 0, S = 1)
+    are excluded identically on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(
+            "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+        )
+        .agg(
+            (
+                F.datediff(
+                    F.max(F.col("l_shipdate").cast("date")), F.col("od")
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("t")
+        )
+    )
+    tot = spans.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_t = spans.groupBy("t").agg(F.count(F.lit(1)).alias("a"))
+    w_suffix = Window.orderBy("t").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    surv = per_t.select(
+        "t",
+        F.sum("a").over(w_suffix).cast("long").alias("n_gt"),
+    )
+    pts = (
+        surv.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("t") > 0) & (F.col("n_gt") > 0) & (F.col("n_gt") < F.col("n"))
+        )
+        .select(
+            F.expr(
+                "CAST(ROUND(LN(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)"
+            ).alias("x_micro"),
+            F.expr(
+                "CAST(ROUND(LN(-LN(CAST(n_gt AS DOUBLE) / n)) * 1000000) "
+                "AS BIGINT)"
+            ).alias("y_micro"),
+        )
+    )
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    stats = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_micro").cast("long").alias("sx"),
+        F.sum("y_micro").cast("long").alias("sy"),
+        F.sum(dec(F.col("x_micro") * F.col("y_micro"))).alias("sxy"),
+        F.sum(dec(F.col("x_micro") * F.col("x_micro"))).alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    k = (nd * F.col("sxy") - sxd * F.col("sy")).cast("double") / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    ).cast("double")
+    b0 = (F.col("sy").cast("double") / F.col("n") / 1000000.0) - k * (
+        F.col("sx").cast("double") / F.col("n") / 1000000.0
+    )
+    return stats.select(
+        F.col("n").alias("n_points"),
+        F.round(k, 6).alias("weibull_shape_k"),
+        F.round(F.exp(-b0 / k), 6).alias("weibull_scale_days"),
+        (k > 1.0).alias("hazard_increasing"),
+    )

@@ -447,6 +447,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 4-row ctx-dim / 3-row k-dim
     # broadcast crosses + 1-row totals broadcasts
     "n_truncation_loss_sweep", "g_rich_club_coefficient",
+    # round-4 seventh continuation: 1-row order-count broadcast onto
+    # the bounded duration spine (empirical-survival Weibull fit)
+    "e_weibull_survival_fit",
 })
 
 
