@@ -7854,3 +7854,129 @@ def e_weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(-b0 / k), 6).alias("weibull_scale_days"),
         (k > 1.0).alias("hazard_increasing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Permutation entropy: ordinal-pattern complexity of the daily series
+# ---------------------------------------------------------------------------
+
+_PERM_ENTROPY_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS x
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1
+),
+trip AS (
+  SELECT x AS a,
+         LEAD(x, 1) OVER (ORDER BY d) AS b,
+         LEAD(x, 2) OVER (ORDER BY d) AS c
+  FROM daily
+),
+pats AS (
+  SELECT (CASE WHEN a < b THEN 1 ELSE 0 END)
+       + (CASE WHEN b < c THEN 2 ELSE 0 END)
+       + (CASE WHEN a < c THEN 4 ELSE 0 END) AS pattern_id
+  FROM trip WHERE b IS NOT NULL AND c IS NOT NULL
+),
+counts AS (
+  SELECT pattern_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pats GROUP BY pattern_id
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts),
+terms AS (
+  SELECT c.pattern_id, c.cnt, t.n,
+         CAST(c.cnt * 1000000 // t.n AS BIGINT) AS share_ppm,
+         CAST(ROUND(-(CAST(c.cnt AS DOUBLE) / t.n)
+                    * LN(CAST(c.cnt AS DOUBLE) / t.n)
+                    * 1000000000) AS BIGINT) AS h_nano
+  FROM counts c CROSS JOIN tot t
+),
+ent AS (
+  SELECT *, CAST(SUM(h_nano) OVER () AS BIGINT) AS h_total_nano
+  FROM terms
+)
+SELECT CAST(pattern_id AS BIGINT) AS pattern_id, cnt, n AS n_triplets,
+       share_ppm,
+       ROUND(h_total_nano / 1000000000.0, 6) AS perm_entropy_nats,
+       ROUND(h_total_nano / 1000000000.0 / LN(6.0), 6)
+         AS perm_entropy_normalized
+FROM ent
+ORDER BY pattern_id
+"""
+
+
+@register(
+    "t_permutation_entropy",
+    oracle=_PERM_ENTROPY_ORACLE,
+    tags=("W2", "A1", "F3", "F2"),
+)
+def t_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt-Pompe): the Shannon entropy of
+    order-3 ordinal patterns (up-up, up-down, ...) in the daily revenue
+    series — a distribution-free complexity measure: near 1 (normalized)
+    the series is noise-like, well below 1 it has exploitable ordinal
+    structure; robust to monotone transforms, unlike spectral measures.
+    The per-pattern share table doubles as an up/down-motif census.
+
+    Determinism + scale design: triplets come from two LEAD windows
+    over the ≤366-row calendar-bounded series; the ordinal pattern is
+    pure integer CASE encoding ((a<b) + 2·(b<c) + 4·(a<c) — strict
+    comparisons so exact-cent ties encode identically on both
+    engines); entropy terms are nano-nat rounded per pattern before
+    the ≤6-term sum (the JSD/KM leaf convention)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("x"))
+    )
+    w = Window.orderBy("d")
+    trip = daily.select(
+        F.col("x").alias("a"),
+        F.lead("x", 1).over(w).alias("b"),
+        F.lead("x", 2).over(w).alias("c"),
+    )
+    pats = trip.filter(
+        F.col("b").isNotNull() & F.col("c").isNotNull()
+    ).select(
+        (
+            F.when(F.col("a") < F.col("b"), 1).otherwise(0)
+            + F.when(F.col("b") < F.col("c"), 2).otherwise(0)
+            + F.when(F.col("a") < F.col("c"), 4).otherwise(0)
+        ).alias("pattern_id")
+    )
+    counts = pats.groupBy("pattern_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = counts.agg(F.sum("cnt").cast("long").alias("n"))
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "pattern_id",
+        "cnt",
+        "n",
+        F.expr("cnt * 1000000 DIV n").cast("long").alias("share_ppm"),
+        F.expr(
+            "CAST(ROUND(-(CAST(cnt AS DOUBLE) / n) "
+            "* LN(CAST(cnt AS DOUBLE) / n) * 1000000000) AS BIGINT)"
+        ).alias("h_nano"),
+    )
+    ent = terms.withColumn(
+        "h_total_nano",
+        F.sum("h_nano").over(Window.partitionBy()).cast("long"),
+    )
+    return ent.select(
+        F.col("pattern_id").cast("long").alias("pattern_id"),
+        "cnt",
+        F.col("n").alias("n_triplets"),
+        "share_ppm",
+        F.round(F.col("h_total_nano") / 1000000000.0, 6).alias(
+            "perm_entropy_nats"
+        ),
+        F.expr(
+            "ROUND(h_total_nano / 1000000000.0 / LN(6.0), 6)"
+        ).alias("perm_entropy_normalized"),
+    ).orderBy("pattern_id")

@@ -283,7 +283,7 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "s_json_nested_scan", "o_except_all_intersect_all",
         "t_session_window_funnel", "t_sliding_window_wow",
         "n_codeswitch_audit", "j_fuzzy_name_trigram", "a_ipf_raking",
-        "e_weibull_survival_fit",
+        "e_weibull_survival_fit", "t_permutation_entropy",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -450,6 +450,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 1-row order-count broadcast onto
     # the bounded duration spine (empirical-survival Weibull fit)
     "e_weibull_survival_fit",
+    # round-4 seventh continuation: 1-row triplet-total broadcast onto
+    # the <=6-row ordinal-pattern census
+    "t_permutation_entropy",
 })
 
 
