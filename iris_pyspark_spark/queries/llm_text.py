@@ -4523,3 +4523,249 @@ def n_codeswitch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick collision sweep: feature-space width planning table
+# ---------------------------------------------------------------------------
+
+_HASH_COLLISION_ORACLE = """
+WITH terms AS (
+  SELECT DISTINCT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+  FROM documents
+),
+keyed AS (
+  SELECT term,
+         CAST(('0x' || SUBSTR(MD5(term), 1, 12)) AS BIGINT) AS h
+  FROM terms
+),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM keyed),
+widths AS (SELECT UNNEST([1024, 4096, 16384]) AS w),
+hashed AS (
+  SELECT w.w, CAST(COUNT(DISTINCT k.h % w.w) AS BIGINT) AS n_buckets
+  FROM keyed k CROSS JOIN widths w
+  GROUP BY w.w
+)
+SELECT CAST(h.w AS BIGINT) AS width,
+       v.v AS vocab_size,
+       h.n_buckets AS buckets_used,
+       CAST((v.v - h.n_buckets) * 1000000 // v.v AS BIGINT)
+         AS collided_terms_ppm,
+       CAST(h.n_buckets * 1000000 // h.w AS BIGINT) AS load_factor_ppm
+FROM hashed h CROSS JOIN vocab v
+ORDER BY width
+"""
+
+
+@register(
+    "n_hashing_collision_sweep",
+    oracle=_HASH_COLLISION_ORACLE,
+    tags=("N5", "F7", "A3", "J9"),
+)
+def n_hashing_collision_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hashing-trick planning table: at feature widths 2¹⁰/2¹²/2¹⁴, how
+    many vocabulary terms collide (lose identity) and how loaded the
+    buckets are — the two numbers that size a hashed feature space
+    (`n_feature_hashing`'s width becomes a measured choice instead of
+    a guess; expected collisions follow the birthday bound, so the
+    observed ppm also sanity-checks the hash).
+
+    Determinism + scale design: the hash is a PORTABLE md5-prefix
+    integer (48 bits via hex parse — both engines compute the same
+    value by construction; Spark's xxhash64 and DuckDB's hash() don't
+    match and would make the oracle vacuous); distinct terms are one
+    combinable pass, the 3-row width dim fans them constant-fold wide,
+    and COUNT(DISTINCT h % w) per width is the collision census."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).distinct()
+    keyed = terms.select(
+        "term",
+        F.expr(
+            "CAST(CONV(SUBSTR(MD5(term), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    vocab = keyed.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    widths = spark.createDataFrame(
+        [(1024,), (4096,), (16384,)], ["w"]
+    )
+    hashed = (
+        keyed.crossJoin(F.broadcast(widths))
+        .groupBy("w")
+        .agg(
+            F.countDistinct(F.col("h") % F.col("w"))
+            .cast("long")
+            .alias("n_buckets")
+        )
+    )
+    return (
+        hashed.crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("w").cast("long").alias("width"),
+            F.col("v").alias("vocab_size"),
+            F.col("n_buckets").alias("buckets_used"),
+            F.expr("(v - n_buckets) * 1000000 DIV v")
+            .cast("long")
+            .alias("collided_terms_ppm"),
+            F.expr("n_buckets * 1000000 DIV w")
+            .cast("long")
+            .alias("load_factor_ppm"),
+        )
+        .orderBy("width")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chao1 vocabulary richness + Good-Turing frequency re-estimation
+# ---------------------------------------------------------------------------
+
+_CHAO1_ORACLE = """
+WITH words AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents
+),
+toks AS (
+  SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS term
+  FROM words, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS g(i)
+  WHERE LEN(t) >= 3
+),
+freq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS r FROM toks GROUP BY term
+),
+fof AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS s_r FROM freq GROUP BY r
+),
+tot AS (
+  SELECT CAST(SUM(s_r) AS BIGINT) AS v,
+         CAST(SUM(r * s_r) AS BIGINT) AS n_tokens,
+         CAST(MAX(CASE WHEN r = 1 THEN s_r ELSE 0 END) AS BIGINT) AS f1,
+         CAST(MAX(CASE WHEN r = 2 THEN s_r ELSE 0 END) AS BIGINT) AS f2
+  FROM fof
+),
+low AS (
+  SELECT r FROM fof ORDER BY r LIMIT 5
+),
+gt AS (
+  SELECT a.r, a.s_r,
+         CAST(COALESCE(b.s_r, 0) AS BIGINT) AS s_r_next,
+         CASE WHEN a.s_r > 0 THEN
+           ROUND((a.r + 1.0) * COALESCE(b.s_r, 0) / a.s_r, 6) END
+           AS gt_adjusted_count
+  FROM fof a
+  JOIN low ON a.r = low.r
+  LEFT JOIN fof b ON b.r = a.r + 1
+)
+SELECT CAST(g.r AS BIGINT) AS freq_class, g.s_r AS n_terms,
+       g.s_r_next AS n_terms_next_class,
+       g.gt_adjusted_count,
+       t.v AS observed_vocab,
+       CASE WHEN t.f2 > 0 THEN
+         ROUND(t.v + CAST(t.f1 AS DOUBLE) * t.f1 / (2.0 * t.f2), 6) END
+         AS chao1_vocab_estimate,
+       CAST(t.f1 * 1000000 // t.n_tokens AS BIGINT) AS unseen_mass_ppm
+FROM gt g CROSS JOIN tot t
+ORDER BY freq_class
+"""
+
+
+@register(
+    "n_chao1_good_turing",
+    oracle=_CHAO1_ORACLE,
+    tags=("N5", "A1", "A3", "J3"),
+)
+def n_chao1_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness and unseen-mass estimation from the
+    frequency-of-frequencies table: Chao1 (V + F₁²/2F₂) estimates how
+    many vocabulary items the corpus has NOT yet seen (the ecology
+    species-richness estimator applied to tokens — pairs with Heaps'
+    law, which fits the growth curve; Chao1 bounds its asymptote), and
+    Good-Turing re-estimated counts r* = (r+1)·S(r+1)/S(r) for
+    the five RAREST observed classes are the smoothing weights a
+    language model assigns to rare events (word TRIGRAMS, because this
+    corpus's unigram vocabulary is tiny and saturated — no unigram is
+    rare); F₁/N is the Good-Turing probability mass of UNSEEN
+    tokens — the number that decides how much more crawl to buy.
+
+    Scale design: term frequencies are ONE combinable groupBy; the
+    frequency-of-frequencies rollup is bounded by the max term count
+    (≤ distinct r values); everything downstream — the r→r+1 self
+    join, Chao1, unseen mass — runs on that tiny table with exact
+    integer inputs and one fixed-shape double per output column."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    sz = F.greatest(F.size(t) - 2, F.lit(0))
+    trigrams = docs.filter(F.size(t) >= 3).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(t, 1, sz), F.slice(t, 2, sz), F.slice(t, 3, sz)
+            )
+        ).alias("g")
+    ).select(
+        F.concat_ws(
+            " ", F.col("g.0"), F.col("g.1"), F.col("g.2")
+        ).alias("term")
+    )
+    freq = trigrams.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    fof = freq.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("s_r"))
+    tot = fof.agg(
+        F.sum("s_r").cast("long").alias("v"),
+        F.sum(F.col("r") * F.col("s_r")).cast("long").alias("n_tokens"),
+        F.max(F.when(F.col("r") == 1, F.col("s_r")).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.max(F.when(F.col("r") == 2, F.col("s_r")).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("s_r").alias("s_r_next")
+    )
+    low = fof.orderBy("r").limit(5).select("r")
+    gt = (
+        fof.join(F.broadcast(low), "r")
+        .join(nxt, "r", "left")
+        .select(
+            "r",
+            "s_r",
+            F.coalesce("s_r_next", F.lit(0)).cast("long").alias(
+                "s_r_next"
+            ),
+            F.when(
+                F.col("s_r") > 0,
+                F.round(
+                    (F.col("r") + 1.0)
+                    * F.coalesce("s_r_next", F.lit(0))
+                    / F.col("s_r"),
+                    6,
+                ),
+            ).alias("gt_adjusted_count"),
+        )
+    )
+    return (
+        gt.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("freq_class"),
+            F.col("s_r").alias("n_terms"),
+            F.col("s_r_next").alias("n_terms_next_class"),
+            "gt_adjusted_count",
+            F.col("v").alias("observed_vocab"),
+            F.when(
+                F.col("f2") > 0,
+                F.round(
+                    F.col("v")
+                    + F.col("f1").cast("double")
+                    * F.col("f1")
+                    / (2.0 * F.col("f2")),
+                    6,
+                ),
+            ).alias("chao1_vocab_estimate"),
+            F.expr("f1 * 1000000 DIV n_tokens")
+            .cast("long")
+            .alias("unseen_mass_ppm"),
+        )
+        .orderBy("freq_class")
+    )

@@ -453,6 +453,10 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 1-row triplet-total broadcast onto
     # the <=6-row ordinal-pattern census
     "t_permutation_entropy",
+    # round-4 seventh continuation: 3-row width-dim cross + 1-row vocab
+    # broadcast (hash sweep); 1-row fof-totals broadcast onto the
+    # <=5-row rare-class table (Chao1/GT)
+    "n_hashing_collision_sweep", "n_chao1_good_turing",
 })
 
 
