@@ -4769,3 +4769,104 @@ def n_chao1_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("freq_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index compression estimate: delta + varbyte postings sizing
+# ---------------------------------------------------------------------------
+
+_POSTINGS_VB_ORACLE = """
+WITH postings AS (
+  SELECT DISTINCT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term, doc_id
+  FROM documents
+),
+gaps AS (
+  SELECT term,
+         doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY term
+                                             ORDER BY doc_id), -1) AS gap
+  FROM postings
+),
+sized AS (
+  SELECT term, CAST((LENGTH(BIN(gap)) + 6) // 7 AS BIGINT) AS vb_bytes
+  FROM gaps
+),
+per_term AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(vb_bytes) AS BIGINT) AS vb
+  FROM sized GROUP BY term
+)
+SELECT CAST(LENGTH(BIN(df)) AS BIGINT) AS df_band,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(df) AS BIGINT) AS total_postings,
+       CAST(SUM(vb) AS BIGINT) AS varbyte_bytes,
+       CAST(SUM(df) * 8 AS BIGINT) AS raw_bytes,
+       CAST(SUM(vb) * 1000000 // (SUM(df) * 8) AS BIGINT)
+         AS compressed_share_ppm
+FROM per_term
+GROUP BY df_band
+ORDER BY df_band
+"""
+
+
+@register(
+    "n_postings_compression_estimate",
+    oracle=_POSTINGS_VB_ORACLE,
+    tags=("N5", "F7", "W2", "A1"),
+)
+def n_postings_compression_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta + varbyte sizing of the inverted index
+    (`n_inverted_index_build`'s storage bill): posting lists are
+    delta-encoded (gap = docid − previous docid) and each gap costs
+    ⌈bits/7⌉ varbyte bytes — reported per document-frequency band,
+    showing the classic effect that FREQUENT terms compress best
+    (dense postings → small gaps → 1-byte deltas) while rare terms
+    stay near raw cost. This is how one prices an index before
+    building it.
+
+    Determinism + scale design: postings are one distinct
+    (term, doc) pass; gaps are one term-keyed LAG window (the index's
+    natural partitioning — no global sort); the byte cost uses the
+    exact LENGTH(BIN(gap)) integer-bit rule (the log2-histogram
+    convention — never float log); bands and ratios are exact
+    integers end to end. First gap encodes docid+1 so it is always
+    positive."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        "doc_id",
+    ).dropDuplicates()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = postings.select(
+        "term",
+        (
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(w), F.lit(-1))
+        ).alias("gap"),
+    )
+    sized = gaps.select(
+        "term",
+        F.expr("CAST((LENGTH(BIN(gap)) + 6) DIV 7 AS BIGINT)").alias(
+            "vb_bytes"
+        ),
+    )
+    per_term = sized.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("vb_bytes").cast("long").alias("vb"),
+    )
+    return (
+        per_term.groupBy(
+            F.expr("CAST(LENGTH(BIN(df)) AS BIGINT)").alias("df_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("total_postings"),
+            F.sum("vb").cast("long").alias("varbyte_bytes"),
+            (F.sum("df") * 8).cast("long").alias("raw_bytes"),
+            F.expr("SUM(vb) * 1000000 DIV (SUM(df) * 8)")
+            .cast("long")
+            .alias("compressed_share_ppm"),
+        )
+        .orderBy("df_band")
+    )

@@ -7980,3 +7980,128 @@ def t_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(h_total_nano / 1000000000.0 / LN(6.0), 6)"
         ).alias("perm_entropy_normalized"),
     ).orderBy("pattern_id")
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa: agreement among THREE heuristic quality raters
+# ---------------------------------------------------------------------------
+
+_FLEISS_ORACLE = """
+WITH rated AS (
+  SELECT (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END)
+       + (CASE WHEN LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' ')))
+                    * 10 >= LEN(STRING_SPLIT(LOWER(text), ' ')) * 3
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN LENGTH(REGEXP_REPLACE(text, '[^.!?,;]', '', 'g')) * 50
+                    <= LENGTH(text)
+               THEN 1 ELSE 0 END) AS n_pos
+  FROM documents
+),
+cells AS (
+  SELECT n_pos, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM rated GROUP BY n_pos
+),
+stats AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+         CAST(SUM(n_docs * (n_pos * (n_pos - 1)
+                            + (3 - n_pos) * (2 - n_pos))) AS BIGINT)
+           AS agree_pairs,
+         CAST(SUM(n_docs * n_pos) AS BIGINT) AS total_pos
+  FROM cells
+),
+kappa AS (
+  SELECT n, agree_pairs, total_pos,
+         CAST(agree_pairs AS DOUBLE) / (n * 6) AS p_bar,
+         (CAST(total_pos AS DOUBLE) / (n * 3))
+           * (CAST(total_pos AS DOUBLE) / (n * 3))
+         + (1.0 - CAST(total_pos AS DOUBLE) / (n * 3))
+           * (1.0 - CAST(total_pos AS DOUBLE) / (n * 3)) AS p_e
+  FROM stats
+)
+SELECT n AS n_docs, agree_pairs, total_pos,
+       ROUND(p_bar, 6) AS observed_agreement,
+       ROUND(p_e, 6) AS chance_agreement,
+       ROUND((p_bar - p_e) / (1.0 - p_e), 6) AS fleiss_kappa,
+       (p_bar - p_e) / (1.0 - p_e) > 0.4 AS moderate_or_better
+FROM kappa
+"""
+
+
+@register(
+    "a_fleiss_kappa",
+    oracle=_FLEISS_ORACLE,
+    tags=("A1", "A2", "F1", "F3"),
+)
+def a_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE heuristic quality raters (length,
+    lexical diversity, low punctuation density) voting accept/reject
+    per document — the multi-rater generalization of Cohen's kappa
+    (`a_cohens_kappa` covers the 2-rater case): are the heuristics
+    measuring the same thing, or padding the ensemble?
+
+    Determinism + scale design: with binary categories and 3 raters a
+    document's agreement-pair count depends ONLY on its positive-vote
+    count k — k(k−1) + (3−k)(2−k) — so the whole statistic reduces to
+    ONE combinable 4-cell rollup (k ∈ 0..3); every input to the two
+    fixed-shape double formulas (P̄ over n·3·2 rater pairs, Pₑ from
+    the marginal) is an exact integer. Rater thresholds are spelled in
+    cross-multiplied integer arithmetic — no float ratios before the
+    vote."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_pos = (
+        F.when(F.col("n_chars") >= 500, 1).otherwise(0)
+        + F.when(
+            F.size(F.array_distinct(toks)) * 10 >= F.size(toks) * 3, 1
+        ).otherwise(0)
+        + F.when(
+            F.length(F.regexp_replace(F.col("text"), r"[^.!?,;]", "")) * 50
+            <= F.length(F.col("text")),
+            1,
+        ).otherwise(0)
+    )
+    cells = (
+        docs.select(n_pos.alias("n_pos"))
+        .groupBy("n_pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    stats = cells.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum(
+            F.col("n_docs")
+            * (
+                F.col("n_pos") * (F.col("n_pos") - 1)
+                + (3 - F.col("n_pos")) * (2 - F.col("n_pos"))
+            )
+        )
+        .cast("long")
+        .alias("agree_pairs"),
+        F.sum(F.col("n_docs") * F.col("n_pos")).cast("long").alias(
+            "total_pos"
+        ),
+    )
+    kappa = stats.select(
+        "n",
+        "agree_pairs",
+        "total_pos",
+        F.expr("CAST(agree_pairs AS DOUBLE) / (n * 6)").alias("p_bar"),
+        F.expr(
+            "(CAST(total_pos AS DOUBLE) / (n * 3)) "
+            "* (CAST(total_pos AS DOUBLE) / (n * 3)) "
+            "+ (1.0 - CAST(total_pos AS DOUBLE) / (n * 3)) "
+            "* (1.0 - CAST(total_pos AS DOUBLE) / (n * 3))"
+        ).alias("p_e"),
+    )
+    return kappa.select(
+        F.col("n").alias("n_docs"),
+        "agree_pairs",
+        "total_pos",
+        F.round(F.col("p_bar"), 6).alias("observed_agreement"),
+        F.round(F.col("p_e"), 6).alias("chance_agreement"),
+        F.round(
+            (F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e")), 6
+        ).alias("fleiss_kappa"),
+        (
+            (F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e")) > 0.4
+        ).alias("moderate_or_better"),
+    )

@@ -285,6 +285,7 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "n_codeswitch_audit", "j_fuzzy_name_trigram", "a_ipf_raking",
         "e_weibull_survival_fit", "t_permutation_entropy",
         "n_hashing_collision_sweep", "n_chao1_good_turing",
+        "a_fleiss_kappa", "n_postings_compression_estimate",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
