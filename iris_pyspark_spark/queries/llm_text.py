@@ -4870,3 +4870,104 @@ def n_postings_compression_estimate(
         )
         .orderBy("df_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# MoE router load-balance proxy: expert shares + Switch-style balance loss
+# ---------------------------------------------------------------------------
+
+_MOE_BALANCE_ORACLE = """
+WITH toks AS (
+  SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term FROM documents
+),
+routed AS (
+  SELECT CAST(('0x' || SUBSTR(MD5(term), 1, 12)) AS BIGINT) % 8 AS expert
+  FROM toks
+),
+loads AS (
+  SELECT expert, CAST(COUNT(*) AS BIGINT) AS c FROM routed GROUP BY expert
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM loads),
+shares AS (
+  SELECT l.expert, l.c, t.n,
+         CAST(l.c * 1000000 // t.n AS BIGINT) AS share_ppm
+  FROM loads l CROSS JOIN tot t
+)
+SELECT CAST(expert AS BIGINT) AS expert, c AS n_tokens, share_ppm,
+       ROUND(8.0 * SUM((CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n))
+             OVER (), 6) AS balance_loss,
+       ROUND(MAX(CAST(c AS DOUBLE)) OVER ()
+             / (CAST(MAX(n) OVER () AS DOUBLE) / 8), 6)
+         AS max_over_mean_load,
+       MAX(CAST(c AS DOUBLE)) OVER ()
+         / (CAST(MAX(n) OVER () AS DOUBLE) / 8) < 1.2
+         AS within_20pct_of_uniform
+FROM shares
+ORDER BY expert
+"""
+
+
+@register(
+    "n_moe_load_balance_proxy",
+    oracle=_MOE_BALANCE_ORACLE,
+    tags=("N5", "F7", "A1", "J9"),
+)
+def n_moe_load_balance_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-of-experts router load balance, measured the way the
+    Switch-Transformer auxiliary loss does: with a deterministic
+    hash router over E = 8 experts, the balance loss E·Σ fᵢ·Pᵢ
+    collapses to E·Σ fᵢ² (router probabilities equal realized
+    fractions), minimized at 1.0 by uniform routing; max/mean load is
+    the capacity-factor driver. The data-engineering half of MoE
+    training IS this census — token routing is a groupBy, and a hot
+    expert is a skewed key (`a_salted_hot_key`'s problem wearing a
+    different hat).
+
+    Determinism + scale design: the router is the portable md5-prefix
+    hash (the `n_hashing_collision_sweep` convention); the census is
+    ONE combinable groupBy to exactly 8 cells; the loss and load
+    ratios are fixed-shape doubles over the 8-row frame with exact
+    integer inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    routed = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).select(
+        (
+            F.expr("CAST(CONV(SUBSTR(MD5(term), 1, 12), 16, 10) AS BIGINT)")
+            % 8
+        ).alias("expert")
+    )
+    loads = routed.groupBy("expert").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = loads.agg(F.sum("c").cast("long").alias("n"))
+    shares = loads.crossJoin(F.broadcast(tot)).select(
+        "expert",
+        "c",
+        "n",
+        F.expr("c * 1000000 DIV n").cast("long").alias("share_ppm"),
+    )
+    w_all = Window.partitionBy()
+    return shares.select(
+        F.col("expert").cast("long").alias("expert"),
+        F.col("c").alias("n_tokens"),
+        "share_ppm",
+        F.round(
+            8.0
+            * F.sum(
+                (F.col("c").cast("double") / F.col("n"))
+                * (F.col("c").cast("double") / F.col("n"))
+            ).over(w_all),
+            6,
+        ).alias("balance_loss"),
+        F.round(
+            F.max(F.col("c").cast("double")).over(w_all)
+            / (F.max("n").over(w_all).cast("double") / 8),
+            6,
+        ).alias("max_over_mean_load"),
+        (
+            F.max(F.col("c").cast("double")).over(w_all)
+            / (F.max("n").over(w_all).cast("double") / 8)
+            < 1.2
+        ).alias("within_20pct_of_uniform"),
+    ).orderBy("expert")

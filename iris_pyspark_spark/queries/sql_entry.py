@@ -1151,3 +1151,73 @@ def sql_recursive_ancestor_rollup(
     table. Identical SQL text runs on both engines."""
     load_tables(spark, sf_dir)
     return spark.sql(_RECURSIVE_ANCESTOR)
+
+
+#: Closure-table materialization: the warehousing answer to "fast
+#: subtree queries without recursion at read time" — every
+#: (ancestor, descendant, depth) pair of the decimal part hierarchy,
+#: built by UNROLLED bounded self-composition (depth ≤ 6 is a property
+#: of the key domain, ceil(log10 k)); the oracle builds the SAME
+#: closure with WITH RECURSIVE, so the query cross-proves the unrolled
+#: materialization against the engine's recursion operator.
+_CLOSURE_ORACLE = """
+WITH RECURSIVE walk(node, anc, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part
+  UNION ALL
+  SELECT node, CAST(FLOOR(anc / 10.0) AS BIGINT), depth + 1
+  FROM walk WHERE anc >= 10
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT anc) AS BIGINT) AS n_ancestors,
+       CAST(MIN(anc) AS BIGINT) AS min_ancestor,
+       CAST(MAX(anc) AS BIGINT) AS max_ancestor
+FROM walk
+GROUP BY depth ORDER BY depth
+"""
+
+
+@register(
+    "j_hierarchy_closure_table",
+    oracle=_CLOSURE_ORACLE,
+    tags=("J10", "O3", "A1", "F3"),
+)
+def j_hierarchy_closure_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closure-table materialization of the decimal part hierarchy:
+    every (descendant, ancestor, depth) pair, built WITHOUT recursion
+    by unrolling the bounded parent map — depth ≤ 6 is a property of
+    the key domain (ceil(log10 maxkey)), so six stacked projections
+    union into the full transitive closure. The ORACLE builds the same
+    closure with WITH RECURSIVE — so this query cross-proves the
+    warehouse pattern (materialize once, equi-join forever) against
+    the recursion operator (`sql_recursive_ancestor_rollup` exercises
+    the engine side; this exercises the rewrite users deploy when
+    recursion is unavailable or too slow at read time).
+
+    Scale design: each unrolled level is a MAP-ONLY integer projection
+    of the previous frontier (no join, no shuffle); the union is one
+    pass; the per-depth rollup is combinable."""
+    load_tables(spark, sf_dir)
+    ctes = [
+        "l0 AS (SELECT p_partkey AS node, p_partkey AS anc, 0 AS depth"
+        " FROM part)"
+    ]
+    for d in range(1, 7):
+        ctes.append(
+            f"l{d} AS (SELECT node, CAST(FLOOR(anc / 10.0) AS BIGINT)"
+            f" AS anc, {d} AS depth FROM l{d - 1} WHERE anc >= 10)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM l{d}" for d in range(7))
+    return spark.sql(
+        "WITH "
+        + ", ".join(ctes)
+        + f", closure AS ({union}) "
+        + "SELECT CAST(depth AS BIGINT) AS depth, "
+        + "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        + "CAST(COUNT(DISTINCT anc) AS BIGINT) AS n_ancestors, "
+        + "CAST(MIN(anc) AS BIGINT) AS min_ancestor, "
+        + "CAST(MAX(anc) AS BIGINT) AS max_ancestor "
+        + "FROM closure GROUP BY depth ORDER BY depth"
+    )

@@ -457,6 +457,9 @@ _BNLJ_ALLOWED = frozenset({
     # broadcast (hash sweep); 1-row fof-totals broadcast onto the
     # <=5-row rare-class table (Chao1/GT)
     "n_hashing_collision_sweep", "n_chao1_good_turing",
+    # round-4 seventh continuation: 1-row token-total broadcast onto
+    # the 8-cell expert census
+    "n_moe_load_balance_proxy",
 })
 
 
