@@ -4971,3 +4971,125 @@ def n_moe_load_balance_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 1.2
         ).alias("within_20pct_of_uniform"),
     ).orderBy("expert")
+
+
+# ---------------------------------------------------------------------------
+# Bigram entropy rate: how much each next token is constrained by context
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ENTROPY_ORACLE = """
+WITH words AS (
+  SELECT STRING_SPLIT(LOWER(text), ' ') AS t FROM documents
+),
+bigrams AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM words, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS g(i)
+  WHERE LEN(t) >= 2
+),
+c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bigrams GROUP BY w1, w2
+),
+c1 AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c2),
+uni_terms AS (
+  SELECT CAST(ROUND(-(CAST(c1.c1 AS DOUBLE) / t.n)
+                    * LN(CAST(c1.c1 AS DOUBLE) / t.n)
+                    * 1000000000) AS BIGINT) AS h_nano
+  FROM c1 CROSS JOIN tot t
+),
+cond_terms AS (
+  SELECT CAST(ROUND(-(CAST(c2.c AS DOUBLE) / t.n)
+                    * LN(CAST(c2.c AS DOUBLE) / c1.c1)
+                    * 1000000000) AS BIGINT) AS h_nano
+  FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN tot t
+),
+ents AS (
+  SELECT (SELECT CAST(SUM(h_nano) AS BIGINT) FROM uni_terms) AS h1_nano,
+         (SELECT CAST(SUM(h_nano) AS BIGINT) FROM cond_terms) AS h2_nano,
+         (SELECT n FROM tot) AS n
+)
+SELECT n AS n_bigrams,
+       ROUND(h1_nano / 1000000000.0, 6) AS unigram_entropy_nats,
+       ROUND(h2_nano / 1000000000.0, 6) AS conditional_entropy_nats,
+       CAST((h1_nano - h2_nano) * 1000000 // h1_nano AS BIGINT)
+         AS redundancy_ppm,
+       h2_nano < h1_nano AS context_is_informative
+FROM ents
+"""
+
+
+@register(
+    "n_bigram_entropy_rate",
+    oracle=_BIGRAM_ENTROPY_ORACLE,
+    tags=("N5", "A1", "J1", "F3"),
+)
+def n_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram entropy rate H(W₂|W₁) versus unigram entropy H(W): their
+    gap (mutual information between adjacent tokens, reported as
+    redundancy ppm) measures how much one token of context constrains
+    the next — the corpus-level compressibility/predictability number
+    that a language model's first attention head will exploit, and the
+    Shannon companion to `n_bigram_lm_score` (which scores documents)
+    and `n_char_entropy` (character level, no context).
+
+    Determinism + scale design: ONE bigram groupBy feeds both
+    distributions (the unigram table is the bigram table re-summed, so
+    the two entropies share a denominator and the redundancy is an
+    exact integer ratio); every entropy term is nano-nat rounded to an
+    exact BIGINT at the leaf (the JSD/KM convention) before the sums,
+    so partition layout cannot move a bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    sz = F.greatest(F.size(t) - 1, F.lit(0))
+    bigrams = docs.filter(F.size(t) >= 2).select(
+        F.explode(
+            F.arrays_zip(F.slice(t, 1, sz), F.slice(t, 2, sz))
+        ).alias("bg")
+    ).select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    c2 = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
+    tot = c2.agg(F.sum("c").cast("long").alias("n"))
+    uni = (
+        c1.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(ROUND(-(CAST(c1 AS DOUBLE) / n) "
+                "* LN(CAST(c1 AS DOUBLE) / n) * 1000000000) AS BIGINT)"
+            ).alias("h_nano")
+        )
+        .agg(F.sum("h_nano").cast("long").alias("h1_nano"))
+    )
+    cond = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(ROUND(-(CAST(c AS DOUBLE) / n) "
+                "* LN(CAST(c AS DOUBLE) / c1) * 1000000000) AS BIGINT)"
+            ).alias("h_nano")
+        )
+        .agg(F.sum("h_nano").cast("long").alias("h2_nano"))
+    )
+    return (
+        uni.crossJoin(F.broadcast(cond))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_bigrams"),
+            F.round(F.col("h1_nano") / 1000000000.0, 6).alias(
+                "unigram_entropy_nats"
+            ),
+            F.round(F.col("h2_nano") / 1000000000.0, 6).alias(
+                "conditional_entropy_nats"
+            ),
+            F.expr("(h1_nano - h2_nano) * 1000000 DIV h1_nano")
+            .cast("long")
+            .alias("redundancy_ppm"),
+            (F.col("h2_nano") < F.col("h1_nano")).alias(
+                "context_is_informative"
+            ),
+        )
+    )

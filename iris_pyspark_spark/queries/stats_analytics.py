@@ -8105,3 +8105,113 @@ def a_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e")) > 0.4
         ).alias("moderate_or_better"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cronbach's alpha: internal consistency of the quality-score items
+# ---------------------------------------------------------------------------
+
+_CRONBACH_ORACLE = """
+WITH items AS (
+  SELECT LEAST(LENGTH(text), 1000) AS x1,
+         LEAST(LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))), 200)
+           AS x2,
+         LEAST(LEN(STRING_SPLIT(LOWER(text), ' ')), 300) AS x3
+  FROM documents
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1,
+         CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS ss1,
+         CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS ss2,
+         CAST(SUM(x3) AS BIGINT) AS s3,
+         CAST(SUM(CAST(x3 AS HUGEINT) * x3) AS HUGEINT) AS ss3,
+         CAST(SUM(CAST(x1 + x2 + x3 AS HUGEINT) * (x1 + x2 + x3))
+              AS HUGEINT) AS sst
+  FROM items
+),
+vars AS (
+  SELECT n,
+         (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n AS v1,
+         (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n) / n AS v2,
+         (CAST(ss3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n) / n AS v3,
+         (CAST(sst AS DOUBLE)
+          - CAST(s1 + s2 + s3 AS DOUBLE) * (s1 + s2 + s3) / n) / n AS vt
+  FROM sums
+)
+SELECT n AS n_docs,
+       ROUND(v1, 6) AS var_len, ROUND(v2, 6) AS var_uniq,
+       ROUND(v3, 6) AS var_tok, ROUND(vt, 6) AS var_total,
+       ROUND(1.5 * (1.0 - (v1 + v2 + v3) / vt), 6) AS cronbach_alpha,
+       1.5 * (1.0 - (v1 + v2 + v3) / vt) >= 0.7 AS acceptable_reliability
+FROM vars
+"""
+
+
+@register(
+    "a_cronbach_alpha",
+    oracle=_CRONBACH_ORACLE,
+    tags=("A1", "A2", "F3", "F1"),
+)
+def a_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha for the three capped quality items (length,
+    unique tokens, token count): α = k/(k−1) · (1 − Σ item var / total
+    var) — the reliability coefficient that says whether the items
+    form ONE scale worth averaging (the continuous companion to the
+    Fleiss/Cohen kappa pair, which judge binary votes).
+
+    Determinism + scale design: ONE combinable pass accumulates all
+    seven sufficient statistics (per-item sums and squares plus the
+    squared item-sum, widened before multiply); population variances
+    and α are fixed-shape doubles on the 1-row frame — k/(k−1) is the
+    literal 1.5. Items are capped with LEAST so a single pathological
+    document cannot own the variance."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    items = docs.select(
+        F.least(F.length("text"), F.lit(1000)).alias("x1"),
+        F.least(F.size(F.array_distinct(toks)), F.lit(200)).alias("x2"),
+        F.least(F.size(toks), F.lit(300)).alias("x3"),
+    )
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    t = (F.col("x1") + F.col("x2") + F.col("x3")).alias("t")
+    sums = items.select("x1", "x2", "x3", t).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum(dec(F.col("x1")) * F.col("x1")).alias("ss1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(dec(F.col("x2")) * F.col("x2")).alias("ss2"),
+        F.sum("x3").cast("long").alias("s3"),
+        F.sum(dec(F.col("x3")) * F.col("x3")).alias("ss3"),
+        F.sum(dec(F.col("t")) * F.col("t")).alias("sst"),
+    )
+    vars_ = sums.select(
+        "n",
+        F.expr(
+            "(CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n"
+        ).alias("v1"),
+        F.expr(
+            "(CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n) / n"
+        ).alias("v2"),
+        F.expr(
+            "(CAST(ss3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n) / n"
+        ).alias("v3"),
+        F.expr(
+            "(CAST(sst AS DOUBLE) "
+            "- CAST(s1 + s2 + s3 AS DOUBLE) * (s1 + s2 + s3) / n) / n"
+        ).alias("vt"),
+    )
+    alpha = F.expr("1.5 * (1.0 - (v1 + v2 + v3) / vt)")
+    return vars_.select(
+        F.col("n").alias("n_docs"),
+        F.round(F.col("v1"), 6).alias("var_len"),
+        F.round(F.col("v2"), 6).alias("var_uniq"),
+        F.round(F.col("v3"), 6).alias("var_tok"),
+        F.round(F.col("vt"), 6).alias("var_total"),
+        F.round(alpha, 6).alias("cronbach_alpha"),
+        (alpha >= 0.7).alias("acceptable_reliability"),
+    )

@@ -287,6 +287,7 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "n_hashing_collision_sweep", "n_chao1_good_turing",
         "a_fleiss_kappa", "n_postings_compression_estimate",
         "j_hierarchy_closure_table", "n_moe_load_balance_proxy",
+        "a_cronbach_alpha", "n_bigram_entropy_rate",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -460,6 +460,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 1-row token-total broadcast onto
     # the 8-cell expert census
     "n_moe_load_balance_proxy",
+    # round-4 seventh continuation: 1-row total broadcasts onto the
+    # bigram/unigram entropy sums
+    "n_bigram_entropy_rate",
 })
 
 
