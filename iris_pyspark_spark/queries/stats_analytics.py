@@ -8215,3 +8215,292 @@ def a_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha, 6).alias("cronbach_alpha"),
         (alpha >= 0.7).alias("acceptable_reliability"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Newey-West (HAC) standard error of the daily-revenue mean
+# ---------------------------------------------------------------------------
+
+_NEWEY_WEST_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS x
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1
+),
+idx AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+  FROM idx
+),
+lags AS (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS l),
+pairsums AS (
+  SELECT lg.l,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sab,
+         CAST(SUM(a.x) AS BIGINT) AS sa,
+         CAST(SUM(b.x) AS BIGINT) AS sb
+  FROM idx a
+  CROSS JOIN lags lg
+  JOIN idx b ON b.i = a.i + lg.l
+  GROUP BY lg.l
+),
+gammas AS (
+  SELECT p.l,
+         (CAST(p.sab AS DOUBLE)
+          - (CAST(m.s AS DOUBLE) / m.n) * (p.sa + p.sb)
+          + p.n_pairs * (CAST(m.s AS DOUBLE) / m.n)
+            * (CAST(m.s AS DOUBLE) / m.n)) / m.n AS gamma_l
+  FROM pairsums p CROSS JOIN m
+),
+hac AS (
+  SELECT SUM(CASE WHEN l = 0 THEN gamma_l
+                  ELSE 2.0 * (1.0 - l / 8.0) * gamma_l END) AS lrv,
+         MAX(CASE WHEN l = 0 THEN gamma_l END) AS gamma0
+  FROM gammas
+)
+SELECT m.n AS n_days,
+       ROUND(CAST(m.s AS DOUBLE) / m.n / 100, 6) AS mean_dollars,
+       ROUND(SQRT(h.gamma0 / m.n) / 100, 6) AS iid_se_dollars,
+       ROUND(SQRT(h.lrv / m.n) / 100, 6) AS hac_se_dollars,
+       ROUND(SQRT(h.lrv / h.gamma0), 6) AS se_inflation,
+       h.lrv > h.gamma0 AS positive_autocorrelation
+FROM m CROSS JOIN hac h
+"""
+
+
+@register(
+    "t_newey_west_se",
+    oracle=_NEWEY_WEST_ORACLE,
+    tags=("A1", "A2", "J7", "F3"),
+)
+def t_newey_west_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West (HAC) standard error of mean daily revenue with
+    Bartlett weights over lags 1..7 — the serially-robust SE that
+    replaces the i.i.d. formula when days are autocorrelated (weekly
+    seasonality makes them so; `t_acf_lags` measures it, this query
+    prices it): the se_inflation column is how many times too narrow a
+    naive confidence interval is. Lag covariances are assembled from
+    EXACT integer pair sums (Σxₐx_b widened to decimal, Σxₐ, Σx_b per
+    lag — the mean-expansion identity), so no order-sensitive float
+    sum exists anywhere.
+
+    Scale design: one combinable day rollup; lag covariances come from
+    the calendar-bounded (≤366 × 8) shifted-index equi-join — the
+    Mann-Kendall/CCF bounded-pairs posture; Bartlett weighting and the
+    two SEs are fixed-shape doubles on 1-row frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("x"))
+    )
+    idx = daily.select(
+        "x", F.row_number().over(Window.orderBy("d")).alias("i")
+    )
+    m = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("l"))
+    a = idx.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = idx.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    pairsums = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("ib", F.col("ia") + F.col("l"))
+        .join(b, "ib")
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias(
+                "sab"
+            ),
+            F.sum("xa").cast("long").alias("sa"),
+            F.sum("xb").cast("long").alias("sb"),
+        )
+    )
+    gammas = pairsums.crossJoin(F.broadcast(m)).select(
+        "l",
+        F.expr(
+            "(CAST(sab AS DOUBLE) "
+            "- (CAST(s AS DOUBLE) / n) * (sa + sb) "
+            "+ n_pairs * (CAST(s AS DOUBLE) / n) "
+            "* (CAST(s AS DOUBLE) / n)) / n"
+        ).alias("gamma_l"),
+    )
+    hac = gammas.agg(
+        F.sum(
+            F.when(F.col("l") == 0, F.col("gamma_l")).otherwise(
+                2.0 * (1.0 - F.col("l") / 8.0) * F.col("gamma_l")
+            )
+        ).alias("lrv"),
+        F.max(F.when(F.col("l") == 0, F.col("gamma_l"))).alias("gamma0"),
+    )
+    return m.crossJoin(F.broadcast(hac)).select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("s").cast("double") / F.col("n") / 100, 6).alias(
+            "mean_dollars"
+        ),
+        F.round(F.sqrt(F.col("gamma0") / F.col("n")) / 100, 6).alias(
+            "iid_se_dollars"
+        ),
+        F.round(F.sqrt(F.col("lrv") / F.col("n")) / 100, 6).alias(
+            "hac_se_dollars"
+        ),
+        F.round(F.sqrt(F.col("lrv") / F.col("gamma0")), 6).alias(
+            "se_inflation"
+        ),
+        (F.col("lrv") > F.col("gamma0")).alias("positive_autocorrelation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil index with exact between/within decomposition across segments
+# ---------------------------------------------------------------------------
+
+_THEIL_ORACLE = f"""
+WITH spend AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+  FROM spend
+),
+leafs AS (
+  SELECT s.seg, s.y,
+         CAST(ROUND((CAST(s.y AS DOUBLE) / t.sy)
+                    * LN(CAST(s.y AS DOUBLE) * t.n / t.sy)
+                    * 1000000000) AS BIGINT) AS t_nano
+  FROM spend s CROSS JOIN tot t
+),
+seg_stats AS (
+  SELECT l.seg,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(l.y) AS BIGINT) AS sy_g,
+         CAST(SUM(l.t_nano) AS BIGINT) AS t_total_contrib_nano
+  FROM leafs l GROUP BY l.seg
+),
+between_terms AS (
+  SELECT g.seg, g.n_g, g.sy_g, g.t_total_contrib_nano,
+         CAST(ROUND((CAST(g.sy_g AS DOUBLE) / t.sy)
+                    * LN((CAST(g.sy_g AS DOUBLE) / t.sy)
+                         / (CAST(g.n_g AS DOUBLE) / t.n))
+                    * 1000000000) AS BIGINT) AS between_nano
+  FROM seg_stats g CROSS JOIN tot t
+),
+totals AS (
+  SELECT CAST(SUM(t_total_contrib_nano) AS BIGINT) AS t_nano,
+         CAST(SUM(between_nano) AS BIGINT) AS b_nano
+  FROM between_terms
+)
+SELECT bt.seg, bt.n_g AS n_customers,
+       ROUND(bt.between_nano / 1000000000.0, 6) AS between_contribution,
+       ROUND((bt.t_total_contrib_nano - bt.between_nano) / 1000000000.0, 6)
+         AS within_contribution,
+       ROUND(t.t_nano / 1000000000.0, 6) AS theil_total,
+       ROUND(t.b_nano / 1000000000.0, 6) AS theil_between,
+       ROUND((t.t_nano - t.b_nano) / 1000000000.0, 6) AS theil_within,
+       CAST(t.b_nano * 1000000 // t.t_nano AS BIGINT)
+         AS between_share_ppm
+FROM between_terms bt CROSS JOIN totals t
+ORDER BY bt.seg
+"""
+
+
+@register(
+    "a_theil_decomposition",
+    oracle=_THEIL_ORACLE,
+    tags=("A1", "J1", "F3", "J9"),
+)
+def a_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil inequality index with its EXACT additive decomposition:
+    T = T_between + T_within across market segments — the property
+    Gini famously lacks, and the reason Theil is the tool for 'is
+    spend inequality BETWEEN customer segments or WITHIN them?' (here
+    between_share_ppm answers it directly; each segment row carries
+    its own between and within contributions).
+
+    Determinism + scale design: the heavy pass is one (segment,
+    customer) rollup; every Theil leaf (y/Y)·ln(y·n/Y) is nano-nat
+    rounded to an exact BIGINT before summation (the JSD/KM leaf
+    convention), and the within term is derived as total − between
+    from those same integers, so additivity is exact BY CONSTRUCTION
+    in the output — a reader can check the decomposition with integer
+    arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("y"))
+        .select("seg", "y")
+    )
+    tot = spend.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    leafs = spend.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "y",
+        F.expr(
+            "CAST(ROUND((CAST(y AS DOUBLE) / sy) "
+            "* LN(CAST(y AS DOUBLE) * n / sy) * 1000000000) AS BIGINT)"
+        ).alias("t_nano"),
+    )
+    seg_stats = leafs.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("sy_g"),
+        F.sum("t_nano").cast("long").alias("t_total_contrib_nano"),
+    )
+    between = seg_stats.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n_g",
+        "sy_g",
+        "t_total_contrib_nano",
+        F.expr(
+            "CAST(ROUND((CAST(sy_g AS DOUBLE) / sy) "
+            "* LN((CAST(sy_g AS DOUBLE) / sy) "
+            "/ (CAST(n_g AS DOUBLE) / n)) * 1000000000) AS BIGINT)"
+        ).alias("between_nano"),
+    )
+    totals = between.agg(
+        F.sum("t_total_contrib_nano").cast("long").alias("t_nano"),
+        F.sum("between_nano").cast("long").alias("b_nano"),
+    )
+    return (
+        between.crossJoin(F.broadcast(totals))
+        .select(
+            "seg",
+            F.col("n_g").alias("n_customers"),
+            F.round(F.col("between_nano") / 1000000000.0, 6).alias(
+                "between_contribution"
+            ),
+            F.round(
+                (F.col("t_total_contrib_nano") - F.col("between_nano"))
+                / 1000000000.0,
+                6,
+            ).alias("within_contribution"),
+            F.round(F.col("t_nano") / 1000000000.0, 6).alias(
+                "theil_total"
+            ),
+            F.round(F.col("b_nano") / 1000000000.0, 6).alias(
+                "theil_between"
+            ),
+            F.round(
+                (F.col("t_nano") - F.col("b_nano")) / 1000000000.0, 6
+            ).alias("theil_within"),
+            F.expr("b_nano * 1000000 DIV t_nano").cast("long").alias(
+                "between_share_ppm"
+            ),
+        )
+        .orderBy("seg")
+    )

@@ -463,6 +463,10 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 1-row total broadcasts onto the
     # bigram/unigram entropy sums
     "n_bigram_entropy_rate",
+    # round-4 seventh continuation: 8-row lag dim + 1-row mean/HAC
+    # broadcasts on the calendar spine; 1-row grand-total broadcasts
+    # in the Theil leaf/between stages
+    "t_newey_west_se", "a_theil_decomposition",
 })
 
 
