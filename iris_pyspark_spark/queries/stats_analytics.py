@@ -8504,3 +8504,84 @@ def a_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test: do two paired binary raters disagree systematically?
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_ORACLE = """
+WITH rated AS (
+  SELECT CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN LEN(STRING_SPLIT(LOWER(text), ' ')) >= 80
+              THEN 1 ELSE 0 END AS r2
+  FROM documents
+),
+cells AS (
+  SELECT CAST(SUM(r1 * (1 - r2)) AS BIGINT) AS b,
+         CAST(SUM((1 - r1) * r2) AS BIGINT) AS c,
+         CAST(SUM(r1 * r2) AS BIGINT) AS both_pos,
+         CAST(SUM((1 - r1) * (1 - r2)) AS BIGINT) AS both_neg
+  FROM rated
+)
+SELECT both_pos, both_neg, b AS only_rater1, c AS only_rater2,
+       CAST(b + c AS BIGINT) AS n_discordant,
+       ROUND(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)
+         AS mcnemar_chi2,
+       ROUND((CAST(ABS(b - c) AS DOUBLE) - 1.0)
+             * (CAST(ABS(b - c) AS DOUBLE) - 1.0) / (b + c), 6)
+         AS mcnemar_chi2_corrected,
+       CAST((b - c) * (b - c) AS DOUBLE) / (b + c) > 3.841459
+         AS raters_biased_at_05
+FROM cells
+"""
+
+
+@register(
+    "a_mcnemar_test",
+    oracle=_MCNEMAR_ORACLE,
+    tags=("A1", "A2", "A7", "F3"),
+)
+def a_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on the two paired quality raters that
+    `a_cohens_kappa` scores for agreement: kappa asks 'do they agree?',
+    McNemar asks the orthogonal question — 'when they DISAGREE, is it
+    systematically one-sided?' (χ² = (b−c)²/(b+c) over the discordant
+    cells only; a biased rater pair can still have high kappa). Both
+    the raw and continuity-corrected statistics are reported against
+    the χ²₁ critical value 3.841459 as a literal.
+
+    Determinism + scale design: one combinable pass to the four
+    2×2 cells (the kappa rollup shape); both test statistics are
+    fixed-shape doubles over exact integers on a 1-row frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    rated = docs.select(
+        F.when(F.col("n_chars") >= 500, 1).otherwise(0).alias("r1"),
+        F.when(F.size(toks) >= 80, 1).otherwise(0).alias("r2"),
+    )
+    cells = rated.agg(
+        F.sum(F.col("r1") * (1 - F.col("r2"))).cast("long").alias("b"),
+        F.sum((1 - F.col("r1")) * F.col("r2")).cast("long").alias("c"),
+        F.sum(F.col("r1") * F.col("r2")).cast("long").alias("both_pos"),
+        F.sum((1 - F.col("r1")) * (1 - F.col("r2")))
+        .cast("long")
+        .alias("both_neg"),
+    )
+    return cells.select(
+        "both_pos",
+        "both_neg",
+        F.col("b").alias("only_rater1"),
+        F.col("c").alias("only_rater2"),
+        (F.col("b") + F.col("c")).cast("long").alias("n_discordant"),
+        F.expr(
+            "ROUND(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)"
+        ).alias("mcnemar_chi2"),
+        F.expr(
+            "ROUND((CAST(ABS(b - c) AS DOUBLE) - 1.0) "
+            "* (CAST(ABS(b - c) AS DOUBLE) - 1.0) / (b + c), 6)"
+        ).alias("mcnemar_chi2_corrected"),
+        F.expr(
+            "CAST((b - c) * (b - c) AS DOUBLE) / (b + c) > 3.841459"
+        ).alias("raters_biased_at_05"),
+    )
