@@ -1233,3 +1233,99 @@ def g_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree_threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Average-neighbor-degree curve: assortativity as a function, not a number
+# ---------------------------------------------------------------------------
+
+_KNN_CURVE_ORACLE = """
+WITH io AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM io a JOIN io b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+),
+deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u
+),
+annotated AS (
+  SELECT e.u, du.d AS d_u, dv.d AS d_v
+  FROM edges e
+  JOIN deg du ON e.u = du.node
+  JOIN deg dv ON e.v = dv.node
+)
+SELECT CAST(LENGTH(BIN(d_u)) AS BIGINT) AS degree_band,
+       CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) AS BIGINT) AS n_edge_ends,
+       CAST(SUM(d_v) AS BIGINT) AS neighbor_degree_sum,
+       ROUND(CAST(SUM(d_v) AS DOUBLE) / COUNT(*), 6)
+         AS avg_neighbor_degree
+FROM annotated
+GROUP BY degree_band
+ORDER BY degree_band
+"""
+
+
+@register(
+    "g_avg_neighbor_degree_curve",
+    oracle=_KNN_CURVE_ORACLE,
+    tags=("J10", "J1", "A1", "F7"),
+)
+def g_avg_neighbor_degree_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The k_nn(k) curve: average neighbor degree per degree band of
+    the part co-order graph — assortativity as a FUNCTION
+    (`g_degree_assortativity` compresses this to one correlation; the
+    curve shows WHERE mixing changes: a falling curve means hubs
+    attach to leaves — disassortative, typical of catalogs — and any
+    hump localizes the elite tier `g_rich_club_coefficient` scores).
+
+    Scale design: the symmetric edge list is the bounded orderkey
+    self-join doubled by a union (each end annotated once); two
+    degree-table equi-joins put (d_u, d_v) on every edge end; the
+    curve itself is one combinable rollup into LENGTH(BIN(d))
+    power-of-two bands (the log2-histogram rule — exact, never float
+    log)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    io = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    a, b = io.alias("a"), io.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .dropDuplicates()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("d_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("d_v"))
+    annotated = edges.join(du, "u").join(dv, "v")
+    return (
+        annotated.groupBy(
+            F.expr("CAST(LENGTH(BIN(d_u)) AS BIGINT)").alias("degree_band")
+        )
+        .agg(
+            F.countDistinct("u").cast("long").alias("n_nodes"),
+            F.count(F.lit(1)).cast("long").alias("n_edge_ends"),
+            F.sum("d_v").cast("long").alias("neighbor_degree_sum"),
+            F.round(
+                F.sum("d_v").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_neighbor_degree"),
+        )
+        .orderBy("degree_band")
+    )

@@ -8585,3 +8585,95 @@ def a_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((b - c) * (b - c) AS DOUBLE) / (b + c) > 3.841459"
         ).alias("raters_biased_at_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dorfman group testing: optimal pool size for defect screening
+# ---------------------------------------------------------------------------
+
+_DORFMAN_ORACLE = """
+WITH defect AS (
+  SELECT CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_def,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem
+),
+ks AS (SELECT UNNEST(GENERATE_SERIES(2, 12)) AS k),
+plans AS (
+  SELECT k.k, d.n_def, d.n,
+         CAST(ROUND((1.0 / k.k + 1.0
+                     - POWER(1.0 - CAST(d.n_def AS DOUBLE) / d.n, k.k))
+                    * 1000000) AS BIGINT) AS tests_per_item_micro
+  FROM ks k CROSS JOIN defect d
+),
+ranked AS (
+  SELECT *, MIN(tests_per_item_micro) OVER () AS best_micro
+  FROM plans
+)
+SELECT CAST(k AS BIGINT) AS pool_size,
+       CAST(n_def * 1000000 // n AS BIGINT) AS defect_rate_ppm,
+       ROUND(tests_per_item_micro / 1000000.0, 6) AS expected_tests_per_item,
+       ROUND(1.0 - tests_per_item_micro / 1000000.0, 6) AS savings_vs_naive,
+       tests_per_item_micro = best_micro AS is_optimal_pool
+FROM ranked
+ORDER BY pool_size
+"""
+
+
+@register(
+    "a_dorfman_group_testing",
+    oracle=_DORFMAN_ORACLE,
+    tags=("A2", "A7", "F3", "J9"),
+)
+def a_dorfman_group_testing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dorfman pooled-testing plan: with defect rate p measured from
+    the data (returned line items), expected tests per item for pool
+    size k is 1/k + 1 − (1−p)^k — the WWII blood-screening optimization
+    that modern QA reuses for batched inspection: the flagged row is
+    the cost-minimizing pool size, and savings_vs_naive is the audit
+    budget it frees (pooling only wins when p is small; the table
+    makes that visible as savings going negative for large k at high
+    p).
+
+    Determinism + scale design: p comes from ONE combinable pass; the
+    11-row pool-size grid is a broadcast dim; each plan's expected
+    cost is micro-rounded at the leaf (POWER of the same double base
+    and integer exponent on both engines) so the argmin compares exact
+    integers — optimal-pool ties flag both rows identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    defect = li.agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_def"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ks = spark.range(2, 13).select(F.col("id").cast("int").alias("k"))
+    plans = ks.crossJoin(F.broadcast(defect)).select(
+        "k",
+        "n_def",
+        "n",
+        F.expr(
+            "CAST(ROUND((1.0 / k + 1.0 "
+            "- POWER(1.0 - CAST(n_def AS DOUBLE) / n, k)) "
+            "* 1000000) AS BIGINT)"
+        ).alias("tests_per_item_micro"),
+    )
+    ranked = plans.withColumn(
+        "best_micro",
+        F.min("tests_per_item_micro").over(Window.partitionBy()),
+    )
+    return ranked.select(
+        F.col("k").cast("long").alias("pool_size"),
+        F.expr("n_def * 1000000 DIV n").cast("long").alias(
+            "defect_rate_ppm"
+        ),
+        F.round(F.col("tests_per_item_micro") / 1000000.0, 6).alias(
+            "expected_tests_per_item"
+        ),
+        F.round(
+            1.0 - F.col("tests_per_item_micro") / 1000000.0, 6
+        ).alias("savings_vs_naive"),
+        (F.col("tests_per_item_micro") == F.col("best_micro")).alias(
+            "is_optimal_pool"
+        ),
+    ).orderBy("pool_size")

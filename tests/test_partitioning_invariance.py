@@ -289,6 +289,7 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "j_hierarchy_closure_table", "n_moe_load_balance_proxy",
         "a_cronbach_alpha", "n_bigram_entropy_rate",
         "t_newey_west_se", "a_theil_decomposition", "a_mcnemar_test",
+        "a_dorfman_group_testing", "g_avg_neighbor_degree_curve",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

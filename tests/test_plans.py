@@ -467,6 +467,9 @@ _BNLJ_ALLOWED = frozenset({
     # broadcasts on the calendar spine; 1-row grand-total broadcasts
     # in the Theil leaf/between stages
     "t_newey_west_se", "a_theil_decomposition",
+    # round-4 seventh continuation: 11-row pool-size dim x 1-row
+    # defect-rate broadcast (Dorfman plan grid)
+    "a_dorfman_group_testing",
 })
 
 
