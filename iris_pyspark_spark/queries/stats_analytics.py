@@ -8677,3 +8677,156 @@ def a_dorfman_group_testing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_optimal_pool"
         ),
     ).orderBy("pool_size")
+
+
+# ---------------------------------------------------------------------------
+# ABC / XYZ classification matrix: revenue share × demand variability
+# ---------------------------------------------------------------------------
+
+_ABC_XYZ_ORACLE = """
+WITH monthly AS (
+  SELECT l_partkey,
+         EXTRACT(year FROM l_shipdate) * 12
+           + EXTRACT(month FROM l_shipdate) - 1 AS ym,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(rev) AS BIGINT) AS rev,
+         CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(SUM(q * q) AS BIGINT) AS sqq
+  FROM monthly GROUP BY l_partkey
+),
+ranked AS (
+  SELECT *,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev,
+         SUM(rev) OVER () AS tot_rev
+  FROM per_part
+),
+classed AS (
+  SELECT l_partkey, rev,
+         CASE WHEN cum_rev * 10 <= tot_rev * 7 THEN 'A'
+              WHEN cum_rev * 10 <= tot_rev * 9 THEN 'B'
+              ELSE 'C' END AS abc,
+         (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / 12) / 12 AS v,
+         CAST(sq AS DOUBLE) / 12 AS m
+  FROM ranked
+),
+xyz AS (
+  SELECT l_partkey, rev, abc,
+         CASE WHEN v * 4 < m * m THEN 'X'
+              WHEN v < m * m THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM classed
+)
+SELECT abc, xyz,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+       CAST(SUM(rev) * 1000000 // (SELECT SUM(rev) FROM per_part)
+            AS BIGINT) AS revenue_share_ppm
+FROM xyz
+GROUP BY abc, xyz
+ORDER BY abc, xyz
+"""
+
+
+@register(
+    "e_abc_xyz_matrix",
+    oracle=_ABC_XYZ_ORACLE,
+    tags=("A1", "W1", "W3", "F3", "F2"),
+)
+def e_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory segmentation: parts classed by cumulative
+    revenue share (A ≤ 70%, B ≤ 90%, C tail — the Pareto axis) crossed
+    with monthly demand variability (X: CV < 0.5 — forecastable;
+    Y: CV < 1; Z: erratic), the 9-cell matrix that decides stocking
+    policy per class (AX: automate; CZ: make-to-order). The census
+    reports part counts and exact revenue share per cell.
+
+    Determinism + scale design: one (part, month) rollup feeds both
+    axes; zero months enter the variance through the active-month
+    identity (Σq, Σq² over 12 known months — the Fano convention); the
+    ABC cut uses exact cross-multiplied integers (cum·10 ≤ tot·7, no
+    float shares), and the CV bands compare v against m² with integer
+    factors (CV < ½ ⇔ 4v < m²) so no square root or division is ever
+    taken. The revenue rank window runs over the parts rollup — the
+    documented Pareto-deciles posture (quantile cutpoints at crawl
+    scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy(
+            "l_partkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias(
+                "ym"
+            ),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+            F.sum(cents(F.col("l_extendedprice"))).cast("long").alias(
+                "rev"
+            ),
+        )
+    )
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.sum("rev").cast("long").alias("rev"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    w_cum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_part.select(
+        "*",
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(Window.partitionBy()).alias("tot_rev"),
+    )
+    classed = ranked.select(
+        "l_partkey",
+        "rev",
+        F.when(F.col("cum_rev") * 10 <= F.col("tot_rev") * 7, "A")
+        .when(F.col("cum_rev") * 10 <= F.col("tot_rev") * 9, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.expr(
+            "(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / 12) / 12"
+        ).alias("v"),
+        F.expr("CAST(sq AS DOUBLE) / 12").alias("m"),
+    )
+    xyz = classed.select(
+        "rev",
+        "abc",
+        F.when(F.col("v") * 4 < F.col("m") * F.col("m"), "X")
+        .when(F.col("v") < F.col("m") * F.col("m"), "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    tot = per_part.agg(F.sum("rev").cast("long").alias("t"))
+    return (
+        xyz.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc",
+            "xyz",
+            "n_parts",
+            "revenue_cents",
+            F.expr("revenue_cents * 1000000 DIV t")
+            .cast("long")
+            .alias("revenue_share_ppm"),
+        )
+        .orderBy("abc", "xyz")
+    )

@@ -470,6 +470,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 11-row pool-size dim x 1-row
     # defect-rate broadcast (Dorfman plan grid)
     "a_dorfman_group_testing",
+    # round-4 seventh continuation: 1-row revenue-total broadcast onto
+    # the 9-cell ABC/XYZ census
+    "e_abc_xyz_matrix",
 })
 
 
