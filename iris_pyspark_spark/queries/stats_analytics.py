@@ -8830,3 +8830,202 @@ def e_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc", "xyz")
     )
+
+
+# ---------------------------------------------------------------------------
+# Erlang C staffing grid from measured arrival rate and service time
+# ---------------------------------------------------------------------------
+
+_ERLANG_ORACLE = """
+WITH spans AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS arrive,
+         MAX(CAST(l.l_shipdate AS DATE)) AS depart
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderdate >= DATE '1996-01-01'
+    AND o.o_orderdate < DATE '1997-01-01'
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(DATEDIFF('day', arrive, depart) + 1) AS BIGINT)
+           AS w_sum_days,
+         CAST(DATEDIFF('day', MIN(arrive), MAX(depart)) + 1 AS BIGINT)
+           AS t_days
+  FROM tot_src
+), tot_src AS (SELECT * FROM spans),
+load0 AS (
+  SELECT n_orders, t_days,
+         CAST(w_sum_days AS DOUBLE) / t_days AS a_total
+  FROM tot
+),
+load AS (
+  SELECT n_orders, t_days, a_total,
+         CAST(CEIL(a_total / 20.0) AS BIGINT) AS n_pods,
+         a_total / CEIL(a_total / 20.0) AS a
+  FROM load0
+),
+ks AS (SELECT UNNEST(GENERATE_SERIES(0, 60)) AS k),
+lnterms AS (
+  SELECT k.k, l.a,
+         CAST(ROUND((k.k * LN(l.a)
+                     - SUM(CASE WHEN i.k2 = 0 THEN 0.0
+                                ELSE LN(CAST(i.k2 AS DOUBLE)) END))
+                    * 1000000) AS BIGINT) AS ln_term_micro
+  FROM ks k
+  CROSS JOIN load l
+  JOIN (SELECT UNNEST(GENERATE_SERIES(0, 60)) AS k2) i ON i.k2 <= k.k
+  GROUP BY k.k, l.a
+),
+terms AS (
+  SELECT k, EXP(ln_term_micro / 1000000.0) AS term,
+         SUM(EXP(ln_term_micro / 1000000.0))
+           OVER (ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS cum_below
+  FROM lnterms
+),
+grid AS (
+  SELECT t.k AS c, t.term, COALESCE(t.cum_below, 0.0) AS s_below,
+         l.a, l.a_total, l.n_pods, l.n_orders
+  FROM terms t CROSS JOIN load l
+  WHERE t.k > l.a AND t.k <= l.a + 10
+),
+ec AS (
+  SELECT c, a, a_total, n_pods, n_orders,
+         (term * c / (c - a)) / (s_below + term * c / (c - a)) AS p_wait
+  FROM grid
+)
+SELECT CAST(c AS BIGINT) AS n_servers_per_pod,
+       n_orders, n_pods,
+       ROUND(a_total, 6) AS offered_load_total_erlangs,
+       ROUND(a, 6) AS offered_load_per_pod,
+       CAST(ROUND(a / c * 1000000) AS BIGINT) AS utilization_ppm,
+       ROUND(p_wait, 6) AS p_wait_erlang_c,
+       ROUND(p_wait / (c - a), 6) AS avg_wait_days,
+       p_wait < 0.2 AS meets_80pct_no_wait
+FROM ec
+ORDER BY n_servers_per_pod
+"""
+
+
+@register(
+    "t_erlang_c_staffing",
+    oracle=_ERLANG_ORACLE,
+    tags=("A1", "J1", "W3", "F3", "J9"),
+)
+def t_erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang C staffing grid: with the arrival rate and mean service
+    time MEASURED from the fulfilment pipeline (the same spans behind
+    `t_littles_law_check` — offered load a = λ·W erlangs), the
+    probability an arriving order must queue, P_wait(c), for each
+    per-pod server count c in (⌈a⌉ .. a+10] — the queueing capstone
+    that turns
+    Little's law bookkeeping into a staffing decision (first c with
+    P_wait < 0.2 is the 80%-no-wait staffing level; avg_wait is
+    Erlang C's Wq up to the service-time unit). The measured load is
+    SHARDED into ≤20-erlang pods first (n_pods = ⌈a/20⌉) — capacity
+    planning practice, and what keeps the k-spine a CONSTANT 61 rows
+    at any data scale (the raw offered load grows with SF).
+
+    Determinism + scale design: the only data-sized work is the span
+    rollup; the Erlang terms aᵏ/k! are built in LOG space on a 61-row
+    k-spine (ln term = k·ln a − Σ ln i, micro-nat rounded at the leaf)
+    and summed with an ORDER BY k cumulative window — a fixed
+    summation order on a bounded spine, so the float prefix sum is
+    identical on both engines; the factorial join is the bounded
+    triangle i ≤ k."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(
+            "o_orderkey", F.col("o_orderdate").cast("date").alias("arrive")
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("depart"))
+    )
+    load = spans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (
+            F.sum(F.datediff("depart", "arrive") + 1).cast("double")
+            / (F.datediff(F.max("depart"), F.min("arrive")) + 1)
+        ).alias("a_total"),
+        (F.datediff(F.max("depart"), F.min("arrive")) + 1)
+        .cast("long")
+        .alias("t_days"),
+    ).select(
+        "n_orders",
+        "t_days",
+        "a_total",
+        F.expr("CAST(CEIL(a_total / 20.0) AS BIGINT)").alias("n_pods"),
+        F.expr("a_total / CEIL(a_total / 20.0)").alias("a"),
+    )
+    ks = spark.range(0, 61).select(F.col("id").cast("int").alias("k"))
+    i_spine = spark.range(0, 61).select(F.col("id").cast("int").alias("k2"))
+    lnterms = (
+        ks.crossJoin(F.broadcast(i_spine))
+        .filter(F.col("k2") <= F.col("k"))
+        .crossJoin(F.broadcast(load))
+        .groupBy("k", "a")
+        .agg(
+            F.expr(
+                "CAST(ROUND((k * LN(a) "
+                "- SUM(CASE WHEN k2 = 0 THEN 0.0 "
+                "ELSE LN(CAST(k2 AS DOUBLE)) END)) * 1000000) AS BIGINT)"
+            ).alias("ln_term_micro")
+        )
+    )
+    w_below = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    terms = lnterms.select(
+        "k",
+        F.expr("EXP(ln_term_micro / 1000000.0)").alias("term"),
+        F.sum(F.expr("EXP(ln_term_micro / 1000000.0)"))
+        .over(w_below)
+        .alias("cum_below"),
+    )
+    grid = (
+        terms.crossJoin(F.broadcast(load))
+        .filter(
+            (F.col("k") > F.col("a")) & (F.col("k") <= F.col("a") + 10)
+        )
+        .select(
+            F.col("k").alias("c"),
+            "term",
+            F.coalesce("cum_below", F.lit(0.0)).alias("s_below"),
+            "a",
+            "a_total",
+            "n_pods",
+            "n_orders",
+        )
+    )
+    ec = grid.select(
+        "c",
+        "a",
+        "a_total",
+        "n_pods",
+        "n_orders",
+        F.expr(
+            "(term * c / (c - a)) / (s_below + term * c / (c - a))"
+        ).alias("p_wait"),
+    )
+    return ec.select(
+        F.col("c").cast("long").alias("n_servers_per_pod"),
+        "n_orders",
+        "n_pods",
+        F.round(F.col("a_total"), 6).alias("offered_load_total_erlangs"),
+        F.round(F.col("a"), 6).alias("offered_load_per_pod"),
+        F.expr("CAST(ROUND(a / c * 1000000) AS BIGINT)").alias(
+            "utilization_ppm"
+        ),
+        F.round(F.col("p_wait"), 6).alias("p_wait_erlang_c"),
+        F.round(F.col("p_wait") / (F.col("c") - F.col("a")), 6).alias(
+            "avg_wait_days"
+        ),
+        (F.col("p_wait") < 0.2).alias("meets_80pct_no_wait"),
+    ).orderBy("n_servers_per_pod")

@@ -290,7 +290,7 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "a_cronbach_alpha", "n_bigram_entropy_rate",
         "t_newey_west_se", "a_theil_decomposition", "a_mcnemar_test",
         "a_dorfman_group_testing", "g_avg_neighbor_degree_curve",
-        "e_abc_xyz_matrix",
+        "e_abc_xyz_matrix", "t_erlang_c_staffing",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

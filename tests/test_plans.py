@@ -473,6 +473,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 1-row revenue-total broadcast onto
     # the 9-cell ABC/XYZ census
     "e_abc_xyz_matrix",
+    # round-4 seventh continuation: 61-row k-spine triangle + 1-row
+    # measured-load broadcasts (Erlang C pod grid)
+    "t_erlang_c_staffing",
 })
 
 
