@@ -5093,3 +5093,163 @@ def n_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training, three rounds unrolled in pure SQL
+# ---------------------------------------------------------------------------
+
+_BPE_MERGE_ORACLE = """
+WITH t0 AS (
+  SELECT doc_id, ' ' || LOWER(text) || ' ' AS txt FROM documents
+),
+p1 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT STRING_SPLIT(TRIM(txt), ' ') AS t FROM t0),
+         UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS g(i)
+  ) GROUP BY w1, w2 ORDER BY cnt DESC, w1, w2 LIMIT 1
+),
+t1 AS (
+  SELECT doc_id,
+         REPLACE(t0.txt, ' ' || p1.w1 || ' ' || p1.w2 || ' ',
+                 ' ' || p1.w1 || '_' || p1.w2 || ' ') AS txt
+  FROM t0 CROSS JOIN p1
+),
+p2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT STRING_SPLIT(TRIM(txt), ' ') AS t FROM t1),
+         UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS g(i)
+  ) GROUP BY w1, w2 ORDER BY cnt DESC, w1, w2 LIMIT 1
+),
+t2 AS (
+  SELECT doc_id,
+         REPLACE(t1.txt, ' ' || p2.w1 || ' ' || p2.w2 || ' ',
+                 ' ' || p2.w1 || '_' || p2.w2 || ' ') AS txt
+  FROM t1 CROSS JOIN p2
+),
+p3 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT STRING_SPLIT(TRIM(txt), ' ') AS t FROM t2),
+         UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS g(i)
+  ) GROUP BY w1, w2 ORDER BY cnt DESC, w1, w2 LIMIT 1
+),
+t3 AS (
+  SELECT doc_id,
+         REPLACE(t2.txt, ' ' || p3.w1 || ' ' || p3.w2 || ' ',
+                 ' ' || p3.w1 || '_' || p3.w2 || ' ') AS txt
+  FROM t2 CROSS JOIN p3
+),
+stats AS (
+  SELECT 1 AS rnd, (SELECT w1 FROM p1) AS w1, (SELECT w2 FROM p1) AS w2,
+         (SELECT cnt FROM p1) AS pair_count,
+         (SELECT CAST(COUNT(DISTINCT u.w) AS BIGINT)
+          FROM (SELECT UNNEST(STRING_SPLIT(TRIM(txt), ' ')) AS w
+                FROM t1) u) AS vocab_after,
+         (SELECT CAST(SUM(LEN(STRING_SPLIT(TRIM(txt), ' '))) AS BIGINT)
+          FROM t1) AS tokens_after
+  UNION ALL
+  SELECT 2, (SELECT w1 FROM p2), (SELECT w2 FROM p2),
+         (SELECT cnt FROM p2),
+         (SELECT CAST(COUNT(DISTINCT u.w) AS BIGINT)
+          FROM (SELECT UNNEST(STRING_SPLIT(TRIM(txt), ' ')) AS w
+                FROM t2) u),
+         (SELECT CAST(SUM(LEN(STRING_SPLIT(TRIM(txt), ' '))) AS BIGINT)
+          FROM t2)
+  UNION ALL
+  SELECT 3, (SELECT w1 FROM p3), (SELECT w2 FROM p3),
+         (SELECT cnt FROM p3),
+         (SELECT CAST(COUNT(DISTINCT u.w) AS BIGINT)
+          FROM (SELECT UNNEST(STRING_SPLIT(TRIM(txt), ' ')) AS w
+                FROM t3) u),
+         (SELECT CAST(SUM(LEN(STRING_SPLIT(TRIM(txt), ' '))) AS BIGINT)
+          FROM t3)
+)
+SELECT CAST(rnd AS BIGINT) AS merge_rank, w1, w2, pair_count,
+       vocab_after, tokens_after
+FROM stats ORDER BY merge_rank
+"""
+
+
+@register(
+    "n_bpe_merge_simulation",
+    oracle=_BPE_MERGE_ORACLE,
+    tags=("N5", "A1", "F1", "J9", "O2"),
+)
+def n_bpe_merge_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, three merge rounds unrolled in pure
+    relational algebra: each round counts adjacent-pair frequencies,
+    picks the argmax pair (count desc, then lexicographic — the
+    deterministic tie rule real tokenizers need but rarely document),
+    and rewrites the corpus with the merged token; the output is the
+    learned merge table plus vocab/token counts after each merge — the
+    compression trajectory that motivates BPE in the first place.
+
+    Determinism + scale design: each round is one combinable pair
+    count + a 1-row argmax broadcast + a MAP-ONLY space-padded string
+    rewrite (non-overlapping left-to-right REPLACE — both engines
+    share the greedy-scan quirk on runs like 'a b a b', which is BPE's
+    own behavior); rounds are data-dependent sequentially but each is
+    a constant number of stages, so 3 rounds = 3 bounded passes. The
+    winning pair flows through a broadcast, never a collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")).alias(
+            "txt"
+        ),
+    )
+    rows = []
+    for rnd in range(1, 4):
+        t = F.split(F.trim(F.col("txt")), " ")
+        sz = F.greatest(F.size(t) - 1, F.lit(0))
+        pairs = (
+            cur.select(
+                F.explode(
+                    F.arrays_zip(F.slice(t, 1, sz), F.slice(t, 2, sz))
+                ).alias("bg")
+            )
+            .select(
+                F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2")
+            )
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "w1", "w2")
+            .limit(1)
+        )
+        cur = cur.crossJoin(F.broadcast(pairs)).select(
+            "doc_id",
+            F.expr(
+                "replace(txt, ' ' || w1 || ' ' || w2 || ' ', "
+                "' ' || w1 || '_' || w2 || ' ')"
+            ).alias("txt"),
+        )
+        t_after = F.split(F.trim(F.col("txt")), " ")
+        summary = (
+            cur.select(
+                F.explode(t_after).alias("w")
+            )
+            .agg(
+                F.countDistinct("w").cast("long").alias("vocab_after"),
+                F.count(F.lit(1)).cast("long").alias("tokens_after"),
+            )
+            .crossJoin(F.broadcast(pairs))
+            .select(
+                F.lit(rnd).cast("long").alias("merge_rank"),
+                "w1",
+                "w2",
+                F.col("cnt").alias("pair_count"),
+                "vocab_after",
+                "tokens_after",
+            )
+        )
+        rows.append(summary)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("merge_rank")

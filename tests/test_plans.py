@@ -476,6 +476,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 61-row k-spine triangle + 1-row
     # measured-load broadcasts (Erlang C pod grid)
     "t_erlang_c_staffing",
+    # round-4 seventh continuation: 1-row winning-pair broadcasts
+    # (three BPE merge rounds)
+    "n_bpe_merge_simulation",
 })
 
 
