@@ -1837,3 +1837,120 @@ def n_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH (bands, rows) planner: pick the S-curve before building signatures
+# ---------------------------------------------------------------------------
+
+_LSH_PLANNER_ORACLE = """
+WITH factorizations AS (
+  SELECT * FROM (VALUES (32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+           AS t(b, r)
+),
+grid AS (
+  SELECT f.b, f.r, s.s
+  FROM factorizations f
+  CROSS JOIN (SELECT UNNEST([0.3, 0.5, 0.7, 0.9]) AS s) s
+),
+curve AS (
+  SELECT b, r, s,
+         CAST(ROUND((1.0 - POWER(1.0 - POWER(s, r), b)) * 1000000)
+              AS BIGINT) AS p_candidate_ppm
+  FROM grid
+),
+pivoted AS (
+  SELECT b, r,
+         MAX(CASE WHEN s = 0.3 THEN p_candidate_ppm END) AS p_at_30,
+         MAX(CASE WHEN s = 0.5 THEN p_candidate_ppm END) AS p_at_50,
+         MAX(CASE WHEN s = 0.7 THEN p_candidate_ppm END) AS p_at_70,
+         MAX(CASE WHEN s = 0.9 THEN p_candidate_ppm END) AS p_at_90
+  FROM curve GROUP BY b, r
+),
+scored AS (
+  SELECT *,
+         CAST(ROUND(POWER(1.0 / b, 1.0 / r) * 1000000) AS BIGINT)
+           AS threshold_micro,
+         p_at_90 - p_at_50 AS separation_ppm
+  FROM pivoted
+)
+SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+       threshold_micro, p_at_30, p_at_50, p_at_70, p_at_90,
+       separation_ppm,
+       separation_ppm = MAX(separation_ppm) OVER ()
+         AS best_separation_50_90
+FROM scored
+ORDER BY bands DESC
+"""
+
+
+@register(
+    "n_lsh_br_planner",
+    oracle=_LSH_PLANNER_ORACLE,
+    tags=("N2", "A7", "F3", "J9"),
+)
+def n_lsh_br_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (bands, rows) planner: for every factorization of
+    the 32-hash signature, the analytic S-curve P(candidate) =
+    1 − (1 − sʳ)ᵇ at Jaccard 0.3/0.5/0.7/0.9, the implied threshold
+    (1/b)^(1/r), and the 0.5→0.9 separation — the table one reads
+    BEFORE building signatures to pick the (b, r) the empirical
+    `n_lsh_parameter_sensitivity` then verifies (this is the design
+    tool; that is the measurement). The flagged row maximizes
+    catch-near-dups-at-0.9 vs accept-junk-at-0.5 separation.
+
+    Determinism + scale design: pure closed-form arithmetic on a
+    6 × 4 literal grid — zero table scans (the one registered query
+    whose cost is provably independent of data volume); every curve
+    point is micro-rounded at the leaf so the argmax compares exact
+    integers on both engines."""
+    facts = spark.createDataFrame(
+        [(32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32)], ["b", "r"]
+    )
+    svals = spark.createDataFrame(
+        [(0.3,), (0.5,), (0.7,), (0.9,)], ["s"]
+    )
+    curve = facts.crossJoin(F.broadcast(svals)).select(
+        "b",
+        "r",
+        "s",
+        F.expr(
+            "CAST(ROUND((1.0 - POWER(1.0 - POWER(s, r), b)) * 1000000) "
+            "AS BIGINT)"
+        ).alias("p_candidate_ppm"),
+    )
+    pivoted = curve.groupBy("b", "r").agg(
+        F.max(
+            F.when(F.col("s") == 0.3, F.col("p_candidate_ppm"))
+        ).alias("p_at_30"),
+        F.max(
+            F.when(F.col("s") == 0.5, F.col("p_candidate_ppm"))
+        ).alias("p_at_50"),
+        F.max(
+            F.when(F.col("s") == 0.7, F.col("p_candidate_ppm"))
+        ).alias("p_at_70"),
+        F.max(
+            F.when(F.col("s") == 0.9, F.col("p_candidate_ppm"))
+        ).alias("p_at_90"),
+    )
+    scored = pivoted.select(
+        "*",
+        F.expr(
+            "CAST(ROUND(POWER(1.0 / b, 1.0 / r) * 1000000) AS BIGINT)"
+        ).alias("threshold_micro"),
+        (F.col("p_at_90") - F.col("p_at_50")).alias("separation_ppm"),
+    )
+    return scored.select(
+        F.col("b").cast("long").alias("bands"),
+        F.col("r").cast("long").alias("rows_per_band"),
+        "threshold_micro",
+        "p_at_30",
+        "p_at_50",
+        "p_at_70",
+        "p_at_90",
+        "separation_ppm",
+        (
+            F.col("separation_ppm")
+            == F.max("separation_ppm").over(Window.partitionBy())
+        ).alias("best_separation_50_90"),
+    ).orderBy(F.col("bands").desc())

@@ -479,6 +479,9 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 1-row winning-pair broadcasts
     # (three BPE merge rounds)
     "n_bpe_merge_simulation",
+    # round-4 seventh continuation: 6-row factorization x 4-row
+    # s-grid literal cross (zero table scans)
+    "n_lsh_br_planner",
 })
 
 
