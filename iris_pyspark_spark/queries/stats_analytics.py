@@ -9029,3 +9029,262 @@ def t_erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("p_wait") < 0.2).alias("meets_80pct_no_wait"),
     ).orderBy("n_servers_per_pod")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive prediction intervals with measured coverage
+# ---------------------------------------------------------------------------
+
+_FORECAST_PI_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS x
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1
+),
+idx AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS i,
+         COUNT(*) OVER () AS n
+  FROM daily
+),
+paired AS (
+  SELECT a.i, a.x AS actual, b.x AS forecast,
+         a.x - b.x AS resid, a.n
+  FROM idx a JOIN idx b ON b.i = a.i - 7
+),
+train AS (SELECT * FROM paired WHERE i <= n - 56),
+ranked AS (
+  SELECT resid, ROW_NUMBER() OVER (ORDER BY resid) AS rn,
+         COUNT(*) OVER () AS m
+  FROM train
+),
+quants AS (
+  SELECT MAX(CASE WHEN rn = (m + 9) // 10 THEN resid END) AS r10,
+         MAX(CASE WHEN rn = (9 * m + 9) // 10 THEN resid END) AS r90
+  FROM ranked
+),
+test AS (SELECT * FROM paired WHERE i > n - 56),
+covered AS (
+  SELECT t.actual, t.forecast, q.r10, q.r90,
+         CASE WHEN t.actual >= t.forecast + q.r10
+               AND t.actual <= t.forecast + q.r90
+              THEN 1 ELSE 0 END AS hit
+  FROM test t CROSS JOIN quants q
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_test_days,
+       CAST(MAX(r10) AS BIGINT) AS resid_p10_cents,
+       CAST(MAX(r90) AS BIGINT) AS resid_p90_cents,
+       CAST(SUM(hit) AS BIGINT) AS n_within_interval,
+       CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm,
+       ABS(CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) - 800000)
+         < 200000 AS coverage_near_nominal
+FROM covered
+"""
+
+
+@register(
+    "t_forecast_prediction_intervals",
+    oracle=_FORECAST_PI_ORACLE,
+    tags=("W2", "W1", "A1", "A8", "J7"),
+)
+def t_forecast_prediction_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Prediction-interval CALIBRATION for the seasonal-naive
+    forecaster: the 80% interval is forecast + [p10, p90] of TRAINING
+    residuals, and the query measures its EMPIRICAL coverage on a held
+    out 8-week tail — the check that separates a usable forecast band
+    from a decorative one (`e_snaive_forecast_backtest` scores point
+    accuracy; `t_pinball_loss_eval` scores quantile loss; this closes
+    the loop by verifying the band contains reality at its nominal
+    rate).
+
+    Determinism + scale design: the seasonal-naive pairing is the
+    bounded 7-day shifted-index self-join; residual quantiles are
+    DISCRETE rank selections ((m+9) DIV 10, (9m+9) DIV 10 — the
+    interarrival-CV² convention, no interpolation floats); coverage is
+    exact integer ppm over the fixed 56-day holdout."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("x"))
+    )
+    idx = daily.select(
+        "x",
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    a = idx.select("i", F.col("x").alias("actual"), "n")
+    b = idx.select(
+        (F.col("i") + 7).alias("i"), F.col("x").alias("forecast")
+    )
+    paired = a.join(b, "i").select(
+        "i",
+        "actual",
+        "forecast",
+        (F.col("actual") - F.col("forecast")).alias("resid"),
+        "n",
+    )
+    train = paired.filter(F.col("i") <= F.col("n") - 56)
+    ranked = train.select(
+        "resid",
+        F.row_number().over(Window.orderBy("resid")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    quants = ranked.agg(
+        F.max(
+            F.when(F.expr("rn = (m + 9) DIV 10"), F.col("resid"))
+        ).alias("r10"),
+        F.max(
+            F.when(F.expr("rn = (9 * m + 9) DIV 10"), F.col("resid"))
+        ).alias("r90"),
+    )
+    test = paired.filter(F.col("i") > F.col("n") - 56)
+    covered = test.crossJoin(F.broadcast(quants)).select(
+        "r10",
+        "r90",
+        F.when(
+            (F.col("actual") >= F.col("forecast") + F.col("r10"))
+            & (F.col("actual") <= F.col("forecast") + F.col("r90")),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    return covered.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_days"),
+        F.max("r10").cast("long").alias("resid_p10_cents"),
+        F.max("r90").cast("long").alias("resid_p90_cents"),
+        F.sum("hit").cast("long").alias("n_within_interval"),
+        F.expr("SUM(hit) * 1000000 DIV COUNT(*)")
+        .cast("long")
+        .alias("coverage_ppm"),
+        F.expr(
+            "ABS(SUM(hit) * 1000000 DIV COUNT(*) - 800000) < 200000"
+        ).alias("coverage_near_nominal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lo-MacKinlay variance-ratio test: is the revenue path a random walk?
+# ---------------------------------------------------------------------------
+
+_VR_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS x
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1
+),
+idx AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily
+),
+qs AS (SELECT UNNEST([1, 2, 5, 10]) AS q),
+diffs AS (
+  SELECT qd.q, a.i,
+         a.x - b.x AS dq
+  FROM idx a
+  CROSS JOIN qs qd
+  JOIN idx b ON b.i = a.i - qd.q
+),
+stats AS (
+  SELECT q,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dq) AS BIGINT) AS s,
+         CAST(SUM(CAST(dq AS HUGEINT) * dq) AS HUGEINT) AS ss
+  FROM diffs GROUP BY q
+),
+vars AS (
+  SELECT q, n,
+         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n / q AS v_q
+  FROM stats
+),
+base AS (SELECT v_q AS v1 FROM vars WHERE q = 1)
+SELECT CAST(v.q AS BIGINT) AS period_q,
+       v.n AS n_diffs,
+       ROUND(v.v_q / 10000.0, 6) AS scaled_var_dollars2,
+       ROUND(v.v_q / b.v1, 6) AS variance_ratio,
+       v.v_q / b.v1 < 1.0 AS mean_reverting_at_q
+FROM vars v CROSS JOIN base b
+ORDER BY period_q
+"""
+
+
+@register(
+    "t_variance_ratio_test",
+    oracle=_VR_ORACLE,
+    tags=("A1", "J7", "W1", "F3"),
+)
+def t_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance ratio: under a random walk the variance of
+    q-day changes grows LINEARLY in q, so VR(q) = Var(Δ_q)/(q·Var(Δ₁))
+    is 1; VR < 1 is mean reversion (shocks die out — revenue snaps
+    back after spikes), VR > 1 is momentum. Read with the Hurst
+    exponent (VR ≈ q^(2H−1) asymptotically) — two independent
+    diagnoses of the same long-memory question.
+
+    Determinism + scale design: q-day differences come from the
+    bounded shifted-index self-join against a 4-row q dim (the
+    CCF/Newey-West posture); each variance derives from exact integer
+    Σd, Σd² (widened before multiply — daily-cents differences square
+    past INT64); the ratios are fixed-shape doubles over the 4-row
+    frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("x"))
+    )
+    idx = daily.select(
+        "x", F.row_number().over(Window.orderBy("d")).alias("i")
+    )
+    qs = spark.createDataFrame([(1,), (2,), (5,), (10,)], ["q"])
+    a = idx.select("i", F.col("x").alias("xa"))
+    b = idx.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    diffs = (
+        a.crossJoin(F.broadcast(qs))
+        .withColumn("ib", F.col("i") - F.col("q"))
+        .join(b, "ib")
+        .select("q", (F.col("xa") - F.col("xb")).alias("dq"))
+    )
+    stats = diffs.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dq").cast("long").alias("s"),
+        F.sum(F.col("dq").cast("decimal(38,0)") * F.col("dq")).alias("ss"),
+    )
+    vars_ = stats.select(
+        "q",
+        "n",
+        F.expr(
+            "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n / q"
+        ).alias("v_q"),
+    )
+    base = vars_.filter(F.col("q") == 1).select(
+        F.col("v_q").alias("v1")
+    )
+    return (
+        vars_.crossJoin(F.broadcast(base))
+        .select(
+            F.col("q").cast("long").alias("period_q"),
+            F.col("n").alias("n_diffs"),
+            F.round(F.col("v_q") / 10000.0, 6).alias(
+                "scaled_var_dollars2"
+            ),
+            F.round(F.col("v_q") / F.col("v1"), 6).alias(
+                "variance_ratio"
+            ),
+            (F.col("v_q") / F.col("v1") < 1.0).alias(
+                "mean_reverting_at_q"
+            ),
+        )
+        .orderBy("period_q")
+    )

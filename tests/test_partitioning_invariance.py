@@ -292,6 +292,7 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "a_dorfman_group_testing", "g_avg_neighbor_degree_curve",
         "e_abc_xyz_matrix", "t_erlang_c_staffing",
         "n_bpe_merge_simulation", "n_lsh_br_planner",
+        "t_forecast_prediction_intervals", "t_variance_ratio_test",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -482,6 +482,10 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 seventh continuation: 6-row factorization x 4-row
     # s-grid literal cross (zero table scans)
     "n_lsh_br_planner",
+    # round-4 seventh continuation: 1-row residual-quantile broadcast
+    # onto the 56-day holdout; 4-row q-dim + 1-row base-variance
+    # broadcasts (variance ratio)
+    "t_forecast_prediction_intervals", "t_variance_ratio_test",
 })
 
 
