@@ -9288,3 +9288,250 @@ def t_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimum-detectable-effect vs experiment runtime planning curve
+# ---------------------------------------------------------------------------
+
+_MDE_CURVE_ORACLE = f"""
+WITH spend AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS y
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY o_custkey
+),
+pop AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_year,
+         CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS ss
+  FROM spend
+),
+weeks AS (SELECT UNNEST(GENERATE_SERIES(1, 8)) AS w),
+curve AS (
+  SELECT wk.w, p.n_year,
+         CAST(p.n_year * wk.w // 52 // 2 AS BIGINT) AS n_per_arm,
+         (CAST(p.ss AS DOUBLE) - CAST(p.s AS DOUBLE) * p.s / p.n_year)
+           / p.n_year AS v,
+         CAST(p.s AS DOUBLE) / p.n_year AS mu
+  FROM weeks wk CROSS JOIN pop p
+)
+SELECT CAST(w AS BIGINT) AS runtime_weeks,
+       n_per_arm,
+       ROUND(mu / 100, 6) AS mean_spend_dollars,
+       ROUND((2.801582 * SQRT(2.0 * v / n_per_arm)) / 100, 6)
+         AS mde_dollars,
+       CAST(ROUND(2.801582 * SQRT(2.0 * v / n_per_arm) / mu * 1000000)
+            AS BIGINT) AS mde_relative_ppm,
+       2.801582 * SQRT(2.0 * v / n_per_arm) / mu < 0.05
+         AS can_detect_5pct
+FROM curve
+ORDER BY runtime_weeks
+"""
+
+
+@register(
+    "e_mde_runtime_curve",
+    oracle=_MDE_CURVE_ORACLE,
+    tags=("A1", "A2", "F3", "J9"),
+)
+def e_mde_runtime_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect as a function of experiment RUNTIME:
+    with per-customer spend variance measured from the data and
+    enrollment proportional to weeks live (n/arm = yearly actives ×
+    w/52 ÷ 2), MDE(w) = (z_{α/2} + z_β)·√(2σ²/n) — the planning curve
+    behind 'how long must this A/B run to see 5%?'
+    (`e_power_analysis` answers the inverse one-point question; the
+    curve is what goes in the experiment-review doc, and the
+    can_detect_5pct column is the go/no-go row).
+
+    Determinism + scale design: ONE combinable customer rollup feeds
+    exact n/Σy/Σy² (widened); the 8-week grid is a broadcast dim;
+    z_{0.025} + z_{0.2} = 2.801582 is a literal (the power-analysis
+    convention); per-arm counts use integer floor division so both
+    engines walk identical sample sizes."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("y"))
+    )
+    pop = spend.agg(
+        F.count(F.lit(1)).cast("long").alias("n_year"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("ss"),
+    )
+    weeks = spark.range(1, 9).select(F.col("id").cast("int").alias("w"))
+    curve = weeks.crossJoin(F.broadcast(pop)).select(
+        "w",
+        F.expr("CAST(n_year * w DIV 52 DIV 2 AS BIGINT)").alias(
+            "n_per_arm"
+        ),
+        F.expr(
+            "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_year) "
+            "/ n_year"
+        ).alias("v"),
+        F.expr("CAST(s AS DOUBLE) / n_year").alias("mu"),
+    )
+    return curve.select(
+        F.col("w").cast("long").alias("runtime_weeks"),
+        "n_per_arm",
+        F.round(F.col("mu") / 100, 6).alias("mean_spend_dollars"),
+        F.round(
+            (2.801582 * F.sqrt(2.0 * F.col("v") / F.col("n_per_arm")))
+            / 100,
+            6,
+        ).alias("mde_dollars"),
+        F.expr(
+            "CAST(ROUND(2.801582 * SQRT(2.0 * v / n_per_arm) / mu "
+            "* 1000000) AS BIGINT)"
+        ).alias("mde_relative_ppm"),
+        F.expr(
+            "2.801582 * SQRT(2.0 * v / n_per_arm) / mu < 0.05"
+        ).alias("can_detect_5pct"),
+    ).orderBy("runtime_weeks")
+
+
+# ---------------------------------------------------------------------------
+# Jackknife standard error of the Gini (leave-one-segment-out)
+# ---------------------------------------------------------------------------
+
+_JACKKNIFE_GINI_ORACLE = f"""
+WITH spend AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+segs AS (SELECT DISTINCT seg AS excl FROM spend),
+reps AS (
+  SELECT g.excl, s.ck, s.y
+  FROM spend s CROSS JOIN segs g
+  WHERE s.seg <> g.excl
+),
+ranked AS (
+  SELECT excl, y,
+         ROW_NUMBER() OVER (PARTITION BY excl ORDER BY y, ck) AS i
+  FROM reps
+),
+ginis AS (
+  SELECT excl,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS total,
+         CAST(SUM(CAST(i AS HUGEINT) * y) AS HUGEINT) AS weighted
+  FROM ranked GROUP BY excl
+),
+theta AS (
+  SELECT excl,
+         CAST(ROUND((2.0 * CAST(weighted AS DOUBLE)
+          - (n + 1.0) * total) / (CAST(n AS DOUBLE) * total)
+          * 1000000000) AS BIGINT) AS g_nano
+  FROM ginis
+),
+jack AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+         CAST(SUM(g_nano) AS BIGINT) AS sg_nano,
+         CAST(SUM(CAST(g_nano AS HUGEINT) * g_nano) AS HUGEINT) AS sgg
+  FROM theta
+),
+fin AS (
+  SELECT n_reps,
+         CAST(sg_nano AS DOUBLE) / n_reps / 1000000000.0 AS gbar,
+         SQRT((n_reps - 1.0) / n_reps
+              * (CAST(sgg AS DOUBLE)
+                 - CAST(sg_nano AS DOUBLE) * sg_nano / n_reps))
+           / 1000000000.0 AS se
+  FROM jack
+)
+SELECT n_reps,
+       ROUND(gbar, 6) AS mean_loo_gini,
+       ROUND(se, 6) AS jackknife_se,
+       ROUND(gbar - 2.0 * se, 6) AS ci_lo,
+       ROUND(gbar + 2.0 * se, 6) AS ci_hi
+FROM fin
+"""
+
+
+@register(
+    "a_jackknife_gini_se",
+    oracle=_JACKKNIFE_GINI_ORACLE,
+    tags=("A1", "W1", "J1", "F3", "J9"),
+)
+def a_jackknife_gini_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error for the spend Gini —
+    the resampling answer to 'is 0.41 ± what?' for a statistic with no
+    closed-form variance: five leave-one-segment-out replicates, SE =
+    √((G−1)/G · Σ(θᵢ−θ̄)²), and a ±2SE interval. Grouped deletion
+    (not delete-one-row) is what makes resampling tractable in one
+    query: G replicates ≡ a G-row dim, not n re-runs.
+
+    Determinism + scale design: the replicate fan-out is spend ×
+    5-segment dim with the excluded segment filtered — an honest G×
+    data cost, the price of any jackknife; each replicate's Gini uses
+    the exact integer rank form (rank windows PARTITIONED BY excluded
+    segment, so replicates never interleave); each θᵢ is nano-rounded
+    to an exact BIGINT at the leaf so the 5-term jackknife sums are
+    pure integers (the leaf-rounding convention — a raw double sum
+    over a hash-agg frame has no fixed order)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("y"))
+    )
+    segs = spend.select(F.col("seg").alias("excl")).distinct()
+    reps = spend.crossJoin(F.broadcast(segs)).filter(
+        F.col("seg") != F.col("excl")
+    )
+    w_rank = Window.partitionBy("excl").orderBy("y", "ck")
+    ranked = reps.select(
+        "excl", "y", F.row_number().over(w_rank).alias("i")
+    )
+    ginis = ranked.groupBy("excl").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("total"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("y")).alias(
+            "weighted"
+        ),
+    )
+    theta = ginis.select(
+        "excl",
+        F.expr(
+            "CAST(ROUND((2.0 * CAST(weighted AS DOUBLE) "
+            "- (n + 1.0) * total) / (CAST(n AS DOUBLE) * total) "
+            "* 1000000000) AS BIGINT)"
+        ).alias("g_nano"),
+    )
+    jack = theta.agg(
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        F.sum("g_nano").cast("long").alias("sg_nano"),
+        F.sum(
+            F.col("g_nano").cast("decimal(38,0)") * F.col("g_nano")
+        ).alias("sgg"),
+    )
+    fin = jack.select(
+        "n_reps",
+        F.expr(
+            "CAST(sg_nano AS DOUBLE) / n_reps / 1000000000.0"
+        ).alias("gbar"),
+        F.expr(
+            "SQRT((n_reps - 1.0) / n_reps * (CAST(sgg AS DOUBLE) "
+            "- CAST(sg_nano AS DOUBLE) * sg_nano / n_reps)) "
+            "/ 1000000000.0"
+        ).alias("se"),
+    )
+    return fin.select(
+        "n_reps",
+        F.round(F.col("gbar"), 6).alias("mean_loo_gini"),
+        F.round(F.col("se"), 6).alias("jackknife_se"),
+        F.round(F.col("gbar") - 2.0 * F.col("se"), 6).alias("ci_lo"),
+        F.round(F.col("gbar") + 2.0 * F.col("se"), 6).alias("ci_hi"),
+    )

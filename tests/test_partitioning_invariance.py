@@ -293,6 +293,7 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
         "e_abc_xyz_matrix", "t_erlang_c_staffing",
         "n_bpe_merge_simulation", "n_lsh_br_planner",
         "t_forecast_prediction_intervals", "t_variance_ratio_test",
+        "e_mde_runtime_curve", "a_jackknife_gini_se",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -486,6 +486,10 @@ _BNLJ_ALLOWED = frozenset({
     # onto the 56-day holdout; 4-row q-dim + 1-row base-variance
     # broadcasts (variance ratio)
     "t_forecast_prediction_intervals", "t_variance_ratio_test",
+    # round-4 seventh continuation: 8-row week dim x 1-row variance
+    # broadcast (MDE curve); 5-row excluded-segment dim fan-out
+    # (jackknife — the honest Gx cost of grouped resampling)
+    "e_mde_runtime_curve", "a_jackknife_gini_se",
 })
 
 
