@@ -129,7 +129,7 @@ FROM tri
 """
 
 
-@register("g_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("J10", "J1", "A2"))
+@register("g_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("J10", "J1", "A2"), headline=True)
 def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count on the part co-order graph via
     degree-ordered edge orientation (the MapReduce-classic wedge-check

@@ -880,7 +880,7 @@ GROUP BY doc_id
 """
 
 
-@register("n_paragraph_dedup", oracle=_PARA_DEDUP_ORACLE, tags=("N1", "N5", "F4"))
+@register("n_paragraph_dedup", oracle=_PARA_DEDUP_ORACLE, tags=("N1", "N5", "F4"), headline=True)
 def n_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level exact dedup with document reassembly — the C4 /
     RefinedWeb line-dedup shape: split every document into fixed

@@ -589,6 +589,7 @@ GROUP BY 1, 2
     "st_pipeline_ingest",
     oracle=_ST_PIPELINE_ORACLE,
     tags=("T1", "T5", "T6", "T7"),
+    headline=True,
 )
 def st_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming ingest in ONE incremental query — the shape

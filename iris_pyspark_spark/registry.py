@@ -63,13 +63,18 @@ _QUERY_MODULES = (
     "streaming_parity",
     "scale_patterns",
     "llm_text",
+    "llm_text_stats",
+    "llm_text_eval",
     "llm_dedup",
     "llm_similarity",
     "curation_ops",
     "multimodal",
     "ml_pipeline",
     "graph_analytics",
-    "stats_analytics",
+    "stats_timeseries",
+    "stats_inference",
+    "stats_experiments",
+    "stats_quality",
     "governance_ops",
 )
 

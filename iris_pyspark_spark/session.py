@@ -115,4 +115,33 @@ def get_spark(
     configure(spark)
     if explicit_shuffle is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(explicit_shuffle))
+    _gc_scratch_once()
     return spark
+
+
+_GC_DONE = False
+
+
+def _gc_scratch_once() -> None:
+    """Once per process: size-capped sweep of the persistent scratch
+    root (fingerprinted artifacts accumulate across rounds with no
+    natural expiry — see sources.gc_scratch)."""
+    global _GC_DONE
+    if _GC_DONE:
+        return
+    _GC_DONE = True
+    try:
+        from .sources import gc_scratch
+
+        deleted = gc_scratch()
+        if deleted:
+            import warnings
+
+            warnings.warn(
+                f"scratch GC evicted {len(deleted)} artifact dirs over the "
+                "2 GiB cap (rebuilt on next use)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    except Exception:
+        pass  # GC must never block session creation

@@ -56,7 +56,87 @@ def artifact_is_current(path: str, fingerprint: str) -> bool:
     if not os.path.exists(fp_file):
         return False
     with open(fp_file) as f:
-        return f.read() == fingerprint
+        if f.read() != fingerprint:
+            return False
+    # Touch the sidecar on every successful validation: its mtime is the
+    # "last validated" clock gc_scratch evicts by (LRU of USE, not of
+    # write — an artifact revalidated every round never ages out).
+    try:
+        os.utime(fp_file)
+    except OSError:
+        pass
+    return True
+
+
+def gc_scratch(cap_bytes: int = 2 << 30, root: str | None = None) -> list[str]:
+    """Size-capped sweep of the persistent scratch root.
+
+    Fingerprinted artifacts (LSH signatures, IVF indexes, oriented edge
+    lists) accumulate across rounds with no natural expiry. When the
+    root exceeds `cap_bytes`, delete least-recently-VALIDATED artifact
+    directories (sidecar mtime — touched by artifact_is_current on every
+    cache hit) until under the cap, oldest first. Non-artifact scratch
+    dirs (format round-trips, checkpoints) are swept by their own mtime;
+    everything here is rebuildable by construction, so deletion is
+    always safe — the only cost is a rebuild on next use.
+
+    Returns the list of deleted paths (for the session-start log/test).
+    """
+    import shutil
+
+    root = root or SCRATCH_ROOT
+    if not os.path.isdir(root):
+        return []
+
+    def tree_size(p: str) -> int:
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(p):
+            for fn in filenames:
+                try:
+                    total += os.stat(os.path.join(dirpath, fn)).st_size
+                except OSError:
+                    pass
+        return total
+
+    # Candidate unit = a per-(sf, query) directory (scratch_dir layout),
+    # scored by its sidecar mtime when fingerprinted, else dir mtime.
+    candidates: list[tuple[float, str, int]] = []
+    total = 0
+    for sf_entry in os.scandir(root):
+        if not sf_entry.is_dir():
+            total += sf_entry.stat().st_size
+            continue
+        for entry in os.scandir(sf_entry.path):
+            if entry.name.endswith(".fingerprint"):
+                continue  # sidecars ride along with their artifact
+            size = tree_size(entry.path) if entry.is_dir() else entry.stat().st_size
+            fp = _fingerprint_file(entry.path)
+            try:
+                clock = os.stat(fp).st_mtime if os.path.exists(fp) else entry.stat().st_mtime
+            except OSError:
+                clock = 0.0
+            candidates.append((clock, entry.path, size))
+            total += size
+
+    deleted: list[str] = []
+    if total <= cap_bytes:
+        return deleted
+    for clock, path, size in sorted(candidates):
+        if total <= cap_bytes:
+            break
+        try:
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.remove(path)
+            fp = _fingerprint_file(path)
+            if os.path.exists(fp):
+                os.remove(fp)
+            total -= size
+            deleted.append(path)
+        except OSError:
+            pass
+    return deleted
 
 
 def mark_artifact(path: str, fingerprint: str) -> None:

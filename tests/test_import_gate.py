@@ -122,3 +122,22 @@ def test_readme_coverage_table_in_sync():
     assert table in text, "README table differs from registry — run tools/gen_readme_coverage.py"
     counts = f"{n_total} registered queries, {n_oracled} with full DuckDB value-hash oracles"
     assert counts in text, f"README counts stale — expected '{counts}'"
+
+
+def test_readme_proof_ledger_in_sync():
+    """The README driver-proof ledger must match the CORRECTNESS_r*.json
+    files at HEAD — a new round's record landing without a README regen
+    fails here, keeping rotation progress auditable."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        from gen_readme_coverage import build_ledger
+    finally:
+        sys.path.pop(0)
+
+    ledger = build_ledger()
+    text = open(os.path.join(root, "README.md")).read()
+    assert ledger in text, (
+        "README proof ledger differs from CORRECTNESS_r*.json — run "
+        "tools/gen_readme_coverage.py"
+    )

@@ -265,6 +265,44 @@ def test_artifact_fingerprint_gates_reuse(tmp_path, sf_dir):
     assert not artifact_is_current(art, fp_embed)
 
 
+def test_scratch_gc_evicts_lru_over_cap(tmp_path):
+    """gc_scratch must (a) be a no-op under the cap, (b) evict the
+    LEAST-recently-validated artifact first once over it, and (c) stop
+    as soon as the root is back under the cap — never a full wipe."""
+    import os
+    import time
+
+    from iris_pyspark_spark.sources import gc_scratch, mark_artifact
+
+    root = str(tmp_path / "scratch")
+    paths = {}
+    for i, name in enumerate(["old", "mid", "new"]):
+        p = os.path.join(root, "sf0.01", name)
+        os.makedirs(p)
+        with open(os.path.join(p, "part-0.parquet"), "wb") as f:
+            f.write(b"x" * 1000)
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+        mark_artifact(p, f"fp-{name}")
+        # Stagger "last validated" clocks: old < mid < new.
+        t = time.time() - (3 - i) * 3600
+        os.utime(p + ".fingerprint", (t, t))
+        paths[name] = p
+
+    # Under the cap: nothing deleted.
+    assert gc_scratch(cap_bytes=1 << 20, root=root) == []
+    assert all(os.path.isdir(p) for p in paths.values())
+
+    # Cap of ~2 files: the single oldest-validated artifact goes, the
+    # other two (and their sidecars) survive.
+    deleted = gc_scratch(cap_bytes=2100, root=root)
+    assert deleted == [paths["old"]]
+    assert not os.path.exists(paths["old"])
+    assert not os.path.exists(paths["old"] + ".fingerprint")
+    for name in ("mid", "new"):
+        assert os.path.isdir(paths[name])
+        assert os.path.exists(paths[name] + ".fingerprint")
+
+
 def test_misra_gries_invariants_under_decrement(spark):
     """Force the Misra-Gries decrement path (capacity far below the
     vocabulary) on a skewed stream and check the two mergeable-sketch

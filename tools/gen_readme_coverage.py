@@ -36,6 +36,35 @@ def build_table() -> tuple[str, int, int]:
     return "\n".join(lines) + "\n", n_total, n_oracled
 
 
+def build_ledger() -> str:
+    """Cumulative driver-proof ledger from CORRECTNESS_r*.json files:
+    per round, how many of the driver's ~50 sweep rows succeeded, how
+    many were first-time proofs, and the cumulative distinct-proven
+    count — makes sweep-prefix rotation progress auditable at a glance."""
+    import json
+
+    root = README.parent
+    lines = [
+        "| round | driver rows | green | new proofs | cumulative proven |",
+        "| --- | --- | --- | --- | --- |",
+    ]
+    seen: set[str] = set()
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        rows = json.load(open(path))
+        good = {
+            n
+            for n, r in rows.items()
+            if r.get("err") is None or r.get("err") == "no_oracle"
+        }
+        new = good - seen
+        seen |= good
+        rnd = path.stem.replace("CORRECTNESS_", "")
+        lines.append(
+            f"| {rnd} | {len(rows)} | {len(good)} | {len(new)} | {len(seen)} |"
+        )
+    return "\n".join(lines) + "\n"
+
+
 def main() -> None:
     table, n_total, n_oracled = build_table()
     text = README.read_text()
@@ -51,6 +80,26 @@ def main() -> None:
         text,
         count=1,
     )
+    ledger = build_ledger()
+    if "| round | driver rows |" in text:
+        text = re.sub(
+            r"\| round \| driver rows \|[^\n]*\n(?:\|[^\n]*\n)+",
+            ledger,
+            text,
+            count=1,
+        )
+    else:
+        text = text.replace(
+            "## Operator coverage map",
+            "## Driver-proof ledger (generated from CORRECTNESS_r*.json)\n\n"
+            "Distinct queries proven by the external driver's per-round\n"
+            "correctness sweep. The sweep prefix (`registry._PRIORITY`) is\n"
+            "rotated every round to never-checked queries, so `new proofs`\n"
+            "tracks conversion of in-repo green into driver proof.\n\n"
+            + ledger
+            + "\n## Operator coverage map",
+            1,
+        )
     README.write_text(text)
     print(f"README updated: {n_total} queries, {n_oracled} oracled")
 

@@ -32,6 +32,14 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+#: Degenerate-variance allowlist: {query: {column, ...}} of output columns
+#: CONFIRMED to be constant by design at sf0.01 (e.g. a pinned parameter
+#: echoed per row, a threshold column, a single-group slice). A constant
+#: metric column NOT listed here is an advisory: the value compare passes
+#: even if the formula is wrong for every varying input — the
+#: constant-vs-constant sibling of the empty-vs-empty vacuity class.
+_CONSTANT_OK: dict[str, set] = {}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -59,6 +67,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     bad: list[tuple[str, str]] = []
+    advisories: list[tuple[str, list]] = []
     skipped = 0
     per_q: dict[str, float] = {}
     t0 = time.time()
@@ -90,6 +99,20 @@ def main() -> int:
                 res = compare_frames(pdf, con.execute(osql[name]).df())
                 if not res.ok:
                     bad.append((name, res.detail[:200]))
+                elif len(pdf) >= 3:
+                    # Degenerate-variance advisory: a column identical on
+                    # every row proves little even when the oracle agrees.
+                    # ≥3-row results only — 1-row global aggregates and
+                    # 2-row A/B splits are legitimately low-variance.
+                    const_cols = [
+                        c
+                        for c in pdf.columns
+                        if not c.endswith("_ok")
+                        and c not in _CONSTANT_OK.get(name, set())
+                        and pdf[c].nunique(dropna=False) <= 1
+                    ]
+                    if const_cols:
+                        advisories.append((name, const_cols))
             else:
                 if len(pdf) < 1:
                     bad.append((name, "no rows"))
@@ -116,6 +139,13 @@ def main() -> int:
     )
     for name, detail in bad:
         print(f"  FAIL {name}: {detail}")
+    if advisories:
+        print(
+            f"degenerate-variance advisories ({len(advisories)}) — confirm "
+            "intent and allowlist in _CONSTANT_OK, or fix the query:"
+        )
+        for name, cols in advisories:
+            print(f"  CONST {name}: {cols}")
     slowest = sorted(per_q.items(), key=lambda kv: -kv[1])[:10]
     print("slowest:", ", ".join(f"{n}={dt:.1f}s" for n, dt in slowest))
     return 1 if bad else 0
