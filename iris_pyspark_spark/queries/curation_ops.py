@@ -994,3 +994,115 @@ def s_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "n_rows", "total_price", "n_deleted")
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# DPO/RLHF preference-pair construction (rank-aligned within-group pairing)
+# ---------------------------------------------------------------------------
+
+_DPO_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rk_top,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars ASC, doc_id) AS rk_bot,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+),
+pairs AS (
+  SELECT t.lang,
+         t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+         t.n_chars - b.n_chars AS margin
+  FROM scored t
+  JOIN scored b
+    ON t.lang = b.lang AND t.rk_top = b.rk_bot
+   AND t.rk_top <= t.n_lang / 2
+  WHERE t.n_chars - b.n_chars >= 100
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(margin) AS BIGINT) AS min_margin,
+       ROUND(SUM(CAST(margin AS DOUBLE)) / COUNT(*), 6) AS avg_margin,
+       CAST(MAX(margin) AS BIGINT) AS max_margin
+FROM pairs
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "n_dpo_preference_pairs",
+    oracle=_DPO_ORACLE,
+    tags=("N5", "P6", "W1", "J10"),
+)
+def n_dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction: within each language
+    stratum, rank documents by a quality signal from both ends and pair
+    the i-th best with the i-th worst (rank-aligned pairing), keeping
+    only pairs whose margin clears a threshold — wide-margin pairs are
+    the informative ones for preference optimization, and rank-aligned
+    pairing maximizes margins subject to every doc appearing at most
+    once per side.
+
+    Scale: the self-join is an equi-join on (lang, rank) — two window
+    ranks over the same partitioning (one shuffle, reused by both
+    windows and the join via AQE) and never a pairwise fan-out. The
+    margin filter happens before the rollup, so the pair table is the
+    training artifact and the output is its audit summary.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    w_lang = Window.partitionBy("lang")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(w_lang.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rk_top"),
+        F.row_number()
+        .over(w_lang.orderBy(F.col("n_chars").asc(), "doc_id"))
+        .alias("rk_bot"),
+        F.count(F.lit(1)).over(w_lang).alias("n_lang"),
+    )
+    top = scored.select(
+        "lang",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("n_chars").alias("chars_top"),
+        "rk_top",
+        "n_lang",
+    )
+    bot = scored.select(
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("n_chars").alias("chars_bot"),
+        "rk_bot",
+    )
+    pairs = (
+        top.join(
+            bot,
+            (top.lang == bot.lang_b) & (top.rk_top == bot.rk_bot),
+        )
+        .where(F.col("rk_top") <= F.col("n_lang") / 2)
+        .select(
+            "lang",
+            "chosen_id",
+            "rejected_id",
+            (F.col("chars_top") - F.col("chars_bot")).alias("margin"),
+        )
+        .where(F.col("margin") >= 100)
+    )
+    return (
+        pairs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("margin").cast("bigint").alias("min_margin"),
+            F.round(
+                F.sum(F.col("margin").cast("double")) / F.count(F.lit(1)), 6
+            ).alias("avg_margin"),
+            F.max("margin").cast("bigint").alias("max_margin"),
+        )
+        .orderBy("lang")
+    )

@@ -1818,3 +1818,120 @@ def j_fuzzy_name_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard_ppm").desc(), "id_a", "id_b")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon join (integer ray casting against a broadcast edge set)
+# ---------------------------------------------------------------------------
+
+_PIP_EDGES = [
+    # (poly, x1, y1, x2, y2) — closed rings; one concave (L-shape) so the
+    # parity rule is actually exercised beyond convex membership.
+    ("square", 1000, 1000, 4000, 1000),
+    ("square", 4000, 1000, 4000, 4000),
+    ("square", 4000, 4000, 1000, 4000),
+    ("square", 1000, 4000, 1000, 1000),
+    ("triangle", 5000, 5000, 9000, 5500),
+    ("triangle", 9000, 5500, 7000, 9000),
+    ("triangle", 7000, 9000, 5000, 5000),
+    ("lshape", 500, 6000, 3500, 6000),
+    ("lshape", 3500, 6000, 3500, 7500),
+    ("lshape", 3500, 7500, 2000, 7500),
+    ("lshape", 2000, 7500, 2000, 9500),
+    ("lshape", 2000, 9500, 500, 9500),
+    ("lshape", 500, 9500, 500, 6000),
+]
+
+_PIP_EDGES_SQL = ", ".join(
+    f"('{p}', {x1}, {y1}, {x2}, {y2})" for p, x1, y1, x2, y2 in _PIP_EDGES
+)
+
+_PIP_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 48271) % 10000 AS px,
+         (c_custkey * 69621) % 10000 AS py
+  FROM customer
+),
+edges(poly, x1, y1, x2, y2) AS (VALUES {_PIP_EDGES_SQL}),
+crossings AS (
+  SELECT p.c_custkey, e.poly,
+         CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+              AND CASE WHEN e.y2 - e.y1 > 0
+                       THEN (p.px - e.x1) * (e.y2 - e.y1)
+                            < (p.py - e.y1) * (e.x2 - e.x1)
+                       ELSE (p.px - e.x1) * (e.y2 - e.y1)
+                            > (p.py - e.y1) * (e.x2 - e.x1)
+                  END
+              THEN 1 ELSE 0 END AS crossed
+  FROM pts p CROSS JOIN edges e
+),
+inside AS (
+  SELECT c_custkey, poly, SUM(crossed) % 2 AS parity
+  FROM crossings GROUP BY c_custkey, poly
+)
+SELECT i.poly,
+       CAST(SUM(i.parity) AS BIGINT) AS points_inside,
+       ROUND(SUM(i.parity) * 1.0 / COUNT(*), 6) AS share
+FROM inside i
+GROUP BY i.poly
+ORDER BY i.poly
+"""
+
+
+@register(
+    "j_point_in_polygon",
+    oracle=_PIP_ORACLE,
+    tags=("J7", "J9", "A1", "F3"),
+)
+def j_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computational-geometry join: classify synthetic customer points
+    against a polygon set (one concave) by ray casting — the crossing
+    count of a +x ray against each edge, ALL IN EXACT INTEGER ARITHMETIC
+    (the x-intersection comparison is cross-multiplied by the edge's dy
+    instead of divided, sign-flipped when dy < 0), so parity is
+    hash-exact with no float geometry anywhere.
+
+    Scale: the polygon edge set is a broadcast literal (13 rows); the
+    per-point work is a map-side nested-loop against it followed by one
+    combinable (point, poly) parity rollup — no shuffle of the points
+    beyond the final per-polygon aggregate. The standard pre-filter at
+    planet scale (bbox grid-cell equi-join before exact ray cast) is the
+    same shape as j_spatial_grid_nn's bucketing.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 10000).alias("px"),
+        ((F.col("c_custkey") * 69621) % 10000).alias("py"),
+    )
+    edges = broadcast(
+        spark.createDataFrame(
+            _PIP_EDGES, "poly string, x1 long, y1 long, x2 long, y2 long"
+        )
+    )
+    dy = F.col("y2") - F.col("y1")
+    lhs = (F.col("px") - F.col("x1")) * dy
+    rhs = (F.col("py") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+    crossed = (
+        F.when(
+            ((F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py")))
+            & F.when(dy > 0, lhs < rhs).otherwise(lhs > rhs),
+            1,
+        ).otherwise(0)
+    ).alias("crossed")
+    inside = (
+        c.crossJoin(edges)
+        .select("c_custkey", "poly", crossed)
+        .groupBy("c_custkey", "poly")
+        .agg((F.sum("crossed") % 2).alias("parity"))
+    )
+    return (
+        inside.groupBy("poly")
+        .agg(
+            F.sum("parity").cast("bigint").alias("points_inside"),
+            F.round(F.sum("parity") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("poly")
+    )

@@ -934,10 +934,10 @@ per_doc AS (
 )
 SELECT doc_id, n, g,
        ROUND((g - n / 2.0) / SQRT(n / 4.0), 6) AS z_score,
-       (g - n / 2.0) / SQRT(n / 4.0) > 4 AS watermark_detected,
+       (g - n / 2.0) / SQRT(n / 4.0) > 2.33 AS watermark_detected,
        doc_id >= 700000 AS planted
 FROM per_doc
-WHERE n >= 10 AND ((g - n / 2.0) / SQRT(n / 4.0) > 4 OR doc_id >= 700000)
+WHERE n >= 10 AND ((g - n / 2.0) / SQRT(n / 4.0) > 2.33 OR doc_id >= 700000)
 ORDER BY doc_id
 """
 
@@ -952,7 +952,9 @@ def n_watermark_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     greenlist test): a watermarking generator biases each token toward
     a 'green list' seeded by the previous token; the detector recounts
     the green fraction and flags docs where the one-proportion z-score
-    exceeds 4 — organic text sits at g/n ≈ ½, watermarked text far
+    exceeds 2.33 (the one-sided 99th percentile; short docs cap z at
+    sqrt(n), so a threshold above sqrt(min doc length) could NEVER fire
+    — the round-5 vacuity audit caught exactly that) — organic text sits at g/n ≈ ½, watermarked text far
     above. The hash here keys on adjacent token LENGTHS (cross-engine
     reproducible; a production detector uses the generator's seeded
     vocab hash — same relational shape), and planted fully-green docs
@@ -996,14 +998,14 @@ def n_watermark_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("g") - F.col("n") / 2.0) / F.sqrt(F.col("n") / 4.0)
     return (
         per_doc.filter(
-            (F.col("n") >= 10) & ((z > 4) | (F.col("doc_id") >= 700000))
+            (F.col("n") >= 10) & ((z > 2.33) | (F.col("doc_id") >= 700000))
         )
         .select(
             "doc_id",
             "n",
             "g",
             F.round(z, 6).alias("z_score"),
-            (z > 4).alias("watermark_detected"),
+            (z > 2.33).alias("watermark_detected"),
             (F.col("doc_id") >= 700000).alias("planted"),
         )
         .orderBy("doc_id")

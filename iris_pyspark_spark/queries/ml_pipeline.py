@@ -315,3 +315,77 @@ def ml_linreg_normal_eq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= tol + 1e-6 * F.abs(b0)
         ).alias("agree_intercept_ok"),
     )
+
+
+@register("ml_isotonic_calibration", oracle=None, tags=("N7", "A8", "W3"))
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-regression score calibration — the standard monotone
+    recalibration applied to quality-classifier outputs before they
+    gate a training corpus (PAV: pool-adjacent-violators). Feature =
+    document length, label = a deterministic Bernoulli whose success
+    probability RISES with length (hash-derived, seedless), so the true
+    relation is monotone and the fit is meaningful.
+
+    Rows-only by design (MLlib's distributed PAV has no SQL oracle);
+    self-validation: `monotone_ok` pins the defining property — fitted
+    probabilities never decrease as the feature grows — and `range_ok`
+    pins predictions to [0, 1]. Scale: PAV parallelizes as per-partition
+    pools + a single merge of the boundary pools (MLlib's
+    implementation), so the fit is one pass plus a small driver merge.
+    """
+    from pyspark.ml.regression import IsotonicRegression
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("feature"),
+        # P(label=1) grows with n_chars: threshold a 0..999 hash lane
+        # against a length-scaled cutoff — deterministic on both reruns.
+        F.when(
+            (F.col("doc_id") * 48271) % 1000
+            < F.least(F.lit(900), F.col("n_chars") / 3),
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    data = d.select(
+        "label",
+        array_to_vector(F.array(F.col("feature"))).alias("features"),
+        F.col("feature"),
+    )
+    iso = IsotonicRegression(featureIndex=0)
+    model = iso.fit(data)
+    scored = model.transform(data).select(
+        "feature", F.col("prediction").alias("calibrated")
+    )
+    out = (
+        scored.groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("calibrated").alias("calibrated"),
+        )
+        .withColumn(
+            "prev_cal",
+            F.lag("calibrated").over(Window.orderBy("feature")),
+        )
+        .withColumn(
+            "monotone_ok",
+            F.col("prev_cal").isNull()
+            | (F.col("calibrated") >= F.col("prev_cal")),
+        )
+        .withColumn(
+            "range_ok",
+            (F.col("calibrated") >= 0.0) & (F.col("calibrated") <= 1.0),
+        )
+        .drop("prev_cal")
+        .orderBy("feature")
+        .limit(50)
+    )
+    return out.select(
+        F.col("feature").cast("bigint").alias("n_chars"),
+        "n_docs",
+        F.round("calibrated", 6).alias("calibrated"),
+        "monotone_ok",
+        "range_ok",
+    )

@@ -932,3 +932,108 @@ def m_perceptual_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (rolling polynomial hash boundaries)
+# ---------------------------------------------------------------------------
+
+#: 31^0..31^7 as exact BIGINT literals — the unrolled 8-byte window hash.
+_CDC_POWS = tuple(31 ** i for i in range(8))
+_CDC_WINDOW = 8
+_CDC_MASK = 64  # boundary when hash % 64 == 0 → expected chunk ~64 chars
+
+_CDC_HASH_SQL = " + ".join(
+    f"ASCII(SUBSTR(text, pos + {i}, 1)) * CAST({p} AS BIGINT)"
+    for i, p in enumerate(_CDC_POWS)
+)
+
+_CDC_ORACLE = f"""
+WITH positions AS (
+  SELECT doc_id, n_chars, text,
+         UNNEST(RANGE(1, n_chars - {_CDC_WINDOW} + 2)) AS pos
+  FROM documents
+  WHERE n_chars >= {_CDC_WINDOW}
+),
+hashes AS (
+  SELECT doc_id, n_chars, pos,
+         ({_CDC_HASH_SQL}) % {_CDC_MASK} AS h
+  FROM positions
+),
+per_doc AS (
+  SELECT doc_id,
+         MAX(n_chars) AS n_chars,
+         CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boundaries
+  FROM hashes GROUP BY doc_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_boundaries) AS BIGINT) AS total_boundaries,
+  CAST(SUM(n_boundaries + 1) AS BIGINT) AS total_chunks,
+  ROUND(SUM(CAST(n_chars AS DOUBLE)) / SUM(n_boundaries + 1), 6)
+    AS avg_chunk_chars,
+  CAST(MAX(n_boundaries) AS BIGINT) AS max_boundaries_per_doc
+FROM per_doc
+"""
+
+
+@register(
+    "m_content_defined_chunking",
+    oracle=_CDC_ORACLE,
+    tags=("N1", "N6", "F7", "F1"),
+)
+def m_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking — the rsync/LBFS/dedup-store technique:
+    a rolling polynomial hash over a fixed 8-char window marks a chunk
+    boundary wherever hash % 64 == 0, so chunk boundaries survive
+    insertions/deletions (unlike fixed-size blocks) and byte-identical
+    regions of DIFFERENT blobs dedup against each other. The Spark side
+    is the storage-layout planning rollup: boundary density, chunk
+    counts, and expected chunk size per corpus.
+
+    The window hash is UNROLLED into eight ASCII()*31^i terms — exact
+    BIGINT arithmetic in whole-stage codegen (never an interpreted
+    higher-order function in the hot path), and the position fan-out is
+    a map-side posexplode: zero shuffles until the per-doc rollup. At
+    blob scale the same unrolled expression runs inside mapInPandas over
+    binary payloads; the parquet-friendly text path here keeps the
+    operator oracle-checkable.
+    """
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars") >= _CDC_WINDOW
+    )
+    positions = d.select(
+        "doc_id",
+        "n_chars",
+        F.posexplode(
+            F.sequence(F.lit(1), F.col("n_chars") - _CDC_WINDOW + 1)
+        ).alias("_i", "pos"),
+        "text",
+    )
+    window_hash = None
+    for i, p in enumerate(_CDC_POWS):
+        term = F.ascii(F.expr(f"SUBSTR(text, pos + {i}, 1)")) * F.lit(p).cast(
+            "bigint"
+        )
+        window_hash = term if window_hash is None else window_hash + term
+    hashes = positions.select(
+        "doc_id", "n_chars", (window_hash % _CDC_MASK).alias("h")
+    )
+    per_doc = hashes.groupBy("doc_id").agg(
+        F.max("n_chars").alias("n_chars"),
+        F.sum(F.when(F.col("h") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boundaries"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_boundaries").cast("bigint").alias("total_boundaries"),
+        F.sum(F.col("n_boundaries") + 1).cast("bigint").alias("total_chunks"),
+        F.round(
+            F.sum(F.col("n_chars").cast("double"))
+            / F.sum(F.col("n_boundaries") + 1),
+            6,
+        ).alias("avg_chunk_chars"),
+        F.max("n_boundaries").cast("bigint").alias("max_boundaries_per_doc"),
+    )

@@ -1440,3 +1440,102 @@ def f_map_aggregation_pipeline(
             "e -> struct(e.value AS c, e.key AS prio))).prio"
         ).alias("top_priority"),
     ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal grid binning (axial coordinates, cube rounding)
+# ---------------------------------------------------------------------------
+
+_HEXBIN_ORACLE = """
+WITH pts AS (
+  SELECT CAST((user_id * 48271) % 4000 - 2000 AS DOUBLE) AS px,
+         CAST((event_id * 69621) % 4000 - 2000 AS DOUBLE) AS py
+  FROM events
+),
+axial AS (
+  SELECT
+    (SQRT(CAST(3 AS DOUBLE)) / CAST(3 AS DOUBLE) * px
+     - py / CAST(3 AS DOUBLE)) / CAST(250 AS DOUBLE) AS qf,
+    (CAST(2 AS DOUBLE) / CAST(3 AS DOUBLE) * py)
+      / CAST(250 AS DOUBLE) AS rf
+  FROM pts
+),
+rounded AS (
+  SELECT qf, rf, -qf - rf AS sf,
+         FLOOR(qf + 0.5) AS q0, FLOOR(rf + 0.5) AS r0,
+         FLOOR(-qf - rf + 0.5) AS s0
+  FROM axial
+),
+fixed AS (
+  SELECT
+    CAST(CASE WHEN ABS(q0 - qf) > ABS(r0 - rf)
+               AND ABS(q0 - qf) > ABS(s0 - sf)
+              THEN -r0 - s0 ELSE q0 END AS BIGINT) AS hq,
+    CAST(CASE WHEN NOT (ABS(q0 - qf) > ABS(r0 - rf)
+                        AND ABS(q0 - qf) > ABS(s0 - sf))
+               AND ABS(r0 - rf) > ABS(s0 - sf)
+              THEN -q0 - s0 ELSE r0 END AS BIGINT) AS hr
+  FROM rounded
+)
+SELECT hq, hr, COUNT(*) AS n_events
+FROM fixed
+GROUP BY hq, hr
+ORDER BY n_events DESC, hq, hr
+LIMIT 15
+"""
+
+
+@register(
+    "f_hex_bin_assign",
+    oracle=_HEXBIN_ORACLE,
+    tags=("F3", "A1", "O2"),
+)
+def f_hex_bin_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal-grid spatial binning (the H3/Uber-style density rollup)
+    in pure closed-form math: planar point -> fractional axial hex
+    coordinates -> cube rounding (round each of q, r, s and fix the
+    axis with the largest rounding error so q + r + s = 0 stays exact).
+
+    Determinism: the only operations are +, -, *, / and SQRT — all
+    correctly rounded by IEEE-754 — evaluated with an identical
+    expression tree on both engines, and half-rounding is written as
+    FLOOR(x + 0.5) explicitly so no engine ROUND-mode difference can
+    bite. Scale: map-only per-event math followed by ONE combinable
+    (hq, hr) aggregation; top-k under a total order.
+    """
+    e = load_table(spark, sf_dir, "events")
+    px = ((F.col("user_id") * 48271) % 4000 - 2000).cast("double")
+    py = ((F.col("event_id") * 69621) % 4000 - 2000).cast("double")
+    three = F.lit(3.0)
+    qf = (F.sqrt(three) / three * px - py / three) / F.lit(250.0)
+    rf = (F.lit(2.0) / three * py) / F.lit(250.0)
+    axial = e.select(qf.alias("qf"), rf.alias("rf"))
+    sf = -F.col("qf") - F.col("rf")
+    rounded = axial.select(
+        "qf",
+        "rf",
+        sf.alias("sf"),
+        F.floor(F.col("qf") + 0.5).alias("q0"),
+        F.floor(F.col("rf") + 0.5).alias("r0"),
+        F.floor(sf + 0.5).alias("s0"),
+    )
+    dq = F.abs(F.col("q0") - F.col("qf"))
+    dr = F.abs(F.col("r0") - F.col("rf"))
+    ds = F.abs(F.col("s0") - F.col("sf"))
+    q_fix = (dq > dr) & (dq > ds)
+    fixed = rounded.select(
+        F.when(q_fix, -F.col("r0") - F.col("s0"))
+        .otherwise(F.col("q0"))
+        .cast("bigint")
+        .alias("hq"),
+        F.when(~q_fix & (dr > ds), -F.col("q0") - F.col("s0"))
+        .otherwise(F.col("r0"))
+        .cast("bigint")
+        .alias("hr"),
+    )
+    return (
+        fixed.groupBy("hq", "hr")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "hq", "hr")
+        .limit(15)
+    )

@@ -309,3 +309,35 @@ def test_round4_seventh_continuation_shuffle_width_invariant(spark, sf_dir):
             assert len(outs[0]) > 0, name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_round5_shuffle_width_invariant(spark, sf_dir):
+    """Round-5 additions: identical canonical output at 2 and 32
+    shuffle partitions. Notable members: the permutation test (per-perm
+    md5 rank windows must not depend on layout), Bradley-Terry (nano-
+    BIGINT leaf rounding before the MM denominator sum), the ray-cast
+    parity rollup (pure integers), hex cube-rounding (closed-form
+    doubles, one expression tree), and content-defined chunking
+    (exact-integer window hashes)."""
+    from iris_pyspark_spark.registry import load_all
+
+    reg = load_all()
+    names = (
+        "e_permutation_test_exact", "e_bradley_terry_strength",
+        "j_point_in_polygon", "f_hex_bin_assign",
+        "m_content_defined_chunking", "n_dpo_preference_pairs",
+    )
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in names:
+            outs = []
+            for width in ("2", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", width)
+                pdf = reg[name].fn(spark, sf_dir).toPandas()
+                outs.append(canonical_rows(pdf))
+            assert outs[0] == outs[1], (
+                f"{name}: result depends on shuffle width"
+            )
+            assert len(outs[0]) > 0, name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)

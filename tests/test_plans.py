@@ -304,6 +304,11 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 batch 8: bounded probe-set broadcast (vec_id % 101) against
     # one corpus scan, same bound as n_knn_bruteforce
     "n_mrl_prefix_rerank",
+    # round-5: 199-row permutation grid + 1-row observed-stat broadcast
+    # crossJoins onto the per-user rollup (never the raw fact)
+    "e_permutation_test_exact",
+    # round-5: 13-row polygon edge-set broadcast (integer ray casting)
+    "j_point_in_polygon",
     # round-4 batch 9: 1-row bounds/total crossJoins and the 3-row
     # quantile-probe join in the histogram walk
     "a_quantile_histogram_sketch", "n_temperature_sampling_weights",

@@ -38,7 +38,117 @@ TABLES = (
 #: metric column NOT listed here is an advisory: the value compare passes
 #: even if the formula is wrong for every varying input — the
 #: constant-vs-constant sibling of the empty-vs-empty vacuity class.
-_CONSTANT_OK: dict[str, set] = {}
+_CONSTANT_OK: dict[str, set] = {
+    # Reviewed round 5 (all 92 flags triaged; two REAL vacuities found by
+    # this audit were FIXED instead of listed: e_survival_km_curve
+    # censored every user at sf -> survival was identically 1.0, and
+    # n_watermark_detection's z > 4 threshold was unreachable on
+    # 14-token docs since max z = sqrt(n)). The survivors fall into
+    # three confirmed-intent classes:
+    #   * global echo -- a corpus/group total or globally-fitted scalar
+    #     repeated beside varying per-row columns (n_rows, n_days,
+    #     hurst_h, theil_total, offered_load_*, overall_acc_ppm ...);
+    #     it IS oracle-checked, and carrying it per-row is the point.
+    #   * sf-coincidence -- varies at scale, ties at sf0.01 (planted
+    #     duplicates make top-k cosine/hamming saturate, every dup
+    #     cluster has the same size, TPC-H quantity spans 1..50 in
+    #     every group, one cohort week fits the window ...).
+    #   * fixed-input demo -- scalar-function showcases over literal or
+    #     uniform inputs (name_prefix/name_len on generated names,
+    #     keys_csv on a literal map ...).
+    "a_bitmap_distinct": {"n_users"},
+    "a_correlation_matrix": {"n"},
+    "a_count_distinct": {"n_nations"},
+    "a_dorfman_group_testing": {"defect_rate_ppm"},
+    "a_ipf_raking": {"max_rowsum_gap"},
+    "a_k_anonymity_audit": {"k_global", "n_rows_at_risk"},
+    "a_mad_outliers": {"n_outliers"},
+    "a_market_basket_lift": {"n_orders"},
+    "a_negbin_moments_fit": {"n_days"},
+    "a_stats_formulas": {"min_qty", "max_qty"},
+    "a_theil_decomposition": {"theil_total", "theil_between", "theil_within", "between_share_ppm"},
+    "e_attribution_window_sweep": {"n_purchases"},
+    "e_cohort_ltv_triangle": {"cohort_week", "n_users"},
+    "e_dau_mau_stickiness": {"mau"},
+    "e_decay_engagement_score": {"n_recent"},
+    "e_gains_lift_table": {"n"},
+    "e_growth_accounting": {"resurrected"},
+    "e_mde_runtime_curve": {"mean_spend_dollars"},
+    "e_pareto_8020": {"n_users"},
+    "e_price_volume_mix": {"residual_dollars"},
+    "e_quantile_treatment_effects": {"n_a", "n_b"},
+    "e_retention_cohorts": {"cohort_week", "n_active"},
+    "e_shapley_attribution": {"shapley_ppm", "n_users", "grand_coalition_ppm", "efficiency_gap"},
+    "e_snaive_forecast_backtest": {"n_days"},
+    "f_array_funcs": {"dim"},
+    "f_collation_group": {"n_variants"},
+    "f_map_aggregation_pipeline": {"n_priorities", "priorities_sorted"},
+    "f_map_funcs": {"k1", "keys_csv"},
+    "f_math_funcs": {"above_1k"},
+    "f_semistructured": {"keys_csv"},
+    "f_split_explode": {"n_words"},
+    "f_string_funcs": {"name_prefix", "name_len"},
+    "f_url_funcs": {"encoded"},
+    "f_variant_type": {"max_k"},
+    "g_harmonic_centrality": {"n_reached"},
+    "g_modularity_brand_partition": {"m_edges"},
+    "g_rich_club_coefficient": {"n_club_nodes", "n_club_edges", "phi_ppm"},
+    "j_fuzzy_name_trigram": {"jaccard_ppm"},
+    "j_theta_self_pairs": {"n_pairs"},
+    "m_frame_sampling": {"sampled_frames"},
+    "m_perceptual_hash_dedup": {"hamming"},
+    "n_autocomplete_prefix_topk": {"confidence_ppm"},
+    "n_chao1_good_turing": {"observed_vocab", "chao1_vocab_estimate", "unseen_mass_ppm"},
+    "n_class_balanced_downsample": {"n_kept"},
+    "n_code_detection_score": {"n_code_docs", "mean_symbol_density_ppm", "tot_keywords"},
+    "n_codeswitch_audit": {"n_codeswitched", "codeswitch_ppm", "max_minority_ppm"},
+    "n_colbert_maxsim_rerank": {"n_query_vectors"},
+    "n_dedup_clusters": {"cluster_size"},
+    "n_dedup_survivorship_policy": {"n_copies"},
+    "n_domain_mix_rebalance": {"n_docs"},
+    "n_embedding_quantize": {"max_code", "min_code"},
+    "n_exact_dedup": {"n_copies"},
+    "n_group_kfold": {"n_docs", "n_sources", "n_leaky_sources"},
+    "n_hashing_collision_sweep": {"vocab_size", "buckets_used", "collided_terms_ppm"},
+    "n_ivf_recall_eval": {"n_exact"},
+    "n_js_divergence_sources": {"n_terms"},
+    "n_lang_quality_bands": {"band"},
+    "n_moe_load_balance_proxy": {"balance_loss", "max_over_mean_load"},
+    "n_pii_redaction": {"n_emails", "n_phones"},
+    "n_pps_systematic_sample": {"n_hits"},
+    "n_sentence_stats": {"max_sents_per_doc"},
+    "n_slice_eval_metrics": {"n_pos", "acc_ppm", "overall_acc_ppm"},
+    "n_stemming_normalize": {"vocab_raw", "vocab_stemmed", "vocab_reduction_ppm"},
+    "n_tfidf_doc_similarity": {"dot", "cosine"},
+    "n_token_packing": {"bin_id", "n_docs"},
+    "n_tokenizer_fertility": {"fertility_ppm"},
+    "n_truncation_loss_sweep": {"n_docs", "total_tokens"},
+    "n_uncertainty_sampling": {"second_votes"},
+    "n_url_canonical_dedup": {"n_canonical"},
+    "n_vocab_coverage": {"n_oov", "oov_rate"},
+    "pipeline_data_curation": {"n_input", "n_after_dedup", "n_kept", "tokens_kept"},
+    "pipeline_pretrain_corpus": {"n_input_corpus"},
+    "s_benford_qc": {"n_total"},
+    "s_column_masking_view": {"name_masked"},
+    "s_csv_scan_roundtrip": {"n_nations"},
+    "s_expectations_check": {"n_rows"},
+    "s_format_interop_matrix": {"n_rows", "cents_checksum", "key_checksum"},
+    "s_merge_on_read_deletes": {"n_deleted"},
+    "s_one_big_table_build": {"n_regions"},
+    "s_profile_table": {"n_rows", "n_null"},
+    "s_skew_report": {"total_rows", "n_keys"},
+    "t_burstiness_fano": {"n_days", "n_active_days"},
+    "t_cross_correlation_lags": {"n_days"},
+    "t_erlang_c_staffing": {"n_orders", "n_pods", "offered_load_total_erlangs", "offered_load_per_pod"},
+    "t_event_order_skew": {"n_out_of_order", "max_lateness_s", "total_lateness_s", "avg_lateness_s"},
+    "t_hurst_exponent": {"hurst_h"},
+    "t_max_drawdown": {"n_days"},
+    "t_permutation_entropy": {"n_triplets", "perm_entropy_nats", "perm_entropy_normalized"},
+    "t_rate_limit_violations": {"n_in_hour"},
+    "t_seasonality_dow_profile": {"n_days"},
+    "u_vectorized_suite": {"n_top"},
+    "w_pareto_skyline": {"n_parts"},
+}
 
 
 def main() -> int:
@@ -108,6 +218,10 @@ def main() -> int:
                         c
                         for c in pdf.columns
                         if not c.endswith("_ok")
+                        # Boolean columns are audit verdicts: constant
+                        # TRUE (or FALSE) is their success state, and the
+                        # oracle still value-checks them.
+                        and pdf[c].dtype.kind != "b"
                         and c not in _CONSTANT_OK.get(name, set())
                         and pdf[c].nunique(dropna=False) <= 1
                     ]
