@@ -2967,12 +2967,20 @@ def e_permutation_test_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in_a",
         F.when((F.col("user_id") * 48271) % 100 < 50, 1).otherwise(0),
     )
-    sizes = per_user.agg(
+    # The 1-row observed-statistic aggregate would otherwise re-scan the
+    # fact through per_user's lineage a second time (once for sizes, once
+    # under the permutation fan-out). Collect the bounded row and inline
+    # its three scalars, so events is scanned exactly once per run.
+    obs = per_user.agg(
         F.sum("in_a").cast("bigint").alias("n_a"),
         F.count(F.lit(1)).alias("n_users"),
         F.sum(
             F.when(F.col("in_a") == 1, F.col("spend_cents")).otherwise(0)
         ).alias("stat_obs"),
+    ).collect()[0]
+    sizes = spark.createDataFrame(
+        [(obs.n_a, obs.n_users, obs.stat_obs)],
+        "n_a long, n_users long, stat_obs long",
     )
     perms = spark.range(1, 200).select(F.col("id").alias("perm_id"))
     ranked = per_user.crossJoin(broadcast(perms)).withColumn(
@@ -3139,6 +3147,16 @@ def e_bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_counts = contests.groupBy("nation_i", "nation_j").agg(
         F.count(F.lit(1)).alias("n_games"),
         F.sum("win_i").cast("bigint").alias("wins_i"),
+    )
+    # pair_counts is bounded by nations^2/2 (<= 300 rows) but its lineage
+    # is the full order-internal contest join; three downstream consumers
+    # (w1, both mm2 sides) would re-run that join once each. Collect the
+    # bounded aggregate and rebuild it as a literal frame — the same
+    # bounded-rollup collect pattern as the similarity slabs — so the
+    # heavy pass runs exactly once at any scale.
+    pair_counts = spark.createDataFrame(
+        pair_counts.collect(),
+        "nation_i string, nation_j string, n_games long, wins_i long",
     )
     directed = pair_counts.select(
         F.col("nation_i").alias("nation"),

@@ -689,3 +689,41 @@ def test_constraint_audit_all_anti_joins_broadcast(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_point_in_polygon_broadcast_nlj_only(spark, sf_dir):
+    """The polygon membership join must be a broadcast NLJ against the
+    13-row edge literal — a SortMergeJoin or CartesianProduct here means
+    the points got shuffled for a constant-size right side."""
+    plan = _executed_plan(spark, "j_point_in_polygon", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hex_bin_is_map_then_single_agg(spark, sf_dir):
+    """Hex binning is per-row math + one combinable rollup: any join in
+    the plan means the closed-form assignment regressed into a lookup."""
+    plan = _executed_plan(spark, "f_hex_bin_assign", sf_dir)
+    for node in ("Join", "CartesianProduct"):
+        assert node not in plan, f"unexpected {node}"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cdc_chunking_no_join_no_python(spark, sf_dir):
+    """Content-defined chunking is scan -> posexplode -> codegen hash ->
+    two combinable aggregations. No join, no Python runner: the unrolled
+    ASCII*31^i hash must stay JVM-side."""
+    plan = _executed_plan(spark, "m_content_defined_chunking", sf_dir)
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_permutation_test_single_fact_scan(spark, sf_dir):
+    """The 199-permutation fan-out must happen on the per-user rollup,
+    never the raw fact: exactly one events scan in the measured plan
+    (the observed statistic is collected at build time), and the perm
+    grid arrives by broadcast."""
+    plan = _executed_plan(spark, "e_permutation_test_exact", sf_dir)
+    assert plan.count("events.parquet") <= 1, "events scanned more than once"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
