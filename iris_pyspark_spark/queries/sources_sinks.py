@@ -1986,3 +1986,170 @@ def s_json_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+# --- orphan-file vacuum (manifest-vs-listing reconciliation) ----------------
+
+_VACUUM_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(doc_id) AS BIGINT) AS rows_checksum,
+  CAST(2 AS BIGINT) AS n_orphans,
+  CAST(2 AS BIGINT) AS n_orphans_removed
+FROM documents
+"""
+
+
+@register(
+    "s_vacuum_orphan_files",
+    oracle=_VACUUM_ORACLE,
+    tags=("S4", "S1", "A2", "F7"),
+)
+def s_vacuum_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — orphan-file reconciliation, the table-maintenance twin
+    of compaction: failed/zombie writers leave data files in the table
+    directory that no committed manifest references; a 100 TB table
+    accumulates them until listing cost and accidental double-reads
+    bite. The job: (1) write the table plus a manifest of committed
+    file names, (2) plant two orphan files (a crashed task's part file
+    and a stale temp), (3) anti-join the real directory listing against
+    the manifest — the orphans — and delete them, (4) prove the table's
+    rows and checksum survived the vacuum untouched.
+
+    The listing side uses the binaryFile source (distributed listing,
+    no driver walk); the manifest is itself parquet, so the anti-join
+    is two tiny file-name tables. Orphan counts are pinned constants by
+    construction (the planted pair), which the oracle checks alongside
+    the un-harmed row checksum.
+    """
+    import os
+    import shutil
+
+    from ..sources import scratch_dir
+
+    tbl = scratch_dir(sf_dir, "vacuum_table")
+    manifest = scratch_dir(sf_dir, "vacuum_manifest")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # Fresh table each run: vacuum must be idempotent from a clean slate.
+    shutil.rmtree(tbl, ignore_errors=True)
+    d.repartition(4).write.mode("overwrite").parquet(tbl)
+    committed = spark.read.format("binaryFile").load(tbl).filter(
+        F.col("path").endswith(".parquet")
+    ).select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name")
+    )
+    committed.write.mode("overwrite").parquet(manifest)
+    # Plant orphans AFTER the manifest commit (a crashed writer's leftovers).
+    for orphan in ("part-99999-zombie.c000.parquet", "stale-retry-shard.c001.parquet"):
+        with open(os.path.join(tbl, orphan), "wb") as f:
+            f.write(b"PAR1 not a real footer")
+    listing = spark.read.format("binaryFile").load(tbl).filter(
+        F.col("path").endswith(".parquet")
+    ).select(
+        F.col("path"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+    )
+    orphans = listing.join(
+        spark.read.parquet(manifest), "file_name", "left_anti"
+    )
+    orphan_paths = [r.path for r in orphans.select("path").collect()]
+    n_removed = 0
+    for p in orphan_paths:
+        local = p.removeprefix("file:")
+        if os.path.exists(local):
+            os.remove(local)
+            n_removed += 1
+    # Post-vacuum: the committed data must be bit-intact.
+    after = spark.read.parquet(tbl)
+    return after.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("rows_checksum"),
+        F.lit(len(orphan_paths)).cast("long").alias("n_orphans"),
+        F.lit(n_removed).cast("long").alias("n_orphans_removed"),
+    )
+
+
+# --- permissive scan with corrupt-record audit --------------------------------
+
+_CORRUPT_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_good,
+  CAST(SUM(n_nationkey) AS BIGINT) AS key_checksum,
+  CAST(3 AS BIGINT) AS n_corrupt,
+  CAST(3 AS BIGINT) AS n_quarantined
+FROM nation
+"""
+
+
+@register(
+    "s_corrupt_record_audit",
+    oracle=_CORRUPT_ORACLE,
+    tags=("S2", "P5", "A2", "S4"),
+)
+def s_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract enforcement at the ingest boundary: a CSV feed
+    with rows that violate the declared schema is read in PERMISSIVE
+    mode, malformed rows land in the `_corrupt_record` column instead
+    of killing the job (FAILFAST) or silently vanishing (DROPMALFORMED),
+    and the audit quarantines them to a reject file while the clean rows
+    flow on — the standard dead-letter pattern for 100 TB feeds where
+    one bad row per billion must neither stop the pipeline nor be lost.
+
+    Three poison rows are planted (non-integer key, truncated row, junk
+    line); the oracle pins the quarantine count AND the unharmed
+    checksum of the clean rows. The scan stays distributed — corrupt
+    handling is per-row inside the CSV parser, not a driver-side sieve.
+    """
+    import os
+
+    from ..sources import scratch_dir
+
+    path = scratch_dir(sf_dir, "nation_feed_csv")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.coalesce(1).write.mode("overwrite").option("header", "false").csv(path)
+    # Plant malformed rows AFTER the clean write, as the separate file a
+    # buggy producer would drop into the feed directory. (Appending to
+    # the committed part file would trip Hadoop's .crc sidecar check —
+    # the local-FS analogue of why one NEVER mutates committed files.)
+    with open(os.path.join(path, "producer-bad-batch.csv"), "w") as f:
+        f.write("not_an_int,BADLAND,7\n")       # type violation
+        f.write("99,TRUNCATED\n")                # missing column
+        f.write("garbage line with no commas\n")  # unparseable
+    schema = (
+        "n_nationkey INT, n_name STRING, n_regionkey INT, "
+        "_corrupt_record STRING"
+    )
+    feed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # Spark refuses queries that reference ONLY the internal corrupt
+    # column; the production shape avoids it anyway: land the parsed
+    # feed (all columns) to a bronze table in one distributed pass, then
+    # split quarantine/clean from the landed copy.
+    landing = scratch_dir(sf_dir, "nation_feed_bronze")
+    feed.write.mode("overwrite").parquet(landing)
+    bronze = spark.read.parquet(landing)
+    quarantine = scratch_dir(sf_dir, "nation_feed_rejects")
+    bad = bronze.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    bad.write.mode("overwrite").parquet(quarantine)
+    n_quarantined = spark.read.parquet(quarantine).count()
+    good = bronze.filter(F.col("_corrupt_record").isNull())
+    return good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum("n_nationkey").cast("long").alias("key_checksum"),
+        F.sum(F.lit(0)).cast("long").alias("_zero"),
+    ).select(
+        "n_good",
+        "key_checksum",
+        (F.col("_zero") + F.lit(n_quarantined)).cast("long").alias("n_corrupt"),
+        (F.col("_zero") + F.lit(n_quarantined)).cast("long").alias(
+            "n_quarantined"
+        ),
+    )

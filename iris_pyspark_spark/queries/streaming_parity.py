@@ -943,3 +943,160 @@ def st_union_two_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain_to_table(agged, "complete").orderBy("w_start")
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 dimension maintenance via foreachBatch
+# ---------------------------------------------------------------------------
+
+_SCD2_STREAM_ORACLE = """
+WITH obs AS (
+  SELECT user_id,
+         CAST(FLOOR((DAYOFMONTH(ts) - 1) / 8) AS BIGINT) AS wnd,
+         event_type, ts, event_id
+  FROM events
+),
+per_window AS (
+  SELECT user_id, wnd, event_type
+  FROM (
+    SELECT user_id, wnd, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, wnd
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM obs
+  ) WHERE rk = 1
+),
+versions AS (
+  SELECT user_id, wnd, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY wnd) AS prev,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY wnd DESC) AS rev
+  FROM per_window
+),
+changes AS (
+  SELECT user_id, event_type, rev
+  FROM versions
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT v.event_type AS current_type,
+       CAST(COUNT(*) AS BIGINT) AS n_current_users,
+       CAST(SUM(ch.n_versions) AS BIGINT) AS total_versions
+FROM versions v
+JOIN (SELECT user_id, COUNT(*) AS n_versions FROM changes GROUP BY user_id) ch
+  ON v.user_id = ch.user_id
+WHERE v.rev = 1
+GROUP BY v.event_type
+ORDER BY current_type
+"""
+
+
+@register(
+    "st_foreachbatch_merge_scd2",
+    oracle=_SCD2_STREAM_ORACLE,
+    tags=("T6", "T5", "S4", "W2"),
+)
+def st_foreachbatch_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance — the CDC consumer that
+    keeps a slowly-changing user dimension current from an event feed:
+    each micro-batch lands its per-(user, window) latest attribute into
+    the dimension artifact via foreachBatch, and version ranges are
+    assembled from the accumulated observations. Keying versions on the
+    event-time WINDOW (not arrival order) makes the final dimension
+    IDENTICAL under any batch arrival order or regrouping — the
+    property that lets an exact SQL oracle check a 4-micro-batch
+    incremental build, and the property a production CDC consumer needs
+    to survive replays and out-of-order file discovery.
+
+    Scale: each batch does one combinable per-(user, window) argmax and
+    a partition-scoped append; the SCD2 compression (LAG over windows
+    per user) runs on the observation table, which is user x 4 windows
+    — dimension-sized, not event-sized."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from ..session import configure
+    from ..sources import (
+        artifact_is_current,
+        mark_artifact,
+        scratch_dir,
+        table_fingerprint,
+    )
+
+    configure(spark)
+    src = scratch_dir(sf_dir, "scd2_src")
+    src_fp = table_fingerprint(sf_dir, "events", params="scd2-src-4wnd")
+    if not artifact_is_current(src, src_fp):
+        e = load_table(spark, sf_dir, "events").withColumn(
+            "wnd", F.floor((F.dayofmonth("ts") - 1) / 8).cast("bigint")
+        )
+        e.repartition("wnd").write.mode("overwrite").partitionBy(
+            "wnd"
+        ).parquet(src)
+        mark_artifact(src, src_fp)
+    dim = scratch_dir(sf_dir, "scd2_dim_obs")
+    shutil.rmtree(dim, ignore_errors=True)
+    ckpt = scratch_dir(sf_dir, "scd2_ckpt_tmp")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string, wnd long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", src)
+        .parquet(src)
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id", "wnd").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "wnd", "event_type")
+        )
+        # Append-only observation log partitioned by window: a replayed
+        # batch rewrites only its own window partitions.
+        latest.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("wnd").parquet(dim)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    obs = spark.read.option("basePath", dim).parquet(dim)
+    wv = Window.partitionBy("user_id").orderBy("wnd")
+    versions = obs.select(
+        "user_id",
+        "wnd",
+        "event_type",
+        F.lag("event_type").over(wv).alias("prev"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.col("wnd").desc()))
+        .alias("rev"),
+    )
+    changes = versions.filter(
+        F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+    )
+    n_versions = changes.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions")
+    )
+    current = versions.filter(F.col("rev") == 1).select(
+        "user_id", F.col("event_type").alias("current_type")
+    )
+    return (
+        current.join(n_versions, "user_id")
+        .groupBy("current_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_current_users"),
+            F.sum("n_versions").cast("bigint").alias("total_versions"),
+        )
+        .orderBy("current_type")
+    )

@@ -326,6 +326,7 @@ def test_round5_shuffle_width_invariant(spark, sf_dir):
         "e_permutation_test_exact", "e_bradley_terry_strength",
         "j_point_in_polygon", "f_hex_bin_assign",
         "m_content_defined_chunking", "n_dpo_preference_pairs",
+        "s_vacuum_orphan_files", "s_corrupt_record_audit",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
