@@ -1,7 +1,8 @@
 """Measurement-quality & experiment-design statistics (split from
 stats_analytics.py, round 5): rater agreement (kappa family),
 reliability (Cronbach, ICC), sample-ratio/paradox audits, group
-testing, power/MDE/SPRT design curves.
+testing, power/MDE/SPRT design curves, exact permutation testing,
+Bradley-Terry preference-strength fitting.
 
 Shared scale discipline (SURVEY.md §2.12): every float statistic is
 computed FROM exact-integer sufficient statistics (counts, cents sums,
@@ -1169,3 +1170,316 @@ def e_mde_runtime_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("runtime_weeks")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Exact permutation test via deterministic md5 re-randomizations
+# ---------------------------------------------------------------------------
+
+_PERM_TEST_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN (user_id * 48271) % 100 < 50 THEN 1 ELSE 0 END AS in_a,
+         SUM({CENTS_SQL.format(expr="value")}) AS spend_cents
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+         COUNT(*) AS n_users,
+         CAST(SUM(CASE WHEN in_a = 1 THEN spend_cents ELSE 0 END)
+              AS BIGINT) AS stat_obs
+  FROM per_user
+),
+perms AS (SELECT UNNEST(RANGE(1, 200)) AS perm_id),
+ranked AS (
+  SELECT p.perm_id, u.spend_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.perm_id
+           ORDER BY MD5(CONCAT(CAST(p.perm_id AS VARCHAR), ':',
+                               CAST(u.user_id AS VARCHAR))), u.user_id
+         ) AS rk
+  FROM per_user u CROSS JOIN perms p
+),
+perm_stats AS (
+  SELECT r.perm_id, SUM(r.spend_cents) AS stat_perm
+  FROM ranked r, sizes s
+  WHERE r.rk <= s.n_a
+  GROUP BY r.perm_id
+)
+SELECT s.n_users, s.n_a, 199 AS n_perms,
+       s.stat_obs AS stat_obs_cents,
+       CAST(SUM(CASE WHEN p.stat_perm >= s.stat_obs THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ge,
+       ROUND((1.0 + SUM(CASE WHEN p.stat_perm >= s.stat_obs
+                             THEN 1 ELSE 0 END)) / 200.0, 6) AS p_value
+FROM perm_stats p, sizes s
+GROUP BY s.n_users, s.n_a, s.stat_obs
+"""
+
+
+@register(
+    "e_permutation_test_exact",
+    oracle=_PERM_TEST_ORACLE,
+    tags=("A1", "A2", "J9", "F7", "W1"),
+)
+def e_permutation_test_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (Monte-Carlo-free) permutation test of the arm-A total-spend
+    statistic under 199 DETERMINISTIC re-randomizations: permutation p
+    reassigns users to a pseudo-arm-A of the observed size by ranking on
+    md5(p:user_id) — a fixed, seedless shuffle both engines reproduce
+    bit-identically, so the p-value is a hash-checkable exact rational
+    (1 + #{perm stat >= observed}) / 200. The distribution-free
+    counterpart to `e_welch_ttest` on the same randomization unit.
+
+    Scale: ONE user-keyed combinable aggregation of the fact table, then
+    the (users x 199) expansion happens on the tiny per-user rollup —
+    each permutation is an independent window partition, so the work
+    fans out across the cluster by perm_id and nothing ever shuffles the
+    raw events twice. All statistics are exact BIGINT cents.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(cents(F.col("value"))).alias("spend_cents")
+    ).withColumn(
+        "in_a",
+        F.when((F.col("user_id") * 48271) % 100 < 50, 1).otherwise(0),
+    )
+    # The 1-row observed-statistic aggregate would otherwise re-scan the
+    # fact through per_user's lineage a second time (once for sizes, once
+    # under the permutation fan-out). Collect the bounded row and inline
+    # its three scalars, so events is scanned exactly once per run.
+    obs = per_user.agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(F.col("in_a") == 1, F.col("spend_cents")).otherwise(0)
+        ).alias("stat_obs"),
+    ).collect()[0]
+    sizes = spark.createDataFrame(
+        [(obs.n_a, obs.n_users, obs.stat_obs)],
+        "n_a long, n_users long, stat_obs long",
+    )
+    perms = spark.range(1, 200).select(F.col("id").alias("perm_id"))
+    ranked = per_user.crossJoin(broadcast(perms)).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("perm_id").orderBy(
+                F.md5(
+                    F.concat(
+                        F.col("perm_id").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                F.col("user_id"),
+            )
+        ),
+    )
+    perm_stats = (
+        ranked.join(broadcast(sizes), F.col("rk") <= F.col("n_a"))
+        .groupBy("perm_id", "n_users", "n_a", "stat_obs")
+        .agg(F.sum("spend_cents").alias("stat_perm"))
+    )
+    out = perm_stats.groupBy("n_users", "n_a", "stat_obs").agg(
+        F.sum(
+            F.when(F.col("stat_perm") >= F.col("stat_obs"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_ge"),
+        F.round(
+            (
+                1.0
+                + F.sum(
+                    F.when(
+                        F.col("stat_perm") >= F.col("stat_obs"), 1
+                    ).otherwise(0)
+                )
+            )
+            / 200.0,
+            6,
+        ).alias("p_value"),
+    )
+    return out.select(
+        "n_users",
+        "n_a",
+        F.lit(199).alias("n_perms"),
+        F.col("stat_obs").alias("stat_obs_cents"),
+        "n_ge",
+        "p_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry pairwise-strength fit (two MM iterations, exact terms)
+# ---------------------------------------------------------------------------
+
+_BT_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         {CENTS_SQL.format(expr="l_extendedprice")} AS price_cents
+  FROM lineitem
+),
+contests AS (
+  SELECT sn1.n_name AS nation_i, sn2.n_name AS nation_j,
+         CASE WHEN a.price_cents > b.price_cents THEN 1 ELSE 0 END AS win_i
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey
+  JOIN supplier s1 ON a.l_suppkey = s1.s_suppkey
+  JOIN supplier s2 ON b.l_suppkey = s2.s_suppkey
+  JOIN nation sn1 ON s1.s_nationkey = sn1.n_nationkey
+  JOIN nation sn2 ON s2.s_nationkey = sn2.n_nationkey
+  WHERE sn1.n_name < sn2.n_name AND a.price_cents <> b.price_cents
+),
+pair_counts AS (
+  SELECT nation_i, nation_j,
+         COUNT(*) AS n_games,
+         CAST(SUM(win_i) AS BIGINT) AS wins_i
+  FROM contests GROUP BY nation_i, nation_j
+),
+directed AS (
+  SELECT nation_i AS nation, nation_j AS opp, n_games,
+         wins_i AS wins FROM pair_counts
+  UNION ALL
+  SELECT nation_j AS nation, nation_i AS opp, n_games,
+         n_games - wins_i AS wins FROM pair_counts
+),
+w1 AS (
+  SELECT nation,
+         CAST(SUM(n_games) AS BIGINT) AS games,
+         CAST(SUM(wins) AS BIGINT) AS wins,
+         ROUND(2.0 * SUM(wins) / SUM(n_games), 6) AS w1
+  FROM directed GROUP BY nation
+),
+mm2 AS (
+  SELECT d.nation,
+         SUM(CAST(ROUND(1000000000.0 * d.n_games / (wi.w1 + wj.w1))
+             AS BIGINT)) AS denom_nanos
+  FROM directed d
+  JOIN w1 wi ON d.nation = wi.nation
+  JOIN w1 wj ON d.opp = wj.nation
+  GROUP BY d.nation
+)
+SELECT w.nation, w.games, w.wins, w.w1,
+       ROUND(w.wins / (m.denom_nanos / 1000000000.0), 6) AS w2
+FROM w1 w JOIN mm2 m ON w.nation = m.nation
+ORDER BY w.nation
+"""
+
+
+@register(
+    "e_bradley_terry_strength",
+    oracle=_BT_ORACLE,
+    tags=("J10", "J1", "A1", "W1"),
+)
+def e_bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry pairwise-preference strength fit — the model behind
+    reward-model / RLHF preference data and ranking leaderboards — run
+    for two minorization-maximization iterations from the uniform start.
+    Contests: within each order, every pair of line items from suppliers
+    of different nations is a game won by the pricier item. Iteration 1
+    collapses to w1 = 2*wins/games exactly (uniform opponents); iteration
+    2 is the real MM update w2 = wins / SUM_j(n_ij / (w1_i + w1_j)).
+
+    Determinism: each MM denominator term is rounded to an exact nano
+    BIGINT before the order-sensitive SUM, so partition order cannot
+    change a bit. Scale: the only fan-out is the per-order self-join
+    (bounded: <= 7 items/order in TPC-H shape), keyed on l_orderkey —
+    co-partitioned, no cartesian; nations are a 25-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        cents(F.col("l_extendedprice")).alias("price_cents"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = broadcast(
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", "n_name"
+        )
+    )
+    a = (
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
+        .select("l_orderkey", F.col("n_name").alias("nation_i"), "price_cents")
+    )
+    b = (
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
+        .select(
+            F.col("l_orderkey").alias("bo"),
+            F.col("n_name").alias("nation_j"),
+            F.col("price_cents").alias("price_j"),
+        )
+    )
+    contests = a.join(
+        b,
+        (a.l_orderkey == b.bo)
+        & (F.col("nation_i") < F.col("nation_j"))
+        & (F.col("price_cents") != F.col("price_j")),
+    ).select(
+        "nation_i",
+        "nation_j",
+        F.when(F.col("price_cents") > F.col("price_j"), 1)
+        .otherwise(0)
+        .alias("win_i"),
+    )
+    pair_counts = contests.groupBy("nation_i", "nation_j").agg(
+        F.count(F.lit(1)).alias("n_games"),
+        F.sum("win_i").cast("bigint").alias("wins_i"),
+    )
+    # pair_counts is bounded by nations^2/2 (<= 300 rows) but its lineage
+    # is the full order-internal contest join; three downstream consumers
+    # (w1, both mm2 sides) would re-run that join once each. Collect the
+    # bounded aggregate and rebuild it as a literal frame — the same
+    # bounded-rollup collect pattern as the similarity slabs — so the
+    # heavy pass runs exactly once at any scale.
+    pair_counts = spark.createDataFrame(
+        pair_counts.collect(),
+        "nation_i string, nation_j string, n_games long, wins_i long",
+    )
+    directed = pair_counts.select(
+        F.col("nation_i").alias("nation"),
+        F.col("nation_j").alias("opp"),
+        "n_games",
+        F.col("wins_i").alias("wins"),
+    ).unionByName(
+        pair_counts.select(
+            F.col("nation_j").alias("nation"),
+            F.col("nation_i").alias("opp"),
+            "n_games",
+            (F.col("n_games") - F.col("wins_i")).alias("wins"),
+        )
+    )
+    w1 = directed.groupBy("nation").agg(
+        F.sum("n_games").cast("bigint").alias("games"),
+        F.sum("wins").cast("bigint").alias("wins"),
+        F.round(2.0 * F.sum("wins") / F.sum("n_games"), 6).alias("w1"),
+    )
+    wi = w1.select(F.col("nation").alias("ni"), F.col("w1").alias("w1_i"))
+    wj = w1.select(F.col("nation").alias("nj"), F.col("w1").alias("w1_j"))
+    mm2 = (
+        directed.join(broadcast(wi), F.col("nation") == F.col("ni"))
+        .join(broadcast(wj), F.col("opp") == F.col("nj"))
+        .groupBy("nation")
+        .agg(
+            F.sum(
+                F.round(
+                    1000000000.0
+                    * F.col("n_games")
+                    / (F.col("w1_i") + F.col("w1_j")),
+                    0,
+                ).cast("bigint")
+            ).alias("denom_nanos")
+        )
+    )
+    return (
+        w1.join(mm2, "nation")
+        .select(
+            "nation",
+            "games",
+            "wins",
+            "w1",
+            F.round(
+                F.col("wins") / (F.col("denom_nanos") / 1000000000.0), 6
+            ).alias("w2"),
+        )
+        .orderBy("nation")
+    )
