@@ -531,19 +531,50 @@ def _bm25_scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bm25) for the fixed 3-term query — the scoring shared by
     n_bm25_retrieval and the lexical arm of n_hybrid_rrf_fusion. Only
     docs matching at least one query term appear (contrib is inner-built
-    from tf)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    from tf).
+
+    The doc-length table and the query-term postings are a fingerprinted
+    parquet artifact (ONE corpus pass builds both): a retrieval system
+    never re-tokenizes the corpus per query — the inverted index IS the
+    product — and the per-query work here is joins over the index, the
+    same artifact discipline as the IVF/LSH indexes."""
+    from ..sources import (
+        artifact_is_current,
+        mark_artifact,
+        scratch_dir,
+        table_fingerprint,
+    )
+
+    idx = scratch_dir(sf_dir, "bm25_index")
+    fp = table_fingerprint(
+        sf_dir, "documents", params="bm25_v1_" + "_".join(_BM25_TERMS)
+    )
+    if not artifact_is_current(idx, fp):
+        d = load_table(spark, sf_dir, "documents")
+        toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"tf_{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        ).write.mode("overwrite").parquet(idx)
+        mark_artifact(idx, fp)
+    lengths = spark.read.parquet(idx)
+    dl = lengths.select("doc_id", "dl")
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
     )
-    tf = (
-        toks.filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf_long = [
+        lengths.filter(F.col(f"tf_{i}") > 0).select(
+            "doc_id", F.lit(t).alias("tok"), F.col(f"tf_{i}").alias("tf")
+        )
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    tf = tf_long[0].unionByName(tf_long[1]).unionByName(tf_long[2])
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     contrib = (
         tf.join(F.broadcast(df), "tok")
