@@ -1329,3 +1329,107 @@ def g_avg_neighbor_degree_curve(
         )
         .orderBy("degree_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Square (4-cycle) counting via wedge pairing
+# ---------------------------------------------------------------------------
+
+_SQUARE_ORACLE = """
+WITH brand_parts AS (
+  SELECT p_partkey FROM part WHERE p_brand IN ('Brand#12', 'Brand#23')
+),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  JOIN brand_parts pu ON a.l_partkey = pu.p_partkey
+  JOIN brand_parts pv ON b.l_partkey = pv.p_partkey
+  WHERE a.l_partkey < b.l_partkey
+),
+adj AS (
+  SELECT u AS node, v AS nbr FROM pairs
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM pairs
+),
+wedges AS (
+  SELECT x.nbr AS a, y.nbr AS c
+  FROM adj x JOIN adj y ON x.node = y.node
+  WHERE x.nbr < y.nbr
+),
+diag AS (
+  SELECT a, c, COUNT(*) AS w FROM wedges GROUP BY a, c
+)
+SELECT
+  CAST(SUM(w * (w - 1) / 2) / 2 AS BIGINT) AS n_squares,
+  CAST(COUNT(*) AS BIGINT) AS n_diagonal_pairs,
+  CAST(MAX(w) AS BIGINT) AS max_common_neighbors
+FROM diag
+WHERE w >= 2
+"""
+
+
+@register(
+    "g_square_count",
+    oracle=_SQUARE_ORACLE,
+    tags=("J10", "J1", "A2", "A1"),
+)
+def g_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-cycle (square/rectangle) count on the part co-order
+    graph — the bipartite-ish motif behind co-purchase "customers who
+    bought X and Y also bought Z and W" structure, and the densest
+    motif countable by pure wedge algebra: #C4 = (1/2) * sum over
+    diagonal pairs (a, c) of C(common_neighbors, 2), since every
+    4-cycle is seen once from each of its two diagonals. Counted on the
+    two-brand category subgraph — the analyst's actual question
+    ("co-purchase rectangles within a category"), and the form that
+    scales.
+
+    Scale notes: the wedge fan-out is sum_b C(deg_b, 2), and unlike
+    `g_triangle_count` no edge orientation can avoid it — a square's
+    diagonal is NOT an edge, so the count must route through both
+    middles. The subgraph restriction (broadcast semi-join of the edge
+    list against the category's part keys BEFORE any wedge is built)
+    is what bounds the fan; the unrestricted-graph refinement is
+    vertex-priority butterfly counting, whose relational core —
+    equi-join on the middle, combinable (a, c) rollup, closed-form
+    C(w, 2) — is identical to this plan. Integer arithmetic end to
+    end."""
+    from pyspark.sql.functions import broadcast
+
+    brand_parts = broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#12", "Brand#23"))
+        .select("p_partkey")
+    )
+    all_pairs = _coorder_pairs(spark, sf_dir)
+    pairs = (
+        all_pairs.join(
+            brand_parts, all_pairs.u == brand_parts.p_partkey
+        )
+        .drop("p_partkey")
+        .join(
+            broadcast(
+                load_table(spark, sf_dir, "part")
+                .filter(F.col("p_brand").isin("Brand#12", "Brand#23"))
+                .select(F.col("p_partkey").alias("pv"))
+            ),
+            F.col("v") == F.col("pv"),
+        )
+        .select("u", "v")
+    )
+    adj = pairs.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        pairs.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    x = adj.select(F.col("node"), F.col("nbr").alias("a"))
+    y = adj.select(F.col("node"), F.col("nbr").alias("c"))
+    wedges = x.join(y, "node").filter(F.col("a") < F.col("c")).select("a", "c")
+    diag = wedges.groupBy("a", "c").agg(F.count(F.lit(1)).alias("w")).filter(
+        F.col("w") >= 2
+    )
+    return diag.agg(
+        (F.sum(F.col("w") * (F.col("w") - 1) / 2) / 2)
+        .cast("bigint")
+        .alias("n_squares"),
+        F.count(F.lit(1)).cast("bigint").alias("n_diagonal_pairs"),
+        F.max("w").cast("bigint").alias("max_common_neighbors"),
+    )

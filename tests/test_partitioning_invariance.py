@@ -327,6 +327,7 @@ def test_round5_shuffle_width_invariant(spark, sf_dir):
         "j_point_in_polygon", "f_hex_bin_assign",
         "m_content_defined_chunking", "n_dpo_preference_pairs",
         "s_vacuum_orphan_files", "s_corrupt_record_audit",
+        "g_square_count",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
