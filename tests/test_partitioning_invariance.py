@@ -328,6 +328,9 @@ def test_round5_shuffle_width_invariant(spark, sf_dir):
         "m_content_defined_chunking", "n_dpo_preference_pairs",
         "s_vacuum_orphan_files", "s_corrupt_record_audit",
         "g_square_count",
+        # round-5 scale fixes: SNM ranks tie-break on (prefix, doc_id);
+        # the top-5 shortlist tie-breaks on (jaccard desc, id_b)
+        "n_edit_distance_pairs", "n_ngram_jaccard",
     )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
