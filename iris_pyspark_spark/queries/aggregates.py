@@ -1867,3 +1867,100 @@ def a_distinct_estimator_comparison(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         rows, "estimator STRING, estimate BIGINT, rel_err_ppm BIGINT, err_ok BOOLEAN"
     ).orderBy("estimator")
+
+
+# --- A5, second wave: cube + share-of-grand-total in one pass --------------
+
+_CUBE_GRAND_SHARE_ORACLE = """
+WITH base AS (
+  SELECT r_name,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)      AS tp_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+),
+cube_t AS (
+  SELECT COALESCE(r_name, 'ALL') AS region,
+         COALESCE(yr, 0)         AS yr,
+         CAST(GROUPING(r_name) * 2 + GROUPING(yr) AS BIGINT) AS gid,
+         CAST(SUM(tp_cents) AS BIGINT) AS rev_cents
+  FROM base
+  GROUP BY CUBE (r_name, yr)
+)
+SELECT region, yr, gid,
+       rev_cents / 100.0 AS revenue,
+       CAST(rev_cents * 10000 // (SELECT rev_cents FROM cube_t
+                                  WHERE gid = 3) AS BIGINT) AS share_bp
+FROM cube_t
+ORDER BY gid, region, yr
+"""
+
+
+@register(
+    "a_cube_grand_share",
+    oracle=_CUBE_GRAND_SHARE_ORACLE,
+    tags=("A5", "A1", "J2", "J6"),
+)
+def a_cube_grand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5, second wave: full CUBE over (region, order-year) with every
+    cell expressed as basis points of the grand total taken from the
+    SAME cube pass (the grouping_id() == 3 cell), so the share column
+    needs no second scan of the fact table.
+
+    Scale notes: one star join (broadcast dims) + one cube aggregate —
+    Catalyst's Expand produces the 4 grouping combinations map-side, so
+    the fact table is read ONCE regardless of cube arity. The grand
+    total is re-joined as a broadcast single row on a constant key
+    (BroadcastHashJoin, not a nested-loop cross), and the share is
+    exact integer math (cents * 10000 DIV grand-cents) so the division
+    is order-insensitive."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        orders.join(broadcast(customer.select("c_custkey", "c_nationkey")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "r_name",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            cents(F.col("o_totalprice")).alias("tp_cents"),
+        )
+    )
+    cube_t = (
+        base.cube("r_name", "yr")
+        .agg(
+            F.sum("tp_cents").cast("long").alias("rev_cents"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("yr"), F.lit(0)).cast("long").alias("yr"),
+            "gid",
+            "rev_cents",
+        )
+    )
+    grand = (
+        cube_t.filter(F.col("gid") == 3)
+        .select(F.lit(1).alias("k"), F.col("rev_cents").alias("grand_cents"))
+    )
+    return (
+        cube_t.withColumn("k", F.lit(1))
+        .join(broadcast(grand), "k")
+        .select(
+            "region",
+            "yr",
+            "gid",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            F.expr("CAST(rev_cents * 10000 DIV grand_cents AS BIGINT)").alias(
+                "share_bp"
+            ),
+        )
+        .orderBy("gid", "region", "yr")
+    )

@@ -1539,3 +1539,102 @@ def f_hex_bin_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "hq", "hr")
         .limit(15)
     )
+
+
+# --- F5, second wave: map build -> broadcast map join -> map_zip_with ------
+
+_MAP_SHARE_ORACLE = """
+WITH nat AS (
+  SELECT r_name, n_name, o_orderpriority AS priority, COUNT(*) AS cnt
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name, o_orderpriority
+),
+reg AS (
+  SELECT r_name, priority, CAST(SUM(cnt) AS BIGINT) AS total
+  FROM nat GROUP BY r_name, priority
+)
+SELECT nat.r_name AS r_name, nat.n_name, nat.priority AS priority,
+       CAST(nat.cnt AS BIGINT)                   AS n_orders,
+       CAST(nat.cnt * 10000 // reg.total AS BIGINT) AS share_bp
+FROM nat JOIN reg ON nat.r_name = reg.r_name AND nat.priority = reg.priority
+WHERE nat.cnt * 10000 // reg.total >= 200
+ORDER BY r_name, n_name, priority
+"""
+
+
+@register(
+    "f_map_share_zipwith",
+    oracle=_MAP_SHARE_ORACLE,
+    tags=("F5", "F4", "A1", "A9", "J2"),
+)
+def f_map_share_zipwith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5, second wave: per-nation priority histograms carried as MAP
+    columns end to end — map_from_entries(collect_list(struct)) builds
+    them, a broadcast join lines each nation map up with its region's
+    total map, map_zip_with pairs per-key (nation count, region total),
+    and explode unpacks the map for the final share filter. The map is
+    the in-flight container; the checked output is exploded rows (maps
+    are unordered, so raw map columns are never hash-compared).
+
+    Scale notes: counts are pre-aggregated BEFORE any map is built, so
+    the collect_list per nation holds at most |priorities| (5) entries
+    — bounded fan-in, never row-scale. The region map side is 5 rows ->
+    broadcast. Exact integer basis points (cnt * 10000 DIV total), no
+    float division."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cnt = (
+        orders.join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name", F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nat_maps = cnt.groupBy("r_name", "n_name").agg(
+        F.map_from_entries(F.collect_list(F.struct("priority", "cnt"))).alias("nm")
+    )
+    reg_maps = (
+        cnt.groupBy("r_name", "priority")
+        .agg(F.sum("cnt").cast("long").alias("total"))
+        .groupBy("r_name")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("priority", "total"))).alias(
+                "rm"
+            )
+        )
+    )
+    zipped = (
+        nat_maps.join(F.broadcast(reg_maps), "r_name")
+        .select(
+            "r_name",
+            "n_name",
+            F.map_zip_with(
+                "nm", "rm", lambda k, a, b: F.struct(a.alias("cnt"), b.alias("total"))
+            ).alias("z"),
+        )
+        .select("r_name", "n_name", F.explode("z").alias("priority", "pair"))
+        # Keys present only region-wide (nation never used the priority)
+        # come through map_zip_with with a null nation count: drop them.
+        .filter(F.col("pair.cnt").isNotNull())
+    )
+    return (
+        zipped.select(
+            "r_name",
+            "n_name",
+            "priority",
+            F.col("pair.cnt").cast("long").alias("n_orders"),
+            F.expr("CAST(pair.cnt * 10000 DIV pair.total AS BIGINT)").alias(
+                "share_bp"
+            ),
+        )
+        .filter(F.col("share_bp") >= 200)
+        .orderBy("r_name", "n_name", "priority")
+    )

@@ -2153,3 +2153,79 @@ def s_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_quarantined"
         ),
     )
+
+
+# --- S6+P3, second wave: literal in-memory policy table, compound filter ---
+
+_POLICY_ORACLE = """
+WITH policy(priority, hi_total, lo_total, waive_low) AS (
+  VALUES ('1-URGENT',        280000.0,  2500.0, TRUE),
+         ('2-HIGH',          260000.0,  5000.0, FALSE),
+         ('3-MEDIUM',        240000.0,  7500.0, FALSE),
+         ('4-NOT SPECIFIED', 220000.0, 10000.0, FALSE),
+         ('5-LOW',           200000.0, 12500.0, TRUE)
+)
+SELECT p.priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN (o_totalprice > hi_total AND o_orderstatus = 'F')
+                       OR (o_totalprice < lo_total AND NOT waive_low)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(SUM(CASE WHEN (o_totalprice > hi_total AND o_orderstatus = 'F')
+                       OR (o_totalprice < lo_total AND NOT waive_low)
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS violation_ppm
+FROM orders o
+JOIN policy p ON o.o_orderpriority = p.priority
+GROUP BY p.priority
+ORDER BY p.priority
+"""
+
+
+@register(
+    "s_inmemory_policy_scan",
+    oracle=_POLICY_ORACLE,
+    tags=("S6", "P3", "J2", "A7"),
+)
+def s_inmemory_policy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 + P3, second wave: a driver-literal policy table
+    (spark.createDataFrame over plain tuples — the in-memory source)
+    broadcast-joined to the orders fact, with a compound boolean
+    predicate ((over-cap AND finalized) OR (under-floor AND NOT
+    waived)) evaluated per row and aggregated to a violation rate.
+
+    Scale notes: the in-memory side is 5 rows — it ships inside the
+    broadcast, the fact table never shuffles, and the predicate is
+    whole-stage-codegen'd Catalyst (no UDF). Rate is exact integer ppm
+    (violations * 1e6 DIV n), not float division."""
+    policy = spark.createDataFrame(
+        [
+            ("1-URGENT", 280000.0, 2500.0, True),
+            ("2-HIGH", 260000.0, 5000.0, False),
+            ("3-MEDIUM", 240000.0, 7500.0, False),
+            ("4-NOT SPECIFIED", 220000.0, 10000.0, False),
+            ("5-LOW", 200000.0, 12500.0, True),
+        ],
+        "priority STRING, hi_total DOUBLE, lo_total DOUBLE, waive_low BOOLEAN",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    violated = (
+        (F.col("o_totalprice") > F.col("hi_total"))
+        & (F.col("o_orderstatus") == "F")
+    ) | ((F.col("o_totalprice") < F.col("lo_total")) & (~F.col("waive_low")))
+    return (
+        orders.join(
+            F.broadcast(policy), orders.o_orderpriority == policy.priority
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(violated, 1).otherwise(0)).cast("long").alias(
+                "n_violations"
+            ),
+        )
+        .withColumn(
+            "violation_ppm",
+            F.expr("CAST(n_violations * 1000000 DIV n_orders AS BIGINT)"),
+        )
+        .orderBy("priority")
+    )

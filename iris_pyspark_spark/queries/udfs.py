@@ -1017,3 +1017,75 @@ def u_udaf_gini_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- U3, second wave: exact-integer variance as a pandas UDAF --------------
+
+_UDAF_VARIANCE_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * SUM(tp * tp) - SUM(tp) * SUM(tp) AS DOUBLE)
+         / CAST(COUNT(*) * COUNT(*) AS DOUBLE) AS var_cents2
+FROM (
+  SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tp
+  FROM orders
+) t
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _make_variance_udafs():
+    @pandas_udf("long")
+    def n_udaf(x: pd.Series) -> int:
+        return int(len(x))
+
+    @pandas_udf("double")
+    def varpop_udaf(x: pd.Series) -> float:
+        # Arbitrary-precision integer sums (sum of cents^2 exceeds int64
+        # at sf>=0.01), so the only float operations are the two final
+        # int->double conversions and one division — bit-identical to
+        # the oracle's CAST(HUGEINT AS DOUBLE) / CAST(... AS DOUBLE).
+        vals = [int(v) for v in x]
+        n = len(vals)
+        s = sum(vals)
+        s2 = sum(v * v for v in vals)
+        return float(n * s2 - s * s) / float(n * n)
+
+    return n_udaf, varpop_udaf
+
+
+@register(
+    "u_udaf_exact_variance",
+    oracle=_UDAF_VARIANCE_ORACLE,
+    tags=("U3", "A1", "A8"),
+)
+def u_udaf_exact_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3, second wave: population variance of order value (in cents²)
+    as a pandas GROUPED_AGG UDAF using arbitrary-precision integer
+    sufficient statistics — the moment formula (n·Σx² − (Σx)²) / n²
+    evaluated exactly in Python ints, with floats entering only at the
+    final division. Hash-checked against DuckDB computing the same tree
+    in HUGEINT, proving the Arrow UDAF path is value-identical to
+    exact SQL arithmetic (the naive float Welford loop would NOT be:
+    accumulation order differs per partition).
+
+    Scale notes: each group arrives as one Arrow batch (5 groups here);
+    the sufficient statistics are a single O(n) pass per group and the
+    UDAF output is one row per group — the canonical shape for custom
+    numeric aggregates when a built-in (var_pop) exists but a bespoke
+    formula (trimmed/robust variants) does not."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        cents(F.col("o_totalprice")).alias("tp"),
+    )
+    n_udaf, varpop_udaf = _make_variance_udafs()
+    return (
+        base.groupBy("priority")
+        .agg(
+            n_udaf("tp").alias("n"),
+            varpop_udaf("tp").alias("var_cents2"),
+        )
+        .orderBy("priority")
+    )

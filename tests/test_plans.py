@@ -294,6 +294,11 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 governance batch: 1-row vocab-size + 5-row lang-totals
     # broadcasts in the NB scorer
     "n_naive_bayes_langid",
+    # round 6: the grand-total (grouping_id = 3) cube cell re-joined on a
+    # constant key — ConstantPropagation folds the equi-condition away,
+    # leaving a 1-row broadcast NLJ, which is the scale-correct plan (a
+    # global window over the cube output would single-partition it)
+    "a_cube_grand_share",
     # round-4 stats batch 2: 1-row dims/horizon/core-count crossJoins
     "a_chi_square_independence", "e_survival_km_curve",
     "g_kcore_decomposition",
