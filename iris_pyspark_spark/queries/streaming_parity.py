@@ -988,6 +988,52 @@ ORDER BY current_type
 """
 
 
+def _scd2_merge_batch(spark: SparkSession, dim: str, batch_df: DataFrame) -> None:
+    """One foreachBatch merge step: land the per-(user, window) latest
+    observation into the dimension artifact.
+
+    The incoming batch is UNIONED with the existing rows of the touched
+    window partitions before the argmax recompute, and the argmax
+    witness columns (ts, event_id) are persisted — so the result is
+    correct even if a window's rows arrive split across micro-batches
+    (maxRecordsPerFile, layout drift, replays). Without the union, a
+    later batch's dynamic partition overwrite would silently discard
+    the earlier batch's rows for that window and argmax a partial
+    batch. The merge is an associative fold: latest(existing ∪ new) ==
+    latest(all rows seen), under ANY batch grouping or order."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    incoming = batch_df.select("user_id", "wnd", "ts", "event_id", "event_type")
+    base = incoming
+    if os.path.isdir(dim):
+        try:
+            existing = spark.read.option("basePath", dim).parquet(dim)
+            touched = incoming.select("wnd").distinct()
+            # localCheckpoint materializes the touched slice so the
+            # dynamic overwrite below doesn't read the path it rewrites
+            # (Spark rejects same-path read+overwrite in one job).
+            base = incoming.unionByName(
+                existing.join(F.broadcast(touched), "wnd").select(
+                    "user_id", "wnd", "ts", "event_id", "event_type"
+                ).localCheckpoint(eager=True)
+            )
+        except Exception:
+            pass  # first batch: no dimension artifact yet
+    w = Window.partitionBy("user_id", "wnd").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "wnd", "ts", "event_id", "event_type")
+    )
+    latest.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("wnd").parquet(dim)
+
+
 @register(
     "st_foreachbatch_merge_scd2",
     oracle=_SCD2_STREAM_ORACLE,
@@ -1048,19 +1094,7 @@ def st_foreachbatch_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy("user_id", "wnd").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        latest = (
-            batch_df.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("user_id", "wnd", "event_type")
-        )
-        # Append-only observation log partitioned by window: a replayed
-        # batch rewrites only its own window partitions.
-        latest.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("wnd").parquet(dim)
+        _scd2_merge_batch(spark, dim, batch_df)
 
     q = (
         stream.writeStream.foreachBatch(merge)
@@ -1099,4 +1133,57 @@ def st_foreachbatch_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_versions").cast("bigint").alias("total_versions"),
         )
         .orderBy("current_type")
+    )
+
+
+# --- T7, second wave: dropDuplicatesWithinWatermark ------------------------
+
+_DEDUP_WM_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_user_minutes
+FROM (
+  SELECT DISTINCT user_id, event_type, DATE_TRUNC('minute', ts) AS minute
+  FROM events
+) t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "st_dedup_business_key",
+    oracle=_DEDUP_WM_ORACLE,
+    tags=("T7", "T5", "A1"),
+)
+def st_dedup_business_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7, second wave: `dropDuplicatesWithinWatermark` on a COMPOSITE
+    business key that genuinely collides — unlike the event_id form
+    above (unique key: a pass-through), this one collapses real
+    duplicates, proving the state store actually suppresses repeat
+    keys. Dedup key is (user_id, event_type, minute); the drained append-mode sink is then
+    aggregated to per-type distinct-key counts, which equal the batch
+    DISTINCT — the survivor ROW per key is arrival-order dependent, so
+    only key-determined columns flow to the checked output.
+
+    Scale notes: this is THE production dedup-by-key+watermark shape —
+    state is bounded by (keys arriving within one watermark delay), not
+    by total history, so it runs indefinitely on an unbounded source.
+    The post-drain aggregate is a normal shuffle agg on the (already
+    deduped) sink table."""
+    e = read_events_stream(spark, sf_dir)
+    deduped = (
+        e.withWatermark("ts", "10 minutes")
+        .select(
+            "ts",
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+        )
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+    )
+    sink = drain_to_table(deduped, output_mode="append")
+    return (
+        sink.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_user_minutes"))
+        .orderBy("event_type")
     )

@@ -132,3 +132,42 @@ def test_foreach_batch_sink(spark, tmp_path_factory):
     total = got.groupBy().sum("count").collect()[0][0]
     expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert total == expected
+
+
+def test_scd2_merge_survives_window_split_across_batches(spark, tmp_path):
+    """Round-5 advice regression: if one window's rows arrive split
+    across two micro-batches, the second merge must NOT clobber the
+    first batch's rows for that window — the persisted per-(user, wnd)
+    latest must equal the argmax over ALL rows seen, regardless of the
+    batch grouping."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from iris_pyspark_spark.queries.streaming_parity import _scd2_merge_batch
+
+    dim = str(tmp_path / "dim")
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, wnd long, ts timestamp_ntz, event_id long, event_type string"
+    # Batch 1: user 7's window 0 has its LATEST event (event_id 20).
+    b1 = spark.createDataFrame(
+        [(7, 0, ts + dt.timedelta(hours=2), 20, "purchase"),
+         (8, 0, ts, 5, "view")],
+        schema,
+    )
+    # Batch 2: same window 0 again, but only an EARLIER user-7 event —
+    # the naive overwrite would make this the persisted "latest".
+    b2 = spark.createDataFrame(
+        [(7, 0, ts + dt.timedelta(hours=1), 10, "click"),
+         (9, 1, ts, 6, "signup")],
+        schema,
+    )
+    _scd2_merge_batch(spark, dim, b1)
+    _scd2_merge_batch(spark, dim, b2)
+    rows = {
+        (r.user_id, r.wnd): (r.event_id, r.event_type)
+        for r in spark.read.option("basePath", dim).parquet(dim).collect()
+    }
+    assert rows[(7, 0)] == (20, "purchase")  # survived the split
+    assert rows[(8, 0)] == (5, "view")       # untouched co-window row survived
+    assert rows[(9, 1)] == (6, "signup")
