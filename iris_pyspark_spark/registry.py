@@ -101,394 +101,357 @@ def register(
 #: exactly the first 50 entries), so the prefix must span EVERY SURVEY §2
 #: row — tests/test_registry_order.py pins that invariant.
 #:
-#: Round-5 rotation: rounds 1-4 driver-proved 172 distinct queries; this
+#: Round-6 rotation: rounds 1-5 driver-proved 222 distinct queries; this
 #: round's 50 slots again go EXCLUSIVELY to queries with no successful
-#: driver row, per VERDICT r04 task 1: the graph family, the heavy
-#: round-4 representatives (paragraph dedup, CDC, expectations,
-#: correlation matrix, RRF fusion, weighted median, SCD2 PIT, sequence
-#: match), the TPC-H SQL shapes (Q7/Q13/Q18/Q20/Q21/Q22 + recursive
-#: CTE), second-wave sources/streaming/UDF coverage, and one
-#: representative per still-unproven stats/governance sub-family.
+#: driver row, per VERDICT r05 tasks 1/5/6: the full unproven streaming
+#: family, the four stats batteries (>=5 per module), the round-6
+#: second-wave rows (cube share, map pipeline, in-memory policy scan,
+#: exact-variance UDAF, business-key stream dedup), round-5 additions,
+#: and sole-provider coverage completions.
 #: Tag coverage of all 66 rows is preserved (pinned below). Entries past
 #: slot 50 continue with every remaining never-checked query so a larger
 #: sweep budget still lands on new proof first.
 _PRIORITY = (
-    # -- graph analytics (never driver-checked family) ------------------
-    "g_triangle_count",  # J10 J1 A2
-    "g_kcore_decomposition",  # J10 J4 A1 (rows-only by design)
-    "g_label_propagation",  # J10 J1 A1
-    # -- heavy round-4 dedup / stats / retrieval representatives --------
-    "n_paragraph_dedup",  # N1 N5 F4
-    "s_cdc_apply_changelog",  # S4 J3 A1 P5
-    "s_expectations_check",  # A2 A3 J3 P5
-    "a_correlation_matrix",  # A8 A1 F3 A2
-    "n_hybrid_rrf_fusion",  # N5 N3 O2 W1
-    "a_weighted_median",  # A8 A1 W3
-    # -- SCD2 / sequence / TPC-H SQL shapes ------------------------------
-    "j_scd2_point_in_time",  # J7 J8 W2 A1
-    "e_sequence_pattern_match",  # A9 W2 F1 P6
-    "sql_q13_order_count_distribution",  # E2 J3 A1
-    "sql_q18_large_volume_customer",  # E2 J4 J6 A6 O2
-    "sql_q20_excess_suppliers",  # E2 J4 A1
-    "sql_q21_waiting_suppliers",  # E2 J4 J5 J10 A1
-    "sql_q22_prospect_balance",  # E2 J5 A1 A2
-    "sql_recursive_cte_spine",  # E2 F2 J3 A1
-    # -- sources / sinks / streaming coverage ----------------------------
-    "s_format_interop_matrix",  # S2 S3 S4 S1
-    "s_partition_evolution_migrate",  # S5 S4 S1 A1
-    "s_python_datasource_sink",  # S4 S6
-    "t_sliding_window_wow",  # T2 T1 W2 A1 F2
-    "t_session_window_funnel",  # T3 T4 A7 W2 F2
-    "st_replay_determinism",  # T1 T5 T7 (rows-only by design)
-    "st_stream_stream_outer_join",  # T6 T5 J3
-    # -- UDF matrix round-2 (arrow variants, UDAF/UDTF) ------------------
-    "u_arrow_python_udf",  # U1
-    "u_grouped_apply_in_arrow",  # U2 U5
-    "u_udaf_gini_crosscheck",  # U3 A1 J1 F3
-    "u_udtf_partition_by",  # U4 E2 W4
-    # -- sketches / set-ops / skyline / SQL features ---------------------
-    "a_kmv_set_intersection",  # A4 A3 O4 O2
-    "o_except_all_intersect_all",  # O4 O3 J3 A1
-    "w_pareto_skyline",  # W3 O1 P2 A1
-    "sql_stack_tvf",  # E2 F4 P1
-    "sql_q7_volume_shipping",  # E2 J6 P3 F2
-    # -- governance + scalar-function coverage ---------------------------
-    "s_gdpr_forget_cascade",  # J5 J4 A2 P4
-    "f_collation_group",  # F1 P7
-    "f_map_aggregation_pipeline",  # F5 F4 A9 A1 J1
-    "s_xml_scan_roundtrip",  # S2 S4 F6
-    "f_luhn_checksum",  # F1 F3 F7
-    # -- stats sub-family representatives --------------------------------
-    "a_winsorized_mean",  # A8 A1 J2 F3
-    "t_acf_lags",  # A1 W2 F2 J9
-    # -- LLM dedup / retrieval / multimodal round-2 ----------------------
-    "n_winnowing_fingerprints",  # N1 N2 N5 W3 J10
-    "n_colbert_maxsim_rerank",  # N3 N4 W4 A1
-    "m_perceptual_hash_dedup",  # N6 N2 F1 J10
-    "n_naive_bayes_langid",  # N5 N7 A1 W4
-    "a_rollup_share_of_parent",  # A5 A1 J6 W3
-    # -- governance WAP, timeseries, distribution, integrity, multimodal -
-    "s_write_audit_publish",  # S4 A2 P5 P2
-    "t_seasonal_decompose",  # W3 A1 F2 J2
-    "n_js_divergence_sources",  # N5 A1 J1 J9 P5
-    "s_merkle_tree_root",  # F7 A9 J1 S1
-    "m_scene_cut_detection",  # multimodal U5 W2 A1
-    # ---- slot 51+: remaining never-driver-checked queries ------------
-    "f_regex_funcs",  # F1
-    "f_string_funcs",  # F1
-    "f_date_funcs",  # F2
-    "f_hash_funcs",  # F7
-    "f_try_functions",  # F3 P5
-    "f_date_advanced",  # F2
-    "f_explode_outer",  # F4 P5
-    "f_bitwise_funcs",  # F3
-    "f_higher_order_funcs",  # F4
-    "f_url_funcs",  # F1 F6
-    "f_xml_funcs",  # F6 F1
-    "f_interval_arithmetic",  # F2
-    "u_cogrouped_apply_in_arrow",  # U2 J3
-    "w_rank_dense_ntile",  # W1
-    "w_moving_avg",  # W3
-    "w_distribution_funcs",  # W1
-    "w_range_interval_frame",  # W3
-    "w_first_last_nth",  # W1 W3
-    "w_scd2_ranges",  # W2 F2
-    "w_mom_change",  # W2 A1 F2
-    "o_union_all",  # O3
-    "a_exact_quantiles",  # A8
-    "a_argmax_struct",  # A1 N6
-    "a_mode_median",  # A8 A1
-    "a_histogram_width_bucket",  # A1 F3
-    "a_percentile_cont_disc",  # A8
-    "sql_pipe_syntax",  # E2 A1
-    "sql_parameterized",  # E2 P4
-    "s_catalog_ddl_sql",  # S1 S4 E2
-    "s_small_file_compaction",  # S4 S1
-    "s_text_line_scan",  # S2 S4
-    "t_tumbling_window",  # T1
-    "t_rollup_from_materialized",  # T1 A1
-    "t_ohlc_bars",  # T1 A1 W1
-    "t_session_metrics",  # T4 A1 W3
-    "st_checkpoint_resume",  # T5 T1
-    "st_complete_mode_agg",  # T1 T5
-    "n_token_count",  # N5
-    "n_langid",  # N5
-    "n_quality_score",  # N5
-    "n_char_entropy",  # N5 A1
-    "n_bigram_lm_score",  # N5 A1 F4
-    "n_lang_quality_bands",  # N5 P6 A1
-    "n_dataset_card",  # N5 A2
-    "n_ngram_jaccard",  # N2
-    "n_simhash",  # N2 (rows-only by design)
-    "n_minhash_lsh_mllib",  # N2 (rows-only by design)
-    "n_edit_distance_pairs",  # N2 F1
-    "n_url_canonical_dedup",  # N1 F1
-    "n_repeated_ngram_spans",  # N2 N5
-    "n_embedding_quantize",  # N3 N4 F4
-    "st_stream_static_join",  # T6
-    "st_stream_stream_join",  # T6 T5
-    "s_zstd_parquet_roundtrip",  # S4 S1
-    "f_hash_spark_native",  # F7 (rows-only by design)
-    "a_regression_aggs",  # A8 A1
-    "sql_lateral_column_alias",  # E2 P1
-    "n_heavy_hitters_sketch",  # N5 A4 U5 (rows-only by design)
-    "st_stateful_rocksdb",  # T4 U2 T5
-    "sql_create_sql_udf",  # E2 U1 A1 F3
-    "sql_session_variables",  # E2 P2 A1
-    "g_pagerank_parts",  # J10 A1 J1 (rows-only by design)
-    "n_countmin_sketch",  # N5 A4 F7 (rows-only by design)
-    "s_observe_qc_metrics",  # A1 P2 S1
-    "u_udtf_analyze_schema",  # U4 E2 F1
-    "a_bitmap_distinct",  # A3 A1
-    "sql_identifier_clause",  # E2 P4
-    "t_session_window_dynamic_gap",  # T3 T4
-    "sql_scripting_threshold_search",  # E2 P2 A1
-    "sql_execute_immediate",  # E2 P4
-    "u_pandas_on_spark_api",  # U1 A1 P2
-    "sql_q11_value_share",  # E2 A6 A2 A1
-    "sql_q15_top_supplier",  # E2 A2 J1 W4
-    "sql_q16_notin_suppliers",  # E2 J5 A3 A1
-    "sql_q6_forecast_revenue",  # E2 P2 A2
-    "sql_q9_product_profit",  # E2 J6 P4 F2
-    "n_pq_rerank_refine",  # N4 N3 (rows-only by design)
-    "s_skew_report",  # A1 O2 P7
-    "e_linear_attribution",  # J7 W3 A1 F2
-    "st_session_timeout_state",  # T4 T5 U2
-    "s_profile_table",  # A1 A3 A2 P5
-    "e_decay_engagement_score",  # W1 A1 F3
-    "j_spatial_grid_nn",  # J7 J1 W1
-    "s_incremental_agg_maintenance",  # S4 A1 J3
-    "j_bloom_runtime_filter",  # J1 P2 A1 S1
-    "j_interval_overlap_join",  # J7 J10 A1
-    "w_linear_interpolate",  # W3 W2 P5 F2
-    "g_bfs_hops",  # J10 J1 A1
-    "e_dau_mau_stickiness",  # A3 A1 W3
-    "e_growth_accounting",  # A1 A7 W2
-    "t_resample_grid_locf",  # T4 W3 F2 F4
-    "t_event_order_skew",  # T5 W3 A1 F2
-    "s_column_masking_view",  # P6 F1 F7 P4
-    "m_magic_bytes_sniff",  # multimodal P6 F7
-    "ml_als_recommender",  # N7 J1 A1 (rows-only by design)
-    "f_timezone_functions",  # F2 F1
-    "j_drill_across_facts",  # J3 A1 O3
-    "t_downtime_sla",  # T4 W2 F2 A1
-    "s_rendezvous_sharding",  # F7 A1 F4
-    "e_propensity_rank_matching",  # P6 A1 W1 J1
-    "n_autocomplete_prefix_topk",  # N5 W4 F1 A1
-    "n_feature_hashing",  # N5 F7 F1 A1
-    "j_backlog_aging_snapshots",  # J7 A1 F2 F4
-    "t_max_drawdown",  # W3 F3 A1 F2
-    "t_interval_coalesce",  # T4 W2 W3 F2
-    "e_snaive_forecast_backtest",  # W2 A1 F2 P2
-    "s_file_metadata_column",  # S1 S5 A1 (rows-only by design)
-    "sql_q88_time_bands",  # E2 A7 A2 P4
-    "sql_recursive_ancestor_rollup",  # E2 A1 F3 P2
-    "j_hierarchy_closure_table",  # J10 O3 A1 F3
-    "j_join_size_estimate",  # J1 A1 A2 P7
-    "j_asof_nearest",  # J8 J7 W1 F2
-    "j_bridge_allocation",  # J6 J1 W3 A1
-    "j_mark_join_exists_flag",  # J4 J3 A1 P6
-    "j_entity_resolution_blocked",  # J1 A1 A7 P6 F1 N1
-    "j_bitemporal_reconstruction",  # J1 W1 A1 O3
-    "j_fuzzy_name_trigram",  # J10 J1 F1 N1 O2
-    "s_one_big_table_build",  # S4 S5 J6 A1
-    "s_analyze_table_stats",  # S1 E2 A2 (rows-only by design)
-    "s_provenance_manifest",  # S1 A2 O3
-    "s_lambda_unify",  # J3 T6 A1 P7
-    "s_merge_idempotency",  # S4 J3 A1 P6
-    "s_parquet_storage_report",  # S4 S1 A1 (rows-only by design)
-    "s_type_widening_read",  # S1 S4 P1
-    "s_json_nested_scan",  # S3 S4 F4 J1
-    "a_decimal128_exact",  # A1 F3 O1
-    "a_log2_histogram",  # A1 F3 O1
-    "a_quantile_histogram_sketch",  # A8 A4 A1 W3
-    "a_pythagorean_means",  # A1 A8 F3
-    "a_relational_division_otif",  # A1 A7 J1 F2
-    "a_semantic_layer_metrics",  # A7 A1 E2
-    "a_kmv_distinct_sketch",  # A4 A3 O2 W1
-    "a_distinct_estimator_comparison",  # A3 A4 A2 (rows-only by design)
-    "f_business_days_diff",  # F2 F3 A1 J1
-    "f_snowflake_id_codec",  # F7 F3 F2 A3
-    "f_penny_allocation",  # F3 F7 A1
-    "f_rounding_mode_audit",  # F3 F7 A2 P6
-    "u_grouped_ols_fit",  # U2 A1 F3
-    "t_lttb_downsample",  # W3 W1 A1 F3
-    "t_seasonality_dow_profile",  # A1 F2 F3
-    "t_fiscal_445_calendar",  # F2 A1 P6
-    "t_m4_downsample",  # A1 W1 F2 O1
-    "t_pinball_loss_eval",  # A1 J10 F2
-    "t_drift_psi_weekly",  # A1 F2 J1
-    "t_peak_detection",  # W2 W3 O2 F2
-    "t_rolling_origin_backtest",  # A1 J10 F2 P4
-    "e_spike_root_cause_drilldown",  # A7 A1 O2 F2
-    "e_bounce_rate",  # A1 A2 A7
-    "e_shapley_attribution",  # A1 A7 P6 O3
-    "e_funnel_exclusion_steps",  # A7 J3 W2 A1
-    "e_markov_next_event_eval",  # W2 A1 J1 W4
-    "e_nps_score_ci",  # A2 A7 P2
-    "e_gains_lift_table",  # W1 A1 W3
-    "st_transform_with_state",  # T4 T7 U2
-    "st_progress_metrics",  # T1 T5 A2 (rows-only by design)
-    "st_union_two_streams",  # T1 T5 O3
-    "s_benford_qc",  # A1 F3 F1
-    "n_bpe_pair_counts",  # N5 A1 O2
-    "n_rouge_ngram_overlap",  # N5 J3 W2
-    "n_cooccurrence_pmi",  # N5 J10 A1 O2
-    "n_ngram_novelty_rate",  # N5 N2 J5 A1
-    "n_inverted_index_build",  # N5 A9 A3 O2
-    "n_tokenizer_fertility",  # N5 A1 F1
-    "n_sentence_stats",  # N5 F1 F4 A1
-    "n_span_corruption_stats",  # N5 A1 F3 P2
-    "n_code_detection_score",  # N5 F1 A1 P6
-    "n_blocklist_filter",  # N5 F1 A1 P6
-    "n_encoding_audit",  # N5 F1 A1 P5
-    "n_stemming_normalize",  # N5 F1 A3 A1
-    "n_watermark_detection",  # N5 F4 A1 P6
-    "n_tfidf_doc_similarity",  # N5 N3 J10 O2
-    "n_seq_length_histogram",  # N5 A1 F3
-    "n_heaps_law_fit",  # N5 A1 W3 F3
-    "n_feature_scaling_params",  # N5 A1 A8 A2
-    "n_calibration_ece",  # N5 A1 A7
-    "n_chat_alternation_audit",  # N5 W2 A1 P6
-    "n_langid_confusion_matrix",  # N5 A1 J3
-    "n_preference_cycle_audit",  # J10 J9 A7 N5
-    "n_filter_ablation_matrix",  # N5 A7 A2
-    "n_search_diversity_cap",  # W4 W1 O2 N5
-    "n_slice_eval_metrics",  # N5 A1 A7 P6
-    "n_zipf_law_fit",  # N5 A1 W1 O2 F3
-    "n_self_bleu_diversity",  # N5 A1 J1 P7 F4
-    "n_truncation_loss_sweep",  # N5 A1 A7 J9
-    "n_codeswitch_audit",  # N5 F4 A1 A7
-    "n_hashing_collision_sweep",  # N5 F7 A3 J9
-    "n_chao1_good_turing",  # N5 A1 A3 J3
-    "n_postings_compression_estimate",  # N5 F7 W2 A1
-    "n_moe_load_balance_proxy",  # N5 F7 A1 J9
-    "n_bigram_entropy_rate",  # N5 A1 J1 F3
-    "n_bpe_merge_simulation",  # N5 A1 F1 J9 O2
-    "n_containment_dedup",  # N2 N1 J10 A1
-    "n_dedup_survivorship_policy",  # N1 W1 P6 A1
-    "n_bloom_incremental_dedup",  # N1 A4 F7 P6 (rows-only by design)
-    "n_lsh_parameter_sensitivity",  # N2 A1 F7 (rows-only by design)
-    "n_dedup_method_agreement",  # N2 O4 A2 (rows-only by design)
-    "n_dedup_stage_funnel",  # N1 N2 N5 W2
-    "n_minhash_jaccard_calibration",  # N2 A1 W1 (rows-only by design)
-    "n_lsh_br_planner",  # N2 A7 F3 J9
-    "n_mrl_prefix_rerank",  # N3 N4 W4 J9
-    "n_ndcg_retrieval_eval",  # N3 N4 W4 A1
-    "n_class_balanced_downsample",  # N7 W1 A1 P2
-    "n_embedding_drift_psi",  # N3 A1 F3 P6
-    "n_hard_negative_mining",  # N3 N4 N7 W4
-    "n_uncertainty_sampling",  # N4 N7 W4 A1
-    "n_kcenter_diverse_selection",  # N4 N3 O2 J9
-    "n_mrr_retrieval_eval",  # N3 N4 W4 A2
-    "n_binary_hash_retrieval",  # N3 N4 F3 F7
-    "n_embedding_isotropy",  # N3 A2 J10
-    "n_embedding_cluster_jsd",  # N3 N6 A1 J1 J9
-    "n_hubness_skew",  # N3 N4 A1 A8
-    "n_temperature_sampling_weights",  # N5 A1 A2 F3
-    "n_curriculum_phases",  # N5 W1 A7 P6
-    "n_group_kfold",  # N5 A1 J1 W1
-    "s_merge_on_read_deletes",  # S4 S1 J5 A1
-    "m_patch_grid_plan",  # multimodal F3 P1
-    "m_av_sync_drift",  # multimodal F3 P2
-    "m_payload_integrity_audit",  # multimodal A1 P6
-    "m_vad_segments",  # multimodal U5 W1 J3
-    "ml_linreg_normal_eq_check",  # N7 A1 F3 (rows-only by design)
-    "g_linkpred_common_neighbors",  # J10 J5 A1
-    "g_harmonic_centrality",  # J10 J1 A7
-    "g_modularity_brand_partition",  # J10 J1 A1 P5
-    "g_degree_distribution",  # J10 A1 F3
-    "g_clustering_coefficient",  # J10 J1 A2 F3
-    "g_community_conductance",  # J1 J10 A1 O3
-    "g_rich_club_coefficient",  # J10 J1 A1 J9
-    "g_avg_neighbor_degree_curve",  # J10 J1 A1 F7
-    "a_market_basket_lift",  # J10 J1 A1 O2 A6
-    "a_mad_outliers",  # A8 A1 J2 P6
-    "e_welch_ttest",  # A1 A2 A7 P6
-    "g_degree_assortativity",  # J10 J1 A2 A1
-    "w_cusum_changepoint",  # W3 W2 A2 F2
-    "a_chi_square_independence",  # A1 A2 W3 F2
-    "a_gini_concentration",  # A1 W1 J1 F3
-    "e_survival_km_curve",  # A1 W3 F2 P6
-    "e_cohort_ltv_triangle",  # A1 W3 J1 F2
-    "t_ewma_smoothing",  # W3 W1 F3
-    "t_concurrency_sweepline",  # W3 O3 O2 F2
-    "e_power_analysis",  # A2 A1 F3
-    "w_rolling_regression_slope",  # W3 A1 F3 F2
-    "e_pareto_8020",  # W1 W3 A1 O1
-    "w_rolling_median",  # W3 A8 F2
-    "t_rate_limit_violations",  # W3 T2 P2 O2
-    "e_diff_in_diff",  # A1 A7 P6 F2
-    "e_repurchase_rate_30d",  # W2 A2 F2 P5
-    "t_vwap_weekly",  # A1 F2 F3 O1
-    "a_target_encoding_loo",  # A1 J2 F3 P6
-    "e_kpi_driver_decomposition",  # A1 A3 A7 F2
-    "a_hill_tail_exponent",  # A8 W1 A2 F3
-    "a_srm_check",  # A2 A7 P6
-    "e_cuped_adjustment",  # A1 A7 F2 P6
-    "a_ks_two_sample",  # A8 W3 A2 P6
-    "t_weekly_spectral_power",  # A2 F3 F2
-    "e_ipw_adjustment",  # A1 A7 J2 P6
-    "a_wilson_ci",  # A2 A7 F3
-    "e_retention_curve_fit",  # A3 A1 F3 F2
-    "e_mann_whitney_u",  # A1 A2 A7 W3
-    "t_theil_sen_trend",  # A1 J10 W1 F2
-    "a_ols_two_feature",  # A1 A2 F3
-    "a_cohens_kappa",  # A2 A7 P6 N5
-    "e_ratio_delta_method_ci",  # A1 A7 P6
-    "a_oneway_anova_f",  # A1 A2 F3
-    "a_mutual_information_2d",  # A1 A3 N5
-    "t_durbin_watson_residuals",  # W2 A1 F2
-    "t_spc_xmr_chart",  # W2 A1 W1
-    "e_sprt_sequential_test",  # W3 A1 F2
-    "a_empirical_bayes_shrinkage",  # A1 A7 W1 J1
-    "a_simpsons_paradox_detector",  # A7 A1 P6
-    "e_direct_standardization",  # A1 A7 J1 P6
-    "e_price_volume_mix",  # A1 A7 J1 F2
-    "a_cvar_expected_shortfall",  # A8 W1 A1
-    "a_intraclass_correlation",  # A1 A2 F2
-    "t_mann_kendall_test",  # J10 A1 A2 F2
-    "e_quantile_treatment_effects",  # A8 A1 O3 P6
-    "e_bh_fdr_correction",  # A1 J1 W1 W3 F3
-    "a_spearman_rank_corr",  # A1 W1 W3 F3 F2
-    "e_wasserstein_spend_shift",  # A1 A7 W3 W2 F3
-    "a_kruskal_wallis_dow",  # A1 W1 W3 F3 F2
-    "t_cross_correlation_lags",  # A1 J7 W3 F2 F3
-    "t_hurst_exponent",  # A1 W3 W1 F3 J9
-    "t_segmented_regression",  # A1 F3 F2 A2
-    "a_cooks_distance_outliers",  # A1 A8 F3 O2 J9
-    "e_chain_ladder_ltv",  # A1 J1 W3 F2 F3
-    "t_littles_law_check",  # A1 J1 W2 W3 F2
-    "a_hodges_lehmann_estimator",  # A8 A2 J7 J10 F3
-    "e_segment_migration_matrix",  # A1 W1 J3 P6 F3
-    "t_burstiness_fano",  # A1 A2 F2 F3
-    "e_price_elasticity",  # A1 A2 F3
-    "t_record_days_check",  # W3 W1 A2 F3
-    "a_negbin_moments_fit",  # A1 A2 P6 F3
-    "t_interarrival_burstiness",  # W2 A1 A8 F2 F3
-    "e_attribution_window_sweep",  # A7 W3 W2 F2 J9
-    "a_ipf_raking",  # A1 W3 J1 J2 F3
-    "e_weibull_survival_fit",  # A1 W3 F3 F2 J1
-    "t_permutation_entropy",  # W2 A1 F3 F2
-    "a_fleiss_kappa",  # A1 A2 F1 F3
-    "a_cronbach_alpha",  # A1 A2 F3 F1
-    "t_newey_west_se",  # A1 A2 J7 F3
-    "a_theil_decomposition",  # A1 J1 F3 J9
-    "a_mcnemar_test",  # A1 A2 A7 F3
-    "a_dorfman_group_testing",  # A2 A7 F3 J9
-    "e_abc_xyz_matrix",  # A1 W1 W3 F3 F2
-    "t_erlang_c_staffing",  # A1 J1 W3 F3 J9
-    "t_forecast_prediction_intervals",  # W2 W1 A1 A8 J7
-    "t_variance_ratio_test",  # A1 J7 W1 F3
-    "e_mde_runtime_curve",  # A1 A2 F3 J9
-    "a_jackknife_gini_se",  # A1 W1 J1 F3 J9
-    "a_k_anonymity_audit",  # A1 A3 O2 P6
-    "s_snapshot_diff_cdf",  # J3 A1 P6 P5
-    "n_pps_systematic_sample",  # W3 A1 N5 P2
-    "sql_group_by_all",  # E2 A1 O1
-    "n_dp_noisy_counts",  # A1 F3 P6 N5
-    "s_constraint_audit_all_tables",  # A3 J5 A2 S1
-    "s_crypto_shredding",  # F7 J3 A1 P5 (rows-only by design)
+    # -- streaming second wave (r06: zero unproven st_* after this round;
+    #    st_transform_with_state stays out: EnvironmentGated without protobuf)
+    "st_checkpoint_resume",
+    "st_complete_mode_agg",
+    "st_stream_static_join",
+    "st_stream_stream_join",
+    "st_progress_metrics",
+    "st_union_two_streams",
+    "st_foreachbatch_merge_scd2",
+    "st_stateful_rocksdb",
+    "st_session_timeout_state",
+    "st_dedup_business_key",
+    # -- round-6 second-wave rows (A5/F5/P3+S6/U3 — new this round)
+    "a_cube_grand_share",
+    "f_map_share_zipwith",
+    "s_inmemory_policy_scan",
+    "u_udaf_exact_variance",
+    # -- stats batteries: >=5 driver-proven per stats_* module after r06
+    "e_welch_ttest",
+    "e_survival_km_curve",
+    "e_mann_whitney_u",
+    "e_pareto_8020",
+    "e_quantile_treatment_effects",
+    "g_degree_assortativity",
+    "a_chi_square_independence",
+    "a_ks_two_sample",
+    "a_market_basket_lift",
+    "w_cusum_changepoint",
+    "t_rate_limit_violations",
+    "t_mann_kendall_test",
+    "e_power_analysis",
+    "a_srm_check",
+    "a_fleiss_kappa",
+    "e_permutation_test_exact",
+    "e_bradley_terry_strength",
+    # -- round-5 additions + governance / scale / events representatives
+    "m_content_defined_chunking",
+    "s_type_widening_read",
+    "s_corrupt_record_audit",
+    "s_column_masking_view",
+    "s_skew_report",
+    "t_session_window_dynamic_gap",
+    # -- tag-coverage completions (sole unproven providers of their rows)
+    "s_json_nested_scan",
+    "s_one_big_table_build",
+    "j_mark_join_exists_flag",
+    "n_ngram_novelty_rate",
+    "j_asof_nearest",
+    "a_kmv_distinct_sketch",
+    "n_inverted_index_build",
+    "n_hard_negative_mining",
+    "n_dedup_method_agreement",
+    "f_url_funcs",
+    "m_vad_segments",
+    "u_udtf_analyze_schema",
+    "sql_create_sql_udf",
+    # ---- slots past the 50-entry sweep budget: every remaining
+    # never-driver-checked query, registration order, so a larger
+    # sweep still lands on new proof first ----
+    "f_regex_funcs",
+    "f_string_funcs",
+    "f_date_funcs",
+    "f_hash_funcs",
+    "f_try_functions",
+    "f_date_advanced",
+    "f_explode_outer",
+    "f_bitwise_funcs",
+    "f_higher_order_funcs",
+    "f_xml_funcs",
+    "f_interval_arithmetic",
+    "u_cogrouped_apply_in_arrow",
+    "w_rank_dense_ntile",
+    "w_moving_avg",
+    "w_distribution_funcs",
+    "w_range_interval_frame",
+    "w_first_last_nth",
+    "w_scd2_ranges",
+    "w_mom_change",
+    "o_union_all",
+    "a_exact_quantiles",
+    "a_argmax_struct",
+    "a_mode_median",
+    "a_histogram_width_bucket",
+    "a_percentile_cont_disc",
+    "sql_pipe_syntax",
+    "sql_parameterized",
+    "s_catalog_ddl_sql",
+    "s_small_file_compaction",
+    "s_text_line_scan",
+    "t_tumbling_window",
+    "t_rollup_from_materialized",
+    "t_ohlc_bars",
+    "t_session_metrics",
+    "n_token_count",
+    "n_langid",
+    "n_quality_score",
+    "n_char_entropy",
+    "n_bigram_lm_score",
+    "n_lang_quality_bands",
+    "n_dataset_card",
+    "n_ngram_jaccard",
+    "n_simhash",
+    "n_minhash_lsh_mllib",
+    "n_edit_distance_pairs",
+    "n_url_canonical_dedup",
+    "n_repeated_ngram_spans",
+    "n_embedding_quantize",
+    "s_zstd_parquet_roundtrip",
+    "f_hash_spark_native",
+    "a_regression_aggs",
+    "sql_lateral_column_alias",
+    "n_heavy_hitters_sketch",
+    "sql_session_variables",
+    "g_pagerank_parts",
+    "n_countmin_sketch",
+    "s_observe_qc_metrics",
+    "a_bitmap_distinct",
+    "sql_identifier_clause",
+    "sql_scripting_threshold_search",
+    "sql_execute_immediate",
+    "u_pandas_on_spark_api",
+    "sql_q11_value_share",
+    "sql_q15_top_supplier",
+    "sql_q16_notin_suppliers",
+    "sql_q6_forecast_revenue",
+    "sql_q9_product_profit",
+    "n_pq_rerank_refine",
+    "e_linear_attribution",
+    "s_profile_table",
+    "e_decay_engagement_score",
+    "j_spatial_grid_nn",
+    "s_incremental_agg_maintenance",
+    "j_bloom_runtime_filter",
+    "j_interval_overlap_join",
+    "w_linear_interpolate",
+    "g_bfs_hops",
+    "e_dau_mau_stickiness",
+    "e_growth_accounting",
+    "t_resample_grid_locf",
+    "t_event_order_skew",
+    "m_magic_bytes_sniff",
+    "ml_als_recommender",
+    "f_timezone_functions",
+    "j_drill_across_facts",
+    "t_downtime_sla",
+    "s_rendezvous_sharding",
+    "e_propensity_rank_matching",
+    "n_autocomplete_prefix_topk",
+    "n_feature_hashing",
+    "j_backlog_aging_snapshots",
+    "t_max_drawdown",
+    "t_interval_coalesce",
+    "e_snaive_forecast_backtest",
+    "s_file_metadata_column",
+    "sql_q88_time_bands",
+    "sql_recursive_ancestor_rollup",
+    "j_hierarchy_closure_table",
+    "j_join_size_estimate",
+    "j_bridge_allocation",
+    "j_entity_resolution_blocked",
+    "j_bitemporal_reconstruction",
+    "j_fuzzy_name_trigram",
+    "s_analyze_table_stats",
+    "s_provenance_manifest",
+    "s_lambda_unify",
+    "s_merge_idempotency",
+    "s_parquet_storage_report",
+    "a_decimal128_exact",
+    "a_log2_histogram",
+    "a_quantile_histogram_sketch",
+    "a_pythagorean_means",
+    "a_relational_division_otif",
+    "a_semantic_layer_metrics",
+    "a_distinct_estimator_comparison",
+    "f_business_days_diff",
+    "f_snowflake_id_codec",
+    "f_penny_allocation",
+    "f_rounding_mode_audit",
+    "u_grouped_ols_fit",
+    "t_lttb_downsample",
+    "t_seasonality_dow_profile",
+    "t_fiscal_445_calendar",
+    "t_m4_downsample",
+    "t_pinball_loss_eval",
+    "t_drift_psi_weekly",
+    "t_peak_detection",
+    "t_rolling_origin_backtest",
+    "e_spike_root_cause_drilldown",
+    "e_bounce_rate",
+    "e_shapley_attribution",
+    "e_funnel_exclusion_steps",
+    "e_markov_next_event_eval",
+    "e_nps_score_ci",
+    "e_gains_lift_table",
+    "st_transform_with_state",
+    "s_benford_qc",
+    "n_bpe_pair_counts",
+    "n_rouge_ngram_overlap",
+    "n_cooccurrence_pmi",
+    "n_tokenizer_fertility",
+    "n_sentence_stats",
+    "n_span_corruption_stats",
+    "n_code_detection_score",
+    "n_blocklist_filter",
+    "n_encoding_audit",
+    "n_stemming_normalize",
+    "n_watermark_detection",
+    "n_tfidf_doc_similarity",
+    "n_seq_length_histogram",
+    "n_heaps_law_fit",
+    "n_feature_scaling_params",
+    "n_calibration_ece",
+    "n_chat_alternation_audit",
+    "n_langid_confusion_matrix",
+    "n_preference_cycle_audit",
+    "n_filter_ablation_matrix",
+    "n_search_diversity_cap",
+    "n_slice_eval_metrics",
+    "n_zipf_law_fit",
+    "n_self_bleu_diversity",
+    "n_truncation_loss_sweep",
+    "n_codeswitch_audit",
+    "n_hashing_collision_sweep",
+    "n_chao1_good_turing",
+    "n_postings_compression_estimate",
+    "n_moe_load_balance_proxy",
+    "n_bigram_entropy_rate",
+    "n_bpe_merge_simulation",
+    "n_containment_dedup",
+    "n_dedup_survivorship_policy",
+    "n_bloom_incremental_dedup",
+    "n_lsh_parameter_sensitivity",
+    "n_dedup_stage_funnel",
+    "n_minhash_jaccard_calibration",
+    "n_lsh_br_planner",
+    "n_mrl_prefix_rerank",
+    "n_ndcg_retrieval_eval",
+    "n_class_balanced_downsample",
+    "n_embedding_drift_psi",
+    "n_uncertainty_sampling",
+    "n_kcenter_diverse_selection",
+    "n_mrr_retrieval_eval",
+    "n_binary_hash_retrieval",
+    "n_embedding_isotropy",
+    "n_embedding_cluster_jsd",
+    "n_hubness_skew",
+    "n_temperature_sampling_weights",
+    "n_curriculum_phases",
+    "n_group_kfold",
+    "s_merge_on_read_deletes",
+    "m_patch_grid_plan",
+    "m_av_sync_drift",
+    "m_payload_integrity_audit",
+    "ml_linreg_normal_eq_check",
+    "g_linkpred_common_neighbors",
+    "g_harmonic_centrality",
+    "g_modularity_brand_partition",
+    "g_degree_distribution",
+    "g_clustering_coefficient",
+    "g_community_conductance",
+    "g_rich_club_coefficient",
+    "g_avg_neighbor_degree_curve",
+    "a_mad_outliers",
+    "a_gini_concentration",
+    "e_cohort_ltv_triangle",
+    "t_ewma_smoothing",
+    "t_concurrency_sweepline",
+    "w_rolling_regression_slope",
+    "w_rolling_median",
+    "e_diff_in_diff",
+    "e_repurchase_rate_30d",
+    "t_vwap_weekly",
+    "a_target_encoding_loo",
+    "e_kpi_driver_decomposition",
+    "a_hill_tail_exponent",
+    "e_cuped_adjustment",
+    "t_weekly_spectral_power",
+    "e_ipw_adjustment",
+    "a_wilson_ci",
+    "e_retention_curve_fit",
+    "t_theil_sen_trend",
+    "a_ols_two_feature",
+    "a_cohens_kappa",
+    "e_ratio_delta_method_ci",
+    "a_oneway_anova_f",
+    "a_mutual_information_2d",
+    "t_durbin_watson_residuals",
+    "t_spc_xmr_chart",
+    "e_sprt_sequential_test",
+    "a_empirical_bayes_shrinkage",
+    "a_simpsons_paradox_detector",
+    "e_direct_standardization",
+    "e_price_volume_mix",
+    "a_cvar_expected_shortfall",
+    "a_intraclass_correlation",
+    "e_bh_fdr_correction",
+    "a_spearman_rank_corr",
+    "e_wasserstein_spend_shift",
+    "a_kruskal_wallis_dow",
+    "t_cross_correlation_lags",
+    "t_hurst_exponent",
+    "t_segmented_regression",
+    "a_cooks_distance_outliers",
+    "e_chain_ladder_ltv",
+    "t_littles_law_check",
+    "a_hodges_lehmann_estimator",
+    "e_segment_migration_matrix",
+    "t_burstiness_fano",
+    "e_price_elasticity",
+    "t_record_days_check",
+    "a_negbin_moments_fit",
+    "t_interarrival_burstiness",
+    "e_attribution_window_sweep",
+    "a_ipf_raking",
+    "e_weibull_survival_fit",
+    "t_permutation_entropy",
+    "a_cronbach_alpha",
+    "t_newey_west_se",
+    "a_theil_decomposition",
+    "a_mcnemar_test",
+    "a_dorfman_group_testing",
+    "e_abc_xyz_matrix",
+    "t_erlang_c_staffing",
+    "t_forecast_prediction_intervals",
+    "t_variance_ratio_test",
+    "e_mde_runtime_curve",
+    "a_jackknife_gini_se",
+    "a_k_anonymity_audit",
+    "s_snapshot_diff_cdf",
+    "n_pps_systematic_sample",
+    "sql_group_by_all",
+    "n_dp_noisy_counts",
+    "s_constraint_audit_all_tables",
+    "s_crypto_shredding",
+    "j_point_in_polygon",
+    "s_vacuum_orphan_files",
+    "f_hex_bin_assign",
+    "n_dpo_preference_pairs",
+    "ml_isotonic_calibration",
+    "g_square_count",
 )
 
 

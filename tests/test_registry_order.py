@@ -54,25 +54,25 @@ def test_prefix_queries_are_oracled_where_possible():
     entries may lack a DuckDB oracle."""
     reg = load_all()
     prefix = dict(itertools.islice(reg.items(), SWEEP_BUDGET))
-    allowed_no_oracle = {"g_kcore_decomposition", "st_replay_determinism"}
+    allowed_no_oracle = {"st_progress_metrics", "n_dedup_method_agreement"}
     no_oracle = {n for n, q in prefix.items() if q.oracle is None}
     assert no_oracle <= allowed_no_oracle, no_oracle
 
 
 def test_sweep_prefix_is_all_previously_unchecked():
-    """Round-5 rotation contract: every slot in the 50-entry sweep prefix
+    """Round-6 rotation contract: every slot in the 50-entry sweep prefix
     must be a query with NO SUCCESSFUL driver correctness row from rounds
-    1-4, so the round-5 sweep converts in-repo green into driver proof at
+    1-5, so the round-6 sweep converts in-repo green into driver proof at
     the maximum rate. A row whose `err` is a hard error counts as
     UNCHECKED — the fix still needs driver proof. (Coverage of all §2
     rows is preserved by tags — see
     test_first_50_entries_cover_every_survey_row.)
 
-    Deliberately pinned to rounds 1-4: round 5's prefix IS the set the
-    round-5 driver sweep proves, so including CORRECTNESS_r05.json here
-    would fail the moment it lands. ROUND 6 BUILDER: re-rotate _PRIORITY
-    to the still-unproven remainder (and add r05 to this list) the same
-    way rounds 3-5 rotated away from their predecessors."""
+    Deliberately pinned to rounds 1-5: round 6's prefix IS the set the
+    round-6 driver sweep proves, so including CORRECTNESS_r06.json here
+    would fail the moment it lands. ROUND 7 BUILDER: re-rotate _PRIORITY
+    to the still-unproven remainder (and add r06 to this list) the same
+    way rounds 3-6 rotated away from their predecessors."""
     import json
     import os
 
@@ -83,6 +83,7 @@ def test_sweep_prefix_is_all_previously_unchecked():
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",
     ):
         path = os.path.join(root, fname)
         if not os.path.exists(path):
