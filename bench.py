@@ -19,6 +19,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from iris_pyspark_spark.registry import load_all
 from iris_pyspark_spark.session import get_spark
 
+#: The round-1..4 headline set. The headline list grows as operators
+#: land, so the all-query total is NOT comparable across rounds; the sum
+#: over this frozen set is the like-for-like number (machine-readable as
+#: `original_13_sum`).
+ORIGINAL_13 = frozenset({
+    "j_asof_last_click", "j_broadcast_star", "j_multiway_topk",
+    "j_q17_small_qty_revenue", "n_cosine_topk", "n_exact_dedup",
+    "n_minhash_lsh", "n_text_stats_top_terms", "pipeline_data_curation",
+    "q1_pricing_summary", "t_sessionize_gap", "t_tumbling_window",
+    "w_topk_per_group",
+})
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,13 +60,21 @@ def main() -> None:
     # meaningful at ~30s extra wall-clock.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, q in sorted(headline.items()):
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 4)
+        # Median alongside min: a min far below the median marks a query
+        # whose wall-clock is dominated by external CPU contention rather
+        # than the plan — distinguishes "got slower" from "noisier".
+        mid = len(runs) // 2
+        med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
+        medians[name] = round(med, 4)
 
     print(
         json.dumps(
@@ -63,6 +83,13 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                # Like-for-like sum over the frozen round-1..4 headline
+                # set — the cross-round comparable number; `value` grows
+                # whenever new headliners are added.
+                "original_13_sum": round(
+                    sum(v for k, v in timings.items() if k in ORIGINAL_13), 4
+                ),
                 "n": n_runs,  # min-of-n runs per query (see contention note)
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
