@@ -98,13 +98,32 @@ def gc_scratch(cap_bytes: int = 2 << 30, root: str | None = None) -> list[str]:
                     pass
         return total
 
+    def newest_sidecar_mtime(p: str) -> float | None:
+        """Max mtime of any .fingerprint sidecar within `p` — nested
+        artifacts (e.g. scratch/<sf>/coorder/pairs) keep their validation
+        sidecar at depth > 1, so scoring the depth-1 eviction unit by its
+        own (never-updated) dir mtime would age the most frequently
+        revalidated artifacts out FIRST. The unit inherits the newest
+        validation clock found anywhere inside it."""
+        newest: float | None = None
+        for dirpath, _dirnames, filenames in os.walk(p):
+            for fn in filenames:
+                if fn.endswith(".fingerprint"):
+                    try:
+                        m = os.stat(os.path.join(dirpath, fn)).st_mtime
+                    except OSError:
+                        continue
+                    newest = m if newest is None else max(newest, m)
+        return newest
+
     # Candidate unit = a per-(sf, query) directory (scratch_dir layout),
-    # scored by its sidecar mtime when fingerprinted, else dir mtime.
+    # scored by the newest sidecar mtime inside it (direct or nested),
+    # else dir mtime. Loose files directly under the root are not
+    # eviction units, so they don't count toward the cap either.
     candidates: list[tuple[float, str, int]] = []
     total = 0
     for sf_entry in os.scandir(root):
         if not sf_entry.is_dir():
-            total += sf_entry.stat().st_size
             continue
         for entry in os.scandir(sf_entry.path):
             if entry.name.endswith(".fingerprint"):
@@ -112,7 +131,13 @@ def gc_scratch(cap_bytes: int = 2 << 30, root: str | None = None) -> list[str]:
             size = tree_size(entry.path) if entry.is_dir() else entry.stat().st_size
             fp = _fingerprint_file(entry.path)
             try:
-                clock = os.stat(fp).st_mtime if os.path.exists(fp) else entry.stat().st_mtime
+                if os.path.exists(fp):
+                    clock = os.stat(fp).st_mtime
+                else:
+                    nested = (
+                        newest_sidecar_mtime(entry.path) if entry.is_dir() else None
+                    )
+                    clock = nested if nested is not None else entry.stat().st_mtime
             except OSError:
                 clock = 0.0
             candidates.append((clock, entry.path, size))

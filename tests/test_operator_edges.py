@@ -303,6 +303,52 @@ def test_scratch_gc_evicts_lru_over_cap(tmp_path):
         assert os.path.exists(paths[name] + ".fingerprint")
 
 
+def test_scratch_gc_scores_nested_sidecars_and_skips_loose_files(tmp_path):
+    """Two regressions from the round-5 advice: (a) an eviction unit
+    whose artifact (and sidecar) lives NESTED one level down (the
+    scratch/<sf>/coorder/pairs layout) must be scored by that nested
+    sidecar's mtime, not the never-updated unit dir mtime — else the
+    most frequently revalidated artifact is evicted first; (b) loose
+    files directly under the root are not eviction units and must not
+    count toward the cap (they could push `total` over a cap the
+    evictable set can never get back under)."""
+    import os
+    import time
+
+    from iris_pyspark_spark.sources import gc_scratch, mark_artifact
+
+    root = str(tmp_path / "scratch")
+
+    def make_leaf(path: str, stamp: float) -> None:
+        os.makedirs(path)
+        with open(os.path.join(path, "part-0.parquet"), "wb") as f:
+            f.write(b"x" * 1000)
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+        mark_artifact(path, "fp")
+        os.utime(path + ".fingerprint", (stamp, stamp))
+
+    now = time.time()
+    # `nested`: unit dir is old, but its depth-2 artifact was validated
+    # just now. `flat`: validated an hour ago.
+    nested_unit = os.path.join(root, "sf0.01", "coorder")
+    make_leaf(os.path.join(nested_unit, "pairs"), now)
+    old_dir = (now - 7200, now - 7200)
+    os.utime(nested_unit, old_dir)
+    flat = os.path.join(root, "sf0.01", "flat")
+    make_leaf(flat, now - 3600)
+    # A loose root-level file big enough to hold `total` over the cap
+    # forever if it were (wrongly) counted.
+    with open(os.path.join(root, "stray.log"), "wb") as f:
+        f.write(b"y" * 10_000)
+
+    deleted = gc_scratch(cap_bytes=1500, root=root)
+    # The stale flat artifact goes; the freshly-validated nested one
+    # survives; the loose file is untouched and didn't wedge the sweep.
+    assert deleted == [flat]
+    assert os.path.isdir(nested_unit)
+    assert os.path.exists(os.path.join(root, "stray.log"))
+
+
 def test_misra_gries_invariants_under_decrement(spark):
     """Force the Misra-Gries decrement path (capacity far below the
     vocabulary) on a skewed stream and check the two mergeable-sketch
