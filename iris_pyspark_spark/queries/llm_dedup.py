@@ -89,7 +89,13 @@ ORDER BY id_a, id_b
 )
 def n_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard near-dup shortlist, blocked by `source`,
-    capped at each doc's top-5 strongest partners. The cap is the scale
+    capped at 5 partners per CANONICAL pair anchor: pairs are emitted
+    once in (id_a < id_b) orientation and the rank window partitions by
+    id_a only, so a doc appearing as the id_b side of other anchors is
+    neither capped there nor credited to its own shortlist — the output
+    is a bounded pair LIST (the dedup-pipeline contract), not a
+    symmetric per-doc top-5 (that variant would union both orientations
+    before ranking, doubling the ranked input). The cap is the scale
     fix the round-5 sweep demanded: on a dense vocabulary most pairs in
     a block clear J >= 0.5, so the UNCAPPED result is quadratic in block
     size by construction (measured 9.7x wall-clock for 10x data) — a
