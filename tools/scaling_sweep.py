@@ -8,7 +8,12 @@ wall-clock for 10x data; quadratic output in n_ngram_jaccard, 9.7x).
 
 Usage:
     python tools/scaling_sweep.py run  <sf_dir> <out.json>   # one pass
-    python tools/scaling_sweep.py diff <small.json> <big.json> [ratio]
+    python tools/scaling_sweep.py diff <small.json> <big.json> [ratio] [artifact.json]
+
+Standing per-round gate (round 6 on): run both passes, then `diff ...
+SCALING_r{N}.json` and check the artifact in — the round-over-round
+ratio table is diffable, and any query at/above the flag threshold is
+triaged in CHANGELOG or fixed before the round closes.
 
 `run` executes each query once with the noop sink (full computation, no
 collect) and writes {name: seconds | null(env-gated) | "ERR ..."}.
@@ -51,7 +56,12 @@ def run(sf_dir: str, out: str) -> int:
     return 1 if errs else 0
 
 
-def diff(small_path: str, big_path: str, threshold: float = 8.0) -> int:
+def diff(
+    small_path: str,
+    big_path: str,
+    threshold: float = 8.0,
+    artifact: str | None = None,
+) -> int:
     small = json.load(open(small_path))
     big = json.load(open(big_path))
     rows = []
@@ -69,6 +79,25 @@ def diff(small_path: str, big_path: str, threshold: float = 8.0) -> int:
     for r, ts, tb, name in rows[:15]:
         mark = "  <-- SUPERLINEAR SUSPECT" if r >= threshold else ""
         print(f"{r:6.1f} {ts:7.2f} {tb:7.2f}  {name}{mark}")
+    if artifact:
+        json.dump(
+            {
+                "small": small_path,
+                "big": big_path,
+                "threshold": threshold,
+                "n_timed": len(rows),
+                "flagged": [name for _r, _ts, _tb, name in flagged],
+                # Only above-noise-floor queries carry a meaningful ratio;
+                # the table is the round-over-round diffable record.
+                "ratios": {
+                    name: {"small_s": ts, "big_s": tb, "ratio": round(r, 2)}
+                    for r, ts, tb, name in rows
+                },
+            },
+            open(artifact, "w"),
+            indent=1,
+        )
+        print(f"wrote {artifact}")
     return 1 if flagged else 0
 
 
@@ -76,8 +105,9 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "run" and len(sys.argv) == 4:
         raise SystemExit(run(sys.argv[2], sys.argv[3]))
-    if mode == "diff" and len(sys.argv) in (4, 5):
-        thr = float(sys.argv[4]) if len(sys.argv) == 5 else 8.0
-        raise SystemExit(diff(sys.argv[2], sys.argv[3], thr))
+    if mode == "diff" and len(sys.argv) in (4, 5, 6):
+        thr = float(sys.argv[4]) if len(sys.argv) >= 5 else 8.0
+        art = sys.argv[5] if len(sys.argv) == 6 else None
+        raise SystemExit(diff(sys.argv[2], sys.argv[3], thr, art))
     print(__doc__)
     raise SystemExit(2)
