@@ -8,8 +8,17 @@ see."""
 
 from __future__ import annotations
 
+import pytest
+
 from iris_pyspark_spark.catalog import load_table
 from iris_pyspark_spark.testing import canonical_rows
+
+# The heaviest battery in the suite (every sampled operator runs twice
+# per test, and the shuffle-width batteries re-execute whole query
+# families): excluded from the default run via the `slow` marker to keep
+# `pytest tests/` under 10 minutes. The pre-snapshot gate runs
+# `pytest -m slow` explicitly — split coverage, not lost coverage.
+pytestmark = pytest.mark.slow
 
 LAYOUTS = (1, 7)
 
