@@ -2318,9 +2318,22 @@ def n_hubness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    probes = corpus.filter(F.col("vec_id") % 5 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    # Norms are computed ONCE per corpus/probe row (not per pair — that
+    # would triple the dot-product work across the fan-out); sim keeps
+    # the exact division tree dot / ||a|| / ||b||, so values are
+    # bit-identical to the per-pair form.
+    corpus = corpus.withColumn(
+        "nrm", F.sqrt(dot_unrolled(F.col("emb"), F.col("emb"), 64))
     )
+    probes = corpus.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    # Pre-fanout repartition: the probe crossJoin multiplies the corpus
+    # by |probes|, and a single-file scan arrives as ONE partition — the
+    # shuffle moves only the compact corpus, never the pair fan-out.
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
     sims = (
         corpus.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -2329,8 +2342,8 @@ def n_hubness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             (
                 dot_unrolled(F.col("emb"), F.col("q_emb"), 64)
-                / F.sqrt(dot_unrolled(F.col("emb"), F.col("emb"), 64))
-                / F.sqrt(dot_unrolled(F.col("q_emb"), F.col("q_emb"), 64))
+                / F.col("nrm")
+                / F.col("q_nrm")
             ).alias("sim"),
         )
     )

@@ -1003,6 +1003,11 @@ def m_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(
         F.col("n_chars") >= _CDC_WINDOW
     )
+    # Pre-fanout repartition: the per-position posexplode multiplies row
+    # count by ~n_chars, and a single-file scan arrives as ONE partition
+    # — without this the whole corpus hashes in one task. The shuffle
+    # moves only the compact doc table, never the exploded positions.
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     positions = d.select(
         "doc_id",
         "n_chars",
