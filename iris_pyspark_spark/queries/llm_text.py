@@ -165,6 +165,9 @@ FROM documents
 def n_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: 4 smallest md5s of all 5-grams."""
     d = load_table(spark, sf_dir, "documents")
+    # Single-file scan = one partition; the per-doc 5-gram md5 fold is
+    # the whole cost, so spread it before computing.
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     return d.select("doc_id", fingerprint_min_md5("text", k=5, keep=4).alias("fingerprint"))
 
 

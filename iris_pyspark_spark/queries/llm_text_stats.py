@@ -961,10 +961,16 @@ def n_watermark_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (uniform 3-letter tokens at doc_id+700000) prove detector recall
     while the organic corpus shows the false-positive behavior.
 
-    Scale: pair scoring is a higher-order array expression per doc
-    (no token explode — the GENERATE_SERIES runs inside the row), one
-    combinable per-doc rollup, and a closed-form z per row.
+    Scale: pair scoring is a map-side posexplode of token lengths plus
+    one windowed lag and one combinable per-doc rollup — whole-stage
+    codegen end to end. (The earlier per-row higher-order fold evaluated
+    INTERPRETED, and Catalyst pushed the z-filter — fold included —
+    below the repartition into the single-partition scan, computing the
+    fold twice in one task; the aggregation form is both parallel and a
+    pushdown barrier.)
     """
+    from pyspark.sql.window import Window
+
     d = load_table(spark, sf_dir, "documents")
     planted = d.filter(F.col("doc_id") % 79 == 0).select(
         (F.col("doc_id") + 700000).alias("doc_id"),
@@ -975,25 +981,23 @@ def n_watermark_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.select("doc_id", F.lower("text").alias("text")).unionByName(
         planted
     )
-    t = F.split(F.col("text"), " ")
-    green_sum = F.aggregate(
-        F.sequence(F.lit(2), F.size(t)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            (
-                F.length(F.element_at(t, i - 1)) * 48271
-                + F.length(F.element_at(t, i)) * 16807
-            )
-            % 2
-            == 0,
-            1,
-        ).otherwise(0),
-    )
-    per_doc = corpus.filter(F.size(t) >= 2).select(
+    toks = corpus.select(
         "doc_id",
-        (F.size(t) - 1).cast("long").alias("n"),
-        green_sum.alias("g"),
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    ).select("doc_id", "pos", F.length("tok").alias("len"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pair_green = F.when(
+        (F.lag("len").over(w) * 48271 + F.col("len") * 16807) % 2 == 0, 1
+    ).otherwise(0)
+    per_doc = (
+        toks.select("doc_id", "pos", pair_green.alias("green"))
+        .groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1)) - 1).cast("long").alias("n"),
+            # lag is NULL on the first token: when() already scores it 0.
+            F.sum("green").cast("long").alias("g"),
+        )
+        .filter(F.col("n") >= 1)
     )
     z = (F.col("g") - F.col("n") / 2.0) / F.sqrt(F.col("n") / 4.0)
     return (

@@ -779,7 +779,14 @@ def s_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
-    one = load_table(spark, sf_dir, "orders").agg(*aggs)
+    # Multiple COUNT(DISTINCT)s plan an Expand (xN row multiply) before
+    # the partial agg; a single-file scan is one partition, so without a
+    # repartition the expanded stream reduces in one task.
+    one = (
+        load_table(spark, sf_dir, "orders")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .agg(*aggs)
+    )
     stack_args = ", ".join(
         f"'{c}', {c}__null, {c}__dist, {c}__min, {c}__max"
         for c in _PROFILE_COLS
