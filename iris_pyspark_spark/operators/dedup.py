@@ -216,8 +216,46 @@ aggregate(
 
 
 def simhash64(toks_sql: str) -> Column:
-    """64-bit SimHash of a token-array SQL expression."""
+    """64-bit SimHash of a token-array SQL expression.
+
+    NOTE: nested `aggregate()` higher-order functions evaluate
+    INTERPRETED (64 x n_tokens lambda calls per row). For a corpus-scale
+    signature build use `simhash64_table`, which computes the identical
+    value through whole-stage codegen; this expression form remains for
+    ad-hoc single-column use."""
     return F.expr(_SIMHASH_EXPR.format(toks=toks_sql))
+
+
+def simhash64_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) for every row — value-identical to
+    `simhash64("split(lower(text), ' '))"` (same per-token xxhash64,
+    same strictly-positive majority rule, duplicates counted) but
+    expressed as a codegen explode + ONE combinable 64-sum aggregate:
+    each token contributes ±1 per bit map-side, partial sums merge
+    associatively, and the sign test + bit pack run on the per-doc
+    aggregate row. At 100 TB this is a single shuffle keyed by doc id
+    with map-side combine; the interpreted fold form is 64·n_tok lambda
+    dispatches per document in one task."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+    h = F.xxhash64(F.col("tok"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sig: Column | None = None
+    for j in range(64):
+        term = F.when(
+            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -16,7 +16,7 @@ from ..operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
-    simhash64,
+    simhash64_table,
     simhash_near_pairs,
 )
 from ..registry import register
@@ -308,10 +308,9 @@ def n_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator promises. Map-only additions, nothing in the join path.
     """
     corpus = _near_dup_corpus(spark, sf_dir)
-    sigs = corpus.select(
-        "doc_id",
-        simhash64("split(lower(text), ' ')").alias("simhash"),
-    )
+    # Codegen table form (explode + combinable 64-sum agg) — identical
+    # values to the simhash64() fold, without the interpreted lambdas.
+    sigs = simhash64_table(corpus, "doc_id", "text")
     pairs = simhash_near_pairs(sigs, "doc_id", "simhash", max_hamming=8)
     return pairs.select(
         "id_a",
@@ -1450,7 +1449,11 @@ def n_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale — both detectors are banded equi-joins (never all-pairs);
     the agreement join operates on bare (id_a, id_b) longs."""
-    from ..operators.dedup import lsh_candidate_pairs, simhash64, simhash_near_pairs
+    from ..operators.dedup import (
+        lsh_candidate_pairs,
+        simhash64_table,
+        simhash_near_pairs,
+    )
     from ..sources import scratch_dir, table_fingerprint
 
     corpus = _near_dup_corpus(spark, sf_dir)
@@ -1462,9 +1465,7 @@ def n_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text",
         materialize_path=sig_path, materialize_fingerprint=fp,
     ).select("id_a", "id_b")
-    sigs = corpus.select(
-        "doc_id", simhash64("split(lower(text), ' ')").alias("simhash")
-    )
+    sigs = simhash64_table(corpus, "doc_id", "text")
     sh = simhash_near_pairs(sigs, "doc_id", "simhash", max_hamming=8).select(
         "id_a", "id_b"
     )

@@ -308,3 +308,21 @@ def test_banded_pairs_match_naive_quadratic(spark):
     assert got == expected, (
         f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}"
     )
+
+
+def test_simhash_table_form_matches_expression_form(spark, sf_dir):
+    """simhash64_table (codegen explode + combinable 64-sum agg) must be
+    value-identical to the interpreted simhash64() fold on real docs —
+    same per-token xxhash64, same strictly-positive majority rule,
+    duplicate tokens counted."""
+    from pyspark.sql import functions as F
+
+    from iris_pyspark_spark.catalog import load_table
+    from iris_pyspark_spark.operators.dedup import simhash64, simhash64_table
+
+    d = load_table(spark, sf_dir, "documents").limit(300)
+    old = d.select("doc_id", simhash64("split(lower(text), ' ')").alias("simhash"))
+    new = simhash64_table(d, "doc_id", "text").withColumnRenamed("simhash", "s2")
+    joined = old.join(new, "doc_id")
+    assert joined.count() == 300
+    assert joined.filter(F.col("simhash") != F.col("s2")).count() == 0
