@@ -1964,3 +1964,122 @@ def a_cube_grand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "region", "yr")
     )
+
+
+# --- A5, third wave: calendar-hierarchy rollup ------------------------------
+
+_CAL_ROLLUP_ORACLE = """
+SELECT COALESCE(CAST(yr AS BIGINT), 0)  AS yr,
+       COALESCE(CAST(qtr AS BIGINT), 0) AS qtr,
+       COALESCE(CAST(mon AS BIGINT), 0) AS mon,
+       CAST(GROUPING(yr) * 4 + GROUPING(qtr) * 2 + GROUPING(mon) AS BIGINT)
+         AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS revenue
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate)    AS yr,
+         EXTRACT(quarter FROM o_orderdate) AS qtr,
+         EXTRACT(month FROM o_orderdate)   AS mon,
+         o_totalprice
+  FROM orders
+) t
+GROUP BY ROLLUP (yr, qtr, mon)
+ORDER BY gid, yr, qtr, mon
+"""
+
+
+@register(
+    "a_rollup_calendar_hierarchy",
+    oracle=_CAL_ROLLUP_ORACLE,
+    tags=("A5", "A1", "F2"),
+)
+def a_rollup_calendar_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5, third wave: ROLLUP over the natural calendar containment
+    hierarchy year > quarter > month — the OLAP drill path, where each
+    coarser level is a true prefix aggregate of the finer one (unlike a
+    cube over independent dimensions). grouping_id labels the level so
+    month rows, quarter subtotals, year subtotals, and the grand total
+    coexist in one result without ambiguity against genuine zeros.
+
+    Scale: one scan; Expand emits the 4 hierarchy levels map-side and
+    every level is combinable (SUM/COUNT over integer cents)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        cents(F.col("o_totalprice")).alias("tp_cents"),
+    )
+    return (
+        base.rollup("yr", "qtr", "mon")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("tp_cents").cast("long") / 100.0).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("yr"), F.lit(0)).cast("long").alias("yr"),
+            F.coalesce(F.col("qtr"), F.lit(0)).cast("long").alias("qtr"),
+            F.coalesce(F.col("mon"), F.lit(0)).cast("long").alias("mon"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("gid", "yr", "qtr", "mon")
+    )
+
+
+# --- A9, third wave: collect_set -> sorted array profile --------------------
+
+_COLLECT_PROFILE_ORACLE = """
+SELECT c_mktsegment,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), '|')
+         AS priorities_seen,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderstatus)), '|')
+         AS statuses_seen
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "a_collect_sorted_profile",
+    oracle=_COLLECT_PROFILE_ORACLE,
+    tags=("A9", "A1", "A3", "F4"),
+)
+def a_collect_sorted_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9, third wave: per-segment domain profile carried as COLLECTED
+    SETS — collect_set dedups distributively (partial sets merge
+    map-side), sort_array canonicalizes the unordered result, and
+    array_join scalarizes it for the checked output (raw arrays never
+    reach the driver hash). The profile answers 'which categorical
+    values actually occur per segment' in one pass — the data-contract
+    audit shape.
+
+    Scale: set cardinality is bounded by the value domain (5 priorities,
+    3 statuses), NOT row count — the collected state stays tiny however
+    large the fact table grows."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities_seen"),
+            F.count_distinct("o_orderpriority").cast("long").alias(
+                "n_priorities"
+            ),
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderstatus")), "|"
+            ).alias("statuses_seen"),
+        )
+        .orderBy("c_mktsegment")
+    )

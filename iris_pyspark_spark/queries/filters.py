@@ -135,3 +135,57 @@ def p_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     return customer.select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --- P3, third wave: exclusive-or of business flags -------------------------
+
+_XOR_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(SUM(CASE WHEN (o_totalprice > 150000.0) <> (o_orderstatus = 'F')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_xor,
+       CAST(SUM(CASE WHEN o_totalprice > 150000.0 AND o_orderstatus = 'F'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(SUM(CASE WHEN NOT (o_totalprice > 150000.0)
+                      AND NOT (o_orderstatus = 'F')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@register(
+    "p_xor_flag_census",
+    oracle=_XOR_ORACLE,
+    tags=("P3", "A7", "A1"),
+)
+def p_xor_flag_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3, third wave: EXCLUSIVE-or of two business predicates — SQL has
+    no XOR keyword, so the idiom is boolean inequality (a <> b), which
+    Catalyst evaluates branch-free in codegen. The census of XOR / AND /
+    NOR cells per priority is the 2x2 contingency audit that precedes
+    any flag-correlation analysis; writing all three from the SAME two
+    predicates also guards against the classic drift bug where the
+    'both' and 'either' reports silently use different thresholds.
+
+    Scale: pure map-side conditional aggregation, one scan, combinable."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 150000.0
+    fin = F.col("o_orderstatus") == "F"
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum(F.when(big != fin, 1).otherwise(0)).cast("long").alias(
+                "n_xor"
+            ),
+            F.sum(F.when(big & fin, 1).otherwise(0)).cast("long").alias(
+                "n_both"
+            ),
+            F.sum(F.when((~big) & (~fin), 1).otherwise(0))
+            .cast("long")
+            .alias("n_neither"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("priority")
+    )

@@ -1935,3 +1935,134 @@ def j_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("poly")
     )
+
+
+# --- J4, third wave: chained semi joins --------------------------------------
+
+_DOUBLE_SEMI_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_custkey
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT')
+  AND c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_orderpriority = '5-LOW')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "j_double_semi_customers",
+    oracle=_DOUBLE_SEMI_ORACLE,
+    tags=("J4", "A1", "P2"),
+)
+def j_double_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4, third wave: CHAINED left-semi joins — customers who placed at
+    least one urgent AND at least one low-priority order. Each semi join
+    is existence-only (no fan-out, no duplicate customers however many
+    qualifying orders exist), which is exactly why stacking them is
+    safe; the same intent as two INs with an AND, and the plan shows two
+    LeftSemi hash joins feeding one aggregation.
+
+    Scale: the build sides are filtered order keys (pushed predicates),
+    each semi join shuffles on the key once; no intermediate blow-up by
+    construction."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .join(low, F.col("c_custkey") == low.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("c_custkey").cast("long").alias("min_custkey"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- J8, third wave: as-of join with a tolerance bound -----------------------
+
+_ASOF_TOL_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+last_click AS (
+  SELECT p.event_id,
+         MAX(c.ts) AS click_ts
+  FROM purchases p
+  JOIN events c
+    ON c.event_type = 'click' AND c.user_id = p.user_id
+   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 2 HOUR
+  GROUP BY p.event_id
+)
+SELECT CAST(COUNT(*) AS BIGINT)                         AS n_purchases,
+       CAST(COUNT(click_ts) AS BIGINT)                  AS n_matched,
+       CAST(SUM(CASE WHEN click_ts IS NOT NULL
+                     THEN EPOCH_US(p.ts) // 1000000 - EPOCH_US(click_ts) // 1000000
+                     ELSE 0 END) AS BIGINT)             AS total_gap_s
+FROM purchases p LEFT JOIN last_click lc ON p.event_id = lc.event_id
+"""
+
+
+@register(
+    "j_asof_bucketed_tolerance",
+    oracle=_ASOF_TOL_ORACLE,
+    tags=("J8", "J7", "A2", "W3"),
+)
+def j_asof_bucketed_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8, third wave: as-of join WITH A TOLERANCE (pandas
+    merge_asof(tolerance=...) semantics): each purchase takes the most
+    recent click by the same user within a 2-hour lookback, else stays
+    unmatched. Unlike j_asof_tolerance above (union-tag + post-filter,
+    whose state is the single carried latest-click), this is the
+    BUCKETED range-join plan:
+    events bucket to 2-hour cells, clicks replicate to (cell, cell+1) so
+    every in-tolerance pair co-locates, then one equi-join on (user,
+    cell) + exact time predicate + per-purchase MAX. Work is bounded per
+    (user, 2h cell) — the replication factor is exactly 2."""
+    events = load_table(spark, sf_dir, "events")
+    cell = lambda c: F.floor(F.unix_seconds(F.col(c).cast("timestamp")) / 7200)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", cell("ts").alias("cell")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        cell("ts").alias("c_cell"),
+    )
+    repl = clicks.unionByName(
+        clicks.withColumn("c_cell", F.col("c_cell") + 1)
+    )
+    matched = (
+        purchases.join(
+            repl,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("cell") == F.col("c_cell"))
+            & (F.col("click_ts") <= F.col("ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("ts") - F.expr("INTERVAL 2 HOURS")
+            ),
+        )
+        .groupBy("event_id")
+        .agg(F.max("click_ts").alias("click_ts"))
+    )
+    joined = purchases.join(matched, "event_id", "left")
+    gap_s = (
+        F.unix_seconds(F.col("ts").cast("timestamp"))
+        - F.unix_seconds(F.col("click_ts").cast("timestamp"))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.count("click_ts").cast("long").alias("n_matched"),
+        F.sum(F.when(F.col("click_ts").isNotNull(), gap_s).otherwise(0))
+        .cast("long")
+        .alias("total_gap_s"),
+    )

@@ -1638,3 +1638,78 @@ def f_map_share_zipwith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("share_bp") >= 200)
         .orderBy("r_name", "n_name", "priority")
     )
+
+
+# --- F5, third wave: str_to_map + transform_keys / transform_values ---------
+
+_STR_TO_MAP_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT)                       AS n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS n_final,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+                                                      AS revenue
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1997
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@register(
+    "f_str_to_map_roundtrip",
+    oracle=_STR_TO_MAP_ORACLE,
+    tags=("F5", "F1", "A1", "A7"),
+)
+def f_str_to_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5, third wave: the key=value wire format round trip — rows are
+    serialized to 'k=v,k=v' strings (the log-line / tag-string shape),
+    parsed back with str_to_map, normalized with transform_keys
+    (lower-casing) and transform_values (typed casts), and the parsed
+    map drives the aggregation. Proves the parse→normalize→consume
+    chain is lossless: the oracle computes the same rollup from the
+    original columns, never seeing the string form.
+
+    Scale: map functions here are per-row scalar expressions (no
+    explode, no shuffle added); the single aggregation is combinable."""
+    orders = load_table(spark, sf_dir, "orders")
+    from .joins import cents
+
+    wire = orders.select(
+        F.concat_ws(
+            ",",
+            F.concat(F.lit("PRIORITY="), F.col("o_orderpriority")),
+            F.concat(F.lit("STATUS="), F.col("o_orderstatus")),
+            F.concat(
+                F.lit("CENTS="), cents(F.col("o_totalprice")).cast("string")
+            ),
+            F.concat(F.lit("YEAR="), F.year("o_orderdate").cast("string")),
+        ).alias("line")
+    )
+    parsed = wire.select(
+        F.transform_keys(
+            F.str_to_map(F.col("line"), F.lit(","), F.lit("=")),
+            lambda k, _v: F.lower(k),
+        ).alias("m")
+    ).select(
+        F.col("m").getItem("priority").alias("priority"),
+        F.col("m").getItem("status").alias("status"),
+        F.transform_values(
+            F.map_filter(F.col("m"), lambda k, _v: k.isin("cents", "year")),
+            lambda _k, v: v.cast("long"),
+        ).alias("nums"),
+    )
+    return (
+        parsed.filter(F.col("nums").getItem("year") == 1997)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("status") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("n_final"),
+            (F.sum(F.col("nums").getItem("cents")).cast("long") / 100.0).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("priority")
+    )

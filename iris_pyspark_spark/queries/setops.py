@@ -296,3 +296,57 @@ def o_except_all_intersect_all(
         .filter(F.col("except_all_copies") >= 3)
         .orderBy("key")
     )
+
+
+# --- O4, third wave: symmetric difference ------------------------------------
+
+_SYMDIFF_ORACLE = """
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buyers   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+only_click AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers),
+only_buy   AS (SELECT user_id FROM buyers   EXCEPT SELECT user_id FROM clickers)
+SELECT 'click_only' AS side, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(user_id) AS BIGINT) AS min_user FROM only_click
+UNION ALL
+SELECT 'purchase_only', CAST(COUNT(*) AS BIGINT), CAST(MIN(user_id) AS BIGINT)
+FROM only_buy
+ORDER BY side
+"""
+
+
+@register(
+    "o_symmetric_difference",
+    oracle=_SYMDIFF_ORACLE,
+    tags=("O4", "O3", "A2", "P7"),
+)
+def o_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4, third wave: symmetric difference of two behavioral cohorts —
+    users who click but never buy and users who buy but never click —
+    as two EXCEPT DISTINCT arms unioned with a side label. EXCEPT
+    compiles to a left-anti hash join after per-side dedup, so each arm
+    is one shuffle on the key; the sides stay labeled rather than
+    merged, because 'which direction is missing' IS the analysis.
+
+    Scale: dedup-before-except keeps the anti-join inputs at distinct-
+    key cardinality, not event cardinality."""
+    events = load_table(spark, sf_dir, "events")
+    clickers = (
+        events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    )
+    buyers = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    def arm(side: str, a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.exceptAll(b)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.min("user_id").cast("long").alias("min_user"),
+            )
+            .select(F.lit(side).alias("side"), "n_users", "min_user")
+        )
+    return arm("click_only", clickers, buyers).unionByName(
+        arm("purchase_only", buyers, clickers)
+    ).orderBy("side")

@@ -2229,3 +2229,72 @@ def s_inmemory_policy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --- S3, third wave: multiLine JSON array scan --------------------------------
+
+_JSON_MULTILINE_ORACLE = """
+SELECT n_regionkey,
+       CAST(COUNT(*) AS BIGINT)       AS n_nations,
+       MIN(n_name)                    AS first_name,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register(
+    "s_json_multiline_scan",
+    oracle=_JSON_MULTILINE_ORACLE,
+    tags=("S3", "S4", "A1"),
+)
+def s_json_multiline_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3, third wave: a single pretty-printed JSON ARRAY document (the
+    API-response / config-export shape) read back with multiLine=true —
+    a different parser path from JSONL: the file cannot be split on
+    newlines, so each multiline document is one parse unit. The
+    round-trip is written distributively as JSONL first, then stitched
+    into one array document; the aggregation proves the scan is
+    lossless against the original table.
+
+    Scale: multiLine JSON is explicitly the NON-splittable format —
+    fine for many small documents (one task each), wrong for one giant
+    file; the JSONL twin (s_jsonl_filter_project) is the splittable
+    production path, and the pairing documents that tradeoff."""
+    import glob
+    import json as _json
+    import os
+
+    nation = load_table(spark, sf_dir, "nation")
+    out = scratch_dir(sf_dir, "json_multiline")
+    doc = os.path.join(out, "nations.json")
+    if not os.path.exists(doc):
+        os.makedirs(out, exist_ok=True)
+        jsonl_dir = os.path.join(out, "_jsonl")
+        nation.select("n_nationkey", "n_name", "n_regionkey").coalesce(
+            1
+        ).write.mode("overwrite").json(jsonl_dir)
+        rows = []
+        for part in sorted(glob.glob(os.path.join(jsonl_dir, "part-*"))):
+            with open(part) as f:
+                rows += [_json.loads(line) for line in f if line.strip()]
+        rows.sort(key=lambda r: r["n_nationkey"])
+        tmp = doc + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(rows, f, indent=2)
+        os.replace(tmp, doc)
+    back = (
+        spark.read.option("multiLine", "true")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .json(doc)
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )

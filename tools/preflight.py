@@ -59,6 +59,9 @@ _CONSTANT_OK: dict[str, set] = {
     "a_bitmap_distinct": {"n_users"},
     "a_correlation_matrix": {"n"},
     "a_count_distinct": {"n_nations"},
+    # round 6: TPC-H has exactly 5 nations per region at every sf —
+    # structural sf-coincidence; key_sum/first_name vary per group.
+    "s_json_multiline_scan": {"n_nations"},
     "a_dorfman_group_testing": {"defect_rate_ppm"},
     "a_ipf_raking": {"max_rowsum_gap"},
     "a_k_anonymity_audit": {"k_global", "n_rows_at_risk"},
