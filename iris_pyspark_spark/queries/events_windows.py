@@ -2396,3 +2396,136 @@ def t_sliding_window_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wow_growth_ppm"),
     ).orderBy("win_start_day")
+
+
+# --- T2, third wave: 6-hour windows sliding hourly ---------------------------
+
+_SLIDE_6H_ORACLE = f"""
+WITH e AS (
+  SELECT EPOCH_US(ts) // 1000000 AS es,
+         {CENTS_SQL.format(expr="value")} AS v_cents
+  FROM events WHERE event_type = 'purchase'
+),
+exploded AS (
+  SELECT ((es // 3600) - t.k) * 3600 AS win_start_epoch, v_cents
+  FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 5)) AS k) t
+)
+SELECT CAST(win_start_epoch AS BIGINT) AS win_start_epoch,
+       CAST(COUNT(*) AS BIGINT)        AS n_purchases,
+       CAST(SUM(v_cents) AS BIGINT) / 100.0 AS total_value
+FROM exploded
+GROUP BY 1
+ORDER BY win_start_epoch
+"""
+
+
+@register(
+    "t_sliding_6h_hourly",
+    oracle=_SLIDE_6H_ORACLE,
+    tags=("T2", "T1", "A1", "F2"),
+)
+def t_sliding_6h_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2, third wave: 6-hour windows advancing every hour (fan-out 6 —
+    the dashboard 'rolling 6h' readout) over purchase events, stated
+    against an oracle that spells out Spark's window-assignment
+    arithmetic explicitly: an event at epoch second `es` belongs to the
+    six epoch-aligned starts (⌊es/3600⌋ − k)·3600, k ∈ 0..5. Any silent
+    change in origin, overlap count, or boundary inclusivity
+    hash-fails.
+
+    Scale: the ×6 fan-out is map-side inside the window operator;
+    aggregation stays combinable per (window) key."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            (F.sum(cents(F.col("value"))).cast("long") / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start").cast("timestamp")).alias(
+                "win_start_epoch"
+            ),
+            "n_purchases",
+            "total_value",
+        )
+        .orderBy("win_start_epoch")
+    )
+
+
+# --- T3, third wave: session_window keyed by (user, event type) -------------
+
+_SESSION_TYPE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 900 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_type, ts,
+    SUM(is_start) OVER (PARTITION BY user_id, event_type ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, event_type, sid, COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, event_type, sid
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)            AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT)       AS n_events,
+       CAST(SUM(n_events) * 1000000 // COUNT(*) AS BIGINT)
+                                           AS events_per_session_ppm,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                           AS n_solo_sessions
+FROM per_session
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "t_session_window_per_type",
+    oracle=_SESSION_TYPE_ORACLE,
+    tags=("T3", "T4", "A1", "A8"),
+)
+def t_session_window_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3, third wave: session_window keyed by a COMPOSITE (user, event
+    type) — each activity type sessionizes independently (a purchase
+    burst doesn't extend a browsing session), which is the
+    per-surface-session model product analytics actually uses. 15-minute
+    gap; the rollup compares session density across types in exact
+    integer ppm.
+
+    Scale: session_window is a native stateful operator — one shuffle on
+    the composite key, interval merge inside the state store; the
+    per-type rollup is combinable."""
+    events = load_table(spark, sf_dir, "events")
+    per_session = (
+        events.groupBy(
+            F.session_window("ts", "15 minutes").alias("sw"),
+            "user_id",
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return (
+        per_session.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.expr(
+                "CAST(SUM(n_events) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("events_per_session_ppm"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_solo_sessions"),
+        )
+        .orderBy("event_type")
+    )

@@ -2298,3 +2298,76 @@ def s_json_multiline_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+# --- S6, third wave: spark.range() generator as the in-memory source --------
+
+_RANGE_SPINE_ORACLE = """
+WITH spine AS (
+  SELECT CAST(DATE '1996-01-01' + INTERVAL (i) DAY AS DATE) AS d
+  FROM GENERATE_SERIES(0, 365) t(i)
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+    AND o_orderpriority = '1-URGENT'
+  GROUP BY 1
+)
+SELECT CAST(EXTRACT(month FROM spine.d) AS BIGINT) AS mon,
+       CAST(COUNT(*) AS BIGINT)                    AS n_days,
+       CAST(SUM(CASE WHEN daily.d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                   AS n_gap_days,
+       CAST(COALESCE(SUM(daily.n), 0) AS BIGINT)   AS n_orders
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+WHERE EXTRACT(year FROM spine.d) = 1996
+GROUP BY 1
+ORDER BY mon
+"""
+
+
+@register(
+    "s_range_calendar_spine",
+    oracle=_RANGE_SPINE_ORACLE,
+    tags=("S6", "F2", "J3", "A1"),
+)
+def s_range_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6, third wave: spark.range() as the in-memory generator source —
+    a 366-day calendar spine built with no input files at all, LEFT
+    joined against the per-day URGENT-order counts so days with ZERO
+    such orders survive as explicit gap rows (the densify idiom; a bare
+    groupBy can never produce a row for a day it never saw — the urgent
+    slice is sparse enough that gaps actually occur).
+
+    Scale: range() parallelizes the generated span across the cluster;
+    the spine side is provably tiny (one row per day) so it broadcasts,
+    and the fact side reduces to per-day counts BEFORE the join."""
+    spine = spark.range(0, 366).select(
+        F.date_add(F.lit("1996-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "d"
+        )
+    ).filter(F.year("d") == 1996)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "d", "left")
+        .groupBy(F.month("d").cast("long").alias("mon"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gap_days"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+        .orderBy("mon")
+    )

@@ -1187,3 +1187,72 @@ def st_dedup_business_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_user_minutes"))
         .orderBy("event_type")
     )
+
+
+# --- T7, third wave: dedup -> session_window, stacked stateful ---------------
+
+_DEDUP_SESSION_ORACLE = """
+WITH deduped AS (
+  SELECT DISTINCT user_id, ts FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM deduped
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT)            AS n_distinct_instants
+FROM sessions
+GROUP BY user_id
+ORDER BY user_id
+LIMIT 200
+"""
+
+
+@register(
+    "st_dedup_then_session",
+    oracle=_DEDUP_SESSION_ORACLE,
+    tags=("T7", "T3", "T5", "T4"),
+)
+def st_dedup_then_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7, third wave: STACKED stateful streaming — watermarked
+    dropDuplicates on (user, event-time instant) feeding a session_window
+    aggregate in the SAME streaming query (Spark 4 allows chained
+    stateful operators under one watermark). Dedup-before-sessionize is
+    the production shape: retried deliveries of the same instant must
+    not inflate session event counts. Drained complete-mode sessions
+    then roll up to per-user session counts, equal to the batch
+    DISTINCT + gap reconstruction the oracle states.
+
+    Scale: two state stores (dedup keys within the watermark; open
+    sessions per user), both watermark-bounded; one shuffle per stateful
+    operator."""
+    e = read_events_stream(spark, sf_dir)
+    deduped = (
+        e.withWatermark("ts", "10 minutes")
+        .select("user_id", "ts")
+        .dropDuplicates(["user_id", "ts"])
+    )
+    sessions = deduped.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_instants"))
+    sunk = drain_to_table(sessions, output_mode="complete")
+    return (
+        sunk.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_instants").cast("long").alias("n_distinct_instants"),
+        )
+        .orderBy("user_id")
+        .limit(200)
+    )

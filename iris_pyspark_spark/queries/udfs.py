@@ -1089,3 +1089,142 @@ def u_udaf_exact_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --- U3, third wave: pandas UDAF evaluated over a WINDOW ---------------------
+
+_UDAF_WINDOW_ORACLE = """
+WITH m AS (
+  SELECT o_orderpriority AS priority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tp,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+         / CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+           AS grp_mean
+  FROM orders
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN tp > grp_mean THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above_mean,
+       CAST(SUM(CASE WHEN tp > grp_mean THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS above_ppm
+FROM m
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+def _make_window_mean_udaf():
+    @pandas_udf("double")
+    def mean_udaf(x: pd.Series) -> float:
+        # Exact integer sum, float only at the final division — matches
+        # the oracle's CAST(SUM AS DOUBLE)/CAST(COUNT AS DOUBLE) tree.
+        vals = [int(v) for v in x]
+        return float(sum(vals)) / float(len(vals))
+
+    return mean_udaf
+
+
+@register(
+    "u_udaf_window_mean",
+    oracle=_UDAF_WINDOW_ORACLE,
+    tags=("U3", "W3", "A1", "A7"),
+)
+def u_udaf_window_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3, third wave: a pandas GROUPED_AGG UDAF evaluated OVER A WINDOW
+    (unbounded frame) — the third execution surface for custom
+    aggregates after .agg() and SQL registration: Spark feeds the UDAF
+    each partition's full frame and broadcasts the scalar back to every
+    row, so per-row comparisons against a custom group statistic need
+    no self-join. Here each order is compared to its priority group's
+    exact-integer mean; the rollup counts the above-mean fraction.
+
+    Scale: one shuffle on the window key; the UDAF runs once per group
+    (not per row); the follow-up rollup is combinable."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("priority")
+    mean_udaf = _make_window_mean_udaf()
+    scored = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        cents(F.col("o_totalprice")).alias("tp"),
+    ).withColumn("grp_mean", mean_udaf("tp").over(w))
+    return (
+        scored.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("tp") > F.col("grp_mean"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above_mean"),
+            F.expr(
+                "CAST(SUM(CASE WHEN tp > grp_mean THEN 1 ELSE 0 END) "
+                "* 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("above_ppm"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --- U4, third wave: UDTF emitting ONLY at terminate() -----------------------
+
+_UDTF_TERMINATE_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@register(
+    "u_udtf_terminate_rollup",
+    oracle=_UDTF_TERMINATE_ORACLE,
+    tags=("U4", "A1", "E2"),
+)
+def u_udtf_terminate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4, third wave: a UDTF whose rows come ONLY from terminate() —
+    eval() just accumulates per-partition state (count + exact integer
+    cents sum) and the boundary flush emits one summary row per
+    PARTITION BY group. This is the streaming-accumulator protocol
+    (flush-at-boundary), distinct from the emit-as-you-go shape of
+    u_udtf_partition_by; the oracle is the plain GROUP BY the UDTF must
+    reproduce exactly.
+
+    Scale: the PARTITION BY is a Catalyst-planned shuffle; Python state
+    is two integers per partition."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="priority string, n_orders bigint, total_cents bigint")
+    class TerminateRollup:
+        def __init__(self):
+            self._priority = None
+            self._n = 0
+            self._total = 0
+
+        def eval(self, row):
+            self._priority = row["o_orderpriority"]
+            self._n += 1
+            self._total += int(row["tp"])
+
+        def terminate(self):
+            if self._n:
+                yield self._priority, self._n, self._total
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select(
+        "o_orderpriority", cents(F.col("o_totalprice")).alias("tp")
+    ).createOrReplaceTempView("udtf_term_src")
+    spark.udtf.register("terminate_rollup", TerminateRollup)
+    return spark.sql(
+        """
+        SELECT priority, n_orders, total_cents
+        FROM terminate_rollup(
+          TABLE(udtf_term_src) PARTITION BY o_orderpriority
+        )
+        ORDER BY priority
+        """
+    )
