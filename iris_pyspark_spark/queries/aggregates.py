@@ -2033,15 +2033,17 @@ def a_rollup_calendar_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A9, third wave: collect_set -> sorted array profile --------------------
 
 _COLLECT_PROFILE_ORACLE = """
-SELECT c_mktsegment,
+SELECT n_name,
        ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), '|')
          AS priorities_seen,
        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
-       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderstatus)), '|')
-         AS statuses_seen
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
-ORDER BY c_mktsegment
+       CAST(COUNT(*) AS BIGINT)                        AS n_jumbo
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_totalprice > 498000.0
+GROUP BY n_name
+ORDER BY n_name
 """
 
 
@@ -2051,25 +2053,35 @@ ORDER BY c_mktsegment
     tags=("A9", "A1", "A3", "F4"),
 )
 def a_collect_sorted_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9, third wave: per-segment domain profile carried as COLLECTED
-    SETS — collect_set dedups distributively (partial sets merge
-    map-side), sort_array canonicalizes the unordered result, and
-    array_join scalarizes it for the checked output (raw arrays never
-    reach the driver hash). The profile answers 'which categorical
-    values actually occur per segment' in one pass — the data-contract
-    audit shape.
+    """A9, third wave: per-nation domain profile of the EXTREME order
+    tail (totalprice > 498k, the top ~0.2%) carried as COLLECTED SETS —
+    collect_set dedups distributively (partial sets merge map-side),
+    sort_array canonicalizes the unordered result, and array_join
+    scalarizes it for the checked output (raw arrays never reach the
+    driver hash). Profiling the sparse tail, not the whole table, keeps
+    the answer non-degenerate: over all orders every group trivially
+    sees every priority (the full-domain profile is a constant — the
+    vacuity class the variance audit exists to catch), while the jumbo
+    slice genuinely differs per nation.
 
-    Scale: set cardinality is bounded by the value domain (5 priorities,
-    3 statuses), NOT row count — the collected state stays tiny however
-    large the fact table grows."""
+    Scale: set cardinality is bounded by the value domain (5
+    priorities), NOT row count — collected state stays tiny however
+    large the fact table grows, and the selective predicate is pushed
+    to the scan."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
     return (
-        orders.join(
-            broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.filter(F.col("o_totalprice") > 498000.0)
+        .join(
+            broadcast(customer.select("c_custkey", "c_nationkey")),
             orders.o_custkey == F.col("c_custkey"),
         )
-        .groupBy("c_mktsegment")
+        .join(
+            broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
         .agg(
             F.array_join(
                 F.sort_array(F.collect_set("o_orderpriority")), "|"
@@ -2077,9 +2089,7 @@ def a_collect_sorted_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("o_orderpriority").cast("long").alias(
                 "n_priorities"
             ),
-            F.array_join(
-                F.sort_array(F.collect_set("o_orderstatus")), "|"
-            ).alias("statuses_seen"),
+            F.count(F.lit(1)).cast("long").alias("n_jumbo"),
         )
-        .orderBy("c_mktsegment")
+        .orderBy("n_name")
     )
