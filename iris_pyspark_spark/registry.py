@@ -101,88 +101,121 @@ def register(
 #: exactly the first 50 entries), so the prefix must span EVERY SURVEY §2
 #: row — tests/test_registry_order.py pins that invariant.
 #:
-#: Round-6 rotation: rounds 1-5 driver-proved 222 distinct queries; this
+#: Round-7 rotation: rounds 1-6 driver-proved 272 distinct queries; this
 #: round's 50 slots again go EXCLUSIVELY to queries with no successful
-#: driver row, per VERDICT r05 tasks 1/5/6: the full unproven streaming
-#: family, the four stats batteries (>=5 per module), the round-6
-#: second-wave rows (cube share, map pipeline, in-memory policy scan,
-#: exact-variance UDAF, business-key stream dedup), round-5 additions,
-#: and sole-provider coverage completions.
+#: driver row, per VERDICT r06 tasks 1/2: the 14 third-wave round-6
+#: shapes, the 3 never-driver-run ml_pipeline queries, scarce-tag sole
+#: providers (J2/S5/U5+A4/N6/J6/J5/A6/F6/T6/S2/U1/U2), an LLM-data ops
+#: block, and themed events_windows/stats_timeseries blocks that pull
+#: the two largest unproven pools from 23/20 down to 15/15.
 #: Tag coverage of all 66 rows is preserved (pinned below). Entries past
 #: slot 50 continue with every remaining never-checked query so a larger
 #: sweep budget still lands on new proof first.
 _PRIORITY = (
-    # -- streaming second wave (r06: zero unproven st_* after this round;
-    #    st_transform_with_state stays out: EnvironmentGated without protobuf)
-    "st_checkpoint_resume",
-    "st_complete_mode_agg",
-    "st_stream_static_join",
-    "st_stream_stream_join",
-    "st_progress_metrics",
-    "st_union_two_streams",
-    "st_foreachbatch_merge_scd2",
-    "st_stateful_rocksdb",
-    "st_session_timeout_state",
-    "st_dedup_business_key",
-    # -- round-6 second-wave rows (A5/F5/P3+S6/U3 — new this round)
-    "a_cube_grand_share",
-    "f_map_share_zipwith",
-    "s_inmemory_policy_scan",
-    "u_udaf_exact_variance",
-    # -- stats batteries: >=5 driver-proven per stats_* module after r06
-    "e_welch_ttest",
-    "e_survival_km_curve",
-    "e_mann_whitney_u",
-    "e_pareto_8020",
-    "e_quantile_treatment_effects",
-    "g_degree_assortativity",
-    "a_chi_square_independence",
-    "a_ks_two_sample",
-    "a_market_basket_lift",
-    "w_cusum_changepoint",
-    "t_rate_limit_violations",
-    "t_mann_kendall_test",
-    "e_power_analysis",
-    "a_srm_check",
-    "a_fleiss_kappa",
-    "e_permutation_test_exact",
-    "e_bradley_terry_strength",
-    # -- round-5 additions + governance / scale / events representatives
-    "m_content_defined_chunking",
-    "s_type_widening_read",
-    "s_corrupt_record_audit",
-    "s_column_masking_view",
-    "s_skew_report",
-    "t_session_window_dynamic_gap",
-    # -- tag-coverage completions (sole unproven providers of their rows)
-    "s_json_nested_scan",
-    "s_one_big_table_build",
-    "j_mark_join_exists_flag",
-    "n_ngram_novelty_rate",
-    "j_asof_nearest",
-    "a_kmv_distinct_sketch",
-    "n_inverted_index_build",
-    "n_hard_negative_mining",
-    "n_dedup_method_agreement",
-    "f_url_funcs",
-    "m_vad_segments",
-    "u_udtf_analyze_schema",
-    "sql_create_sql_udf",
+    # ---- round-7 sweep prefix: 50 never-driver-checked slots ----
+    # -- third-wave round-6 shapes (added precisely to be proven)
+    "a_rollup_calendar_hierarchy",
+    "a_collect_sorted_profile",
+    "p_xor_flag_census",
+    "j_double_semi_customers",
+    "j_asof_bucketed_tolerance",
+    "f_str_to_map_roundtrip",
+    "o_symmetric_difference",
+    "s_json_multiline_scan",
+    "t_sliding_6h_hourly",
+    "t_session_window_per_type",
+    "s_range_calendar_spine",
+    "st_dedup_then_session",
+    "u_udaf_window_mean",
+    "u_udtf_terminate_rollup",
+    # -- ml_pipeline queries never driver-run (rows-only by design, *_ok
+    #    self-validated; N7 is a first-class capability row)
+    "ml_als_recommender",
+    "ml_linreg_normal_eq_check",
+    "ml_isotonic_calibration",
+    # -- scarce-tag completions (sole/best unproven providers of their rows)
+    "a_mad_outliers",
+    "s_file_metadata_column",
+    "n_heavy_hitters_sketch",
+    "n_embedding_cluster_jsd",
+    "j_bridge_allocation",
+    "g_linkpred_common_neighbors",
+    "sql_q11_value_share",
+    "f_xml_funcs",
+    "s_lambda_unify",
+    "s_text_line_scan",
+    "u_pandas_on_spark_api",
+    "u_grouped_ols_fit",
+    # -- LLM-data ops block (dedup + retrieval-eval + text stats)
+    "n_containment_dedup",
+    "n_ngram_jaccard",
+    "n_ndcg_retrieval_eval",
+    "n_kcenter_diverse_selection",
+    "n_feature_hashing",
+    "n_tokenizer_fertility",
+    # -- sql/scalar/sources fills
+    "sql_lateral_column_alias",
+    "sql_parameterized",
+    "f_try_functions",
+    "s_zstd_parquet_roundtrip",
+    # -- events_windows themed block (pool 23 -> 15)
+    "w_linear_interpolate",
+    "t_ohlc_bars",
+    "t_session_metrics",
+    "t_resample_grid_locf",
+    "t_downtime_sla",
+    "t_interval_coalesce",
+    # -- stats_timeseries themed block (pool 20 -> 15)
+    "t_vwap_weekly",
+    "t_spc_xmr_chart",
+    "t_ewma_smoothing",
+    "t_theil_sen_trend",
+    "t_concurrency_sweepline",
     # ---- slots past the 50-entry sweep budget: every remaining
     # never-driver-checked query, registration order, so a larger
     # sweep still lands on new proof first ----
-    "f_regex_funcs",
-    "f_string_funcs",
-    "f_date_funcs",
-    "f_hash_funcs",
-    "f_try_functions",
-    "f_date_advanced",
-    "f_explode_outer",
-    "f_bitwise_funcs",
-    "f_higher_order_funcs",
-    "f_xml_funcs",
-    "f_interval_arithmetic",
-    "u_cogrouped_apply_in_arrow",
+    "sql_pipe_syntax",
+    "sql_session_variables",
+    "sql_identifier_clause",
+    "sql_scripting_threshold_search",
+    "sql_execute_immediate",
+    "sql_q15_top_supplier",
+    "sql_q16_notin_suppliers",
+    "sql_q6_forecast_revenue",
+    "sql_q9_product_profit",
+    "sql_q88_time_bands",
+    "sql_recursive_ancestor_rollup",
+    "j_hierarchy_closure_table",
+    "j_spatial_grid_nn",
+    "j_interval_overlap_join",
+    "j_join_size_estimate",
+    "j_drill_across_facts",
+    "j_backlog_aging_snapshots",
+    "j_entity_resolution_blocked",
+    "j_bitemporal_reconstruction",
+    "j_fuzzy_name_trigram",
+    "j_point_in_polygon",
+    "s_catalog_ddl_sql",
+    "s_small_file_compaction",
+    "s_analyze_table_stats",
+    "s_provenance_manifest",
+    "s_merge_idempotency",
+    "s_parquet_storage_report",
+    "s_vacuum_orphan_files",
+    "a_exact_quantiles",
+    "a_argmax_struct",
+    "a_mode_median",
+    "a_histogram_width_bucket",
+    "a_percentile_cont_disc",
+    "a_regression_aggs",
+    "a_bitmap_distinct",
+    "a_decimal128_exact",
+    "a_log2_histogram",
+    "a_quantile_histogram_sketch",
+    "a_pythagorean_means",
+    "a_relational_division_otif",
+    "a_semantic_layer_metrics",
+    "a_distinct_estimator_comparison",
     "w_rank_dense_ntile",
     "w_moving_avg",
     "w_distribution_funcs",
@@ -191,108 +224,31 @@ _PRIORITY = (
     "w_scd2_ranges",
     "w_mom_change",
     "o_union_all",
-    "a_exact_quantiles",
-    "a_argmax_struct",
-    "a_mode_median",
-    "a_histogram_width_bucket",
-    "a_percentile_cont_disc",
-    "sql_pipe_syntax",
-    "sql_parameterized",
-    "s_catalog_ddl_sql",
-    "s_small_file_compaction",
-    "s_text_line_scan",
-    "t_tumbling_window",
-    "t_rollup_from_materialized",
-    "t_ohlc_bars",
-    "t_session_metrics",
-    "n_token_count",
-    "n_langid",
-    "n_quality_score",
-    "n_char_entropy",
-    "n_bigram_lm_score",
-    "n_lang_quality_bands",
-    "n_dataset_card",
-    "n_ngram_jaccard",
-    "n_simhash",
-    "n_minhash_lsh_mllib",
-    "n_edit_distance_pairs",
-    "n_url_canonical_dedup",
-    "n_repeated_ngram_spans",
-    "n_embedding_quantize",
-    "s_zstd_parquet_roundtrip",
+    "f_string_funcs",
+    "f_date_funcs",
+    "f_hash_funcs",
     "f_hash_spark_native",
-    "a_regression_aggs",
-    "sql_lateral_column_alias",
-    "n_heavy_hitters_sketch",
-    "sql_session_variables",
-    "g_pagerank_parts",
-    "n_countmin_sketch",
-    "s_observe_qc_metrics",
-    "a_bitmap_distinct",
-    "sql_identifier_clause",
-    "sql_scripting_threshold_search",
-    "sql_execute_immediate",
-    "u_pandas_on_spark_api",
-    "sql_q11_value_share",
-    "sql_q15_top_supplier",
-    "sql_q16_notin_suppliers",
-    "sql_q6_forecast_revenue",
-    "sql_q9_product_profit",
-    "n_pq_rerank_refine",
-    "e_linear_attribution",
-    "s_profile_table",
-    "e_decay_engagement_score",
-    "j_spatial_grid_nn",
-    "s_incremental_agg_maintenance",
-    "j_bloom_runtime_filter",
-    "j_interval_overlap_join",
-    "w_linear_interpolate",
-    "g_bfs_hops",
-    "e_dau_mau_stickiness",
-    "e_growth_accounting",
-    "t_resample_grid_locf",
-    "t_event_order_skew",
-    "m_magic_bytes_sniff",
-    "ml_als_recommender",
-    "f_timezone_functions",
-    "j_drill_across_facts",
-    "t_downtime_sla",
-    "s_rendezvous_sharding",
-    "e_propensity_rank_matching",
-    "n_autocomplete_prefix_topk",
-    "n_feature_hashing",
-    "j_backlog_aging_snapshots",
-    "t_max_drawdown",
-    "t_interval_coalesce",
-    "e_snaive_forecast_backtest",
-    "s_file_metadata_column",
-    "sql_q88_time_bands",
-    "sql_recursive_ancestor_rollup",
-    "j_hierarchy_closure_table",
-    "j_join_size_estimate",
-    "j_bridge_allocation",
-    "j_entity_resolution_blocked",
-    "j_bitemporal_reconstruction",
-    "j_fuzzy_name_trigram",
-    "s_analyze_table_stats",
-    "s_provenance_manifest",
-    "s_lambda_unify",
-    "s_merge_idempotency",
-    "s_parquet_storage_report",
-    "a_decimal128_exact",
-    "a_log2_histogram",
-    "a_quantile_histogram_sketch",
-    "a_pythagorean_means",
-    "a_relational_division_otif",
-    "a_semantic_layer_metrics",
-    "a_distinct_estimator_comparison",
+    "f_date_advanced",
+    "f_explode_outer",
+    "f_bitwise_funcs",
+    "f_higher_order_funcs",
+    "f_regex_funcs",
+    "f_interval_arithmetic",
     "f_business_days_diff",
+    "f_timezone_functions",
     "f_snowflake_id_codec",
     "f_penny_allocation",
     "f_rounding_mode_audit",
-    "u_grouped_ols_fit",
+    "f_hex_bin_assign",
+    "u_cogrouped_apply_in_arrow",
+    "t_tumbling_window",
+    "t_rollup_from_materialized",
+    "e_decay_engagement_score",
     "t_lttb_downsample",
     "t_seasonality_dow_profile",
+    "t_event_order_skew",
+    "t_max_drawdown",
+    "e_snaive_forecast_backtest",
     "t_fiscal_445_calendar",
     "t_m4_downsample",
     "t_pinball_loss_eval",
@@ -300,6 +256,9 @@ _PRIORITY = (
     "t_peak_detection",
     "t_rolling_origin_backtest",
     "e_spike_root_cause_drilldown",
+    "e_linear_attribution",
+    "e_dau_mau_stickiness",
+    "e_growth_accounting",
     "e_bounce_rate",
     "e_shapley_attribution",
     "e_funnel_exclusion_steps",
@@ -307,11 +266,22 @@ _PRIORITY = (
     "e_nps_score_ci",
     "e_gains_lift_table",
     "st_transform_with_state",
+    "s_observe_qc_metrics",
+    "s_profile_table",
+    "j_bloom_runtime_filter",
     "s_benford_qc",
+    "s_rendezvous_sharding",
+    "n_token_count",
+    "n_langid",
+    "n_quality_score",
+    "n_bigram_lm_score",
+    "n_char_entropy",
+    "n_dataset_card",
+    "n_lang_quality_bands",
+    "n_countmin_sketch",
     "n_bpe_pair_counts",
     "n_rouge_ngram_overlap",
     "n_cooccurrence_pmi",
-    "n_tokenizer_fertility",
     "n_sentence_stats",
     "n_span_corruption_stats",
     "n_code_detection_score",
@@ -321,6 +291,7 @@ _PRIORITY = (
     "n_watermark_detection",
     "n_tfidf_doc_similarity",
     "n_seq_length_histogram",
+    "n_autocomplete_prefix_topk",
     "n_heaps_law_fit",
     "n_feature_scaling_params",
     "n_calibration_ece",
@@ -340,33 +311,39 @@ _PRIORITY = (
     "n_moe_load_balance_proxy",
     "n_bigram_entropy_rate",
     "n_bpe_merge_simulation",
-    "n_containment_dedup",
+    "n_simhash",
+    "n_minhash_lsh_mllib",
+    "n_edit_distance_pairs",
+    "n_url_canonical_dedup",
+    "n_repeated_ngram_spans",
     "n_dedup_survivorship_policy",
     "n_bloom_incremental_dedup",
     "n_lsh_parameter_sensitivity",
     "n_dedup_stage_funnel",
     "n_minhash_jaccard_calibration",
     "n_lsh_br_planner",
+    "n_embedding_quantize",
+    "n_pq_rerank_refine",
     "n_mrl_prefix_rerank",
-    "n_ndcg_retrieval_eval",
     "n_class_balanced_downsample",
     "n_embedding_drift_psi",
     "n_uncertainty_sampling",
-    "n_kcenter_diverse_selection",
     "n_mrr_retrieval_eval",
     "n_binary_hash_retrieval",
     "n_embedding_isotropy",
-    "n_embedding_cluster_jsd",
     "n_hubness_skew",
+    "s_incremental_agg_maintenance",
     "n_temperature_sampling_weights",
     "n_curriculum_phases",
     "n_group_kfold",
     "s_merge_on_read_deletes",
+    "n_dpo_preference_pairs",
     "m_patch_grid_plan",
     "m_av_sync_drift",
     "m_payload_integrity_audit",
-    "ml_linreg_normal_eq_check",
-    "g_linkpred_common_neighbors",
+    "m_magic_bytes_sniff",
+    "g_pagerank_parts",
+    "g_bfs_hops",
     "g_harmonic_centrality",
     "g_modularity_brand_partition",
     "g_degree_distribution",
@@ -374,71 +351,67 @@ _PRIORITY = (
     "g_community_conductance",
     "g_rich_club_coefficient",
     "g_avg_neighbor_degree_curve",
-    "a_mad_outliers",
-    "a_gini_concentration",
-    "e_cohort_ltv_triangle",
-    "t_ewma_smoothing",
-    "t_concurrency_sweepline",
+    "g_square_count",
     "w_rolling_regression_slope",
-    "w_rolling_median",
-    "e_diff_in_diff",
-    "e_repurchase_rate_30d",
-    "t_vwap_weekly",
-    "a_target_encoding_loo",
-    "e_kpi_driver_decomposition",
-    "a_hill_tail_exponent",
-    "e_cuped_adjustment",
     "t_weekly_spectral_power",
-    "e_ipw_adjustment",
-    "a_wilson_ci",
-    "e_retention_curve_fit",
-    "t_theil_sen_trend",
-    "a_ols_two_feature",
-    "a_cohens_kappa",
-    "e_ratio_delta_method_ci",
-    "a_oneway_anova_f",
-    "a_mutual_information_2d",
     "t_durbin_watson_residuals",
-    "t_spc_xmr_chart",
-    "e_sprt_sequential_test",
-    "a_empirical_bayes_shrinkage",
-    "a_simpsons_paradox_detector",
-    "e_direct_standardization",
-    "e_price_volume_mix",
-    "a_cvar_expected_shortfall",
-    "a_intraclass_correlation",
-    "e_bh_fdr_correction",
-    "a_spearman_rank_corr",
-    "e_wasserstein_spend_shift",
-    "a_kruskal_wallis_dow",
     "t_cross_correlation_lags",
     "t_hurst_exponent",
     "t_segmented_regression",
-    "a_cooks_distance_outliers",
-    "e_chain_ladder_ltv",
     "t_littles_law_check",
-    "a_hodges_lehmann_estimator",
-    "e_segment_migration_matrix",
     "t_burstiness_fano",
-    "e_price_elasticity",
     "t_record_days_check",
-    "a_negbin_moments_fit",
     "t_interarrival_burstiness",
-    "e_attribution_window_sweep",
-    "a_ipf_raking",
-    "e_weibull_survival_fit",
     "t_permutation_entropy",
-    "a_cronbach_alpha",
     "t_newey_west_se",
-    "a_theil_decomposition",
-    "a_mcnemar_test",
-    "a_dorfman_group_testing",
-    "e_abc_xyz_matrix",
     "t_erlang_c_staffing",
     "t_forecast_prediction_intervals",
     "t_variance_ratio_test",
-    "e_mde_runtime_curve",
+    "a_gini_concentration",
+    "w_rolling_median",
+    "a_target_encoding_loo",
+    "a_hill_tail_exponent",
+    "a_wilson_ci",
+    "a_ols_two_feature",
+    "a_oneway_anova_f",
+    "a_mutual_information_2d",
+    "a_empirical_bayes_shrinkage",
+    "a_cvar_expected_shortfall",
+    "a_spearman_rank_corr",
+    "a_kruskal_wallis_dow",
+    "a_cooks_distance_outliers",
+    "a_hodges_lehmann_estimator",
+    "a_negbin_moments_fit",
+    "a_ipf_raking",
+    "a_theil_decomposition",
     "a_jackknife_gini_se",
+    "e_cohort_ltv_triangle",
+    "e_diff_in_diff",
+    "e_repurchase_rate_30d",
+    "e_kpi_driver_decomposition",
+    "e_cuped_adjustment",
+    "e_ipw_adjustment",
+    "e_retention_curve_fit",
+    "e_propensity_rank_matching",
+    "e_ratio_delta_method_ci",
+    "e_direct_standardization",
+    "e_price_volume_mix",
+    "e_bh_fdr_correction",
+    "e_wasserstein_spend_shift",
+    "e_chain_ladder_ltv",
+    "e_segment_migration_matrix",
+    "e_price_elasticity",
+    "e_attribution_window_sweep",
+    "e_weibull_survival_fit",
+    "e_abc_xyz_matrix",
+    "a_cohens_kappa",
+    "e_sprt_sequential_test",
+    "a_simpsons_paradox_detector",
+    "a_intraclass_correlation",
+    "a_cronbach_alpha",
+    "a_mcnemar_test",
+    "a_dorfman_group_testing",
+    "e_mde_runtime_curve",
     "a_k_anonymity_audit",
     "s_snapshot_diff_cdf",
     "n_pps_systematic_sample",
@@ -446,12 +419,6 @@ _PRIORITY = (
     "n_dp_noisy_counts",
     "s_constraint_audit_all_tables",
     "s_crypto_shredding",
-    "j_point_in_polygon",
-    "s_vacuum_orphan_files",
-    "f_hex_bin_assign",
-    "n_dpo_preference_pairs",
-    "ml_isotonic_calibration",
-    "g_square_count",
 )
 
 
