@@ -235,16 +235,31 @@ def simhash64_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     associatively, and the sign test + bit pack run on the per-doc
     aggregate row. At 100 TB this is a single shuffle keyed by doc id
     with map-side combine; the interpreted fold form is 64·n_tok lambda
-    dispatches per document in one task."""
+    dispatches per document in one task.
+
+    Row cardinality matches the fold form too: NULL-text rows are KEPT
+    (explode_outer emits a single NULL token, the ±1 term is NULL for
+    it, SUM of only-NULLs is NULL) and packed to signature 0 — exactly
+    what the expression form yields for NULL text, where the inner
+    aggregate is NULL and IF(NULL > 0, bit, 0) takes the else branch on
+    all 64 bits. Any consumer of the (id, simhash) table sees every
+    input id."""
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+        F.explode_outer(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     )
+    # xxhash64(NULL) is non-null (the seed), so the NULL-token guard must
+    # be explicit: a NULL term keeps SUM at NULL for null-text docs.
     h = F.xxhash64(F.col("tok"))
+    pm1 = F.when(
+        F.col("tok").isNull(), F.lit(None).cast("int")
+    )
     sums = toks.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                pm1.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
             ).alias(f"b{j}")
             for j in range(64)
         ]
@@ -255,6 +270,8 @@ def simhash64_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
+    # NULL text ⇒ every b_j is NULL ⇒ every WHEN(b_j > 0) already takes
+    # its otherwise(0) branch, packing to 0L like the fold form.
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 

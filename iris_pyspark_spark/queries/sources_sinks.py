@@ -2266,10 +2266,13 @@ def s_json_multiline_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
     import os
 
+    from ..sources import artifact_is_current, mark_artifact, table_fingerprint
+
     nation = load_table(spark, sf_dir, "nation")
     out = scratch_dir(sf_dir, "json_multiline")
     doc = os.path.join(out, "nations.json")
-    if not os.path.exists(doc):
+    fp = table_fingerprint(sf_dir, "nation", params="json-multiline")
+    if not artifact_is_current(doc, fp):
         os.makedirs(out, exist_ok=True)
         jsonl_dir = os.path.join(out, "_jsonl")
         nation.select("n_nationkey", "n_name", "n_regionkey").coalesce(
@@ -2284,6 +2287,7 @@ def s_json_multiline_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(tmp, "w") as f:
             _json.dump(rows, f, indent=2)
         os.replace(tmp, doc)
+        mark_artifact(doc, fp)
     back = (
         spark.read.option("multiLine", "true")
         .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")

@@ -1007,20 +1007,28 @@ def _scd2_merge_batch(spark: SparkSession, dim: str, batch_df: DataFrame) -> Non
 
     incoming = batch_df.select("user_id", "wnd", "ts", "event_id", "event_type")
     base = incoming
-    if os.path.isdir(dim):
-        try:
-            existing = spark.read.option("basePath", dim).parquet(dim)
-            touched = incoming.select("wnd").distinct()
-            # localCheckpoint materializes the touched slice so the
-            # dynamic overwrite below doesn't read the path it rewrites
-            # (Spark rejects same-path read+overwrite in one job).
-            base = incoming.unionByName(
-                existing.join(F.broadcast(touched), "wnd").select(
-                    "user_id", "wnd", "ts", "event_id", "event_type"
-                ).localCheckpoint(eager=True)
-            )
-        except Exception:
-            pass  # first batch: no dimension artifact yet
+    # "Dimension exists" must be decided by a positive part-file probe,
+    # not by swallowing read errors: a transient failure on a POPULATED
+    # dimension that silently degraded base to incoming-only would let
+    # the dynamic overwrite clobber every touched window — the exact
+    # data-loss bug the union exists to prevent. Real read failures
+    # propagate and abort the batch (streaming retries the batch).
+    has_rows = os.path.isdir(dim) and any(
+        f.startswith("part-")
+        for _, _, files in os.walk(dim)
+        for f in files
+    )
+    if has_rows:
+        existing = spark.read.option("basePath", dim).parquet(dim)
+        touched = incoming.select("wnd").distinct()
+        # localCheckpoint materializes the touched slice so the
+        # dynamic overwrite below doesn't read the path it rewrites
+        # (Spark rejects same-path read+overwrite in one job).
+        base = incoming.unionByName(
+            existing.join(F.broadcast(touched), "wnd").select(
+                "user_id", "wnd", "ts", "event_id", "event_type"
+            ).localCheckpoint(eager=True)
+        )
     w = Window.partitionBy("user_id", "wnd").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )

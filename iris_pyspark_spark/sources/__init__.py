@@ -46,11 +46,15 @@ def _fingerprint_file(path: str) -> str:
 
 
 def artifact_is_current(path: str, fingerprint: str) -> bool:
-    """True iff `path` holds a COMPLETE artifact (_SUCCESS marker — an
-    interrupted write must never be trusted) built from inputs matching
-    `fingerprint` (sidecar file — a stale artifact must never be
-    served)."""
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    """True iff `path` holds a COMPLETE artifact built from inputs
+    matching `fingerprint` (sidecar file — a stale artifact must never
+    be served). Completeness marker: directory artifacts (Spark sink
+    output) need _SUCCESS — an interrupted write must never be trusted;
+    a plain-file artifact IS its own marker provided it was published
+    with an atomic os.replace (the house rule for file artifacts)."""
+    if os.path.isfile(path):
+        pass  # atomic-rename publish: existence == completeness
+    elif not os.path.exists(os.path.join(path, "_SUCCESS")):
         return False
     fp_file = _fingerprint_file(path)
     if not os.path.exists(fp_file):

@@ -326,3 +326,26 @@ def test_simhash_table_form_matches_expression_form(spark, sf_dir):
     joined = old.join(new, "doc_id")
     assert joined.count() == 300
     assert joined.filter(F.col("simhash") != F.col("s2")).count() == 0
+
+
+def test_simhash_table_form_keeps_null_text_rows(spark):
+    """NULL-text rows must survive the table form (cardinality parity
+    with the fold form) and carry the SAME signature the fold yields for
+    NULL text — 0, because IF(NULL > 0, bit, 0) takes the else branch on
+    all 64 bits; empty-string text gets a real signature in both forms
+    (split('', ' ') is ['']), and a consumer of the (id, simhash) table
+    sees every input id."""
+    from iris_pyspark_spark.operators.dedup import simhash64, simhash64_table
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, ""), (4, "alpha")],
+        "doc_id INT, text STRING",
+    )
+    old = d.select("doc_id", simhash64("split(lower(text), ' ')").alias("simhash"))
+    new = simhash64_table(d, "doc_id", "text").withColumnRenamed("simhash", "s2")
+    joined = old.join(new, "doc_id", "full_outer")
+    rows = {r["doc_id"]: (r["simhash"], r["s2"]) for r in joined.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for i in (1, 2, 3, 4):
+        assert rows[i][0] is not None and rows[i][0] == rows[i][1], (i, rows[i])
+    assert rows[2][1] == 0  # NULL text packs to 0 in BOTH forms

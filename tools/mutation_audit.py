@@ -46,32 +46,40 @@ MUTATIONS = ("cell_bump", "row_drop", "col_rename")
 
 
 def _bump_cell(pdf: pd.DataFrame) -> pd.DataFrame | None:
-    """Smallest-step change to the first mutable cell, or None if the
-    frame has no rows."""
+    """Smallest-step change to the first mutable NON-NULL cell anywhere
+    in the frame, or None if no cell can take a real mutation.
+
+    Scans every row, not just the first: a frame whose first row is all
+    NaN/NaT would otherwise skip cell_bump silently — or worse, apply a
+    no-op (NaT + Timedelta stays NaT) that then reads as an UNDETECTED
+    mutation and falsely fails the query. NULL cells of every dtype are
+    skipped; the caller emits an advisory when a non-empty frame yields
+    no mutable cell so the gap is visible instead of silent."""
     if len(pdf) == 0:
         return None
-    out = pdf.copy(deep=True)
-    for c in sorted(out.columns):
-        s = out[c]
-        v = s.iloc[0]
+    for c in sorted(pdf.columns):
+        s = pdf[c]
         kind = s.dtype.kind
-        if kind in "iu" or isinstance(v, (int, np.integer)) and kind == "O":
-            out.loc[out.index[0], c] = v + 1
-            return out
-        if kind == "f" or isinstance(v, (float, np.floating)):
+        for idx, v in s.items():
             if pd.isna(v):
-                continue
-            out.loc[out.index[0], c] = float(np.nextafter(v, np.inf))
-            return out
-        if kind == "b" or isinstance(v, (bool, np.bool_)):
-            out.loc[out.index[0], c] = not bool(v)
-            return out
-        if kind == "M":
-            out.loc[out.index[0], c] = v + pd.Timedelta(seconds=1)
-            return out
-        if kind == "O" and isinstance(v, str):
-            out.loc[out.index[0], c] = v + "\x01"
-            return out
+                continue  # NaN, NaT, pd.NA, None — never a real bump
+            out = None
+            if kind in "iu" or (kind == "O" and isinstance(v, (int, np.integer))
+                                and not isinstance(v, (bool, np.bool_))):
+                out = v + 1
+            elif kind == "f" or isinstance(v, (float, np.floating)):
+                out = float(np.nextafter(v, np.inf))
+            elif kind == "b" or isinstance(v, (bool, np.bool_)):
+                out = not bool(v)
+            elif kind == "M":
+                out = v + pd.Timedelta(seconds=1)
+            elif kind == "O" and isinstance(v, str):
+                out = v + "\x01"
+            else:
+                break  # unmutable dtype: move to the next column
+            res = pdf.copy(deep=True)
+            res.loc[idx, c] = out
+            return res
     return None
 
 
@@ -107,6 +115,10 @@ def audit(sf_dir: str, names: list[str]) -> int:
             continue
         if len(sp) == 0:
             advisories.append(f"{name}: 0-row output — only col_rename testable")
+        elif _bump_cell(sp) is None:
+            advisories.append(
+                f"{name}: no mutable non-null cell — cell_bump not exercised"
+            )
         undetected = [
             m for m, mutated in mutants(sp) if compare_frames(mutated, du).ok
         ]
