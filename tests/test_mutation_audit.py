@@ -72,3 +72,55 @@ def test_live_audit_detects_all_mutations(spark, sf_dir, oracle, qname):
     assert compare_frames(sp, du).ok
     for mname, mutated in ma.mutants(sp):
         assert not compare_frames(mutated, du).ok, f"{qname}: {mname} undetected"
+
+
+def test_oracle_mutants_bump_literals_and_vacate_where():
+    """The oracle-side mutator must (a) bump standalone numeric literals
+    only — never digits inside quoted strings or identifiers — and (b)
+    vacate WHERE clauses with a whole-clause `TRUE OR` (OR binds
+    loosest, so the original predicate becomes unreachable)."""
+    ma = _tool()
+    sql = (
+        "SELECT o_orderkey AS k17, COUNT(*) AS n FROM orders "
+        "WHERE o_orderdate >= DATE '1995-01-01' AND o_totalprice > 100 "
+        "GROUP BY o_orderkey HAVING COUNT(*) > 2 LIMIT 10"
+    )
+    muts = dict(ma.oracle_mutants(sql))
+    consts = [v for k, v in muts.items() if k.startswith("const_bump")]
+    wheres = [v for k, v in muts.items() if k.startswith("where_vacate")]
+    assert len(wheres) == 1 and "WHERE TRUE OR o_orderdate" in wheres[0]
+    # literals 100, 2, 10 are bumped; 17 (identifier) and 1995/01/01
+    # (inside the date string) are NOT.
+    joined = "\n".join(consts)
+    assert "o_totalprice > 101" in joined
+    assert "COUNT(*) > 3" in joined
+    assert "LIMIT 11" in joined
+    assert all("k18" not in v for v in consts)
+    assert all("1996-01-01" not in v and "'1995" in v for v in consts)
+
+
+def test_oracle_side_audit_flags_blind_and_inert(sf_dir, oracle):
+    """Semantics pin via compare_frames directly: a mutation that CHANGES
+    the oracle output must flip the comparison (else comparator-blind);
+    a mutation that leaves output identical is the inert-token advisory
+    class, not a failure."""
+    from iris_pyspark_spark.testing import compare_frames
+
+    ma = _tool()
+    sql = (
+        "SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n FROM nation "
+        "WHERE n_nationkey >= 0 GROUP BY n_regionkey ORDER BY n_regionkey"
+    )
+    base = oracle.execute(sql).df()
+    labels = dict(ma.oracle_mutants(sql))
+    # the >= 0 guard is inert (keys start at 0 ... wait, bumping 0 -> 1
+    # DROPS nationkey 0): assert the machinery classifies each mutant by
+    # actually re-running it, whatever direction it lands.
+    for label, msql in labels.items():
+        dm = oracle.execute(msql).df()
+        changed = not compare_frames(dm, base).ok
+        detected = not compare_frames(base, dm).ok
+        # compare is symmetric here: changed and detected must agree --
+        # the comparator-blind case (changed and not detected) is the
+        # hard failure the audit exists to catch.
+        assert changed == detected, (label, msql)

@@ -23,6 +23,11 @@ result proves little and should justify itself).
 
 Usage:
     python tools/mutation_audit.py [sf_dir] [n_sample|all] [name_substr]
+    python tools/mutation_audit.py --oracle-side [sf_dir] [n|all] [substr]
+
+`--oracle-side` runs the DUAL audit (see the oracle-side section below):
+mutate the DuckDB SQL instead of the Spark frame, proving the oracles
+are independent witnesses rather than mirrors of a shared bug.
 
 Sampling is deterministic: registry order (the _PRIORITY sweep prefix
 first — the queries the driver will check next — then the remainder),
@@ -145,6 +150,139 @@ def audit(sf_dir: str, names: list[str]) -> int:
     return 0 if not baseline_fail else 1
 
 
+# --------------------------------------------------------------------------
+# Oracle-side mutations: prove the ORACLES are independent witnesses.
+#
+# The Spark-side audit above proves the comparison catches a wrong Spark
+# answer given a correct oracle. It cannot catch the dual failure mode: an
+# oracle that accidentally MIRRORS a Spark bug (both sides sharing a wrong
+# constant or an inert predicate — the round-4 "1995 date both sides"
+# vacuity class). Mutating the ORACLE SQL closes it: flip a numeric literal
+# or vacate a WHERE clause, re-run DuckDB, and check what happens.
+#
+#   * mutated oracle CHANGED its output and the comparison FAILS  → the
+#     comparison is sensitive at that token: ok.
+#   * mutated oracle CHANGED its output but the comparison still PASSES →
+#     the comparator has a tolerance blind spot: HARD FAIL.
+#   * mutated oracle output UNCHANGED → that literal/predicate is INERT at
+#     this scale factor — exactly the shared-constant vacuity smell; the
+#     token is reported as an advisory for triage (a guard predicate or a
+#     LIMIT above the row count can be legitimately inert).
+# --------------------------------------------------------------------------
+
+ORACLE_MUTATIONS = ("const_bump", "where_vacate")
+
+_MAX_CONSTS = 4  # first N numeric literals mutated per query
+_MAX_WHERES = 2  # first N WHERE clauses vacated per query
+
+
+def _mask_strings(sql: str) -> str:
+    """Blank out single-quoted literals (keeping length/positions) so the
+    token scans below never touch dates or string constants."""
+    import re
+
+    return re.sub(r"'[^']*'", lambda m: "'" + " " * (len(m.group()) - 2) + "'", sql)
+
+
+def oracle_mutants(sql: str):
+    """Yield (mutation_label, mutated_sql) for the first _MAX_CONSTS
+    standalone numeric literals (each bumped +1) and the first
+    _MAX_WHERES WHERE clauses (each vacated via `WHERE TRUE OR`, which
+    ORs over the whole clause since OR binds loosest)."""
+    import re
+
+    masked = _mask_strings(sql)
+    n = 0
+    for m in re.finditer(r"(?<![\w.$])(\d+(?:\.\d+)?)(?![\w.])", masked):
+        if n >= _MAX_CONSTS:
+            break
+        n += 1
+        lit = m.group(1)
+        bumped = (
+            str(int(lit) + 1) if "." not in lit else repr(float(lit) + 1.0)
+        )
+        yield (
+            f"const_bump[{lit}@{m.start(1)}]",
+            sql[: m.start(1)] + bumped + sql[m.end(1) :],
+        )
+    n = 0
+    for m in re.finditer(r"\bWHERE\b", masked, flags=re.IGNORECASE):
+        if n >= _MAX_WHERES:
+            break
+        n += 1
+        yield (
+            f"where_vacate[@{m.start()}]",
+            sql[: m.end()] + " TRUE OR" + sql[m.end() :],
+        )
+
+
+def audit_oracle_side(sf_dir: str, names: list[str]) -> int:
+    from iris_pyspark_spark.session import get_spark
+
+    reg = load_all()
+    spark = get_spark(app_name="mutation-audit-oracle")
+    con = make_oracle_con(sf_dir)
+    blind: dict[str, list[str]] = {}  # changed output, comparison passed
+    inert: dict[str, list[str]] = {}  # mutation was a semantic no-op
+    baseline_fail: list[str] = []
+    no_mutation: list[str] = []
+    n_mut = n_err = 0
+    for i, name in enumerate(names):
+        q = reg[name]
+        try:
+            sp = q.fn(spark, sf_dir).toPandas()
+        except EnvironmentGated:
+            continue
+        du = con.execute(q.oracle).df()
+        if not compare_frames(sp, du).ok:
+            baseline_fail.append(name)
+            continue
+        applied = 0
+        for label, msql in oracle_mutants(q.oracle):
+            try:
+                dm = con.execute(msql).df()
+            except Exception:
+                n_err += 1  # mutant SQL invalid (e.g. bumped a divisor
+                continue  # into an overflow) — inapplicable, not evidence
+            applied += 1
+            n_mut += 1
+            changed = not compare_frames(dm, du).ok
+            detected = not compare_frames(sp, dm).ok
+            if changed and not detected:
+                blind.setdefault(name, []).append(label)
+            elif not changed:
+                inert.setdefault(name, []).append(label)
+        if applied == 0:
+            no_mutation.append(name)
+        status = (
+            "COMPARATOR-BLIND " + ",".join(blind[name])
+            if name in blind
+            else f"ok ({applied} mutants"
+            + (f", {len(inert.get(name, []))} inert" if name in inert else "")
+            + ")"
+        )
+        print(f"[{i + 1}/{len(names)}] {name}: {status}")
+    print()
+    for n_ in no_mutation:
+        print(f"ADVISORY {n_}: no applicable oracle mutation (no literal/WHERE)")
+    for n_, labels in sorted(inert.items()):
+        print(f"ADVISORY {n_}: inert at this sf — {', '.join(labels)}")
+    for n_ in baseline_fail:
+        print(f"BASELINE-FAIL {n_} (fix the query/oracle first; not audited)")
+    if blind:
+        print(f"COMPARATOR-BLIND oracle mutations ({len(blind)}):")
+        for n_, labels in blind.items():
+            print(f"  {n_}: output changed yet comparison passed — {labels}")
+        return 1
+    print(
+        f"oracle-side audit: {len(names)} queries, {n_mut} mutants executed "
+        f"({n_err} inapplicable), 0 comparator-blind; "
+        f"{sum(len(v) for v in inert.values())} inert tokens "
+        f"across {len(inert)} queries (see advisories)"
+    )
+    return 0 if not baseline_fail else 1
+
+
 def pick_sample(n: int | None, substr: str) -> list[str]:
     reg = load_all()
     oracled = [m for m, q in reg.items() if q.oracle is not None and substr in m]
@@ -155,11 +293,15 @@ def pick_sample(n: int | None, substr: str) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n_arg = sys.argv[2] if len(sys.argv) > 2 else "50"
-    substr = sys.argv[3] if len(sys.argv) > 3 else ""
+    argv = [a for a in sys.argv[1:] if a != "--oracle-side"]
+    oracle_side = "--oracle-side" in sys.argv[1:]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    n_arg = argv[1] if len(argv) > 1 else ("30" if oracle_side else "50")
+    substr = argv[2] if len(argv) > 2 else ""
     n = None if n_arg == "all" else int(n_arg)
     names = pick_sample(n, substr)
+    if oracle_side:
+        return audit_oracle_side(sf_dir, names)
     return audit(sf_dir, names)
 
 
