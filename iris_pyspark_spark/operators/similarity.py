@@ -261,6 +261,15 @@ def _release_prior_selfsim_cache() -> None:
             pass  # session torn down — nothing to release
 
 
+class SelfSimScaleGuard(RuntimeError):
+    """Raised when cosine_topk_selfsim would round-trip more than
+    `max_driver_rows` vectors through the driver in total. The slab loop
+    bounds driver PEAK memory to one slab, but total traffic is still
+    the whole corpus — past the guard, exact all-pairs through a single
+    driver is the wrong tool by construction; use the bucketed paths
+    (`ivf_assign` + cell-local search, or PQ+ADC two-stage) instead."""
+
+
 def cosine_topk_selfsim(
     corpus: DataFrame,
     c_id: str,
@@ -270,6 +279,7 @@ def cosine_topk_selfsim(
     slab_rows: int = 65536,
     out_query_col: str = "vec_id",
     out_neighbor_col: str = "neighbor_id",
+    max_driver_rows: int = 4_194_304,
 ) -> DataFrame:
     """All-pairs (self-similarity) cosine top-k with BOUNDED driver memory.
 
@@ -296,7 +306,10 @@ def cosine_topk_selfsim(
     (measured 2.3× faster at 2k vectors), while any corpus past
     256·parallelism rows still fans out to every core. For genuinely
     huge n, prefer the IVF path (`ivf_assign` + cell-local search) —
-    this operator is the exact baseline.
+    this operator is the exact baseline, and it ENFORCES that division
+    of labor: TOTAL driver traffic is the whole corpus (one slab at a
+    time), so past `max_driver_rows` it raises SelfSimScaleGuard
+    instead of silently becoming a driver funnel.
     """
     from pyspark import StorageLevel
 
@@ -309,6 +322,13 @@ def cosine_topk_selfsim(
     _release_prior_selfsim_cache()
     parts = corpus.sparkSession.sparkContext.defaultParallelism
     n = corpus.count()  # zero-column scan: metadata-cheap on parquet
+    if n > max_driver_rows:
+        raise SelfSimScaleGuard(
+            f"cosine_topk_selfsim: corpus has {n:,} vectors; total driver "
+            f"traffic would exceed the {max_driver_rows:,}-row guard. This "
+            "operator is the EXACT all-pairs baseline — past this scale use "
+            "ivf_assign + cell-local search or the PQ+ADC two-stage path."
+        )
     n_slabs = max(1, -(-n // slab_rows))
     target_parts = int(max(1, min(parts, -(-n // 256))))
     body = (

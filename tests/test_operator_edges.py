@@ -180,6 +180,25 @@ def test_cosine_selfsim_slabs_match_unsharded(spark):
     assert run(slab_rows=3) == run(slab_rows=100)  # 4 slabs vs 1 slab
 
 
+def test_cosine_selfsim_scale_guard_refuses_driver_funnel(spark):
+    """Past max_driver_rows the operator must refuse loudly (total slab
+    traffic through the driver = the whole corpus) and point at the
+    bucketed ANN paths, instead of silently becoming a driver funnel."""
+    import pytest
+
+    from iris_pyspark_spark.operators.similarity import (
+        SelfSimScaleGuard,
+        cosine_topk_selfsim,
+    )
+
+    rows = [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(SelfSimScaleGuard, match="ivf_assign"):
+        cosine_topk_selfsim(
+            df, c_id="vec_id", c_vec="embedding", k=2, dim=2, max_driver_rows=5
+        )
+
+
 def test_forward_fill_leading_nulls_stay_null(spark):
     """Rows before a key's first non-null have nothing to carry forward
     — they must stay NULL, and fills must never cross keys."""
