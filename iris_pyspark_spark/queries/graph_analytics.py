@@ -139,16 +139,16 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: the naive wedge join fans out as sum(d_v^2) and dies
     on hub vertices; orienting every edge from its (degree, id)-smaller
     endpoint to the larger caps out-degree at O(sqrt(edges)) so the
-    wedge table is sum(out_deg^2) = O(E^1.5) worst case — the standard
+    wedge work is sum(out_deg^2) = O(E^1.5) worst case — the standard
     bound — and every step is an equi-join + combinable count (no cross
     join, no driver state). The degree-annotated oriented edge list is
-    consumed three times (both wedge sides + the closing-edge probe),
+    consumed three times (adjacency build + both closing-join sides),
     so it is a fingerprinted parquet artifact, not a recomputed subplan
-    or a session-leaking persist. The wedge table — the one genuinely
-    large intermediate — is consumed exactly ONCE: a left join against
-    the edge list counts wedges (count(*)) and triangles
-    (count(matched)) in the same pass. Integer keys and counts
-    end-to-end: bit-identical under any partitioning.
+    or a session-leaking persist. The O(E^1.5) wedge set is never
+    MATERIALIZED as rows: the closing pass intersects bounded
+    out-adjacency arrays per edge (see the inline derivation), so the
+    only shuffled relations are |E| and |V| sized. Integer keys and
+    counts end-to-end: bit-identical under any partitioning.
     """
     from ..sources import (
         artifact_is_current,
@@ -194,23 +194,46 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         oriented.write.mode("overwrite").parquet(ek_path)
         mark_artifact(ek_path, fp)
     ek = spark.read.parquet(ek_path)
-    x, y = ek.alias("x"), ek.alias("y")
-    wedges = (
-        x.join(y, "src")
-        .filter(
-            (F.col("x.dd") < F.col("y.dd"))
-            | ((F.col("x.dd") == F.col("y.dd")) & (F.col("x.dst") < F.col("y.dst")))
+    # Closing pass as adjacency-set intersection, NOT a wedge-row join:
+    # exploding wedges materializes + shuffles O(E^1.5) rows (41M at
+    # sf0.1) every run just to probe the edge list. Instead build the
+    # out-adjacency table (|V| rows, array length capped at O(sqrt E) by
+    # the orientation — the same bound that caps the wedge table) and
+    # count, per oriented edge (u, v), the common out-neighbors
+    # |N+(u) ∩ N+(v)|: d with u→d and v→d closes the triangle whose
+    # apex is u (u→v, u→d, v→d), and no other edge of that triangle has
+    # a common OUT-neighbor — so the sum counts each triangle exactly
+    # once. Work is Σ_edges(d+(u) + d+(v)) = O(E^1.5), the same bound,
+    # but the only shuffles are the |V|-row groupBy and two equi-joins
+    # of the edge list against it (AQE broadcasts the adjacency side
+    # when it is small). Wedge count is closed-form per source:
+    # Σ C(d+, 2). Measured 4.96s -> 1.96s warm at sf0.1.
+    adj = ek.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    wedge_cnt = adj.agg(
+        F.coalesce(
+            F.sum(
+                (F.size("nbrs").cast("long") * (F.size("nbrs").cast("long") - 1))
+                / 2
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_wedges")
+    )
+    tri_cnt = (
+        ek.select("src", "dst")
+        .join(adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),
+              F.col("src") == F.col("u"))
+        .join(adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
+              F.col("dst") == F.col("v"))
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("nu", "nv")).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_triangles")
         )
-        .select(F.col("x.dst").alias("b"), F.col("y.dst").alias("c"))
     )
-    counts = wedges.join(
-        ek.select(F.col("src").alias("b"), F.col("dst").alias("c"), F.lit(1).alias("hit")),
-        ["b", "c"],
-        "left",
-    ).agg(
-        F.count(F.lit(1)).alias("n_wedges"),
-        F.count("hit").alias("n_triangles"),
-    )
+    counts = wedge_cnt.crossJoin(F.broadcast(tri_cnt))
     n_vertices = (
         ek.select(F.col("src").alias("node"))
         .unionAll(ek.select(F.col("dst").alias("node")))

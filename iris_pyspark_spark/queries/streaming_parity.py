@@ -626,7 +626,16 @@ def st_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents",
         )
     )
-    return drain_to_table(agg, output_mode="complete")
+    # Complete-mode drain: the final answer is identical under any state
+    # partitioning, and every batch emits the full result — so 8 state
+    # stores per operator (not 32) and no trailing no-data batch. Cuts
+    # the fixed micro-batch overhead ~40% (2.98s -> 1.5-1.9s at sf0.1).
+    return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
 
 
 _STREAM_STREAM_OUTER_ORACLE = """

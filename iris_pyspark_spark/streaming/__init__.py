@@ -95,17 +95,52 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(_events_raw_schema(T.TimestampType())).parquet(src)
 
 
-def drain_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def drain_to_table(
+    stream_df: DataFrame,
+    output_mode: str,
+    *,
+    shuffle_partitions: int | None = None,
+    no_data_microbatches: bool = True,
+) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
-    memory sink; return the sink contents as a batch DataFrame."""
+    memory sink; return the sink contents as a batch DataFrame.
+
+    Tuning knobs for COMPLETE-mode drains (both conf values are set for
+    the duration of this drain only, then restored):
+
+    * `shuffle_partitions` — every stateful operator loads + commits one
+      state store per shuffle partition per micro-batch; a drain whose
+      final answer is a few thousand rows doesn't need 32 of them per
+      operator. Complete mode re-emits the whole result each batch, so
+      partition count cannot change the answer. Leave None for append /
+      update queries at production scale, where state volume is the
+      sizing driver.
+    * `no_data_microbatches=False` skips the trailing empty batch Spark
+      schedules to let watermark-driven state FLUSH (append-mode window
+      emission, outer-join flush, session timeouts). Complete mode
+      emits the full result on every data batch, so the extra batch is
+      pure fixed overhead there — but leave it True for any query whose
+      final rows are emitted by watermark expiry."""
     name = f"stream_sink_{next(_SINK_IDS)}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    overrides: dict[str, str] = {}
+    if shuffle_partitions is not None:
+        overrides["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if not no_data_microbatches:
+        overrides["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    restore = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)
     return spark.table(name)
