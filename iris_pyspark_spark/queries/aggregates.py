@@ -2093,3 +2093,60 @@ def a_collect_sorted_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --- A6/A9, fourth wave: diversity-gated HAVING over collected domains ------
+
+_HAVING_DOMAIN_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)  AS yr,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderstatus)), '|')
+         AS statuses_seen,
+       CAST(COUNT(*) AS BIGINT) AS n_jumbo,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_totalprice > 480000.0
+GROUP BY yr, mon
+HAVING COUNT(DISTINCT o_orderstatus) >= 2
+ORDER BY yr, mon
+"""
+
+
+@register(
+    "a_having_status_domains",
+    oracle=_HAVING_DOMAIN_ORACLE,
+    tags=("A6", "A9", "A1", "A3", "F2", "F4"),
+)
+def a_having_status_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A9, fourth wave: HAVING as a DOMAIN-DIVERSITY gate over the
+    jumbo-order tail — months whose >480k slice saw >= 2 distinct order
+    statuses, with the surviving domains carried as sorted collected
+    sets. The tail slice keeps the domains non-degenerate at sf0.01
+    (the full table sees every status in every month — the
+    constant-vs-constant vacuity class) and makes the HAVING genuinely
+    drop cells; statuses are uniform in this data, so over ALL rows the
+    gate would be vacuously true.
+
+    Scale: collect_set state is bounded by the 3-value status domain;
+    the selective tail predicate is pushed to the scan; one combinable
+    pass, HAVING applied post-aggregate on ~80 monthly cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") > 480000.0)
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+        )
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderstatus")), "|"
+            ).alias("statuses_seen"),
+            F.count(F.lit(1)).cast("long").alias("n_jumbo"),
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
+            F.count_distinct("o_orderstatus").alias("_n_status"),
+        )
+        .filter(F.col("_n_status") >= 2)
+        .drop("_n_status")
+        .orderBy("yr", "mon")
+    )

@@ -2529,3 +2529,149 @@ def t_session_window_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- T2, fourth wave: 4h/2h sliding windows with grand-total share ----------
+
+_SLIDE_SHARE_ORACLE = f"""
+WITH e AS (
+  SELECT EPOCH_US(ts) // 1000000 AS es,
+         {CENTS_SQL.format(expr="value")} AS v_cents
+  FROM events WHERE event_type = 'view'
+),
+tot AS (SELECT SUM(v_cents) AS all_cents FROM e),
+exploded AS (
+  SELECT ((es // 7200) - t.k) * 7200 AS win_start_epoch, v_cents
+  FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 1)) AS k) t
+)
+SELECT CAST(win_start_epoch AS BIGINT) AS win_start_epoch,
+       CAST(COUNT(*) AS BIGINT)        AS n_views,
+       CAST(SUM(v_cents) AS BIGINT)    AS win_cents,
+       CAST(SUM(v_cents) * 10000 // (2 * (SELECT all_cents FROM tot))
+            AS BIGINT)                 AS share_bp
+FROM exploded
+GROUP BY 1
+ORDER BY win_start_epoch
+"""
+
+
+@register(
+    "t_sliding_share_4h",
+    oracle=_SLIDE_SHARE_ORACLE,
+    tags=("T2", "T1", "A1", "A2", "F2"),
+)
+def t_sliding_share_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2, fourth wave: 4-hour windows sliding every 2 hours (fan-out
+    exactly 2) over view events, each window annotated with its exact
+    basis-point share of the corpus total — the two-grain pattern
+    (window rollup + global denominator) in one plan. The oracle spells
+    out the assignment arithmetic (k in 0..1 back-shifts) and the
+    doubled denominator (every event feeds 2 windows), so a fan-out bug
+    on either side breaks the hash.
+
+    Scale: the slide fan-out is a bounded 2x row multiplier BEFORE a
+    combinable aggregate; the global total is a 1-row broadcast, not a
+    window over all rows."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view")
+    total = views.agg(F.sum(cents(F.col("value"))).alias("all_cents"))
+    win = (
+        views.groupBy(F.window("ts", "4 hours", "2 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views"),
+            F.sum(cents(F.col("value"))).cast("long").alias("win_cents"),
+        )
+    )
+    return (
+        win.crossJoin(F.broadcast(total))
+        .select(
+            F.unix_seconds(F.col("w.start").cast("timestamp")).alias(
+                "win_start_epoch"
+            ),
+            "n_views",
+            "win_cents",
+            F.expr("win_cents * 10000 DIV (2 * all_cents)").alias("share_bp"),
+        )
+        .orderBy("win_start_epoch")
+    )
+
+
+# --- T3, fourth wave: session duration distribution --------------------------
+
+_SESSION_BUCKET_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1200 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, sid,
+         EPOCH_US(MAX(ts)) // 1000000 - EPOCH_US(MIN(ts)) // 1000000 + 1200
+           AS duration_sec,
+         COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT CAST(LEAST(duration_sec // 600, 12) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT)        AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT)   AS n_events,
+       CAST(QUANTILE_CONT(n_events, 0.5) * 10 AS BIGINT) AS median_events_x10
+FROM per_session
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "t_session_duration_buckets",
+    oracle=_SESSION_BUCKET_ORACLE,
+    tags=("T3", "T4", "A8", "A1", "F3"),
+)
+def t_session_duration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3, fourth wave: the session-LENGTH distribution — session_window
+    (20-minute gap) per user, then sessions histogrammed into 10-minute
+    duration buckets (capped at bucket 12) with an exact median of
+    events-per-session in each bucket. Session end in Spark is
+    last-event + gap; the oracle reconstructs the same duration from
+    the gaps-and-islands form, so the two sessionizations must agree
+    row-for-row before the histogram can hash-match.
+
+    Scale: session state is per-user and watermark-evictable in the
+    streaming twin; the histogram is a combinable second pass at
+    session (not event) cardinality; F.percentile ≡ QUANTILE_CONT
+    pinned at integer-x10 precision."""
+    events = load_table(spark, sf_dir, "events")
+    sessions = (
+        events.groupBy("user_id", F.session_window("ts", "20 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            (
+                F.unix_seconds(F.col("sw.end").cast("timestamp"))
+                - F.unix_seconds(F.col("sw.start").cast("timestamp"))
+            ).alias("duration_sec"),
+            "n_events",
+        )
+    )
+    return (
+        sessions.groupBy(
+            F.least(F.col("duration_sec") / 600, F.lit(12))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            (F.percentile("n_events", 0.5) * 10)
+            .cast("long")
+            .alias("median_events_x10"),
+        )
+        .orderBy("bucket")
+    )

@@ -2066,3 +2066,159 @@ def j_asof_bucketed_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_gap_s"),
     )
+
+
+# --- J4/O4, fourth wave: semi-join cohorts combined with EXCEPT -------------
+
+_SEMI_EXCEPT_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+)
+AND s_suppkey NOT IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R' AND l_quantity > 49
+)
+ORDER BY s_suppkey
+"""
+
+
+@register(
+    "j_semi_except_suppliers",
+    oracle=_SEMI_EXCEPT_ORACLE,
+    tags=("J4", "O4", "P7", "P4"),
+)
+def j_semi_except_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/O4, fourth wave: the clean-supplier cohort — suppliers who
+    shipped in 1995 (left SEMI join: existence only, no fan-out) minus
+    suppliers with a max-quantity returned line, combined with EXCEPT
+    at KEY cardinality (the set op runs on deduped suppkeys, never on the fact
+    table), then re-joined to supplier for display attributes.
+
+    Scale: both cohort probes are semi joins on the fact table (hash
+    relation = supplier keys, bounded); EXCEPT on two key sets is a
+    shuffle at supplier cardinality, orders of magnitude below the
+    lineitem scan that feeds it."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = supplier.select("s_suppkey")
+    active95 = keys.join(
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+        ).select(F.col("l_suppkey").alias("s_suppkey")),
+        "s_suppkey",
+        "left_semi",
+    )
+    returned = keys.join(
+        li.filter(
+            (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 49)
+        ).select(F.col("l_suppkey").alias("s_suppkey")),
+        "s_suppkey",
+        "left_semi",
+    )
+    clean = active95.exceptAll(returned)  # both sides key-distinct already
+    return (
+        clean.join(F.broadcast(supplier.select("s_suppkey", "s_name")), "s_suppkey")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- J8/J7, fourth wave: as-of join to a gapped monthly benchmark -----------
+
+_ASOF_BENCH_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) * 12
+              + EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS midx,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_micro
+  FROM lineitem
+  GROUP BY midx
+),
+bench AS (
+  SELECT midx, rev_micro FROM monthly
+  WHERE rev_micro > (SELECT AVG(rev_micro) FROM monthly)
+),
+cand AS (
+  SELECT o_orderkey,
+         CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+              + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS oidx
+  FROM orders
+),
+matched AS (
+  SELECT o_orderkey, MAX(oidx) AS oidx, MAX(b.midx) AS bidx
+  FROM cand c JOIN bench b ON b.midx BETWEEN c.oidx - 3 AND c.oidx
+  GROUP BY o_orderkey
+)
+SELECT bidx,
+       CAST(COUNT(*) AS BIGINT)           AS n_orders,
+       CAST(SUM(oidx - bidx) AS BIGINT)   AS gap_months_sum
+FROM matched
+GROUP BY bidx
+ORDER BY bidx
+"""
+
+
+@register(
+    "j_asof_monthly_benchmark",
+    oracle=_ASOF_BENCH_ORACLE,
+    tags=("J8", "J7", "A1", "F2"),
+)
+def j_asof_monthly_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/J7, fourth wave: backward as-of join against a GAPPED
+    benchmark calendar — only above-average revenue months publish a
+    benchmark, so most orders must look PAST their own month (the gap
+    makes the as-of real; a dense calendar would degenerate to an equi
+    join). Each order matches the latest benchmark month within a
+    3-month tolerance; unmatched orders drop, exactly like
+    merge_asof(tolerance=3).
+
+    Scale: the banded decomposition — explode a bounded 0..3 offset
+    sequence (replication factor exactly 4), equi-join on the candidate
+    month, per-order argmax — turns the inequality join into a shuffle
+    equi-join; no range-theta BNLJ, no window over the fact table.
+    (oidx, bidx) are exact month ordinals, so the per-order MAX and the
+    group rollup are integer-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("midx")
+    ).agg(
+        F.sum(
+            cents(F.col("l_extendedprice"))
+            * (F.lit(100) - cents(F.col("l_discount")))
+        ).alias("rev_micro")
+    )
+    avg_rev = monthly.agg(F.avg("rev_micro").alias("bar"))
+    bench = (
+        monthly.crossJoin(F.broadcast(avg_rev))
+        .filter(F.col("rev_micro") > F.col("bar"))
+        .select("midx")
+    )
+    cand = orders.select(
+        "o_orderkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("oidx"),
+    ).withColumn("probe_midx", F.explode(F.sequence(F.lit(0), F.lit(3))))
+    matched = (
+        cand.withColumn("probe_midx", F.col("oidx") - F.col("probe_midx"))
+        .join(F.broadcast(bench), F.col("probe_midx") == F.col("midx"))
+        .groupBy("o_orderkey")
+        .agg(F.max("oidx").alias("oidx"), F.max("midx").alias("bidx"))
+    )
+    return (
+        matched.groupBy("bidx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("oidx") - F.col("bidx")).cast("long").alias(
+                "gap_months_sum"
+            ),
+        )
+        .orderBy("bidx")
+    )

@@ -1713,3 +1713,57 @@ def f_str_to_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --- F5/F6, fourth wave: from_json into a MAP + map function pipeline --------
+
+_JSON_MAP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT)   AS k_sum,
+       CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(k * k) AS BIGINT) AS k_sq_sum
+FROM (
+  SELECT event_type,
+         CAST(REGEXP_EXTRACT(props, '[0-9]+') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "f_from_json_map_profile",
+    oracle=_JSON_MAP_ORACLE,
+    tags=("F5", "F6", "A1", "A7"),
+)
+def f_from_json_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6, fourth wave: the semi-structured props column parsed with
+    from_json into a real MAP<STRING,BIGINT> (schema-on-read, not string
+    hacking), then consumed through the map-function surface:
+    element_at for the typed lookup, map_filter for a value-predicated
+    sub-map whose size feeds the high-k census. The oracle re-derives k
+    from the raw string independently (regexp), so a from_json parsing
+    bug cannot hide.
+
+    Scale: from_json/element_at are per-row scalars with no shuffle;
+    map_filter is a higher-order function on 1-entry maps (bounded
+    lambda work per row), and the rollup is one combinable pass."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    base = events.select(
+        "event_type",
+        F.element_at(m, "k").alias("k"),
+        F.size(F.map_filter(m, lambda _, v: v >= 50)).alias("n_kept"),
+    )
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.sum("n_kept").cast("long").alias("n_high"),
+            F.sum(F.col("k") * F.col("k")).cast("long").alias("k_sq_sum"),
+        )
+        .orderBy("event_type")
+    )

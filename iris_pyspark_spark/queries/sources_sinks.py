@@ -2375,3 +2375,205 @@ def s_range_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon")
     )
+
+
+# --- S3/F6/P3, fourth wave: JSONL scan + JSON scalar parse + boolean combo ---
+
+_JSONL_PROPS_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)                    AS n_events,
+       CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS value_cents,
+       CAST(SUM(k) AS BIGINT)                      AS k_sum
+FROM (
+  SELECT event_type, value,
+         CAST(REGEXP_EXTRACT(props, '[0-9]+') AS BIGINT) AS k
+  FROM events
+)
+WHERE (event_type = 'click' AND k >= 50)
+   OR (event_type = 'purchase' AND NOT k >= 50)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "s_jsonl_props_scan",
+    oracle=_JSONL_PROPS_ORACLE,
+    tags=("S3", "S4", "F6", "P3", "A1"),
+)
+def s_jsonl_props_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/F6/P3, fourth wave: the JSONL landing-zone shape — events
+    serialized to line-delimited JSON (the splittable production twin of
+    the multiLine document form), read back with an explicit schema, the
+    embedded props JSON parsed with get_json_object, and a compound
+    ((A AND B) OR (C AND NOT B)) predicate applied to the PARSED field.
+    Proves the JSON scan + scalar-JSON-function path end to end against
+    the original parquet.
+
+    Scale: JSONL splits on newlines at any byte offset, so a 100 TB
+    landing zone fans out to maxPartitionBytes-sized tasks;
+    get_json_object is a codegen scalar (one pass, no UDF)."""
+    import os
+
+    from ..sources import artifact_is_current, mark_artifact, table_fingerprint
+
+    events = load_table(spark, sf_dir, "events")
+    out = scratch_dir(sf_dir, "events_jsonl")
+    fp = table_fingerprint(sf_dir, "events", params="jsonl-v1")
+    if not artifact_is_current(out, fp):
+        events.select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_type",
+            "value",
+            "props",
+        ).write.mode("overwrite").json(out)
+        mark_artifact(out, fp)
+    back = spark.read.schema(
+        "event_id BIGINT, ts_us BIGINT, event_type STRING, value DOUBLE, props STRING"
+    ).json(out)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    kept = back.withColumn("k", k).filter(
+        ((F.col("event_type") == "click") & (F.col("k") >= 50))
+        | ((F.col("event_type") == "purchase") & ~(F.col("k") >= 50))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("value_cents"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- S2/S5, fourth wave: partitioned CSV sink + partition-discovery read ----
+
+_CSV_PART_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)  AS n_orders,
+       CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT) AS total_cents,
+       STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_date
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "s_csv_partitioned_sink",
+    oracle=_CSV_PART_ORACLE,
+    tags=("S2", "S5", "S4", "A1"),
+)
+def s_csv_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S5, fourth wave: the hive-layout CSV export — orders written
+    partitionBy(o_orderpriority) through the CSV sink (one directory per
+    priority, header per file), read back through partition DISCOVERY
+    (the partition column comes from directory names, not file bytes),
+    and rolled up per partition to prove the round trip lossless.
+
+    Scale: a partitioned sink is how 100 TB exports stay consumable —
+    partition pruning on the read side skips whole directories; the
+    write shuffles nothing (partitionBy at write = per-task fan-out
+    files). Values re-parsed with an explicit cast chain, not
+    inferSchema, so the scan stays single-pass."""
+    import os
+
+    from ..sources import artifact_is_current, mark_artifact, table_fingerprint
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = scratch_dir(sf_dir, "orders_csv_part")
+    fp = table_fingerprint(sf_dir, "orders", params="csv-part-v1")
+    if not artifact_is_current(out, fp):
+        orders.select(
+            "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+        ).write.mode("overwrite").option("header", True).partitionBy(
+            "o_orderpriority"
+        ).csv(out)
+        mark_artifact(out, fp)
+    back = spark.read.option("header", True).schema(
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE, "
+        "o_orderpriority STRING"
+    ).csv(out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- S6/A5, fourth wave: in-memory dim + ROLLUP over derived tiers ----------
+
+_TIER_ROLLUP_ORACLE = """
+WITH dim(tier, tier_ord) AS (
+  VALUES ('debt', 0), ('low', 1), ('mid', 2), ('high', 3)
+),
+tiered AS (
+  SELECT c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'debt'
+              WHEN c_acctbal < 1000 THEN 'low'
+              WHEN c_acctbal < 5000 THEN 'mid'
+              ELSE 'high' END AS tier,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+)
+SELECT CAST(GROUPING(c_mktsegment, d.tier) AS BIGINT) AS gid,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       COALESCE(d.tier, 'ALL')       AS tier,
+       CAST(COUNT(*) AS BIGINT)      AS n_customers,
+       CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+FROM tiered t JOIN dim d ON t.tier = d.tier
+GROUP BY ROLLUP(c_mktsegment, d.tier)
+ORDER BY gid, segment, tier
+"""
+
+
+@register(
+    "s_tier_dim_rollup",
+    oracle=_TIER_ROLLUP_ORACLE,
+    tags=("S6", "A5", "J2", "A1", "P6"),
+)
+def s_tier_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A5, fourth wave: a driver-literal tier dimension (the
+    in-memory source: business bands that live in code, not storage)
+    broadcast-joined to derived customer tiers, then a two-level ROLLUP
+    (segment > tier) with grouping_id-labeled subtotal levels.
+
+    Scale: the dim is 4 literal rows — broadcast by construction; the
+    rollup is one Expand-based scan with combinable aggregates (each
+    input row feeds 3 grouping sets; no re-scan per level)."""
+    customer = load_table(spark, sf_dir, "customer")
+    dim = spark.createDataFrame(
+        [("debt", 0), ("low", 1), ("mid", 2), ("high", 3)],
+        "tier STRING, tier_ord INT",
+    )
+    tiered = customer.select(
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("tier"),
+        cents(F.col("c_acctbal")).alias("bal_cents"),
+    ).join(F.broadcast(dim), "tier")
+    return (
+        tiered.rollup("c_mktsegment", "tier")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .select(
+            "gid",
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("tier"), F.lit("ALL")).alias("tier"),
+            "n_customers",
+            "bal_cents",
+        )
+        .orderBy("gid", "segment", "tier")
+    )

@@ -1273,3 +1273,63 @@ def st_dedup_then_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
         .limit(200)
     )
+
+
+# --- T6, fourth wave: two-dim static enrichment inside the stream -----------
+
+_STATIC_ENRICH_ORACLE = f"""
+SELECT CAST(EPOCH_US(ts) // 1000000 // 21600 * 21600 AS BIGINT)
+         AS window_start_epoch,
+       n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS value_cents
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "st_static_enrich_window",
+    oracle=_STATIC_ENRICH_ORACLE,
+    tags=("T6", "T5", "T1"),
+)
+def st_static_enrich_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6, fourth wave: a SNOWFLAKED static enrichment inside the
+    stream — each micro-batch joins events to customer and then nation
+    (two static dims, the second reached THROUGH the first), before a
+    watermarked 6-hour tumbling aggregate per nation name. Proves the
+    per-batch join planner handles chained static dims, not just the
+    single-dim case of st_stream_static_join.
+
+    Scale: static dims are planned per micro-batch (broadcast when
+    small); only the windowed aggregate is stateful. Complete-mode
+    drain ⇒ the tuned 8-store / no-empty-batch drain applies."""
+    e = read_events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .join(c, F.col("user_id") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.window("ts", "6 hours"), "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("value_cents"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "n_name",
+            "n_events",
+            "value_cents",
+        )
+    )
+    return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )

@@ -1228,3 +1228,237 @@ def u_udtf_terminate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY priority
         """
     )
+
+
+# --- U1, fourth wave: Arrow scalar pandas UDF banding --------------------------
+
+_PANDAS_BAND_ORACLE = f"""
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS value_cents
+FROM (
+  SELECT LEAST({CENTS_SQL.format(expr="value")} // 500, 9) AS band, value
+  FROM events
+)
+GROUP BY band
+ORDER BY band
+"""
+
+
+@register(
+    "u_pandas_scalar_band",
+    oracle=_PANDAS_BAND_ORACLE,
+    tags=("U1", "F3", "A1"),
+)
+def u_pandas_scalar_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1, fourth wave: a Series→Series pandas (Arrow) scalar UDF doing
+    integer banding — cents // 500 capped at band 9 — checked against
+    the identical integer arithmetic in SQL. The point is the TRANSPORT
+    proof: values cross the JVM→Arrow→pandas boundary and come back
+    bit-identical to the JVM-side formula (float-cents rounding included).
+
+    Scale: Arrow-vectorized batches (no per-row Python dispatch);
+    banding is embarrassingly parallel; the rollup is combinable."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def band_of(v: pd.Series) -> pd.Series:
+        cents_i = np.rint(v.to_numpy() * 100).astype("int64")
+        return pd.Series(np.minimum(cents_i // 500, 9))
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(band_of(F.col("value")).alias("band"), "value")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("value_cents"),
+        )
+        .orderBy("band")
+    )
+
+
+# --- U3, fourth wave: trimmed-mean pandas UDAF --------------------------------
+
+_TRIMMED_MEAN_ORACLE = """
+WITH c AS (
+  SELECT o_orderpriority AS priority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tp
+  FROM orders
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((CAST(SUM(tp) AS BIGINT) - MIN(tp) - MAX(tp)) * 1000
+            // (COUNT(*) - 2) AS BIGINT) AS trimmed_mean_milli
+FROM c
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register(
+    "u_udaf_trimmed_mean",
+    oracle=_TRIMMED_MEAN_ORACLE,
+    tags=("U3", "A8", "A1"),
+)
+def u_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3, fourth wave: a robust (min/max-trimmed) mean as a pandas
+    GROUPED_AGG UDAF over exact integer cents — sum minus extremes,
+    integer-milli division at the end, so the Arrow round trip is
+    bit-checkable against HUGEINT SQL (a float mean would drift with
+    accumulation order). The bespoke-statistic shape U3 exists for:
+    var_pop is built in, trimmed means are not.
+
+    Scale: one Arrow batch per group (5 groups), O(n) per group, one
+    scalar out."""
+
+    @pandas_udf("long")
+    def trimmed_mean_milli(tp: pd.Series) -> int:
+        vals = tp.to_numpy()
+        n = len(vals)
+        if n <= 2:
+            return 0
+        s = int(vals.sum()) - int(vals.min()) - int(vals.max())
+        return (s * 1000) // (n - 2)
+
+    # JVM aggregates can't share an .agg() with GROUPED_AGG pandas UDFs
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides along as a UDAF.
+    n_udaf = _make_count_udaf()
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            cents(F.col("o_totalprice")).alias("tp"),
+        )
+        .groupBy("priority")
+        .agg(
+            n_udaf("tp").alias("n"),
+            trimmed_mean_milli("tp").alias("trimmed_mean_milli"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --- U4, fourth wave: emit-as-you-go UDTF with checkpoint rows ----------------
+
+_UDTF_BALANCE_ORACLE = """
+WITH seq AS (
+  SELECT o_orderpriority AS priority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tp,
+         ROW_NUMBER() OVER w AS rn,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS running_cents
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+)
+SELECT priority, CAST(rn AS BIGINT) AS rn, running_cents
+FROM seq WHERE rn % 500 = 0
+ORDER BY priority, rn
+"""
+
+
+@register(
+    "u_udtf_running_balance",
+    oracle=_UDTF_BALANCE_ORACLE,
+    tags=("U4", "W3", "A1"),
+)
+def u_udtf_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4, fourth wave: an emit-as-you-go UDTF over ORDERED partitions —
+    eval() keeps a running integer balance per PARTITION BY group and
+    emits a checkpoint row every 500 input rows (the ledger-audit
+    shape: bounded output from unbounded ordered input). The oracle is
+    the framed window sum the UDTF must reproduce exactly, which pins
+    both the ORDER BY contract of TABLE(...) partitions and the
+    integer-cents transport.
+
+    Scale: the PARTITION BY/ORDER BY is a Catalyst shuffle+sort; Python
+    state is two integers; output is input/500 rows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="priority string, rn bigint, running_cents bigint")
+    class RunningBalance:
+        def __init__(self):
+            self._rn = 0
+            self._bal = 0
+
+        def eval(self, row):
+            self._rn += 1
+            self._bal += int(row["tp"])
+            if self._rn % 500 == 0:
+                yield row["o_orderpriority"], self._rn, self._bal
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select(
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("tp"),
+    ).createOrReplaceTempView("udtf_balance_src")
+    spark.udtf.register("running_balance", RunningBalance)
+    return spark.sql(
+        """
+        SELECT priority, rn, running_cents
+        FROM running_balance(
+          TABLE(udtf_balance_src)
+          PARTITION BY o_orderpriority
+          ORDER BY (o_orderdate, o_orderkey)
+        )
+        ORDER BY priority, rn
+        """
+    )
+
+
+# --- U5, fourth wave: iterator mapInPandas partial aggregation ----------------
+
+_ITER_PARTIAL_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN({CENTS_SQL.format(expr="l_extendedprice")}) AS BIGINT) AS min_cents,
+       CAST(MAX({CENTS_SQL.format(expr="l_extendedprice")}) AS BIGINT) AS max_cents,
+       CAST(SUM({CENTS_SQL.format(expr="l_extendedprice")}) AS BIGINT) AS sum_cents
+FROM lineitem
+"""
+
+
+@register(
+    "u_iter_partial_stats",
+    oracle=_ITER_PARTIAL_ORACLE,
+    tags=("U5", "A2"),
+)
+def u_iter_partial_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5, fourth wave: the map-side-combine protocol hand-built with an
+    ITERATOR mapInPandas UDF — each Arrow batch is folded into one
+    partial-stats row (n/min/max/sum in exact integer cents) inside the
+    iterator, and a JVM-side global aggregate merges the partials. The
+    batch boundaries are partitioning-dependent, but every output stat
+    is merge-invariant, so the result is bit-stable under ANY layout —
+    the associativity argument stated as a query.
+
+    Scale: driver sees nothing; per task the Python side holds one
+    batch; the merge input is one row per batch, not per record."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            c = np.rint(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+            if len(c) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [len(c)],
+                    "mn": [int(c.min())],
+                    "mx": [int(c.max())],
+                    "sm": [int(c.sum())],
+                }
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    part = li.mapInPandas(partials, "n long, mn long, mx long, sm long")
+    return part.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("mn").cast("long").alias("min_cents"),
+        F.max("mx").cast("long").alias("max_cents"),
+        F.sum("sm").cast("long").alias("sum_cents"),
+    )

@@ -294,6 +294,8 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 governance batch: 1-row vocab-size + 5-row lang-totals
     # broadcasts in the NB scorer
     "n_naive_bayes_langid",
+    # round-7 fourth wave: 1-row global-average / grand-total broadcasts
+    "j_asof_monthly_benchmark", "t_sliding_share_4h",
     # round 6: the grand-total (grouping_id = 3) cube cell re-joined on a
     # constant key — ConstantPropagation folds the equi-condition away,
     # leaving a 1-row broadcast NLJ, which is the scale-correct plan (a
