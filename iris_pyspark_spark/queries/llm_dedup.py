@@ -196,7 +196,7 @@ def _signlsh_normed(corpus):
     return corpus.select(
         "vec_id",
         "emb",
-        F.sqrt(dot_unrolled(F.col("emb"), F.col("emb"), _EMB_DIM)).alias("nrm"),
+        F.sqrt(dot_unrolled("emb", "emb", _EMB_DIM)).alias("nrm"),
         bucket.alias("bucket"),
     )
 
@@ -214,7 +214,7 @@ def _bucket_cosine_pairs(normed, min_sim):
         F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"),
         F.col("nrm").alias("nrm_b"), F.col("bucket").alias("bucket_b"),
     )
-    sim = dot_unrolled(F.col("emb_a"), F.col("emb_b"), _EMB_DIM) / (
+    sim = dot_unrolled("emb_a", "emb_b", _EMB_DIM) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
     return (

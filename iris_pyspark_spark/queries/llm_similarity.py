@@ -23,7 +23,6 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..operators.similarity import (
     cosine_topk_selfsim,
-    cosine_unrolled,
     dot_unrolled,
     dot_unrolled_sql,
     ivf_assign,
@@ -49,7 +48,7 @@ _NORMED = f"""
 def _normed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.withColumn(
-        "nrm", F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM))
+        "nrm", F.sqrt(dot_unrolled("embedding", "embedding", DIM))
     )
 
 
@@ -193,7 +192,7 @@ def n_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebuilt per query (n_ivf_recall_eval reads the same artifact).
     assigned = _materialized_ivf_assignment(spark, sf_dir, assigned)
     normed = assigned.withColumn(
-        "nrm", F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM))
+        "nrm", F.sqrt(dot_unrolled("embedding", "embedding", DIM))
     )
 
     a = normed.filter(F.col("vec_id") < 10).select(
@@ -217,9 +216,8 @@ def n_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn(
             "sim",
-            cosine_unrolled(
-                F.col("q_emb"), F.col("emb_b"), DIM, F.col("nrm_a"), F.col("nrm_b")
-            ),
+            dot_unrolled("q_emb", "emb_b", DIM)
+            / (F.col("nrm_a") * F.col("nrm_b")),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
@@ -474,7 +472,7 @@ def n_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         "cid",
-        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias("nrm"),
+        F.sqrt(dot_unrolled("embedding", "embedding", DIM)).alias("nrm"),
     )
     a = normed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
@@ -485,7 +483,7 @@ def n_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("c_nrm"), F.col("cid").alias("cid_b"),
     )
     sim = F.round(
-        dot_unrolled(F.col("q_emb"), F.col("c_emb"), DIM)
+        dot_unrolled("q_emb", "c_emb", DIM)
         / (F.col("q_nrm") * F.col("c_nrm")),
         9,
     )
@@ -775,7 +773,7 @@ def n_pq_rerank_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Stage 2: exact re-rank of the 50 candidates per probe.
     exact_micro = F.round(
-        l2_sq_unrolled(F.col("q_emb"), F.col("embedding"), 64) * 1000000
+        l2_sq_unrolled("q_emb", "embedding", 64) * 1000000
     ).cast("long")
     refined = (
         candidates.join(e, candidates.neighbor_id == e.vec_id)
@@ -894,9 +892,9 @@ def n_mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         F.sqrt(
-            dot_unrolled(F.col("embedding"), F.col("embedding"), _MRL_DIM)
+            dot_unrolled("embedding", "embedding", _MRL_DIM)
         ).alias("nrm16"),
-        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias(
+        F.sqrt(dot_unrolled("embedding", "embedding", DIM)).alias(
             "nrm64"
         ),
     )
@@ -906,7 +904,7 @@ def n_mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm16").alias("q_nrm16"),
         F.col("nrm64").alias("q_nrm64"),
     )
-    cos16 = dot_unrolled(F.col("q_emb"), F.col("embedding"), _MRL_DIM) / (
+    cos16 = dot_unrolled("q_emb", "embedding", _MRL_DIM) / (
         F.col("q_nrm16") * F.col("nrm16")
     )
     coarse = (
@@ -923,7 +921,7 @@ def n_mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("crk") <= _MRL_COARSE_K)
     )
-    cos64 = dot_unrolled(F.col("q_emb"), F.col("embedding"), DIM) / (
+    cos64 = dot_unrolled("q_emb", "embedding", DIM) / (
         F.col("q_nrm64") * F.col("nrm64")
     )
     refined = coarse.withColumn("cos64", cos64).withColumn(
@@ -1024,7 +1022,7 @@ def n_ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "embedding",
-        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias(
+        F.sqrt(dot_unrolled("embedding", "embedding", DIM)).alias(
             "nrm"
         ),
     )
@@ -1034,7 +1032,7 @@ def n_ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    cos = dot_unrolled(F.col("q_emb"), F.col("embedding"), DIM) / (
+    cos = dot_unrolled("q_emb", "embedding", DIM) / (
         F.col("q_nrm") * F.col("nrm")
     )
     ranked = (
@@ -1325,7 +1323,7 @@ def n_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "embedding",
-        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias(
+        F.sqrt(dot_unrolled("embedding", "embedding", DIM)).alias(
             "nrm"
         ),
     )
@@ -1335,7 +1333,7 @@ def n_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
     )
-    cos = dot_unrolled(F.col("a_emb"), F.col("embedding"), DIM) / (
+    cos = dot_unrolled("a_emb", "embedding", DIM) / (
         F.col("a_nrm") * F.col("nrm")
     )
     ranked = (
@@ -1437,7 +1435,7 @@ def n_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "embedding",
-        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias(
+        F.sqrt(dot_unrolled("embedding", "embedding", DIM)).alias(
             "nrm"
         ),
     )
@@ -1446,7 +1444,7 @@ def n_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    cos = dot_unrolled(F.col("q_emb"), F.col("embedding"), DIM) / (
+    cos = dot_unrolled("q_emb", "embedding", DIM) / (
         F.col("q_nrm") * F.col("nrm")
     )
     neigh = (
@@ -1662,7 +1660,7 @@ def n_mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "embedding",
-        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias(
+        F.sqrt(dot_unrolled("embedding", "embedding", DIM)).alias(
             "nrm"
         ),
     )
@@ -1672,7 +1670,7 @@ def n_mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    cos = dot_unrolled(F.col("q_emb"), F.col("embedding"), DIM) / (
+    cos = dot_unrolled("q_emb", "embedding", DIM) / (
         F.col("q_nrm") * F.col("nrm")
     )
     ranked = (
@@ -1780,7 +1778,7 @@ def n_colbert_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (F.col("vec_id") % 50).alias("group_id"),
         "embedding",
-        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias(
+        F.sqrt(dot_unrolled("embedding", "embedding", DIM)).alias(
             "nrm"
         ),
     )
@@ -1796,7 +1794,7 @@ def n_colbert_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("d_nrm"),
     )
     cos = F.round(
-        dot_unrolled(F.col("q_emb"), F.col("d_emb"), DIM)
+        dot_unrolled("q_emb", "d_emb", DIM)
         / (F.col("q_nrm") * F.col("d_nrm")),
         9,
     )
@@ -1914,7 +1912,7 @@ def n_binary_hash_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _signbits_spark(emb, 0, 32).alias("code_lo"),
         _signbits_spark(emb, 32, 64).alias("code_hi"),
         "embedding",
-        F.sqrt(dot_unrolled(emb, emb, DIM)).alias("nrm"),
+        F.sqrt(dot_unrolled("embedding", "embedding", DIM)).alias("nrm"),
     )
     probes = codes.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -1932,7 +1930,7 @@ def n_binary_hash_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).filter(F.col("hrk") <= 10)
     cos = F.round(
-        dot_unrolled(F.col("q_emb"), F.col("embedding"), DIM)
+        dot_unrolled("q_emb", "embedding", DIM)
         / (F.col("q_nrm") * F.col("nrm")),
         9,
     )
@@ -2024,7 +2022,7 @@ def n_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = e.filter(F.col("vec_id") % 11 == 0).select(
         "vec_id",
         "embedding",
-        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), DIM)).alias(
+        F.sqrt(dot_unrolled("embedding", "embedding", DIM)).alias(
             "nrm"
         ),
     )
@@ -2038,7 +2036,7 @@ def n_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = sample.alias("a"), sample.alias("b")
     cos_micro = F.round(
-        dot_unrolled(F.col("a.embedding"), F.col("b.embedding"), DIM)
+        dot_unrolled("a.embedding", "b.embedding", DIM)
         / (F.col("a.nrm") * F.col("b.nrm"))
         * 1000000
     ).cast("long")
@@ -2323,7 +2321,7 @@ def n_hubness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact division tree dot / ||a|| / ||b||, so values are
     # bit-identical to the per-pair form.
     corpus = corpus.withColumn(
-        "nrm", F.sqrt(dot_unrolled(F.col("emb"), F.col("emb"), 64))
+        "nrm", F.sqrt(dot_unrolled("emb", "emb", 64))
     )
     probes = corpus.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -2341,7 +2339,7 @@ def n_hubness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "vec_id",
             (
-                dot_unrolled(F.col("emb"), F.col("q_emb"), 64)
+                dot_unrolled("emb", "q_emb", 64)
                 / F.col("nrm")
                 / F.col("q_nrm")
             ).alias("sim"),

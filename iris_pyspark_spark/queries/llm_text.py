@@ -740,12 +740,12 @@ def n_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     normed = e.withColumn(
         "nrm",
-        F.sqrt(dot_unrolled(F.col("embedding"), F.col("embedding"), _EMB_DIM)),
+        F.sqrt(dot_unrolled("embedding", "embedding", _EMB_DIM)),
     )
     qv = normed.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
-    sim = dot_unrolled(F.col("q_emb"), F.col("embedding"), _EMB_DIM) / (
+    sim = dot_unrolled("q_emb", "embedding", _EMB_DIM) / (
         F.col("q_nrm") * F.col("nrm")
     )
     dense_sc = (

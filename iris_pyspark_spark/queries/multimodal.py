@@ -153,9 +153,9 @@ def m_doc_embedding_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = e.filter(F.col("vec_id") == 0).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("p")
     )
-    sim = dot_unrolled(F.col("m.emb"), F.col("p"), DIM) / (
-        F.sqrt(dot_unrolled(F.col("m.emb"), F.col("m.emb"), DIM))
-        * F.sqrt(dot_unrolled(F.col("p"), F.col("p"), DIM))
+    sim = dot_unrolled("m.emb", "p", DIM) / (
+        F.sqrt(dot_unrolled("m.emb", "m.emb", DIM))
+        * F.sqrt(dot_unrolled("p", "p", DIM))
     )
     return (
         rec.crossJoin(F.broadcast(probe))
