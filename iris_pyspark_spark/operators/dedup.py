@@ -156,21 +156,19 @@ def lsh_candidate_pairs(
     # slower than codegen); unrolling the (band x row) structure into
     # plain getItem/concat_ws/xxhash64 keeps the whole projection inside
     # whole-stage codegen. Values are identical to the lambda form.
-    band_cols = [
-        F.xxhash64(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col("sig").getItem(bnd * rows + r).cast("string")
-                    for r in range(rows)
-                ],
+    band_array = F.expr(
+        "array(%s)"
+        % ", ".join(
+            "xxhash64(concat_ws(',', %s))"
+            % ", ".join(
+                f"CAST(sig[{bnd * rows + r}] AS STRING)" for r in range(rows)
             )
+            for bnd in range(bands)
         )
-        for bnd in range(bands)
-    ]
+    )
     banded = signed.select(
         id_col,
-        F.posexplode(F.array(*band_cols)).alias("band", "band_hash"),
+        F.posexplode(band_array).alias("band", "band_hash"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

@@ -189,10 +189,12 @@ def _signlsh_normed(corpus):
     exactly one definition."""
     from ..operators.similarity import dot_unrolled
 
-    bucket = None
-    for i in range(_EMB_BITS):
-        term = F.when(F.col("emb").getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
+    bucket = F.expr(
+        " + ".join(
+            f"(CASE WHEN emb[{i}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(_EMB_BITS)
+        )
+    )
     return corpus.select(
         "vec_id",
         "emb",

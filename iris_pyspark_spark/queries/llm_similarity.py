@@ -1830,14 +1830,16 @@ def _signbits_sql(col: str, lo: int, hi: int) -> str:
     )
 
 
-def _signbits_spark(col, lo: int, hi: int):
-    out = None
-    for i in range(lo, hi):
-        t = F.when(col.getItem(i) >= 0, F.lit(1 << (i - lo)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        out = t if out is None else out + t
-    return out
+def _signbits_spark(col: str, lo: int, hi: int):
+    """Spark twin of _signbits_sql (0-based `[]`), built as ONE F.expr
+    parse — the per-term Column form cost ~5·32 Py4J round trips of
+    driver time per call (same overhead class dot_unrolled fixed)."""
+    body = " + ".join(
+        f"(CASE WHEN {col}[{i}] >= 0 THEN CAST({1 << (i - lo)} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(lo, hi)
+    )
+    return F.expr(body)
 
 
 _BINARY_HASH_ORACLE = f"""
@@ -1906,11 +1908,10 @@ def n_binary_hash_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; one corpus scan serves both arms; at 100 TB the exact
     arm disappears and Hamming top-k feeds the standard re-rank."""
     e = load_table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
     codes = e.select(
         "vec_id",
-        _signbits_spark(emb, 0, 32).alias("code_lo"),
-        _signbits_spark(emb, 32, 64).alias("code_hi"),
+        _signbits_spark("embedding", 0, 32).alias("code_lo"),
+        _signbits_spark("embedding", 32, 64).alias("code_hi"),
         "embedding",
         F.sqrt(dot_unrolled("embedding", "embedding", DIM)).alias("nrm"),
     )
@@ -2151,12 +2152,12 @@ def n_embedding_cluster_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs (the JSD convention), so sums are bit-stable under any
     partitioning."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cell = None
-    for i in range(6):
-        term = F.when(
-            F.col("embedding").getItem(i) > 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-        cell = term if cell is None else cell + term
+    cell = F.expr(
+        " + ".join(
+            f"(CASE WHEN embedding[{i}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(6)
+        )
+    )
     binned = emb.select("label", cell.alias("cell"))
     counts = binned.groupBy("label", "cell").agg(
         F.count(F.lit(1)).cast("long").alias("c")
