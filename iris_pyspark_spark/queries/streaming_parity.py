@@ -638,6 +638,79 @@ def st_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ST_PIPELINE_APPEND_ORACLE = f"""
+WITH deduped AS (
+  SELECT DISTINCT ON (event_id) event_id, ts, user_id, value
+  FROM events ORDER BY event_id, ts
+),
+wm AS (
+  -- Final event-time watermark after the drain: max event time seen by
+  -- the source minus the 10-minute delay (epoch seconds; ts is whole
+  -- seconds in this dataset so ms truncation is exact).
+  SELECT CAST(EPOCH(MAX(ts)) AS BIGINT) - 600 AS w FROM events
+)
+SELECT
+  CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) * 3600 AS window_start_epoch,
+  c_mktsegment,
+  COUNT(*) AS n_events,
+  CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
+FROM deduped JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+HAVING CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) * 3600 + 3600
+       <= (SELECT w FROM wm)
+"""
+
+
+@register(
+    "st_pipeline_ingest_append",
+    oracle=_ST_PIPELINE_APPEND_ORACLE,
+    tags=("T1", "T5", "T7"),
+)
+def st_pipeline_ingest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION output mode of the ingest pipeline: same stacked
+    stateful operators as `st_pipeline_ingest` (watermarked dedup by
+    event_id -> static-dim enrich -> tumbling hourly window per segment)
+    but in APPEND mode, where a window row is emitted exactly once —
+    when the watermark passes its end — and its state is EVICTED. This
+    is the unbounded-stream shape: state is bounded by the watermark
+    horizon (one 10-minute delay + open windows), not by history, which
+    is what the complete-mode drain of the sibling query cannot show.
+    The trailing no-data micro-batch (kept ON here, unlike the
+    complete-mode sibling) advances the watermark to max(ts) - 10min and
+    flushes every closed window; windows still open at end-of-stream
+    remain in state and are correctly ABSENT from the output. The oracle
+    states the batch aggregate truncated to the same watermark horizon:
+    window_end <= max(ts) - 10min."""
+    e = read_events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    deduped = (
+        e.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    enriched = deduped.join(c, F.col("user_id") == F.col("c_custkey"))
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("total_cents"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "c_mktsegment",
+            "n_events",
+            "total_cents",
+        )
+    )
+    # Append mode emits each closed window exactly once, so the sink IS
+    # the answer — no max-per-key rollup needed. 8 state stores per
+    # operator is still plenty for the drain's state volume; on a real
+    # unbounded deployment leave shuffle_partitions at the cluster
+    # default so state spreads across executors.
+    return drain_to_table(agg, output_mode="append", shuffle_partitions=8)
+
+
 _STREAM_STREAM_OUTER_ORACLE = """
 WITH cutoff AS (
   SELECT LEAST(

@@ -101,135 +101,110 @@ def register(
 #: exactly the first 50 entries), so the prefix must span EVERY SURVEY §2
 #: row — tests/test_registry_order.py pins that invariant.
 #:
-#: Round-7 rotation: rounds 1-6 driver-proved 272 distinct queries; this
+#: Round-8 rotation: rounds 1-7 driver-proved 322 distinct queries; this
 #: round's 50 slots again go EXCLUSIVELY to queries with no successful
-#: driver row, per VERDICT r06 tasks 1/2: the 14 third-wave round-6
-#: shapes, the 3 never-driver-run ml_pipeline queries, scarce-tag sole
-#: providers (J2/S5/U5+A4/N6/J6/J5/A6/F6/T6/S2/U1/U2), an LLM-data ops
-#: block, and themed events_windows/stats_timeseries blocks that pull
-#: the two largest unproven pools from 23/20 down to 15/15.
-#: Tag coverage of all 66 rows is preserved (pinned below). Entries past
-#: slot 50 continue with every remaining never-checked query so a larger
-#: sweep budget still lands on new proof first.
+#: driver row, per VERDICT r07 tasks 2/7: first the 11 rows that had
+#: exactly ONE unproven query left (J6/N6/T7/P1/J4+O4/J8/S2+S5/S3+P3+F6/
+#: S6+J2+A5/A6+A9/F5, plus T2/T3/T6 via the st_/t_ fills) so no row's
+#: pool empties unproven, the five U-row last providers, the rewritten
+#: ANN tail (binary-hash/MRL/PQ-rerank/url-canonical/hubness/uncertainty
+#: — ADVICE r07: the F.expr rewrite needs driver hash proof), multi-tag
+#: row-coverage fills, then a drain of the four largest unproven pools
+#: (A1 172, F3 72, F2 51, N5 50). Tag coverage of all 66 rows is
+#: preserved (pinned below).
 _PRIORITY = (
-    # ---- round-7 sweep prefix: 50 never-driver-checked slots ----
-    # -- third-wave round-6 shapes (added precisely to be proven)
-    "a_rollup_calendar_hierarchy",
-    "a_collect_sorted_profile",
-    "p_xor_flag_census",
-    "j_double_semi_customers",
-    "j_asof_bucketed_tolerance",
-    "f_str_to_map_roundtrip",
-    "o_symmetric_difference",
-    "s_json_multiline_scan",
-    "t_sliding_6h_hourly",
-    "t_session_window_per_type",
-    "s_range_calendar_spine",
-    "st_dedup_then_session",
-    "u_udaf_window_mean",
-    "u_udtf_terminate_rollup",
-    # -- ml_pipeline queries never driver-run (rows-only by design, *_ok
-    #    self-validated; N7 is a first-class capability row)
-    "ml_als_recommender",
-    "ml_linreg_normal_eq_check",
-    "ml_isotonic_calibration",
-    # -- scarce-tag completions (sole/best unproven providers of their rows)
-    "a_mad_outliers",
-    "s_file_metadata_column",
-    "n_heavy_hitters_sketch",
-    "n_embedding_cluster_jsd",
-    "j_bridge_allocation",
-    "g_linkpred_common_neighbors",
-    "sql_q11_value_share",
-    "f_xml_funcs",
-    "s_lambda_unify",
-    "s_text_line_scan",
-    "u_pandas_on_spark_api",
-    "u_grouped_ols_fit",
-    # -- LLM-data ops block (dedup + retrieval-eval + text stats)
-    "n_containment_dedup",
-    "n_ngram_jaccard",
-    "n_ndcg_retrieval_eval",
-    "n_kcenter_diverse_selection",
-    "n_feature_hashing",
-    "n_tokenizer_fertility",
-    # -- sql/scalar/sources fills
-    "sql_lateral_column_alias",
-    "sql_parameterized",
-    "f_try_functions",
-    "s_zstd_parquet_roundtrip",
-    # -- events_windows themed block (pool 23 -> 15)
-    "w_linear_interpolate",
-    "t_ohlc_bars",
-    "t_session_metrics",
-    "t_resample_grid_locf",
-    "t_downtime_sla",
-    "t_interval_coalesce",
-    # -- stats_timeseries themed block (pool 20 -> 15)
-    "t_vwap_weekly",
-    "t_spc_xmr_chart",
-    "t_ewma_smoothing",
-    "t_theil_sen_trend",
-    "t_concurrency_sweepline",
+    # ---- round-8 sweep prefix: 50 never-driver-checked slots ----
+    "sql_q9_product_profit",
+    "a_argmax_struct",
+    "st_pipeline_ingest_append",
+    "m_patch_grid_plan",
+    "j_semi_except_suppliers",
+    "j_asof_monthly_benchmark",
+    "s_csv_partitioned_sink",
+    "s_jsonl_props_scan",
+    "s_tier_dim_rollup",
+    "a_having_status_domains",
+    "f_from_json_map_profile",
+    "t_sliding_share_4h",
+    "t_session_duration_buckets",
+    "st_static_enrich_window",
+    "u_pandas_scalar_band",
+    "u_udaf_trimmed_mean",
+    "u_udtf_running_balance",
+    "u_iter_partial_stats",
+    "u_cogrouped_apply_in_arrow",
+    "n_binary_hash_retrieval",
+    "n_mrl_prefix_rerank",
+    "n_pq_rerank_refine",
+    "n_url_canonical_dedup",
+    "n_hubness_skew",
+    "n_uncertainty_sampling",
+    "a_quantile_histogram_sketch",
+    "j_entity_resolution_blocked",
+    "j_fuzzy_name_trigram",
+    "sql_q16_notin_suppliers",
+    "n_dedup_stage_funnel",
+    "sql_group_by_all",
+    "n_cooccurrence_pmi",
+    "j_drill_across_facts",
+    "sql_q6_forecast_revenue",
+    "f_explode_outer",
+    "s_small_file_compaction",
+    "w_rank_dense_ntile",
+    "w_mom_change",
+    "sql_recursive_ancestor_rollup",
+    "j_hierarchy_closure_table",
+    "j_point_in_polygon",
+    "a_histogram_width_bucket",
+    "f_penny_allocation",
+    "w_scd2_ranges",
+    "f_date_funcs",
+    "n_token_count",
+    "n_langid",
+    "n_quality_score",
+    "n_char_entropy",
+    "a_mode_median",
     # ---- slots past the 50-entry sweep budget: every remaining
     # never-driver-checked query, registration order, so a larger
     # sweep still lands on new proof first ----
+    "st_transform_with_state",
     "sql_pipe_syntax",
     "sql_session_variables",
     "sql_identifier_clause",
     "sql_scripting_threshold_search",
     "sql_execute_immediate",
     "sql_q15_top_supplier",
-    "sql_q16_notin_suppliers",
-    "sql_q6_forecast_revenue",
-    "sql_q9_product_profit",
     "sql_q88_time_bands",
-    "sql_recursive_ancestor_rollup",
-    "j_hierarchy_closure_table",
     "j_spatial_grid_nn",
     "j_interval_overlap_join",
     "j_join_size_estimate",
-    "j_drill_across_facts",
     "j_backlog_aging_snapshots",
-    "j_entity_resolution_blocked",
     "j_bitemporal_reconstruction",
-    "j_fuzzy_name_trigram",
-    "j_point_in_polygon",
     "s_catalog_ddl_sql",
-    "s_small_file_compaction",
     "s_analyze_table_stats",
     "s_provenance_manifest",
     "s_merge_idempotency",
     "s_parquet_storage_report",
     "s_vacuum_orphan_files",
     "a_exact_quantiles",
-    "a_argmax_struct",
-    "a_mode_median",
-    "a_histogram_width_bucket",
     "a_percentile_cont_disc",
     "a_regression_aggs",
     "a_bitmap_distinct",
     "a_decimal128_exact",
     "a_log2_histogram",
-    "a_quantile_histogram_sketch",
     "a_pythagorean_means",
     "a_relational_division_otif",
     "a_semantic_layer_metrics",
     "a_distinct_estimator_comparison",
-    "w_rank_dense_ntile",
     "w_moving_avg",
     "w_distribution_funcs",
     "w_range_interval_frame",
     "w_first_last_nth",
-    "w_scd2_ranges",
-    "w_mom_change",
     "o_union_all",
     "f_string_funcs",
-    "f_date_funcs",
     "f_hash_funcs",
     "f_hash_spark_native",
     "f_date_advanced",
-    "f_explode_outer",
     "f_bitwise_funcs",
     "f_higher_order_funcs",
     "f_regex_funcs",
@@ -237,10 +212,8 @@ _PRIORITY = (
     "f_business_days_diff",
     "f_timezone_functions",
     "f_snowflake_id_codec",
-    "f_penny_allocation",
     "f_rounding_mode_audit",
     "f_hex_bin_assign",
-    "u_cogrouped_apply_in_arrow",
     "t_tumbling_window",
     "t_rollup_from_materialized",
     "e_decay_engagement_score",
@@ -265,23 +238,17 @@ _PRIORITY = (
     "e_markov_next_event_eval",
     "e_nps_score_ci",
     "e_gains_lift_table",
-    "st_transform_with_state",
     "s_observe_qc_metrics",
     "s_profile_table",
     "j_bloom_runtime_filter",
     "s_benford_qc",
     "s_rendezvous_sharding",
-    "n_token_count",
-    "n_langid",
-    "n_quality_score",
     "n_bigram_lm_score",
-    "n_char_entropy",
     "n_dataset_card",
     "n_lang_quality_bands",
     "n_countmin_sketch",
     "n_bpe_pair_counts",
     "n_rouge_ngram_overlap",
-    "n_cooccurrence_pmi",
     "n_sentence_stats",
     "n_span_corruption_stats",
     "n_code_detection_score",
@@ -314,31 +281,23 @@ _PRIORITY = (
     "n_simhash",
     "n_minhash_lsh_mllib",
     "n_edit_distance_pairs",
-    "n_url_canonical_dedup",
     "n_repeated_ngram_spans",
     "n_dedup_survivorship_policy",
     "n_bloom_incremental_dedup",
     "n_lsh_parameter_sensitivity",
-    "n_dedup_stage_funnel",
     "n_minhash_jaccard_calibration",
     "n_lsh_br_planner",
     "n_embedding_quantize",
-    "n_pq_rerank_refine",
-    "n_mrl_prefix_rerank",
     "n_class_balanced_downsample",
     "n_embedding_drift_psi",
-    "n_uncertainty_sampling",
     "n_mrr_retrieval_eval",
-    "n_binary_hash_retrieval",
     "n_embedding_isotropy",
-    "n_hubness_skew",
     "s_incremental_agg_maintenance",
     "n_temperature_sampling_weights",
     "n_curriculum_phases",
     "n_group_kfold",
     "s_merge_on_read_deletes",
     "n_dpo_preference_pairs",
-    "m_patch_grid_plan",
     "m_av_sync_drift",
     "m_payload_integrity_audit",
     "m_magic_bytes_sniff",
@@ -415,7 +374,6 @@ _PRIORITY = (
     "a_k_anonymity_audit",
     "s_snapshot_diff_cdf",
     "n_pps_systematic_sample",
-    "sql_group_by_all",
     "n_dp_noisy_counts",
     "s_constraint_audit_all_tables",
     "s_crypto_shredding",
