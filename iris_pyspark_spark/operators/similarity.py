@@ -55,10 +55,21 @@ def l2_sq(a: Column, b: Column) -> Column:
     )
 
 
-#: Names safe to splice into an F.expr string without backticks —
-#: plain (optionally alias-qualified) identifiers. Anything else falls
-#: back to the Column fold path.
+#: Names spliceable into an F.expr string — plain (optionally
+#: alias-qualified) identifiers. Each dot-part is BACKTICK-QUOTED at
+#: splice time (see _bq), so a column named `order`, `true`, or
+#: `current_date` parses as the same UnresolvedAttribute F.col would
+#: build instead of colliding with a SQL keyword/literal/function.
+#: Anything else falls back to the Column fold path.
 _SAFE_NAME = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?")
+
+
+def _bq(name: str) -> str:
+    """Backtick-quote each dot-part of a (possibly alias-qualified)
+    identifier for splicing into Spark SQL: `a.emb` -> `` `a`.`emb` ``.
+    Backticked identifiers parse to the identical UnresolvedAttribute,
+    so keyword/boolean/date-literal column names resolve as columns."""
+    return ".".join(f"`{part}`" for part in name.split("."))
 
 
 def dot_unrolled_spark_sql(a: str, b: str, dim: int) -> str:
@@ -66,7 +77,9 @@ def dot_unrolled_spark_sql(a: str, b: str, dim: int) -> str:
     `x[i]` parses to the same UnresolvedExtractValue as
     `Column.getItem(i)` and SQL `+` is left-associative, so
     `F.expr(dot_unrolled_spark_sql(...))` yields the identical
-    expression tree — and bit-identical doubles — as the Column fold."""
+    expression tree — and bit-identical doubles — as the Column fold.
+    Identifier parts are backtick-quoted (keyword-proof)."""
+    a, b = _bq(a), _bq(b)
     return " + ".join(
         f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
         for i in range(dim)
@@ -103,15 +116,29 @@ def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     return out
 
 
-def cosine_unrolled(a: Column, b: Column, dim: int, norm_a: Column, norm_b: Column) -> Column:
+def cosine_unrolled(
+    a: Column | str,
+    b: Column | str,
+    dim: int,
+    norm_a: Column | str,
+    norm_b: Column | str,
+) -> Column:
     """dot/(norm_a*norm_b) with the unrolled dot; norms are precomputed
-    per vector (once per row, not once per pair)."""
+    per vector (once per row, not once per pair). Accepts column-name
+    strings like dot_unrolled — pass both vector names as str to get the
+    single-parse F.expr fast path (norm names are cheap either way)."""
+    if isinstance(norm_a, str):
+        norm_a = F.col(norm_a)
+    if isinstance(norm_b, str):
+        norm_b = F.col(norm_b)
     return dot_unrolled(a, b, dim) / (norm_a * norm_b)
 
 
 def l2_sq_unrolled_spark_sql(a: str, b: str, dim: int) -> str:
     """Spark-SQL spelling (0-based) of the unrolled squared-L2 sum —
-    same single-parse rationale as dot_unrolled_spark_sql."""
+    same single-parse rationale (and backtick quoting) as
+    dot_unrolled_spark_sql."""
+    a, b = _bq(a), _bq(b)
     return " + ".join(
         f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
         f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"

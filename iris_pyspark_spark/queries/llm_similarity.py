@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..operators.similarity import (
     cosine_topk_selfsim,
+    cosine_unrolled,
     dot_unrolled,
     dot_unrolled_sql,
     ivf_assign,
@@ -216,8 +217,7 @@ def n_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn(
             "sim",
-            dot_unrolled("q_emb", "emb_b", DIM)
-            / (F.col("nrm_a") * F.col("nrm_b")),
+            cosine_unrolled("q_emb", "emb_b", DIM, "nrm_a", "nrm_b"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
@@ -483,8 +483,7 @@ def n_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("c_nrm"), F.col("cid").alias("cid_b"),
     )
     sim = F.round(
-        dot_unrolled("q_emb", "c_emb", DIM)
-        / (F.col("q_nrm") * F.col("c_nrm")),
+        cosine_unrolled("q_emb", "c_emb", DIM, "q_nrm", "c_nrm"),
         9,
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -904,9 +903,7 @@ def n_mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm16").alias("q_nrm16"),
         F.col("nrm64").alias("q_nrm64"),
     )
-    cos16 = dot_unrolled("q_emb", "embedding", _MRL_DIM) / (
-        F.col("q_nrm16") * F.col("nrm16")
-    )
+    cos16 = cosine_unrolled("q_emb", "embedding", _MRL_DIM, "q_nrm16", "nrm16")
     coarse = (
         F.broadcast(probes)
         .join(normed, F.col("q_id") != F.col("vec_id"))
@@ -921,9 +918,7 @@ def n_mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("crk") <= _MRL_COARSE_K)
     )
-    cos64 = dot_unrolled("q_emb", "embedding", DIM) / (
-        F.col("q_nrm64") * F.col("nrm64")
-    )
+    cos64 = cosine_unrolled("q_emb", "embedding", DIM, "q_nrm64", "nrm64")
     refined = coarse.withColumn("cos64", cos64).withColumn(
         "rk",
         F.row_number().over(
@@ -1032,9 +1027,7 @@ def n_ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    cos = dot_unrolled("q_emb", "embedding", DIM) / (
-        F.col("q_nrm") * F.col("nrm")
-    )
+    cos = cosine_unrolled("q_emb", "embedding", DIM, "q_nrm", "nrm")
     ranked = (
         F.broadcast(probes)
         .join(normed, F.col("q_id") != F.col("vec_id"))
@@ -1333,9 +1326,7 @@ def n_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
     )
-    cos = dot_unrolled("a_emb", "embedding", DIM) / (
-        F.col("a_nrm") * F.col("nrm")
-    )
+    cos = cosine_unrolled("a_emb", "embedding", DIM, "a_nrm", "nrm")
     ranked = (
         F.broadcast(anchors)
         .join(
@@ -1444,9 +1435,7 @@ def n_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    cos = dot_unrolled("q_emb", "embedding", DIM) / (
-        F.col("q_nrm") * F.col("nrm")
-    )
+    cos = cosine_unrolled("q_emb", "embedding", DIM, "q_nrm", "nrm")
     neigh = (
         F.broadcast(probes)
         .join(normed, F.col("q_id") != F.col("vec_id"))
@@ -1670,9 +1659,7 @@ def n_mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    cos = dot_unrolled("q_emb", "embedding", DIM) / (
-        F.col("q_nrm") * F.col("nrm")
-    )
+    cos = cosine_unrolled("q_emb", "embedding", DIM, "q_nrm", "nrm")
     ranked = (
         F.broadcast(probes)
         .join(normed, F.col("q_id") != F.col("vec_id"))
@@ -1794,8 +1781,7 @@ def n_colbert_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("d_nrm"),
     )
     cos = F.round(
-        dot_unrolled("q_emb", "d_emb", DIM)
-        / (F.col("q_nrm") * F.col("d_nrm")),
+        cosine_unrolled("q_emb", "d_emb", DIM, "q_nrm", "d_nrm"),
         9,
     )
     sims = (
@@ -1931,8 +1917,7 @@ def n_binary_hash_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).filter(F.col("hrk") <= 10)
     cos = F.round(
-        dot_unrolled("q_emb", "embedding", DIM)
-        / (F.col("q_nrm") * F.col("nrm")),
+        cosine_unrolled("q_emb", "embedding", DIM, "q_nrm", "nrm"),
         9,
     )
     exact = joined.withColumn(
@@ -2037,8 +2022,7 @@ def n_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = sample.alias("a"), sample.alias("b")
     cos_micro = F.round(
-        dot_unrolled("a.embedding", "b.embedding", DIM)
-        / (F.col("a.nrm") * F.col("b.nrm"))
+        cosine_unrolled("a.embedding", "b.embedding", DIM, "a.nrm", "b.nrm")
         * 1000000
     ).cast("long")
     pair_stats = (

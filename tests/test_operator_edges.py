@@ -76,6 +76,42 @@ def test_cosine_topk_k_larger_than_corpus(spark):
     assert all(r["count"] == 2 for r in got)
 
 
+def test_unrolled_fast_path_keyword_column_names(spark):
+    """The F.expr fast path backtick-quotes identifier parts, so columns
+    named like SQL keywords/literals ('order', 'true') — which would
+    otherwise throw ParseException or resolve to a literal — behave
+    exactly like the F.col fold path (ADVICE r07)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from iris_pyspark_spark.operators.similarity import (
+        cosine_unrolled,
+        dot_unrolled,
+        l2_sq_unrolled,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])], "order array<double>, true array<double>"
+    )
+    assert df.select(dot_unrolled("order", "true", 2).alias("d")).first()["d"] == 11.0
+    # alias-qualified keyword parts quote per-part: `a`.`order`
+    assert (
+        df.alias("a").select(dot_unrolled("a.order", "a.true", 2).alias("d")).first()["d"]
+        == 11.0
+    )
+    assert (
+        df.select(l2_sq_unrolled("order", "true", 2).alias("d")).first()["d"] == 8.0
+    )
+    got = (
+        df.withColumn("na", F.sqrt(dot_unrolled("order", "order", 2)))
+        .withColumn("nb", F.sqrt(dot_unrolled("true", "true", 2)))
+        .select(cosine_unrolled("order", "true", 2, "na", "nb").alias("c"))
+        .first()["c"]
+    )
+    assert abs(got - 11.0 / (math.sqrt(5.0) * math.sqrt(25.0))) < 1e-15
+
+
 def test_frame_sampling_empty_payload(spark):
     from pyspark.sql import functions as F
 
