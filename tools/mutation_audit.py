@@ -24,6 +24,12 @@ result proves little and should justify itself).
 Usage:
     python tools/mutation_audit.py [sf_dir] [n_sample|all] [name_substr]
     python tools/mutation_audit.py --oracle-side [sf_dir] [n|all] [substr]
+                                   [--json artifact.json]
+
+`--json` (oracle-side only) writes a machine-readable artifact —
+queries/mutant counts, comparator-blind map (must be empty), inert
+tokens, baseline failures — so the per-round audit is checked in and
+diffable like the scaling sweep's.
 
 `--oracle-side` runs the DUAL audit (see the oracle-side section below):
 mutate the DuckDB SQL instead of the Spark frame, proving the oracles
@@ -216,7 +222,9 @@ def oracle_mutants(sql: str):
         )
 
 
-def audit_oracle_side(sf_dir: str, names: list[str]) -> int:
+def audit_oracle_side(
+    sf_dir: str, names: list[str], json_out: str | None = None
+) -> int:
     from iris_pyspark_spark.session import get_spark
 
     reg = load_all()
@@ -269,6 +277,26 @@ def audit_oracle_side(sf_dir: str, names: list[str]) -> int:
         print(f"ADVISORY {n_}: inert at this sf — {', '.join(labels)}")
     for n_ in baseline_fail:
         print(f"BASELINE-FAIL {n_} (fix the query/oracle first; not audited)")
+    if json_out is not None:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(names),
+                    "n_mutants": n_mut,
+                    "n_inapplicable": n_err,
+                    "comparator_blind": blind,
+                    "inert": inert,
+                    "no_mutation": no_mutation,
+                    "baseline_fail": baseline_fail,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"artifact written: {json_out}")
     if blind:
         print(f"COMPARATOR-BLIND oracle mutations ({len(blind)}):")
         for n_, labels in blind.items():
@@ -293,15 +321,21 @@ def pick_sample(n: int | None, substr: str) -> list[str]:
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--oracle-side"]
-    oracle_side = "--oracle-side" in sys.argv[1:]
+    json_out = None
+    raw = sys.argv[1:]
+    if "--json" in raw:
+        i = raw.index("--json")
+        json_out = raw[i + 1]
+        raw = raw[:i] + raw[i + 2 :]
+    argv = [a for a in raw if a != "--oracle-side"]
+    oracle_side = "--oracle-side" in raw
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
     n_arg = argv[1] if len(argv) > 1 else ("30" if oracle_side else "50")
     substr = argv[2] if len(argv) > 2 else ""
     n = None if n_arg == "all" else int(n_arg)
     names = pick_sample(n, substr)
     if oracle_side:
-        return audit_oracle_side(sf_dir, names)
+        return audit_oracle_side(sf_dir, names, json_out=json_out)
     return audit(sf_dir, names)
 
 
