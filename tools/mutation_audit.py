@@ -22,9 +22,12 @@ cell/row mutations; they are flagged as advisory (a 0-row oracled
 result proves little and should justify itself).
 
 Usage:
-    python tools/mutation_audit.py [sf_dir] [n_sample|all] [name_substr]
-    python tools/mutation_audit.py --oracle-side [sf_dir] [n|all] [substr]
-                                   [--json artifact.json]
+    python tools/mutation_audit.py [sf_dir] [n_sample|all] [name_substr ...]
+    python tools/mutation_audit.py --oracle-side [sf_dir] [n|all]
+                                   [name_substr ...] [--json artifact.json]
+
+Multiple name_substr filters OR together (any match selects), so a
+delta audit over an explicit name list is one command.
 
 `--json` (oracle-side only) writes a machine-readable artifact —
 queries/mutant counts, comparator-blind map (must be empty), inert
@@ -222,6 +225,27 @@ def oracle_mutants(sql: str):
         )
 
 
+_MUTANT_TIMEOUT_S = 20.0
+
+
+def _execute_bounded(con, sql: str):
+    """Execute oracle SQL under a watchdog. A mutation can turn a
+    terminating query into a non-terminating one — vacating the
+    recursion-stop WHERE of a recursive CTE makes DuckDB spin forever,
+    and embedded DuckDB ignores KeyboardInterrupt while inside C++ —
+    so a timer thread calls con.interrupt() after _MUTANT_TIMEOUT_S
+    (the real oracles all finish in well under a second at sf0.01).
+    Raises whatever interrupt/execution error DuckDB surfaces."""
+    import threading
+
+    t = threading.Timer(_MUTANT_TIMEOUT_S, con.interrupt)
+    t.start()
+    try:
+        return con.execute(sql).df()
+    finally:
+        t.cancel()
+
+
 def audit_oracle_side(
     sf_dir: str, names: list[str], json_out: str | None = None
 ) -> int:
@@ -234,6 +258,7 @@ def audit_oracle_side(
     inert: dict[str, list[str]] = {}  # mutation was a semantic no-op
     baseline_fail: list[str] = []
     no_mutation: list[str] = []
+    timeouts: dict[str, list[str]] = {}  # mutant ran past the watchdog
     n_mut = n_err = 0
     for i, name in enumerate(names):
         q = reg[name]
@@ -248,8 +273,14 @@ def audit_oracle_side(
         applied = 0
         for label, msql in oracle_mutants(q.oracle):
             try:
-                dm = con.execute(msql).df()
-            except Exception:
+                dm = _execute_bounded(con, msql)
+            except KeyboardInterrupt:  # interrupt() surfaces as this in
+                timeouts.setdefault(name, []).append(label)  # some builds
+                n_err += 1
+                continue
+            except Exception as e:
+                if "interrupt" in type(e).__name__.lower():
+                    timeouts.setdefault(name, []).append(label)
                 n_err += 1  # mutant SQL invalid (e.g. bumped a divisor
                 continue  # into an overflow) — inapplicable, not evidence
             applied += 1
@@ -269,12 +300,17 @@ def audit_oracle_side(
             + (f", {len(inert.get(name, []))} inert" if name in inert else "")
             + ")"
         )
-        print(f"[{i + 1}/{len(names)}] {name}: {status}")
+        print(f"[{i + 1}/{len(names)}] {name}: {status}", flush=True)
     print()
     for n_ in no_mutation:
         print(f"ADVISORY {n_}: no applicable oracle mutation (no literal/WHERE)")
     for n_, labels in sorted(inert.items()):
         print(f"ADVISORY {n_}: inert at this sf — {', '.join(labels)}")
+    for n_, labels in sorted(timeouts.items()):
+        print(
+            f"ADVISORY {n_}: mutant interrupted at {_MUTANT_TIMEOUT_S}s "
+            f"(non-terminating under mutation) — {', '.join(labels)}"
+        )
     for n_ in baseline_fail:
         print(f"BASELINE-FAIL {n_} (fix the query/oracle first; not audited)")
     if json_out is not None:
@@ -290,6 +326,7 @@ def audit_oracle_side(
                     "comparator_blind": blind,
                     "inert": inert,
                     "no_mutation": no_mutation,
+                    "timeouts": timeouts,
                     "baseline_fail": baseline_fail,
                 },
                 f,
@@ -311,9 +348,17 @@ def audit_oracle_side(
     return 0 if not baseline_fail else 1
 
 
-def pick_sample(n: int | None, substr: str) -> list[str]:
+def pick_sample(n: int | None, substrs: list[str]) -> list[str]:
+    """Oracled query names matching ANY of `substrs` (all if empty),
+    every-k-th downsampled to n. Multiple filters make delta audits
+    (e.g. 'exactly the queries added since the last full pass') one
+    command, same as preflight's name-list argument."""
     reg = load_all()
-    oracled = [m for m, q in reg.items() if q.oracle is not None and substr in m]
+    oracled = [
+        m
+        for m, q in reg.items()
+        if q.oracle is not None and (not substrs or any(s in m for s in substrs))
+    ]
     if n is None or n >= len(oracled):
         return oracled
     step = max(1, len(oracled) // n)
@@ -331,9 +376,9 @@ def main() -> int:
     oracle_side = "--oracle-side" in raw
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
     n_arg = argv[1] if len(argv) > 1 else ("30" if oracle_side else "50")
-    substr = argv[2] if len(argv) > 2 else ""
+    substrs = argv[2:]
     n = None if n_arg == "all" else int(n_arg)
-    names = pick_sample(n, substr)
+    names = pick_sample(n, substrs)
     if oracle_side:
         return audit_oracle_side(sf_dir, names, json_out=json_out)
     return audit(sf_dir, names)
