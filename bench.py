@@ -32,6 +32,27 @@ ORIGINAL_13 = frozenset({
 })
 
 
+def _calibration_sec() -> float:
+    """Fixed single-thread CPU yardstick (~60ms on an idle core),
+    min-of-3: deterministic elementwise numpy over 4M doubles —
+    elementwise kernels never multithread, so this measures ONE core's
+    effective speed. Reported beside the query timings because this
+    container shows 3-8x wall-clock spikes from external contention;
+    the ratio of two rounds' calibration values tells a reader whether
+    a swing in the query numbers is the engine or the host."""
+    import numpy as np
+
+    x = (np.arange(4_000_000, dtype=np.float64) % 97.0) - 48.0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = np.tanh(x)
+        y += np.sqrt(np.abs(x))
+        float(y.sum())
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -59,6 +80,7 @@ def main() -> None:
     # change on their path); n=4 keeps the round-over-round comparison
     # meaningful at ~30s extra wall-clock.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+    calib_before = _calibration_sec()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, q in sorted(headline.items()):
@@ -76,6 +98,7 @@ def main() -> None:
         med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
         medians[name] = round(med, 4)
 
+    calib_after = _calibration_sec()
     print(
         json.dumps(
             {
@@ -91,6 +114,12 @@ def main() -> None:
                     sum(v for k, v in timings.items() if k in ORIGINAL_13), 4
                 ),
                 "n": n_runs,  # min-of-n runs per query (see contention note)
+                # Host-noise yardstick: fixed single-core numpy workload,
+                # min-of-3, measured twice (before/after the query loop).
+                # Compare across rounds to separate engine changes from
+                # host contention.
+                "calibration_sec": calib_before,
+                "calibration_sec_after": calib_after,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -165,6 +165,24 @@ def l2_sq_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     return out
 
 
+def l2_sq_literal_spark_sql(a: str, point, dim: int) -> str:
+    """Spark-SQL spelling of Σ (a[i] - point[i])² against a CONSTANT
+    vector — the shape iterative selection loops need (k-center,
+    k-means++ seeding), where the comparison point is a collected row,
+    not a column. One parse replaces dim F.lit Column round-trips per
+    point (the Py4J call chatter, not the job, dominated the k-center
+    rounds). Literals are spelled `repr(x)D`: repr round-trips the
+    double exactly and Spark's D-suffix literal parses via
+    Double.parseDouble, so the bits match F.lit(x) for every value
+    (verified over subnormals, -0.0, max-double, exponent forms)."""
+    a = _bq(a)
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - {float(point[i])!r}D)"
+        f" * (CAST({a}[{i}] AS DOUBLE) - {float(point[i])!r}D)"
+        for i in range(dim)
+    )
+
+
 def dot_unrolled_sql(a: str, b: str, dim: int) -> str:
     """DuckDB spelling of dot_unrolled — same left-to-right adds (SQL `+`
     parses left-associative), so values match bit-exactly. 1-based

@@ -28,6 +28,7 @@ from ..operators.similarity import (
     dot_unrolled_sql,
     ivf_assign,
     knn_bruteforce,
+    l2_sq_literal_spark_sql,
     l2_sq_unrolled,
     l2_sq_unrolled_sql,
     norm_unrolled_sql,
@@ -1555,15 +1556,16 @@ def n_kcenter_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = e.orderBy("vec_id").limit(1).first()
     selected = [(0, seed.vec_id, seed.embedding, 0.0)]
     for round_idx in (1, 2, 3):
+        # Each selected point's distance is ONE parsed expression with
+        # the point spelled as double literals (l2_sq_literal_spark_sql)
+        # — same term/fold order as the F.lit Column form it replaced,
+        # so values are bit-identical, but a round costs 1 parse per
+        # point instead of 64 Py4J Column calls per point (which, not
+        # the 2000-row jobs, dominated this loop's wall-clock).
         mind = None
         for _, _, emb, _ in selected:
             d = F.round(
-                l2_sq_unrolled(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(x)) for x in emb]),
-                    64,
-                ),
-                9,
+                F.expr(l2_sq_literal_spark_sql("embedding", emb, 64)), 9
             )
             mind = d if mind is None else F.least(mind, d)
         pick = (

@@ -112,6 +112,36 @@ def test_unrolled_fast_path_keyword_column_names(spark):
     assert abs(got - 11.0 / (math.sqrt(5.0) * math.sqrt(25.0))) < 1e-15
 
 
+def test_l2_literal_sql_bit_identical_to_lit_fold(spark):
+    """l2_sq_literal_spark_sql spells a constant comparison vector as
+    repr(x)D double literals in ONE parsed expression; its value must be
+    bit-identical to the F.lit/Column fold it replaced (k-center's
+    per-round plan), including subnormals, -0.0, and keyword-named
+    columns (the `_bq` quoting applies here too)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from iris_pyspark_spark.operators.similarity import (
+        l2_sq_literal_spark_sql,
+        l2_sq_unrolled,
+    )
+
+    point = [0.1, -0.30000000000000004, 5e-324, -0.0]
+    df = spark.createDataFrame(
+        [([1.5, 2.5, 0.0, 1e-9],)], "order array<double>"
+    )
+    fast = df.select(
+        F.expr(l2_sq_literal_spark_sql("order", point, 4)).alias("d")
+    ).first()["d"]
+    fold = df.select(
+        l2_sq_unrolled(
+            F.col("order"), F.array(*[F.lit(float(x)) for x in point]), 4
+        ).alias("d")
+    ).first()["d"]
+    assert struct.pack(">d", fast) == struct.pack(">d", fold)
+
+
 def test_frame_sampling_empty_payload(spark):
     from pyspark.sql import functions as F
 
