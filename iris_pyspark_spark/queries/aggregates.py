@@ -2150,3 +2150,158 @@ def a_having_status_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_n_status")
         .orderBy("yr", "mon")
     )
+
+
+# --- A5+A6, fifth wave: CUBE with HAVING and grand-total share ---------------
+
+_CUBE_HAVING_ORACLE = f"""
+WITH cube_rows AS (
+  SELECT COALESCE(o_orderstatus, 'ALL')    AS status,
+         COALESCE(o_orderpriority, 'ALL')  AS priority,
+         GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+         CAST(COUNT(*) AS BIGINT)          AS n_orders,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT)
+                                           AS total_cents
+  FROM orders
+  GROUP BY CUBE (o_orderstatus, o_orderpriority)
+  HAVING COUNT(*) >= 10
+),
+grand AS (
+  SELECT total_cents AS all_cents FROM cube_rows WHERE gid = 3
+)
+SELECT status, priority, gid, n_orders, total_cents,
+       CAST(total_cents * 10000 // (SELECT all_cents FROM grand) AS BIGINT)
+         AS share_bp
+FROM cube_rows
+"""
+
+
+@register("a_cube_having_share", oracle=_CUBE_HAVING_ORACLE, tags=("A5", "A6", "A2"))
+def a_cube_having_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A6, fifth wave: a CUBE over (status, priority) with a HAVING
+    floor, where each surviving cell also reports its share of the
+    grand total in exact basis points. GROUPING() disambiguates real
+    NULL keys from subtotal rows (both engines spell the same gid), and
+    the grand-total row comes FROM THE CUBE ITSELF (gid = 3) — no second
+    scan: the share join is a 1-row broadcast against an already-tiny
+    aggregate, so the whole query stays one fact-table pass at any
+    scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cube_rows = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("long").alias("gid"),
+        )
+        .filter(F.col("n_orders") >= 10)
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_cents",
+        )
+    )
+    # 1-row grand total re-joined on a constant key: ConstantPropagation
+    # folds the condition away leaving a 1-row broadcast NLJ — audited
+    # in the plan gate's whitelist, same as a_cube_grand_share (the
+    # scale-correct plan; a global window would single-partition the
+    # cube output).
+    grand = cube_rows.filter(F.col("gid") == 3).select(
+        F.lit(1).alias("_k"), F.col("total_cents").alias("all_cents")
+    )
+    return cube_rows.withColumn("_k", F.lit(1)).join(
+        broadcast(grand), "_k"
+    ).select(
+        "status",
+        "priority",
+        "gid",
+        "n_orders",
+        "total_cents",
+        F.expr("CAST(total_cents * 10000 DIV all_cents AS BIGINT)").alias(
+            "share_bp"
+        ),
+    )
+
+
+# --- A9+F5, fifth wave: collect aggregates queried through a map column ------
+
+_COLLECT_MAP_ORACLE = """
+WITH per_status AS (
+  SELECT o_orderpriority, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+         o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+         STRING_AGG(DISTINCT LPAD(CAST(MONTH(o_orderdate) AS VARCHAR), 2, '0'),
+                    '|' ORDER BY LPAD(CAST(MONTH(o_orderdate) AS VARCHAR), 2, '0'))
+           FILTER (WHERE o_totalprice > 480000) AS jm
+  FROM orders
+  GROUP BY 1, 2, 3
+)
+SELECT o_orderpriority, yr,
+       COALESCE(STRING_AGG(jm, '|' ORDER BY jm), '') AS jumbo_months,
+       CAST(COALESCE(SUM(n) FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT)
+         AS n_open,
+       CAST(COALESCE(SUM(n) FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT)
+         AS n_fulfilled
+FROM per_status
+GROUP BY 1, 2
+"""
+
+
+@register("a_collect_map_top_status", oracle=_COLLECT_MAP_ORACLE, tags=("A9", "F5"))
+def a_collect_map_top_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+F5, fifth wave: per (priority, year) — the months that saw a
+    jumbo (>480k) order as a sorted collect_set (the collect aggregate;
+    this set genuinely varies per group at every sf), plus per-status
+    counts materialized as a real MAP column (map_from_entries over
+    collected (status, n) structs) and read back with element_at. The
+    map-typed column is exercised inside the plan but the OUTPUT stays
+    scalar (the driver's canonicalizer rejects complex checked
+    columns). Two stacked combinable aggregations; nothing wider than
+    (priority, year, status) ever shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_status = orders.groupBy(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.array_join(
+            F.sort_array(
+                F.collect_set(
+                    F.when(
+                        F.col("o_totalprice") > 480000.0,
+                        F.lpad(F.month("o_orderdate").cast("string"), 2, "0"),
+                    )
+                )
+            ),
+            "|",
+        ).alias("jm"),
+    )
+    mapped = per_status.groupBy("o_orderpriority", "yr").agg(
+        # Statuses with no jumbo months ('' after array_join) are
+        # excluded via when() -> NULL (collect_list skips NULLs), the
+        # same rows DuckDB's STRING_AGG skips as NULL.
+        F.array_join(
+            F.sort_array(
+                F.collect_list(F.when(F.col("jm") != "", F.col("jm")))
+            ),
+            "|",
+        ).alias("jumbo_months"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("status_map"),
+    )
+    return mapped.select(
+        "o_orderpriority",
+        "yr",
+        "jumbo_months",
+        F.coalesce(F.element_at("status_map", "O"), F.lit(0))
+        .cast("long")
+        .alias("n_open"),
+        F.coalesce(F.element_at("status_map", "F"), F.lit(0))
+        .cast("long")
+        .alias("n_fulfilled"),
+    )

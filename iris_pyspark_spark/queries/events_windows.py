@@ -2675,3 +2675,85 @@ def t_session_duration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- T3+T2, fifth wave: session starts rolled into sliding windows -----------
+
+_SESSION_SLIDE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, sid,
+         MIN(ts)  AS session_start,
+         COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, sid
+),
+exploded AS (
+  SELECT ((EPOCH_US(session_start) // 1000000 // 10800) - t.k) * 10800
+           AS win_start_epoch,
+         n_events
+  FROM per_session
+  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 1)) AS k) t
+)
+SELECT CAST(win_start_epoch AS BIGINT) AS win_start_epoch,
+       CAST(COUNT(*) AS BIGINT)        AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT)   AS n_events_sum
+FROM exploded
+GROUP BY 1
+"""
+
+
+@register(
+    "t_session_sliding_density",
+    oracle=_SESSION_SLIDE_ORACLE,
+    tags=("T3", "T2"),
+)
+def t_session_sliding_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T2, fifth wave: TWO window operators stacked — per-user
+    session_window (30-minute gap) produces sessions, then the session
+    STARTS feed a 6h/3h SLIDING window (each start lands in exactly 2
+    windows) counting concurrent session activity over time — the
+    'how many sessions were being opened around hour X' density curve.
+
+    Scale: session_window is one shuffle on user_id with interval merge
+    in the state store; the sliding stage re-windows the already-tiny
+    per-session frame (one row per session, not per event), so the
+    second shuffle's input is orders of magnitude smaller than the
+    fact table. The oracle states the same two stages with LAG-gap
+    sessionization and integer epoch math."""
+    events = load_table(spark, sf_dir, "events")
+    per_session = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    return (
+        per_session.groupBy(
+            F.window("session_start", "6 hours", "3 hours").alias("win")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events_sum"),
+        )
+        .select(
+            F.unix_seconds(F.col("win.start").cast("timestamp")).alias(
+                "win_start_epoch"
+            ),
+            "n_sessions",
+            "n_events_sum",
+        )
+    )

@@ -2222,3 +2222,90 @@ def j_asof_monthly_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bidx")
     )
+
+
+# --- J6+J8+J4, fifth wave: as-of enrichment through a geography star ----------
+
+_STAR_ASOF_ORACLE = """
+SELECT
+  r_name,
+  CAST(COUNT(*) AS BIGINT) AS n_errors,
+  CAST(SUM(CASE WHEN last_click_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_with_prior_click,
+  CAST(COALESCE(SUM(EPOCH_US(ts) - EPOCH_US(last_click_ts)), 0) AS BIGINT)
+    AS gap_us_sum
+FROM (
+  SELECT e.ts,
+         (SELECT MAX(c.ts) FROM events c
+           WHERE c.user_id = e.user_id AND c.event_type = 'click'
+             AND c.ts <= e.ts) AS last_click_ts,
+         e.user_id
+  FROM events e
+  WHERE e.event_type = 'error'
+    AND EXISTS (SELECT 1 FROM events p
+                 WHERE p.user_id = e.user_id AND p.event_type = 'purchase')
+) err
+JOIN customer ON err.user_id = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register(
+    "j_star_asof_region_enrich",
+    oracle=_STAR_ASOF_ORACLE,
+    tags=("J6", "J8", "J4"),
+)
+def j_star_asof_region_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+J8+J4, fifth wave: error events of users who ever purchased
+    (LEFT SEMI), each enriched with the user's last prior click (as-of
+    backward join), rolled up through the customer -> nation -> region
+    star to per-region error counts and total error-to-click gap.
+
+    Scale: the semi join reduces the fact side FIRST (purchasers only),
+    the as-of is the union-tag + one-sort-per-user rewrite
+    (operators/asof.py — no per-row range probe), and the three
+    dimension hops broadcast (customer is the largest and still dim-
+    sized relative to events). One fact sort + three broadcast joins +
+    one combinable rollup; gaps summed in exact integer microseconds."""
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchasers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .join(purchasers, "user_id", "left_semi")
+        .select("event_id", "user_id", "ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    enriched = asof_join(
+        left=errors, right=clicks, on="user_id",
+        left_time="ts", right_time="click_ts",
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        enriched.join(broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_errors"),
+            F.sum(F.when(F.col("click_ts").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_prior_click"),
+            F.coalesce(
+                F.sum(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("click_ts").cast("timestamp"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("gap_us_sum"),
+        )
+    )

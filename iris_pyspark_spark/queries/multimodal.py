@@ -1042,3 +1042,69 @@ def m_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_chunk_chars"),
         F.max("n_boundaries").cast("bigint").alias("max_boundaries_per_doc"),
     )
+
+
+# --- S3+N6+P3, fifth wave: JSON asset manifest with nested struct columns ----
+
+_MANIFEST_ORACLE = """
+SELECT
+  CASE WHEN d.lang IN ('en', 'de') THEN 'text/latin' ELSE 'text/other' END
+    AS kind,
+  CAST(COUNT(*) AS BIGINT)        AS n_assets,
+  CAST(SUM(d.n_chars) AS BIGINT)  AS total_chars,
+  CAST(SUM(e.label) AS BIGINT)    AS label_sum
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE (d.lang = 'en') <> (d.source IN ('src0', 'src1', 'src2'))
+  AND NOT (d.n_chars < 40 AND d.lang = 'zh')
+GROUP BY 1
+"""
+
+
+@register(
+    "m_manifest_json_roundtrip",
+    oracle=_MANIFEST_ORACLE,
+    tags=("S3", "N6", "P3"),
+)
+def m_manifest_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+N6+P3, fifth wave: the multimodal ingestion front door — an
+    asset MANIFEST of nested structs ({asset: {kind, lang, source},
+    metrics: {n_chars, label}}) is written as JSON lines and read back
+    with schema inference (nested JSON objects round-trip to struct
+    columns), then filtered by a boolean COMBINATION (an XOR spelled
+    `<>` on booleans plus a negated conjunction) evaluated on the
+    struct fields, and rolled up per asset kind.
+
+    Scale: manifests are exactly how 100 TB multimodal corpora are
+    indexed — small JSON/JSONL control files describing opaque payload
+    blobs; this proves struct-typed metadata survives the sink -> scan
+    -> filter -> agg path with zero Python in the row pipeline."""
+    from ..sources import scratch_dir
+
+    path = scratch_dir(sf_dir, "asset_manifest_json")
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    manifest = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        F.struct(
+            F.when(F.col("lang").isin("en", "de"), "text/latin")
+            .otherwise("text/other")
+            .alias("kind"),
+            "lang",
+            "source",
+        ).alias("asset"),
+        F.struct("n_chars", "label").alias("metrics"),
+    )
+    manifest.write.mode("overwrite").json(path)
+    back = spark.read.json(path)  # nested objects -> struct columns
+    kept = back.filter(
+        (
+            (F.col("asset.lang") == "en")
+            != F.col("asset.source").isin("src0", "src1", "src2")
+        )
+        & ~((F.col("metrics.n_chars") < 40) & (F.col("asset.lang") == "zh"))
+    )
+    return kept.groupBy(F.col("asset.kind").alias("kind")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum("metrics.n_chars").cast("long").alias("total_chars"),
+        F.sum("metrics.label").cast("long").alias("label_sum"),
+    )

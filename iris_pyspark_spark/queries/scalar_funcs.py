@@ -1767,3 +1767,64 @@ def f_from_json_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- F6+P1, fifth wave: JSON build -> parse -> extract round-trip ------------
+
+_JSON_ROUNDTRIP_ORACLE = """
+WITH built AS (
+  SELECT event_type,
+         CAST(props ->> 'k' AS BIGINT)          AS k,
+         CAST(FLOOR(value) AS BIGINT)           AS v_floor
+  FROM events
+),
+proj AS (
+  SELECT event_type,
+         k // 25                                AS k_band,
+         k % 2 = 0                              AS k_even,
+         v_floor
+  FROM built
+)
+SELECT event_type, k_band,
+       CAST(COUNT(*) AS BIGINT)                    AS n,
+       CAST(SUM(CASE WHEN k_even THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+       CAST(SUM(v_floor) AS BIGINT)                AS v_floor_sum
+FROM proj
+GROUP BY event_type, k_band
+"""
+
+
+@register("f_props_json_projection", oracle=_JSON_ROUNDTRIP_ORACLE, tags=("F6", "P1"))
+def f_props_json_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6+P1, fifth wave: the events `props` column is a REAL JSON
+    string — parse it twice (get_json_object path extraction AND a
+    typed from_json through a schema, asserting they agree via the
+    banding), then a pure projection stage (integer band, parity flag,
+    floored cents) feeding a combinable rollup. Everything is a JVM
+    built-in inside one codegen stage; JSON parsing happens exactly
+    once per row per extractor, map-side, before the only shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    built = e.select(
+        "event_type",
+        # typed path: schema'd from_json -> struct field
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
+        # text path: JSONPath extraction, cast after (same value)
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_text"),
+        F.floor("value").cast("bigint").alias("v_floor"),
+    )
+    proj = built.select(
+        "event_type",
+        # use the TYPED extraction, but only where both parses agree —
+        # a disagreement would surface as a NULL band and break the
+        # count against the oracle.
+        F.when(F.col("k") == F.col("k_text"), F.expr("k DIV 25"))
+        .cast("bigint")
+        .alias("k_band"),
+        (F.col("k") % 2 == 0).alias("k_even"),
+        "v_floor",
+    )
+    return proj.groupBy("event_type", "k_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("k_even"), 1).otherwise(0)).cast("long").alias("n_even"),
+        F.sum("v_floor").cast("long").alias("v_floor_sum"),
+    )

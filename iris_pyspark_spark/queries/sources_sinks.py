@@ -2577,3 +2577,60 @@ def s_tier_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "segment", "tier")
     )
+
+
+# --- S2+S6, fifth wave: CSV scan joined to an in-memory literal dimension ----
+
+_CSV_DIM_ORACLE = f"""
+WITH tiers AS (
+  SELECT * FROM (VALUES
+    ('Brand#1', 'premium'), ('Brand#2', 'premium'), ('Brand#3', 'standard'),
+    ('Brand#4', 'standard'), ('Brand#5', 'value')
+  ) AS t(brand, tier)
+)
+SELECT COALESCE(tier, 'unclassified') AS tier,
+       CAST(COUNT(*) AS BIGINT)       AS n_parts,
+       CAST(SUM({CENTS_SQL.format(expr="p_retailprice")}) AS BIGINT)
+                                      AS retail_cents,
+       CAST(SUM(p_size) AS BIGINT)    AS size_sum
+FROM part LEFT JOIN tiers ON p_brand = brand
+GROUP BY 1
+"""
+
+
+@register("s_csv_inmemory_brand_tier", oracle=_CSV_DIM_ORACLE, tags=("S2", "S6"))
+def s_csv_inmemory_brand_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S6, fifth wave: the part table round-trips through a HEADERED
+    CSV (schema re-inferred on scan — doubles and ints must come back
+    typed), then LEFT-joins an in-memory literal tier dimension built
+    with createDataFrame, unmatched brands folding to 'unclassified'.
+
+    Scale: the 5-row literal dim is driver-local by construction and
+    always broadcast — the join adds zero shuffle on top of the scan;
+    the CSV leg proves text-format scans land in the same typed plan
+    as parquet (money still summed in integer cents AFTER re-inference,
+    so the text round-trip cannot smuggle in float drift)."""
+    path = scratch_dir(sf_dir, "part_csv")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+    part.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.csv(path, header=True, inferSchema=True)
+    tiers = spark.createDataFrame(
+        [
+            Row(brand="Brand#1", tier="premium"),
+            Row(brand="Brand#2", tier="premium"),
+            Row(brand="Brand#3", tier="standard"),
+            Row(brand="Brand#4", tier="standard"),
+            Row(brand="Brand#5", tier="value"),
+        ]
+    )
+    return (
+        back.join(F.broadcast(tiers), back.p_brand == tiers.brand, "left")
+        .groupBy(F.coalesce("tier", F.lit("unclassified")).alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(cents(F.col("p_retailprice"))).cast("long").alias("retail_cents"),
+            F.sum("p_size").cast("long").alias("size_sum"),
+        )
+    )

@@ -1406,3 +1406,63 @@ def st_static_enrich_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_partitions=8,
         no_data_microbatches=False,
     )
+
+
+# --- T6+T1, fifth wave: static dimension joined AFTER the stateful agg -------
+
+_POSTAGG_ENRICH_ORACLE = f"""
+SELECT
+  CAST(EPOCH_US(ts) // 1000000 // 21600 * 21600 AS BIGINT)
+    AS window_start_epoch,
+  c_mktsegment,
+  user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS value_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "st_postagg_static_enrich",
+    oracle=_POSTAGG_ENRICH_ORACLE,
+    tags=("T6", "T1", "T5"),
+)
+def st_postagg_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6+T1+T5, fifth wave: the static dimension joins AFTER the
+    watermarked tumbling aggregate — the production-preferred order
+    when the dim only labels the OUTPUT (join |windows x users| rows,
+    not |events| rows). st_static_enrich_window proves the dim-
+    before-agg order; this proves the per-micro-batch planner handles
+    a static join downstream of stateful aggregation.
+
+    Scale: the stateful operator shuffles events once on (window,
+    user); the enrichment join then touches only the aggregate's
+    output cardinality per batch — at 100 TB that is the difference
+    between joining billions of events and joining thousands of
+    window rows. Complete-mode drain with the tuned 8-store setting."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "6 hours").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("value_cents"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = agg.join(c, F.col("user_id") == F.col("c_custkey")).select(
+        F.unix_seconds(F.col("win.start").cast("timestamp")).alias(
+            "window_start_epoch"
+        ),
+        "c_mktsegment",
+        "user_id",
+        "n_events",
+        "value_cents",
+    )
+    return drain_to_table(
+        enriched,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )

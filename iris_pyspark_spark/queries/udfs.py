@@ -1462,3 +1462,159 @@ def u_iter_partial_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mx").cast("long").alias("max_cents"),
         F.sum("sm").cast("long").alias("sum_cents"),
     )
+
+
+# --- U3+U4, fifth wave: decile-trimmed-sum UDAF unpivoted by a UDTF ----------
+
+_TRIMSUM_UDTF_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ROUND(value * 100) AS BIGINT)) AS rk,
+         COUNT(*)    OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+agged AS (
+  SELECT event_type,
+         CAST(MAX(n) AS BIGINT)       AS n,
+         CAST(MAX(n) // 10 AS BIGINT) AS k_trimmed,
+         CAST(SUM(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+                       THEN v_cents ELSE 0 END) AS BIGINT) AS trimmed_cents
+  FROM c GROUP BY event_type
+)
+SELECT event_type, stat, val FROM (
+  SELECT event_type, 'n' AS stat, n AS val FROM agged
+  UNION ALL
+  SELECT event_type, 'k_trimmed', k_trimmed FROM agged
+  UNION ALL
+  SELECT event_type, 'trimmed_cents', trimmed_cents FROM agged
+)
+"""
+
+
+@register("u_udaf_trimsum_udtf_unpivot", oracle=_TRIMSUM_UDTF_ORACLE, tags=("U3", "U4"))
+def u_udaf_trimsum_udtf_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3+U4, fifth wave: a grouped-agg pandas UDAF computes the
+    decile-trimmed sum per event type (drop the n//10 smallest and
+    largest cents — all-integer, sort-order deterministic: equal values
+    are interchangeable in a sum), then a TABLE-argument UDTF unpivots
+    each group row into (stat, val) rows — the UDAF/UDTF handshake:
+    vectorized aggregate in, table function out.
+
+    Scale: the UDAF sorts each group's cents inside one Arrow batch
+    (groups = 5 event types; per-group data fits by construction at any
+    sf because the trim is a per-type statistic job, not a per-user
+    one); the UDTF streams the 5-row aggregate, trivially parallel."""
+    import numpy as np
+
+    from pyspark.sql.functions import udtf
+
+    @pandas_udf("long")
+    def trimmed_sum_cents(v: pd.Series) -> int:
+        cents_i = np.sort(np.rint(v.to_numpy() * 100).astype("int64"))
+        k = len(cents_i) // 10
+        return int(cents_i[k : len(cents_i) - k].sum())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    agged = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            n_rows(F.col("value")).alias("n"),
+            trimmed_sum_cents(F.col("value")).alias("trimmed_cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.expr("n DIV 10").cast("long").alias("k_trimmed"),
+            "trimmed_cents",
+        )
+    )
+    agged.createOrReplaceTempView("u_trimsum_agged")
+
+    @udtf(returnType="event_type string, stat string, val bigint")
+    class UnpivotStats:
+        def eval(self, row):
+            yield (row["event_type"], "n", row["n"])
+            yield (row["event_type"], "k_trimmed", row["k_trimmed"])
+            yield (row["event_type"], "trimmed_cents", row["trimmed_cents"])
+
+    spark.udtf.register("unpivot_trim_stats", UnpivotStats)
+    return spark.sql(
+        """
+        SELECT t.event_type, t.stat, t.val
+        FROM unpivot_trim_stats(
+          TABLE(SELECT event_type, n, k_trimmed, trimmed_cents
+                FROM u_trimsum_agged)
+        ) AS t
+        """
+    )
+
+
+# --- U1+P6, fifth wave: two-argument pandas scalar UDF (exact margin math) ---
+
+_MARGIN_BAND_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) // 100
+           AS net_cents
+  FROM lineitem
+),
+banded AS (
+  SELECT l_returnflag,
+         CASE WHEN net_cents < 2000000 THEN 'small'
+              WHEN net_cents < 5000000 THEN 'mid'
+              ELSE 'large' END AS band,
+         net_cents
+  FROM m
+)
+SELECT l_returnflag, band,
+       CAST(COUNT(*) AS BIGINT)      AS n_items,
+       CAST(SUM(net_cents) AS BIGINT) AS net_cents_sum
+FROM banded
+GROUP BY l_returnflag, band
+"""
+
+
+@register("u_pandas_margin_band", oracle=_MARGIN_BAND_ORACLE, tags=("U1", "P6"))
+def u_pandas_margin_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+P6, fifth wave: a TWO-ARGUMENT Series pandas UDF — net cents
+    from (price, discount) in pure int64 (round to cents, apply the
+    discount as an integer percentage, floor-divide) — proving
+    multi-column Arrow transport keeps both operands aligned, then a
+    CASE WHEN banding and a combinable rollup. The oracle states the
+    identical integer pipeline; any drift in the Arrow boundary or the
+    rounding would shift rows across band edges and break the hash.
+
+    Scale: vectorized batches, no per-row dispatch; integer arithmetic
+    (no float accumulation anywhere past the first rint)."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def net_cents(price: pd.Series, disc: pd.Series) -> pd.Series:
+        p = np.rint(price.to_numpy() * 100).astype("int64")
+        d = np.rint(disc.to_numpy() * 100).astype("int64")
+        return pd.Series(p * (100 - d) // 100)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        "l_returnflag",
+        net_cents(F.col("l_extendedprice"), F.col("l_discount")).alias("net_cents"),
+    )
+    banded = m.select(
+        "l_returnflag",
+        F.when(F.col("net_cents") < 2_000_000, "small")
+        .when(F.col("net_cents") < 5_000_000, "mid")
+        .otherwise("large")
+        .alias("band"),
+        "net_cents",
+    )
+    return banded.groupBy("l_returnflag", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("net_cents").cast("long").alias("net_cents_sum"),
+    )

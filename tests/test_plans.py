@@ -296,11 +296,12 @@ _BNLJ_ALLOWED = frozenset({
     "n_naive_bayes_langid",
     # round-7 fourth wave: 1-row global-average / grand-total broadcasts
     "j_asof_monthly_benchmark", "t_sliding_share_4h",
-    # round 6: the grand-total (grouping_id = 3) cube cell re-joined on a
-    # constant key — ConstantPropagation folds the equi-condition away,
-    # leaving a 1-row broadcast NLJ, which is the scale-correct plan (a
-    # global window over the cube output would single-partition it)
-    "a_cube_grand_share",
+    # round 6 (+ round-8 fifth wave sibling): the grand-total
+    # (grouping_id = 3) cube cell re-joined on a constant key —
+    # ConstantPropagation folds the equi-condition away, leaving a
+    # 1-row broadcast NLJ, which is the scale-correct plan (a global
+    # window over the cube output would single-partition it)
+    "a_cube_grand_share", "a_cube_having_share",
     # round-4 stats batch 2: 1-row dims/horizon/core-count crossJoins
     "a_chi_square_independence", "e_survival_km_curve",
     "g_kcore_decomposition",
