@@ -179,7 +179,7 @@ def audit(sf_dir: str, names: list[str]) -> int:
 #     LIMIT above the row count can be legitimately inert).
 # --------------------------------------------------------------------------
 
-ORACLE_MUTATIONS = ("const_bump", "where_vacate")
+ORACLE_MUTATIONS = ("const_bump", "where_vacate", "agg_swap")
 
 _MAX_CONSTS = 4  # first N numeric literals mutated per query
 _MAX_WHERES = 2  # first N WHERE clauses vacated per query
@@ -195,12 +195,23 @@ def _mask_strings(sql: str) -> str:
 
 def oracle_mutants(sql: str):
     """Yield (mutation_label, mutated_sql) for the first _MAX_CONSTS
-    standalone numeric literals (each bumped +1) and the first
-    _MAX_WHERES WHERE clauses (each vacated via `WHERE TRUE OR`, which
-    ORs over the whole clause since OR binds loosest)."""
+    standalone numeric literals (each bumped +1), the first _MAX_WHERES
+    WHERE clauses (each vacated via `WHERE TRUE OR`, which ORs over the
+    whole clause since OR binds loosest), and the first MAX(/MIN(
+    aggregate swapped to its dual — the shared-wrong-aggregate mirror
+    bug (both engines spelling MIN where the spec means MAX), and the
+    only applicable mutation for oracles with no literal and no WHERE
+    (plain scans, collect profiles, argmax shapes)."""
     import re
 
     masked = _mask_strings(sql)
+    m = re.search(r"\b(MAX|MIN)\s*\(", masked, flags=re.IGNORECASE)
+    if m:
+        swapped = "MIN" if m.group(1).upper() == "MAX" else "MAX"
+        yield (
+            f"agg_swap[{m.group(1).upper()}@{m.start(1)}]",
+            sql[: m.start(1)] + swapped + sql[m.end(1) :],
+        )
     n = 0
     for m in re.finditer(r"(?<![\w.$])(\d+(?:\.\d+)?)(?![\w.])", masked):
         if n >= _MAX_CONSTS:
