@@ -2757,3 +2757,84 @@ def t_session_sliding_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events_sum",
         )
     )
+
+
+# --- T4, sixth wave: time-to-first-purchase within session -------------------
+
+_SESSION_LATENCY_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_type,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, sid,
+    MIN(ts) AS session_start,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM sessions GROUP BY user_id, sid
+),
+bucketed AS (
+  SELECT CASE WHEN first_purchase IS NULL THEN -1
+              ELSE (EPOCH_US(first_purchase) - EPOCH_US(session_start))
+                     // 1000000 // 600 END AS latency_bucket
+  FROM per_session
+)
+SELECT CAST(latency_bucket AS BIGINT) AS latency_bucket,
+       CAST(COUNT(*) AS BIGINT)       AS n_sessions
+FROM bucketed
+GROUP BY 1
+"""
+
+
+@register(
+    "t_session_purchase_latency",
+    oracle=_SESSION_LATENCY_ORACLE,
+    tags=("T4", "A7"),
+)
+def t_session_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4, sixth wave: gap-sessionize (30-min, the shared sessionize
+    operator), then per session the latency from session start to the
+    FIRST purchase, bucketed in 10-minute steps — purchase-free
+    sessions land in bucket -1. The time-to-conversion-within-session
+    histogram.
+
+    Scale: one sort per user (the sessionize window), one combinable
+    per-session agg (MIN and conditional MIN), one tiny histogram
+    rollup; latency math is exact integer microseconds -> seconds ->
+    bucket, floor semantics stated identically in the oracle."""
+    from ..operators.sessionize import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(
+        events, key="user_id", ts="ts", gap_seconds=1800, tie_break="event_id"
+    )
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    bucketed = per_session.select(
+        F.when(F.col("first_purchase").isNull(), F.lit(-1))
+        .otherwise(
+            F.expr(
+                "(unix_micros(CAST(first_purchase AS TIMESTAMP))"
+                " - unix_micros(CAST(session_start AS TIMESTAMP)))"
+                " DIV 1000000 DIV 600"
+            )
+        )
+        .cast("long")
+        .alias("latency_bucket")
+    )
+    return bucketed.groupBy("latency_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )

@@ -2029,3 +2029,61 @@ def n_lsh_br_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.max("separation_ppm").over(Window.partitionBy())
         ).alias("best_separation_50_90"),
     ).orderBy(F.col("bands").desc())
+
+
+# --- N1+P7, sixth wave: normalized exact dedup -> distinct survivor census ---
+
+_DEDUP_DISTINCT_ORACLE = """
+WITH survivors AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  WHERE text IS NOT NULL
+  GROUP BY LOWER(TRIM(text))
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
+       CAST((SELECT COUNT(*) FROM (
+          SELECT DISTINCT d.lang, d.source
+          FROM survivors s JOIN documents d USING (doc_id)
+       )) AS BIGINT) AS n_distinct_lang_source,
+       CAST((SELECT COUNT(*) FROM documents WHERE text IS NOT NULL)
+            AS BIGINT) - CAST(COUNT(*) AS BIGINT) AS n_removed
+FROM survivors
+"""
+
+
+@register(
+    "n_dedup_distinct_census",
+    oracle=_DEDUP_DISTINCT_ORACLE,
+    tags=("N1", "P7", "A2"),
+)
+def n_dedup_distinct_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1+P7, sixth wave: exact dedup on NORMALIZED text (lower+trim —
+    the canonicalization step every exact-dedup pipeline runs before
+    hashing) keeping the min doc_id per group, then a DISTINCT census
+    of the surviving (lang, source) combinations and the removal count
+    — the one-row summary a curation run reports.
+
+    Scale: one groupBy on the normalized-text key (at 100 TB the key
+    would be sha256 of the normalized text — same shuffle shape, fixed
+    64-byte keys), one distinct at survivor cardinality; both
+    combinable. The dedup group key never leaves the map side
+    un-reduced."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", "source", F.lower(F.trim("text")).alias("norm"))
+    )
+    # group size rides along with the argmin, so the removal count needs
+    # no second corpus scan (n_removed = sum(sizes) - n_groups).
+    survivors = d.groupBy("norm").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    )
+    surv_rows = survivors.join(d.select("doc_id", "lang", "source"), "doc_id")
+    return surv_rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_survivors"),
+        F.count_distinct("lang", "source").cast("long").alias(
+            "n_distinct_lang_source"
+        ),
+        (F.sum("group_size") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+    )

@@ -350,3 +350,65 @@ def o_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arm("click_only", clickers, buyers).unionByName(
         arm("purchase_only", buyers, clickers)
     ).orderBy("side")
+
+
+# --- O4+A2, sixth wave: cohort INTERSECT/EXCEPT with a one-row readout -------
+
+_COHORT_SETOPS_ORACLE = """
+WITH hi AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000
+),
+urgent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM hi)     AS BIGINT) AS n_high_value,
+  CAST((SELECT COUNT(*) FROM urgent) AS BIGINT) AS n_urgent,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM hi INTERSECT SELECT * FROM urgent))
+       AS BIGINT) AS n_both,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM hi EXCEPT SELECT * FROM urgent))
+       AS BIGINT) AS n_high_only,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM urgent EXCEPT SELECT * FROM hi))
+       AS BIGINT) AS n_urgent_only
+"""
+
+
+@register("o_cohort_setops_census", oracle=_COHORT_SETOPS_ORACLE, tags=("O4", "A2"))
+def o_cohort_setops_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4+A2, sixth wave: two customer cohorts (high-value vs urgent-
+    priority buyers) related by INTERSECT and both EXCEPT directions in
+    one readout row — the audit identity n_both + n_high_only =
+    n_high_value is visible in the output itself.
+
+    Scale: both cohorts are pre-DISTINCTed at customer-key cardinality
+    BEFORE the set ops, so intersect/except hash-join keys, never raw
+    order rows; the five global counts are combinable single-long
+    aggregates crossed into one row (1-row joins, no data movement)."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = (
+        orders.filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .distinct()
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    both = hi.intersect(urgent)
+    hi_only = hi.subtract(urgent)
+    urgent_only = urgent.subtract(hi)
+
+    def one(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name)).withColumn(
+            "_k", F.lit(1)
+        )
+
+    out = (
+        one(hi, "n_high_value")
+        .join(one(urgent, "n_urgent"), "_k")
+        .join(one(both, "n_both"), "_k")
+        .join(one(hi_only, "n_high_only"), "_k")
+        .join(one(urgent_only, "n_urgent_only"), "_k")
+    )
+    return out.drop("_k")

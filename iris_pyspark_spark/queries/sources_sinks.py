@@ -2634,3 +2634,44 @@ def s_csv_inmemory_brand_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_size").cast("long").alias("size_sum"),
         )
     )
+
+
+# --- S5+J5, sixth wave: pruned partition read-back audited by an anti join ---
+
+_PRUNED_ANTI_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)          AS n_excluded,
+       CAST(SUM(n_chars) AS BIGINT)      AS excluded_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs_excluded
+FROM documents
+WHERE lang NOT IN ('en', 'de')
+GROUP BY source
+"""
+
+
+@register("s_pruned_anti_coverage", oracle=_PRUNED_ANTI_ORACLE, tags=("S5", "J5"))
+def s_pruned_anti_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+J5, sixth wave: documents land in a lang-partitioned sink; a
+    PRUNED read-back (filter on the partition column — only the en/de
+    directories are scanned) is anti-joined against the full corpus to
+    produce the COMPLEMENT — the coverage audit every partition-pruned
+    pipeline needs ('what did my partition filter exclude?').
+
+    Scale: partition pruning turns the filtered scan into a directory
+    listing of 2 of N partitions (no data skipped rows read); the LEFT
+    ANTI join is a hash join on doc_id at corpus-key cardinality — the
+    anti side never fans out. The oracle states the complement
+    directly."""
+    path = scratch_dir(sf_dir, "documents_by_lang_audit")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path)
+    kept = back.filter(F.col("lang").isin("en", "de")).select("doc_id")
+    excluded = docs.join(kept, "doc_id", "left_anti")
+    return excluded.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_excluded"),
+        F.sum("n_chars").cast("long").alias("excluded_chars"),
+        F.count_distinct("lang").cast("long").alias("n_langs_excluded"),
+    )

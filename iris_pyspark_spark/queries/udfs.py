@@ -1618,3 +1618,121 @@ def u_pandas_margin_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum("net_cents").cast("long").alias("net_cents_sum"),
     )
+
+
+# --- U5+O2, sixth wave: per-partition top-k via iterator state ---------------
+
+_ITER_TOPK_ORACLE = """
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders
+ORDER BY total_cents DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("u_iter_partition_topk", oracle=_ITER_TOPK_ORACLE, tags=("U5", "O2"))
+def u_iter_partition_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5+O2, sixth wave: map-side top-k pushdown hand-built with an
+    ITERATOR mapInPandas UDF — the iterator keeps a running top-10
+    ACROSS Arrow batches (true cross-batch state, which the per-batch
+    partial-stats form never exercises) and emits one 10-row partial
+    per PARTITION after the last batch; the JVM then resolves the
+    global top-10 over |partitions| x 10 candidate rows.
+
+    Scale: this is exactly Spark's own TakeOrderedAndProject strategy
+    re-expressed through the Python iterator API — the shuffle carries
+    k rows per partition instead of the fact table. All comparisons in
+    exact integer cents; ties broken by ascending key on BOTH the
+    partial and the final sort, so the result is partitioning-
+    invariant."""
+    import heapq
+
+    def topk_iter(batches):
+        heap = []  # min-heap of (cents, -orderkey): kept 10 largest
+        for pdf in batches:
+            cents_i = (pdf["o_totalprice"] * 100).round().astype("int64")
+            for key, c in zip(pdf["o_orderkey"].astype("int64"), cents_i):
+                item = (int(c), -int(key))
+                if len(heap) < 10:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        if heap:
+            rows = sorted(heap, reverse=True)
+            yield pd.DataFrame(
+                {
+                    "o_orderkey": [-nk for _, nk in rows],
+                    "total_cents": [c for c, _ in rows],
+                }
+            )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    partials = orders.mapInPandas(
+        topk_iter, "o_orderkey bigint, total_cents bigint"
+    )
+    return (
+        partials.orderBy(F.col("total_cents").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# --- U2, sixth wave: grouped-map min-max normalization -----------------------
+
+_GROUPED_NORM_ORACLE = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_cents,
+         MIN(CAST(ROUND(value * 100) AS BIGINT)) OVER (PARTITION BY event_type)
+           AS lo,
+         MAX(CAST(ROUND(value * 100) AS BIGINT)) OVER (PARTITION BY event_type)
+           AS hi
+  FROM events
+)
+SELECT event_id, event_type, v_cents,
+       CAST(CASE WHEN hi = lo THEN 0
+                 ELSE (v_cents - lo) * 10000 // (hi - lo) END AS BIGINT)
+         AS range_bp
+FROM c
+"""
+
+
+@register("u_grouped_map_minmax_norm", oracle=_GROUPED_NORM_ORACLE, tags=("U2",))
+def u_grouped_map_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2, sixth wave: grouped-map applyInPandas where each group's
+    output depends on group-level statistics (min/max) applied back to
+    EVERY row — the normalize-within-group shape (feature scaling per
+    stratum) that needs the whole group in one pandas frame, which is
+    exactly what grouped-map provides and a scalar UDF cannot.
+
+    Scale: one shuffle on the (5-value) group key; inside each group
+    the math is vectorized int64 (cents, bp floor-division — identical
+    spelling to the oracle's window form, including the degenerate
+    hi == lo guard). Output cardinality equals input — nothing
+    collected."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents_i = (pdf["value"] * 100).round().astype("int64")
+        lo, hi = int(cents_i.min()), int(cents_i.max())
+        if hi == lo:
+            bp = pd.Series(0, index=pdf.index, dtype="int64")
+        else:
+            bp = (cents_i - lo) * 10000 // (hi - lo)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].astype("int64"),
+                "event_type": pdf["event_type"],
+                "v_cents": cents_i,
+                "range_bp": bp.astype("int64"),
+            }
+        )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return events.groupBy("event_type").applyInPandas(
+        normalize,
+        "event_id bigint, event_type string, v_cents bigint, range_bp bigint",
+    )

@@ -302,6 +302,9 @@ _BNLJ_ALLOWED = frozenset({
     # 1-row broadcast NLJ, which is the scale-correct plan (a global
     # window over the cube output would single-partition it)
     "a_cube_grand_share", "a_cube_having_share",
+    # round-8 sixth wave: five 1-row global cohort counts crossed into
+    # the single readout row — same folded-constant-key 1-row NLJ class
+    "o_cohort_setops_census",
     # round-4 stats batch 2: 1-row dims/horizon/core-count crossJoins
     "a_chi_square_independence", "e_survival_km_curve",
     "g_kcore_decomposition",
