@@ -2155,7 +2155,7 @@ def a_having_status_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A5+A6, fifth wave: CUBE with HAVING and grand-total share ---------------
 
 _CUBE_HAVING_ORACLE = f"""
-WITH cube_rows AS (
+WITH cube_all AS (
   SELECT COALESCE(o_orderstatus, 'ALL')    AS status,
          COALESCE(o_orderpriority, 'ALL')  AS priority,
          GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
@@ -2164,15 +2164,15 @@ WITH cube_rows AS (
                                            AS total_cents
   FROM orders
   GROUP BY CUBE (o_orderstatus, o_orderpriority)
-  HAVING COUNT(*) >= 10
 ),
 grand AS (
-  SELECT total_cents AS all_cents FROM cube_rows WHERE gid = 3
+  SELECT total_cents AS all_cents FROM cube_all WHERE gid = 3
 )
 SELECT status, priority, gid, n_orders, total_cents,
        CAST(total_cents * 10000 // (SELECT all_cents FROM grand) AS BIGINT)
          AS share_bp
-FROM cube_rows
+FROM cube_all
+WHERE n_orders >= 10
 """
 
 
@@ -2182,12 +2182,16 @@ def a_cube_having_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor, where each surviving cell also reports its share of the
     grand total in exact basis points. GROUPING() disambiguates real
     NULL keys from subtotal rows (both engines spell the same gid), and
-    the grand-total row comes FROM THE CUBE ITSELF (gid = 3) — no second
+    the grand-total row comes FROM THE CUBE ITSELF (gid = 3), taken
+    from the PRE-HAVING cube rows so the denominator survives even if
+    the grand-total cell itself fell under the HAVING floor (ADVICE
+    r08: the post-HAVING spelling returned zero rows in that edge while
+    the oracle's scalar subquery kept them with NULL share) — no second
     scan: the share join is a 1-row broadcast against an already-tiny
     aggregate, so the whole query stays one fact-table pass at any
     scale."""
     orders = load_table(spark, sf_dir, "orders")
-    cube_rows = (
+    cube_all = (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
@@ -2196,7 +2200,6 @@ def a_cube_having_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
             ).cast("long").alias("gid"),
         )
-        .filter(F.col("n_orders") >= 10)
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -2210,9 +2213,10 @@ def a_cube_having_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the plan gate's whitelist, same as a_cube_grand_share (the
     # scale-correct plan; a global window would single-partition the
     # cube output).
-    grand = cube_rows.filter(F.col("gid") == 3).select(
+    grand = cube_all.filter(F.col("gid") == 3).select(
         F.lit(1).alias("_k"), F.col("total_cents").alias("all_cents")
     )
+    cube_rows = cube_all.filter(F.col("n_orders") >= 10)
     return cube_rows.withColumn("_k", F.lit(1)).join(
         broadcast(grand), "_k"
     ).select(

@@ -2082,7 +2082,10 @@ def n_dedup_distinct_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv_rows = survivors.join(d.select("doc_id", "lang", "source"), "doc_id")
     return surv_rows.agg(
         F.count(F.lit(1)).cast("long").alias("n_survivors"),
-        F.count_distinct("lang", "source").cast("long").alias(
+        # struct-wrapped so NULL-containing pairs still count, matching
+        # the oracle's COUNT(*) over SELECT DISTINCT lang, source
+        # (multi-arg count_distinct drops rows where ANY arg is NULL).
+        F.count_distinct(F.struct("lang", "source")).cast("long").alias(
             "n_distinct_lang_source"
         ),
         (F.sum("group_size") - F.count(F.lit(1))).cast("long").alias("n_removed"),

@@ -2644,7 +2644,7 @@ SELECT source,
        CAST(SUM(n_chars) AS BIGINT)      AS excluded_chars,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs_excluded
 FROM documents
-WHERE lang NOT IN ('en', 'de')
+WHERE lang NOT IN ('en', 'de') OR lang IS NULL
 GROUP BY source
 """
 
@@ -2661,7 +2661,11 @@ def s_pruned_anti_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     listing of 2 of N partitions (no data skipped rows read); the LEFT
     ANTI join is a hash join on doc_id at corpus-key cardinality — the
     anti side never fans out. The oracle states the complement
-    directly."""
+    directly, spelled `lang NOT IN (...) OR lang IS NULL` because the
+    anti-join complement INCLUDES NULL-lang docs (they are not kept by
+    isin('en','de') and would land in __HIVE_DEFAULT_PARTITION__),
+    while a bare NOT IN evaluates to NULL and drops them — the
+    intended audit semantics is "everything the pruned read missed"."""
     path = scratch_dir(sf_dir, "documents_by_lang_audit")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"

@@ -1512,7 +1512,10 @@ def u_udaf_trimsum_udtf_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def trimmed_sum_cents(v: pd.Series) -> int:
-        cents_i = np.sort(np.rint(v.to_numpy() * 100).astype("int64"))
+        # Half-away-from-zero (matches the oracle's SQL ROUND) — not
+        # np.rint's half-to-even; see cents_sum above.
+        x = v.to_numpy(dtype="float64") * 100.0
+        cents_i = np.sort(np.trunc(x + np.copysign(0.5, x)).astype("int64"))
         k = len(cents_i) // 10
         return int(cents_i[k : len(cents_i) - k].sum())
 
@@ -1597,8 +1600,11 @@ def u_pandas_margin_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def net_cents(price: pd.Series, disc: pd.Series) -> pd.Series:
-        p = np.rint(price.to_numpy() * 100).astype("int64")
-        d = np.rint(disc.to_numpy() * 100).astype("int64")
+        # Half-away-from-zero money rounding (oracle uses SQL ROUND).
+        xp = price.to_numpy(dtype="float64") * 100.0
+        xd = disc.to_numpy(dtype="float64") * 100.0
+        p = np.trunc(xp + np.copysign(0.5, xp)).astype("int64")
+        d = np.trunc(xd + np.copysign(0.5, xd)).astype("int64")
         return pd.Series(p * (100 - d) // 100)
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1649,9 +1655,14 @@ def u_iter_partition_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import heapq
 
     def topk_iter(batches):
+        import numpy as np
+
         heap = []  # min-heap of (cents, -orderkey): kept 10 largest
         for pdf in batches:
-            cents_i = (pdf["o_totalprice"] * 100).round().astype("int64")
+            # Half-away-from-zero (oracle: SQL ROUND), not pandas
+            # .round()'s half-to-even.
+            x = pdf["o_totalprice"].to_numpy(dtype="float64") * 100.0
+            cents_i = pd.Series(np.trunc(x + np.copysign(0.5, x)).astype("int64"))
             for key, c in zip(pdf["o_orderkey"].astype("int64"), cents_i):
                 item = (int(c), -int(key))
                 if len(heap) < 10:
@@ -1714,7 +1725,11 @@ def u_grouped_map_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected."""
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents_i = (pdf["value"] * 100).round().astype("int64")
+        import numpy as np
+
+        # Half-away-from-zero money rounding (oracle uses SQL ROUND).
+        x = pdf["value"].to_numpy(dtype="float64") * 100.0
+        cents_i = pd.Series(np.trunc(x + np.copysign(0.5, x)).astype("int64"), index=pdf.index)
         lo, hi = int(cents_i.min()), int(cents_i.max())
         if hi == lo:
             bp = pd.Series(0, index=pdf.index, dtype="int64")

@@ -239,6 +239,11 @@ def oracle_mutants(sql: str):
 _MUTANT_TIMEOUT_S = 20.0
 
 
+class _WatchdogTimeout(RuntimeError):
+    """A mutant ran past _MUTANT_TIMEOUT_S and was interrupted by the
+    watchdog (as opposed to failing on its own or a user Ctrl-C)."""
+
+
 def _execute_bounded(con, sql: str):
     """Execute oracle SQL under a watchdog. A mutation can turn a
     terminating query into a non-terminating one — vacating the
@@ -246,14 +251,38 @@ def _execute_bounded(con, sql: str):
     and embedded DuckDB ignores KeyboardInterrupt while inside C++ —
     so a timer thread calls con.interrupt() after _MUTANT_TIMEOUT_S
     (the real oracles all finish in well under a second at sf0.01).
-    Raises whatever interrupt/execution error DuckDB surfaces."""
+    Raises whatever interrupt/execution error DuckDB surfaces, with
+    `fired=True` recorded on the returned marker when the watchdog was
+    the cause. The interrupt is guarded by a still-running flag checked
+    INSIDE the timer callback: without it, a timer firing in the gap
+    between .df() returning and t.cancel() would interrupt the idle
+    shared connection and abort the NEXT query on it (ADVICE r08)."""
     import threading
 
-    t = threading.Timer(_MUTANT_TIMEOUT_S, con.interrupt)
+    state = {"running": True, "fired": False}
+    lock = threading.Lock()
+
+    def _maybe_interrupt():
+        with lock:
+            if not state["running"]:
+                return
+            state["fired"] = True
+        con.interrupt()
+
+    t = threading.Timer(_MUTANT_TIMEOUT_S, _maybe_interrupt)
     t.start()
     try:
         return con.execute(sql).df()
+    except BaseException as e:
+        # Only the watchdog's own interrupt() is a timeout; a real user
+        # Ctrl-C (KeyboardInterrupt with fired=False) must propagate
+        # and abort the audit instead of being logged as an advisory.
+        if state["fired"]:
+            raise _WatchdogTimeout(sql) from e
+        raise
     finally:
+        with lock:
+            state["running"] = False
         t.cancel()
 
 
@@ -285,13 +314,11 @@ def audit_oracle_side(
         for label, msql in oracle_mutants(q.oracle):
             try:
                 dm = _execute_bounded(con, msql)
-            except KeyboardInterrupt:  # interrupt() surfaces as this in
-                timeouts.setdefault(name, []).append(label)  # some builds
+            except _WatchdogTimeout:
+                timeouts.setdefault(name, []).append(label)
                 n_err += 1
                 continue
-            except Exception as e:
-                if "interrupt" in type(e).__name__.lower():
-                    timeouts.setdefault(name, []).append(label)
+            except Exception:
                 n_err += 1  # mutant SQL invalid (e.g. bumped a divisor
                 continue  # into an overflow) — inapplicable, not evidence
             applied += 1
