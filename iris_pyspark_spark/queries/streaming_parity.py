@@ -1466,3 +1466,164 @@ def st_postagg_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_partitions=8,
         no_data_microbatches=False,
     )
+
+
+# --- T7+T4+U2, seventh wave: arbitrary stateful dedup census ------------------
+
+_APPLY_STATE_DEDUP_ORACLE = """
+WITH r AS (
+  SELECT user_id, event_type, event_id,
+         EPOCH_US(ts) AS ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY EPOCH_US(ts), event_id) AS rn,
+         COUNT(*)    OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(n AS BIGINT)        AS n_seen,
+       CAST(n - 1 AS BIGINT)    AS n_dupes,
+       CAST(ts_us AS BIGINT)    AS first_ts_us,
+       CAST(event_id AS BIGINT) AS first_event_id
+FROM r
+WHERE rn = 1
+"""
+
+
+@register(
+    "st_apply_state_dedup",
+    oracle=_APPLY_STATE_DEDUP_ORACLE,
+    tags=("T7", "T4", "U2"),
+)
+def st_apply_state_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7+T4+U2, seventh wave: CUSTOM arbitrary-state streaming dedup
+    via `applyInPandasWithState` — the provable arbitrary-state API in
+    this environment (`transformWithStateInPandas`, the Spark 4
+    successor, needs google.protobuf, absent here; see
+    st_transform_with_state's EnvironmentGated twin). Per
+    (user_id, event_type) key the state holds exactly three int64s —
+    (n_seen, first_ts_us, first_event_id) with the first-row choice
+    made lexicographically on (ts_us, event_id), so the state merge is
+    order- and batch-split-invariant — and each micro-batch UPDATEs the
+    cumulative census row for every key it touched. The source is a
+    4-file snapshot drained one file per trigger, so keys genuinely
+    span micro-batches and the state store round-trips between them.
+    The final answer takes each key's LAST update (max n_seen — it
+    strictly increases on every touch), making the checked output
+    independent of how the stream was batched; the oracle states the
+    same census as a batch window.
+
+    Scale: state is O(distinct keys) x 24 bytes, not O(history) — the
+    production unbounded form adds a GroupStateTimeout to evict idle
+    keys, which this bounded-key census does not need. One shuffle on
+    the group key per batch; the pandas work per key is O(rows in
+    batch); no driver-side row path (memory sink holds one census row
+    per touched key per batch, bounded by 4 x |keys|)."""
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..session import configure
+    from ..sources import (
+        artifact_is_current,
+        mark_artifact,
+        scratch_dir,
+        table_fingerprint,
+    )
+
+    configure(spark)
+    src = scratch_dir(sf_dir, "aps_src")
+    src_fp = table_fingerprint(sf_dir, "events", params="aps-src-4part")
+    if not artifact_is_current(src, src_fp):
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        ).repartition(4).write.mode("overwrite").parquet(src)
+        mark_artifact(src, src_fp)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    keyed = stream.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("n_seen", LongType()),
+            StructField("first_ts_us", LongType()),
+            StructField("first_event_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("fts", LongType()),
+            StructField("feid", LongType()),
+        ]
+    )
+
+    def track(key, pdfs, state):
+        import numpy as np
+
+        if state.exists:
+            n, fts, feid = state.get
+        else:
+            n, fts, feid = 0, None, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            ts = pdf["ts_us"].to_numpy(dtype="int64")
+            eid = pdf["event_id"].to_numpy(dtype="int64")
+            i = np.lexsort((eid, ts))[0]
+            if fts is None or (int(ts[i]), int(eid[i])) < (fts, feid):
+                fts, feid = int(ts[i]), int(eid[i])
+        state.update((n, fts, feid))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "n_seen": [n],
+                "first_ts_us": [fts],
+                "first_event_id": [feid],
+            }
+        )
+
+    updates = keyed.groupBy("user_id", "event_type").applyInPandasWithState(
+        track,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    sink = drain_to_table(updates, output_mode="update", shuffle_partitions=8)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n_seen"))
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "n_seen",
+            (F.col("n_seen") - 1).cast("long").alias("n_dupes"),
+            "first_ts_us",
+            "first_event_id",
+        )
+    )

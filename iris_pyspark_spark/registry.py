@@ -101,106 +101,93 @@ def register(
 #: exactly the first 50 entries), so the prefix must span EVERY SURVEY §2
 #: row — tests/test_registry_order.py pins that invariant.
 #:
-#: Round-8 rotation: rounds 1-7 driver-proved 322 distinct queries; this
+#: Round-9 rotation: rounds 1-8 driver-proved 372 distinct queries; this
 #: round's 50 slots again go EXCLUSIVELY to queries with no successful
-#: driver row, per VERDICT r07 tasks 2/7: first the 11 rows that had
-#: exactly ONE unproven query left (J6/N6/T7/P1/J4+O4/J8/S2+S5/S3+P3+F6/
-#: S6+J2+A5/A6+A9/F5, plus T2/T3/T6 via the st_/t_ fills) so no row's
-#: pool empties unproven, the five U-row last providers, the rewritten
-#: ANN tail (binary-hash/MRL/PQ-rerank/url-canonical/hubness/uncertainty
-#: — ADVICE r07: the F.expr rewrite needs driver hash proof), multi-tag
-#: row-coverage fills, then a drain of the four largest unproven pools
-#: (A1 172, F3 72, F2 51, N5 50). Tag coverage of all 66 rows is
-#: preserved (pinned below).
+#: driver row, per VERDICT r08 tasks 2/3/5: first the sole-provider
+#: multi-tag queries whose rows would otherwise empty unproven
+#: (m_manifest_json_roundtrip covers S3+P3+N6, j_star_asof_region_enrich
+#: J4+J6+J8, a_cube_having_share A5+A6, u_udaf_trimsum_udtf_unpivot
+#: U3+U4, t_session_sliding_density T2+T3, st_postagg_static_enrich
+#: T5+T6, a_collect_map_top_status A9+F5, f_props_json_projection
+#: P1+F6, s_csv_inmemory_brand_tier S2+S6, plus the single-row last
+#: providers O4/S5/U1/U5/T4/U2), then st_apply_state_dedup — the NEW
+#: provable arbitrary-state shape that takes over the T7 coverage from
+#: the permanently env-gated st_transform_with_state (protobuf absent;
+#: VERDICT r08 task 5) — then greedy multi-tag row-coverage fills, then
+#: a drain of the largest unproven pools (A1 144, F3 63, F2 44, N5 44).
+#: n_bloom_incremental_dedup is the one rows-only slot: A4's entire
+#: never-checked pool is approximate-by-design (no exact SQL oracle).
+#: Tag coverage of all 66 rows is preserved (pinned below).
 _PRIORITY = (
-    # ---- round-8 sweep prefix: 50 never-driver-checked slots ----
-    "sql_q9_product_profit",
-    "a_argmax_struct",
-    "st_pipeline_ingest_append",
-    "m_patch_grid_plan",
-    "j_semi_except_suppliers",
-    "j_asof_monthly_benchmark",
-    "s_csv_partitioned_sink",
-    "s_jsonl_props_scan",
-    "s_tier_dim_rollup",
-    "a_having_status_domains",
-    "f_from_json_map_profile",
-    "t_sliding_share_4h",
-    "t_session_duration_buckets",
-    "st_static_enrich_window",
-    "u_pandas_scalar_band",
-    "u_udaf_trimmed_mean",
-    "u_udtf_running_balance",
-    "u_iter_partial_stats",
-    "u_cogrouped_apply_in_arrow",
-    "n_binary_hash_retrieval",
-    "n_mrl_prefix_rerank",
-    "n_pq_rerank_refine",
-    "n_url_canonical_dedup",
-    "n_hubness_skew",
-    "n_uncertainty_sampling",
-    "a_quantile_histogram_sketch",
-    "j_entity_resolution_blocked",
-    "j_fuzzy_name_trigram",
-    "sql_q16_notin_suppliers",
-    "n_dedup_stage_funnel",
-    "sql_group_by_all",
-    "n_cooccurrence_pmi",
-    "j_drill_across_facts",
-    "sql_q6_forecast_revenue",
-    "f_explode_outer",
-    "s_small_file_compaction",
-    "w_rank_dense_ntile",
-    "w_mom_change",
-    "sql_recursive_ancestor_rollup",
-    "j_hierarchy_closure_table",
-    "j_point_in_polygon",
-    "a_histogram_width_bucket",
-    "f_penny_allocation",
-    "w_scd2_ranges",
-    "f_date_funcs",
-    "n_token_count",
-    "n_langid",
-    "n_quality_score",
-    "n_char_entropy",
-    "a_mode_median",
-    # ---- slots past the 50-entry sweep budget: every remaining
-    # never-driver-checked query, registration order, so a larger
-    # sweep still lands on new proof first ----
-    "st_transform_with_state",
+    # ---- round-9 sweep prefix: 50 never-driver-checked slots ----
+    "m_manifest_json_roundtrip",
+    "j_star_asof_region_enrich",
+    "a_cube_having_share",
+    "u_udaf_trimsum_udtf_unpivot",
+    "t_session_sliding_density",
+    "st_postagg_static_enrich",
+    "a_collect_map_top_status",
+    "f_props_json_projection",
+    "s_csv_inmemory_brand_tier",
+    "o_cohort_setops_census",
+    "s_pruned_anti_coverage",
+    "u_pandas_margin_band",
+    "u_iter_partition_topk",
+    "t_session_purchase_latency",
+    "u_grouped_map_minmax_norm",
+    "st_apply_state_dedup",
+    "n_self_bleu_diversity",
+    "f_snowflake_id_codec",
+    "t_forecast_prediction_intervals",
+    "n_mrr_retrieval_eval",
+    "s_catalog_ddl_sql",
+    "n_edit_distance_pairs",
+    "t_rolling_origin_backtest",
+    "n_bloom_incremental_dedup",
+    "n_class_balanced_downsample",
+    "s_snapshot_diff_cdf",
+    "t_hurst_exponent",
+    "o_union_all",
+    "a_decimal128_exact",
+    "a_target_encoding_loo",
     "sql_pipe_syntax",
     "sql_session_variables",
-    "sql_identifier_clause",
     "sql_scripting_threshold_search",
-    "sql_execute_immediate",
-    "sql_q15_top_supplier",
-    "sql_q88_time_bands",
-    "j_spatial_grid_nn",
     "j_interval_overlap_join",
     "j_join_size_estimate",
     "j_backlog_aging_snapshots",
     "j_bitemporal_reconstruction",
-    "s_catalog_ddl_sql",
-    "s_analyze_table_stats",
-    "s_provenance_manifest",
     "s_merge_idempotency",
-    "s_parquet_storage_report",
     "s_vacuum_orphan_files",
-    "a_exact_quantiles",
-    "a_percentile_cont_disc",
     "a_regression_aggs",
     "a_bitmap_distinct",
-    "a_decimal128_exact",
     "a_log2_histogram",
     "a_pythagorean_means",
     "a_relational_division_otif",
     "a_semantic_layer_metrics",
+    "f_business_days_diff",
+    "f_hex_bin_assign",
+    "t_rollup_from_materialized",
+    "n_dedup_survivorship_policy",
+    "t_lttb_downsample",
+    # ---- slots past the 50-entry sweep budget: every remaining
+    # never-driver-checked query, registration order, so a larger
+    # sweep still lands on new proof first ----
+    "sql_identifier_clause",
+    "sql_execute_immediate",
+    "sql_q15_top_supplier",
+    "sql_q88_time_bands",
+    "j_spatial_grid_nn",
+    "s_analyze_table_stats",
+    "s_provenance_manifest",
+    "s_parquet_storage_report",
+    "a_exact_quantiles",
+    "a_percentile_cont_disc",
     "a_distinct_estimator_comparison",
     "w_moving_avg",
     "w_distribution_funcs",
     "w_range_interval_frame",
     "w_first_last_nth",
-    "o_union_all",
     "f_string_funcs",
     "f_hash_funcs",
     "f_hash_spark_native",
@@ -209,15 +196,10 @@ _PRIORITY = (
     "f_higher_order_funcs",
     "f_regex_funcs",
     "f_interval_arithmetic",
-    "f_business_days_diff",
     "f_timezone_functions",
-    "f_snowflake_id_codec",
     "f_rounding_mode_audit",
-    "f_hex_bin_assign",
     "t_tumbling_window",
-    "t_rollup_from_materialized",
     "e_decay_engagement_score",
-    "t_lttb_downsample",
     "t_seasonality_dow_profile",
     "t_event_order_skew",
     "t_max_drawdown",
@@ -227,7 +209,6 @@ _PRIORITY = (
     "t_pinball_loss_eval",
     "t_drift_psi_weekly",
     "t_peak_detection",
-    "t_rolling_origin_backtest",
     "e_spike_root_cause_drilldown",
     "e_linear_attribution",
     "e_dau_mau_stickiness",
@@ -238,6 +219,7 @@ _PRIORITY = (
     "e_markov_next_event_eval",
     "e_nps_score_ci",
     "e_gains_lift_table",
+    "st_transform_with_state",
     "s_observe_qc_metrics",
     "s_profile_table",
     "j_bloom_runtime_filter",
@@ -269,7 +251,6 @@ _PRIORITY = (
     "n_search_diversity_cap",
     "n_slice_eval_metrics",
     "n_zipf_law_fit",
-    "n_self_bleu_diversity",
     "n_truncation_loss_sweep",
     "n_codeswitch_audit",
     "n_hashing_collision_sweep",
@@ -280,17 +261,13 @@ _PRIORITY = (
     "n_bpe_merge_simulation",
     "n_simhash",
     "n_minhash_lsh_mllib",
-    "n_edit_distance_pairs",
     "n_repeated_ngram_spans",
-    "n_dedup_survivorship_policy",
-    "n_bloom_incremental_dedup",
     "n_lsh_parameter_sensitivity",
     "n_minhash_jaccard_calibration",
     "n_lsh_br_planner",
+    "n_dedup_distinct_census",
     "n_embedding_quantize",
-    "n_class_balanced_downsample",
     "n_embedding_drift_psi",
-    "n_mrr_retrieval_eval",
     "n_embedding_isotropy",
     "s_incremental_agg_maintenance",
     "n_temperature_sampling_weights",
@@ -315,7 +292,6 @@ _PRIORITY = (
     "t_weekly_spectral_power",
     "t_durbin_watson_residuals",
     "t_cross_correlation_lags",
-    "t_hurst_exponent",
     "t_segmented_regression",
     "t_littles_law_check",
     "t_burstiness_fano",
@@ -324,11 +300,9 @@ _PRIORITY = (
     "t_permutation_entropy",
     "t_newey_west_se",
     "t_erlang_c_staffing",
-    "t_forecast_prediction_intervals",
     "t_variance_ratio_test",
     "a_gini_concentration",
     "w_rolling_median",
-    "a_target_encoding_loo",
     "a_hill_tail_exponent",
     "a_wilson_ci",
     "a_ols_two_feature",
@@ -372,7 +346,6 @@ _PRIORITY = (
     "a_dorfman_group_testing",
     "e_mde_runtime_curve",
     "a_k_anonymity_audit",
-    "s_snapshot_diff_cdf",
     "n_pps_systematic_sample",
     "n_dp_noisy_counts",
     "s_constraint_audit_all_tables",
