@@ -76,6 +76,21 @@ def build_ledger() -> str:
         f"self-validation; every other proven query is a full value-hash "
         f"match)."
     )
+    # Never-checked count computed from the artifacts, not hand-counted
+    # (VERDICT r08 task 6: round notes drifted from the real number).
+    # st_transform_with_state is counted OUT: it is permanently
+    # environment-gated here (transformWithStateInPandas needs
+    # google.protobuf, absent in this container), so its slot can never
+    # convert and must not inflate the convertible pool.
+    registry = load_all()
+    env_gated = {"st_transform_with_state"}
+    proven_in_reg = seen & set(registry)
+    never = set(registry) - proven_in_reg - env_gated
+    lines.append(
+        f"\nNever-driver-checked (convertible): {len(never)} of "
+        f"{len(registry)} registered ({len(proven_in_reg)} proven, "
+        f"{len(env_gated)} permanently env-gated and counted out)."
+    )
     return "\n".join(lines) + "\n"
 
 
@@ -98,7 +113,8 @@ def main() -> None:
     if "| round | driver rows |" in text:
         text = re.sub(
             r"\| round \| driver rows \|[^\n]*\n(?:\|[^\n]*\n)+"
-            r"(?:\nCumulative rows-only-by-design:[^\n]*\n)?",
+            r"(?:\nCumulative rows-only-by-design:[^\n]*\n)?"
+            r"(?:\nNever-driver-checked \(convertible\):[^\n]*\n)?",
             ledger,
             text,
             count=1,
