@@ -1627,3 +1627,267 @@ def st_apply_state_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_event_id",
         )
     )
+
+
+# --- T2+T1+T5, seventh wave: sliding window in APPEND mode -------------------
+
+_SLIDING_APPEND_ORACLE = f"""
+WITH wm AS (
+  SELECT CAST(EPOCH(MAX(ts)) AS BIGINT) - 600 AS w FROM events
+),
+offsets AS (SELECT UNNEST([0, 1, 2, 3]) AS j)
+SELECT
+  CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) * 3600 - j * 3600
+    AS window_start_epoch,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
+FROM events, offsets
+GROUP BY 1, 2
+HAVING CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) * 3600 - j * 3600 + 14400
+       <= (SELECT w FROM wm)
+"""
+
+
+@register(
+    "st_sliding_append_eviction",
+    oracle=_SLIDING_APPEND_ORACLE,
+    tags=("T2", "T1", "T5"),
+)
+def st_sliding_append_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+T5, seventh wave: SLIDING window (4h length, 1h slide — each
+    event feeds 4 windows) in APPEND output mode: a window row is
+    emitted exactly once, when the 10-minute watermark passes its end,
+    and its state is evicted. The r08-proven append shape was a
+    tumbling window (st_pipeline_ingest_append); sliding windows hold
+    length/slide = 4x the state and close in the same 1h cadence, which
+    is exactly what the oracle's HAVING window_end <= max(ts)-10min
+    horizon states. Windows still open at end-of-stream stay in state
+    and are correctly ABSENT.
+
+    Scale: state is (open windows x types), bounded by the watermark
+    horizon + window length, never by history; one shuffle on the
+    window/type key per micro-batch. The trailing no-data batch is kept
+    ON — it advances the watermark to flush every closed window."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "4 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("total_cents"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "event_type",
+            "n_events",
+            "total_cents",
+        )
+    )
+    return drain_to_table(agg, output_mode="append", shuffle_partitions=8)
+
+
+# --- T3+T5+T4, seventh wave: session window in APPEND mode -------------------
+
+_SESSION_APPEND_ORACLE = """
+WITH wm AS (
+  SELECT CAST(EPOCH(MAX(ts)) AS BIGINT) - 600 AS w FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT
+  user_id,
+  EPOCH_US(MIN(ts)) // 1000000        AS session_start_epoch,
+  EPOCH_US(MAX(ts)) // 1000000 + 1800 AS session_end_epoch,
+  COUNT(*)                            AS n_events
+FROM sessions
+GROUP BY user_id, sid
+HAVING EPOCH_US(MAX(ts)) // 1000000 + 1800 <= (SELECT w FROM wm)
+"""
+
+
+@register(
+    "st_session_append_eviction",
+    oracle=_SESSION_APPEND_ORACLE,
+    tags=("T3", "T5", "T4"),
+)
+def st_session_append_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T5, seventh wave: session_window(30 min gap) per user in
+    APPEND mode — a session row is emitted exactly once, when the
+    watermark passes session end (last event + gap), and its state is
+    evicted; sessions still open (or mergeable) at end-of-stream stay
+    in state and are ABSENT from the output. This is the production
+    sessionization shape: complete-mode session drains (the r0x-proven
+    t_/st_ session forms) re-emit everything each batch and hold all
+    history in state, which an unbounded source cannot afford. The
+    oracle reconstructs the same sessions with the LAG-gap idiom and
+    truncates to the same horizon: session_end <= max(ts) - 10min.
+
+    Scale: state is (open sessions), bounded by the gap + watermark
+    delay per user — O(active users), not O(history); session merge on
+    out-of-order arrival is handled by the state store, which the
+    4-file one-per-trigger drain genuinely exercises (the snapshot is
+    round-robin partitioned, so a user's events arrive across batches
+    out of time order)."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_seconds(
+                F.col("session_window.start").cast("timestamp")
+            ).alias("session_start_epoch"),
+            F.unix_seconds(F.col("session_window.end").cast("timestamp")).alias(
+                "session_end_epoch"
+            ),
+            "n_events",
+        )
+    )
+    return drain_to_table(agg, output_mode="append", shuffle_partitions=8)
+
+
+# --- T6+J4, seventh wave: stream-static LEFT SEMI join ------------------------
+
+_STREAM_SEMI_ORACLE = f"""
+SELECT
+  CAST(FLOOR(EPOCH(ts) / 21600) AS BIGINT) * 21600 AS window_start_epoch,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
+FROM events
+WHERE user_id IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "st_semi_join_static_filter",
+    oracle=_STREAM_SEMI_ORACLE,
+    tags=("T6", "J4", "T1"),
+)
+def st_semi_join_static_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6+J4, seventh wave: stream-static LEFT SEMI join — the stream
+    is FILTERED by key membership in a static dimension subset (one
+    segment's customers) without widening the row, then windowed. The
+    r0x-proven stream-static forms are inner enrichment joins; semi is
+    the production allowlist/entitlement gate and is stateless on the
+    static side (re-planned per micro-batch, no stream state).
+
+    Scale: the static side prunes to one segment before the join and
+    broadcasts; the stream never materializes dim columns. Complete-
+    mode drain with the tuned 8-store setting (the aggregate's final
+    state is a few hundred window rows)."""
+    e = read_events_stream(spark, sf_dir)
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+    gated = e.join(c, F.col("user_id") == F.col("c_custkey"), "left_semi")
+    agg = (
+        gated.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("total_cents"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "event_type",
+            "n_events",
+            "total_cents",
+        )
+    )
+    return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
+
+
+# --- T7+T2, seventh wave: dedup feeding a sliding window ----------------------
+
+_DEDUP_SLIDING_ORACLE = """
+WITH deduped AS (
+  SELECT DISTINCT user_id, event_type,
+         CAST(FLOOR(EPOCH(ts) / 60) AS BIGINT) * 60 AS minute_epoch
+  FROM events
+),
+offsets AS (SELECT UNNEST([0, 1]) AS j)
+SELECT
+  (minute_epoch // 3600) * 3600 - j * 3600 AS window_start_epoch,
+  event_type,
+  COUNT(*) AS n_user_minutes
+FROM deduped, offsets
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "st_dedup_sliding_census",
+    oracle=_DEDUP_SLIDING_ORACLE,
+    tags=("T7", "T2", "T5"),
+)
+def st_dedup_sliding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7+T2, seventh wave: STACKED stateful streaming — watermarked
+    dropDuplicates on the (user, type, minute) business key feeding a
+    SLIDING window (2h length, 1h slide) count in the same streaming
+    query. The r0x-proven stacks were dedup->tumbling and
+    dedup->session; sliding is the rate-monitoring shape (every
+    user-minute counts toward 2 overlapping windows). Dedup key uses
+    the minute TRUNCATION as its event-time column so the downstream
+    window groups on the deduped time grid exactly as the oracle's
+    DISTINCT + 2-offset expansion states.
+
+    Scale: two state stores — dedup keys within the watermark bound,
+    open sliding windows x types — both watermark-bounded; one shuffle
+    per stateful operator. Complete-mode drain (the final window count
+    is small) with 8 state stores."""
+    e = read_events_stream(spark, sf_dir)
+    deduped = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+        )
+        .withWatermark("minute", "10 minutes")
+        .dropDuplicates(["user_id", "event_type", "minute"])
+    )
+    agg = (
+        deduped.groupBy(F.window("minute", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_user_minutes"))
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "event_type",
+            "n_user_minutes",
+        )
+    )
+    return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )

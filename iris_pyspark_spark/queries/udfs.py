@@ -1751,3 +1751,93 @@ def u_grouped_map_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize,
         "event_id bigint, event_type string, v_cents bigint, range_bp bigint",
     )
+
+
+# --- U2+T4, seventh wave: grouped-map sessionization --------------------------
+
+_GROUPED_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, sid,
+         COUNT(*) AS n,
+         EPOCH_US(MAX(ts)) // 1000000 - EPOCH_US(MIN(ts)) // 1000000 AS span_s
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT)       AS n_sessions,
+       CAST(MAX(n) AS BIGINT)         AS longest_session_events,
+       CAST(MAX(span_s) AS BIGINT)    AS longest_session_span_s,
+       CAST(SUM(n) AS BIGINT)         AS n_events
+FROM per_session
+GROUP BY user_id
+"""
+
+
+@register(
+    "u_grouped_map_sessionize",
+    oracle=_GROUPED_SESSIONIZE_ORACLE,
+    tags=("U2", "T4", "A1"),
+)
+def u_grouped_map_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2+T4, seventh wave: applyInPandas sessionization — the grouped-
+    map shape at its PRODUCTION keying: one pandas frame per user_id
+    (thousands of small groups, ~tens of rows each), NOT per low-
+    cardinality attribute, so no group becomes an executor memory wall
+    at any scale. Inside the frame: sort by (ts, event_id), gap-split
+    at 30 minutes with a vectorized cumsum over the gap>threshold
+    flags — the imperative per-entity logic (custom sessionizers,
+    trajectory splits) that genuinely needs the whole group in one
+    frame, which is exactly what grouped-map provides and built-in
+    window functions express only for FIXED gap rules. The oracle
+    states the same sessions with the LAG-gap idiom.
+
+    Scale: one shuffle on user_id; per-group work is O(rows log rows)
+    in the group's own size; output is one row per user — nothing
+    collected, no driver row path."""
+    import numpy as np
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def sessionize(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = p["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        gaps = np.diff(ts_us, prepend=ts_us[:1])
+        sid = np.cumsum(gaps > 1800 * 1_000_000)
+        ts_s = ts_us // 1_000_000
+        n_sessions = int(sid[-1]) + 1
+        counts = np.bincount(sid)
+        # Sorted by ts, so each session is one contiguous segment:
+        # span = last ts - first ts of the segment, O(rows) total.
+        starts = np.flatnonzero(np.r_[True, np.diff(sid) > 0])
+        ends = np.r_[starts[1:] - 1, len(ts_s) - 1]
+        spans = ts_s[ends] - ts_s[starts]
+        return pd.DataFrame(
+            {
+                "user_id": [int(p["user_id"].iloc[0])],
+                "n_sessions": [n_sessions],
+                "longest_session_events": [int(counts.max())],
+                "longest_session_span_s": [int(spans.max())],
+                "n_events": [len(p)],
+            }
+        )
+
+    schema = (
+        "user_id long, n_sessions long, longest_session_events long, "
+        "longest_session_span_s long, n_events long"
+    )
+    return events.groupBy("user_id").applyInPandas(sessionize, schema)
