@@ -1841,3 +1841,237 @@ def u_grouped_map_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "longest_session_span_s long, n_events long"
     )
     return events.groupBy("user_id").applyInPandas(sessionize, schema)
+
+
+# --- U1+F2, seventh wave: pandas scalar UDF calendar decomposition -----------
+
+@register(
+    "u_pandas_weekday_value",
+    oracle="""
+SELECT CAST(ISODOW(o_orderdate) AS BIGINT)  AS iso_dow,
+       CAST(MONTH(o_orderdate) AS BIGINT)   AS mon,
+       CAST(COUNT(*) AS BIGINT)             AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY 1, 2
+""",
+    tags=("U1", "F2", "A1"),
+)
+def u_pandas_weekday_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+F2, seventh wave: Arrow-vectorized pandas scalar UDF doing
+    CALENDAR decomposition — ISO day-of-week via pandas' datetime
+    accessor (Monday=1..Sunday=7, the ISO 8601 convention DuckDB's
+    ISODOW states) — demonstrating the U1 shape on date, not money,
+    input. The month extraction stays JVM-side (F.month) so the plan
+    mixes codegen and Arrow stages the way a real pipeline does.
+
+    Scale: Arrow batch transfer, no per-row Python dispatch; the rollup
+    is an ordinary combinable shuffle agg on a 7x12 key grid."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def iso_dow(d: pd.Series) -> pd.Series:
+        return (d.dt.dayofweek + 1).astype("int64")
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            iso_dow(F.col("o_orderdate")).alias("iso_dow"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+            cents(F.col("o_totalprice")).alias("c"),
+        )
+        .groupBy("iso_dow", "mon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("c").cast("long").alias("total_cents"),
+        )
+    )
+
+
+# --- U3+A8, seventh wave: grouped-agg UDAF low median --------------------------
+
+_MEDIAN_LOW_ORACLE = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT o_orderpriority, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rn,
+         COUNT(*)    OVER (PARTITION BY o_orderpriority) AS n
+  FROM c
+)
+SELECT o_orderpriority,
+       CAST(cents AS BIGINT) AS median_low_cents,
+       CAST(n AS BIGINT)     AS n_orders
+FROM r
+WHERE rn = (n - 1) // 2 + 1
+"""
+
+
+@register(
+    "u_udaf_median_low_cents",
+    oracle=_MEDIAN_LOW_ORACLE,
+    tags=("U3", "A8"),
+)
+def u_udaf_median_low_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3+A8, seventh wave: grouped-agg pandas UDAF computing the LOW
+    MEDIAN (the (n-1)//2-th order statistic) on exact integer cents —
+    an always-integer, tie-safe median spelling (any engine's
+    interpolated median turns even-count groups into floats; the low
+    median is a real data value, deterministic under duplicates). The
+    UDAF uses np.partition (O(n) selection, not a full sort). Money is
+    rounded half-away-from-zero, matching the oracle's SQL ROUND.
+
+    Scale: one shuffle on the 5-value priority key; each group's cents
+    vector fits one Arrow batch by construction at this keying — for
+    fact-scale groups use the built-in percentile_approx instead (the
+    A8 row's sketch queries prove that path)."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def median_low(v: pd.Series) -> int:
+        x = v.to_numpy(dtype="float64") * 100.0
+        cents_i = np.trunc(x + np.copysign(0.5, x)).astype("int64")
+        k = (len(cents_i) - 1) // 2
+        return int(np.partition(cents_i, k)[k])
+
+    # Group-agg pandas UDFs cannot mix with JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a sibling
+    # pandas UDAF — same Arrow pass, no second shuffle.
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        median_low(F.col("o_totalprice")).alias("median_low_cents"),
+        n_rows(F.col("o_totalprice")).alias("n_orders"),
+    )
+
+
+# --- U4+F2+J3, seventh wave: UDTF calendar spine + outer join ------------------
+
+_FISCAL_SPINE_ORACLE = """
+WITH spine AS (
+  SELECT y.y AS yr, q.q AS q
+  FROM generate_series(1992, 1998) AS y(y), generate_series(1, 4) AS q(q)
+),
+agg AS (
+  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+         CAST(QUARTER(o_orderdate) AS BIGINT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS tc
+  FROM orders GROUP BY 1, 2
+)
+SELECT CAST(spine.yr AS BIGINT)      AS yr,
+       CAST(spine.q AS BIGINT)       AS q,
+       CAST(COALESCE(agg.n, 0) AS BIGINT)  AS n_orders,
+       CAST(COALESCE(agg.tc, 0) AS BIGINT) AS total_cents
+FROM spine LEFT JOIN agg ON spine.yr = agg.yr AND spine.q = agg.q
+"""
+
+
+@register(
+    "u_udtf_fiscal_spine",
+    oracle=_FISCAL_SPINE_ORACLE,
+    tags=("U4", "F2", "J3"),
+)
+def u_udtf_fiscal_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4+F2+J3, seventh wave: a GENERATOR UDTF (no input table — pure
+    table function from literal bounds) emits the complete fiscal
+    quarter spine, which LEFT-JOINs the order aggregate so quarters
+    with no orders surface as explicit zeros — the classic calendar-
+    spine densification every reporting pipeline needs, with the spine
+    produced by the U4 mechanism rather than sequence()+explode (the F4
+    row's proven spelling).
+
+    Scale: the spine is 28 rows — broadcast side of the outer join; the
+    fact aggregate is one combinable shuffle. The UDTF runs once on a
+    single 1-row driver frame, never per fact row."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="yr bigint, q bigint")
+    class FiscalSpine:
+        def eval(self, start_yr: int, end_yr: int):
+            for y in range(start_yr, end_yr + 1):
+                for q in range(1, 5):
+                    yield y, q
+
+    spark.udtf.register("fiscal_spine", FiscalSpine)
+    spine = spark.sql("SELECT * FROM fiscal_spine(1992, 1998)")
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("q"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias("tc"),
+        )
+    )
+    return (
+        spine.join(agg, ["yr", "q"], "left")
+        .select(
+            "yr",
+            "q",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("tc", F.lit(0)).cast("long").alias("total_cents"),
+        )
+    )
+
+
+# --- U5+A1, seventh wave: iterator UDF cross-batch histogram ------------------
+
+_ITER_HISTOGRAM_ORACLE = """
+SELECT LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000, 11)
+         AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+@register(
+    "u_iter_partition_histogram",
+    oracle=_ITER_HISTOGRAM_ORACLE,
+    tags=("U5", "A1", "F3"),
+)
+def u_iter_partition_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5+A1, seventh wave: ITERATOR mapInPandas accumulating a fixed
+    12-band integer histogram ACROSS Arrow batches and emitting ONE
+    partial histogram per partition after the last batch — the map-side
+    pre-aggregation shape hand-built through the Python iterator API:
+    the shuffle then carries |partitions| x 12 rows instead of the fact
+    table, and a JVM-side sum folds the partials. Bands are $50k
+    buckets of exact half-away-rounded cents, clamped to band 11.
+
+    Scale: per-partition Python state is 12 int64s; the emit-at-end
+    iterator protocol (not per-batch) is the part the per-batch partial
+    queries never exercise. The final agg is a combinable 12-key
+    shuffle."""
+
+    def histogram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        counts = np.zeros(12, dtype="int64")
+        for b in batches:
+            x = b["o_totalprice"].to_numpy(dtype="float64") * 100.0
+            cents_i = np.trunc(x + np.copysign(0.5, x)).astype("int64")
+            band = np.minimum(cents_i // 5_000_000, 11)
+            counts += np.bincount(band, minlength=12)
+        if counts.sum():
+            yield pd.DataFrame(
+                {"band": np.arange(12, dtype="int64"), "n_partial": counts}
+            )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    partials = orders.mapInPandas(histogram, "band long, n_partial long")
+    return (
+        partials.groupBy("band")
+        .agg(F.sum("n_partial").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") > 0)
+    )
