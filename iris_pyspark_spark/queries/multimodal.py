@@ -1108,3 +1108,83 @@ def m_manifest_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("metrics.n_chars").cast("long").alias("total_chars"),
         F.sum("metrics.label").cast("long").alias("label_sum"),
     )
+
+
+# --- N6+P3+F5, seventh wave: AV asset map-typed metadata -----------------------
+
+_AV_MAP_ORACLE = """
+WITH assets AS (
+  SELECT doc_id, lang, source, n_chars,
+         n_chars * 40 + doc_id % 997 AS audio_ms,
+         n_chars * 55 + doc_id % 641 AS video_ms,
+         CASE WHEN source IN ('src0', 'src1') THEN 'h264' ELSE 'av1' END
+           AS codec
+  FROM documents
+)
+SELECT codec,
+       CAST(COUNT(*) AS BIGINT)        AS n_assets,
+       CAST(SUM(audio_ms) AS BIGINT)   AS total_audio_ms,
+       CAST(SUM(video_ms) AS BIGINT)   AS total_video_ms,
+       CAST(SUM(CASE WHEN video_ms > 2 * audio_ms THEN 1 ELSE 0 END)
+            AS BIGINT)                 AS n_video_heavy
+FROM assets
+WHERE (audio_ms > 2000) <> (video_ms > 3000)
+   OR NOT (lang = 'zh' OR n_chars < 30)
+GROUP BY codec
+"""
+
+
+@register(
+    "m_av_asset_map_census",
+    oracle=_AV_MAP_ORACLE,
+    tags=("N6", "P3", "F5"),
+)
+def m_av_asset_map_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6+P3+F5, seventh wave: audio/video asset records whose per-
+    modality durations live in a real MAP column (create_map ->
+    element_at reads, the F5 mechanism) alongside a typed codec struct
+    — the multimodal metadata shape where the set of modalities varies
+    per asset so a fixed-width struct cannot hold it. Durations are
+    DERIVED deterministically from (n_chars, doc_id) arithmetic — the
+    payload decode itself is env-gated (operators/multimodal.py
+    decode_image), so the census proves the map-typed plumbing, filter
+    semantics (XOR spelled <> on booleans plus a negated disjunction —
+    P3), and rollup with zero Python in the row path.
+
+    Scale: create_map/element_at are codegen expressions; the filter
+    and rollup run on the map READS, never materializing the map to
+    the output (complex columns stay inside the plan — the checked
+    output is flat integers)."""
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.create_map(
+            F.lit("audio"),
+            (F.col("n_chars") * 40 + F.col("doc_id") % 997).cast("long"),
+            F.lit("video"),
+            (F.col("n_chars") * 55 + F.col("doc_id") % 641).cast("long"),
+        ).alias("durations_ms"),
+        F.struct(
+            F.when(F.col("source").isin("src0", "src1"), "h264")
+            .otherwise("av1")
+            .alias("codec"),
+            "lang",
+        ).alias("asset"),
+    )
+    audio = F.element_at("durations_ms", F.lit("audio"))
+    video = F.element_at("durations_ms", F.lit("video"))
+    kept = assets.filter(
+        ((audio > 2000) != (video > 3000))
+        | ~((F.col("lang") == "zh") | (F.col("n_chars") < 30))
+    )
+    return kept.groupBy(F.col("asset.codec").alias("codec")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum(audio).cast("long").alias("total_audio_ms"),
+        F.sum(video).cast("long").alias("total_video_ms"),
+        F.sum((video > 2 * audio).cast("long")).cast("long").alias(
+            "n_video_heavy"
+        ),
+    )

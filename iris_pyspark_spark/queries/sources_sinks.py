@@ -2679,3 +2679,192 @@ def s_pruned_anti_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("excluded_chars"),
         F.count_distinct("lang").cast("long").alias("n_langs_excluded"),
     )
+
+
+# --- S2+S6+P5, seventh wave: CSV dialect with NULL token round-trip -----------
+
+_CSV_NULL_DIALECT_ORACLE = """
+WITH src AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_name END AS contact,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+tiers AS (
+  SELECT * FROM (VALUES
+    ('AUTOMOBILE', 'retail'), ('MACHINERY', 'industrial'),
+    ('BUILDING', 'industrial'), ('FURNITURE', 'retail'),
+    ('HOUSEHOLD', 'retail')
+  ) AS t(c_mktsegment, tier)
+)
+SELECT tier,
+       CAST(COUNT(*) AS BIGINT)                          AS n_customers,
+       CAST(COUNT(contact) AS BIGINT)                    AS n_with_contact,
+       CAST(COUNT(*) - COUNT(contact) AS BIGINT)         AS n_null_contact,
+       CAST(SUM(bal_cents) AS BIGINT)                    AS total_bal_cents
+FROM src JOIN tiers USING (c_mktsegment)
+GROUP BY tier
+"""
+
+
+@register(
+    "s_csv_null_dialect",
+    oracle=_CSV_NULL_DIALECT_ORACLE,
+    tags=("S2", "S6", "P5"),
+)
+def s_csv_null_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S6+P5, seventh wave: a NON-DEFAULT CSV dialect round-trip —
+    pipe separator and an explicit NULL token (`\\N`, the classic
+    database-dump convention) — where real NULLs (negative-balance
+    customers' phones, nulled before the sink) must survive the
+    write -> scan path as NULLs, not as the literal token string; the
+    read-back joins an IN-MEMORY tier dimension (spark.createDataFrame,
+    the S6 source) and the rollup counts nulls explicitly (COUNT(col)
+    vs COUNT(*), the P5 distinction).
+
+    Scale: CSV options are per-task metadata (no cost); the tier dim is
+    5 rows — broadcast; the rollup is one combinable shuffle. Balances
+    ride as exact integer cents computed BEFORE the sink so the CSV
+    carries integers, not floats."""
+    path = scratch_dir(sf_dir, "customer_csv_dialect")
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("contact"),
+        cents(F.col("c_acctbal")).alias("bal_cents"),
+    )
+    src.write.mode("overwrite").options(
+        sep="|", nullValue=r"\N", header=True
+    ).csv(path)
+    back = spark.read.options(
+        sep="|", nullValue=r"\N", header=True, inferSchema=True
+    ).csv(path)
+    tiers = spark.createDataFrame(
+        [
+            ("AUTOMOBILE", "retail"),
+            ("MACHINERY", "industrial"),
+            ("BUILDING", "industrial"),
+            ("FURNITURE", "retail"),
+            ("HOUSEHOLD", "retail"),
+        ],
+        "c_mktsegment string, tier string",
+    )
+    return (
+        back.join(F.broadcast(tiers), "c_mktsegment")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.count("contact").cast("long").alias("n_with_contact"),
+            (F.count(F.lit(1)) - F.count("contact"))
+            .cast("long")
+            .alias("n_null_contact"),
+            F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+        )
+    )
+
+
+# --- S3+F6+P1, seventh wave: to_json -> JSON sink -> from_json ----------------
+
+_TOJSON_ROUNDTRIP_ORACLE = """
+SELECT lang,
+       source,
+       CAST(COUNT(*) AS BIGINT)      AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)  AS total_chars,
+       CAST(MAX(doc_id) AS BIGINT)   AS max_doc
+FROM documents
+WHERE n_chars >= 20
+GROUP BY lang, source
+"""
+
+
+@register(
+    "s_tojson_fromjson_roundtrip",
+    oracle=_TOJSON_ROUNDTRIP_ORACLE,
+    tags=("S3", "F6", "P1"),
+)
+def s_tojson_fromjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+F6+P1, seventh wave: the ENVELOPE pattern — each document's
+    metadata is serialized to a JSON STRING column (to_json over a
+    struct), written through the JSON-lines sink (so the payload is a
+    json-in-json envelope, exactly what event buses deliver), read back
+    as raw strings, and decoded with from_json against an EXPLICIT
+    schema (no inference — the production contract), then projected
+    down to the three metadata fields before the rollup (P1: the scan
+    of the decode output prunes to the projected fields).
+
+    Scale: to_json/from_json are JVM codegen expressions — zero Python;
+    the envelope survives schema evolution because the decode schema,
+    not the file, is authoritative; one combinable shuffle for the
+    rollup."""
+    path = scratch_dir(sf_dir, "doc_envelope_json")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 20)
+    enveloped = d.select(
+        "doc_id",
+        F.to_json(F.struct("lang", "source", "n_chars")).alias("envelope"),
+    )
+    enveloped.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    meta_schema = "lang string, source string, n_chars long"
+    decoded = back.select(
+        "doc_id", F.from_json(F.col("envelope"), meta_schema).alias("meta")
+    ).select(
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.col("meta.n_chars").alias("n_chars"),
+        "doc_id",
+    )
+    return decoded.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+# --- S5+A3, seventh wave: two-level partitioned sink with pruned distincts ----
+
+_TWO_LEVEL_PRUNE_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT)    AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT)            AS total_chars
+FROM documents
+WHERE lang IN ('en', 'de', 'fr')
+GROUP BY source
+"""
+
+
+@register(
+    "s_two_level_partition_prune",
+    oracle=_TWO_LEVEL_PRUNE_ORACLE,
+    tags=("S5", "A3"),
+)
+def s_two_level_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+A3, seventh wave: a TWO-LEVEL partitioned sink (lang/source —
+    the lakehouse layout for corpus data) read back with a filter on
+    the OUTER partition column only: pruning must skip whole lang
+    directory trees while scanning every source subdirectory inside the
+    kept ones, and the partition columns themselves (absent from the
+    data files) must reconstitute for the COUNT(DISTINCT lang) check.
+
+    Scale: at 100 TB this layout turns a 3-language audit into a
+    directory listing of 3/N top-level branches; distinct-lang per
+    source is a tiny post-prune agg. The write itself shuffles by the
+    partition keys first (repartition before partitionBy) so each task
+    writes one directory, avoiding the small-files explosion."""
+    path = scratch_dir(sf_dir, "documents_two_level")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.repartition("lang", "source").write.mode("overwrite").partitionBy(
+        "lang", "source"
+    ).parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("lang").isin("en", "de", "fr")
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
