@@ -2309,3 +2309,149 @@ def a_collect_map_top_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_fulfilled"),
     )
+
+
+# --- A5+A6+A2, seventh wave: GROUPING SETS with HAVING and share --------------
+
+_GROUPING_SETS_ORACLE = f"""
+WITH gs AS (
+  SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+         COALESCE(o_orderpriority, 'ALL') AS priority,
+         GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+         CAST(COUNT(*) AS BIGINT)         AS n_orders,
+         CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT)
+                                          AS total_cents
+  FROM orders
+  GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+),
+grand AS (
+  SELECT total_cents AS all_cents FROM gs WHERE gid = 3
+)
+SELECT status, priority, gid, n_orders, total_cents,
+       CAST(total_cents * 10000 // (SELECT all_cents FROM grand) AS BIGINT)
+         AS share_bp
+FROM gs
+WHERE n_orders >= 5
+"""
+
+
+@register(
+    "a_grouping_sets_share",
+    oracle=_GROUPING_SETS_ORACLE,
+    tags=("A5", "A6", "A2"),
+)
+def a_grouping_sets_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A6, seventh wave: EXPLICIT GROUPING SETS — the two one-
+    dimensional marginals plus the grand total, WITHOUT the cross
+    cells a CUBE would add (the report shape where (status, priority)
+    pairs are noise). gid disambiguates the set each row came from;
+    the HAVING floor applies after the share-of-grand computation is
+    anchored on the pre-HAVING grand row (same edge-pinning as
+    a_cube_having_share, ADVICE r08).
+
+    Scale: Spark expands grouping sets in ONE pass over the fact
+    (partial aggregation per set, no multi-scan); the grand row rides
+    the same aggregate, and the share join broadcasts 1 row."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("gs_orders_src")
+    gs = spark.sql(
+        f"""
+        SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT)                  AS gid,
+               CAST(COUNT(*) AS BIGINT)         AS n_orders,
+               CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT)
+                                                AS total_cents
+        FROM gs_orders_src
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+    grand = gs.filter(F.col("gid") == 3).select(
+        F.lit(1).alias("_k"), F.col("total_cents").alias("all_cents")
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    return (
+        gs.filter(F.col("n_orders") >= 5)
+        .withColumn("_k", F.lit(1))
+        .join(_bc(grand), "_k")
+        .select(
+            "status",
+            "priority",
+            "gid",
+            "n_orders",
+            "total_cents",
+            F.expr("CAST(total_cents * 10000 DIV all_cents AS BIGINT)").alias(
+                "share_bp"
+            ),
+        )
+    )
+
+
+# --- A9+A7, seventh wave: collect-to-map with mode readback -------------------
+
+_MAP_MODE_ORACLE = """
+WITH per_status AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_orderpriority, o_orderstatus, n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY n DESC, o_orderstatus DESC) AS rn
+  FROM per_status
+)
+SELECT r.o_orderpriority,
+       r.o_orderstatus AS mode_status,
+       r.n             AS n_mode,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_open,
+       CAST(COALESCE(f.n, 0) AS BIGINT) AS n_fulfilled
+FROM ranked r
+LEFT JOIN per_status o
+  ON o.o_orderpriority = r.o_orderpriority AND o.o_orderstatus = 'O'
+LEFT JOIN per_status f
+  ON f.o_orderpriority = r.o_orderpriority AND f.o_orderstatus = 'F'
+WHERE r.rn = 1
+"""
+
+
+@register(
+    "a_map_mode_status",
+    oracle=_MAP_MODE_ORACLE,
+    tags=("A9", "A7", "F5"),
+)
+def a_map_mode_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+F5, seventh wave: per-status counts COLLECTED into a real MAP
+    column (map_from_entries over collect_list of structs — the A9
+    collect aggregate) and then read back three ways in one projection:
+    element_at lookups for the 'O'/'F' census columns and a max(struct)
+    argmax for the modal status (ties break to the lexicographically
+    LAST status — pinned identically in the oracle's ORDER BY n DESC,
+    status DESC). The map never reaches the checked output — complex
+    types stay inside the plan.
+
+    Scale: two combinable shuffles (status-pair counts, then 5-key
+    priority rollup); the collected map is bounded by |statuses| = 3
+    entries per group by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rolled = per_status.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("status_counts"),
+        F.max(F.struct("n", "o_orderstatus")).alias("mode_pair"),
+    )
+    return rolled.select(
+        "o_orderpriority",
+        F.col("mode_pair.o_orderstatus").alias("mode_status"),
+        F.col("mode_pair.n").cast("long").alias("n_mode"),
+        F.coalesce(F.element_at("status_counts", F.lit("O")), F.lit(0))
+        .cast("long")
+        .alias("n_open"),
+        F.coalesce(F.element_at("status_counts", F.lit("F")), F.lit(0))
+        .cast("long")
+        .alias("n_fulfilled"),
+    )

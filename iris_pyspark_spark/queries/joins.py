@@ -2309,3 +2309,164 @@ def j_star_asof_region_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gap_us_sum"),
         )
     )
+
+
+# --- J6+J2+A7, seventh wave: star join with degenerate dimensions -------------
+
+_STAR_DEGENERATE_ORACLE = """
+SELECT r_name,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+         AS n_urgent,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, o_orderstatus
+"""
+
+
+@register(
+    "j_star_degenerate_dims",
+    oracle=_STAR_DEGENERATE_ORACLE,
+    tags=("J6", "J2", "A7"),
+)
+def j_star_degenerate_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+J2+A7, seventh wave: a multi-way star where two grouping
+    attributes are DEGENERATE dimensions — order status and priority
+    live on the fact itself, no dimension table exists for them — mixed
+    with the real customer->nation->region dimension chain. The rollup
+    keys on (region, degenerate status) and the priority census is a
+    conditional aggregate (FILTER), the Kimball degenerate-dim pattern.
+
+    Scale: nation/region broadcast (25/5 rows); customer joins on the
+    shuffled fact key; the degenerate attributes add ZERO join work —
+    that is the point of modeling them as fact columns. One combinable
+    shuffle agg on a bounded key grid."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    star = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return star.groupBy("r_name", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1))
+        .cast("long")
+        .alias("n_urgent"),
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
+    )
+
+
+# --- J8+W2, seventh wave: as-of join to an irregular rate spine ---------------
+
+_ASOF_RATE_ORACLE = """
+WITH spine AS (
+  SELECT t.tier, k.k,
+         DATE '1992-01-01' + INTERVAL (k.k * 31 + t.tier * 3) DAY AS snap_date,
+         9500 + (k.k * 37 + t.tier * 11) % 1000 AS rate_bp
+  FROM generate_series(0, 7) AS t(tier), generate_series(0, 84) AS k(k)
+),
+spine_lag AS (
+  SELECT tier, snap_date, rate_bp,
+         rate_bp - LAG(rate_bp) OVER (PARTITION BY tier ORDER BY snap_date)
+           AS rate_change_bp
+  FROM spine
+),
+li AS (
+  SELECT l_suppkey % 8 AS tier, l_shipdate,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+matched AS (
+  SELECT li.tier, li.cents, s.rate_bp, s.rate_change_bp
+  FROM li ASOF LEFT JOIN spine_lag s
+    ON li.tier = s.tier AND li.l_shipdate >= s.snap_date
+)
+SELECT tier,
+       CAST(COUNT(*) AS BIGINT)                       AS n_items,
+       CAST(SUM(cents) AS BIGINT)                     AS raw_cents,
+       CAST(SUM(cents * rate_bp // 10000) AS BIGINT)  AS conv_cents,
+       CAST(COUNT(*) FILTER (WHERE rate_change_bp > 0) AS BIGINT)
+         AS n_on_rising_rate
+FROM matched
+WHERE rate_bp IS NOT NULL
+GROUP BY tier
+"""
+
+
+@register(
+    "j_asof_rate_spine",
+    oracle=_ASOF_RATE_ORACLE,
+    tags=("J8", "W2", "F2"),
+)
+def j_asof_rate_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8+W2, seventh wave: backward as-of join of the lineitem fact to
+    an IRREGULAR rate spine (8 tiers x 85 snapshots at 31-day strides
+    offset per tier — snapshot dates do NOT align to any calendar
+    truncation, so no group-on-month shortcut exists; this is the FX /
+    cost-restatement shape). The spine carries a LAG-computed
+    rate_change_bp (W2) so each matched item also knows whether its
+    carried rate was a restatement upward. Conversion is exact integer
+    basis-point math per row, summed after.
+
+    Scale: the union-tag + window asof rewrite (operators/asof.py) is
+    one sort per tier — no per-row range probe, no row explosion; the
+    spine is 680 rows built from sequence() with zero driver loops.
+    Items shipped before a tier's first snapshot carry NULL and are
+    excluded on both sides (pinned semantics)."""
+    from ..operators.asof import asof_join
+
+    tiers = spark.range(8).select(F.col("id").cast("long").alias("tier"))
+    ks = spark.range(85).select(F.col("id").cast("long").alias("k"))
+    spine = (
+        tiers.crossJoin(ks)
+        .select(
+            "tier",
+            F.date_add(
+                F.lit("1992-01-01").cast("date"),
+                (F.col("k") * 31 + F.col("tier") * 3).cast("int"),
+            ).alias("snap_date"),
+            (9500 + (F.col("k") * 37 + F.col("tier") * 11) % 1000)
+            .cast("long")
+            .alias("rate_bp"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tier").orderBy("snap_date")
+    spine = spine.withColumn(
+        "rate_change_bp", F.col("rate_bp") - F.lag("rate_bp").over(w)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 8).cast("long").alias("tier"),
+        "l_shipdate",
+        cents(F.col("l_extendedprice")).alias("cents"),
+    )
+    matched = asof_join(
+        left=li,
+        right=spine,
+        on="tier",
+        left_time="l_shipdate",
+        right_time="snap_date",
+    )
+    return (
+        matched.filter(F.col("rate_bp").isNotNull())
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("raw_cents"),
+            F.sum(
+                F.expr("CAST(cents * rate_bp DIV 10000 AS BIGINT)")
+            ).cast("long").alias("conv_cents"),
+            F.count(F.when(F.col("rate_change_bp") > 0, 1))
+            .cast("long")
+            .alias("n_on_rising_rate"),
+        )
+    )

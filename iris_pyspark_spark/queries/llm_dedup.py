@@ -2090,3 +2090,106 @@ def n_dedup_distinct_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sum("group_size") - F.count(F.lit(1))).cast("long").alias("n_removed"),
     )
+
+
+# --- N7+N1, seventh wave: train/val split contamination audit ------------------
+
+_SPLIT_CONTAMINATION_ORACLE = """
+WITH tagged AS (
+  SELECT doc_id, lang,
+         LEFT(LOWER(TRIM(text)), 40) AS norm,
+         CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split
+  FROM documents
+  WHERE text IS NOT NULL
+),
+groups AS (
+  SELECT norm,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_val
+  FROM tagged GROUP BY norm
+),
+doc_flags AS (
+  SELECT t.doc_id, t.lang, t.split,
+         CASE WHEN g.n_train > 0 AND g.n_val > 0 THEN 1 ELSE 0 END
+           AS contaminated
+  FROM tagged t JOIN groups g ON t.norm = g.norm
+)
+SELECT lang,
+       CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train_docs,
+       CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_val_docs,
+       CAST(SUM(CASE WHEN split = 'val' AND contaminated = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_val_contaminated
+FROM doc_flags
+GROUP BY lang
+"""
+
+
+@register(
+    "n_split_contamination_audit",
+    oracle=_SPLIT_CONTAMINATION_ORACLE,
+    tags=("N7", "N1", "A7"),
+)
+def n_split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N7+N1, seventh wave: the TRAIN/VAL LEAKAGE audit every training
+    pipeline must run before a fit — a deterministic modulo split
+    (reproducible across engines, unlike randomSplit) followed by an
+    near-exact duplicate check ACROSS the split boundary: a validation
+    doc whose normalized 40-char text PREFIX also appears in train is
+    contamination and would inflate eval metrics (prefix
+    fingerprinting — the same key the n_paragraph_dedup family uses —
+    catches boilerplate-headed near-copies that full-text equality
+    misses; this corpus has prefix collisions but zero full-text
+    duplicates, so the coarser key is also what makes the audit
+    non-vacuous). The per-group split-presence counts
+    ride one hash aggregate on the normalized-text key (the N1
+    mechanism), then flow back to docs with a single equi-join.
+
+    Scale: same one-shuffle skeleton as exact_dedup — group sizes on
+    the digest key, no pairwise comparison anywhere; at 100 TB swap
+    the raw `norm` join key for sha2(norm) to bound shuffle width (the
+    llm_dedup exact forms prove that spelling).
+
+    Oracle note: the split is doc_id % 10 < 8, stated identically in
+    SQL — no sampling, no RNG."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.lower(F.trim("text")).substr(1, 40).alias("norm"),
+            F.when(F.col("doc_id") % 10 < 8, "train")
+            .otherwise("val")
+            .alias("split"),
+        )
+    )
+    groups = d.groupBy("norm").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("g_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("g_val"),
+    )
+    flagged = d.join(groups, "norm").select(
+        "lang",
+        "split",
+        ((F.col("g_train") > 0) & (F.col("g_val") > 0))
+        .cast("long")
+        .alias("contaminated"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train_docs"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val_docs"),
+        F.sum(
+            F.when(
+                (F.col("split") == "val") & (F.col("contaminated") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_val_contaminated"),
+    )

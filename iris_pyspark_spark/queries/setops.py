@@ -412,3 +412,166 @@ def o_cohort_setops_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(one(urgent_only, "n_urgent_only"), "_k")
     )
     return out.drop("_k")
+
+
+# --- O1+O3+F2, seventh wave: calendar spine union with gap ranking ------------
+
+_SPINE_GAP_ORACLE = """
+WITH spine AS (
+  SELECT y.y AS yr, m.m AS mon
+  FROM generate_series(1992, 1998) AS y(y), generate_series(1, 12) AS m(m)
+),
+actual AS (
+  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+         CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+),
+dense AS (
+  SELECT CAST(spine.yr AS BIGINT) AS yr, CAST(spine.mon AS BIGINT) AS mon,
+         CAST(COALESCE(actual.n_orders, 0) AS BIGINT) AS n_orders
+  FROM spine LEFT JOIN actual
+    ON spine.yr = actual.yr AND spine.mon = actual.mon
+)
+SELECT yr, mon, n_orders,
+       CAST(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+       CAST(RANK() OVER (ORDER BY n_orders DESC, yr ASC, mon ASC) AS BIGINT)
+         AS busy_rank
+FROM dense
+ORDER BY yr, mon
+"""
+
+
+@register(
+    "o_spine_gap_rank",
+    oracle=_SPINE_GAP_ORACLE,
+    tags=("O1", "O3", "F2", "W1"),
+)
+def o_spine_gap_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O3, seventh wave: calendar DENSIFICATION — a complete month
+    spine (sequence + explode, zero driver loops) left-joined with the
+    actual per-month order counts so silent gaps surface as explicit
+    zero rows, then a global busy-season RANK with a pinned total
+    order (count desc, then calendar asc) and an ORDER BY on the
+    output. The spine/actual reconciliation is the reporting shape
+    where 'no data' must be distinguishable from 'no row'.
+
+    Scale: the spine is 84 rows — broadcast side; the fact aggregate
+    is one combinable shuffle; the global rank operates on the 84-row
+    densified result, not the fact."""
+    from pyspark.sql.window import Window
+
+    spine = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1992-01-01").cast("date"),
+                    F.lit("1998-12-01").cast("date"),
+                    F.expr("INTERVAL 1 MONTH"),
+                )
+            ).alias("month_start")
+        )
+        .select(
+            F.year("month_start").cast("long").alias("yr"),
+            F.month("month_start").cast("long").alias("mon"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    actual = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    dense = spine.join(actual, ["yr", "mon"], "left").select(
+        "yr",
+        "mon",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy(
+        F.desc("n_orders"), F.asc("yr"), F.asc("mon")
+    )
+    return (
+        dense.select(
+            "yr",
+            "mon",
+            "n_orders",
+            (F.col("n_orders") == 0).cast("long").alias("is_gap"),
+            F.rank().over(w).cast("long").alias("busy_rank"),
+        )
+        .orderBy("yr", "mon")
+    )
+
+
+# --- O4+P7, seventh wave: month-over-month cohort set operations --------------
+
+_COHORT_FLUX_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+retained AS (
+  SELECT d + INTERVAL 1 DAY AS d, user_id FROM du
+  INTERSECT
+  SELECT d, user_id FROM du
+),
+churned AS (
+  SELECT d + INTERVAL 1 DAY AS d, user_id FROM du
+  EXCEPT
+  SELECT d, user_id FROM du
+)
+SELECT CAST(STRFTIME(m.d, '%Y-%m-%d') AS VARCHAR) AS day_key,
+       CAST(COALESCE(r.n, 0) AS BIGINT) AS n_retained,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_lost
+FROM (SELECT DISTINCT d FROM du WHERE d > (SELECT MIN(d) FROM du)) m
+LEFT JOIN (SELECT CAST(d AS DATE) AS d, COUNT(*) AS n
+           FROM retained GROUP BY 1) r ON r.d = m.d
+LEFT JOIN (SELECT CAST(d AS DATE) AS d, COUNT(*) AS n
+           FROM churned GROUP BY 1) c ON c.d = m.d
+"""
+
+
+@register(
+    "o_cohort_flux_setops",
+    oracle=_COHORT_FLUX_ORACLE,
+    tags=("O4", "P7", "F2"),
+)
+def o_cohort_flux_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4+P7, seventh wave: day-over-day user-base FLUX computed with
+    REAL set operators — the previous day's (day+1, user) set
+    INTERSECT this day's set is retention, EXCEPT is churn — applied
+    GLOBALLY in one pass over the distinct (day, user) grid (the P7
+    distinct), not per day pair in a loop. The day spine for the
+    output rows is the observed days after the first (the events table
+    spans one month of days, so days are the churn granularity).
+
+    Scale: the distinct grid is one hash shuffle of |active
+    user-days|; INTERSECT/EXCEPT hash-join the shifted copy of the
+    SAME grid (no re-scan of the fact); the final census is a tiny
+    day-keyed rollup."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("d"),
+        "user_id",
+    ).distinct()
+    shifted = du.select(F.date_add(F.col("d"), 1).alias("d"), "user_id")
+    retained = shifted.intersect(du)
+    churned = shifted.exceptAll(du).distinct()
+    days = (
+        du.select("d")
+        .distinct()
+        .join(
+            du.select(F.min("d").alias("first_d")),
+            F.col("d") > F.col("first_d"),
+        )
+        .select("d")
+    )
+    r_cnt = retained.groupBy("d").agg(F.count(F.lit(1)).alias("rn"))
+    c_cnt = churned.groupBy("d").agg(F.count(F.lit(1)).alias("cn"))
+    return (
+        days.join(r_cnt, "d", "left")
+        .join(c_cnt, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day_key"),
+            F.coalesce("rn", F.lit(0)).cast("long").alias("n_retained"),
+            F.coalesce("cn", F.lit(0)).cast("long").alias("n_lost"),
+        )
+    )
