@@ -171,23 +171,33 @@ _PRIORITY = (
     "n_dedup_survivorship_policy",
     "t_lttb_downsample",
     # ---- slots past the 50-entry sweep budget: every remaining
-    # never-driver-checked query, registration order, so a larger
-    # sweep still lands on new proof first ----
+    # never-driver-checked query (including the seventh restock
+    # wave), registration order, so a larger sweep still lands on
+    # new proof first ----
     "sql_identifier_clause",
     "sql_execute_immediate",
     "sql_q15_top_supplier",
     "sql_q88_time_bands",
     "j_spatial_grid_nn",
+    "j_star_degenerate_dims",
+    "j_asof_rate_spine",
     "s_analyze_table_stats",
     "s_provenance_manifest",
     "s_parquet_storage_report",
+    "s_csv_null_dialect",
+    "s_tojson_fromjson_roundtrip",
+    "s_two_level_partition_prune",
     "a_exact_quantiles",
     "a_percentile_cont_disc",
     "a_distinct_estimator_comparison",
+    "a_grouping_sets_share",
+    "a_map_mode_status",
     "w_moving_avg",
     "w_distribution_funcs",
     "w_range_interval_frame",
     "w_first_last_nth",
+    "o_spine_gap_rank",
+    "o_cohort_flux_setops",
     "f_string_funcs",
     "f_hash_funcs",
     "f_hash_spark_native",
@@ -198,6 +208,11 @@ _PRIORITY = (
     "f_interval_arithmetic",
     "f_timezone_functions",
     "f_rounding_mode_audit",
+    "u_grouped_map_sessionize",
+    "u_pandas_weekday_value",
+    "u_udaf_median_low_cents",
+    "u_udtf_fiscal_spine",
+    "u_iter_partition_histogram",
     "t_tumbling_window",
     "e_decay_engagement_score",
     "t_seasonality_dow_profile",
@@ -220,6 +235,10 @@ _PRIORITY = (
     "e_nps_score_ci",
     "e_gains_lift_table",
     "st_transform_with_state",
+    "st_sliding_append_eviction",
+    "st_session_append_eviction",
+    "st_semi_join_static_filter",
+    "st_dedup_sliding_census",
     "s_observe_qc_metrics",
     "s_profile_table",
     "j_bloom_runtime_filter",
@@ -266,6 +285,7 @@ _PRIORITY = (
     "n_minhash_jaccard_calibration",
     "n_lsh_br_planner",
     "n_dedup_distinct_census",
+    "n_split_contamination_audit",
     "n_embedding_quantize",
     "n_embedding_drift_psi",
     "n_embedding_isotropy",
@@ -278,6 +298,7 @@ _PRIORITY = (
     "m_av_sync_drift",
     "m_payload_integrity_audit",
     "m_magic_bytes_sniff",
+    "m_av_asset_map_census",
     "g_pagerank_parts",
     "g_bfs_hops",
     "g_harmonic_centrality",
