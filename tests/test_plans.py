@@ -506,6 +506,12 @@ _BNLJ_ALLOWED = frozenset({
     # broadcast (MDE curve); 5-row excluded-segment dim fan-out
     # (jackknife — the honest Gx cost of grouped resampling)
     "e_mde_runtime_curve", "a_jackknife_gini_se",
+    # round-9 seventh wave: 8-row tier dim x 85-row snapshot-index
+    # cross (spine construction — 680 rows total, broadcast);
+    # constant-key 1-row grand-total share join (same audited shape as
+    # a_cube_having_share); 1-row min-day threshold join (day spine
+    # filter against a broadcast scalar)
+    "j_asof_rate_spine", "a_grouping_sets_share", "o_cohort_flux_setops",
 })
 
 
