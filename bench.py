@@ -53,6 +53,44 @@ def _calibration_sec() -> float:
     return round(best, 4)
 
 
+def _calibration_parallel_sec(n_threads: int = 8) -> float:
+    """Parallel MEMORY-STREAMING yardstick: the single-core kernel run
+    on 8 concurrent threads (numpy releases the GIL for large
+    elementwise ops), reported as per-thread median wall. On a quiet
+    host this ~equals _calibration_sec (cores are independent); under
+    external MEMORY-BANDWIDTH contention it blows up by 10-200x while
+    the single-core number barely moves — round 9 observed exactly
+    that failure mode (serial 1.45x the yardstick, parallel streaming
+    ~200x; pure-CPU loops unaffected), which shuffle/scan-heavy Spark
+    queries track far more closely than any single-core probe. Read
+    BOTH: serial calibration = per-core speed, parallel = effective
+    memory system. A bench run whose parallel calibration is >>3x the
+    serial one is measuring the host, not the engine."""
+    import threading
+
+    import numpy as np
+
+    results: list[float] = []
+    lock = threading.Lock()
+
+    def work() -> None:
+        x = (np.arange(4_000_000, dtype=np.float64) % 97.0) - 48.0
+        t0 = time.perf_counter()
+        y = np.tanh(x)
+        y += np.sqrt(np.abs(x))
+        float(y.sum())
+        el = time.perf_counter() - t0
+        with lock:
+            results.append(el)
+
+    threads = [threading.Thread(target=work) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return round(sorted(results)[len(results) // 2], 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -81,6 +119,7 @@ def main() -> None:
     # meaningful at ~30s extra wall-clock.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     calib_before = _calibration_sec()
+    calib_parallel = _calibration_parallel_sec()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, q in sorted(headline.items()):
@@ -120,6 +159,14 @@ def main() -> None:
                 # host contention.
                 "calibration_sec": calib_before,
                 "calibration_sec_after": calib_after,
+                # Parallel memory-streaming yardstick (8 concurrent
+                # copies of the same kernel, per-thread median). Quiet
+                # host: ~= calibration_sec. Under external memory-
+                # bandwidth contention it inflates 10-200x while the
+                # serial number barely moves — and the query timings
+                # with it. If this is >>3x calibration_sec, the run
+                # measured the host, not the engine.
+                "calibration_parallel_sec": calib_parallel,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
