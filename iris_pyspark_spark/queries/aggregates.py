@@ -2455,3 +2455,75 @@ def a_map_mode_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_fulfilled"),
     )
+
+
+# --- A5+A6+A9, seventh wave (depth): ROLLUP with quarter collects -------------
+
+_ROLLUP_COLLECT_ORACLE = f"""
+SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+            AS BIGINT)                  AS gid,
+       CAST(COUNT(*) AS BIGINT)         AS n_orders,
+       COALESCE(STRING_AGG(DISTINCT 'Q' || CAST(QUARTER(o_orderdate) AS VARCHAR),
+                  '|' ORDER BY 'Q' || CAST(QUARTER(o_orderdate) AS VARCHAR))
+                  FILTER (WHERE o_orderkey % 1500 = 7), '')
+                                        AS audit_quarters,
+       CAST(SUM({CENTS_SQL.format(expr="o_totalprice")}) AS BIGINT)
+                                        AS total_cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+HAVING COUNT(*) >= 10
+"""
+
+
+@register(
+    "a_rollup_quarter_collect",
+    oracle=_ROLLUP_COLLECT_ORACLE,
+    tags=("A5", "A6", "A9"),
+)
+def a_rollup_quarter_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A9, seventh wave depth: a ROLLUP hierarchy (status ->
+    status+priority -> grand total) where each surviving cell ALSO
+    reports the sorted DISTINCT set of quarters touched by its
+    1-in-1500 deterministic key sample (the audit spot-check set — a
+    collect aggregate, A9, riding the same one-pass grouping expansion
+    as the additive counts, flattened to a pipe-joined string so the
+    checked output stays scalar; the SAMPLE's quarter coverage, unlike
+    the cell's full coverage, genuinely varies per cell at every sf).
+    HAVING floors thin cells (A6).
+
+    Scale: collect_set here is bounded by construction (4 quarters);
+    the rollup is one fact pass with partial aggregation per grouping
+    set — never use an unbounded collect in this position."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_set(
+                        F.when(
+                            F.col("o_orderkey") % 1500 == 7,
+                            F.concat(F.lit("Q"), F.quarter("o_orderdate")),
+                        )
+                    )
+                ),
+                "|",
+            ).alias("audit_quarters"),
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("long").alias("gid"),
+        )
+        .filter(F.col("n_orders") >= 10)
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "audit_quarters",
+            "total_cents",
+        )
+    )

@@ -2838,3 +2838,69 @@ def t_session_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.groupBy("latency_bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions")
     )
+
+
+# --- T3+T6, seventh wave (depth): session stats enriched by segment -----------
+
+_SESSION_SEGMENT_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT)  AS n_sessions,
+       CAST(SUM(n) AS BIGINT)    AS n_events,
+       CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) AS n_solo_sessions
+FROM per_session JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "t_session_segment_enrich",
+    oracle=_SESSION_SEGMENT_ORACLE,
+    tags=("T3", "T6"),
+)
+def t_session_segment_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T6, seventh wave depth: native session_window sessions rolled
+    up per customer SEGMENT — the dimension joins AFTER sessionization
+    (the T6 enrich order at its batch twin: the join touches one row
+    per session, not per event). Session identity comes from
+    session_window(ts, 30 min) per user; the oracle reconstructs the
+    identical sessions with the LAG-gap idiom.
+
+    Scale: sessionize shuffles events once on user; the segment join
+    then moves |sessions| rows against a broadcastable dim; the final
+    rollup is a 5-key combinable agg."""
+    e = load_table(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("user_id", "n")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        sessions.join(c, sessions.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.when(F.col("n") == 1, 1))
+            .cast("long")
+            .alias("n_solo_sessions"),
+        )
+    )

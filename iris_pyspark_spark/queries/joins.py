@@ -2470,3 +2470,58 @@ def j_asof_rate_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_on_rising_rate"),
         )
     )
+
+
+# --- J4+J6, seventh wave (depth): semi-filtered star rollup -------------------
+
+_SEMI_STAR_ORACLE = """
+SELECT r_name,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45
+)
+GROUP BY r_name, o_orderpriority
+"""
+
+
+@register(
+    "j_semi_star_bulk_orders",
+    oracle=_SEMI_STAR_ORACLE,
+    tags=("J4", "J6"),
+)
+def j_semi_star_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+J6, seventh wave depth: the fact is REDUCED FIRST by a LEFT
+    SEMI join against the bulk-line keys (any line with quantity >= 45
+    — existence, not enrichment: no lineitem columns flow, no fan-out
+    on multi-line orders), and only the survivors walk the
+    customer->nation->region star. Semi-before-star is the scale-
+    correct order: the dimension hops touch the reduced fact, and the
+    semi side collapses to distinct keys inside the join.
+
+    Scale: one shuffle for the semi (key-only, no payload), one for
+    the customer join; nation/region broadcast; rollup on a bounded
+    (region x priority) grid."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    ).select("l_orderkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    bulk = o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+    star = (
+        bulk.join(c, bulk.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return star.groupBy("r_name", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
+    )

@@ -2868,3 +2868,50 @@ def s_two_level_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("lang").cast("long").alias("n_langs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --- S2+S5, seventh wave (depth): partitioned CSV sink with pruned read ------
+
+_CSV_PARTITIONED_PRUNE_ORACLE = """
+SELECT lang,
+       source,
+       CAST(COUNT(*) AS BIGINT)     AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang IN ('en', 'fr')
+GROUP BY lang, source
+"""
+
+
+@register(
+    "s_csv_partitioned_prune",
+    oracle=_CSV_PARTITIONED_PRUNE_ORACLE,
+    tags=("S2", "S5"),
+)
+def s_csv_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S5, seventh wave depth: hive-style partitioning applied to the
+    CSV format — the partition-pruning contract is format-agnostic
+    (directory layout, not file metadata), so a lang-partitioned CSV
+    export must prune exactly like parquet when read back with a
+    partition-column filter, and the partition column (absent from the
+    CSV payload) must reconstitute typed from the directory names.
+
+    Scale: the export shape for downstream consumers that cannot read
+    parquet; pruning still reduces a 2-language read to 2/N directory
+    branches — the payload format only changes per-file decode cost."""
+    path = scratch_dir(sf_dir, "documents_csv_by_lang")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.repartition("lang").write.mode("overwrite").option(
+        "header", True
+    ).partitionBy("lang").csv(path)
+    back = spark.read.options(header=True, inferSchema=True).csv(path)
+    return (
+        back.filter(F.col("lang").isin("en", "fr"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

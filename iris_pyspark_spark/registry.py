@@ -181,17 +181,20 @@ _PRIORITY = (
     "j_spatial_grid_nn",
     "j_star_degenerate_dims",
     "j_asof_rate_spine",
+    "j_semi_star_bulk_orders",
     "s_analyze_table_stats",
     "s_provenance_manifest",
     "s_parquet_storage_report",
     "s_csv_null_dialect",
     "s_tojson_fromjson_roundtrip",
     "s_two_level_partition_prune",
+    "s_csv_partitioned_prune",
     "a_exact_quantiles",
     "a_percentile_cont_disc",
     "a_distinct_estimator_comparison",
     "a_grouping_sets_share",
     "a_map_mode_status",
+    "a_rollup_quarter_collect",
     "w_moving_avg",
     "w_distribution_funcs",
     "w_range_interval_frame",
@@ -225,6 +228,7 @@ _PRIORITY = (
     "t_drift_psi_weekly",
     "t_peak_detection",
     "e_spike_root_cause_drilldown",
+    "t_session_segment_enrich",
     "e_linear_attribution",
     "e_dau_mau_stickiness",
     "e_growth_accounting",
