@@ -503,3 +503,141 @@ def test_misra_gries_merge_across_partitions(spark):
             f"{t}: undercount {c - merged.get(t, 0)} > summed drops {total_drops}"
         )
     assert merged.get("heavy", 0) > 0
+
+
+def test_apply_state_dedup_invariant_to_batch_split(spark, sf_dir):
+    """st_apply_state_dedup's contract: the checked output equals the
+    batch census NO MATTER how the stream was micro-batched, because
+    per-key state merges order-insensitively (count + lexicographic
+    min) and the final readout takes each key's last update. Proven
+    here by re-running the same stateful pipeline over the SAME
+    snapshot with all files in ONE trigger (vs the query's one-file-
+    per-trigger default) and asserting identical rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from iris_pyspark_spark.queries.streaming_parity import st_apply_state_dedup
+    from iris_pyspark_spark.sources import scratch_dir
+    from iris_pyspark_spark.streaming import drain_to_table
+
+    base = st_apply_state_dedup(spark, sf_dir).orderBy(
+        "user_id", "event_type"
+    ).toPandas()
+
+    # Same source snapshot (built by the call above), drained in ONE
+    # micro-batch: no maxFilesPerTrigger option.
+    src = scratch_dir(sf_dir, "aps_src")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    ).parquet(src)
+    keyed = stream.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("n_seen", LongType()),
+            StructField("first_ts_us", LongType()),
+            StructField("first_event_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("fts", LongType()),
+            StructField("feid", LongType()),
+        ]
+    )
+
+    def track(key, pdfs, state):
+        import numpy as np
+
+        if state.exists:
+            n, fts, feid = state.get
+        else:
+            n, fts, feid = 0, None, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            ts = pdf["ts_us"].to_numpy(dtype="int64")
+            eid = pdf["event_id"].to_numpy(dtype="int64")
+            i = np.lexsort((eid, ts))[0]
+            if fts is None or (int(ts[i]), int(eid[i])) < (fts, feid):
+                fts, feid = int(ts[i]), int(eid[i])
+        state.update((n, fts, feid))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "n_seen": [n],
+                "first_ts_us": [fts],
+                "first_event_id": [feid],
+            }
+        )
+
+    updates = keyed.groupBy("user_id", "event_type").applyInPandasWithState(
+        track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    sink = drain_to_table(updates, output_mode="update", shuffle_partitions=8)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n_seen"))
+    one_batch = (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "n_seen",
+            (F.col("n_seen") - 1).cast("long").alias("n_dupes"),
+            "first_ts_us",
+            "first_event_id",
+        )
+        .orderBy("user_id", "event_type")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(base, one_batch)
+
+
+def test_asof_join_boundary_is_inclusive(spark):
+    """Backward as-of must carry a right row whose time EQUALS the left
+    row's time (at-or-before), and the earliest left rows (before any
+    right row) must carry NULL — the two boundary semantics
+    j_asof_rate_spine's oracle (DuckDB ASOF JOIN, >=) relies on."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from iris_pyspark_spark.operators.asof import asof_join
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ld=d(1995, 1, 1)),   # before any snapshot -> NULL
+            Row(k=1, ld=d(1995, 6, 1)),   # exactly ON a snapshot -> that one
+            Row(k=1, ld=d(1995, 7, 15)),  # between -> earlier one
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rd=d(1995, 6, 1), rate=101),
+            Row(k=1, rd=d(1995, 8, 1), rate=202),
+        ]
+    )
+    out = {
+        r["ld"]: (r["rate"], r["rd"])
+        for r in asof_join(
+            left=left, right=right, on="k", left_time="ld", right_time="rd"
+        ).collect()
+    }
+    assert out[d(1995, 1, 1)] == (None, None)
+    assert out[d(1995, 6, 1)] == (101, d(1995, 6, 1))
+    assert out[d(1995, 7, 15)] == (101, d(1995, 6, 1))
