@@ -744,3 +744,25 @@ def test_permutation_test_single_fact_scan(spark, sf_dir):
     plan = _executed_plan(spark, "e_permutation_test_exact", sf_dir)
     assert plan.count("events.parquet") <= 1, "events scanned more than once"
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_two_level_partition_sink_prunes_outer_level(spark, sf_dir):
+    """Seventh wave: the lang/source two-level sink must prune on the
+    OUTER partition column at the directory level (PartitionFilters,
+    not a data filter) while reading ONLY the payload column — lang
+    and source reconstitute from the directory names, so the parquet
+    files contribute a single bigint column to the scan."""
+    plan = _executed_plan(spark, "s_two_level_partition_prune", sf_dir)
+    assert "PartitionFilters" in plan
+    tail = plan.split("PartitionFilters")[1][:200]
+    assert "lang" in tail
+    assert "ReadSchema: struct<n_chars:bigint>" in plan
+
+
+def test_csv_partitioned_sink_prunes_like_parquet(spark, sf_dir):
+    """Seventh wave: hive-style partition pruning is format-agnostic —
+    the lang-partitioned CSV export must show the same directory-level
+    PartitionFilters on read-back as the parquet sinks."""
+    plan = _executed_plan(spark, "s_csv_partitioned_prune", sf_dir)
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters")[1][:200]
