@@ -101,106 +101,93 @@ def register(
 #: exactly the first 50 entries), so the prefix must span EVERY SURVEY §2
 #: row — tests/test_registry_order.py pins that invariant.
 #:
-#: Round-9 rotation: rounds 1-8 driver-proved 372 distinct queries; this
+#: Round-10 rotation: rounds 1-9 driver-proved 422 distinct queries; this
 #: round's 50 slots again go EXCLUSIVELY to queries with no successful
-#: driver row, per VERDICT r08 tasks 2/3/5: first the sole-provider
-#: multi-tag queries whose rows would otherwise empty unproven
-#: (m_manifest_json_roundtrip covers S3+P3+N6, j_star_asof_region_enrich
-#: J4+J6+J8, a_cube_having_share A5+A6, u_udaf_trimsum_udtf_unpivot
-#: U3+U4, t_session_sliding_density T2+T3, st_postagg_static_enrich
-#: T5+T6, a_collect_map_top_status A9+F5, f_props_json_projection
-#: P1+F6, s_csv_inmemory_brand_tier S2+S6, plus the single-row last
-#: providers O4/S5/U1/U5/T4/U2), then st_apply_state_dedup — the NEW
-#: provable arbitrary-state shape that takes over the T7 coverage from
-#: the permanently env-gated st_transform_with_state (protobuf absent;
-#: VERDICT r08 task 5) — then greedy multi-tag row-coverage fills, then
-#: a drain of the largest unproven pools (A1 144, F3 63, F2 44, N5 44).
-#: n_bloom_incremental_dedup is the one rows-only slot: A4's entire
-#: never-checked pool is approximate-by-design (no exact SQL oracle).
-#: Tag coverage of all 66 rows is preserved (pinned below).
+#: driver row, per VERDICT r09 tasks 2/6: first the thin-pool multi-row
+#: providers whose rows would otherwise empty unproven
+#: (s_tojson_fromjson_roundtrip covers S3+P1+F6, m_av_asset_map_census
+#: P3+F5+N6, a_rollup_quarter_collect A5+A6+A9, a_grouping_sets_share
+#: A5+A6, a_map_mode_status A9+F5+A7, j_semi_star_bulk_orders J4+J6,
+#: st_semi_join_static_filter J4+T6+T1, t_session_segment_enrich T3+T6,
+#: st_session_append_eviction T3+T4+T5, st_dedup_sliding_census T2+T7+T5,
+#: u_grouped_map_sessionize U2+T4, o_cohort_flux_setops P7+O4,
+#: n_dedup_distinct_census P7+N1, n_split_contamination_audit N1+N7,
+#: s_csv_null_dialect S2+S6, s_csv_partitioned_prune S2+S5, the five
+#: U-row singletons, j_asof_rate_spine J8, n_embedding_quantize N4),
+#: then BOTH remaining A4 entries (a_distinct_estimator_comparison,
+#: n_countmin_sketch — the entire A4 never-checked pool is
+#: approximate-by-design, so these are the round's only rows-only
+#: slots, per VERDICT r09 task 6), then greedy multi-tag row-coverage
+#: fills, then a drain of the largest unproven pools (A1 120, F3 55,
+#: F2 44, N5 43). Tag coverage of all 66 rows is preserved (pinned in
+#: tests/test_registry_order.py).
 _PRIORITY = (
-    # ---- round-9 sweep prefix: 50 never-driver-checked slots ----
-    "m_manifest_json_roundtrip",
-    "j_star_asof_region_enrich",
-    "a_cube_having_share",
-    "u_udaf_trimsum_udtf_unpivot",
-    "t_session_sliding_density",
-    "st_postagg_static_enrich",
-    "a_collect_map_top_status",
-    "f_props_json_projection",
-    "s_csv_inmemory_brand_tier",
-    "o_cohort_setops_census",
-    "s_pruned_anti_coverage",
-    "u_pandas_margin_band",
-    "u_iter_partition_topk",
-    "t_session_purchase_latency",
-    "u_grouped_map_minmax_norm",
-    "st_apply_state_dedup",
-    "n_self_bleu_diversity",
-    "f_snowflake_id_codec",
-    "t_forecast_prediction_intervals",
-    "n_mrr_retrieval_eval",
-    "s_catalog_ddl_sql",
-    "n_edit_distance_pairs",
-    "t_rolling_origin_backtest",
-    "n_bloom_incremental_dedup",
-    "n_class_balanced_downsample",
-    "s_snapshot_diff_cdf",
-    "t_hurst_exponent",
-    "o_union_all",
-    "a_decimal128_exact",
-    "a_target_encoding_loo",
-    "sql_pipe_syntax",
-    "sql_session_variables",
-    "sql_scripting_threshold_search",
-    "j_interval_overlap_join",
-    "j_join_size_estimate",
-    "j_backlog_aging_snapshots",
-    "j_bitemporal_reconstruction",
-    "s_merge_idempotency",
-    "s_vacuum_orphan_files",
-    "a_regression_aggs",
-    "a_bitmap_distinct",
-    "a_log2_histogram",
-    "a_pythagorean_means",
-    "a_relational_division_otif",
-    "a_semantic_layer_metrics",
-    "f_business_days_diff",
-    "f_hex_bin_assign",
-    "t_rollup_from_materialized",
-    "n_dedup_survivorship_policy",
-    "t_lttb_downsample",
-    # ---- slots past the 50-entry sweep budget: every remaining
-    # never-driver-checked query (including the seventh restock
-    # wave), registration order, so a larger sweep still lands on
-    # new proof first ----
-    "sql_identifier_clause",
-    "sql_execute_immediate",
-    "sql_q15_top_supplier",
-    "sql_q88_time_bands",
-    "j_spatial_grid_nn",
-    "j_star_degenerate_dims",
-    "j_asof_rate_spine",
+    # ---- round-10 sweep prefix: 50 never-driver-checked slots ----
+    "s_tojson_fromjson_roundtrip",
+    "m_av_asset_map_census",
+    "a_rollup_quarter_collect",
+    "a_grouping_sets_share",
+    "a_map_mode_status",
     "j_semi_star_bulk_orders",
+    "st_semi_join_static_filter",
+    "t_session_segment_enrich",
+    "st_session_append_eviction",
+    "st_dedup_sliding_census",
+    "u_grouped_map_sessionize",
+    "o_cohort_flux_setops",
+    "n_dedup_distinct_census",
+    "n_split_contamination_audit",
+    "s_csv_null_dialect",
+    "s_csv_partitioned_prune",
+    "u_pandas_weekday_value",
+    "u_udaf_median_low_cents",
+    "u_udtf_fiscal_spine",
+    "u_iter_partition_histogram",
+    "j_asof_rate_spine",
+    "n_embedding_quantize",
+    "a_distinct_estimator_comparison",
+    "n_countmin_sketch",
+    "j_spatial_grid_nn",
+    "s_merge_on_read_deletes",
+    "n_bpe_merge_simulation",
+    "o_spine_gap_rank",
+    "n_dpo_preference_pairs",
+    "n_pps_systematic_sample",
+    "n_repeated_ngram_spans",
+    "sql_identifier_clause",
+    "j_star_degenerate_dims",
+    "sql_q15_top_supplier",
+    "t_seasonality_dow_profile",
+    "t_max_drawdown",
+    "n_span_corruption_stats",
+    "n_seq_length_histogram",
+    "n_heaps_law_fit",
+    "n_zipf_law_fit",
+    "n_bigram_entropy_rate",
+    "n_temperature_sampling_weights",
+    "w_rolling_regression_slope",
+    "t_cross_correlation_lags",
+    "t_segmented_regression",
+    "t_burstiness_fano",
+    "t_interarrival_burstiness",
+    "t_permutation_entropy",
+    "a_spearman_rank_corr",
+    "a_kruskal_wallis_dow",
+    # ---- slots past the 50-entry sweep budget: every remaining
+    # never-driver-checked query, registration order, so a larger
+    # sweep still lands on new proof first ----
+    "sql_execute_immediate",
+    "sql_q88_time_bands",
     "s_analyze_table_stats",
     "s_provenance_manifest",
     "s_parquet_storage_report",
-    "s_csv_null_dialect",
-    "s_tojson_fromjson_roundtrip",
     "s_two_level_partition_prune",
-    "s_csv_partitioned_prune",
     "a_exact_quantiles",
     "a_percentile_cont_disc",
-    "a_distinct_estimator_comparison",
-    "a_grouping_sets_share",
-    "a_map_mode_status",
-    "a_rollup_quarter_collect",
     "w_moving_avg",
     "w_distribution_funcs",
     "w_range_interval_frame",
     "w_first_last_nth",
-    "o_spine_gap_rank",
-    "o_cohort_flux_setops",
     "f_string_funcs",
     "f_hash_funcs",
     "f_hash_spark_native",
@@ -211,16 +198,9 @@ _PRIORITY = (
     "f_interval_arithmetic",
     "f_timezone_functions",
     "f_rounding_mode_audit",
-    "u_grouped_map_sessionize",
-    "u_pandas_weekday_value",
-    "u_udaf_median_low_cents",
-    "u_udtf_fiscal_spine",
-    "u_iter_partition_histogram",
     "t_tumbling_window",
     "e_decay_engagement_score",
-    "t_seasonality_dow_profile",
     "t_event_order_skew",
-    "t_max_drawdown",
     "e_snaive_forecast_backtest",
     "t_fiscal_445_calendar",
     "t_m4_downsample",
@@ -228,7 +208,6 @@ _PRIORITY = (
     "t_drift_psi_weekly",
     "t_peak_detection",
     "e_spike_root_cause_drilldown",
-    "t_session_segment_enrich",
     "e_linear_attribution",
     "e_dau_mau_stickiness",
     "e_growth_accounting",
@@ -240,9 +219,6 @@ _PRIORITY = (
     "e_gains_lift_table",
     "st_transform_with_state",
     "st_sliding_append_eviction",
-    "st_session_append_eviction",
-    "st_semi_join_static_filter",
-    "st_dedup_sliding_census",
     "s_observe_qc_metrics",
     "s_profile_table",
     "j_bloom_runtime_filter",
@@ -251,20 +227,16 @@ _PRIORITY = (
     "n_bigram_lm_score",
     "n_dataset_card",
     "n_lang_quality_bands",
-    "n_countmin_sketch",
     "n_bpe_pair_counts",
     "n_rouge_ngram_overlap",
     "n_sentence_stats",
-    "n_span_corruption_stats",
     "n_code_detection_score",
     "n_blocklist_filter",
     "n_encoding_audit",
     "n_stemming_normalize",
     "n_watermark_detection",
     "n_tfidf_doc_similarity",
-    "n_seq_length_histogram",
     "n_autocomplete_prefix_topk",
-    "n_heaps_law_fit",
     "n_feature_scaling_params",
     "n_calibration_ece",
     "n_chat_alternation_audit",
@@ -273,36 +245,25 @@ _PRIORITY = (
     "n_filter_ablation_matrix",
     "n_search_diversity_cap",
     "n_slice_eval_metrics",
-    "n_zipf_law_fit",
     "n_truncation_loss_sweep",
     "n_codeswitch_audit",
     "n_hashing_collision_sweep",
     "n_chao1_good_turing",
     "n_postings_compression_estimate",
     "n_moe_load_balance_proxy",
-    "n_bigram_entropy_rate",
-    "n_bpe_merge_simulation",
     "n_simhash",
     "n_minhash_lsh_mllib",
-    "n_repeated_ngram_spans",
     "n_lsh_parameter_sensitivity",
     "n_minhash_jaccard_calibration",
     "n_lsh_br_planner",
-    "n_dedup_distinct_census",
-    "n_split_contamination_audit",
-    "n_embedding_quantize",
     "n_embedding_drift_psi",
     "n_embedding_isotropy",
     "s_incremental_agg_maintenance",
-    "n_temperature_sampling_weights",
     "n_curriculum_phases",
     "n_group_kfold",
-    "s_merge_on_read_deletes",
-    "n_dpo_preference_pairs",
     "m_av_sync_drift",
     "m_payload_integrity_audit",
     "m_magic_bytes_sniff",
-    "m_av_asset_map_census",
     "g_pagerank_parts",
     "g_bfs_hops",
     "g_harmonic_centrality",
@@ -313,16 +274,10 @@ _PRIORITY = (
     "g_rich_club_coefficient",
     "g_avg_neighbor_degree_curve",
     "g_square_count",
-    "w_rolling_regression_slope",
     "t_weekly_spectral_power",
     "t_durbin_watson_residuals",
-    "t_cross_correlation_lags",
-    "t_segmented_regression",
     "t_littles_law_check",
-    "t_burstiness_fano",
     "t_record_days_check",
-    "t_interarrival_burstiness",
-    "t_permutation_entropy",
     "t_newey_west_se",
     "t_erlang_c_staffing",
     "t_variance_ratio_test",
@@ -335,8 +290,6 @@ _PRIORITY = (
     "a_mutual_information_2d",
     "a_empirical_bayes_shrinkage",
     "a_cvar_expected_shortfall",
-    "a_spearman_rank_corr",
-    "a_kruskal_wallis_dow",
     "a_cooks_distance_outliers",
     "a_hodges_lehmann_estimator",
     "a_negbin_moments_fit",
@@ -371,7 +324,6 @@ _PRIORITY = (
     "a_dorfman_group_testing",
     "e_mde_runtime_curve",
     "a_k_anonymity_audit",
-    "n_pps_systematic_sample",
     "n_dp_noisy_counts",
     "s_constraint_audit_all_tables",
     "s_crypto_shredding",

@@ -55,31 +55,33 @@ def test_prefix_queries_are_oracled_where_possible():
     reg = load_all()
     prefix = dict(itertools.islice(reg.items(), SWEEP_BUDGET))
     allowed_no_oracle = {
-        # Bloom-filter incremental dedup — approximate by design (no
-        # exact SQL oracle; the query self-validates with *_ok
-        # columns). It holds a prefix slot because A4's ENTIRE
-        # never-checked pool is approximate-by-design: there is no
-        # oracled never-checked A4 query left to rotate in.
-        "n_bloom_incremental_dedup",
+        # A4's ENTIRE never-checked pool is approximate-by-design (no
+        # exact SQL oracle; each query self-validates with *_ok /
+        # error-envelope columns). Both remaining A4 entries hold
+        # round-10 prefix slots per VERDICT r09 task 6 so the A4
+        # rows-only tail converts to driver-checked rather than
+        # sitting permanently unchecked.
+        "a_distinct_estimator_comparison",
+        "n_countmin_sketch",
     }
     no_oracle = {n for n, q in prefix.items() if q.oracle is None}
     assert no_oracle <= allowed_no_oracle, no_oracle
 
 
 def test_sweep_prefix_is_all_previously_unchecked():
-    """Round-9 rotation contract: every slot in the 50-entry sweep prefix
+    """Round-10 rotation contract: every slot in the 50-entry sweep prefix
     must be a query with NO SUCCESSFUL driver correctness row from rounds
-    1-8, so the round-9 sweep converts in-repo green into driver proof at
+    1-9, so the round-10 sweep converts in-repo green into driver proof at
     the maximum rate. A row whose `err` is a hard error counts as
     UNCHECKED — the fix still needs driver proof. (Coverage of all §2
     rows is preserved by tags — see
     test_first_50_entries_cover_every_survey_row.)
 
-    Deliberately pinned to rounds 1-8: round 9's prefix IS the set the
-    round-9 driver sweep proves, so including CORRECTNESS_r09.json here
-    would fail the moment it lands. ROUND 10 BUILDER: re-rotate _PRIORITY
-    to the still-unproven remainder (and add r09 to this list) the same
-    way rounds 3-9 rotated away from their predecessors."""
+    Deliberately pinned to rounds 1-9: round 10's prefix IS the set the
+    round-10 driver sweep proves, so including CORRECTNESS_r10.json here
+    would fail the moment it lands. ROUND 11 BUILDER: re-rotate _PRIORITY
+    to the still-unproven remainder (and add r10 to this list) the same
+    way rounds 3-10 rotated away from their predecessors."""
     import json
     import os
 
@@ -94,6 +96,7 @@ def test_sweep_prefix_is_all_previously_unchecked():
         "CORRECTNESS_r06.json",
         "CORRECTNESS_r07.json",
         "CORRECTNESS_r08.json",
+        "CORRECTNESS_r09.json",
     ):
         path = os.path.join(root, fname)
         if not os.path.exists(path):
