@@ -502,7 +502,7 @@ def o_spine_gap_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- O4+P7, seventh wave: month-over-month cohort set operations --------------
+# --- O4+P7, seventh wave: day-over-day cohort set operations ------------------
 
 _COHORT_FLUX_ORACLE = """
 WITH du AS (
@@ -554,7 +554,9 @@ def o_cohort_flux_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     shifted = du.select(F.date_add(F.col("d"), 1).alias("d"), "user_id")
     retained = shifted.intersect(du)
-    churned = shifted.exceptAll(du).distinct()
+    # shifted is already distinct (a 1:1 date shift of the distinct
+    # grid), so set EXCEPT is the direct spelling of the oracle.
+    churned = shifted.subtract(du)
     days = (
         du.select("d")
         .distinct()

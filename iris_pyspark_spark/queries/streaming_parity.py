@@ -1635,17 +1635,20 @@ _SLIDING_APPEND_ORACLE = f"""
 WITH wm AS (
   SELECT CAST(EPOCH(MAX(ts)) AS BIGINT) - 600 AS w FROM events
 ),
-offsets AS (SELECT UNNEST([0, 1, 2, 3]) AS j)
-SELECT
-  CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) * 3600 - j * 3600
-    AS window_start_epoch,
-  event_type,
-  COUNT(*) AS n_events,
-  CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
-FROM events, offsets
-GROUP BY 1, 2
-HAVING CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) * 3600 - j * 3600 + 14400
-       <= (SELECT w FROM wm)
+offsets AS (SELECT UNNEST([0, 1, 2, 3]) AS j),
+agg AS (
+  SELECT
+    CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) * 3600 - j * 3600
+      AS window_start_epoch,
+    event_type,
+    COUNT(*) AS n_events,
+    CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
+  FROM events, offsets
+  GROUP BY 1, 2
+)
+SELECT window_start_epoch, event_type, n_events, total_cents
+FROM agg
+WHERE window_start_epoch + 14400 <= (SELECT w FROM wm)
 """
 
 
@@ -1668,7 +1671,11 @@ def st_sliding_append_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state is (open windows x types), bounded by the watermark
     horizon + window length, never by history; one shuffle on the
     window/type key per micro-batch. The trailing no-data batch is kept
-    ON — it advances the watermark to flush every closed window."""
+    ON — it advances the watermark to flush every closed window.
+    Single-batch assumption (load-bearing, pinned by
+    tests/test_streaming.py::test_read_events_stream_stages_one_file):
+    the staged source is one file / one data micro-batch, so no row can
+    arrive behind an already-advanced watermark."""
     e = read_events_stream(spark, sf_dir)
     agg = (
         e.withWatermark("ts", "10 minutes")
@@ -1738,11 +1745,18 @@ def st_session_append_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates to the same horizon: session_end <= max(ts) - 10min.
 
     Scale: state is (open sessions), bounded by the gap + watermark
-    delay per user — O(active users), not O(history); session merge on
-    out-of-order arrival is handled by the state store, which the
-    4-file one-per-trigger drain genuinely exercises (the snapshot is
-    round-robin partitioned, so a user's events arrive across batches
-    out of time order)."""
+    delay per user — O(active users), not O(history). NOTE the
+    single-batch assumption (pinned by
+    tests/test_streaming.py::test_read_events_stream_stages_one_file):
+    read_events_stream stages ONE parquet file and sets no
+    maxFilesPerTrigger, so the drain is one data micro-batch plus the
+    watermark-advancing empty batch. That is load-bearing for
+    correctness, not an accident — were the source split across
+    triggers, the 10-minute watermark set after batch 1 would drop most
+    later-batch rows as late and break parity with the oracle. (The
+    4-file one-per-trigger cross-batch source belongs to
+    st_apply_state_dedup, which builds its own round-robin staging and
+    whose state merge is batch-split-invariant by construction.)"""
     e = read_events_stream(spark, sf_dir)
     agg = (
         e.withWatermark("ts", "10 minutes")
@@ -1863,7 +1877,12 @@ def st_dedup_sliding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two state stores — dedup keys within the watermark bound,
     open sliding windows x types — both watermark-bounded; one shuffle
     per stateful operator. Complete-mode drain (the final window count
-    is small) with 8 state stores."""
+    is small) with 8 state stores. Single-batch assumption
+    (load-bearing, pinned by
+    tests/test_streaming.py::test_read_events_stream_stages_one_file):
+    with one data micro-batch the watermarked dropDuplicates sees every
+    row before the watermark advances, so nothing is dropped as late
+    and the DISTINCT oracle matches exactly."""
     e = read_events_stream(spark, sf_dir)
     deduped = (
         e.select(

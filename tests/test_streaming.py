@@ -171,3 +171,24 @@ def test_scd2_merge_survives_window_split_across_batches(spark, tmp_path):
     assert rows[(7, 0)] == (20, "purchase")  # survived the split
     assert rows[(8, 0)] == (5, "view")       # untouched co-window row survived
     assert rows[(9, 1)] == (6, "signup")
+
+
+def test_read_events_stream_stages_one_file(spark):
+    """Pin the single-batch assumption the append-mode parity queries
+    depend on (st_sliding_append_eviction, st_session_append_eviction,
+    st_dedup_sliding_census): `read_events_stream` stages exactly ONE
+    parquet file into its scratch directory and sets no
+    maxFilesPerTrigger, so an AvailableNow drain is one data
+    micro-batch (plus the watermark-advancing empty batch). If a future
+    change splits the source across triggers, the 10-minute watermark
+    set after the first batch would silently drop later-batch rows as
+    late and break oracle parity — this test makes that change loud."""
+    from iris_pyspark_spark.sources import scratch_dir
+    from iris_pyspark_spark.streaming import read_events_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    src = scratch_dir(sf_dir, "events_stream_src")
+    staged = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert staged == ["events.parquet"], staged

@@ -256,7 +256,19 @@ def _execute_bounded(con, sql: str):
     the cause. The interrupt is guarded by a still-running flag checked
     INSIDE the timer callback: without it, a timer firing in the gap
     between .df() returning and t.cancel() would interrupt the idle
-    shared connection and abort the NEXT query on it (ADVICE r08)."""
+    shared connection and abort the NEXT query on it (ADVICE r08).
+
+    Residual race (ADVICE r09): a timer can still pass the running
+    check in the instant between .df() returning and the finally block,
+    setting fired=True and interrupting the now-idle connection while
+    THIS call returns normally. DuckDB latches the interrupt and aborts
+    the NEXT execution on the connection — which belongs to a different
+    mutant with fired=False, miscounting it (or, on builds where the
+    interrupt surfaces as KeyboardInterrupt, aborting the whole audit).
+    So when fired=True but execute() returned normally, we join the
+    timer thread (guaranteeing interrupt() has been issued, not merely
+    scheduled) and drain the latched interrupt with a trivial SELECT 1,
+    swallowing only the interrupt error it soaks up."""
     import threading
 
     state = {"running": True, "fired": False}
@@ -271,8 +283,11 @@ def _execute_bounded(con, sql: str):
 
     t = threading.Timer(_MUTANT_TIMEOUT_S, _maybe_interrupt)
     t.start()
+    completed = False
     try:
-        return con.execute(sql).df()
+        result = con.execute(sql).df()
+        completed = True
+        return result
     except BaseException as e:
         # Only the watchdog's own interrupt() is a timeout; a real user
         # Ctrl-C (KeyboardInterrupt with fired=False) must propagate
@@ -284,6 +299,16 @@ def _execute_bounded(con, sql: str):
         with lock:
             state["running"] = False
         t.cancel()
+        if completed and state["fired"]:
+            # Stray interrupt landed after a normal completion: it is
+            # latched on the shared connection and would poison the
+            # next mutant. Wait for the callback to finish issuing it,
+            # then soak it up on a throwaway statement.
+            t.join()
+            try:
+                con.execute("SELECT 1").fetchall()
+            except Exception:
+                pass  # the drain absorbed the latched interrupt
 
 
 def audit_oracle_side(
