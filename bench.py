@@ -167,6 +167,16 @@ def main() -> None:
                 # with it. If this is >>3x calibration_sec, the run
                 # measured the host, not the engine.
                 "calibration_parallel_sec": calib_parallel,
+                # Self-adjudication of the two calibrations (VERDICT r09
+                # task 5): True when the parallel yardstick exceeds 3x
+                # the serial one, i.e. the host's memory system was
+                # collapsed during this run and the query timings
+                # measured the HOST, not the engine. Readers should
+                # discard collapsed runs and compare against the latest
+                # BENCH_QUIET_*.json reference artifact instead.
+                "host_collapsed": bool(
+                    calib_parallel > 3.0 * max(calib_before, 1e-9)
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
