@@ -2527,3 +2527,238 @@ def a_rollup_quarter_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents",
         )
     )
+
+
+# === Eighth wave (round 10): A-row depth restocks ==============================
+
+# --- A4+A3, eighth wave: HLL sketch with an exact-count envelope ---------------
+
+_HLL_BANDS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       CAST(COUNT(DISTINCT (user_id, CAST(ts AS DATE))) AS BIGINT)
+         AS n_user_days_exact,
+       TRUE AS hll_users_within_6pct_ok,
+       TRUE AS hll_user_days_within_6pct_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "a_hll_exact_bands",
+    oracle=_HLL_BANDS_ORACLE,
+    tags=("A4", "A3"),
+)
+def a_hll_exact_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A3, eighth wave: HyperLogLog++ (approx_count_distinct,
+    rsd=0.02) run BESIDE the exact COUNT DISTINCT it approximates, on
+    two cardinality regimes per event type — distinct users (~10^2-10^3)
+    and distinct user-days (~10^3-10^4) — with the approximate value
+    checked INSIDE the query against a 6% envelope of the exact count
+    and only the boolean verdict emitted. The oracle states the exact
+    counts plus literal TRUE flags: HLL's estimate is
+    engine-specific so the VALUE cannot be cross-checked, but the
+    ENVELOPE can — a broken sketch flips the flag and fails the hash.
+    (Measured deviation on this generator: <=0.4% users, <=3.0%
+    user-days across sf0.001-0.1; 6% is 2x the observed worst case,
+    and rsd 0.02 puts 6% at 3 sigma.)
+
+    Scale: this is WHY A4 exists — the HLL is a fixed ~1.5 KB mergeable
+    register set per group (map-side combinable, one narrow shuffle),
+    where the exact pair-distinct shuffles every distinct combination;
+    at 100 TB only the sketch is affordable, and this query is the
+    calibration harness that says when it is trustworthy."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("d")
+    )
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_exact"),
+        F.countDistinct("user_id", "d").cast("long").alias("n_user_days_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("hll_users"),
+        F.approx_count_distinct(
+            F.concat_ws("|", F.col("user_id"), F.col("d")), 0.02
+        ).alias("hll_user_days"),
+    )
+    def within(approx, exact):  # |approx-exact|*100 <= 6*exact, all integer
+        return (
+            F.abs(F.col(approx) - F.col(exact)) * 100 <= F.col(exact) * 6
+        )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        "n_user_days_exact",
+        within("hll_users", "n_users_exact").alias("hll_users_within_6pct_ok"),
+        within("hll_user_days", "n_user_days_exact").alias(
+            "hll_user_days_within_6pct_ok"
+        ),
+    )
+
+
+# --- A9+F5+S6, eighth wave: collect-to-map status census -----------------------
+
+_MAP_ENTRIES_ORACLE = """
+WITH per AS (
+  SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')
+            THEN 'industrial' ELSE 'consumer' END AS channel,
+       CAST(COUNT(*) AS BIGINT)                          AS n_statuses,
+       CAST(COALESCE(MAX(CASE WHEN o_orderstatus = 'F' THEN n END), 0)
+            AS BIGINT)                                   AS n_f,
+       CAST(COALESCE(MAX(CASE WHEN o_orderstatus = 'O' THEN n END), 0)
+            AS BIGINT)                                   AS n_o,
+       CAST(COALESCE(MAX(CASE WHEN o_orderstatus = 'P' THEN n END), 0)
+            AS BIGINT)                                   AS n_p,
+       CAST(SUM(n) AS BIGINT)                            AS n_orders
+FROM per
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "a_map_collect_entries",
+    oracle=_MAP_ENTRIES_ORACLE,
+    tags=("A9", "F5", "S6"),
+)
+def a_map_collect_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+F5+S6, eighth wave: the collect-to-map census — per-(segment,
+    status) counts are COLLECTED into one map<status,count> per segment
+    (map_from_entries over collect_list(struct), the A9 mechanism),
+    then consumed entirely with MAP functions (F5: size, element_at
+    with a null-coalesce, and aggregate over map_values for the total)
+    so the map never leaves the plan as an output column — the hashable
+    scalars it yields are the contract. The channel label joins from a
+    5-row in-memory dimension (S6) built with createDataFrame and
+    broadcast.
+
+    Scale: two combinable shuffles (status-level, then segment-level
+    collect of <=3 entries per group); the map is bounded by status
+    cardinality, never by row count."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    mapped = per.groupBy("c_mktsegment").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "n"))
+        ).alias("status_map")
+    )
+    channels = spark.createDataFrame(
+        [
+            ("AUTOMOBILE", "industrial"),
+            ("MACHINERY", "industrial"),
+            ("BUILDING", "consumer"),
+            ("FURNITURE", "consumer"),
+            ("HOUSEHOLD", "consumer"),
+        ],
+        "c_mktsegment string, channel string",
+    )
+    return mapped.join(F.broadcast(channels), "c_mktsegment").select(
+        "c_mktsegment",
+        "channel",
+        F.size("status_map").cast("long").alias("n_statuses"),
+        F.coalesce(F.element_at("status_map", "F"), F.lit(0))
+        .cast("long")
+        .alias("n_f"),
+        F.coalesce(F.element_at("status_map", "O"), F.lit(0))
+        .cast("long")
+        .alias("n_o"),
+        F.coalesce(F.element_at("status_map", "P"), F.lit(0))
+        .cast("long")
+        .alias("n_p"),
+        F.aggregate(
+            F.map_values("status_map"), F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("n_orders"),
+    )
+
+
+# --- A9+F5+A5, eighth wave: rollup with map-extracted mode ---------------------
+
+_ROLLUP_MAP_MODE_ORACLE = """
+WITH l1 AS (
+  SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+         CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
+         COUNT(*) AS n
+  FROM orders
+  GROUP BY ROLLUP(o_orderpriority), MONTH(o_orderdate)
+),
+ranked AS (
+  SELECT priority, mon, n,
+         ROW_NUMBER() OVER (PARTITION BY priority
+                            ORDER BY n DESC, mon ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS n_months,
+         SUM(n)   OVER (PARTITION BY priority) AS total_orders
+  FROM l1
+)
+SELECT priority,
+       CAST(mon AS BIGINT)          AS mode_mon,
+       CAST(n AS BIGINT)            AS mode_n,
+       CAST(n_months AS BIGINT)     AS n_months,
+       CAST(total_orders AS BIGINT) AS total_orders
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "a_rollup_map_mode",
+    oracle=_ROLLUP_MAP_MODE_ORACLE,
+    tags=("A9", "F5", "A5"),
+)
+def a_rollup_map_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+F5+A5, eighth wave: ROLLUP(priority) over per-month order
+    counts (A5 — the rolled-up level IS the all-priorities row), each
+    level's month histogram COLLECTED into a map<month,n> (A9), and the
+    MODE month extracted with pure map algebra (F5): max of map_values,
+    map_filter down to the argmax entries, min of map_keys as the
+    deterministic tie-break — the declarative argmax-from-map idiom,
+    where the proven W-row spelling uses a ranking window instead.
+
+    Scale: the rollup is one combinable pass (|priorities+1| x 12
+    cells); maps are bounded at 12 entries; no window touches fact
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    # ROLLUP(priority) x concrete month = GROUPING SETS ((priority, mon),
+    # (mon)) — Spark's hierarchical rollup() would instead roll the month
+    # up, so the explicit grouping-sets form is the correct A5 spelling.
+    l1 = (
+        o.select(
+            "o_orderpriority", F.month("o_orderdate").cast("long").alias("mon")
+        )
+        .groupingSets(
+            [
+                [F.col("o_orderpriority"), F.col("mon")],
+                [F.col("mon")],
+            ],
+            F.col("o_orderpriority"),
+            F.col("mon"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "mon",
+            "n",
+        )
+    )
+    mapped = l1.groupBy("priority").agg(
+        F.map_from_entries(F.collect_list(F.struct("mon", "n"))).alias("mm"),
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("n").cast("long").alias("total_orders"),
+    )
+    mode_n = F.array_max(F.map_values("mm"))
+    mode_mon = F.array_min(
+        F.map_keys(F.map_filter("mm", lambda k, v: v == mode_n))
+    )
+    return mapped.select(
+        "priority",
+        mode_mon.cast("long").alias("mode_mon"),
+        mode_n.cast("long").alias("mode_n"),
+        "n_months",
+        "total_orders",
+    )

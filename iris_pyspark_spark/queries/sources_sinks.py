@@ -2915,3 +2915,135 @@ def s_csv_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# === Eighth wave (round 10): S-row depth restocks ==============================
+
+# --- S3+F6, eighth wave: JSONL sink/scan with embedded-JSON re-parse -----------
+
+_JSONL_EMBEDDED_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_max,
+       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "s_json_lines_roundtrip",
+    oracle=_JSONL_EMBEDDED_ORACLE,
+    tags=("S3", "F6"),
+)
+def s_json_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+F6, eighth wave: the DOUBLY-ENCODED JSON path — events rows
+    (with `props` kept as a raw JSON string field) are written as JSON
+    lines, so each output line is a JSON object CONTAINING a JSON
+    string; reading back with an explicit schema must round-trip the
+    inner document byte-exactly through the escape/unescape cycle, and
+    from_json + get_json_object then re-parse it (F6). This is the log-
+    shipping shape: pipelines routinely nest serialized payloads inside
+    envelope records, and the escaping round-trip is where naive
+    engines corrupt them.
+
+    Scale: JSONL is splittable (line-delimited) so the scan
+    parallelizes like the parquet one; the parse stays in codegen; the
+    census is a combinable 5-key shuffle."""
+    path = scratch_dir(sf_dir, "events_jsonl_envelope")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    e.write.mode("overwrite").json(path)
+    back = spark.read.schema("event_id long, event_type string, props string").json(
+        path
+    )
+    parsed = back.select(
+        "event_type",
+        F.from_json("props", "k long").getField("k").alias("k_struct"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+    )
+    return (
+        parsed
+        # both parse routes must agree — disagreement would poison k_sum
+        .select(
+            "event_type",
+            F.coalesce("k_struct", "k_path").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.max("k").cast("long").alias("k_max"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_k"),
+        )
+    )
+
+
+# --- S3+P3, eighth wave: nested-array JSONL audit -------------------------------
+
+_JSON_NESTED_AUDIT_ORACLE = """
+WITH enriched AS (
+  SELECT doc_id, lang, source, n_chars, doc_id % 7 AS shard
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)       AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)   AS total_chars,
+       CAST(SUM(shard) AS BIGINT)     AS shard_sum
+FROM enriched
+WHERE (lang = 'en') <> (n_chars > 120)
+  AND NOT (shard = 0 AND lang = 'zh')
+GROUP BY source
+"""
+
+
+@register(
+    "s_json_nested_audit",
+    oracle=_JSON_NESTED_AUDIT_ORACLE,
+    tags=("S3", "P3"),
+)
+def s_json_nested_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+P3, eighth wave: JSON ARRAY round-trip — each document is
+    written as a JSONL record whose `counts` field is a 2-element JSON
+    array ([n_chars, doc_id % 7]); schema inference must bring it back
+    as array<long>, element_at unpacks it positionally, and a boolean
+    COMBINATION (an XOR spelled `!=` on booleans plus a negated
+    conjunction — P3) filters on the unpacked values before the census.
+    Complements m_manifest_json_roundtrip (nested OBJECTS -> struct):
+    arrays are the other JSON nesting axis, with ordinal rather than
+    named access.
+
+    Scale: arrays of primitives decode without Python; the filter sits
+    directly on the scan output so pruning applies before the single
+    combinable shuffle."""
+    path = scratch_dir(sf_dir, "documents_jsonl_counts")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array(F.col("n_chars"), F.col("doc_id") % 7).alias("counts"),
+    )
+    d.write.mode("overwrite").json(path)
+    back = spark.read.json(path)  # counts infers as array<long>
+    unpacked = back.select(
+        "source",
+        "lang",
+        F.element_at("counts", 1).alias("n_chars"),
+        F.element_at("counts", 2).alias("shard"),
+    )
+    kept = unpacked.filter(
+        ((F.col("lang") == "en") != (F.col("n_chars") > 120))
+        & ~((F.col("shard") == 0) & (F.col("lang") == "zh"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("shard").cast("long").alias("shard_sum"),
+    )

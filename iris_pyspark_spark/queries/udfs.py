@@ -2075,3 +2075,676 @@ def u_iter_partition_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_partial").cast("long").alias("n_orders"))
         .filter(F.col("n_orders") > 0)
     )
+
+
+# === Eighth wave (round 10): U-row depth restocks =============================
+
+# --- U1+F6+P1, eighth wave: pandas scalar UDF over parsed JSON props ----------
+
+_JSON_RISK_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT) * 7
+                + CAST(ROUND(value * 100) AS BIGINT) // 100) AS BIGINT)
+         AS risk_points
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "u_pandas_json_risk",
+    oracle=_JSON_RISK_ORACLE,
+    tags=("U1", "F6", "P1"),
+)
+def u_pandas_json_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+F6+P1, eighth wave: the JSON-to-UDF handoff — the `props`
+    JSON string is parsed JVM-side with get_json_object (F6, stays in
+    codegen), the extracted field and the raw value then feed an
+    Arrow-vectorized pandas scalar UDF computing an integer risk score
+    (k*7 + whole dollars of the half-away-rounded cents), and the
+    projected computed column (P1) rolls up per event type. All-integer
+    arithmetic: the only float op is the cents rounding, spelled
+    identically to the oracle's ROUND(value*100).
+
+    Scale: JSON field extraction never enters Python (one codegen
+    stage); the UDF sees Arrow batches of two primitive columns; the
+    census is a combinable 5-key shuffle."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def risk(k: pd.Series, value: pd.Series) -> pd.Series:
+        x = value.to_numpy(dtype="float64") * 100.0
+        cents_i = np.trunc(x + np.copysign(0.5, x)).astype("int64")
+        return pd.Series(k.to_numpy(dtype="int64") * 7 + cents_i // 100)
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        "value",
+    )
+    return (
+        e.select("event_type", risk(F.col("k"), F.col("value")).alias("r"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("r").cast("long").alias("risk_points"),
+        )
+    )
+
+
+# --- U1+U3+P1, eighth wave: scalar UDF feeding a MAD UDAF ----------------------
+
+_MAD_BAND_ORACLE = """
+WITH c AS (
+  SELECT o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+m AS (
+  SELECT o_orderstatus, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY cents) AS rn,
+         COUNT(*)    OVER (PARTITION BY o_orderstatus) AS n
+  FROM c
+),
+med AS (
+  SELECT o_orderstatus, cents AS med_cents, n
+  FROM m WHERE rn = (n - 1) // 2 + 1
+),
+d AS (
+  SELECT c.o_orderstatus, ABS(c.cents - med.med_cents) AS dev,
+         med.med_cents, med.n
+  FROM c JOIN med USING (o_orderstatus)
+),
+m2 AS (
+  SELECT o_orderstatus, dev, med_cents, n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY dev) AS rn2
+  FROM d
+)
+SELECT o_orderstatus,
+       CAST(med_cents AS BIGINT) AS median_low_cents,
+       CAST(dev AS BIGINT)       AS mad_low_cents,
+       CAST(n AS BIGINT)         AS n_orders
+FROM m2 WHERE rn2 = (n - 1) // 2 + 1
+"""
+
+
+@register(
+    "u_pandas_udaf_mad_band",
+    oracle=_MAD_BAND_ORACLE,
+    tags=("U1", "U3", "P1"),
+)
+def u_pandas_udaf_mad_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U3+P1, eighth wave: the two pandas UDF shapes COMPOSED in one
+    plan — an Arrow scalar UDF (U1) converts money to exact half-away
+    integer cents as a projected column (P1), and grouped-agg pandas
+    UDAFs (U3) then compute the LOW MEDIAN and the low-median absolute
+    deviation (MAD) on it. MAD is the robust dispersion statistic no
+    built-in aggregate expresses; both order statistics use the
+    (n-1)//2 low convention so every output is an actual data value —
+    integer, tie-safe, engine-independent.
+
+    Scale: one shuffle on the 3-value status key; each group's cents
+    vector is one Arrow batch at this keying (see
+    u_udaf_median_low_cents's note on fact-scale groups); np.partition
+    keeps per-group selection O(n)."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def to_cents(v: pd.Series) -> pd.Series:
+        x = v.to_numpy(dtype="float64") * 100.0
+        return pd.Series(np.trunc(x + np.copysign(0.5, x)).astype("int64"))
+
+    def _low_median(x):
+        import numpy as np
+
+        k = (len(x) - 1) // 2
+        return int(np.partition(x, k)[k])
+
+    @pandas_udf("long")
+    def median_low(v: pd.Series) -> int:
+        return _low_median(v.to_numpy(dtype="int64"))
+
+    @pandas_udf("long")
+    def mad_low(v: pd.Series) -> int:
+        import numpy as np
+
+        x = v.to_numpy(dtype="int64")
+        return _low_median(np.abs(x - _low_median(x)))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", to_cents(F.col("o_totalprice")).alias("cents")
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        median_low(F.col("cents")).alias("median_low_cents"),
+        mad_low(F.col("cents")).alias("mad_low_cents"),
+        n_rows(F.col("cents")).alias("n_orders"),
+    )
+
+
+# --- U2+T4, eighth wave: grouped-map per-session rows --------------------------
+
+_GAP_SESSION_ROWS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 2700000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(sid AS BIGINT)                        AS session_idx,
+       CAST(COUNT(*) AS BIGINT)                   AS n_events,
+       CAST(EPOCH_US(MAX(ts)) // 1000000
+            - EPOCH_US(MIN(ts)) // 1000000 AS BIGINT) AS span_s,
+       CAST(MIN(event_id) AS BIGINT)              AS first_event_id
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@register(
+    "u_grouped_map_gap_sessions",
+    oracle=_GAP_SESSION_ROWS_ORACLE,
+    tags=("U2", "T4"),
+)
+def u_grouped_map_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2+T4, eighth wave: applyInPandas sessionization emitting ONE ROW
+    PER SESSION (1-based index in time order, event count, span, first
+    event id) — the per-entity EXPLODING grouped-map shape, where the
+    output grain is finer than one row per group (its proven sibling
+    u_grouped_map_sessionize emits a per-user rollup). A 45-minute gap
+    rule distinguishes it from the 30-minute forms and shows the
+    threshold is a parameter, not a constant baked into the operator.
+
+    Scale: one shuffle on user_id, per-group O(rows log rows), output
+    bounded by session count — still no driver row path. The oracle
+    restates the sessions with the LAG-gap idiom; first_event_id is
+    MIN within the session (events are second-distinct per user, and
+    the session sort is (ts, event_id), so MIN is the first row's id —
+    an order-free spelling both engines agree on)."""
+    import numpy as np
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def split_sessions(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = p["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        eid = p["event_id"].to_numpy(dtype="int64")
+        gaps = np.diff(ts_us, prepend=ts_us[:1])
+        sid = np.cumsum(gaps > 2700 * 1_000_000) + 1  # 1-based like the oracle
+        ts_s = ts_us // 1_000_000
+        starts = np.flatnonzero(np.r_[True, np.diff(sid) > 0])
+        ends = np.r_[starts[1:] - 1, len(ts_s) - 1]
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(starts), int(p["user_id"].iloc[0])),
+                "session_idx": sid[starts],
+                "n_events": ends - starts + 1,
+                "span_s": ts_s[ends] - ts_s[starts],
+                "first_event_id": np.minimum.reduceat(eid, starts),
+            }
+        )
+
+    schema = (
+        "user_id long, session_idx long, n_events long, span_s long, "
+        "first_event_id long"
+    )
+    return events.groupBy("user_id").applyInPandas(split_sessions, schema)
+
+
+# --- U4+A5+A6, eighth wave: UDTF-expanded manual rollup ------------------------
+
+_UDTF_ROLLUP_ORACLE = """
+WITH ru AS (
+  SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+         CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+              ELSE o_orderstatus END      AS status,
+         CAST(COUNT(*) AS BIGINT)         AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders
+  GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+),
+shared AS (
+  SELECT *,
+         SUM(CASE WHEN priority = 'ALL' AND status = 'ALL'
+                  THEN total_cents ELSE 0 END) OVER () AS grand_cents
+  FROM ru
+)
+SELECT priority, status, n_orders, total_cents,
+       CAST(total_cents * 10000 // grand_cents AS BIGINT) AS share_bp
+FROM shared
+WHERE total_cents * 10000 // grand_cents >= 500
+"""
+
+
+@register(
+    "u_udtf_rollup_expand",
+    oracle=_UDTF_ROLLUP_ORACLE,
+    tags=("U4", "A5", "A6"),
+)
+def u_udtf_rollup_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4+A5+A6, eighth wave: a LATERAL UDTF re-derives the ROLLUP
+    lattice by hand — the base (priority, status) aggregate (computed
+    JVM-side first, so the UDTF sees 15 rows, never the fact table) is
+    expanded by a table function into its three grouping levels, the
+    levels re-aggregate, and a HAVING keeps cells holding >=5% of the
+    grand total (stated as exact integer basis points against the
+    window-summed grand-total row). Proves the U4 mechanism composes
+    with the A5 semantics the built-in rollup states — the oracle IS
+    the built-in ROLLUP with the same share filter.
+
+    Scale: the UDTF runs on |priority x status| pre-aggregated rows
+    (bounded by attribute cardinality, not data size); the only
+    fact-table pass is the combinable base aggregate."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="priority string, status string, n bigint, tc bigint")
+    class RollupExpand:
+        def eval(self, priority: str, status: str, n: int, tc: int):
+            yield priority, status, n, tc
+            yield priority, "ALL", n, tc
+            yield "ALL", "ALL", n, tc
+
+    spark.udtf.register("rollup_expand", RollupExpand)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias("tc"),
+        )
+    )
+    base.createOrReplaceTempView("rollup_base_r10")
+    levels = spark.sql(
+        """
+        SELECT r.priority, r.status, r.n, r.tc
+        FROM rollup_base_r10 b,
+             LATERAL rollup_expand(b.o_orderpriority, b.o_orderstatus,
+                                   b.n, b.tc) r
+        """
+    )
+    agg = levels.groupBy("priority", "status").agg(
+        F.sum("n").cast("long").alias("n_orders"),
+        F.sum("tc").cast("long").alias("total_cents"),
+    )
+    from pyspark.sql import Window
+
+    grand = F.sum(
+        F.when(
+            (F.col("priority") == "ALL") & (F.col("status") == "ALL"),
+            F.col("total_cents"),
+        ).otherwise(F.lit(0))
+    ).over(Window.partitionBy())
+    shared = agg.withColumn("grand_cents", grand).withColumn(
+        "share_bp",
+        F.expr("CAST(total_cents * 10000 DIV grand_cents AS BIGINT)"),
+    )
+    return shared.filter(F.col("share_bp") >= 500).select(
+        "priority", "status", "n_orders", "total_cents", "share_bp"
+    )
+
+
+# --- U5+S2+S6, eighth wave: iterator UDF partials over a CSV scan -------------
+
+_CSV_EXTREMES_ORACLE = """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'express'
+            ELSE 'standard' END AS tier,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "u_iter_csv_extremes",
+    oracle=_CSV_EXTREMES_ORACLE,
+    tags=("U5", "S2", "S6"),
+)
+def u_iter_csv_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5+S2+S6, eighth wave: the iterator mapInPandas partial-aggregate
+    shape fed by a CSV round-trip — orders are exported to headered CSV
+    with money already as integer cents (integers survive text
+    round-trips bit-exactly; doubles are the reason the payload is
+    converted BEFORE the sink), read back with an explicit schema (S2 —
+    no inference pass), streamed through a per-partition iterator UDF
+    that accumulates per-priority (count, min, max, sum) across Arrow
+    batches and emits one partial row per (partition, priority), and
+    finally combined JVM-side and enriched by an in-memory tier
+    dimension (S6) built with createDataFrame.
+
+    Scale: the shuffle carries |partitions x 5| partial rows, not the
+    fact table; the tier dim is 5 rows — broadcast; per-partition
+    Python state is a 5-entry dict of 4 int64s."""
+    import numpy as np
+
+    from ..sources import scratch_dir
+
+    path = scratch_dir(sf_dir, "orders_csv_cents")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("cents"),
+    ).write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.options(header=True).schema(
+        "o_orderkey long, o_orderpriority string, cents long"
+    ).csv(path)
+
+    def extremes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[str, list[int]] = {}
+        for b in batches:
+            for prio, grp in b.groupby("o_orderpriority", sort=False):
+                c = grp["cents"].to_numpy(dtype="int64")
+                s = acc.setdefault(
+                    str(prio), [0, np.iinfo("int64").max, np.iinfo("int64").min, 0]
+                )
+                s[0] += len(c)
+                s[1] = min(s[1], int(c.min()))
+                s[2] = max(s[2], int(c.max()))
+                s[3] += int(c.sum())
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "o_orderpriority": list(acc),
+                    "n_partial": [v[0] for v in acc.values()],
+                    "min_c": [v[1] for v in acc.values()],
+                    "max_c": [v[2] for v in acc.values()],
+                    "sum_c": [v[3] for v in acc.values()],
+                }
+            )
+
+    partials = back.select("o_orderpriority", "cents").mapInPandas(
+        extremes,
+        "o_orderpriority string, n_partial long, min_c long, max_c long, sum_c long",
+    )
+    combined = partials.groupBy("o_orderpriority").agg(
+        F.sum("n_partial").cast("long").alias("n_orders"),
+        F.min("min_c").cast("long").alias("min_cents"),
+        F.max("max_c").cast("long").alias("max_cents"),
+        F.sum("sum_c").cast("long").alias("total_cents"),
+    )
+    tiers = spark.createDataFrame(
+        [
+            ("1-URGENT", "express"),
+            ("2-HIGH", "express"),
+            ("3-MEDIUM", "standard"),
+            ("4-NOT SPECIFIED", "standard"),
+            ("5-LOW", "standard"),
+        ],
+        "o_orderpriority string, tier string",
+    )
+    return combined.join(F.broadcast(tiers), "o_orderpriority").select(
+        "tier", "o_orderpriority", "n_orders", "min_cents", "max_cents",
+        "total_cents",
+    )
+
+
+# --- U5+A4, eighth wave: iterator-UDF mergeable quantile sketch ----------------
+
+_ITER_QSKETCH_BUCKETS = 128
+
+_ITER_QSKETCH_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+),
+bounds AS (
+  SELECT MIN(cents) AS lo, MAX(cents) AS hi, COUNT(*) AS n FROM v
+),
+hist AS (
+  SELECT LEAST(({_ITER_QSKETCH_BUCKETS} * (cents - b.lo)) // (b.hi - b.lo + 1),
+               {_ITER_QSKETCH_BUCKETS - 1}) AS bkt,
+         COUNT(*) AS c
+  FROM v, bounds b
+  GROUP BY 1
+),
+cum AS (
+  SELECT bkt, SUM(c) OVER (ORDER BY bkt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_c
+  FROM hist
+),
+qs AS (SELECT UNNEST([50, 90]) AS q),
+walk AS (
+  SELECT q.q, c.bkt,
+         ROW_NUMBER() OVER (PARTITION BY q.q ORDER BY c.bkt) AS rn
+  FROM qs q JOIN cum c
+    ON c.cum_c * 100 >= q.q * (SELECT n FROM bounds)
+),
+est AS (
+  SELECT w.q,
+         b.lo + ((w.bkt * (b.hi - b.lo + 1)) // {_ITER_QSKETCH_BUCKETS})
+           AS est_lo,
+         b.lo + (((w.bkt + 1) * (b.hi - b.lo + 1)) // {_ITER_QSKETCH_BUCKETS})
+           AS est_hi
+  FROM walk w CROSS JOIN bounds b WHERE w.rn = 1
+),
+exact AS (
+  SELECT 50 AS q, quantile_cont(cents, 0.50) AS exact_cents FROM v
+  UNION ALL SELECT 90, quantile_cont(cents, 0.90) FROM v
+)
+SELECT e.q, CAST(est_lo AS BIGINT) AS est_lo, CAST(est_hi AS BIGINT) AS est_hi,
+       ROUND(x.exact_cents, 6) AS exact_cents,
+       x.exact_cents >= est_lo AND x.exact_cents <= est_hi
+         AS exact_within_bucket_ok
+FROM est e JOIN exact x ON e.q = x.q
+"""
+
+
+@register(
+    "u_iter_quantile_sketch",
+    oracle=_ITER_QSKETCH_ORACLE,
+    tags=("U5", "A4"),
+)
+def u_iter_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5+A4, eighth wave: the mergeable quantile sketch with its
+    per-partition accumulation written through the ITERATOR UDF API —
+    each partition streams Arrow batches into a 128-cell integer
+    histogram (fixed bounds broadcast as columns) and emits ONE partial
+    per partition; the JVM sum is the sketch MERGE; a cumulative walk
+    locates p50/p90, and the exact quantile is proven to land inside
+    the located bucket (`exact_within_bucket_ok` — the same
+    approximate-with-exact-envelope proof a_quantile_histogram_sketch
+    states for the pure-JVM spelling). This is the A4 shape where the
+    sketch update is custom Python (any user-defined mergeable sketch
+    rides this exact skeleton), while merge and walk stay declarative.
+
+    Scale: Python state is 128 int64s per partition; the shuffle
+    carries |partitions| x <=128 rows; the 1-row bounds frame broadcast
+    to the scan is the allowlisted bounded nested-loop join."""
+    import numpy as np
+
+    nb = _ITER_QSKETCH_BUCKETS
+    li = load_table(spark, sf_dir, "lineitem").select(
+        cents(F.col("l_extendedprice")).alias("cents")
+    )
+    bounds = li.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    withb = li.crossJoin(F.broadcast(bounds))
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts = np.zeros(nb, dtype="int64")
+        lo = hi = n = None
+        for b in batches:
+            if lo is None and len(b):
+                lo = int(b["lo"].iloc[0])
+                hi = int(b["hi"].iloc[0])
+                n = int(b["n"].iloc[0])
+            c = b["cents"].to_numpy(dtype="int64")
+            bkt = np.minimum((nb * (c - lo)) // (hi - lo + 1), nb - 1)
+            counts += np.bincount(bkt, minlength=nb)
+        if lo is not None:
+            nz = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "bkt": nz.astype("int64"),
+                    "c": counts[nz],
+                    "lo": np.full(len(nz), lo, dtype="int64"),
+                    "hi": np.full(len(nz), hi, dtype="int64"),
+                    "n": np.full(len(nz), n, dtype="int64"),
+                }
+            )
+
+    partials = withb.mapInPandas(
+        sketch, "bkt long, c long, lo long, hi long, n long"
+    )
+    hist = partials.groupBy("bkt", "lo", "hi", "n").agg(
+        F.sum("c").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum_c", F.sum("c").over(w_cum).cast("long"))
+    qs = spark.createDataFrame([(50,), (90,)], "q int")
+    walk = (
+        F.broadcast(qs)
+        .join(cum, F.col("cum_c") * 100 >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("q").orderBy("bkt"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    est = walk.select(
+        F.col("q").cast("long").alias("q"),
+        F.expr(f"CAST(lo + ((bkt * (hi - lo + 1)) DIV {nb}) AS BIGINT)").alias(
+            "est_lo"
+        ),
+        F.expr(
+            f"CAST(lo + (((bkt + 1) * (hi - lo + 1)) DIV {nb}) AS BIGINT)"
+        ).alias("est_hi"),
+    )
+    exact = li.agg(
+        F.expr("percentile(cents, 0.50)").alias("e50"),
+        F.expr("percentile(cents, 0.90)").alias("e90"),
+    ).select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit(50).cast("long"), F.lit(90).cast("long")),
+                F.array(F.col("e50"), F.col("e90")),
+            )
+        ).alias("q", "exact_raw")
+    )
+    return est.join(exact, "q").select(
+        "q",
+        "est_lo",
+        "est_hi",
+        F.round(F.col("exact_raw"), 6).alias("exact_cents"),
+        (
+            (F.col("exact_raw") >= F.col("est_lo"))
+            & (F.col("exact_raw") <= F.col("est_hi"))
+        ).alias("exact_within_bucket_ok"),
+    )
+
+
+# --- U3+A6, eighth wave: winsorized-sum UDAF with a share HAVING ---------------
+
+_WINSOR_ORACLE = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT o_orderpriority, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rn,
+         COUNT(*)    OVER (PARTITION BY o_orderpriority) AS n
+  FROM c
+),
+clip AS (
+  SELECT o_orderpriority, n,
+         MAX(CASE WHEN rn = n // 10 + 1 THEN cents END)  AS lo_clip,
+         MAX(CASE WHEN rn = n - n // 10 THEN cents END)  AS hi_clip
+  FROM r GROUP BY o_orderpriority, n
+),
+win AS (
+  SELECT r.o_orderpriority, r.n,
+         SUM(LEAST(GREATEST(r.cents, c.lo_clip), c.hi_clip)) AS win_cents
+  FROM r JOIN clip c USING (o_orderpriority)
+  GROUP BY r.o_orderpriority, r.n
+),
+tot AS (
+  SELECT *,
+         SUM(win_cents) OVER () AS tot_win,
+         SUM(n) OVER ()         AS tot_n
+  FROM win
+)
+SELECT o_orderpriority,
+       CAST(win_cents AS BIGINT) AS winsorized_cents,
+       CAST(n AS BIGINT)         AS n_orders
+FROM tot
+WHERE win_cents * tot_n > tot_win * n
+"""
+
+
+@register(
+    "u_udaf_winsorized_share",
+    oracle=_WINSOR_ORACLE,
+    tags=("U3", "A6"),
+)
+def u_udaf_winsorized_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3+A6, eighth wave: a WINSORIZED-SUM pandas UDAF (clip each
+    group's cents to its own [k+1-th smallest, k-th largest] order
+    statistics, k = n//10, then sum — the outlier-robust revenue total
+    that, unlike its proven trimmed-sum sibling, keeps every row's
+    membership) with a HAVING that keeps only priorities whose
+    winsorized MEAN beats the overall winsorized mean — stated as the
+    cross-multiplied integer inequality win*totN > totWin*n, so no
+    division and no floats anywhere. Ratio-based, hence
+    scale-invariant: the kept set is about the distribution's shape,
+    not the row count.
+
+    Scale: one shuffle on the 5-value priority key; np.partition gives
+    both clip bounds in O(n); the HAVING's grand totals ride a window
+    over 5 aggregated rows."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def winsorized_sum(v: pd.Series) -> int:
+        x = v.to_numpy(dtype="float64") * 100.0
+        c = np.trunc(x + np.copysign(0.5, x)).astype("int64")
+        k = len(c) // 10
+        lo = int(np.partition(c, k)[k])
+        hi = int(np.partition(c, len(c) - 1 - k)[len(c) - 1 - k])
+        return int(np.clip(c, lo, hi).sum())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        winsorized_sum(F.col("o_totalprice")).alias("winsorized_cents"),
+        n_rows(F.col("o_totalprice")).alias("n_orders"),
+    )
+    w = Window.partitionBy()
+    shared = agg.withColumn("tot_win", F.sum("winsorized_cents").over(w)) \
+        .withColumn("tot_n", F.sum("n_orders").over(w))
+    return shared.filter(
+        F.col("winsorized_cents") * F.col("tot_n")
+        > F.col("tot_win") * F.col("n_orders")
+    ).select("o_orderpriority", "winsorized_cents", "n_orders")

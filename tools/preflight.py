@@ -57,6 +57,19 @@ _CONSTANT_OK: dict[str, set] = {
     #     uniform inputs (name_prefix/name_len on generated names,
     #     keys_csv on a literal map ...).
     "a_bitmap_distinct": {"n_users"},
+    # round 10: the generator gives every event type the full user
+    # population (150 at sf0.01) — sf-coincidence; the user-day counts
+    # and both envelope flags vary/are the contract.
+    "a_hll_exact_bands": {"n_users_exact"},
+    # round 10: all 3 order statuses occur in every segment at every sf
+    # (structural); the per-status counts vary.
+    "a_map_collect_entries": {"n_statuses"},
+    # round 10: orders span all 12 months at every sf (structural); the
+    # mode month/count vary per rollup level.
+    "a_rollup_map_mode": {"n_months"},
+    # round 10: props.k is uniform 0..99, so every event type sees the
+    # max — sf-coincidence; k_sum/n_high_k vary per type.
+    "s_json_lines_roundtrip": {"k_max"},
     "a_correlation_matrix": {"n"},
     "a_count_distinct": {"n_nations"},
     # round 6: TPC-H has exactly 5 nations per region at every sf —
