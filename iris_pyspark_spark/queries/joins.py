@@ -2525,3 +2525,292 @@ def j_semi_star_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
     )
+
+
+# === Eighth wave (round 10): J-row depth restocks ==============================
+
+# --- J4+J5+J6+A6, eighth wave: semi/anti star census with share HAVING ---------
+
+_SEMI_ANTI_STAR_ORACLE = """
+WITH urgent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+flagged AS (
+  SELECT c.c_custkey, c.c_acctbal, n.n_name, r.r_name,
+         CASE WHEN u.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS has_urgent
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  LEFT JOIN urgent u ON c.c_custkey = u.o_custkey
+),
+census AS (
+  SELECT r_name, n_name,
+         CAST(SUM(has_urgent) AS BIGINT)            AS n_with_urgent,
+         CAST(SUM(1 - has_urgent) AS BIGINT)        AS n_without_urgent,
+         CAST(SUM(CASE WHEN has_urgent = 1
+                  THEN CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT)            AS urgent_bal_cents,
+         CAST(COUNT(*) AS BIGINT)                   AS n_customers
+  FROM flagged
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, n_with_urgent, n_without_urgent, urgent_bal_cents
+FROM census
+WHERE n_with_urgent * 10 >= n_customers * 4
+"""
+
+
+@register(
+    "j_star_semi_anti_census",
+    oracle=_SEMI_ANTI_STAR_ORACLE,
+    tags=("J4", "J5", "J6", "A6"),
+)
+def j_star_semi_anti_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+J5+J6+A6, eighth wave: LEFT SEMI and LEFT ANTI against the
+    same probe set composed inside one multi-way star — customers WITH
+    at least one urgent order (semi) and WITHOUT any (anti; every
+    customer has SOME order in this generator, so the probe is the
+    urgent subset to keep the anti side non-vacuous), both enriched
+    through the nation->region broadcast star, unioned into one census,
+    and a HAVING keeping nations where >=40% of customers have an
+    urgent order (cross-multiplied integers — scale-invariant).
+
+    Scale: the urgent-custkey set is DISTINCT-reduced before both
+    probes (one shuffle), then each probe is a broadcast-able semi/anti
+    hash join; the dims are classic broadcast; no fact-fact shuffle
+    join anywhere."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    with_u = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+    without_u = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+    flagged = with_u.withColumn("has_urgent", F.lit(1)).unionByName(
+        without_u.withColumn("has_urgent", F.lit(0))
+    )
+    star = flagged.join(
+        F.broadcast(n), flagged.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    census = star.groupBy("r_name", "n_name").agg(
+        F.sum("has_urgent").cast("long").alias("n_with_urgent"),
+        F.sum(1 - F.col("has_urgent")).cast("long").alias("n_without_urgent"),
+        F.sum(
+            F.when(F.col("has_urgent") == 1, cents(F.col("c_acctbal"))).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("urgent_bal_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+    )
+    return census.filter(
+        F.col("n_with_urgent") * 10 >= F.col("n_customers") * 4
+    ).select(
+        "r_name", "n_name", "n_with_urgent", "n_without_urgent",
+        "urgent_bal_cents",
+    )
+
+
+# --- J8+S2, eighth wave: as-of join against a CSV-round-tripped rate table -----
+
+_ASOF_CSV_ORACLE = """
+WITH spine AS (
+  SELECT z.z AS zone,
+         DATE '1992-01-01' + INTERVAL (k.k * 7) DAY AS eff_date,
+         9700 + (k.k * 53 + z.z * 17) % 600 AS rate_bp
+  FROM generate_series(0, 3) AS z(z), generate_series(0, 370) AS k(k)
+),
+o2 AS (
+  SELECT o_orderpriority, o_custkey % 4 AS zone, o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+matched AS (
+  SELECT o.o_orderpriority, o.cents, s.rate_bp
+  FROM o2 o ASOF LEFT JOIN spine s
+    ON o.zone = s.zone AND o.o_orderdate >= s.eff_date
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)                      AS n_orders,
+       CAST(SUM(cents) AS BIGINT)                    AS raw_cents,
+       CAST(SUM(cents * rate_bp // 10000) AS BIGINT) AS conv_cents,
+       CAST(SUM(CASE WHEN rate_bp < 10000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below_par
+FROM matched
+WHERE rate_bp IS NOT NULL
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "j_asof_csv_rates",
+    oracle=_ASOF_CSV_ORACLE,
+    tags=("J8", "S2"),
+)
+def j_asof_csv_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8+S2, eighth wave: the as-of join with its RATE TABLE arriving
+    through a CSV round-trip — a 4-zone x 371-week snapshot spine
+    (deterministic integer basis points) is exported to headered CSV,
+    read back with an EXPLICIT schema (S2: dates and ints re-typed from
+    text, no inference pass — the shape of every 'rates from the
+    finance team' feed), and backward-as-of joined to orders on the
+    customer's currency zone for exact bp conversion. What this adds
+    over j_asof_rate_spine is the sink->scan leg: the as-of operator
+    must behave identically when its right side was rebuilt from text,
+    i.e. typing comes from the declared schema, not from provenance.
+
+    Scale: the spine is 1484 rows (broadcast side of the asof rewrite);
+    CSV decode cost is per-spine-row, irrelevant; one fact pass."""
+    from ..operators.asof import asof_join
+    from ..sources import scratch_dir
+
+    path = scratch_dir(sf_dir, "weekly_rates_csv")
+    zones = spark.range(4).select(F.col("id").cast("long").alias("zone"))
+    ks = spark.range(371).select(F.col("id").cast("long").alias("k"))
+    spine = zones.crossJoin(ks).select(
+        "zone",
+        F.date_add(F.lit("1992-01-01").cast("date"), (F.col("k") * 7).cast("int"))
+        .alias("eff_date"),
+        (9700 + (F.col("k") * 53 + F.col("zone") * 17) % 600)
+        .cast("long")
+        .alias("rate_bp"),
+    )
+    spine.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    rates = spark.read.options(header=True).schema(
+        "zone long, eff_date date, rate_bp long"
+    ).csv(path)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_custkey") % 4).cast("long").alias("zone"),
+        "o_orderdate",
+        cents(F.col("o_totalprice")).alias("cents"),
+    )
+    matched = asof_join(
+        left=o,
+        right=rates,
+        on="zone",
+        left_time="o_orderdate",
+        right_time="eff_date",
+    )
+    return (
+        matched.filter(F.col("rate_bp").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("raw_cents"),
+            F.sum(F.expr("CAST(cents * rate_bp DIV 10000 AS BIGINT)"))
+            .cast("long")
+            .alias("conv_cents"),
+            F.sum(F.when(F.col("rate_bp") < 10000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below_par"),
+        )
+    )
+
+
+# --- J8+O1, eighth wave: as-of policy attribution with globally ordered output --
+
+_ASOF_ORDERED_ORACLE = """
+WITH spine AS (
+  SELECT c.c AS cohort, k.k AS policy_id,
+         1704067200000000 + k.k * 64800000000 + c.c * 600000000 AS eff_us
+  FROM generate_series(0, 2) AS c(c), generate_series(0, 39) AS k(k)
+),
+e2 AS (
+  SELECT user_id % 3 AS cohort, EPOCH_US(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+matched AS (
+  SELECT e.cohort, s.policy_id, e.cents
+  FROM e2 e ASOF LEFT JOIN spine s
+    ON e.cohort = s.cohort AND e.ts_us >= s.eff_us
+),
+census AS (
+  SELECT cohort, policy_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS value_cents
+  FROM matched
+  WHERE policy_id IS NOT NULL
+  GROUP BY cohort, policy_id
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(policy_id AS BIGINT) AS policy_id,
+       n_events, value_cents,
+       CAST(ROW_NUMBER() OVER (ORDER BY cohort, policy_id) AS BIGINT)
+         AS global_pos,
+       CAST(SUM(value_cents) OVER (ORDER BY cohort, policy_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_cents
+FROM census
+"""
+
+
+@register(
+    "j_asof_ordered_spine",
+    oracle=_ASOF_ORDERED_ORACLE,
+    tags=("J8", "O1"),
+)
+def j_asof_ordered_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8+O1, eighth wave: backward as-of attribution of events to a
+    3-cohort x 40-step policy spine (one step every 18 hours, cohorts
+    offset by 10 minutes so boundaries never coincide), with the census
+    then put under a GLOBAL TOTAL ORDER — a position index and a
+    running value total over (cohort, policy_id) — the 'ledger' shape
+    where the output's meaning depends on a cross-partition sort (O1),
+    not just per-key ranking. Time is compared as epoch microseconds on
+    both sides so the spine needs no timestamp-zone reasoning.
+
+    Scale: the asof rewrite is one sort per cohort; the global order
+    runs on the ~120-row census, never the fact; at any data size the
+    single-partition window touches |cohorts x policies| rows only."""
+    from ..operators.asof import asof_join
+
+    cohorts = spark.range(3).select(F.col("id").cast("long").alias("cohort"))
+    ks = spark.range(40).select(F.col("id").cast("long").alias("policy_id"))
+    spine = cohorts.crossJoin(ks).select(
+        "cohort",
+        "policy_id",
+        (
+            F.lit(1704067200000000)
+            + F.col("policy_id") * 64800000000
+            + F.col("cohort") * 600000000
+        ).alias("eff_us"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 3).cast("long").alias("cohort"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        cents(F.col("value")).alias("cents"),
+    )
+    matched = asof_join(
+        left=e,
+        right=spine.withColumnRenamed("eff_us", "spine_us"),
+        on="cohort",
+        left_time="ts_us",
+        right_time="spine_us",
+    )
+    census = (
+        matched.filter(F.col("policy_id").isNotNull())
+        .groupBy("cohort", "policy_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+    )
+    w = Window.orderBy("cohort", "policy_id")
+    return census.select(
+        "cohort",
+        "policy_id",
+        "n_events",
+        "value_cents",
+        F.row_number().over(w).cast("long").alias("global_pos"),
+        F.sum("value_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("running_cents"),
+    )

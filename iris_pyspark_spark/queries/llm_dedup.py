@@ -2193,3 +2193,130 @@ def n_split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_val_contaminated"),
     )
+
+
+# === Eighth wave (round 10): UDTF-shingled contamination audit =================
+
+_UDTF_SHINGLE_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, lang, LOWER(TRIM(text)) AS norm,
+         CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split
+  FROM documents WHERE text IS NOT NULL
+),
+shingles AS (
+  SELECT doc_id, lang, split, SUBSTR(norm,  1, 20) AS shingle FROM norm
+  UNION ALL
+  SELECT doc_id, lang, split, SUBSTR(norm, 11, 20) FROM norm
+  UNION ALL
+  SELECT doc_id, lang, split, SUBSTR(norm, 21, 20) FROM norm
+),
+presence AS (
+  SELECT shingle,
+         MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+         MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END)   AS in_val
+  FROM shingles GROUP BY shingle
+),
+doc_flags AS (
+  SELECT s.doc_id, MIN(s.lang) AS lang, MIN(s.split) AS split,
+         MAX(CASE WHEN p.in_train = 1 AND p.in_val = 1 THEN 1 ELSE 0 END)
+           AS contaminated
+  FROM shingles s JOIN presence p ON s.shingle = p.shingle
+  GROUP BY s.doc_id
+)
+SELECT lang,
+       CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train_docs,
+       CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_val_docs,
+       CAST(SUM(CASE WHEN split = 'val' AND contaminated = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_val_contaminated
+FROM doc_flags
+GROUP BY lang
+"""
+
+
+@register(
+    "n_udtf_prefix_contamination",
+    oracle=_UDTF_SHINGLE_ORACLE,
+    tags=("U4", "N1", "N7"),
+)
+def n_udtf_prefix_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4+N1+N7, eighth wave: the split-contamination audit with its
+    shingling step written as a LATERAL UDTF — each document emits its
+    three overlapping 20-char prefix shingles (offsets 0/10/20 of the
+    JVM-normalized text; every text is >=48 chars so all three exist),
+    a shingle seen on both sides of the deterministic doc_id%10 split
+    marks its val documents contaminated, and the census rolls up per
+    language. Overlapping shingles catch near-copies that shift by a
+    few characters, which the single-prefix audit
+    (n_split_contamination_audit) misses — the two queries state the
+    leakage surface at two granularities.
+
+    Scale: the UDTF is per-document (bounded by |documents|, never by
+    token count — kept off the hot path per the U4 surface note); the
+    presence table is one hash shuffle on the shingle key; doc flags
+    ride a second bounded shuffle on doc_id. Normalization stays JVM-
+    side so Python never touches case/whitespace semantics."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="slot int, shingle string")
+    class PrefixShingles:
+        def eval(self, norm: str):
+            if norm is None:
+                return
+            for i, off in enumerate((0, 10, 20)):
+                s = norm[off : off + 20]
+                if s:
+                    yield i, s
+
+    spark.udtf.register("prefix_shingles", PrefixShingles)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.lower(F.trim("text")).alias("norm"),
+            F.when(F.col("doc_id") % 10 < 8, "train")
+            .otherwise("val")
+            .alias("split"),
+        )
+    )
+    d.createOrReplaceTempView("contamination_docs_r10")
+    shingled = spark.sql(
+        """
+        SELECT d.doc_id, d.lang, d.split, s.shingle
+        FROM contamination_docs_r10 d, LATERAL prefix_shingles(d.norm) s
+        """
+    )
+    presence = shingled.groupBy("shingle").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("split") == "val", 1).otherwise(0)).alias("in_val"),
+    )
+    doc_flags = (
+        shingled.join(presence, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.min("split").alias("split"),
+            F.max(
+                F.when((F.col("in_train") == 1) & (F.col("in_val") == 1), 1)
+                .otherwise(0)
+            ).alias("contaminated"),
+        )
+    )
+    return doc_flags.groupBy("lang").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train_docs"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val_docs"),
+        F.sum(
+            F.when(
+                (F.col("split") == "val") & (F.col("contaminated") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_val_contaminated"),
+    )

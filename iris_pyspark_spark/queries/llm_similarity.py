@@ -2390,3 +2390,117 @@ def _install_hubness_oracle() -> None:
 
 
 _install_hubness_oracle()
+
+
+# === Eighth wave (round 10): kNN holdout classification eval ===================
+
+_KNN_HOLDOUT_ORACLE = f"""
+WITH v AS ({_NORMED}),
+labeled AS (
+  SELECT v.vec_id, v.embedding, v.nrm, e.label
+  FROM v JOIN embeddings e ON v.vec_id = e.vec_id
+),
+test AS (SELECT * FROM labeled WHERE vec_id % 5 = 0),
+train AS (SELECT * FROM labeled WHERE vec_id % 5 <> 0),
+pairs AS (
+  SELECT a.vec_id AS query_id, a.label AS true_label,
+         b.vec_id AS neighbor_id, b.label AS neighbor_label,
+         {_COS_AB} AS sim
+  FROM test a, train b
+),
+top3 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rnk
+    FROM pairs
+  ) t WHERE rnk <= 3
+),
+votes AS (
+  SELECT query_id, true_label, neighbor_label, COUNT(*) AS n_votes
+  FROM top3 GROUP BY query_id, true_label, neighbor_label
+),
+pred AS (
+  SELECT query_id, true_label, neighbor_label AS predicted
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, neighbor_label ASC)
+             AS vr
+    FROM votes
+  ) t WHERE vr = 1
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(COUNT(*) AS BIGINT)   AS n_test,
+       CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+FROM pred
+GROUP BY true_label
+"""
+
+
+@register(
+    "n_knn_holdout_eval",
+    oracle=_KNN_HOLDOUT_ORACLE,
+    tags=("N4", "N7"),
+)
+def n_knn_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4+N7, eighth wave: the kNN CLASSIFIER evaluated on a
+    deterministic holdout — every 5th vector is the test set, the rest
+    are the index; each test vector takes its 3 nearest training
+    neighbors by cosine (brute force — the exactness baseline the ANN
+    queries are judged against) and predicts by majority vote with the
+    (count desc, label asc) tie-break; per-class accuracy is stated in
+    exact integer ppm. This is the model-quality loop of the N7 row run
+    entirely inside the engine: no RNG, no sklearn — the same split,
+    vote, and tie-break rules are restated by the oracle.
+
+    Scale: the test side broadcasts (|corpus|/5 rows); the index scans
+    once map-side with unrolled dim-64 arithmetic; only top-3 rows per
+    query shuffle into the vote. At 100 TB the brute-force stage swaps
+    for the proven IVF/PQ candidates with this exact vote/eval tail."""
+    from ..operators.similarity import knn_bruteforce
+
+    e = load_table(spark, sf_dir, "embeddings")
+    test = e.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    train = e.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        F.col("label").cast("long").alias("neighbor_label"),
+    )
+    top3 = knn_bruteforce(
+        test,
+        train,
+        q_id="query_id",
+        c_id="neighbor_id",
+        q_vec="q_emb",
+        c_vec="embedding",
+        k=3,
+        metric="cosine",
+        dim=DIM,
+    )
+    votes = top3.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("neighbor_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("neighbor_label").alias("predicted"))
+    )
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("acc_ppm"),
+    )

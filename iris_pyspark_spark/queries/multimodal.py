@@ -1188,3 +1188,179 @@ def m_av_asset_map_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_video_heavy"
         ),
     )
+
+
+# === Eighth wave (round 10): N6 depth restocks =================================
+
+# --- N6+P3+N4, eighth wave: kNN over multimodal asset embeddings ---------------
+
+def _asset_knn_oracle() -> str:
+    from ..operators.similarity import dot_unrolled_sql, norm_unrolled_sql
+
+    dim = 64
+    dot_ab = dot_unrolled_sql("a.embedding", "b.embedding", dim)
+    return f"""
+WITH assets AS (
+  SELECT e.vec_id, e.embedding, e.label, d.lang, d.source, d.n_chars,
+         CASE WHEN e.label >= 5 THEN 'video' ELSE 'audio' END AS kind,
+         {norm_unrolled_sql("e.embedding", dim)} AS nrm
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+corpus AS (
+  SELECT * FROM assets
+  WHERE (lang = 'en') <> (label >= 5)
+     OR NOT (n_chars < 60 OR source IN ('src0', 'src1', 'src2'))
+),
+probes AS (
+  SELECT * FROM assets WHERE vec_id % 100 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ({dot_ab}) / (a.nrm * b.nrm) AS sim,
+         b.kind AS neighbor_kind
+  FROM probes a, corpus b
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, sim, rnk, neighbor_kind FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM pairs
+) t WHERE rnk <= 3
+"""
+
+
+@register(
+    "m_asset_embedding_knn",
+    oracle=_asset_knn_oracle(),
+    tags=("N6", "P3", "N4"),
+)
+def m_asset_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6+P3+N4, eighth wave: similarity search over a MULTIMODAL asset
+    catalog — each asset is a struct {kind, lang, source, n_chars}
+    riding beside its embedding payload (N6: typed metadata + opaque
+    vector, the 100 TB multimodal-table shape); the searchable corpus
+    is gated by a boolean COMBINATION on the struct fields (XOR spelled
+    `!=` plus a negated disjunction — P3); and each probe (every 100th
+    vec_id) takes its top-3 cosine neighbors from the gated corpus by
+    brute force (N4), labeled with the neighbor's modality kind.
+
+    Scale: probes are |corpus|/100 — the broadcast side; the corpus is
+    scanned once map-side (operators/similarity.knn_bruteforce with
+    unrolled dim-64 arithmetic); only top-k rows shuffle. The struct
+    column flows through filter -> join -> window untouched, proving
+    metadata never needs flattening."""
+    from ..operators.similarity import knn_bruteforce
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    assets = e.join(d, e.vec_id == d.doc_id).select(
+        "vec_id",
+        "embedding",
+        F.struct(
+            F.when(F.col("label") >= 5, "video").otherwise("audio").alias("kind"),
+            "lang",
+            "source",
+            "n_chars",
+        ).alias("asset"),
+        "label",
+    )
+    corpus = assets.filter(
+        ((F.col("asset.lang") == "en") != (F.col("label") >= 5))
+        | ~(
+            (F.col("asset.n_chars") < 60)
+            | F.col("asset.source").isin("src0", "src1", "src2")
+        )
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        F.col("asset.kind").alias("neighbor_kind"),
+    )
+    probes = assets.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = knn_bruteforce(
+        probes,
+        corpus,
+        q_id="query_id",
+        c_id="neighbor_id",
+        q_vec="q_emb",
+        c_vec="embedding",
+        k=3,
+        metric="cosine",
+        dim=64,
+    )
+    return out.select("query_id", "neighbor_id", "sim", "rnk", "neighbor_kind")
+
+
+# --- N6+N1, eighth wave: manifest payload-fingerprint dedup audit --------------
+
+_MANIFEST_DEDUP_ORACLE = """
+WITH manifest AS (
+  SELECT doc_id,
+         CASE WHEN lang IN ('en', 'de', 'fr') THEN 'latin' ELSE 'other' END
+           AS kind,
+         LEFT(LOWER(TRIM(text)), 40) AS fingerprint
+  FROM documents WHERE text IS NOT NULL
+),
+grouped AS (
+  SELECT kind, fingerprint, COUNT(*) AS n
+  FROM manifest GROUP BY kind, fingerprint
+)
+SELECT kind,
+       CAST(SUM(n) AS BIGINT)                                  AS n_assets,
+       CAST(COUNT(*) AS BIGINT)                                AS n_fingerprints,
+       CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)  AS n_dup_assets,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)  AS n_dup_groups
+FROM grouped
+GROUP BY kind
+"""
+
+
+@register(
+    "m_manifest_dedup_audit",
+    oracle=_MANIFEST_DEDUP_ORACLE,
+    tags=("N6", "N1"),
+)
+def m_manifest_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6+N1, eighth wave: exact dedup applied to a multimodal MANIFEST
+    — assets are struct rows {kind, fingerprint} where the fingerprint
+    is the normalized 40-char payload prefix (the key this corpus
+    actually collides on — it has prefix duplicates but zero full-text
+    ones, see n_split_contamination_audit), and the audit reports, per
+    modality kind, how many assets share a fingerprint with another
+    asset (would be dropped or survivorship-resolved by the dedup pass)
+    and how many duplicate groups exist. This is the pre-ingest dedup
+    census a multimodal pipeline runs on its manifest BEFORE touching
+    any payload bytes.
+
+    Scale: one hash shuffle on (kind, fingerprint) group sizes — the N1
+    skeleton; at 100 TB the fingerprint would be sha2(prefix) to bound
+    key width, the same one-shuffle plan."""
+    m = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.struct(
+                F.when(F.col("lang").isin("en", "de", "fr"), "latin")
+                .otherwise("other")
+                .alias("kind"),
+                F.lower(F.trim("text")).substr(1, 40).alias("fingerprint"),
+            ).alias("asset")
+        )
+    )
+    grouped = m.groupBy(
+        F.col("asset.kind").alias("kind"),
+        F.col("asset.fingerprint").alias("fingerprint"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return grouped.groupBy("kind").agg(
+        F.sum("n").cast("long").alias("n_assets"),
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_assets"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+    )

@@ -577,3 +577,146 @@ def o_cohort_flux_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cn", F.lit(0)).cast("long").alias("n_lost"),
         )
     )
+
+
+# === Eighth wave (round 10): O4 depth restocks =================================
+
+# --- O4+P7+F2, eighth wave: weekday/weekend user-set algebra --------------------
+
+_WEEKDAY_SETOPS_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT user_id, ISODOW(ts) AS dow FROM events
+),
+weekday_users AS (SELECT DISTINCT user_id FROM du WHERE dow <= 5),
+weekend_users AS (SELECT DISTINCT user_id FROM du WHERE dow >= 6),
+cats AS (
+  SELECT 'weekend_only' AS category, COUNT(*) AS n FROM
+    (SELECT user_id FROM weekend_users EXCEPT SELECT user_id FROM weekday_users)
+  UNION ALL
+  SELECT 'weekday_only', COUNT(*) FROM
+    (SELECT user_id FROM weekday_users EXCEPT SELECT user_id FROM weekend_users)
+  UNION ALL
+  SELECT 'both', COUNT(*) FROM
+    (SELECT user_id FROM weekday_users INTERSECT
+     SELECT user_id FROM weekend_users)
+)
+SELECT category, CAST(n AS BIGINT) AS n_users FROM cats
+"""
+
+
+@register(
+    "o_weekday_cohort_except",
+    oracle=_WEEKDAY_SETOPS_ORACLE,
+    tags=("O4", "P7", "F2"),
+)
+def o_weekday_cohort_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4+P7+F2, eighth wave: user-base partition by CALENDAR BEHAVIOR
+    with real set operators — the distinct (user, ISO-weekday) grid
+    (P7) splits into weekday and weekend activity sets (F2: dayofweek
+    on event time), and EXCEPT both ways plus INTERSECT yield the
+    weekend-only / weekday-only / both trichotomy as one 3-row census.
+    The three counts partition the active-user total, so the invariant
+    n(weekend_only)+n(weekday_only)+n(both) = |active users| makes any
+    set-operator defect arithmetically visible.
+
+    Scale: the distinct grid is one hash shuffle of |user x 7|; each
+    set op hash-joins two <=|users| sets; no fact re-scan after the
+    grid."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        "user_id",
+        F.dayofweek(F.col("ts")).alias("dow_sun1"),  # Sunday=1 convention
+    ).distinct()
+    # ISO dow (Mon=1..Sun=7) from Spark's Sunday=1 dayofweek, kept
+    # integer: iso = ((dow_sun1 + 5) % 7) + 1.
+    du = du.select(
+        "user_id", (((F.col("dow_sun1") + 5) % 7) + 1).alias("dow")
+    )
+    weekday_users = du.filter(F.col("dow") <= 5).select("user_id").distinct()
+    weekend_users = du.filter(F.col("dow") >= 6).select("user_id").distinct()
+    weekend_only = weekend_users.subtract(weekday_users)
+    weekday_only = weekday_users.subtract(weekend_users)
+    both = weekday_users.intersect(weekend_users)
+
+    def n(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("category"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        n(weekend_only, "weekend_only")
+        .unionByName(n(weekday_only, "weekday_only"))
+        .unionByName(n(both, "both"))
+    )
+
+
+# --- O4+P7+S5, eighth wave: symmetric difference over a pruned partitioned read --
+
+_SYMDIFF_PRUNE_ORACLE = """
+WITH p_users AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+c_users AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+),
+cats AS (
+  SELECT 'purchase_no_click' AS category, COUNT(*) AS n FROM
+    (SELECT user_id FROM p_users EXCEPT SELECT user_id FROM c_users)
+  UNION ALL
+  SELECT 'click_no_purchase', COUNT(*) FROM
+    (SELECT user_id FROM c_users EXCEPT SELECT user_id FROM p_users)
+  UNION ALL
+  SELECT 'both', COUNT(*) FROM
+    (SELECT user_id FROM p_users INTERSECT SELECT user_id FROM c_users)
+)
+SELECT category, CAST(n AS BIGINT) AS n_users FROM cats
+"""
+
+
+@register(
+    "o_segment_symdiff_prune",
+    oracle=_SYMDIFF_PRUNE_ORACLE,
+    tags=("O4", "P7", "S5"),
+)
+def o_segment_symdiff_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4+P7+S5, eighth wave: SYMMETRIC DIFFERENCE of behavior cohorts
+    computed over a PARTITION-PRUNED read — events are exported
+    hive-partitioned by event_type (S5), the audit reads back ONLY the
+    purchase and click branches (a partition-column filter the scan
+    resolves against directory names — 2 of 5 directories touched),
+    takes each branch's distinct user set (P7), and states the symdiff
+    via EXCEPT both ways plus the INTERSECT (O4). This is the funnel
+    diagnosis query ('who buys without clicking?') in its cheapest
+    physical form: pruning makes the scan proportional to the cohorts
+    examined, not the event firehose.
+
+    Scale: the partitioned export is one shuffle on event_type; the
+    pruned read touches 2 partitions regardless of how many types
+    exist; set ops hash-join <=|users| sets."""
+    from ..sources import scratch_dir
+
+    path = scratch_dir(sf_dir, "events_by_type_parquet")
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    e.repartition("event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    p_users = (
+        back.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    c_users = (
+        back.filter(F.col("event_type") == "click").select("user_id").distinct()
+    )
+
+    def n(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("category"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        n(p_users.subtract(c_users), "purchase_no_click")
+        .unionByName(n(c_users.subtract(p_users), "click_no_purchase"))
+        .unionByName(n(p_users.intersect(c_users), "both"))
+    )

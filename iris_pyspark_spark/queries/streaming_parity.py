@@ -1910,3 +1910,407 @@ def st_dedup_sliding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_partitions=8,
         no_data_microbatches=False,
     )
+
+
+# === Eighth wave (round 10): streaming depth restocks ==========================
+
+# --- T3+T6, eighth wave: session window over a stream-static enrichment --------
+
+_SESSION_STATIC_GATE_ORACLE = f"""
+WITH e2 AS (
+  SELECT e.user_id, e.ts, e.event_id, c.c_mktsegment,
+         {CENTS_SQL.format(expr="e.value")} AS cents
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+),
+flagged AS (
+  SELECT user_id, c_mktsegment, ts, cents,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1200000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM e2
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, c_mktsegment, ts, cents,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       c_mktsegment,
+       CAST(EPOCH_US(MIN(ts)) // 1000000 AS BIGINT)        AS session_start_epoch,
+       CAST(EPOCH_US(MAX(ts)) // 1000000 + 1200 AS BIGINT) AS session_end_epoch,
+       CAST(COUNT(*) AS BIGINT)                            AS n_events,
+       CAST(SUM(cents) AS BIGINT)                          AS value_cents
+FROM sessions
+GROUP BY user_id, c_mktsegment, sid
+"""
+
+
+@register(
+    "st_session_static_gate",
+    oracle=_SESSION_STATIC_GATE_ORACLE,
+    tags=("T3", "T6"),
+)
+def st_session_static_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T6, eighth wave: stream-static INNER enrichment feeding a
+    SESSION WINDOW — each event picks up its customer's market segment
+    from the static dimension BEFORE sessionization (dim-before-agg:
+    the session key is then (user, segment), constant per user, so the
+    enrichment widens rows without changing session identity), and
+    session_window(20 min) closes per-user bursts. The proven session
+    forms use 30-minute gaps and no dimension; this pins that the
+    per-micro-batch planner pushes a static hash join UPSTREAM of the
+    session-state operator, and that the gap is a free parameter.
+
+    Scale: the static side is broadcast per micro-batch; session state
+    is O(open sessions); one shuffle on the session key. Complete-mode
+    drain (bounded session census), 8 state stores. Single-batch
+    source assumption as pinned by
+    tests/test_streaming.py::test_read_events_stream_stages_one_file."""
+    e = read_events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = e.join(c, e.user_id == c.c_custkey).select(
+        "user_id", "c_mktsegment", "ts", cents(F.col("value")).alias("cents")
+    )
+    agg = (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy(
+            "user_id",
+            "c_mktsegment",
+            F.session_window("ts", "20 minutes"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            "c_mktsegment",
+            F.unix_seconds(
+                F.col("session_window.start").cast("timestamp")
+            ).alias("session_start_epoch"),
+            F.unix_seconds(F.col("session_window.end").cast("timestamp")).alias(
+                "session_end_epoch"
+            ),
+            "n_events",
+            "value_cents",
+        )
+    )
+    return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
+
+
+# --- T2+T6+J6+J4, eighth wave: sliding window behind a static-star semi gate ---
+
+_SLIDING_STAR_GATE_ORACLE = f"""
+WITH asia AS (
+  SELECT c.c_custkey
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+gated AS (
+  SELECT * FROM events WHERE user_id IN (SELECT c_custkey FROM asia)
+),
+offsets AS (SELECT UNNEST([0, 1, 2]) AS j)
+SELECT
+  CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) * 3600 - j * 3600
+    AS window_start_epoch,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
+FROM gated, offsets
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "st_sliding_star_gate",
+    oracle=_SLIDING_STAR_GATE_ORACLE,
+    tags=("T2", "T6", "J6", "J4"),
+)
+def st_sliding_star_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+T6+J6+J4, eighth wave: the static side of a stream-static
+    join is itself a MULTI-WAY STAR — customer->nation->region resolves
+    the ASIA customer keys (J6, both dims broadcast), the stream is
+    gated by LEFT SEMI membership in that derived key set (J4/T6:
+    filter-only, no row widening), and the survivors feed a SLIDING
+    window (3h length, 1h slide — every event lands in 3 windows, T2).
+    This is the 'regional rollout monitor' shape: a dashboard scoped by
+    a dimensional subtree, not a flat key list.
+
+    Scale: the star collapses to a few hundred keys before the stream
+    ever sees it — resolved once, broadcast per micro-batch; sliding
+    state is (open windows x types); one shuffle per batch on the
+    window/type key. Complete-mode drain, 8 state stores."""
+    e = read_events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    gated = e.join(asia, e.user_id == asia.c_custkey, "left_semi")
+    agg = (
+        gated.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "3 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("total_cents"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "event_type",
+            "n_events",
+            "total_cents",
+        )
+    )
+    return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
+
+
+# --- T3+T7, eighth wave: dedup feeding a session window ------------------------
+
+_SESSION_DEDUP_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('minute', ts) AS minute
+  FROM events
+),
+flagged AS (
+  SELECT user_id, minute,
+    CASE WHEN LAG(minute) OVER w IS NULL
+           OR EPOCH_US(minute) - EPOCH_US(LAG(minute) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM du
+  WINDOW w AS (PARTITION BY user_id ORDER BY minute)
+),
+sessions AS (
+  SELECT user_id, minute,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY minute
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(EPOCH_US(MIN(minute)) // 1000000 AS BIGINT)
+         AS session_start_epoch,
+       CAST(EPOCH_US(MAX(minute)) // 1000000 + 1800 AS BIGINT)
+         AS session_end_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_active_minutes
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@register(
+    "st_session_dedup_quiet",
+    oracle=_SESSION_DEDUP_ORACLE,
+    tags=("T3", "T7"),
+)
+def st_session_dedup_quiet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T7, eighth wave: STACKED stateful streaming — watermarked
+    dropDuplicates on the (user, minute) activity grid (T7) feeding a
+    SESSION WINDOW (30-min gap) over the deduped minutes (T3), so each
+    session reports ACTIVE MINUTES, not raw event count — the
+    billing-meter shape (burst-proof: a thousand events in one minute
+    bill as one). The proven stacks are dedup->tumbling and
+    dedup->sliding; session state downstream of dedup state is the
+    remaining pair, and its session identity must come out identical to
+    the oracle's LAG-gap reconstruction over DISTINCT minutes.
+
+    Scale: dedup state is watermark-bounded keys; session state is
+    O(open sessions); two shuffles per batch (dedup key, session key).
+    Complete-mode drain, 8 state stores. Single-batch source assumption
+    pinned by test_read_events_stream_stages_one_file."""
+    e = read_events_stream(spark, sf_dir)
+    deduped = (
+        e.select(
+            "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+        )
+        .withWatermark("minute", "10 minutes")
+        .dropDuplicates(["user_id", "minute"])
+    )
+    agg = (
+        deduped.groupBy("user_id", F.session_window("minute", "30 minutes"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_minutes"))
+        .select(
+            "user_id",
+            F.unix_seconds(
+                F.col("session_window.start").cast("timestamp")
+            ).alias("session_start_epoch"),
+            F.unix_seconds(F.col("session_window.end").cast("timestamp")).alias(
+                "session_end_epoch"
+            ),
+            "n_active_minutes",
+        )
+    )
+    return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
+
+
+# --- U2+T4+T7, eighth wave: arbitrary-state user-day duplicate census ----------
+
+_APPLY_STATE_DAY_ORACLE = """
+WITH per AS (
+  SELECT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+         COUNT(*) AS n,
+         MIN(event_id) AS min_eid,
+         MAX(event_id) AS max_eid
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT epoch_day,
+       CAST(COUNT(*) AS BIGINT)                               AS n_user_days,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_event,
+       CAST(SUM(n - 1) AS BIGINT)                             AS total_dupes,
+       CAST(MAX(n) AS BIGINT)                                 AS max_events,
+       CAST(SUM(max_eid - min_eid) AS BIGINT)                 AS eid_span_sum
+FROM per
+GROUP BY epoch_day
+"""
+
+
+@register(
+    "st_apply_state_day_census",
+    oracle=_APPLY_STATE_DAY_ORACLE,
+    tags=("U2", "T4", "T7"),
+)
+def st_apply_state_day_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2+T4+T7, eighth wave: arbitrary-state streaming dedup census at
+    the (user, day) BUSINESS-KEY grain via `applyInPandasWithState` —
+    per key the state is exactly three int64s (n, min_event_id,
+    max_event_id), every one of which merges ORDER-INVARIANTLY (sum,
+    min, max), so the census is batch-split-invariant by construction
+    even though the 4-file round-robin source delivers a user's events
+    across micro-batches out of time order. Each batch UPDATEs the
+    key's cumulative row; the final answer takes the row with max n per
+    key (n strictly increases on every touch — the same drain idiom
+    st_apply_state_dedup proves) and rolls the keys up into a per-day
+    duplicate census: keys with n>1 are repeat-activity user-days (T7's
+    dedup-by-key semantics applied to a composite business key).
+
+    Scale: state is O(distinct user-days within the stream's horizon) x
+    24 bytes; the production form adds a GroupStateTimeout to retire
+    days past the watermark. One shuffle on the group key per batch;
+    the day rollup runs on the drained census, not the event stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..session import configure
+    from ..sources import (
+        artifact_is_current,
+        mark_artifact,
+        scratch_dir,
+        table_fingerprint,
+    )
+
+    configure(spark)
+    src = scratch_dir(sf_dir, "aps_day_src")
+    src_fp = table_fingerprint(sf_dir, "events", params="aps-day-src-4part")
+    if not artifact_is_current(src, src_fp):
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id"
+        ).repartition(4).write.mode("overwrite").parquet(src)
+        mark_artifact(src, src_fp)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp_ntz, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    keyed = stream.select(
+        "user_id",
+        F.datediff(
+            F.to_date(F.col("ts").cast("timestamp")), F.lit("1970-01-01")
+        )
+        .cast("long")
+        .alias("epoch_day"),
+        "event_id",
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("epoch_day", LongType()),
+            StructField("n", LongType()),
+            StructField("min_eid", LongType()),
+            StructField("max_eid", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mn", LongType()),
+            StructField("mx", LongType()),
+        ]
+    )
+
+    def census(key, pdfs, state):
+        if state.exists:
+            n, mn, mx = state.get
+        else:
+            n, mn, mx = 0, None, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            eid = pdf["event_id"]
+            lo, hi = int(eid.min()), int(eid.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        state.update((n, mn, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "epoch_day": [key[1]],
+                "n": [n],
+                "min_eid": [mn],
+                "max_eid": [mx],
+            }
+        )
+
+    updates = keyed.groupBy("user_id", "epoch_day").applyInPandasWithState(
+        census,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    sink = drain_to_table(updates, output_mode="update", shuffle_partitions=8)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "epoch_day").orderBy(F.desc("n"))
+    final = (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return final.groupBy("epoch_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_days"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_event"),
+        F.sum(F.col("n") - 1).cast("long").alias("total_dupes"),
+        F.max("n").cast("long").alias("max_events"),
+        F.sum(F.col("max_eid") - F.col("min_eid"))
+        .cast("long")
+        .alias("eid_span_sum"),
+    )

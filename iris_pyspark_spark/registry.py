@@ -327,6 +327,32 @@ _PRIORITY = (
     "n_dp_noisy_counts",
     "s_constraint_audit_all_tables",
     "s_crypto_shredding",
+    # ---- eighth restock wave (round 10, never-checked) ----
+    "u_pandas_json_risk",
+    "u_pandas_udaf_mad_band",
+    "u_grouped_map_gap_sessions",
+    "u_udtf_rollup_expand",
+    "u_iter_csv_extremes",
+    "u_iter_quantile_sketch",
+    "u_udaf_winsorized_share",
+    "a_hll_exact_bands",
+    "a_map_collect_entries",
+    "a_rollup_map_mode",
+    "s_json_lines_roundtrip",
+    "s_json_nested_audit",
+    "m_asset_embedding_knn",
+    "m_manifest_dedup_audit",
+    "n_udtf_prefix_contamination",
+    "n_knn_holdout_eval",
+    "j_star_semi_anti_census",
+    "j_asof_csv_rates",
+    "j_asof_ordered_spine",
+    "o_weekday_cohort_except",
+    "o_segment_symdiff_prune",
+    "st_session_static_gate",
+    "st_sliding_star_gate",
+    "st_session_dedup_quiet",
+    "st_apply_state_day_census",
 )
 
 
