@@ -2400,8 +2400,8 @@ labeled AS (
   SELECT v.vec_id, v.embedding, v.nrm, e.label
   FROM v JOIN embeddings e ON v.vec_id = e.vec_id
 ),
-test AS (SELECT * FROM labeled WHERE vec_id % 5 = 0),
-train AS (SELECT * FROM labeled WHERE vec_id % 5 <> 0),
+test AS (SELECT * FROM labeled WHERE vec_id % 20 = 0),
+train AS (SELECT * FROM labeled WHERE vec_id % 20 <> 0),
 pairs AS (
   SELECT a.vec_id AS query_id, a.label AS true_label,
          b.vec_id AS neighbor_id, b.label AS neighbor_label,
@@ -2446,7 +2446,7 @@ GROUP BY true_label
 )
 def n_knn_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N4+N7, eighth wave: the kNN CLASSIFIER evaluated on a
-    deterministic holdout — every 5th vector is the test set, the rest
+    deterministic holdout — every 20th vector is the test set, the rest
     are the index; each test vector takes its 3 nearest training
     neighbors by cosine (brute force — the exactness baseline the ANN
     queries are judged against) and predicts by majority vote with the
@@ -2455,19 +2455,20 @@ def n_knn_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely inside the engine: no RNG, no sklearn — the same split,
     vote, and tie-break rules are restated by the oracle.
 
-    Scale: the test side broadcasts (|corpus|/5 rows); the index scans
+    Scale: the test side broadcasts (|corpus|/20 rows — the bounded
+    probe-set class the plan gate audits); the index scans
     once map-side with unrolled dim-64 arithmetic; only top-3 rows per
     query shuffle into the vote. At 100 TB the brute-force stage swaps
     for the proven IVF/PQ candidates with this exact vote/eval tail."""
     from ..operators.similarity import knn_bruteforce
 
     e = load_table(spark, sf_dir, "embeddings")
-    test = e.filter(F.col("vec_id") % 5 == 0).select(
+    test = e.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").cast("long").alias("true_label"),
     )
-    train = e.filter(F.col("vec_id") % 5 != 0).select(
+    train = e.filter(F.col("vec_id") % 20 != 0).select(
         F.col("vec_id").alias("neighbor_id"),
         "embedding",
         F.col("label").cast("long").alias("neighbor_label"),

@@ -323,6 +323,18 @@ _BNLJ_ALLOWED = frozenset({
     # round-4 batch 9: 1-row bounds/total crossJoins and the 3-row
     # quantile-probe join in the histogram walk
     "a_quantile_histogram_sketch", "n_temperature_sampling_weights",
+    # round-10 eighth wave: the iterator-UDF sketch's 1-row bounds
+    # crossJoin + 2-row quantile-probe join (a_quantile_histogram_sketch's
+    # exact classes, U5 spelling)
+    "u_iter_quantile_sketch",
+    # round-10 eighth wave: bounded probe-set broadcasts against one
+    # corpus scan — vec_id % 100 (m_) and the vec_id % 20 holdout (n_),
+    # the n_knn_bruteforce / n_mrl_prefix_rerank audited class
+    "m_asset_embedding_knn", "n_knn_holdout_eval",
+    # round-10 eighth wave: the 3-cohort x 40-policy spine build is a
+    # crossJoin of two range() relations (120 rows, bounded by literal
+    # construction) broadcast into the asof rewrite
+    "j_asof_ordered_spine",
     # round-4 batch 11: bounded probe-set broadcast (vec_id % 101),
     # same bound as n_mrl_prefix_rerank / n_knn_bruteforce
     "n_ndcg_retrieval_eval",
