@@ -641,3 +641,112 @@ def test_asof_join_boundary_is_inclusive(spark):
     assert out[d(1995, 1, 1)] == (None, None)
     assert out[d(1995, 6, 1)] == (101, d(1995, 6, 1))
     assert out[d(1995, 7, 15)] == (101, d(1995, 6, 1))
+
+
+def test_apply_state_day_census_invariant_to_batch_split(spark, sf_dir):
+    """st_apply_state_day_census's contract (eighth wave): the per-day
+    duplicate census equals the single-batch result no matter how the
+    4-file round-robin snapshot was micro-batched, because every state
+    component merges order-invariantly (count, min, max) and the
+    readout takes each key's max-n row. Proven by draining the SAME
+    staged snapshot in ONE trigger and asserting identical rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from iris_pyspark_spark.queries.streaming_parity import (
+        st_apply_state_day_census,
+    )
+    from iris_pyspark_spark.sources import scratch_dir
+    from iris_pyspark_spark.streaming import drain_to_table
+
+    base = (
+        st_apply_state_day_census(spark, sf_dir).orderBy("epoch_day").toPandas()
+    )
+
+    src = scratch_dir(sf_dir, "aps_day_src")  # staged by the call above
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp_ntz, user_id long"
+    ).parquet(src)  # no maxFilesPerTrigger: one data micro-batch
+    keyed = stream.select(
+        "user_id",
+        F.datediff(
+            F.to_date(F.col("ts").cast("timestamp")), F.lit("1970-01-01")
+        )
+        .cast("long")
+        .alias("epoch_day"),
+        "event_id",
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("epoch_day", LongType()),
+            StructField("n", LongType()),
+            StructField("min_eid", LongType()),
+            StructField("max_eid", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mn", LongType()),
+            StructField("mx", LongType()),
+        ]
+    )
+
+    def census(key, pdfs, state):
+        if state.exists:
+            n, mn, mx = state.get
+        else:
+            n, mn, mx = 0, None, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            eid = pdf["event_id"]
+            lo, hi = int(eid.min()), int(eid.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        state.update((n, mn, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "epoch_day": [key[1]],
+                "n": [n],
+                "min_eid": [mn],
+                "max_eid": [mx],
+            }
+        )
+
+    updates = keyed.groupBy("user_id", "epoch_day").applyInPandasWithState(
+        census, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    sink = drain_to_table(updates, output_mode="update", shuffle_partitions=8)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "epoch_day").orderBy(F.desc("n"))
+    final = (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    single = (
+        final.groupBy("epoch_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_user_days"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_multi_event"),
+            F.sum(F.col("n") - 1).cast("long").alias("total_dupes"),
+            F.max("n").cast("long").alias("max_events"),
+            F.sum(F.col("max_eid") - F.col("min_eid"))
+            .cast("long")
+            .alias("eid_span_sum"),
+        )
+        .orderBy("epoch_day")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        base.reset_index(drop=True), single.reset_index(drop=True)
+    )
