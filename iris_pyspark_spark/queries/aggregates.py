@@ -2762,3 +2762,185 @@ def a_rollup_map_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_months",
         "total_orders",
     )
+
+
+# --- A5+A6+F5, ninth wave: rollup lattice share gate with map labels -----------
+
+_ROLLUP_LABEL_SHARE_ORACLE = """
+WITH ru AS (
+  SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+         COALESCE(l_linestatus, 'ALL') AS status,
+         COUNT(*)                      AS n,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_x100
+  FROM lineitem
+  GROUP BY ROLLUP(l_returnflag, l_linestatus)
+),
+shared AS (
+  SELECT *,
+         SUM(CASE WHEN flag = 'ALL' AND status = 'ALL' THEN n ELSE 0 END)
+           OVER () AS grand_n
+  FROM ru
+)
+SELECT CASE flag WHEN 'A' THEN 'acknowledged'
+                 WHEN 'N' THEN 'neutral'
+                 WHEN 'R' THEN 'returned'
+                 ELSE 'all flags' END          AS flag_label,
+       status,
+       CAST(n AS BIGINT)                       AS n_items,
+       CAST(qty_x100 AS BIGINT)                AS qty_x100,
+       CAST(n * 10000 // grand_n AS BIGINT)    AS share_bp
+FROM shared
+WHERE n * 10000 // grand_n >= 3000
+"""
+
+
+@register(
+    "a_rollup_label_share",
+    oracle=_ROLLUP_LABEL_SHARE_ORACLE,
+    tags=("A5", "A6", "F5"),
+)
+def a_rollup_label_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A6+F5, ninth wave: the hierarchical ROLLUP lattice gated by a
+    STRUCTURAL share HAVING — leaf (flag, status) cells each hold ~1/6
+    of the grand total while flag subtotals hold ~1/3, so a >=30%
+    share-of-grand filter keeps exactly the rolled levels (subtotals +
+    grand row) at every scale factor; the filter discriminates on
+    lattice LEVEL, not on data noise, which is what makes it
+    deterministic at 100 TB. Flag codes become labels through a MAP
+    LITERAL lookup (F5's create_map + element_at — the other map idiom
+    from a_rollup_map_mode's collected maps). Quantity sums are exact
+    x100 integers.
+
+    Scale: one combinable rollup pass over the fact (partial aggregates
+    per level map-side); the share window runs on the 10-row lattice,
+    never on fact rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ru = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("qty_x100"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+        "n",
+        "qty_x100",
+    )
+    grand = F.sum(
+        F.when(
+            (F.col("flag") == "ALL") & (F.col("status") == "ALL"), F.col("n")
+        ).otherwise(F.lit(0))
+    ).over(Window.partitionBy())
+    labels = F.create_map(
+        F.lit("A"), F.lit("acknowledged"),
+        F.lit("N"), F.lit("neutral"),
+        F.lit("R"), F.lit("returned"),
+        F.lit("ALL"), F.lit("all flags"),
+    )
+    shared = ru.withColumn("grand_n", grand).withColumn(
+        "share_bp", F.expr("CAST(n * 10000 DIV grand_n AS BIGINT)")
+    )
+    return shared.filter(F.col("share_bp") >= 3000).select(
+        F.element_at(labels, F.col("flag")).alias("flag_label"),
+        "status",
+        F.col("n").alias("n_items"),
+        "qty_x100",
+        "share_bp",
+    )
+
+
+# --- A5+A9+F5, ninth wave: cube cells with map-argmax priority mode ------------
+
+_CUBE_PRIORITY_MODE_ORACLE = """
+WITH per AS (
+  SELECT COALESCE(o_orderstatus, 'ALL')                    AS status,
+         COALESCE(CAST(YEAR(o_orderdate) AS BIGINT), -1)   AS yr,
+         o_orderpriority                                   AS priority,
+         COUNT(*)                                          AS n
+  FROM orders
+  GROUP BY CUBE(o_orderstatus, YEAR(o_orderdate)), o_orderpriority
+),
+ranked AS (
+  SELECT status, yr, priority, n,
+         ROW_NUMBER() OVER (PARTITION BY status, yr
+                            ORDER BY n DESC, priority ASC) AS rn,
+         SUM(n) OVER (PARTITION BY status, yr)             AS n_orders
+  FROM per
+),
+cells AS (
+  SELECT COALESCE(o_orderstatus, 'ALL')                  AS status,
+         COALESCE(CAST(YEAR(o_orderdate) AS BIGINT), -1) AS yr,
+         COUNT(DISTINCT MONTH(o_orderdate))              AS n_months,
+         MIN(MONTH(o_orderdate))                         AS mon_min,
+         MAX(MONTH(o_orderdate))                         AS mon_max
+  FROM orders
+  GROUP BY CUBE(o_orderstatus, YEAR(o_orderdate))
+)
+SELECT r.status, r.yr,
+       CAST(r.n_orders AS BIGINT) AS n_orders,
+       r.priority                 AS mode_priority,
+       CAST(r.n AS BIGINT)        AS mode_n,
+       CAST(c.n_months AS BIGINT) AS n_months,
+       CAST(c.mon_min AS BIGINT)  AS mon_min,
+       CAST(c.mon_max AS BIGINT)  AS mon_max
+FROM ranked r JOIN cells c ON r.status = c.status AND r.yr = c.yr
+WHERE r.rn = 1
+"""
+
+
+@register(
+    "a_cube_priority_mode",
+    oracle=_CUBE_PRIORITY_MODE_ORACLE,
+    tags=("A5", "A9", "F5"),
+)
+def a_cube_priority_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A9+F5, ninth wave: the full CUBE lattice (status x year — all
+    four grouping levels, where a_rollup_map_mode's grouping sets pin
+    only two) with, per cell, the MODE order priority extracted by map
+    algebra: the 5 priority counts are built as a map via
+    map_from_arrays over conditional aggregates (F5 construction), the
+    argmax comes from map_filter + array_min(map_keys(...)) with the
+    lexicographic tie-break stated identically in the oracle's
+    ROW_NUMBER, and the month presence census rides along as a sorted
+    collect_set (A9 — n/min/max of the distinct-month array). Cube
+    composes with both collected shapes in ONE pass over orders.
+
+    Scale: a single combinable cube pass (4 lattice levels x bounded
+    attribute cardinalities, ~32 cells); maps are 5 entries, month
+    arrays <=12 — all bounded by schema, never by row count."""
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("yr_raw"),
+        "o_orderpriority",
+        F.month("o_orderdate").alias("mon"),
+    )
+    cells = o.cube("o_orderstatus", "yr_raw").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in pris]),
+            F.array(
+                *[
+                    F.sum(
+                        F.when(F.col("o_orderpriority") == p, 1).otherwise(0)
+                    ).cast("long")
+                    for p in pris
+                ]
+            ),
+        ).alias("pm"),
+        F.array_sort(F.collect_set("mon")).alias("mons"),
+    )
+    mode_n = F.array_max(F.map_values("pm"))
+    mode_priority = F.array_min(
+        F.map_keys(F.map_filter("pm", lambda k, v: v == mode_n))
+    )
+    return cells.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("yr_raw", F.lit(-1)).cast("long").alias("yr"),
+        "n_orders",
+        mode_priority.alias("mode_priority"),
+        mode_n.cast("long").alias("mode_n"),
+        F.size("mons").cast("long").alias("n_months"),
+        F.element_at("mons", 1).cast("long").alias("mon_min"),
+        F.element_at("mons", -1).cast("long").alias("mon_max"),
+    )

@@ -2748,3 +2748,488 @@ def u_udaf_winsorized_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("winsorized_cents") * F.col("tot_n")
         > F.col("tot_win") * F.col("n_orders")
     ).select("o_orderpriority", "winsorized_cents", "n_orders")
+
+
+# --- U3+A6+A9+P7, ninth wave: p90 UDAF census with structural share gate -------
+
+_P90_CENSUS_ORACLE = """
+WITH base AS (
+  SELECT lang,
+         CAST(SUBSTR(source, 4) AS INT) % 4 AS src_class,
+         source, n_chars
+  FROM documents
+),
+agg AS (
+  SELECT lang, src_class, COUNT(*) AS n_docs FROM base GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, src_class, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang, src_class ORDER BY n_chars)
+           AS rn,
+         COUNT(*)    OVER (PARTITION BY lang, src_class) AS n
+  FROM base
+),
+p90 AS (
+  SELECT lang, src_class, n_chars AS p90_chars
+  FROM ranked WHERE rn = ((n - 1) * 9) // 10 + 1
+),
+srcs AS (
+  SELECT lang, src_class,
+         COUNT(*)    AS n_sources,
+         MIN(source) AS first_source
+  FROM (SELECT DISTINCT lang, src_class, source FROM base)
+  GROUP BY 1, 2
+),
+shared AS (
+  SELECT a.*, SUM(n_docs) OVER () AS total_docs FROM agg a
+)
+SELECT s.lang,
+       CAST(s.src_class AS BIGINT)                    AS src_class,
+       CAST(s.n_docs AS BIGINT)                       AS n_docs,
+       CAST(p.p90_chars AS BIGINT)                    AS p90_chars,
+       CAST(r.n_sources AS BIGINT)                    AS n_sources,
+       r.first_source,
+       CAST(s.n_docs * 10000 // s.total_docs AS BIGINT) AS share_bp
+FROM shared s
+JOIN p90  p ON s.lang = p.lang AND s.src_class = p.src_class
+JOIN srcs r ON s.lang = r.lang AND s.src_class = r.src_class
+WHERE s.n_docs * 10000 // s.total_docs >= 600
+"""
+
+
+@register(
+    "u_udaf_p90_census",
+    oracle=_P90_CENSUS_ORACLE,
+    tags=("U3", "A6", "A9", "P7"),
+)
+def u_udaf_p90_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3+A6+A9+P7, ninth wave: a grouped-agg pandas UDAF computes the
+    exact LOW-P90 of document length per (lang, source-class) — the
+    (n-1)*9//10 order statistic, an actual data value, tie-safe and
+    engine-independent — beside a sibling count UDAF (pandas UDAFs
+    cannot mix with JVM aggregates in one agg()). The distinct source
+    census arrives from a separate DISTINCT stage (P7: dropDuplicates
+    on (lang, src_class, source)) collected into a sorted array (A9),
+    and the HAVING gate keeps only groups holding >=6% of all documents
+    — 'en' carries ~44% of this corpus by construction (a generator
+    weight, not noise) so its four source-class groups sit at ~11% each
+    while every other language's sit at ~3-4%: the filter discriminates
+    on corpus composition, stable at any scale factor.
+
+    Scale: one shuffle on the 20-value (lang, src_class) key for the
+    UDAF; the distinct stage is a combinable pre-aggregation; the share
+    window runs on 20 group rows."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def p90_low(v: pd.Series) -> int:
+        x = v.to_numpy(dtype="int64")
+        k = (len(x) - 1) * 9 // 10
+        return int(np.partition(x, k)[k])
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        (F.substring("source", 4, 10).cast("int") % 4)
+        .cast("long")
+        .alias("src_class"),
+        "source",
+        "n_chars",
+    )
+    stats = base.groupBy("lang", "src_class").agg(
+        n_rows(F.col("n_chars")).alias("n_docs"),
+        p90_low(F.col("n_chars")).alias("p90_chars"),
+    )
+    srcs = (
+        base.select("lang", "src_class", "source")
+        .dropDuplicates()
+        .groupBy("lang", "src_class")
+        .agg(F.array_sort(F.collect_set("source")).alias("src_arr"))
+        .select(
+            "lang",
+            "src_class",
+            F.size("src_arr").cast("long").alias("n_sources"),
+            F.element_at("src_arr", 1).alias("first_source"),
+        )
+    )
+    from pyspark.sql import Window
+
+    shared = stats.withColumn(
+        "total_docs", F.sum("n_docs").over(Window.partitionBy())
+    ).withColumn(
+        "share_bp", F.expr("CAST(n_docs * 10000 DIV total_docs AS BIGINT)")
+    )
+    return (
+        shared.filter(F.col("share_bp") >= 600)
+        .join(srcs, ["lang", "src_class"])
+        .select(
+            "lang", "src_class", "n_docs", "p90_chars",
+            "n_sources", "first_source", "share_bp",
+        )
+    )
+
+
+# --- U3+A4+S6, ninth wave: KMV distinct-estimate UDAF ---------------------------
+
+_KMV_ORACLE = """
+WITH h AS (
+  SELECT c_mktsegment,
+         (c_custkey * 2654435761) % 4294967296 AS hv
+  FROM customer
+),
+ranked AS (
+  SELECT c_mktsegment, hv,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY hv) AS rn,
+         COUNT(*)     OVER (PARTITION BY c_mktsegment)             AS n
+  FROM h
+),
+kth AS (
+  SELECT c_mktsegment,
+         CAST(hv AS BIGINT) AS kth_min_hash,
+         CAST(LEAST(64, n) AS BIGINT) AS k_used
+  FROM ranked WHERE rn = LEAST(64, n)
+),
+exact AS (
+  SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n_exact
+  FROM customer GROUP BY 1
+),
+dims(c_mktsegment, sector) AS (
+  VALUES ('AUTOMOBILE', 'industrial'), ('MACHINERY', 'industrial'),
+         ('BUILDING', 'construction'), ('FURNITURE', 'consumer'),
+         ('HOUSEHOLD', 'consumer')
+)
+SELECT k.c_mktsegment,
+       d.sector,
+       k.k_used,
+       k.kth_min_hash,
+       CAST((k.k_used - 1) * 4294967296 // k.kth_min_hash AS BIGINT)
+         AS est_distinct,
+       CAST(e.n_exact AS BIGINT) AS n_exact
+FROM kth k
+JOIN exact e ON k.c_mktsegment = e.c_mktsegment
+JOIN dims  d ON k.c_mktsegment = d.c_mktsegment
+"""
+
+
+@register(
+    "u_udaf_kmv_distinct",
+    oracle=_KMV_ORACLE,
+    tags=("U3", "A4", "S6"),
+)
+def u_udaf_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3+A4+S6, ninth wave: a KMV (k-minimum-values) distinct-count
+    sketch as a grouped-agg pandas UDAF — the sketch keeps the k=64
+    smallest values of a multiplicative 32-bit hash and estimates
+    distinct count as (k-1)*2^32 / h_k. The hash is pure integer
+    arithmetic ((key * 2654435761) mod 2^32, Knuth's multiplicative
+    scheme) so the oracle reproduces the k-th order statistic and the
+    estimate EXACTLY in SQL — the sketch's correctness is hash-proven,
+    not eyeballed (the same trick u_iter_quantile_sketch uses: sketch
+    mechanics in the engine, arithmetic identity in the oracle). The
+    UDAF maintains a bounded 64-slot buffer per Arrow chunk (true
+    streaming-sketch mechanics, O(k) memory however large the group);
+    the exact count rides beside it for the error audit, and the sector
+    label joins from a 5-row createDataFrame dimension (S6), broadcast.
+
+    Scale: one shuffle on the 5-value segment key; at 100 TB the same
+    UDAF runs unchanged because its state never exceeds 64 int64s —
+    partial-aggregation of KMV sketches (union = merge-and-truncate) is
+    the documented scale path."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def kmv_kth_min(v: pd.Series) -> int:
+        buf = None
+        x = v.to_numpy(dtype="int64")
+        for i in range(0, len(x), 256):
+            chunk = (x[i : i + 256] * 2654435761) % 4294967296
+            buf = chunk if buf is None else np.concatenate([buf, chunk])
+            if len(buf) > 64:
+                buf = np.partition(buf, 63)[:64]
+        k = min(64, len(buf))
+        return int(np.partition(buf, k - 1)[k - 1])
+
+    @pandas_udf("long")
+    def k_used(v: pd.Series) -> int:
+        return int(min(64, len(v)))
+
+    c = load_table(spark, sf_dir, "customer")
+    sketch = c.groupBy("c_mktsegment").agg(
+        k_used(F.col("c_custkey")).alias("k_used"),
+        kmv_kth_min(F.col("c_custkey")).alias("kth_min_hash"),
+    )
+    exact = c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").cast("long").alias("n_exact")
+    )
+    dims = spark.createDataFrame(
+        [
+            ("AUTOMOBILE", "industrial"),
+            ("MACHINERY", "industrial"),
+            ("BUILDING", "construction"),
+            ("FURNITURE", "consumer"),
+            ("HOUSEHOLD", "consumer"),
+        ],
+        "c_mktsegment string, sector string",
+    )
+    return (
+        sketch.join(exact, "c_mktsegment")
+        .join(F.broadcast(dims), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "sector",
+            "k_used",
+            "kth_min_hash",
+            F.expr(
+                "CAST((k_used - 1) * 4294967296 DIV kth_min_hash AS BIGINT)"
+            ).alias("est_distinct"),
+            "n_exact",
+        )
+    )
+
+
+# --- U4+A4+S2, ninth wave: bucketed-min distinct estimator via UDTF ------------
+
+_HLL_BUCKETS_ORACLE = """
+WITH h AS (
+  SELECT (o_custkey * 2246822519) % 4294967296 AS hv
+  FROM orders
+),
+reg AS (
+  SELECT hv % 64 AS bucket,
+         MIN(hv // 64) AS min_v,
+         COUNT(*)      AS n
+  FROM h GROUP BY 1
+),
+expanded AS (
+  SELECT bucket % 8                       AS band,
+         min_v,
+         4294967296 // (min_v + 1)        AS contrib,
+         n
+  FROM reg
+)
+SELECT CAST(band AS BIGINT)               AS band,
+       CAST(COUNT(*) AS BIGINT)           AS n_buckets,
+       CAST(SUM(min_v) AS BIGINT)         AS sum_min_v,
+       CAST(SUM(contrib) // COUNT(*) AS BIGINT) AS est_per_bucket,
+       CAST(SUM(n) AS BIGINT)             AS n_rows
+FROM expanded
+GROUP BY 1
+"""
+
+
+@register(
+    "u_udtf_hll_buckets",
+    oracle=_HLL_BUCKETS_ORACLE,
+    tags=("U4", "A4", "S2"),
+)
+def u_udtf_hll_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4+A4+S2, ninth wave: the stochastic-averaging half of HLL — a
+    64-register bucketed-MIN distinct estimator whose register table is
+    built JVM-side (one combinable groupBy on hash%64) and whose
+    register->estimate expansion runs through a LATERAL UDTF over the
+    64 bounded register rows (the u_udtf_rollup_expand shape: Python
+    table function mechanics, never on fact rows). Per bucket the
+    estimator is domain/(min+1) — with a pure-arithmetic 32-bit hash
+    ((key * 2246822519) mod 2^32) every register value, contribution,
+    and banded estimate is an exact integer the oracle reproduces in
+    SQL: approximate-by-design semantics, hash-proven numbers. The fact
+    arrives through a pipe-delimited quoted CSV round trip (S2 — keys
+    are integers, so the text round trip is lossless by construction).
+
+    Scale: the CSV scan and the register groupBy are the only
+    fact-width stages (both combinable); the UDTF touches exactly 64
+    rows at any data size. 4294967296 = 64 buckets x 2^26 domain,
+    written as one literal (DuckDB folds INT32 products)."""
+    from pyspark.sql.functions import udtf
+
+    from ..sources import scratch_dir
+
+    path = scratch_dir(sf_dir, "orders_keys_csv")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).write.mode("overwrite").option("header", True).option("sep", "|").csv(
+        path
+    )
+    back = (
+        spark.read.options(header=True, sep="|")
+        .schema("o_orderkey long, o_custkey long")
+        .csv(path)
+    )
+    reg = (
+        back.select(
+            ((F.col("o_custkey") * 2246822519) % 4294967296).alias("hv")
+        )
+        .select(
+            (F.col("hv") % 64).alias("bucket"),
+            (F.col("hv") / 64).cast("long").alias("v"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("v").cast("long").alias("min_v"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+    @udtf(returnType="band bigint, min_v bigint, contrib bigint, n bigint")
+    class RegisterExpand:
+        def eval(self, bucket: int, min_v: int, n: int):
+            yield bucket % 8, min_v, 4294967296 // (min_v + 1), n
+
+    spark.udtf.register("hll_register_expand", RegisterExpand)
+    reg.createOrReplaceTempView("hll_registers_r11")
+    expanded = spark.sql(
+        """
+        SELECT r.band, r.min_v, r.contrib, r.n
+        FROM hll_registers_r11 b,
+             LATERAL hll_register_expand(b.bucket, b.min_v, b.n) r
+        """
+    )
+    return expanded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("min_v").cast("long").alias("sum_min_v"),
+        F.expr("CAST(SUM(contrib) DIV COUNT(*) AS BIGINT)").alias(
+            "est_per_bucket"
+        ),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+
+
+# --- U1+F6+S3, ninth wave: pandas UDF over a JSON-lines payload column ---------
+
+_JSON_GATE_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(SUM(user_id % 7 + event_id % 11) AS BIGINT)        AS marks_total
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "u_pandas_json_gate",
+    oracle=_JSON_GATE_ORACLE,
+    tags=("U1", "F6", "S3"),
+)
+def u_pandas_json_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+F6+S3, ninth wave: a JSON sink/scan round trip where part of
+    the payload stays as an EMBEDDED JSON STRING column — the events
+    land in a written .json directory (S3 both directions) as
+    {event_type, payload} with payload itself a to_json'd
+    {v_cents, marks[2]} document (the envelope-in-envelope shape log
+    pipelines actually emit). Read back, the JVM json path extracts the
+    money with get_json_object (F6) while an Arrow scalar pandas UDF
+    (U1) parses the SAME payload with json.loads and folds the marks
+    array — two independent decoders over one string column, both
+    oracle-checked against the pre-serialization arithmetic. Cents are
+    converted to integers BEFORE the text sink so the round trip is
+    lossless.
+
+    Scale: the UDF is Arrow-batched stdlib-json over one string column;
+    at 100 TB the marks fold would move to from_json + aggregate (the
+    JVM spelling lives in F4/F6 queries) — this query pins that the
+    escape hatch agrees with it."""
+    import json as _json
+
+    from ..sources import scratch_dir
+
+    path = scratch_dir(sf_dir, "events_json_gate")
+    load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_json(
+            F.struct(
+                cents(F.col("value")).alias("v_cents"),
+                F.array(
+                    F.col("user_id") % 7, F.col("event_id") % 11
+                ).alias("marks"),
+            )
+        ).alias("payload"),
+    ).write.mode("overwrite").json(path)
+    back = spark.read.schema("event_type string, payload string").json(path)
+
+    @pandas_udf("long")
+    def marks_sum(payload: pd.Series) -> pd.Series:
+        return payload.map(lambda s: sum(_json.loads(s)["marks"]))
+
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.get_json_object("payload", "$.v_cents").cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+        F.sum(marks_sum(F.col("payload"))).cast("long").alias("marks_total"),
+    )
+
+
+# --- U1+P3+P4, ninth wave: UDF-banded predicate gauntlet ------------------------
+
+_BAND_FILTER_ORACLE = """
+WITH banded AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+         (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 250000 AS band
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+    AND c_acctbal BETWEEN -500 AND 9500
+    AND c_name LIKE '%5'
+)
+SELECT c_mktsegment,
+       CAST(band AS BIGINT)              AS band,
+       CAST(COUNT(*) AS BIGINT)          AS n_customers,
+       CAST(SUM(cents) AS BIGINT)        AS total_cents,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+FROM banded
+WHERE (band >= 2 AND NOT c_mktsegment = 'MACHINERY')
+   OR (band = 0 AND c_nationkey < 10)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "u_pandas_band_filter",
+    oracle=_BAND_FILTER_ORACLE,
+    tags=("U1", "P3", "P4"),
+)
+def u_pandas_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+P3+P4, ninth wave: a UDF output inside the predicate gauntlet
+    — an Arrow scalar pandas UDF (U1) bands account balances by exact
+    shifted-integer floor division (cents+100000)//250000 (the shift
+    keeps both engines in positive-operand division, dodging the
+    floor-vs-truncate negative-division split), and the banded rows
+    then pass IN + BETWEEN + LIKE scan predicates (P4) and a boolean
+    COMBINATION over the UDF column itself ((band>=2 AND NOT seg) OR
+    (band=0 AND nation<10), P3) before a per-(segment, band) census.
+    Proves predicate semantics hold when one operand is Python-computed.
+
+    Scale: the scan predicates (IN/BETWEEN/LIKE on native columns) push
+    to the parquet reader BELOW the UDF — only surviving rows pay the
+    Arrow hop; the band predicate necessarily evaluates after it."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def band(v: pd.Series) -> pd.Series:
+        x = v.to_numpy(dtype="float64") * 100.0
+        c = np.trunc(x + np.copysign(0.5, x)).astype("int64")
+        return pd.Series((c + 100000) // 250000)
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE")
+        & F.col("c_acctbal").between(-500, 9500)
+        & F.col("c_name").like("%5")
+    )
+    banded = c.select(
+        "c_mktsegment",
+        "c_nationkey",
+        cents(F.col("c_acctbal")).alias("cents"),
+        band(F.col("c_acctbal")).alias("band"),
+    ).filter(
+        ((F.col("band") >= 2) & ~(F.col("c_mktsegment") == "MACHINERY"))
+        | ((F.col("band") == 0) & (F.col("c_nationkey") < 10))
+    )
+    return banded.groupBy("c_mktsegment", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+    )

@@ -101,87 +101,79 @@ def register(
 #: exactly the first 50 entries), so the prefix must span EVERY SURVEY §2
 #: row — tests/test_registry_order.py pins that invariant.
 #:
-#: Round-10 rotation: rounds 1-9 driver-proved 422 distinct queries; this
+#: Round-11 rotation: rounds 1-10 driver-proved 472 distinct queries; this
 #: round's 50 slots again go EXCLUSIVELY to queries with no successful
-#: driver row, per VERDICT r09 tasks 2/6: first the thin-pool multi-row
-#: providers whose rows would otherwise empty unproven
-#: (s_tojson_fromjson_roundtrip covers S3+P1+F6, m_av_asset_map_census
-#: P3+F5+N6, a_rollup_quarter_collect A5+A6+A9, a_grouping_sets_share
-#: A5+A6, a_map_mode_status A9+F5+A7, j_semi_star_bulk_orders J4+J6,
-#: st_semi_join_static_filter J4+T6+T1, t_session_segment_enrich T3+T6,
-#: st_session_append_eviction T3+T4+T5, st_dedup_sliding_census T2+T7+T5,
-#: u_grouped_map_sessionize U2+T4, o_cohort_flux_setops P7+O4,
-#: n_dedup_distinct_census P7+N1, n_split_contamination_audit N1+N7,
-#: s_csv_null_dialect S2+S6, s_csv_partitioned_prune S2+S5, the five
-#: U-row singletons, j_asof_rate_spine J8, n_embedding_quantize N4),
-#: then BOTH remaining A4 entries (a_distinct_estimator_comparison,
-#: n_countmin_sketch — the entire A4 never-checked pool is
-#: approximate-by-design, so these are the round's only rows-only
-#: slots, per VERDICT r09 task 6), then greedy multi-tag row-coverage
-#: fills, then a drain of the largest unproven pools (A1 120, F3 55,
-#: F2 44, N5 43). Tag coverage of all 66 rows is preserved (pinned in
-#: tests/test_registry_order.py).
+#: driver row, per VERDICT r10 task 3: first the UNION of the 34 §2 rows
+#: whose never-checked pool is down to exactly 2 members, taking BOTH
+#: members of each pair so those pools convert together (37 distinct
+#: queries — e.g. u_iter_quantile_sketch+a_hll_exact_bands empty A4,
+#: u_udtf_rollup_expand+a_rollup_map_mode empty A5, j_star_semi_anti_census
+#: +st_sliding_star_gate empty J4/J6, j_asof_csv_rates+j_asof_ordered_spine
+#: empty J8, m_asset_embedding_knn+n_knn_holdout_eval empty N4,
+#: o_weekday_cohort_except+o_segment_symdiff_prune empty P7/O4, the
+#: st_* sliding/session gates empty T1/T2/T3/T5/T6, the u_pandas/u_iter
+#: eighth-wave providers empty U1/U3/U4/U5/P1/S2/S6); then one
+#: rows-only-by-design slot (n_minhash_jaccard_calibration, VERDICT r10
+#: task 7 — keeps the self-validation pattern under driver exercise);
+#: then greedy multi-tag row-coverage fills; then a drain of the largest
+#: unproven pools (A1 98, F3 38, N5 32, A2 31). Tag coverage of all 66
+#: rows is preserved (pinned in tests/test_registry_order.py).
 _PRIORITY = (
-    # ---- round-10 sweep prefix: 50 never-driver-checked slots ----
-    "s_tojson_fromjson_roundtrip",
-    "m_av_asset_map_census",
-    "a_rollup_quarter_collect",
-    "a_grouping_sets_share",
-    "a_map_mode_status",
-    "j_semi_star_bulk_orders",
-    "st_semi_join_static_filter",
-    "t_session_segment_enrich",
-    "st_session_append_eviction",
-    "st_dedup_sliding_census",
-    "u_grouped_map_sessionize",
-    "o_cohort_flux_setops",
-    "n_dedup_distinct_census",
-    "n_split_contamination_audit",
-    "s_csv_null_dialect",
-    "s_csv_partitioned_prune",
-    "u_pandas_weekday_value",
-    "u_udaf_median_low_cents",
-    "u_udtf_fiscal_spine",
-    "u_iter_partition_histogram",
-    "j_asof_rate_spine",
-    "n_embedding_quantize",
-    "a_distinct_estimator_comparison",
-    "n_countmin_sketch",
-    "j_spatial_grid_nn",
-    "s_merge_on_read_deletes",
-    "n_bpe_merge_simulation",
-    "o_spine_gap_rank",
-    "n_dpo_preference_pairs",
-    "n_pps_systematic_sample",
-    "n_repeated_ngram_spans",
-    "sql_identifier_clause",
-    "j_star_degenerate_dims",
-    "sql_q15_top_supplier",
-    "t_seasonality_dow_profile",
-    "t_max_drawdown",
-    "n_span_corruption_stats",
-    "n_seq_length_histogram",
-    "n_heaps_law_fit",
-    "n_zipf_law_fit",
-    "n_bigram_entropy_rate",
-    "n_temperature_sampling_weights",
-    "w_rolling_regression_slope",
-    "t_cross_correlation_lags",
-    "t_segmented_regression",
-    "t_burstiness_fano",
-    "t_interarrival_burstiness",
-    "t_permutation_entropy",
-    "a_spearman_rank_corr",
-    "a_kruskal_wallis_dow",
+    # ---- round-11 sweep prefix: 50 never-driver-checked slots ----
+    "u_iter_quantile_sketch",
+    "a_hll_exact_bands",
+    "u_udtf_rollup_expand",
+    "a_rollup_map_mode",
+    "a_map_collect_entries",
+    "u_pandas_json_risk",
+    "s_json_lines_roundtrip",
+    "a_ipf_raking",
+    "e_ipw_adjustment",
+    "j_star_semi_anti_census",
+    "st_sliding_star_gate",
+    "s_constraint_audit_all_tables",
+    "j_asof_csv_rates",
+    "j_asof_ordered_spine",
+    "m_manifest_dedup_audit",
+    "n_udtf_prefix_contamination",
+    "m_asset_embedding_knn",
+    "n_knn_holdout_eval",
+    "t_m4_downsample",
+    "o_weekday_cohort_except",
+    "o_segment_symdiff_prune",
+    "u_pandas_udaf_mad_band",
+    "s_json_nested_audit",
+    "sql_execute_immediate",
+    "sql_q88_time_bands",
+    "u_iter_csv_extremes",
+    "s_parquet_storage_report",
+    "s_incremental_agg_maintenance",
+    "s_two_level_partition_prune",
+    "t_tumbling_window",
+    "st_sliding_append_eviction",
+    "st_session_static_gate",
+    "st_session_dedup_quiet",
+    "u_grouped_map_gap_sessions",
+    "st_apply_state_day_census",
+    "t_event_order_skew",
+    "u_udaf_winsorized_share",
+    "n_minhash_jaccard_calibration",
+    "n_tfidf_doc_similarity",
+    "e_snaive_forecast_backtest",
+    "s_rendezvous_sharding",
+    "n_encoding_audit",
+    "a_cooks_distance_outliers",
+    "s_provenance_manifest",
+    "e_linear_attribution",
+    "e_markov_next_event_eval",
+    "m_av_sync_drift",
+    "e_decay_engagement_score",
+    "t_fiscal_445_calendar",
+    "t_pinball_loss_eval",
     # ---- slots past the 50-entry sweep budget: every remaining
     # never-driver-checked query, registration order, so a larger
     # sweep still lands on new proof first ----
-    "sql_execute_immediate",
-    "sql_q88_time_bands",
     "s_analyze_table_stats",
-    "s_provenance_manifest",
-    "s_parquet_storage_report",
-    "s_two_level_partition_prune",
     "a_exact_quantiles",
     "a_percentile_cont_disc",
     "w_moving_avg",
@@ -198,32 +190,21 @@ _PRIORITY = (
     "f_interval_arithmetic",
     "f_timezone_functions",
     "f_rounding_mode_audit",
-    "t_tumbling_window",
-    "e_decay_engagement_score",
-    "t_event_order_skew",
-    "e_snaive_forecast_backtest",
-    "t_fiscal_445_calendar",
-    "t_m4_downsample",
-    "t_pinball_loss_eval",
     "t_drift_psi_weekly",
     "t_peak_detection",
     "e_spike_root_cause_drilldown",
-    "e_linear_attribution",
     "e_dau_mau_stickiness",
     "e_growth_accounting",
     "e_bounce_rate",
     "e_shapley_attribution",
     "e_funnel_exclusion_steps",
-    "e_markov_next_event_eval",
     "e_nps_score_ci",
     "e_gains_lift_table",
     "st_transform_with_state",
-    "st_sliding_append_eviction",
     "s_observe_qc_metrics",
     "s_profile_table",
     "j_bloom_runtime_filter",
     "s_benford_qc",
-    "s_rendezvous_sharding",
     "n_bigram_lm_score",
     "n_dataset_card",
     "n_lang_quality_bands",
@@ -232,10 +213,8 @@ _PRIORITY = (
     "n_sentence_stats",
     "n_code_detection_score",
     "n_blocklist_filter",
-    "n_encoding_audit",
     "n_stemming_normalize",
     "n_watermark_detection",
-    "n_tfidf_doc_similarity",
     "n_autocomplete_prefix_topk",
     "n_feature_scaling_params",
     "n_calibration_ece",
@@ -254,14 +233,11 @@ _PRIORITY = (
     "n_simhash",
     "n_minhash_lsh_mllib",
     "n_lsh_parameter_sensitivity",
-    "n_minhash_jaccard_calibration",
     "n_lsh_br_planner",
     "n_embedding_drift_psi",
     "n_embedding_isotropy",
-    "s_incremental_agg_maintenance",
     "n_curriculum_phases",
     "n_group_kfold",
-    "m_av_sync_drift",
     "m_payload_integrity_audit",
     "m_magic_bytes_sniff",
     "g_pagerank_parts",
@@ -290,10 +266,8 @@ _PRIORITY = (
     "a_mutual_information_2d",
     "a_empirical_bayes_shrinkage",
     "a_cvar_expected_shortfall",
-    "a_cooks_distance_outliers",
     "a_hodges_lehmann_estimator",
     "a_negbin_moments_fit",
-    "a_ipf_raking",
     "a_theil_decomposition",
     "a_jackknife_gini_se",
     "e_cohort_ltv_triangle",
@@ -301,7 +275,6 @@ _PRIORITY = (
     "e_repurchase_rate_30d",
     "e_kpi_driver_decomposition",
     "e_cuped_adjustment",
-    "e_ipw_adjustment",
     "e_retention_curve_fit",
     "e_propensity_rank_matching",
     "e_ratio_delta_method_ci",
@@ -325,34 +298,7 @@ _PRIORITY = (
     "e_mde_runtime_curve",
     "a_k_anonymity_audit",
     "n_dp_noisy_counts",
-    "s_constraint_audit_all_tables",
     "s_crypto_shredding",
-    # ---- eighth restock wave (round 10, never-checked) ----
-    "u_pandas_json_risk",
-    "u_pandas_udaf_mad_band",
-    "u_grouped_map_gap_sessions",
-    "u_udtf_rollup_expand",
-    "u_iter_csv_extremes",
-    "u_iter_quantile_sketch",
-    "u_udaf_winsorized_share",
-    "a_hll_exact_bands",
-    "a_map_collect_entries",
-    "a_rollup_map_mode",
-    "s_json_lines_roundtrip",
-    "s_json_nested_audit",
-    "m_asset_embedding_knn",
-    "m_manifest_dedup_audit",
-    "n_udtf_prefix_contamination",
-    "n_knn_holdout_eval",
-    "j_star_semi_anti_census",
-    "j_asof_csv_rates",
-    "j_asof_ordered_spine",
-    "o_weekday_cohort_except",
-    "o_segment_symdiff_prune",
-    "st_session_static_gate",
-    "st_sliding_star_gate",
-    "st_session_dedup_quiet",
-    "st_apply_state_day_census",
 )
 
 
