@@ -2814,3 +2814,398 @@ def j_asof_ordered_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("running_cents"),
     )
+
+
+# --- J2+J6+S5, ninth wave: partition-pruned star over a scratch sink -----------
+
+_STAR_PRUNE_ORACLE = """
+SELECT n_name,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY n_name, o_orderpriority
+"""
+
+
+@register(
+    "j_star_prune_broadcast",
+    oracle=_STAR_PRUNE_ORACLE,
+    tags=("J2", "J6", "S5"),
+)
+def j_star_prune_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+J6+S5, ninth wave: the star join whose FACT arrives through a
+    priority-partitioned parquet sink — orders are written
+    partitionBy(o_orderpriority) to scratch (S5) and read back with an
+    IN filter on the partition column, so the express classes are
+    selected by DIRECTORY PRUNING (the scan never opens the other three
+    partitions' files), then star-joined to two explicitly broadcast
+    dimensions (J2: customer is small at this keying? no — customer is
+    the larger dim, so only nation is hinted; the J2 mechanism is the
+    hint on nation while AQE independently picks broadcast for customer
+    at this scale) in a multi-way chain (J6) and rolled up per (nation,
+    priority). Money in exact integer cents.
+
+    Scale: at 100 TB the partition layout IS the predicate index —
+    pruning removes 3/5 of the fact before any IO; nation (25 rows)
+    broadcasts at any scale, customer would shuffle-hash-join at real
+    scale exactly as this declarative plan lets AQE decide."""
+    from ..sources import (
+        artifact_is_current,
+        mark_artifact,
+        scratch_dir,
+        table_fingerprint,
+    )
+
+    path = scratch_dir(sf_dir, "orders_by_priority")
+    fp = table_fingerprint(sf_dir, "orders", params="star-prune-v1")
+    if not artifact_is_current(path, fp):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            cents(F.col("o_totalprice")).alias("price_cents"),
+            "o_orderpriority",
+        ).write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+        mark_artifact(path, fp)
+    fact = spark.read.parquet(path).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        fact.join(c, fact.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+# --- J2+J4+J6, ninth wave: semi-gated broadcast star over lineitem -------------
+
+_SEMI_GATE_ORACLE = """
+SELECT n_name,
+       CAST(YEAR(l_shipdate) AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT)         AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE l_partkey IN (
+  SELECT p_partkey FROM part WHERE p_size BETWEEN 40 AND 50
+)
+GROUP BY n_name, YEAR(l_shipdate)
+"""
+
+
+@register(
+    "j_broadcast_semi_gate",
+    oracle=_SEMI_GATE_ORACLE,
+    tags=("J2", "J4", "J6"),
+)
+def j_broadcast_semi_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+J4+J6, ninth wave: the lineitem fact is REDUCED FIRST by a
+    broadcast LEFT SEMI join against the large-size part slice (J4 — a
+    semi join never widens rows, so it is the cheapest possible first
+    gate), then flows up the supplier->nation star chain (J6) with the
+    25-row nation explicitly broadcast (J2). Revenue uses the exact
+    half-away integer-cents rounding of the discounted price, stated
+    identically in the oracle.
+
+    Scale: gate-first ordering is the load-bearing choice — the semi
+    gate drops ~80% of fact rows before the supplier shuffle; both dims
+    after it broadcast (supplier by AQE at this scale, nation by hint
+    at any scale). One fact-width shuffle total."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("yr"),
+        F.expr(
+            "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("rev_cents"),
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(40, 50))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    gated = li.join(broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    return (
+        gated.join(s, gated.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+# --- J8+O1+O4, ninth wave: reporting-calendar as-of with EXCEPT gap audit -------
+
+_ASOF_SPINE_EXCEPT_ORACLE = """
+WITH daily AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'express' ELSE 'standard' END AS cls,
+         o_orderdate AS day_date,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS day_cents
+  FROM orders
+  WHERE o_orderkey % 53 = 7
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT c.cls, DATE '1995-01-07' + INTERVAL (k.k * 7) DAY AS week_date
+  FROM (VALUES ('express'), ('standard')) AS c(cls),
+       generate_series(0, 359) AS k(k)
+),
+matched AS (
+  SELECT s.cls, s.week_date, d.day_date, d.day_cents
+  FROM spine s ASOF LEFT JOIN daily d
+    ON s.cls = d.cls AND s.week_date >= d.day_date
+),
+ledger AS (
+  SELECT cls, week_date,
+         CASE WHEN day_date IS NULL THEN -1
+              ELSE DATEDIFF('day', day_date, week_date) END AS carried_age_days,
+         COALESCE(day_cents, 0) AS carried_cents,
+         CASE WHEN day_date IS NOT NULL
+               AND DATEDIFF('day', day_date, week_date) < 7
+              THEN 0 ELSE 1 END AS is_gap
+  FROM matched
+)
+SELECT cls, week_date,
+       CAST(ROW_NUMBER() OVER (ORDER BY cls, week_date) AS BIGINT) AS pos,
+       CAST(carried_age_days AS BIGINT) AS carried_age_days,
+       CAST(carried_cents AS BIGINT)    AS carried_cents,
+       CAST(is_gap AS BIGINT)           AS is_gap,
+       CAST(SUM(1 - is_gap) OVER (ORDER BY cls, week_date
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS run_fresh
+FROM ledger
+"""
+
+
+@register(
+    "j_asof_spine_except",
+    oracle=_ASOF_SPINE_EXCEPT_ORACLE,
+    tags=("J8", "O1", "O4"),
+)
+def j_asof_spine_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8+O1+O4, ninth wave: the as-of join pointed the REPORTING way —
+    the weekly calendar spine is the LEFT side and each week carries
+    the latest daily total at-or-before it (every prior as-of query
+    attributes facts to a spine; this one snapshots facts onto a
+    calendar). The fact is a 1/53 modulo slice so weeks with NO
+    activity in their trailing 7 days genuinely exist; those gap weeks
+    are derived with exceptAll (O4: all spine weeks minus fresh weeks
+    — the set-op output is what feeds the is_gap flag, re-joined by
+    key) and the result is a LEDGER under a global total order (O1):
+    position index and running fresh-week count over (cls, week), the
+    cross-partition sort that gives the rows their meaning.
+
+    Scale: daily pre-aggregation is combinable; the asof rewrite is one
+    sort per class; the except and the ledger window run on 720
+    calendar rows — bounded by the calendar, never by data size."""
+    from ..operators.asof import asof_join
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 53 == 7)
+        .groupBy(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "express"
+            )
+            .otherwise("standard")
+            .alias("cls"),
+            F.col("o_orderdate").alias("day_date"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("long").alias("day_cents"))
+    )
+    spine = spark.range(360).select(
+        F.explode(F.array(F.lit("express"), F.lit("standard"))).alias("cls"),
+        F.date_add(F.lit("1995-01-07").cast("date"), (F.col("id") * 7).cast("int"))
+        .alias("week_date"),
+    )
+    matched = asof_join(
+        left=spine,
+        right=daily,
+        on="cls",
+        left_time="week_date",
+        right_time="day_date",
+    )
+    ledger = matched.select(
+        "cls",
+        "week_date",
+        F.when(F.col("day_date").isNull(), F.lit(-1))
+        .otherwise(F.datediff("week_date", "day_date"))
+        .cast("long")
+        .alias("carried_age_days"),
+        F.coalesce("day_cents", F.lit(0)).cast("long").alias("carried_cents"),
+    )
+    fresh = ledger.filter(
+        (F.col("carried_age_days") >= 0) & (F.col("carried_age_days") < 7)
+    ).select("cls", "week_date")
+    gaps = spine.select("cls", "week_date").exceptAll(fresh).withColumn(
+        "is_gap", F.lit(1).cast("long")
+    )
+    flagged = ledger.join(gaps, ["cls", "week_date"], "left").withColumn(
+        "is_gap", F.coalesce("is_gap", F.lit(0)).cast("long")
+    )
+    w = Window.orderBy("cls", "week_date")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.select(
+        "cls",
+        "week_date",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "carried_age_days",
+        "carried_cents",
+        "is_gap",
+        F.sum(F.lit(1) - F.col("is_gap")).over(wrun).cast("long").alias("run_fresh"),
+    )
+
+
+# --- J8+S4+S5, ninth wave: as-of against a partition-pruned index sink ----------
+
+_ASOF_SINK_RATES_ORACLE = """
+WITH idx AS (
+  SELECT p.pri,
+         DATE '1995-01-01' + (s.seq * INTERVAL 1 MONTH) AS snap_date,
+         9000 + (s.seq * 53 + p.ci * 29) % 2000 AS index_bp
+  FROM (VALUES ('1-URGENT', 0), ('2-HIGH', 1)) AS p(pri, ci),
+       generate_series(0, 83) AS s(seq)
+  WHERE s.seq % 3 = 1
+),
+fact AS (
+  SELECT o_orderpriority AS pri, o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+),
+matched AS (
+  SELECT f.pri, f.o_orderdate, f.price_cents, i.index_bp
+  FROM fact f ASOF LEFT JOIN idx i
+    ON f.pri = i.pri AND f.o_orderdate >= i.snap_date
+)
+SELECT pri,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT)          AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE index_bp IS NULL) AS BIGINT)
+         AS n_unindexed,
+       CAST(SUM(price_cents) AS BIGINT)  AS raw_cents,
+       CAST(COALESCE(SUM(price_cents * index_bp // 10000)
+                     FILTER (WHERE index_bp IS NOT NULL), 0) AS BIGINT)
+         AS indexed_cents
+FROM matched
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "j_asof_sink_rates",
+    oracle=_ASOF_SINK_RATES_ORACLE,
+    tags=("J8", "S4", "S5"),
+)
+def j_asof_sink_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8+S4+S5, ninth wave: as-of restatement where BOTH join inputs
+    arrive through scratch parquet sinks — the quarterly index table
+    (formula-generated: snapshots only at months seq%3==1, so the carry
+    genuinely spans months) is written partitionBy(pri) and read back
+    with an IN filter that directory-prunes to the two express classes
+    (S5), while the fact subset round-trips a plain parquet sink (S4).
+    January-1995 orders predate the first snapshot and carry NULL —
+    counted as n_unindexed and excluded from the indexed sum with the
+    same FILTER semantics on both sides.
+
+    Scale: at 100 TB the index sink is the published reference-data
+    table (tiny, partition-pruned, broadcast into the asof rewrite);
+    the fact sink models the staged ingest layer. The asof rewrite is
+    one sort per class; integer basis-point math per row."""
+    from ..operators.asof import asof_join
+    from ..sources import (
+        artifact_is_current,
+        mark_artifact,
+        scratch_dir,
+        table_fingerprint,
+    )
+
+    pris = [("1-URGENT", 0), ("2-HIGH", 1)]
+    idx_path = scratch_dir(sf_dir, "rate_index_by_pri")
+    idx_fp = table_fingerprint(sf_dir, params="asof-sink-idx-v1")
+    if not artifact_is_current(idx_path, idx_fp):
+        idx = (
+            spark.range(84)
+            .filter(F.col("id") % 3 == 1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(p).alias("pri"), F.lit(ci).alias("ci"))
+                            for p, ci in pris
+                        ]
+                    )
+                ).alias("pc"),
+                F.col("id").alias("seq"),
+            )
+            .select(
+                F.col("pc.pri").alias("pri"),
+                F.add_months(
+                    F.lit("1995-01-01").cast("date"), F.col("seq").cast("int")
+                ).alias("snap_date"),
+                (9000 + (F.col("seq") * 53 + F.col("pc.ci") * 29) % 2000)
+                .cast("long")
+                .alias("index_bp"),
+            )
+        )
+        idx.write.mode("overwrite").partitionBy("pri").parquet(idx_path)
+        mark_artifact(idx_path, idx_fp)
+    fact_path = scratch_dir(sf_dir, "express_orders_plain")
+    fact_fp = table_fingerprint(sf_dir, "orders", params="asof-sink-fact-v1")
+    if not artifact_is_current(fact_path, fact_fp):
+        load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        ).select(
+            F.col("o_orderpriority").alias("pri"),
+            "o_orderdate",
+            cents(F.col("o_totalprice")).alias("price_cents"),
+        ).write.mode("overwrite").parquet(fact_path)
+        mark_artifact(fact_path, fact_fp)
+    idx_back = spark.read.parquet(idx_path).filter(
+        F.col("pri").isin("1-URGENT", "2-HIGH")
+    ).select("pri", "snap_date", "index_bp")
+    fact_back = spark.read.parquet(fact_path)
+    matched = asof_join(
+        left=fact_back,
+        right=idx_back,
+        on="pri",
+        left_time="o_orderdate",
+        right_time="snap_date",
+    )
+    return matched.groupBy(
+        "pri", F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count(F.when(F.col("index_bp").isNull(), 1))
+        .cast("long")
+        .alias("n_unindexed"),
+        F.sum("price_cents").cast("long").alias("raw_cents"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("index_bp").isNotNull(),
+                    F.expr("CAST(price_cents * index_bp DIV 10000 AS BIGINT)"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("indexed_cents"),
+    )

@@ -2320,3 +2320,119 @@ def n_udtf_prefix_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_val_contaminated"),
     )
+
+
+# --- N7+P7+O4+U4, ninth wave: UDTF k-fold expansion with leak audit ------------
+
+_FOLD_SPLIT_ORACLE = """
+WITH folds AS (SELECT UNNEST(GENERATE_SERIES(0, 4)) AS fold),
+assign AS (
+  SELECT f.fold, d.doc_id, d.lang, d.n_chars,
+         CASE WHEN d.doc_id % 5 = f.fold THEN 'test' ELSE 'train' END AS role
+  FROM documents d, folds f
+),
+leak AS (
+  SELECT f.fold, COUNT(*) AS n_leaked FROM folds f
+  LEFT JOIN (
+    SELECT fold, doc_id FROM assign WHERE role = 'test'
+    INTERSECT
+    SELECT fold, doc_id FROM assign WHERE role = 'train'
+  ) x ON f.fold = x.fold
+  GROUP BY f.fold
+),
+langs AS (
+  SELECT fold, COUNT(*) AS n_test_langs FROM (
+    SELECT DISTINCT fold, lang FROM assign WHERE role = 'test'
+  ) GROUP BY fold
+)
+SELECT a.fold,
+       CAST(COUNT(*) FILTER (WHERE role = 'train') AS BIGINT) AS n_train,
+       CAST(COUNT(*) FILTER (WHERE role = 'test') AS BIGINT)  AS n_test,
+       CAST(SUM(n_chars) FILTER (WHERE role = 'test') AS BIGINT)
+         AS test_chars,
+       CAST(MAX(l.n_leaked) - 1 AS BIGINT)                    AS n_leaked,
+       CAST(MAX(g.n_test_langs) AS BIGINT)                    AS n_test_langs
+FROM assign a
+JOIN leak  l ON a.fold = l.fold
+JOIN langs g ON a.fold = g.fold
+GROUP BY a.fold
+"""
+
+
+@register(
+    "n_fold_split_eval",
+    oracle=_FOLD_SPLIT_ORACLE,
+    tags=("N7", "P7", "O4", "U4"),
+)
+def n_fold_split_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N7+P7+O4+U4, ninth wave: deterministic 5-fold cross-validation
+    assignment built by a LATERAL UDTF — each document expands into its
+    five (fold, role) memberships (test exactly where doc_id%5 equals
+    the fold, train in the other four: the zero-RNG fold scheme a
+    reproducible training pipeline wants, N7), and the audit then
+    PROVES the partition property instead of assuming it: per fold,
+    test INTERSECT train is materialized (O4 — its count lands in the
+    output as n_leaked, 0 by construction but computed, not asserted)
+    and test-language coverage comes from a DISTINCT stage (P7).
+
+    Scale: the UDTF emits a constant 5 rows per doc (fact x 5, the same
+    LATERAL fact-expansion budget n_udtf_prefix_contamination set);
+    the intersect and distinct run on (fold, key) pairs — combinable
+    shuffles; nothing is quadratic. The oracle's n_leaked arithmetic
+    (COUNT over a LEFT JOIN minus 1) equals Spark's direct count of
+    intersect rows per fold coalesced to 0."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="fold bigint, role string")
+    class FoldExpand:
+        def eval(self, doc_id: int):
+            for f in range(5):
+                yield f, ("test" if doc_id % 5 == f else "train")
+
+    spark.udtf.register("fold_expand", FoldExpand)
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).createOrReplaceTempView("fold_docs_r11")
+    assign = spark.sql(
+        """
+        SELECT f.fold, d.doc_id, d.lang, d.n_chars, f.role
+        FROM fold_docs_r11 d, LATERAL fold_expand(d.doc_id) f
+        """
+    )
+    test = assign.filter(F.col("role") == "test")
+    train = assign.filter(F.col("role") == "train")
+    leaked = (
+        test.select("fold", "doc_id")
+        .intersect(train.select("fold", "doc_id"))
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked"))
+    )
+    langs = (
+        test.select("fold", "lang")
+        .distinct()
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_test_langs"))
+    )
+    base = assign.groupBy("fold").agg(
+        F.sum(F.when(F.col("role") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("role") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.sum(F.when(F.col("role") == "test", F.col("n_chars")))
+        .cast("long")
+        .alias("test_chars"),
+    )
+    return (
+        base.join(leaked, "fold", "left")
+        .join(langs, "fold")
+        .select(
+            "fold",
+            "n_train",
+            "n_test",
+            "test_chars",
+            F.coalesce("n_leaked", F.lit(0)).cast("long").alias("n_leaked"),
+            "n_test_langs",
+        )
+    )

@@ -2505,3 +2505,156 @@ def n_knn_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV COUNT(*) AS BIGINT)"
         ).alias("acc_ppm"),
     )
+
+
+# --- N1+N4+N7+U5, ninth wave: dedup -> blockwise kNN -> language eval ----------
+
+def _dedup_knn_oracle() -> str:
+    dim = 64
+    dot_ab = dot_unrolled_sql("a.embedding", "b.embedding", dim)
+    return f"""
+WITH fps AS (
+  SELECT doc_id, lang, LEFT(LOWER(TRIM(text)), 40) AS fp
+  FROM documents WHERE text IS NOT NULL
+),
+survivors AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fps
+  ) t WHERE rn = 1
+),
+corpus AS (
+  SELECT s.doc_id AS vec_id, s.lang, e.embedding,
+         {norm_unrolled_sql("e.embedding", dim)} AS nrm
+  FROM survivors s JOIN embeddings e ON s.doc_id = e.vec_id
+),
+probes AS (
+  SELECT * FROM corpus WHERE vec_id % 50 = 3
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, a.lang AS true_lang,
+         b.vec_id AS neighbor_id, b.lang AS neighbor_lang,
+         ({dot_ab}) / (a.nrm * b.nrm) AS sim
+  FROM probes a, corpus b
+  WHERE a.vec_id <> b.vec_id
+),
+top3 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rnk
+    FROM pairs
+  ) t WHERE rnk <= 3
+),
+votes AS (
+  SELECT query_id, true_lang, neighbor_lang, COUNT(*) AS n_votes
+  FROM top3 GROUP BY query_id, true_lang, neighbor_lang
+),
+pred AS (
+  SELECT query_id, true_lang, neighbor_lang AS predicted
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, neighbor_lang ASC)
+             AS vr
+    FROM votes
+  ) t WHERE vr = 1
+)
+SELECT true_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN predicted = true_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN predicted = true_lang THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+FROM pred
+GROUP BY true_lang
+"""
+
+
+@register(
+    "n_dedup_knn_pipeline",
+    oracle=_dedup_knn_oracle(),
+    tags=("N1", "N4", "N7", "U5"),
+)
+def n_dedup_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1+N4+N7+U5, ninth wave: the three-stage curation pipeline in one
+    plan — (1) exact dedup with keep-min survivorship on the normalized
+    40-char fingerprint (N1: the row_number-over-fp idiom, so only one
+    doc per collision group feeds the index); (2) brute-force cosine
+    kNN where the CORPUS STREAMS through the mapInPandas blockwise
+    operator (U5 — cosine_topk_blockwise: the probe slab rides the UDF
+    closure, each Arrow batch computes its numpy block and emits local
+    top-k only, the shape that survives 100 TB); (3) a language
+    classifier eval (N7): each 3-mod-50 probe predicts its language by
+    3-NN majority vote (count desc, lang asc tie-break) and per-language
+    accuracy is stated in exact integer ppm.
+
+    Scale: the probe slab is |survivors|/50 rows — the documented
+    bounded-probe contract of the blockwise operator (the collect is
+    the broadcast, not a driver loop); nothing quadratic materializes;
+    the dedup is one fingerprint shuffle."""
+    from ..operators.similarity import cosine_topk_blockwise
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.lower(F.trim("text")).substr(1, 40).alias("fp"),
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    survivors = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = survivors.join(e, survivors.doc_id == e.vec_id).select(
+        "vec_id", "lang", "embedding"
+    )
+    probes_pdf = (
+        corpus.filter(F.col("vec_id") % 50 == 3)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    top3 = cosine_topk_blockwise(
+        corpus,
+        probes_pdf,
+        c_id="vec_id",
+        c_vec="embedding",
+        k=3,
+        dim=DIM,
+        out_query_col="query_id",
+        out_neighbor_col="neighbor_id",
+    )
+    langs = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("lang").alias("neighbor_lang")
+    )
+    true_langs = corpus.select(
+        F.col("vec_id").alias("query_id"), F.col("lang").alias("true_lang")
+    )
+    votes = (
+        top3.join(langs, "neighbor_id")
+        .join(true_langs, "query_id")
+        .groupBy("query_id", "true_lang", "neighbor_lang")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("neighbor_lang")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_lang", F.col("neighbor_lang").alias("predicted"))
+    )
+    return pred.groupBy("true_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("predicted") == F.col("true_lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "CAST(SUM(CASE WHEN predicted = true_lang THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("acc_ppm"),
+    )

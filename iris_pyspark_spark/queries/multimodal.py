@@ -1364,3 +1364,207 @@ def m_manifest_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dup_groups"),
     )
+
+
+# === Ninth wave (round 11): N6 depth restocks ==================================
+
+# --- N1+N6+J5, ninth wave: anti-join survivorship over the asset manifest ------
+
+_FP_ANTI_ORACLE = """
+WITH assets AS (
+  SELECT d.doc_id,
+         CASE WHEN e.label >= 5 THEN 'video' ELSE 'audio' END AS kind,
+         LEFT(LOWER(TRIM(d.text)), 40) AS fp,
+         d.n_chars
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.text IS NOT NULL
+),
+dup_fps AS (
+  SELECT fp FROM assets GROUP BY fp HAVING COUNT(*) > 1
+),
+uniq AS (
+  SELECT a.* FROM assets a ANTI JOIN dup_fps u ON a.fp = u.fp
+),
+tot AS (
+  SELECT kind, COUNT(*) AS n_assets, SUM(n_chars) AS chars_total
+  FROM assets GROUP BY kind
+),
+uq AS (
+  SELECT kind, COUNT(*) AS n_unique, SUM(n_chars) AS chars_unique
+  FROM uniq GROUP BY kind
+)
+SELECT t.kind,
+       CAST(t.n_assets AS BIGINT)                          AS n_assets,
+       CAST(COALESCE(u.n_unique, 0) AS BIGINT)             AS n_unique,
+       CAST(t.n_assets - COALESCE(u.n_unique, 0) AS BIGINT) AS n_dup_members,
+       CAST(t.chars_total AS BIGINT)                       AS chars_total,
+       CAST(COALESCE(u.chars_unique, 0) AS BIGINT)         AS chars_unique
+FROM tot t LEFT JOIN uq u ON t.kind = u.kind
+"""
+
+
+@register(
+    "m_fingerprint_anti_audit",
+    oracle=_FP_ANTI_ORACLE,
+    tags=("N1", "N6", "J5"),
+)
+def m_fingerprint_anti_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1+N6+J5, ninth wave: dedup SURVIVORSHIP stated as an anti-join
+    — where m_manifest_dedup_audit censuses duplicate groups, this
+    query materializes the CLEAN SET: assets whose normalized 40-char
+    payload fingerprint (the key this corpus actually collides on)
+    appears exactly once, derived by LEFT ANTI joining the manifest
+    against the >1-count fingerprint list (J5 — the anti-join IS the
+    dedup filter, the production spelling when the dup list is a
+    separately-maintained table). The manifest is multimodal (N6):
+    kind comes from the embedding-side label, so the audit spans the
+    doc/embedding join, and the payload-volume columns state how many
+    characters survive per modality.
+
+    Scale: the dup-fingerprint list is one combinable groupBy;
+    the anti-join shuffles on the 40-char key once (at 100 TB the key
+    becomes sha2(fp) to bound width — same plan); both censuses are
+    bounded 2-key aggregates."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    assets = d.join(e, d.doc_id == e.vec_id).select(
+        F.struct(
+            F.when(F.col("label") >= 5, "video").otherwise("audio").alias(
+                "kind"
+            ),
+            F.lower(F.trim("text")).substr(1, 40).alias("fp"),
+            "n_chars",
+        ).alias("asset")
+    ).select(
+        F.col("asset.kind").alias("kind"),
+        F.col("asset.fp").alias("fp"),
+        F.col("asset.n_chars").alias("n_chars"),
+    )
+    dup_fps = (
+        assets.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("fp")
+    )
+    uniq = assets.join(dup_fps, "fp", "left_anti")
+    tot = assets.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+    uq = uniq.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum("n_chars").cast("long").alias("chars_unique"),
+    )
+    return tot.join(uq, "kind", "left").select(
+        "kind",
+        "n_assets",
+        F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+        (F.col("n_assets") - F.coalesce("n_unique", F.lit(0)))
+        .cast("long")
+        .alias("n_dup_members"),
+        "chars_total",
+        F.coalesce("chars_unique", F.lit(0)).cast("long").alias("chars_unique"),
+    )
+
+
+# --- N4+N6+P3, ninth wave: patch-grid kNN with struct-derived output -----------
+
+def _patch_knn_oracle() -> str:
+    from ..operators.similarity import dot_unrolled_sql, norm_unrolled_sql
+
+    dim = 64
+    dot_ab = dot_unrolled_sql("a.embedding", "b.embedding", dim)
+    return f"""
+WITH assets AS (
+  SELECT e.vec_id, e.embedding, e.label, d.lang, d.n_chars,
+         (e.label % 4) + 1 AS grid_w,
+         {norm_unrolled_sql("e.embedding", dim)} AS nrm
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+corpus AS (
+  SELECT * FROM assets
+  WHERE (label % 2 = 0 AND NOT lang = 'zh') OR n_chars >= 200
+),
+probes AS (
+  SELECT * FROM assets WHERE vec_id % 100 = 7
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ({dot_ab}) / (a.nrm * b.nrm) AS sim,
+         b.grid_w * b.grid_w AS neighbor_cells
+  FROM probes a, corpus b
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, sim, rnk, CAST(neighbor_cells AS BIGINT)
+         AS neighbor_cells
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM pairs
+) t WHERE rnk <= 5
+"""
+
+
+@register(
+    "m_patch_knn_rank",
+    oracle=_patch_knn_oracle(),
+    tags=("N4", "N6", "P3"),
+)
+def m_patch_knn_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4+N6+P3, ninth wave: similarity search where the multimodal
+    struct DERIVES the answer columns — each asset carries a
+    {grid_w, lang, n_chars} patch-grid descriptor (N6: a vision
+    tokenizer's (label%4+1)-wide patch grid as typed metadata beside
+    the opaque vector), the searchable corpus is gated by a mixed
+    AND/OR combination over struct fields (P3 — a different shape from
+    m_asset_embedding_knn's XOR gate), and each 7-mod-100 probe takes
+    its top-FIVE cosine neighbors brute force (N4; k and probe set
+    both differ from the eighth-wave query), reporting the neighbor's
+    patch-cell count (grid_w squared) straight off the struct.
+
+    Scale: probes are |corpus|/100 and broadcast; the gated corpus
+    streams map-side through knn_bruteforce's unrolled dim-64
+    arithmetic; only |Q| x 5 rows shuffle for the final rank."""
+    from ..operators.similarity import knn_bruteforce
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    assets = e.join(d, e.vec_id == d.doc_id).select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.struct(
+            ((F.col("label") % 4) + 1).cast("long").alias("grid_w"),
+            "lang",
+            "n_chars",
+        ).alias("patch"),
+    )
+    corpus = assets.filter(
+        ((F.col("label") % 2 == 0) & ~(F.col("patch.lang") == "zh"))
+        | (F.col("patch.n_chars") >= 200)
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        (F.col("patch.grid_w") * F.col("patch.grid_w"))
+        .cast("long")
+        .alias("neighbor_cells"),
+    )
+    probes = assets.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = knn_bruteforce(
+        probes,
+        corpus,
+        q_id="query_id",
+        c_id="neighbor_id",
+        q_vec="q_emb",
+        c_vec="embedding",
+        k=5,
+        metric="cosine",
+        dim=64,
+    )
+    return out.select("query_id", "neighbor_id", "sim", "rnk", "neighbor_cells")

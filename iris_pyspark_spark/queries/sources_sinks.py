@@ -3047,3 +3047,152 @@ def s_json_nested_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum("shard").cast("long").alias("shard_sum"),
     )
+
+
+# --- S3+F6+P1, ninth wave: nested-struct JSON files with dual extraction --------
+
+_JSON_STRUCT_LINES_ORACLE = """
+SELECT CAST(s_nationkey % 5 AS BIGINT) AS rc,
+       CAST(COUNT(*) AS BIGINT)        AS n_suppliers,
+       CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acct_total_cents,
+       CAST(SUM(s_suppkey % 5 + s_nationkey % 3 + 7) AS BIGINT)
+         AS flags_total,
+       CAST(SUM(3) AS BIGINT)          AS n_flags
+FROM supplier
+GROUP BY 1
+"""
+
+
+@register(
+    "s_json_struct_lines",
+    oracle=_JSON_STRUCT_LINES_ORACLE,
+    tags=("S3", "F6", "P1"),
+)
+def s_json_struct_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+F6+P1, ninth wave: a MULTI-LEVEL document round trip — each
+    supplier becomes {sup:{key,acct_cents}, geo:{nk,rc}, flags:[3]}
+    written with the JSON sink and read back with an explicit NESTED
+    schema (S3 both directions; s_tojson_fromjson_roundtrip proves the
+    string-column form, this proves the document-file form two structs
+    deep with an array sibling). After the scan, one branch of the
+    checked output goes BACK through text — to_json(geo) then
+    get_json_object '$.rc' (F6) — while acct and flags project straight
+    off the struct columns (P1: nested-field projection), so the json
+    codec and the struct reader are checked against each other inside
+    one plan. Cents are integers before the sink; flags are small
+    modular ints — everything text-lossless by construction.
+
+    Scale: the json scan schema-prunes to the referenced nested fields;
+    the re-serialized branch is one string column per row, no shuffle
+    added; the rollup is a 5-key combinable aggregate."""
+    from ..sources import scratch_dir
+
+    path = scratch_dir(sf_dir, "supplier_json_nested")
+    load_table(spark, sf_dir, "supplier").select(
+        F.struct(
+            F.col("s_suppkey").alias("key"),
+            F.expr("CAST(ROUND(s_acctbal * 100) AS BIGINT)").alias(
+                "acct_cents"
+            ),
+        ).alias("sup"),
+        F.struct(
+            F.col("s_nationkey").cast("long").alias("nk"),
+            (F.col("s_nationkey") % 5).cast("long").alias("rc"),
+        ).alias("geo"),
+        F.array(
+            (F.col("s_suppkey") % 5).cast("long"),
+            (F.col("s_nationkey") % 3).cast("long"),
+            F.lit(7).cast("long"),
+        ).alias("flags"),
+    ).write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "sup struct<key: long, acct_cents: long>, "
+        "geo struct<nk: long, rc: long>, "
+        "flags array<long>"
+    ).json(path)
+    projected = back.select(
+        F.get_json_object(F.to_json(F.col("geo")), "$.rc")
+        .cast("long")
+        .alias("rc"),
+        F.col("sup.acct_cents").alias("acct_cents"),
+        F.aggregate("flags", F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "flag_sum"
+        ),
+        F.size("flags").cast("long").alias("n_flag"),
+    )
+    return projected.groupBy("rc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("acct_cents").cast("long").alias("acct_total_cents"),
+        F.sum("flag_sum").cast("long").alias("flags_total"),
+        F.sum("n_flag").cast("long").alias("n_flags"),
+    )
+
+
+# --- S4+O1+P1, ninth wave: total-order top-k report through a parquet sink -----
+
+_TOPK_REPORT_ORACLE = """
+WITH topk AS (
+  SELECT p_partkey, p_brand,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+  ORDER BY price_cents DESC, p_partkey ASC
+  LIMIT 200
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY price_cents DESC, p_partkey ASC)
+            AS BIGINT)                           AS rnk,
+       p_partkey,
+       p_brand,
+       price_cents,
+       CAST((ROW_NUMBER() OVER (ORDER BY price_cents DESC, p_partkey ASC)
+             - 1) // 50 AS BIGINT)               AS band
+FROM topk
+"""
+
+
+@register(
+    "s_topk_parquet_report",
+    oracle=_TOPK_REPORT_ORACLE,
+    tags=("S4", "O1", "P1"),
+)
+def s_topk_parquet_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+O1+P1, ninth wave: the publish-a-report pipeline — a GLOBAL
+    total order with an explicit tie-break (price desc, partkey asc —
+    O1's semantics are only deterministic because the tie-break is
+    total) takes the 200 priciest parts via TakeOrderedAndProject (the
+    top-k physical form that never materializes a full sort), the
+    report lands in a plain parquet sink and is read back (S4 — the
+    sink/scan pair is the handoff every published artifact makes), and
+    the readback is re-projected (P1) with its rank RECOMPUTED from the
+    stored values — proving the persisted rows alone reproduce their
+    own ordering, the property that makes the artifact consumable
+    without trusting file order.
+
+    Scale: top-k is per-partition heads + one 200-row merge; the sink
+    holds 200 rows at any data size; the recomputed rank runs on the
+    readback's 200 rows."""
+    from ..sources import scratch_dir
+
+    path = scratch_dir(sf_dir, "part_topk_report")
+    topk = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_brand",
+            cents(F.col("p_retailprice")).alias("price_cents"),
+        )
+        .orderBy(F.desc("price_cents"), F.asc("p_partkey"))
+        .limit(200)
+    )
+    topk.write.mode("overwrite").parquet(path)
+    from pyspark.sql import Window
+
+    back = spark.read.parquet(path)
+    w = Window.orderBy(F.desc("price_cents"), F.asc("p_partkey"))
+    return back.select(
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "p_partkey",
+        "p_brand",
+        "price_cents",
+        ((F.row_number().over(w) - 1) / 50).cast("long").alias("band"),
+    )

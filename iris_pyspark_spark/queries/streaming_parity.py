@@ -2314,3 +2314,694 @@ def st_apply_state_day_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("eid_span_sum"),
     )
+
+
+# === Ninth wave (round 11): streaming restocks =================================
+
+# --- T1+T5+P4, ninth wave: predicate-gated tumbling windows in append mode -----
+
+_TUMBLING_LATE_ORACLE = f"""
+WITH gated AS (
+  SELECT * FROM events
+  WHERE event_type IN ('click', 'purchase')
+    AND user_id BETWEEN 10 AND 139
+),
+wm AS (
+  SELECT CAST(EPOCH(MAX(ts)) AS BIGINT) - 600 AS w FROM gated
+),
+agg AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 1800) AS BIGINT) * 1800 AS window_start_epoch,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents,
+         MAX(event_id) AS max_event_id
+  FROM gated
+  GROUP BY 1, 2
+)
+SELECT window_start_epoch, event_type,
+       CAST(n_events AS BIGINT)     AS n_events,
+       total_cents,
+       CAST(max_event_id AS BIGINT) AS max_event_id
+FROM agg
+WHERE window_start_epoch + 1800 <= (SELECT w FROM wm)
+"""
+
+
+@register(
+    "st_tumbling_late_census",
+    oracle=_TUMBLING_LATE_ORACLE,
+    tags=("T1", "T5", "P4"),
+)
+def st_tumbling_late_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T5+P4, ninth wave: scan predicates UNDER the watermark — the
+    stream is gated by IN + BETWEEN (P4) BEFORE withWatermark, so the
+    watermark advances on the max event time of the SURVIVING rows
+    (the oracle's horizon is MAX(ts) over the gated set — stated, not
+    assumed), then 30-minute tumbling windows (T1; the proven append
+    form is 4h sliding — this pins the finest-grain tumbling cadence)
+    emit in APPEND mode exactly when the 10-minute watermark passes
+    their end (T5), evicting state. Windows still open at end-of-stream
+    are correctly absent.
+
+    Scale: the predicate prunes before any state is keyed — at 100 TB
+    the IN/BETWEEN gate is a parquet-scan filter on the landing zone;
+    state is (open windows x 2 types). Single-batch source assumption
+    pinned by tests/test_streaming.py::test_read_events_stream_stages
+    _one_file."""
+    e = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("user_id").between(10, 139)
+    )
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("total_cents"),
+            F.max("event_id").cast("long").alias("max_event_id"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "event_type",
+            "n_events",
+            "total_cents",
+            "max_event_id",
+        )
+    )
+    return drain_to_table(agg, output_mode="append", shuffle_partitions=8)
+
+
+# --- T2+T6+J4, ninth wave: balance-gated sliding value bands -------------------
+
+_SLIDING_SEMI_ORACLE = f"""
+WITH rich AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal >= 5000
+),
+gated AS (
+  SELECT * FROM events WHERE user_id IN (SELECT c_custkey FROM rich)
+),
+offsets AS (SELECT UNNEST([0, 1, 2]) AS j)
+SELECT
+  CAST(FLOOR(EPOCH(ts) / 1800) AS BIGINT) * 1800 - j * 1800
+    AS window_start_epoch,
+  CAST({CENTS_SQL.format(expr="value")} // 2500 AS BIGINT) AS val_band,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
+FROM gated, offsets
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "st_sliding_static_semi",
+    oracle=_SLIDING_SEMI_ORACLE,
+    tags=("T2", "T6", "J4"),
+)
+def st_sliding_static_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+T6+J4, ninth wave: stream-static LEFT SEMI against a PROPERTY
+    slice of the dimension — the gate is c_acctbal >= 5000 (a predicate
+    -derived key set, where st_sliding_star_gate's is a dimensional
+    subtree; J4/T6), and survivors feed 90-minute windows sliding every
+    30 (T2 — slide divides length 3x, the proven forms use 3h/1h and
+    4h/1h) grouped by integer-cents VALUE BAND (cents // 2500), so the
+    state key is (window x band), not (window x type).
+
+    Scale: the static side collapses to a key list broadcast per
+    micro-batch; sliding state is 3 open windows x <=5 bands; one
+    shuffle per batch on the window/band key. Complete-mode drain, 8
+    state stores. Single-batch source assumption as pinned."""
+    e = read_events_stream(spark, sf_dir)
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") >= 5000)
+        .select("c_custkey")
+    )
+    gated = e.join(rich, e.user_id == rich.c_custkey, "left_semi")
+    agg = (
+        gated.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "90 minutes", "30 minutes"),
+            (cents(F.col("value")) / 2500).cast("long").alias("val_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("total_cents"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "val_band",
+            "n_events",
+            "total_cents",
+        )
+    )
+    return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
+
+
+# --- T3+T6+J5, ninth wave: anti-gated session windows ---------------------------
+
+_SESSION_ANTI_ORACLE = f"""
+WITH suspended AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0
+),
+gated AS (
+  SELECT * FROM events
+  WHERE user_id NOT IN (SELECT c_custkey FROM suspended)
+),
+flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1500 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM gated
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(EPOCH_US(MIN(ts)) // 1000000 AS BIGINT)        AS session_start_epoch,
+       CAST(EPOCH_US(MAX(ts)) // 1000000 + 1500 AS BIGINT) AS session_end_epoch,
+       CAST(COUNT(*) AS BIGINT)                            AS n_events,
+       CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS value_cents
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@register(
+    "st_session_static_anti",
+    oracle=_SESSION_ANTI_ORACLE,
+    tags=("T3", "T6", "J5"),
+)
+def st_session_static_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T6+J5, ninth wave: stream-static LEFT ANTI as the gate — the
+    suspended-account list (negative balances) is subtracted from the
+    stream (J5/T6: the streaming spelling of a denylist, the complement
+    of st_sliding_static_semi's allowlist), and survivors close into
+    25-minute-gap session windows per user (T3 — a third gap parameter
+    beside the proven 20/30-minute forms). Session rows report event
+    count and exact integer-cents value.
+
+    Scale: the denylist broadcasts per micro-batch (anti joins never
+    widen rows); session state is O(open sessions); one shuffle on the
+    session key per batch. Complete-mode drain, 8 state stores.
+    Single-batch source assumption as pinned."""
+    e = read_events_stream(spark, sf_dir)
+    suspended = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    gated = e.join(suspended, e.user_id == suspended.c_custkey, "left_anti")
+    agg = (
+        gated.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "25 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_seconds(
+                F.col("session_window.start").cast("timestamp")
+            ).alias("session_start_epoch"),
+            F.unix_seconds(F.col("session_window.end").cast("timestamp")).alias(
+                "session_end_epoch"
+            ),
+            "n_events",
+            "value_cents",
+        )
+    )
+    return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
+
+
+# --- T1+T2+T5, ninth wave: tumbling and sliding arms of one monitor ------------
+
+_TUMBLING_SLIDING_UNION_ORACLE = f"""
+WITH tum AS (
+  SELECT 'tumbling' AS arm,
+         CAST(FLOOR(EPOCH(ts) / 7200) AS BIGINT) * 7200 AS window_start_epoch,
+         COUNT(*) AS n_events,
+         CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
+  FROM events GROUP BY 2
+),
+offsets AS (SELECT UNNEST([0, 1]) AS j),
+sli AS (
+  SELECT 'sliding' AS arm,
+         CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) * 3600 - j * 3600
+           AS window_start_epoch,
+         COUNT(*) AS n_events,
+         CAST(SUM({CENTS_SQL.format(expr="value")}) AS BIGINT) AS total_cents
+  FROM events, offsets GROUP BY 2
+)
+SELECT arm, window_start_epoch,
+       CAST(n_events AS BIGINT) AS n_events, total_cents
+FROM (SELECT * FROM tum UNION ALL SELECT * FROM sli)
+"""
+
+
+@register(
+    "st_tumbling_sliding_union",
+    oracle=_TUMBLING_SLIDING_UNION_ORACLE,
+    tags=("T1", "T2", "T5"),
+)
+def st_tumbling_sliding_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2+T5, ninth wave: the SAME watermarked stream drained through
+    BOTH window shapes — a 2h tumbling arm (T1) and a 2h/1h sliding arm
+    (T2, every event in 2 windows), each a real streaming query with
+    its own state stores and its own AvailableNow drain under one
+    10-minute watermark definition (T5), then labeled and unioned into
+    the monitor readout. Pins that the two window kinds agree on
+    alignment (a 2h tumbling window IS the j=0 slice of the 2h/1h
+    slide's lattice restricted to even hours) — the dashboard-migration
+    property a team relies on when switching granularities.
+
+    Scale: two independent streaming queries, each one shuffle per
+    micro-batch on its window key; the union runs on drained census
+    rows, never inside the stream. Complete-mode drains, 8 state stores
+    each. Single-batch source assumption as pinned."""
+    tum_src = read_events_stream(spark, sf_dir)
+    tum = (
+        tum_src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 hours"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("total_cents"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "n_events",
+            "total_cents",
+        )
+    )
+    tum_drained = drain_to_table(
+        tum,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    ).withColumn("arm", F.lit("tumbling"))
+    sli_src = read_events_stream(spark, sf_dir)
+    sli = (
+        sli_src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents(F.col("value"))).cast("long").alias("total_cents"),
+        )
+        .select(
+            F.unix_seconds(F.col("window.start").cast("timestamp")).alias(
+                "window_start_epoch"
+            ),
+            "n_events",
+            "total_cents",
+        )
+    )
+    sli_drained = drain_to_table(
+        sli,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    ).withColumn("arm", F.lit("sliding"))
+    return tum_drained.unionByName(sli_drained).select(
+        "arm", "window_start_epoch", "n_events", "total_cents"
+    )
+
+
+# --- T3+T7, ninth wave: typed activity sessions over a deduped 5-min grid ------
+
+_TYPE_SESSION_ORACLE = """
+WITH grid AS (
+  SELECT DISTINCT user_id, event_type,
+         TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS bucket
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, bucket,
+    CASE WHEN LAG(bucket) OVER w IS NULL
+           OR EPOCH_US(bucket) - EPOCH_US(LAG(bucket) OVER w) > 2700000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM grid
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY bucket)
+),
+sessions AS (
+  SELECT user_id, event_type, bucket,
+    SUM(is_start) OVER (PARTITION BY user_id, event_type ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, event_type,
+       CAST(EPOCH(MIN(bucket)) AS BIGINT)        AS session_start_epoch,
+       CAST(EPOCH(MAX(bucket)) + 2700 AS BIGINT) AS session_end_epoch,
+       CAST(COUNT(*) AS BIGINT)                  AS n_buckets
+FROM sessions
+GROUP BY user_id, event_type, sid
+"""
+
+
+@register(
+    "st_type_session_dedup",
+    oracle=_TYPE_SESSION_ORACLE,
+    tags=("T3", "T7"),
+)
+def st_type_session_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T7, ninth wave: stacked stateful streaming at the TYPED grain
+    — watermarked dropDuplicates on the (user, event_type, 5-minute
+    bucket) activity grid (T7; the proven dedup->session stack uses a
+    1-minute user grid), feeding 45-minute-gap session windows keyed by
+    (user, event_type) (T3 — the session identity includes the type, so
+    one user's concurrent click and error bursts close as SEPARATE
+    sessions). The 'per-feature engagement meter' shape: sessions count
+    DISTINCT active 5-minute buckets, burst-proof by construction.
+
+    Scale: dedup state is watermark-bounded (user, type, bucket) keys
+    at 1/300th event granularity; session state is O(open typed
+    sessions); two shuffles per batch. Complete-mode drain, 8 state
+    stores. Single-batch source assumption as pinned."""
+    e = read_events_stream(spark, sf_dir)
+    grid = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.timestamp_seconds(
+                F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 300)
+                * 300
+            ).alias("bucket"),
+        )
+        .withWatermark("bucket", "10 minutes")
+        .dropDuplicates(["user_id", "event_type", "bucket"])
+    )
+    agg = (
+        grid.groupBy(
+            "user_id", "event_type", F.session_window("bucket", "45 minutes")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_seconds(
+                F.col("session_window.start").cast("timestamp")
+            ).alias("session_start_epoch"),
+            F.unix_seconds(F.col("session_window.end").cast("timestamp")).alias(
+                "session_end_epoch"
+            ),
+            "n_buckets",
+        )
+    )
+    return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
+
+
+# --- U2+T4+T7, ninth wave: arbitrary-state (user, type) census ------------------
+
+_APS_SRC_COLS = "event_id long, user_id long, event_type string, v_cents long"
+
+
+def _stage_aps_census_src(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the shared 4-file round-robin source for the ninth wave's
+    two applyInPandasWithState censuses: (event_id, user_id, event_type,
+    v_cents) with money already exact integer cents. Four files, one per
+    micro-batch — a user's events arrive across batches out of time
+    order, so only ORDER-INVARIANT state merges are sound downstream."""
+    from ..session import configure
+    from ..sources import (
+        artifact_is_current,
+        mark_artifact,
+        scratch_dir,
+        table_fingerprint,
+    )
+
+    configure(spark)
+    src = scratch_dir(sf_dir, "aps_census_src_r11")
+    fp = table_fingerprint(sf_dir, "events", params="aps-census-src-r11-4part")
+    if not artifact_is_current(src, fp):
+        load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            cents(F.col("value")).alias("v_cents"),
+        ).repartition(4).write.mode("overwrite").parquet(src)
+        mark_artifact(src, fp)
+    return src
+
+
+_STATE_TYPE_ORACLE = """
+WITH per AS (
+  SELECT user_id, event_type,
+         COUNT(*) AS n,
+         MIN(event_id) AS min_eid,
+         MAX(event_id) AS max_eid,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)                               AS n_keys,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_keys,
+       CAST(SUM(n) AS BIGINT)                                 AS n_events,
+       CAST(SUM(cents) AS BIGINT)                             AS total_cents,
+       CAST(SUM(max_eid - min_eid) AS BIGINT)                 AS eid_span_sum
+FROM per
+GROUP BY event_type
+"""
+
+
+@register(
+    "st_state_type_census",
+    oracle=_STATE_TYPE_ORACLE,
+    tags=("U2", "T4", "T7"),
+)
+def st_state_type_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2+T4+T7, ninth wave: arbitrary-state census at the (user,
+    event_type) BEHAVIORAL grain via applyInPandasWithState — per key
+    the state is four int64s (n, min_eid, max_eid, cents_sum), every
+    merge ORDER-INVARIANT (sum/min/max), so the census is batch-split-
+    invariant over the 4-file round-robin source even though a user's
+    events arrive across micro-batches out of order (the
+    st_apply_state_day_census construction at a different key grain
+    with money in the state). Keys touched more than once are repeat-
+    activity (user, type) pairs — T7's dedup-by-key semantics — and the
+    drained per-key rows roll up per type.
+
+    Scale: state is O(distinct user-type pairs) x 32 bytes; one group-
+    key shuffle per batch; the rollup runs on the drained census."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = _stage_aps_census_src(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_APS_SRC_COLS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("n", LongType()),
+            StructField("min_eid", LongType()),
+            StructField("max_eid", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mn", LongType()),
+            StructField("mx", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+
+    def census(key, pdfs, state):
+        if state.exists:
+            n, mn, mx, cents_sum = state.get
+        else:
+            n, mn, mx, cents_sum = 0, None, None, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            eid = pdf["event_id"]
+            lo, hi = int(eid.min()), int(eid.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+            cents_sum += int(pdf["v_cents"].sum())
+        state.update((n, mn, mx, cents_sum))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "n": [n],
+                "min_eid": [mn],
+                "max_eid": [mx],
+                "cents": [cents_sum],
+            }
+        )
+
+    updates = stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        census, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    sink = drain_to_table(updates, output_mode="update", shuffle_partitions=8)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n"))
+    final = (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return final.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeat_keys"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("max_eid") - F.col("min_eid"))
+        .cast("long")
+        .alias("eid_span_sum"),
+    )
+
+
+# --- T4+U2+T7, ninth wave: arbitrary-state per-user value extremes --------------
+
+_STATE_EXTREMES_ORACLE = """
+WITH per AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents,
+         MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_cents,
+         MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents
+  FROM events
+  GROUP BY 1
+)
+SELECT CAST(n // 25 AS BIGINT)                                AS n_band,
+       CAST(COUNT(*) AS BIGINT)                               AS n_users,
+       CAST(SUM(n) AS BIGINT)                                 AS n_events,
+       CAST(SUM(cents) AS BIGINT)                             AS total_cents,
+       CAST(MIN(min_cents) AS BIGINT)                         AS band_min_cents,
+       CAST(MAX(max_cents) AS BIGINT)                         AS band_max_cents,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_users
+FROM per
+GROUP BY 1
+"""
+
+
+@register(
+    "st_state_value_extremes",
+    oracle=_STATE_EXTREMES_ORACLE,
+    tags=("T4", "U2", "T7"),
+)
+def st_state_value_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4+U2+T7, ninth wave: per-USER arbitrary state tracking value
+    extremes — applyInPandasWithState keyed by user_id alone (the
+    coarsest grain of the construction family: day_census keys
+    (user, day), type_census keys (user, type)), state four int64s
+    (n, cents_sum, min_cents, max_cents), all merges order-invariant,
+    max-n final-row drain. The census rolls users up by ACTIVITY BAND
+    (n // 25) — the engagement-distribution report — with per-band
+    value extremes surviving the two-level rollup exactly.
+
+    Scale: state is O(users) x 32 bytes; one user-key shuffle per
+    batch; the band rollup runs on |users| drained rows."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = _stage_aps_census_src(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_APS_SRC_COLS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+            StructField("min_cents", LongType()),
+            StructField("max_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+            StructField("mn", LongType()),
+            StructField("mx", LongType()),
+        ]
+    )
+
+    def extremes(key, pdfs, state):
+        if state.exists:
+            n, cents_sum, mn, mx = state.get
+        else:
+            n, cents_sum, mn, mx = 0, 0, None, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            v = pdf["v_cents"]
+            lo, hi = int(v.min()), int(v.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+            cents_sum += int(v.sum())
+        state.update((n, cents_sum, mn, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "cents": [cents_sum],
+                "min_cents": [mn],
+                "max_cents": [mx],
+            }
+        )
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        extremes, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    sink = drain_to_table(updates, output_mode="update", shuffle_partitions=8)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    final = (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return final.groupBy(
+        F.expr("CAST(n DIV 25 AS BIGINT)").alias("n_band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.min("min_cents").cast("long").alias("band_min_cents"),
+        F.max("max_cents").cast("long").alias("band_max_cents"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeat_users"),
+    )

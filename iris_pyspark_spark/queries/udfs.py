@@ -3233,3 +3233,103 @@ def u_pandas_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("total_cents"),
         F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
     )
+
+
+# --- U5+S2+S6, ninth wave: iterator-UDF digest over a quoted CSV scan ----------
+
+_CSV_DIGEST_ORACLE = """
+SELECT (CAST(SUBSTR(p_brand, 7) AS INT)) % 3               AS tier,
+       p_brand,
+       CAST(COUNT(*) AS BIGINT)                            AS n_parts,
+       CAST(SUM((p_partkey * 31
+                 + CAST(ROUND(p_retailprice * 100) AS BIGINT)) % 1000003)
+            AS BIGINT)                                     AS checksum_sum,
+       CAST(MIN(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(MAX(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM part
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "u_iter_csv_digest",
+    oracle=_CSV_DIGEST_ORACLE,
+    tags=("U5", "S2", "S6"),
+)
+def u_iter_csv_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5+S2+S6, ninth wave: an ingest-integrity digest computed by an
+    ITERATOR pandas UDF over a fully-quoted CSV round trip — parts are
+    written with quoteAll (names contain spaces; the dialect is
+    exercised on every field) and money as pre-converted integer cents
+    (S2, text-lossless), read back with an explicit schema, and
+    mapInPandas folds each Arrow batch into PER-BRAND PARTIALS (n, sum
+    of per-row modular checksums, min/max cents) — one partial row per
+    (batch, brand), so Python emits O(batches x brands) rows while the
+    JVM groupBy does the cross-partition merge (sum/sum/min/max are all
+    combinable). The brand tier joins from a 25-row createDataFrame
+    dimension (S6), broadcast; the oracle states the same tier as
+    SUBSTR arithmetic — the documented identity between the dim and
+    the brand numbering.
+
+    Scale: the checksum is per-row modular arithmetic (sum of mods, NOT
+    mod of sum — order-free and exactly SQL-stated); Python never holds
+    more than one Arrow batch; the merge is a 25-key shuffle."""
+    import numpy as np
+
+    from ..sources import scratch_dir
+
+    path = scratch_dir(sf_dir, "part_csv_quoted")
+    load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        cents(F.col("p_retailprice")).alias("price_cents"),
+    ).write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(path)
+    back = (
+        spark.read.options(header=True)
+        .schema("p_partkey long, p_brand string, p_name string, price_cents long")
+        .csv(path)
+    )
+
+    def digest(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            chk = (
+                pdf["p_partkey"].to_numpy(dtype="int64") * 31
+                + pdf["price_cents"].to_numpy(dtype="int64")
+            ) % 1000003
+            g = pd.DataFrame(
+                {"p_brand": pdf["p_brand"], "chk": chk, "c": pdf["price_cents"]}
+            ).groupby("p_brand")
+            out = g.agg(
+                n=("chk", "size"),
+                checksum_sum=("chk", "sum"),
+                min_cents=("c", "min"),
+                max_cents=("c", "max"),
+            ).reset_index()
+            yield out
+
+    partials = back.mapInPandas(
+        digest,
+        "p_brand string, n long, checksum_sum long, min_cents long, "
+        "max_cents long",
+    )
+    tiers = spark.createDataFrame(
+        [(f"Brand#{i}", i % 3) for i in range(1, 26)],
+        "p_brand string, tier int",
+    )
+    return (
+        partials.join(F.broadcast(tiers), "p_brand")
+        .groupBy(F.col("tier").cast("long").alias("tier"), "p_brand")
+        .agg(
+            F.sum("n").cast("long").alias("n_parts"),
+            F.sum("checksum_sum").cast("long").alias("checksum_sum"),
+            F.min("min_cents").cast("long").alias("min_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+    )

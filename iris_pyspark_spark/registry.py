@@ -299,6 +299,32 @@ _PRIORITY = (
     "a_k_anonymity_audit",
     "n_dp_noisy_counts",
     "s_crypto_shredding",
+    # ---- ninth restock wave (round 11, never-checked) ----
+    "a_rollup_label_share",
+    "a_cube_priority_mode",
+    "u_udaf_p90_census",
+    "u_udaf_kmv_distinct",
+    "u_udtf_hll_buckets",
+    "u_pandas_json_gate",
+    "u_pandas_band_filter",
+    "j_star_prune_broadcast",
+    "j_broadcast_semi_gate",
+    "j_asof_spine_except",
+    "j_asof_sink_rates",
+    "u_iter_csv_digest",
+    "s_json_struct_lines",
+    "s_topk_parquet_report",
+    "m_fingerprint_anti_audit",
+    "m_patch_knn_rank",
+    "n_dedup_knn_pipeline",
+    "n_fold_split_eval",
+    "st_tumbling_late_census",
+    "st_sliding_static_semi",
+    "st_session_static_anti",
+    "st_tumbling_sliding_union",
+    "st_type_session_dedup",
+    "st_state_type_census",
+    "st_state_value_extremes",
 )
 
 

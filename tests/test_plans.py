@@ -331,6 +331,9 @@ _BNLJ_ALLOWED = frozenset({
     # corpus scan — vec_id % 100 (m_) and the vec_id % 20 holdout (n_),
     # the n_knn_bruteforce / n_mrl_prefix_rerank audited class
     "m_asset_embedding_knn", "n_knn_holdout_eval",
+    # round-11 ninth wave: bounded probe-set broadcast against one corpus
+    # scan — vec_id % 100 == 7, k=5 (the same audited class as above)
+    "m_patch_knn_rank",
     # round-10 eighth wave: the 3-cohort x 40-policy spine build is a
     # crossJoin of two range() relations (120 rows, bounded by literal
     # construction) broadcast into the asof rewrite
