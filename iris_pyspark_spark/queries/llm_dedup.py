@@ -2350,6 +2350,8 @@ SELECT a.fold,
        CAST(COUNT(*) FILTER (WHERE role = 'test') AS BIGINT)  AS n_test,
        CAST(SUM(n_chars) FILTER (WHERE role = 'test') AS BIGINT)
          AS test_chars,
+       CAST(SUM(doc_id) FILTER (WHERE role = 'test') AS BIGINT)
+         AS test_id_sum,
        CAST(MAX(l.n_leaked) - 1 AS BIGINT)                    AS n_leaked,
        CAST(MAX(g.n_test_langs) AS BIGINT)                    AS n_test_langs
 FROM assign a
@@ -2423,6 +2425,9 @@ def n_fold_split_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("role") == "test", F.col("n_chars")))
         .cast("long")
         .alias("test_chars"),
+        F.sum(F.when(F.col("role") == "test", F.col("doc_id")))
+        .cast("long")
+        .alias("test_id_sum"),
     )
     return (
         base.join(leaked, "fold", "left")
@@ -2432,6 +2437,7 @@ def n_fold_split_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_train",
             "n_test",
             "test_chars",
+            "test_id_sum",
             F.coalesce("n_leaked", F.lit(0)).cast("long").alias("n_leaked"),
             "n_test_langs",
         )

@@ -67,6 +67,37 @@ _CONSTANT_OK: dict[str, set] = {
     # round 10: orders span all 12 months at every sf (structural); the
     # mode month/count vary per rollup level.
     "a_rollup_map_mode": {"n_months"},
+    # round 11 (ninth wave, all triaged this round):
+    # structural — the >=30% lattice-level gate keeps only flag-subtotal
+    # and grand rows, whose status is 'ALL' by rollup construction (the
+    # gate dropping all six leaf cells at every sf IS the query's point);
+    # flag_label / n_items / qty_x100 / share_bp vary.
+    "a_rollup_label_share": {"status"},
+    # structural — every cube cell includes January at every sf (orders
+    # start on a Jan 1), so MIN(month)=1; mon_max varies (2001 ends in
+    # August), n_months and the mode columns vary.
+    "a_cube_priority_mode": {"mon_min"},
+    # structural — the >=6% share gate keeps exactly the four 'en'
+    # source-class groups (the corpus' built-in generator weight), and
+    # each class holds 5 of the 20 uniformly-numbered sources; p90,
+    # n_docs, first_source, share_bp vary.
+    "u_udaf_p90_census": {"lang", "n_sources"},
+    # global echo — the sketch parameter k=64 repeated per group (every
+    # segment holds >=64 customers at every sf; k_used < 64 only for
+    # groups smaller than the sketch).
+    "u_udaf_kmv_distinct": {"k_used"},
+    # structural — 64 registers band into 8 groups of exactly 8.
+    "u_udtf_hll_buckets": {"n_buckets"},
+    # by design — the deterministic doc_id%5 law makes fold sizes equal
+    # whenever |docs| % 5 == 0 (the generator emits round counts), and
+    # n_leaked == 0 is the audit's PROVEN zero (computed via INTERSECT,
+    # not asserted); every lang reaches every fold at sf0.01
+    # (sf-coincidence). test_chars and test_id_sum vary per fold.
+    "n_fold_split_eval": {"n_train", "n_test", "n_leaked", "n_test_langs"},
+    # sf-coincidence — at sf0.01 all 150 users touch all 5 types more
+    # than once (10k events over 750 pairs), so per-type key counts
+    # saturate; n_events / total_cents / eid_span_sum vary.
+    "st_state_type_census": {"n_keys", "n_repeat_keys"},
     # round 10: props.k is uniform 0..99, so every event type sees the
     # max — sf-coincidence; k_sum/n_high_k vary per type.
     "s_json_lines_roundtrip": {"k_max"},
