@@ -2963,7 +2963,8 @@ WITH daily AS (
   GROUP BY 1, 2
 ),
 spine AS (
-  SELECT c.cls, DATE '1995-01-07' + INTERVAL (k.k * 7) DAY AS week_date
+  SELECT c.cls, CAST(DATE '1995-01-07' + INTERVAL (k.k * 7) DAY AS DATE)
+           AS week_date
   FROM (VALUES ('express'), ('standard')) AS c(cls),
        generate_series(0, 359) AS k(k)
 ),
@@ -2982,7 +2983,9 @@ ledger AS (
               THEN 0 ELSE 1 END AS is_gap
   FROM matched
 )
-SELECT cls, week_date,
+SELECT cls,
+       CAST(DATEDIFF('day', DATE '1970-01-01', week_date) AS BIGINT)
+         AS week_day,
        CAST(ROW_NUMBER() OVER (ORDER BY cls, week_date) AS BIGINT) AS pos,
        CAST(carried_age_days AS BIGINT) AS carried_age_days,
        CAST(carried_cents AS BIGINT)    AS carried_cents,
@@ -3064,7 +3067,9 @@ def j_asof_spine_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return flagged.select(
         "cls",
-        "week_date",
+        F.datediff("week_date", F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("week_day"),
         F.row_number().over(w).cast("long").alias("pos"),
         "carried_age_days",
         "carried_cents",
