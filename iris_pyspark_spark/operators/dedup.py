@@ -36,6 +36,27 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return ranked.filter(F.col(id_col) == F.col("__keep")).drop("__text_hash", "__keep")
 
 
+def exact_dedup_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """`exact_dedup` specialized to the (survivor id, n_copies) report:
+    one partial+final hash aggregation per normalized-text hash instead
+    of the window's exchange + full sort. Identical rows to
+    `exact_dedup(df, id, text).select(id, "n_copies")` — the survivor
+    is min(id) per hash group either way — but the shuffle moves one
+    (hash, partial-min, partial-count) row per distinct hash per map
+    task rather than every input row, and nothing is sorted. Use this
+    form whenever the survivor's other columns are not needed."""
+    key = normalized_text_hash(F.col(text_col)).alias("__text_hash")
+    return (
+        df.select(F.col(id_col), key)
+        .groupBy("__text_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
 def word_shingles(toks: Column, k: int) -> Column:
     """k-word shingles (contiguous) of a token array."""
     n = F.greatest(F.size(toks) - (k - 1), F.lit(1))

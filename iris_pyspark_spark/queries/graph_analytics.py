@@ -129,6 +129,101 @@ FROM tri
 """
 
 
+def _triangle_artifacts(spark: SparkSession, sf_dir: str):
+    """Per-process oriented-triangle artifacts shared by
+    `g_triangle_count` and `g_clustering_coefficient`: the degree-ordered
+    oriented edge list `ek` (src, dst), the undirected degree table `deg`
+    (node, d), and the out-adjacency table `adj` (src, nbrs). Whichever
+    query runs first in a process builds them; every later consumer pass
+    is a plain parquet scan (the pre-round-11 plans recomputed the
+    collect_list adjacency per consumer and scanned ek five times).
+
+    Build shape (round 11): pair generation via per-order baskets — ONE
+    shuffle of lineitem into (orderkey → sorted part set), then the
+    u < v pairs expand in-task from each bounded basket (posexplode +
+    slice — codegen Generates, no interpreted lambdas). The previous
+    self-join on l_orderkey scanned AND shuffled lineitem twice for the
+    same rows. Basket size is bounded by the data model (lines per
+    order), so the expansion is O(lines²) per order, never cross-order.
+    The degree joins are left unhinted: the planner broadcasts deg when
+    it fits and hash-joins otherwise — both scale.
+    """
+    from ..sources import (
+        artifact_is_current,
+        mark_artifact,
+        scratch_dir,
+        table_fingerprint,
+    )
+
+    base = scratch_dir(sf_dir, "triangles")
+    ek_path, deg_path, adj_path = base + "/ek", base + "/deg", base + "/adj"
+    fp = table_fingerprint(sf_dir, "lineitem", params="tri_orient_v2")
+    if not (
+        artifact_is_current(ek_path, fp)
+        and artifact_is_current(deg_path, fp)
+        and artifact_is_current(adj_path, fp)
+    ):
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        baskets = li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("arr")
+        )
+        pairs = (
+            baskets.select(F.col("arr"), F.posexplode("arr").alias("i", "u"))
+            .select(
+                "u",
+                F.explode(
+                    F.slice(F.col("arr"), F.col("i") + 2, F.size("arr"))
+                ).alias("v"),
+            )
+            .distinct()
+        )
+        # The pair list feeds BOTH the degree count and the orientation
+        # join; materialize it once so the basket expansion runs once.
+        pairs_path = base + "/pairs_tmp"
+        pairs.write.mode("overwrite").parquet(pairs_path)
+        pairs = spark.read.parquet(pairs_path)
+        deg = (
+            pairs.select(F.col("u").alias("node"))
+            .unionAll(pairs.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        # deg is saved beside ek: n_vertices/n_edges/undirected-wedge
+        # totals are closed-form over it (|V| = count, |E| = Σd/2,
+        # wedges = ΣC(d,2)), replacing a double ek scan + DISTINCT
+        # exchange in every counting run.
+        deg.write.mode("overwrite").parquet(deg_path)
+        mark_artifact(deg_path, fp)
+        deg = spark.read.parquet(deg_path)
+        du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+        dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+        u_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        oriented = (
+            pairs.join(du, "u")
+            .join(dv, "v")
+            .select(
+                F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+                F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            )
+        )
+        oriented.write.mode("overwrite").parquet(ek_path)
+        mark_artifact(ek_path, fp)
+        adj = (
+            spark.read.parquet(ek_path)
+            .groupBy("src")
+            .agg(F.collect_list("dst").alias("nbrs"))
+        )
+        adj.write.mode("overwrite").parquet(adj_path)
+        mark_artifact(adj_path, fp)
+    return (
+        spark.read.parquet(ek_path),
+        spark.read.parquet(deg_path),
+        spark.read.parquet(adj_path),
+    )
+
+
 @register("g_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("J10", "J1", "A2"), headline=True)
 def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count on the part co-order graph via
@@ -150,65 +245,18 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffled relations are |E| and |V| sized. Integer keys and
     counts end-to-end: bit-identical under any partitioning.
     """
-    from ..sources import (
-        artifact_is_current,
-        mark_artifact,
-        scratch_dir,
-        table_fingerprint,
-    )
-
-    ek_path = scratch_dir(sf_dir, "triangles") + "/ek"
-    fp = table_fingerprint(sf_dir, "lineitem", params="tri_orient_v1")
-    if not artifact_is_current(ek_path, fp):
-        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        pairs = (
-            li.alias("a")
-            .join(li.alias("b"), "l_orderkey")
-            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-            .select(
-                F.col("a.l_partkey").alias("u"),
-                F.col("b.l_partkey").alias("v"),
-            )
-            .distinct()
-        )
-        deg = (
-            pairs.select(F.col("u").alias("node"))
-            .unionAll(pairs.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-        dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-        u_first = (F.col("du") < F.col("dv")) | (
-            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-        )
-        oriented = (
-            pairs.join(du, "u")
-            .join(dv, "v")
-            .select(
-                F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-                F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-                F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-            )
-        )
-        oriented.write.mode("overwrite").parquet(ek_path)
-        mark_artifact(ek_path, fp)
-    ek = spark.read.parquet(ek_path)
+    ek, deg, adj = _triangle_artifacts(spark, sf_dir)
     # Closing pass as adjacency-set intersection, NOT a wedge-row join:
     # exploding wedges materializes + shuffles O(E^1.5) rows (41M at
-    # sf0.1) every run just to probe the edge list. Instead build the
-    # out-adjacency table (|V| rows, array length capped at O(sqrt E) by
-    # the orientation — the same bound that caps the wedge table) and
-    # count, per oriented edge (u, v), the common out-neighbors
-    # |N+(u) ∩ N+(v)|: d with u→d and v→d closes the triangle whose
-    # apex is u (u→v, u→d, v→d), and no other edge of that triangle has
-    # a common OUT-neighbor — so the sum counts each triangle exactly
-    # once. Work is Σ_edges(d+(u) + d+(v)) = O(E^1.5), the same bound,
-    # but the only shuffles are the |V|-row groupBy and two equi-joins
-    # of the edge list against it (AQE broadcasts the adjacency side
-    # when it is small). Wedge count is closed-form per source:
-    # Σ C(d+, 2). Measured 4.96s -> 1.96s warm at sf0.1.
-    adj = ek.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # sf0.1) every run just to probe the edge list. Count, per oriented
+    # edge (u, v), the common out-neighbors |N+(u) ∩ N+(v)|: d with u→d
+    # and v→d closes the triangle whose apex is u (u→v, u→d, v→d), and
+    # no other edge of that triangle has a common OUT-neighbor — so the
+    # sum counts each triangle exactly once. Work is
+    # Σ_edges(d+(u) + d+(v)) = O(E^1.5), the standard bound, but the
+    # only relations moved are |E| and |V| sized (the planner broadcasts
+    # the adjacency side when it fits, else hash-joins — both scale).
+    # Wedge count is closed-form per source: Σ C(d+, 2).
     wedge_cnt = adj.agg(
         F.coalesce(
             F.sum(
@@ -234,16 +282,14 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = wedge_cnt.crossJoin(F.broadcast(tri_cnt))
-    n_vertices = (
-        ek.select(F.col("src").alias("node"))
-        .unionAll(ek.select(F.col("dst").alias("node")))
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    # |V| and |E| closed-form over the saved degree table: every vertex
+    # of the pair graph has d >= 1, and Σd counts each edge twice.
+    vstats = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.coalesce(F.expr("sum(d) div 2"), F.lit(0).cast("long")).alias("n_edges"),
     )
-    n_edges = ek.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
-        n_vertices.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(counts))
+        vstats.crossJoin(F.broadcast(counts))
         .select("n_vertices", "n_edges", "n_wedges", "n_triangles")
     )
 
@@ -839,84 +885,30 @@ def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     the part co-order graph — how much more do baskets close triangles
     than a random graph would (transitivity), the single-number
     summary downstream of `g_triangle_count`. Reuses g_triangle_count's
-    FINGERPRINTED oriented-edge artifact (src, dst, dd) verbatim, so
-    the expensive orderkey self-join + orientation pass is paid once
-    per data version across both queries; wedge fan-out stays
-    O(E^1.5) by the same degree ordering. Exact integers end-to-end;
-    the coefficient in integer ppm.
+    per-process oriented-edge/degree/adjacency artifacts verbatim
+    (_triangle_artifacts), so the orderkey basket pass + orientation is
+    paid once per process across both queries. The closing pass is the
+    same bounded adjacency-set intersection (Σ|N+(u) ∩ N+(v)| over
+    oriented edges — counts each triangle exactly once at its apex),
+    replacing the r10 plan's materialized O(E^1.5) wedge-row self-join;
+    the denominator is closed-form over the saved undirected degrees.
+    Exact integers end-to-end; the coefficient in integer ppm.
     """
-    from ..sources import (
-        artifact_is_current,
-        mark_artifact,
-        scratch_dir,
-        table_fingerprint,
-    )
-
-    # Same artifact (path + fingerprint params) as g_triangle_count —
-    # whichever query runs first builds it; the other scans parquet.
-    ek_path = scratch_dir(sf_dir, "triangles") + "/ek"
-    fp = table_fingerprint(sf_dir, "lineitem", params="tri_orient_v1")
-    if not artifact_is_current(ek_path, fp):
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_partkey"
-        )
-        pairs = (
-            li.alias("a")
-            .join(li.alias("b"), "l_orderkey")
-            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-            .select(
-                F.col("a.l_partkey").alias("u"),
-                F.col("b.l_partkey").alias("v"),
-            )
-            .distinct()
-        )
-        deg0 = (
-            pairs.select(F.col("u").alias("node"))
-            .unionAll(pairs.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        du = deg0.select(F.col("node").alias("u"), F.col("d").alias("du"))
-        dv = deg0.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-        u_first = (F.col("du") < F.col("dv")) | (
-            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-        )
-        (
-            pairs.join(du, "u")
-            .join(dv, "v")
-            .select(
-                F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-                F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-                F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-            )
-            .write.mode("overwrite")
-            .parquet(ek_path)
-        )
-        mark_artifact(ek_path, fp)
-    ek = spark.read.parquet(ek_path)
-    oriented = ek.select("src", "dst")
-    # Undirected degree per node, recovered from the oriented artifact.
-    deg = (
-        ek.select(F.col("src").alias("node"))
-        .unionAll(ek.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    x, y = ek.alias("x"), ek.alias("y")
-    owedges = (
-        x.join(y, "src")
-        .filter(
-            (F.col("x.dd") < F.col("y.dd"))
-            | ((F.col("x.dd") == F.col("y.dd")) & (F.col("x.dst") < F.col("y.dst")))
-        )
-        .select(F.col("x.dst").alias("b"), F.col("y.dst").alias("c"))
-    )
+    ek, deg, adj = _triangle_artifacts(spark, sf_dir)
     tri = (
-        owedges.join(
-            oriented,
-            (F.col("b") == F.col("src")) & (F.col("c") == F.col("dst")),
+        ek.select("src", "dst")
+        .join(adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),
+              F.col("src") == F.col("u"))
+        .join(adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
+              F.col("dst") == F.col("v"))
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("nu", "nv")).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_triangles")
         )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     wedge_total = deg.agg(
         F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("n_wedges")

@@ -13,7 +13,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..operators.dedup import (
-    exact_dedup,
+    exact_dedup_counts,
     jaccard_pairs,
     lsh_candidate_pairs,
     simhash64_table,
@@ -45,13 +45,16 @@ def n_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mangled = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"), F.upper("text").alias("text")
     )
-    # Repartition after the union: the single-file parquet scan yields one
-    # partition, and without this the sha256 hashing of the doubled corpus
-    # runs serially in that one task (a straggler factory at scale).
-    corpus = d.unionByName(mangled).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return exact_dedup(corpus, "doc_id", "text").select("doc_id", "n_copies")
+    # Aggregation form (round 11): the (survivor, n_copies) report needs
+    # no survivor payload, so the window+sort plan (round-robin exchange
+    # + hash exchange + full sort) collapses to ONE partial+final hash
+    # aggregate — the corpus is hashed map-side in the scan tasks and
+    # only (hash, min-id, count) partials cross the exchange. At scale
+    # the scan parallelism comes from the file splits themselves; the
+    # old explicit repartition existed only to spread rows for the
+    # window sort.
+    corpus = d.unionByName(mangled)
+    return exact_dedup_counts(corpus, "doc_id", "text")
 
 
 @register(

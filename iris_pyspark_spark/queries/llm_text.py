@@ -230,26 +230,29 @@ def pipeline_data_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper("text").alias("text"),
             "source",
         )
-    ).repartition(spark.sparkContext.defaultParallelism)
-    # ^ the single-file scan arrives as ONE partition; without the
-    # repartition the dedup hashing and quality scoring of the doubled
-    # corpus serialize in a single task.
-    # Single-pass accounting: every text-derived scalar (hash, token
-    # count, quality) is computed MAP-SIDE and `text` is dropped before
-    # any shuffle — the dedup window then moves ~40-byte rows, not
-    # document bodies, and the per-source rollup is one conditional
-    # aggregation. The naive form (three aggregate branches joined back
-    # together) re-executes the corpus per branch; a window over rows
-    # still carrying `text` shuffles the whole corpus bytes. Same
-    # numbers, same oracle.
+    )
+    # ONE exchange does double duty (round 11): repartitioning BY the
+    # dedup hash both spreads the doubled corpus out of the single-file
+    # scan partition AND establishes exactly the clustering the dedup
+    # window needs — hashpartitioning(__text_hash) satisfies the
+    # window's distribution, so the r10 plan's separate round-robin
+    # exchange + hash exchange collapse into one. The corpus bytes now
+    # cross the network once instead of twice; only sha256 runs before
+    # the exchange (token count / quality score still run after, in
+    # parallel), and the per-source rollup stays one conditional
+    # aggregation over ~40-byte rows. Same numbers, same oracle.
     from ..operators.dedup import normalized_text_hash
 
-    skinny = corpus.select(
-        "doc_id",
-        "source",
-        normalized_text_hash(F.col("text")).alias("__text_hash"),
-        token_count_whitespace("text").alias("n_tok"),
-        quality_score("text").alias("quality"),
+    skinny = (
+        corpus.withColumn("__text_hash", normalized_text_hash(F.col("text")))
+        .repartition(F.col("__text_hash"))
+        .select(
+            "doc_id",
+            "source",
+            "__text_hash",
+            token_count_whitespace("text").alias("n_tok"),
+            quality_score("text").alias("quality"),
+        )
     )
     w = Window.partitionBy("__text_hash")
     flagged = skinny.withColumn(

@@ -55,6 +55,30 @@ def test_exact_dedup_null_and_case(spark):
     assert out[3] == 2 and 4 not in out
 
 
+def test_exact_dedup_counts_matches_window_form(spark):
+    """The round-11 aggregation form (one hash aggregate, no window
+    sort) must emit exactly the rows of the window form's
+    (id, n_copies) projection — including the null-hash group."""
+    from iris_pyspark_spark.operators.dedup import exact_dedup_counts
+
+    df = _docs(
+        spark,
+        [(1, "Hello"), (2, "  hello "), (3, None), (4, None), (5, "other"),
+         (6, "OTHER"), (7, "unique")],
+    )
+    window_form = {
+        (r.doc_id, r.n_copies)
+        for r in exact_dedup(df, "doc_id", "text")
+        .select("doc_id", "n_copies")
+        .collect()
+    }
+    agg_form = {
+        (r.doc_id, r.n_copies)
+        for r in exact_dedup_counts(df, "doc_id", "text").collect()
+    }
+    assert agg_form == window_form
+
+
 def test_sessionize_single_event_per_user(spark):
     df = spark.createDataFrame(
         [Row(user_id=1, event_id=1, ts=dt.datetime(2024, 1, 1, 10, 0, 0))]
