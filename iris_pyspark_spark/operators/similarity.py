@@ -298,28 +298,54 @@ def cosine_topk_blockwise(
         q_norm += q_mat[:, i] * q_mat[:, i]
     q_norm = np.sqrt(q_norm)
 
+    # Inner query blocking (round 11): the dim-at-a-time loop allocates
+    # an (queries × batch) float64 temporary per dimension; with the
+    # whole slab as one block that working set scales with slab size
+    # (65536-query slab × 250-row batch = 131 MB per dimension — pure
+    # memory-bandwidth burn). Chunking the query side keeps every
+    # temporary ~1 MB (cache-resident) at ANY slab size, so slab sizing
+    # can be chosen for driver round-trip count alone. Per-pair float
+    # ops and their order are untouched — results are bit-identical.
+    _q_chunk = 512
+
     def block_topk(batches):
         for pdf in batches:
             c_ids = pdf[c_id].to_numpy()
             c_mat = np.vstack(pdf[c_vec].to_numpy()).astype(np.float64)
             n = c_mat.shape[0]
-            acc = np.zeros((m, n))
             c_norm = np.zeros(n)
-            for i in range(dim):  # dimension-at-a-time: left-fold order per pair
-                acc += q_mat[:, i : i + 1] * c_mat[None, :, i]
+            for i in range(dim):
                 c_norm += c_mat[:, i] * c_mat[:, i]
-            sim = acc / (q_norm[:, None] * np.sqrt(c_norm)[None, :])
-            self_mask = q_ids[:, None] == c_ids[None, :]
-            sim_masked = np.where(self_mask, -np.inf, sim)
+            c_nrm = np.sqrt(c_norm)
             kk = min(k, n)
-            # local top-k per query: sim DESC, neighbor id ASC on ties
-            order = np.lexsort((c_ids[None, :].repeat(m, 0), -sim_masked), axis=1)[:, :kk]
-            rows = {
-                out_query_col: np.repeat(q_ids, kk),
-                out_neighbor_col: c_ids[order].ravel(),
-                "sim": np.take_along_axis(sim_masked, order, axis=1).ravel(),
-            }
-            out = pd.DataFrame(rows)
+            chunks = []
+            for s in range(0, m, _q_chunk):
+                qm = q_mat[s : s + _q_chunk]
+                qi = q_ids[s : s + _q_chunk]
+                qn = q_norm[s : s + _q_chunk]
+                mm = qm.shape[0]
+                acc = np.zeros((mm, n))
+                for i in range(dim):  # dimension-at-a-time: left-fold order per pair
+                    acc += qm[:, i : i + 1] * c_mat[None, :, i]
+                sim = acc / (qn[:, None] * c_nrm[None, :])
+                self_mask = qi[:, None] == c_ids[None, :]
+                sim_masked = np.where(self_mask, -np.inf, sim)
+                # local top-k per query: sim DESC, neighbor id ASC on ties
+                order = np.lexsort(
+                    (c_ids[None, :].repeat(mm, 0), -sim_masked), axis=1
+                )[:, :kk]
+                chunks.append(
+                    pd.DataFrame(
+                        {
+                            out_query_col: np.repeat(qi, kk),
+                            out_neighbor_col: c_ids[order].ravel(),
+                            "sim": np.take_along_axis(sim_masked, order, axis=1).ravel(),
+                        }
+                    )
+                )
+            if not chunks:
+                continue
+            out = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             yield out[out["sim"] != -np.inf]
 
     schema = T.StructType(

@@ -138,12 +138,12 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" appended token")).alias("text"),
         )
     )
-    # Repartition so downstream shingling/hashing fans out instead of
-    # running inside the union's single scan task (single-file scans
-    # arrive as one partition).
-    return d.unionByName(variants).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # Repartition BY doc_id (round 11): spreads the corpus out of the
+    # union's single scan partition like the old round-robin did, but
+    # hashpartitioning(doc_id) is exactly the clustering every consumer
+    # needs next — shingle_rows' per-doc window and the signature
+    # groupBy(doc_id) reuse it instead of adding a second exchange.
+    return d.unionByName(variants).repartition(F.col("doc_id"))
 
 
 # MinHash uses xxhash64, which DuckDB lacks → deterministic rows-only.
@@ -999,7 +999,15 @@ def n_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = d.withColumn("text", F.concat(prefix, F.lit(" "), tail)).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    corpus = d.unionByName(copies).repartition(spark.sparkContext.defaultParallelism)
+    # No spread repartition (round 11): the paragraph explode is fused
+    # into the scan and the very next operator is the md5(para) window
+    # exchange, so a round-robin exchange of the full documents bought
+    # parallel tokenization at the cost of moving every byte twice. At
+    # scale the scan splits provide the map-side parallelism; locally
+    # the tokenize of the doubled corpus is trivial. 3 exchanges -> 2 —
+    # the two that are fundamental (decide per paragraph digest,
+    # reassemble per document).
+    corpus = d.unionByName(copies)
 
     toks = F.split(F.lower(F.col("text")), " ")
     n_paras = F.ceil(F.size(toks) / F.lit(float(_PARA)))

@@ -75,14 +75,19 @@ SELECT vec_id, neighbor_id, sim, rnk FROM (
 def n_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine, top-3 neighbors per vector — sharded blockwise
     self-similarity (operators/similarity.py: cosine_topk_selfsim).
-    The query side is collected in bounded slabs (≤1000 vectors ≈ 0.5 MB
-    at dim 64), never the whole corpus; each slab broadcasts against the
-    streamed corpus and only local top-k rows shuffle. Nothing quadratic
-    is materialized and driver memory is constant in corpus size."""
+    The query side is collected in bounded slabs (the operator's 65536
+    default ≈ 32 MB at dim 64), never the whole corpus; each slab
+    broadcasts against the streamed corpus and only local top-k rows
+    shuffle. Nothing quadratic is materialized and driver memory is
+    constant in corpus size. (Round 11: the former slab_rows=1000
+    override shrank each driver round-trip to 0.5 MB — two slabs and
+    double the job count at sf0.1 for no memory benefit at any scale;
+    slab partitioning is proven separately by the operator's
+    multi-slab invariance tests.)"""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = cosine_topk_selfsim(
         e,
-        c_id="vec_id", c_vec="embedding", k=3, dim=DIM, slab_rows=1000,
+        c_id="vec_id", c_vec="embedding", k=3, dim=DIM,
         out_query_col="q_id", out_neighbor_col="neighbor_id",
     )
     return out.select(

@@ -1007,22 +1007,41 @@ def a_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100).cast("long").alias("d"),
         F.round(F.col("l_tax") * 100).cast("long").alias("t"),
     )
+    # Mixed-width accumulation (round 11, guide §2.3 narrower types):
+    # the nine sums whose per-row terms are bounded by the data model
+    # (q <= 50 quantity units, d <= 10 discount points, t <= 8 tax
+    # points — max product q*q = 2500) accumulate as LONG, which cannot
+    # overflow below ~3.7e15 rows (int64 max / 2500), four orders of
+    # magnitude past the 100 TB lineitem row count. Only the six
+    # price-cent sums (p ~ 1e7 cents; p*p ~ 1e14 per row overflows
+    # int64 within one sf0.1 partition) pay the decimal(38,0) slow
+    # path. Everything is cast back to decimal(38,0) in the ONE-row
+    # post-aggregation projection, so the stack() unpivot and the
+    # exact-integer Pearson formulas below see identical types and
+    # values — measured 0.76s -> 0.62s for the aggregate at sf0.1.
     stats = leaves.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec(q)).alias("sq"),
+        F.sum(q).alias("sq"),
         F.sum(dec(p)).alias("sp"),
-        F.sum(dec(d)).alias("sd"),
-        F.sum(dec(t)).alias("st"),
-        F.sum(dec(q * q)).alias("sqq"),
+        F.sum(d).alias("sd"),
+        F.sum(t).alias("st"),
+        F.sum(q * q).alias("sqq"),
         F.sum(dec(p * p)).alias("spp"),
-        F.sum(dec(d * d)).alias("sdd"),
-        F.sum(dec(t * t)).alias("stt"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(t * t).alias("stt"),
         F.sum(dec(q * p)).alias("sqp"),
-        F.sum(dec(q * d)).alias("sqd"),
-        F.sum(dec(q * t)).alias("sqt"),
+        F.sum(q * d).alias("sqd"),
+        F.sum(q * t).alias("sqt"),
         F.sum(dec(p * d)).alias("spd"),
         F.sum(dec(p * t)).alias("spt"),
-        F.sum(dec(d * t)).alias("sdt"),
+        F.sum(d * t).alias("sdt"),
+    ).select(
+        "n",
+        *[
+            (F.col(c) if c in ("sp", "spp", "sqp", "spd", "spt") else dec(F.col(c))).alias(c)
+            for c in ("sq", "sp", "sd", "st", "sqq", "spp", "sdd", "stt",
+                      "sqp", "sqd", "sqt", "spd", "spt", "sdt")
+        ],
     )
     pairs = stats.selectExpr(
         "n",
