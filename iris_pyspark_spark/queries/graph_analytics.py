@@ -44,16 +44,10 @@ def g_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources import scratch_dir
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = li.dropDuplicates(["l_orderkey", "l_partkey"])
-    a, b = pairs.alias("a"), pairs.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
+    # Both orientations expand from per-order baskets in one pass (see
+    # _basket_pairs); pagerank_integer dropDuplicates the edge set.
+    edges = _basket_pairs(spark, sf_dir, symmetric=True).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
     )
 
     from ..operators.graph import pagerank_integer
@@ -295,6 +289,41 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _basket_pairs(spark: SparkSession, sf_dir: str, symmetric: bool = False) -> DataFrame:
+    """Co-order part pairs expanded from per-order baskets — the
+    round-11 replacement for the `lineitem a JOIN lineitem b ON
+    a.l_orderkey = b.l_orderkey` self-join every graph query carried:
+    ONE shuffle of lineitem into (orderkey → part set), then the pairs
+    expand in-task from each bounded basket (codegen Generates, no
+    interpreted lambdas). Identical row multiset to the self-join
+    (collect_set dedups per order exactly like the per-order
+    dropDuplicates did), at half the lineitem scans and shuffles.
+
+    Returns (u, v) with per-order multiplicity — callers that need the
+    edge SET apply .distinct() (as they did before), callers that need
+    co-occurrence counts aggregate directly. `symmetric=True` emits
+    both orientations in the same single pass, replacing the
+    union-of-swapped-subplan pattern that re-executed the whole build.
+    Basket size is bounded by lines-per-order (the data model), so the
+    expansion is O(lines²) per order, never cross-order."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("arr")
+    )
+    if symmetric:
+        return (
+            baskets.select(F.col("arr"), F.explode("arr").alias("u"))
+            .select("u", F.explode("arr").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+    return baskets.select(
+        F.col("arr"), F.posexplode("arr").alias("i", "u")
+    ).select(
+        "u",
+        F.explode(F.slice(F.col("arr"), F.col("i") + 2, F.size("arr"))).alias("v"),
+    )
+
+
 def _coorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The undirected part co-order pair list (u < v), shared by the
     BFS / link-prediction / harmonic-centrality queries as ONE
@@ -310,14 +339,10 @@ def _coorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs_path = scratch_dir(sf_dir, "coorder") + "/pairs"
-    fp = table_fingerprint(sf_dir, "lineitem", params="coorder_pairs_v1")
+    fp = table_fingerprint(sf_dir, "lineitem", params="coorder_pairs_v2")
     if not artifact_is_current(pairs_path, fp):
-        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         (
-            li.alias("a")
-            .join(li.alias("b"), "l_orderkey")
-            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-            .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+            _basket_pairs(spark, sf_dir)
             .distinct()
             .write.mode("overwrite")
             .parquet(pairs_path)
@@ -601,17 +626,8 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources import scratch_dir
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = li.dropDuplicates(["l_orderkey", "l_partkey"])
-    a, b = pairs.alias("a"), pairs.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .dropDuplicates()
+    edges = _basket_pairs(spark, sf_dir).dropDuplicates().select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
     )
 
     from ..operators.graph import kcore
@@ -710,18 +726,8 @@ def g_modularity_brand_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join; brand labels attach via two part-table equi-joins;
     everything aggregates combinably to |brands| rows.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    io = li.dropDuplicates(["l_orderkey", "l_partkey"])
-    a, b = io.alias("a"), io.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .dropDuplicates()
-    )
+    pairs = _basket_pairs(spark, sf_dir).dropDuplicates()
     pu = part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("bu"))
     pv = part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bv"))
     labeled = pairs.join(pu, "u").join(pv, "v")
@@ -803,17 +809,7 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the `a_log2_histogram` rule — no float log), edges from the
     bounded orderkey self-join, degrees one combinable count.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    io = li.dropDuplicates(["l_orderkey", "l_partkey"])
-    a, b = io.alias("a"), io.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .dropDuplicates()
-    )
+    pairs = _basket_pairs(spark, sf_dir).dropDuplicates()
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -989,15 +985,9 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed by node, no driver state, no recursion; rounds are
     data-independent stages, and deeper propagation would materialize
     per round exactly like operators.graph.connected_components."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = li.dropDuplicates(["l_orderkey", "l_partkey"])
-    a, b = pairs.alias("a"), pairs.alias("b")
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
+        _basket_pairs(spark, sf_dir, symmetric=True)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
     part = load_table(spark, sf_dir, "part").select(
@@ -1094,16 +1084,8 @@ def g_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacked-endpoint aggregation; conductance is positive integer ppm
     floor division. The 1-row total-volume broadcast closes the
     min(vol, complement) comparison without a second edge pass."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    io = li.dropDuplicates(["l_orderkey", "l_partkey"])
-    a, b = io.alias("a"), io.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .dropDuplicates()
-    )
+    pairs = _basket_pairs(spark, sf_dir).dropDuplicates()
     pu = part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("bu"))
     pv = part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bv"))
     labeled = pairs.join(pu, "u").join(pv, "v")
@@ -1195,19 +1177,7 @@ def g_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     club edges are two degree-table equi-joins back onto the edge list
     — no pair enumeration beyond the existing edges. φ is exact
     integer ppm (2·E_k·10⁶ DIV N_k(N_k−1))."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    io = li.dropDuplicates(["l_orderkey", "l_partkey"])
-    a, b = io.alias("a"), io.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .dropDuplicates()
-    )
+    pairs = _basket_pairs(spark, sf_dir).dropDuplicates()
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -1308,22 +1278,7 @@ def g_avg_neighbor_degree_curve(
     curve itself is one combinable rollup into LENGTH(BIN(d))
     power-of-two bands (the log2-histogram rule — exact, never float
     log)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    io = li.dropDuplicates(["l_orderkey", "l_partkey"])
-    a, b = io.alias("a"), io.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .dropDuplicates()
-    )
-    edges = pairs.unionAll(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    edges = _basket_pairs(spark, sf_dir, symmetric=True).dropDuplicates()
     deg = edges.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )

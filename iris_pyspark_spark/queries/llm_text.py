@@ -568,44 +568,46 @@ def _bm25_scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ).write.mode("overwrite").parquet(idx)
         mark_artifact(idx, fp)
+    # Wide-row scoring (round 11): the index row already holds every
+    # per-doc input (dl, tf per query term), so scoring is ONE index
+    # scan + a single-row broadcast of (n_docs, avgdl, df per term) + a
+    # map-side projection. The previous serve path re-shaped the wide
+    # rows into (doc, tok, tf) postings and joined them back to dl/df/
+    # stats — six scans of the same parquet, two aggregation exchanges
+    # and a pivot groupBy, all to recompute columns it had already
+    # read. Values are identical: each term's contribution uses the
+    # same float expression on the same (tf, df, dl, n_docs, avgdl)
+    # inputs, summed in the same fixed term order, and the match filter
+    # keeps exactly the docs the inner-built contrib table kept.
     lengths = spark.read.parquet(idx)
-    dl = lengths.select("doc_id", "dl")
-    stats = dl.agg(
+    stats = lengths.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    tf_long = [
-        lengths.filter(F.col(f"tf_{i}") > 0).select(
-            "doc_id", F.lit(t).alias("tok"), F.col(f"tf_{i}").alias("tf")
+
+    def term_contrib(i: int) -> F.Column:
+        tf = F.col(f"tf_{i}")
+        df = F.col(f"df_{i}")
+        c = (
+            F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+            * (tf * (_BM25_K1 + 1))
+            / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
         )
-        for i, t in enumerate(_BM25_TERMS)
-    ]
-    tf = tf_long[0].unionByName(tf_long[1]).unionByName(tf_long[2])
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    contrib = (
-        tf.join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
+        return F.when(tf > 0, c).otherwise(F.lit(0.0))
+
+    matched = (
+        lengths.filter(
+            (F.col("tf_0") > 0) | (F.col("tf_1") > 0) | (F.col("tf_2") > 0)
+        )
         .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "tok",
-            (
-                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * (F.col("tf") * (_BM25_K1 + 1))
-                / (
-                    F.col("tf")
-                    + _BM25_K1
-                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("c"),
-        )
     )
-    pivot = [
-        F.coalesce(F.max(F.when(F.col("tok") == t, F.col("c"))), F.lit(0.0))
-        for t in _BM25_TERMS
-    ]
-    return contrib.groupBy("doc_id").agg(
-        F.round(pivot[0] + pivot[1] + pivot[2], 6).alias("bm25")
+    return matched.select(
+        "doc_id",
+        F.round(term_contrib(0) + term_contrib(1) + term_contrib(2), 6).alias("bm25"),
     )
 
 

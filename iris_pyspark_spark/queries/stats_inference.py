@@ -86,14 +86,17 @@ def a_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = li.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     )
-    a = item_orders.alias("a")
-    b = item_orders.alias("b")
+    # Pair generation from per-order baskets (round 11, shared helper):
+    # one lineitem shuffle + in-task expansion instead of the two-scan
+    # orderkey self-join; the per-order multiplicity feeding n_ab is
+    # identical by construction.
+    from .graph_analytics import _basket_pairs
+
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        _basket_pairs(spark, sf_dir)
         .groupBy(
-            F.col("a.l_partkey").alias("item_a"),
-            F.col("b.l_partkey").alias("item_b"),
+            F.col("u").alias("item_a"),
+            F.col("v").alias("item_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
