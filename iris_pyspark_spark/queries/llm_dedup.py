@@ -300,6 +300,34 @@ _ORACLE_BUILDERS["n_embedding_near_dup"] = _near_dup_oracle
 _set_oracle("n_embedding_near_dup")
 
 
+def _neardup_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-process SimHash signature artifact over the planted near-dup
+    corpus, shared by n_simhash and n_dedup_method_agreement (round
+    11). The signature table feeds BOTH sides of the band self-join
+    (and, in the agreement audit, three separate consumers); without
+    materialization only the tokenize exchange is reused
+    (ReusedExchange) and the 64-column conditional aggregation of
+    simhash64_table re-runs once per consumer. Codegen table form —
+    identical values to the simhash64() fold, without the interpreted
+    lambdas."""
+    from ..sources import (
+        artifact_is_current,
+        mark_artifact,
+        scratch_dir,
+        table_fingerprint,
+    )
+
+    sig_path = scratch_dir(sf_dir, "simhash_sigs")
+    fp = table_fingerprint(sf_dir, "documents", params="simhash64-neardup")
+    if not artifact_is_current(sig_path, fp):
+        corpus = _near_dup_corpus(spark, sf_dir)
+        simhash64_table(corpus, "doc_id", "text").write.mode("overwrite").parquet(
+            sig_path
+        )
+        mark_artifact(sig_path, fp)
+    return spark.read.parquet(sig_path)
+
+
 @register("n_simhash", oracle=None, tags=("N2",))
 def n_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (Hamming ≤ 8) over the same planted
@@ -312,30 +340,7 @@ def n_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies), `ham_ok` pins every emitted pair inside the Hamming limit
     the operator promises. Map-only additions, nothing in the join path.
     """
-    from ..sources import (
-        artifact_is_current,
-        mark_artifact,
-        scratch_dir,
-        table_fingerprint,
-    )
-
-    corpus = _near_dup_corpus(spark, sf_dir)
-    # Codegen table form (explode + combinable 64-sum agg) — identical
-    # values to the simhash64() fold, without the interpreted lambdas.
-    sigs = simhash64_table(corpus, "doc_id", "text")
-    # The signature table feeds BOTH sides of the band self-join;
-    # materialize it once per process (round 11) — same artifact
-    # discipline as the MinHash signatures. Without it only the
-    # tokenize exchange is reused (ReusedExchange) and the 64-column
-    # conditional aggregation runs once per join side (measured 5.3s ->
-    # 4.8s warm at sf0.1; the remaining cost is candidate volume from
-    # the 7-bit pigeonhole bands — the price of the recall guarantee).
-    sig_path = scratch_dir(sf_dir, "simhash_sigs")
-    fp = table_fingerprint(sf_dir, "documents", params="simhash64-neardup")
-    if not artifact_is_current(sig_path, fp):
-        sigs.write.mode("overwrite").parquet(sig_path)
-        mark_artifact(sig_path, fp)
-    sigs = spark.read.parquet(sig_path)
+    sigs = _neardup_simhash_sigs(spark, sf_dir)
     pairs = simhash_near_pairs(sigs, "doc_id", "simhash", max_hamming=8)
     return pairs.select(
         "id_a",
@@ -1484,21 +1489,26 @@ def n_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the agreement join operates on bare (id_a, id_b) longs."""
     from ..operators.dedup import (
         lsh_candidate_pairs,
-        simhash64_table,
         simhash_near_pairs,
     )
     from ..sources import scratch_dir, table_fingerprint
 
     corpus = _near_dup_corpus(spark, sf_dir)
     sig_path = scratch_dir(sf_dir, "minhash_signatures")
-    fp = table_fingerprint(
-        sf_dir, "documents", params="neardup-shingle3-hash32"
-    )
+    fp = table_fingerprint(sf_dir, "documents", params="neardup-k3-h32")
     mh = lsh_candidate_pairs(
         corpus, "doc_id", "text",
         materialize_path=sig_path, materialize_fingerprint=fp,
     ).select("id_a", "id_b")
-    sigs = simhash64_table(corpus, "doc_id", "text")
+    # NOTE the fp params match n_minhash_lsh's exactly (same corpus,
+    # same k/h): the two queries share one signature artifact instead
+    # of invalidating each other's (they previously used different
+    # params strings for identical contents, so running one always
+    # rebuilt over the other's artifact).
+    # Shared per-process SimHash signature artifact (round 11): this
+    # audit consumes the signature table three times (pair join + both
+    # stats legs); the parquet-backed frame makes each a plain scan.
+    sigs = _neardup_simhash_sigs(spark, sf_dir)
     sh = simhash_near_pairs(sigs, "doc_id", "simhash", max_hamming=8).select(
         "id_a", "id_b"
     )

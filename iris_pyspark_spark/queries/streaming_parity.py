@@ -2851,11 +2851,13 @@ def st_state_type_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(pdf) == 0:
                 continue
             n += len(pdf)
-            eid = pdf["event_id"]
+            # ndarray reductions: ~5x cheaper than the pandas Series
+            # ones at this per-group call volume (guide §4).
+            eid = pdf["event_id"].to_numpy()
             lo, hi = int(eid.min()), int(eid.max())
             mn = lo if mn is None else min(mn, lo)
             mx = hi if mx is None else max(mx, hi)
-            cents_sum += int(pdf["v_cents"].sum())
+            cents_sum += int(pdf["v_cents"].to_numpy().sum())
         state.update((n, mn, mx, cents_sum))
         yield pd.DataFrame(
             {
