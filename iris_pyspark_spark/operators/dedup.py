@@ -135,6 +135,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     materialize_path: str | None = None,
     materialize_fingerprint: str | None = None,
+    with_estimate: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: docs agreeing on ALL rows of at
     least one band land in the same bucket; the bucket equi-join emits
@@ -205,6 +206,12 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not with_estimate:
+        # Candidate pairs only (round 11): consumers that just count or
+        # set-compare candidates don't need est_jaccard, and the two
+        # signature re-attach joins below survive column pruning (an
+        # inner join can't be optimized away), so skip them outright.
+        return pairs
     sig_a = signed.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = signed.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(

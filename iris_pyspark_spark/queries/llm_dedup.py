@@ -1429,6 +1429,9 @@ def n_lsh_parameter_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands=bands,
             materialize_path=sig_path,
             materialize_fingerprint=fp,
+            # Counts only — skip the est_jaccard signature re-attach
+            # joins (round 11; they survive column pruning otherwise).
+            with_estimate=False,
         )
         outs.append(
             pairs.agg(
@@ -1499,6 +1502,9 @@ def n_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = lsh_candidate_pairs(
         corpus, "doc_id", "text",
         materialize_path=sig_path, materialize_fingerprint=fp,
+        # Set algebra over bare (id_a, id_b) — no est_jaccard needed,
+        # so skip the signature re-attach joins (round 11).
+        with_estimate=False,
     ).select("id_a", "id_b")
     # NOTE the fp params match n_minhash_lsh's exactly (same corpus,
     # same k/h): the two queries share one signature artifact instead
@@ -1916,6 +1922,11 @@ def n_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = winnowed.select(
         "doc_id", F.expr("SUBSTR(sel, 1, 32)").alias("h")
     ).dropDuplicates()
+    # NOTE (round 11, measured): fps feeds four consumers, but its
+    # dropDuplicates exchange is IDENTICAL under each of them, so
+    # ReusedExchange already computes the 5-gram+md5+window chain once
+    # — an explicit parquet materialization here measured 4.4s -> 7.8s
+    # (the write cost with no recompute saved). Left lazy deliberately.
     doc_sizes = fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fps")
     )
