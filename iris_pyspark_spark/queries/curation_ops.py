@@ -189,8 +189,12 @@ def n_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("extra prefix "), F.col("text")).alias("text"),
             )
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(F.col("doc_id"))
     )
+    # ^ keyed by doc_id (round 11): shingle_rows' per-doc window reuses
+    # hashpartitioning(doc_id), so the spread exchange and the window
+    # exchange (which would otherwise move the EXPLODED token rows)
+    # collapse into this one document-row shuffle.
     eval_sh = (
         shingle_rows(eval_docs, "doc_id", "text", _SH_K)
         .dropDuplicates(["doc_id", "__sh"])

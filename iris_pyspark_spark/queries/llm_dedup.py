@@ -522,14 +522,17 @@ def n_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("  "), F.col("text"), F.lit(" ")).alias("text"),
             )
         )
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     from ..operators.dedup import normalized_text_hash
     from pyspark.sql.window import Window as W
 
+    # Hash map-side, then ONE skinny exchange keyed by the hash (round
+    # 11): the chain window below reuses hashpartitioning(h), so the
+    # former round-robin exchange of the tripled corpus TEXT plus a
+    # second (doc_id, h) exchange collapse into one 40-byte-row shuffle.
     hashed = corpus.select(
         "doc_id", normalized_text_hash(F.col("text")).alias("h")
-    )
+    ).repartition(F.col("h"))
     w = W.partitionBy("h").orderBy("doc_id")
     edges = (
         hashed.withColumn("src", F.lag("doc_id").over(w))
@@ -611,12 +614,17 @@ def n_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.col("text"), F.lit("  ")).alias("text"),
             )
         )
-        .repartition(spark.sparkContext.defaultParallelism)
     )
-    classified = incoming.select(
-        "doc_id", normalized_text_hash(F.col("text")).alias("h")
-    ).join(
-        history.withColumn("in_history", F.lit(True)), "h", "left"
+    # Hash map-side, then ONE skinny exchange keyed by the hash (round
+    # 11): the batch-dedup window below reuses hashpartitioning(h) and
+    # the history join probes on the same key, so the former
+    # round-robin text exchange + (doc_id, h) window exchange collapse.
+    classified = (
+        incoming.select(
+            "doc_id", normalized_text_hash(F.col("text")).alias("h")
+        )
+        .repartition(F.col("h"))
+        .join(history.withColumn("in_history", F.lit(True)), "h", "left")
     )
     w = Window.partitionBy("h").orderBy("doc_id")
     return classified.select(
@@ -851,7 +859,11 @@ def n_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 400000).alias("doc_id"),
             F.concat(F.lit("prefix words here "), F.col("text")).alias("text"),
         )
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).repartition(F.col("doc_id"))
+    # ^ keyed by doc_id (round 11): shingle_rows' per-doc window reuses
+    # hashpartitioning(doc_id), so the spread exchange and the window
+    # exchange (which would otherwise move the EXPLODED token rows)
+    # collapse into this one document-row shuffle.
     spans = (
         shingle_rows(corpus, "doc_id", "text", _SPAN_K)
         .dropDuplicates(["doc_id", "__sh"])
@@ -1663,22 +1675,23 @@ def n_dedup_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "source",
             )
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("__h", F.sha2(F.lower(F.trim(F.col("text"))), 256))
+        .repartition(F.col("__h"))
     )
+    # ^ ONE exchange keyed by the dedup hash (round 11): it spreads the
+    # tripled corpus out of the single-file scan AND clusters it for
+    # the keep-first window, collapsing the former round-robin + window
+    # exchanges; the corpus text crosses the network once.
     sized = corpus.withColumn(
         "n_tok", F.size(F.split(F.lower(F.col("text")), " ")).cast("long")
     )
     exact_kept = (
         sized.withColumn(
             "rn",
-            F.row_number().over(
-                Window.partitionBy(
-                    F.sha2(F.lower(F.trim(F.col("text"))), 256)
-                ).orderBy("doc_id")
-            ),
+            F.row_number().over(Window.partitionBy("__h").orderBy("doc_id")),
         )
         .filter(F.col("rn") == 1)
-        .drop("rn")
+        .drop("rn", "__h")
     )
     from ..operators.dedup import jaccard_pairs
 

@@ -1002,27 +1002,35 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle pins it), (5) deterministic 80/10/10 split by id hash,
     (6) per-(split, lang) accounting with the input size carried along.
     Catalyst fuses the map-side stages (redact, gate, split) into the
-    dedup shuffle's output: the corpus moves through exactly THREE
-    exchanges (scan fan-out, dedup hash, final group) no matter how
-    many logical stages compose — the input-size scalar is computed
-    straight from the base table so the corpus branch is never
-    recomputed for bookkeeping."""
+    dedup shuffle's output: the corpus moves through exactly TWO
+    exchanges (the dedup-hash shuffle, which also fans the scan out,
+    and the final group) no matter how many logical stages compose —
+    the input-size scalar is computed straight from the base table so
+    the corpus branch is never recomputed for bookkeeping."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    corpus = d.unionByName(
-        d.filter(F.col("doc_id") % 3 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.upper("text").alias("text"),
-            "lang",
+    # ONE exchange does double duty (round 11, same move as
+    # pipeline_data_curation): repartitioning BY the dedup hash both
+    # spreads the doubled corpus out of the single-file scan partition
+    # AND establishes the dedup window's clustering, so the separate
+    # round-robin + window-hash exchanges collapse — the corpus text
+    # crosses the network once, not twice. Same rows, same oracle.
+    corpus = (
+        d.unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.upper("text").alias("text"),
+                "lang",
+            )
         )
-    ).repartition(spark.sparkContext.defaultParallelism)
-
-    w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy(
-        "doc_id"
+        .withColumn("__h", F.sha2(F.lower(F.trim(F.col("text"))), 256))
+        .repartition(F.col("__h"))
     )
+
+    w = Window.partitionBy("__h").orderBy("doc_id")
     deduped = (
         corpus.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn")
+        .drop("rn", "__h")
     )
     seeded = F.concat(
         F.col("text"),
