@@ -188,14 +188,15 @@ def test_zorder_map_side_until_agg(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan[:2000]
 
 
-def test_pretrain_pipeline_three_exchanges(spark, sf_dir):
-    """Six logical stages, three data exchanges: scan fan-out, dedup
-    hash, final group. The redact/gate/split stages must fuse into the
-    dedup shuffle's output, and the input-size scalar must not re-run
-    the corpus branch (only one RoundRobin repartition in the plan)."""
+def test_pretrain_pipeline_two_exchanges(spark, sf_dir):
+    """Six logical stages, TWO data exchanges (round 11): the dedup-hash
+    repartition (which also fans the scan out — no separate RoundRobin
+    spread remains) and the final group. The redact/gate/split stages
+    must fuse into the dedup shuffle's output, and the input-size
+    scalar must not re-run the corpus branch."""
     plan = _executed_plan(spark, "pipeline_pretrain_corpus", sf_dir)
     assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
-    assert plan.count("RoundRobinPartitioning") == 1, plan[:2000]
+    assert plan.count("RoundRobinPartitioning") == 0, plan[:2000]
 
 
 def test_semi_rollup_probe_only_single_shuffle(spark, sf_dir):
