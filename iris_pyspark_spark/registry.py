@@ -101,79 +101,54 @@ def register(
 #: exactly the first 50 entries), so the prefix must span EVERY SURVEY §2
 #: row — tests/test_registry_order.py pins that invariant.
 #:
-#: Round-11 rotation: rounds 1-10 driver-proved 472 distinct queries; this
-#: round's 50 slots again go EXCLUSIVELY to queries with no successful
-#: driver row, per VERDICT r10 task 3: first the UNION of the 34 §2 rows
-#: whose never-checked pool is down to exactly 2 members, taking BOTH
-#: members of each pair so those pools convert together (37 distinct
-#: queries — e.g. u_iter_quantile_sketch+a_hll_exact_bands empty A4,
-#: u_udtf_rollup_expand+a_rollup_map_mode empty A5, j_star_semi_anti_census
-#: +st_sliding_star_gate empty J4/J6, j_asof_csv_rates+j_asof_ordered_spine
-#: empty J8, m_asset_embedding_knn+n_knn_holdout_eval empty N4,
-#: o_weekday_cohort_except+o_segment_symdiff_prune empty P7/O4, the
-#: st_* sliding/session gates empty T1/T2/T3/T5/T6, the u_pandas/u_iter
-#: eighth-wave providers empty U1/U3/U4/U5/P1/S2/S6); then one
-#: rows-only-by-design slot (n_minhash_jaccard_calibration, VERDICT r10
-#: task 7 — keeps the self-validation pattern under driver exercise);
-#: then greedy multi-tag row-coverage fills; then a drain of the largest
-#: unproven pools (A1 98, F3 38, N5 32, A2 31). Tag coverage of all 66
-#: rows is preserved (pinned in tests/test_registry_order.py).
+#: Round-12 rotation: rounds 1-11 driver-proved 522 distinct queries,
+#: leaving 151 never-checked; this round's 50 slots again go EXCLUSIVELY
+#: to queries with no successful driver row (VERDICT r11 task 10): two
+#: rows-only-by-design slots first (n_simhash, g_pagerank_parts — keeps
+#: the self-validation pattern under driver exercise and drains the
+#: 7-member rows-only tail), then a greedy tag cover over the oracled
+#: remainder so the 50 still span every SURVEY §2 row, then a drain of
+#: the largest unproven pools (the w_*/f_* function providers, the
+#: product-analytics A1/A7 block). Env-gated queries
+#: (st_transform_with_state) never take a sweep slot — a driver row
+#: that errors on a missing optional dependency would read as a
+#: failure. Tag coverage of all 66 rows is preserved (pinned in
+#: tests/test_registry_order.py).
 _PRIORITY = (
-    # ---- round-11 sweep prefix: 50 never-driver-checked slots ----
-    "u_iter_quantile_sketch",
-    "a_hll_exact_bands",
-    "u_udtf_rollup_expand",
-    "a_rollup_map_mode",
-    "a_map_collect_entries",
-    "u_pandas_json_risk",
-    "s_json_lines_roundtrip",
-    "a_ipf_raking",
-    "e_ipw_adjustment",
-    "j_star_semi_anti_census",
-    "st_sliding_star_gate",
-    "s_constraint_audit_all_tables",
-    "j_asof_csv_rates",
-    "j_asof_ordered_spine",
-    "m_manifest_dedup_audit",
-    "n_udtf_prefix_contamination",
-    "m_asset_embedding_knn",
-    "n_knn_holdout_eval",
-    "t_m4_downsample",
-    "o_weekday_cohort_except",
-    "o_segment_symdiff_prune",
-    "u_pandas_udaf_mad_band",
-    "s_json_nested_audit",
-    "sql_execute_immediate",
-    "sql_q88_time_bands",
-    "u_iter_csv_extremes",
-    "s_parquet_storage_report",
-    "s_incremental_agg_maintenance",
-    "s_two_level_partition_prune",
-    "t_tumbling_window",
-    "st_sliding_append_eviction",
-    "st_session_static_gate",
-    "st_session_dedup_quiet",
-    "u_grouped_map_gap_sessions",
-    "st_apply_state_day_census",
-    "t_event_order_skew",
-    "u_udaf_winsorized_share",
-    "n_minhash_jaccard_calibration",
-    "n_tfidf_doc_similarity",
-    "e_snaive_forecast_backtest",
-    "s_rendezvous_sharding",
-    "n_encoding_audit",
-    "a_cooks_distance_outliers",
-    "s_provenance_manifest",
-    "e_linear_attribution",
-    "e_markov_next_event_eval",
-    "m_av_sync_drift",
-    "e_decay_engagement_score",
-    "t_fiscal_445_calendar",
-    "t_pinball_loss_eval",
-    # ---- slots past the 50-entry sweep budget: every remaining
-    # never-driver-checked query, registration order, so a larger
-    # sweep still lands on new proof first ----
-    "s_analyze_table_stats",
+    # ---- round-12 sweep prefix: 50 never-driver-checked slots ----
+    # Two rows-only-by-design entries hold prefix slots (n_simhash,
+    # g_pagerank_parts — the xxhash64-signature / iterative-pagerank
+    # self-validating patterns, VERDICT r10 task 7 lineage), then a
+    # greedy tag cover so the 50 still span every SURVEY row, then a
+    # drain of the largest unproven pools (window/scalar-function
+    # providers, the ninth-wave restocks, product-analytics A1/A7).
+    "g_pagerank_parts",
+    "n_simhash",
+    "e_attribution_window_sweep",
+    "u_udaf_p90_census",
+    "n_search_diversity_cap",
+    "n_dedup_knn_pipeline",
+    "a_hodges_lehmann_estimator",
+    "u_udtf_hll_buckets",
+    "u_pandas_json_gate",
+    "st_tumbling_sliding_union",
+    "st_session_static_anti",
+    "s_topk_parquet_report",
+    "j_star_prune_broadcast",
+    "st_state_value_extremes",
+    "u_pandas_band_filter",
+    "n_embedding_drift_psi",
+    "j_asof_spine_except",
+    "a_rollup_label_share",
+    "s_observe_qc_metrics",
+    "s_profile_table",
+    "n_sentence_stats",
+    "u_udaf_kmv_distinct",
+    "st_sliding_static_semi",
+    "m_patch_knn_rank",
+    "g_community_conductance",
+    "n_rouge_ngram_overlap",
+    "n_postings_compression_estimate",
     "a_exact_quantiles",
     "a_percentile_cont_disc",
     "w_moving_avg",
@@ -182,7 +157,6 @@ _PRIORITY = (
     "w_first_last_nth",
     "f_string_funcs",
     "f_hash_funcs",
-    "f_hash_spark_native",
     "f_date_advanced",
     "f_bitwise_funcs",
     "f_higher_order_funcs",
@@ -198,19 +172,20 @@ _PRIORITY = (
     "e_bounce_rate",
     "e_shapley_attribution",
     "e_funnel_exclusion_steps",
+    # ---- slots past the 50-entry sweep budget: every remaining
+    # never-driver-checked query, registration order, so a larger
+    # sweep still lands on new proof first ----
+    "s_analyze_table_stats",
+    "f_hash_spark_native",
     "e_nps_score_ci",
     "e_gains_lift_table",
     "st_transform_with_state",
-    "s_observe_qc_metrics",
-    "s_profile_table",
     "j_bloom_runtime_filter",
     "s_benford_qc",
     "n_bigram_lm_score",
     "n_dataset_card",
     "n_lang_quality_bands",
     "n_bpe_pair_counts",
-    "n_rouge_ngram_overlap",
-    "n_sentence_stats",
     "n_code_detection_score",
     "n_blocklist_filter",
     "n_stemming_normalize",
@@ -222,31 +197,25 @@ _PRIORITY = (
     "n_langid_confusion_matrix",
     "n_preference_cycle_audit",
     "n_filter_ablation_matrix",
-    "n_search_diversity_cap",
     "n_slice_eval_metrics",
     "n_truncation_loss_sweep",
     "n_codeswitch_audit",
     "n_hashing_collision_sweep",
     "n_chao1_good_turing",
-    "n_postings_compression_estimate",
     "n_moe_load_balance_proxy",
-    "n_simhash",
     "n_minhash_lsh_mllib",
     "n_lsh_parameter_sensitivity",
     "n_lsh_br_planner",
-    "n_embedding_drift_psi",
     "n_embedding_isotropy",
     "n_curriculum_phases",
     "n_group_kfold",
     "m_payload_integrity_audit",
     "m_magic_bytes_sniff",
-    "g_pagerank_parts",
     "g_bfs_hops",
     "g_harmonic_centrality",
     "g_modularity_brand_partition",
     "g_degree_distribution",
     "g_clustering_coefficient",
-    "g_community_conductance",
     "g_rich_club_coefficient",
     "g_avg_neighbor_degree_curve",
     "g_square_count",
@@ -266,7 +235,6 @@ _PRIORITY = (
     "a_mutual_information_2d",
     "a_empirical_bayes_shrinkage",
     "a_cvar_expected_shortfall",
-    "a_hodges_lehmann_estimator",
     "a_negbin_moments_fit",
     "a_theil_decomposition",
     "a_jackknife_gini_se",
@@ -285,7 +253,6 @@ _PRIORITY = (
     "e_chain_ladder_ltv",
     "e_segment_migration_matrix",
     "e_price_elasticity",
-    "e_attribution_window_sweep",
     "e_weibull_survival_fit",
     "e_abc_xyz_matrix",
     "a_cohens_kappa",
@@ -299,32 +266,16 @@ _PRIORITY = (
     "a_k_anonymity_audit",
     "n_dp_noisy_counts",
     "s_crypto_shredding",
-    # ---- ninth restock wave (round 11, never-checked) ----
-    "a_rollup_label_share",
     "a_cube_priority_mode",
-    "u_udaf_p90_census",
-    "u_udaf_kmv_distinct",
-    "u_udtf_hll_buckets",
-    "u_pandas_json_gate",
-    "u_pandas_band_filter",
-    "j_star_prune_broadcast",
     "j_broadcast_semi_gate",
-    "j_asof_spine_except",
     "j_asof_sink_rates",
     "u_iter_csv_digest",
     "s_json_struct_lines",
-    "s_topk_parquet_report",
     "m_fingerprint_anti_audit",
-    "m_patch_knn_rank",
-    "n_dedup_knn_pipeline",
     "n_fold_split_eval",
     "st_tumbling_late_census",
-    "st_sliding_static_semi",
-    "st_session_static_anti",
-    "st_tumbling_sliding_union",
     "st_type_session_dedup",
     "st_state_type_census",
-    "st_state_value_extremes",
 )
 
 

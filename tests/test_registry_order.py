@@ -55,36 +55,35 @@ def test_prefix_queries_are_oracled_where_possible():
     reg = load_all()
     prefix = dict(itertools.islice(reg.items(), SWEEP_BUDGET))
     allowed_no_oracle = {
-        # Rows-only by design (self-validates with *_ok pinned-invariant
-        # columns; MinHash signatures have no exact SQL oracle). Holds a
-        # round-11 prefix slot per VERDICT r10 task 7 so the rows-only
-        # tail (9 never-checked remaining at r10 close) keeps converting
+        # Rows-only by design (self-validates with planted/ham_ok pinned
+        # invariant columns; the xxhash64-based SimHash signature has no
+        # DuckDB oracle). Holds a round-12 prefix slot so the rows-only
+        # tail (7 never-checked remaining at r11 close) keeps converting
         # to driver-checked rather than sitting permanently unchecked.
-        "n_minhash_jaccard_calibration",
-        # S4's never-checked pool is down to exactly 2 members and this
-        # is one of them (physical storage/footer stats — no SQL oracle;
-        # self-validates with *_ok pins). Taking both S4 members empties
-        # that pool together, per VERDICT r10 task 3.
-        "s_parquet_storage_report",
+        "n_simhash",
+        # Rows-only by design (iterative PageRank has no single-statement
+        # SQL oracle; self-validates with mass-conservation pins). Second
+        # rows-only slot of the round-12 sweep, same rotation policy.
+        "g_pagerank_parts",
     }
     no_oracle = {n for n, q in prefix.items() if q.oracle is None}
     assert no_oracle <= allowed_no_oracle, no_oracle
 
 
 def test_sweep_prefix_is_all_previously_unchecked():
-    """Round-11 rotation contract: every slot in the 50-entry sweep prefix
+    """Round-12 rotation contract: every slot in the 50-entry sweep prefix
     must be a query with NO SUCCESSFUL driver correctness row from rounds
-    1-10, so the round-11 sweep converts in-repo green into driver proof at
+    1-11, so the round-12 sweep converts in-repo green into driver proof at
     the maximum rate. A row whose `err` is a hard error counts as
     UNCHECKED — the fix still needs driver proof. (Coverage of all §2
     rows is preserved by tags — see
     test_first_50_entries_cover_every_survey_row.)
 
-    Deliberately pinned to rounds 1-10: round 11's prefix IS the set the
-    round-11 driver sweep proves, so including CORRECTNESS_r11.json here
-    would fail the moment it lands. ROUND 12 BUILDER: re-rotate _PRIORITY
-    to the still-unproven remainder (and add r11 to this list) the same
-    way rounds 3-11 rotated away from their predecessors."""
+    Deliberately pinned to rounds 1-11: round 12's prefix IS the set the
+    round-12 driver sweep proves, so including CORRECTNESS_r12.json here
+    would fail the moment it lands. ROUND 13 BUILDER: re-rotate _PRIORITY
+    to the still-unproven remainder (and add r12 to this list) the same
+    way rounds 3-12 rotated away from their predecessors."""
     import json
     import os
 
@@ -101,6 +100,7 @@ def test_sweep_prefix_is_all_previously_unchecked():
         "CORRECTNESS_r08.json",
         "CORRECTNESS_r09.json",
         "CORRECTNESS_r10.json",
+        "CORRECTNESS_r11.json",
     ):
         path = os.path.join(root, fname)
         if not os.path.exists(path):
