@@ -109,6 +109,14 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort
 
+    # Drop warm-up (sf0.001) artifact builds from the build-seconds
+    # report: the additive key below should hold only the builds paid at
+    # the SF under test (run 1 of the measured loop), i.e. the cold
+    # first-consumer cost the warm min-of-N numbers hide.
+    from iris_pyspark_spark.sources import ARTIFACT_BUILD_SECONDS
+
+    ARTIFACT_BUILD_SECONDS.clear()
+
     # Four measured runs per query, report the fastest: the container
     # this runs in shows 3-8x wall-clock spikes from external CPU
     # contention (same plan, same data, back-to-back runs: 36s vs 4s),
@@ -138,6 +146,8 @@ def main() -> None:
         medians[name] = round(med, 4)
 
     calib_after = _calibration_sec()
+    from iris_pyspark_spark.sources import ARTIFACT_BUILD_SECONDS
+
     print(
         json.dumps(
             {
@@ -146,6 +156,20 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                # Effective parallelism of the session that ran the
+                # queries (additive key, round 12): local[$SPARK_GRAFT_CPUS]
+                # is applied at session build (session.py), but the JSON
+                # never RECORDED it, so a reader of two runs at different
+                # core counts could not verify the env var was honored
+                # (PERF_r11 mis-flagged suspect_cpus_ignored).
+                "cores": spark.sparkContext.defaultParallelism,
+                # One-time scratch-artifact build seconds paid inside
+                # this process (additive key, round 12): min-of-N is warm
+                # for artifact-backed queries (run 1 pays the build), so
+                # this is the extra cost a cold single-query consumer
+                # would see on first use. Empty when no artifact query
+                # rebuilt anything.
+                "artifact_build_sec": dict(sorted(ARTIFACT_BUILD_SECONDS.items())),
                 # Like-for-like sum over the frozen round-1..4 headline
                 # set — the cross-round comparable number; `value` grows
                 # whenever new headliners are added.

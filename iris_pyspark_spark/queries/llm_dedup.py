@@ -320,10 +320,16 @@ def _neardup_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_path = scratch_dir(sf_dir, "simhash_sigs")
     fp = table_fingerprint(sf_dir, "documents", params="simhash64-neardup")
     if not artifact_is_current(sig_path, fp):
+        import time
+
+        from ..sources import record_build_seconds
+
+        t0 = time.perf_counter()
         corpus = _near_dup_corpus(spark, sf_dir)
         simhash64_table(corpus, "doc_id", "text").write.mode("overwrite").parquet(
             sig_path
         )
+        record_build_seconds("simhash_sigs", time.perf_counter() - t0)
         mark_artifact(sig_path, fp)
     return spark.read.parquet(sig_path)
 
@@ -1758,8 +1764,13 @@ def n_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     est = lsh_candidate_pairs(
         corpus, "doc_id", "text",
         materialize_path=scratch_dir(sf_dir, "minhash_signatures"),
+        # Same params string as n_minhash_lsh / n_dedup_method_agreement:
+        # all three consumers share ONE fingerprint for the identical
+        # signature contents at this path — a divergent string here made
+        # this query invalidate and rebuild the artifact the other two
+        # were serving (ADVICE r11).
         materialize_fingerprint=table_fingerprint(
-            sf_dir, "documents", params="neardup-shingle3-hash32"
+            sf_dir, "documents", params="neardup-k3-h32"
         ),
     ).select("id_a", "id_b", "est_jaccard")
     toks = corpus.select(

@@ -556,6 +556,11 @@ def _bm25_scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir, "documents", params="bm25_v1_" + "_".join(_BM25_TERMS)
     )
     if not artifact_is_current(idx, fp):
+        import time
+
+        from ..sources import record_build_seconds
+
+        t0 = time.perf_counter()
         d = load_table(spark, sf_dir, "documents")
         toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
         toks.groupBy("doc_id").agg(
@@ -567,6 +572,7 @@ def _bm25_scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i, t in enumerate(_BM25_TERMS)
             ],
         ).write.mode("overwrite").parquet(idx)
+        record_build_seconds("bm25_index", time.perf_counter() - t0)
         mark_artifact(idx, fp)
     # Wide-row scoring (round 11): the index row already holds every
     # per-doc input (dl, tf per query term), so scoring is ONE index

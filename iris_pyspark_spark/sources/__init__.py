@@ -16,25 +16,50 @@ read-back, which the `s_partitioned_sink_pruned` query then exercises.
 from __future__ import annotations
 
 import os
+import uuid as _uuid
 
 SCRATCH_ROOT = os.environ.get("IRIS_PYSPARK_SCRATCH", "/tmp/iris_pyspark_scratch")
 
-#: Process nonce folded into every artifact fingerprint (round 11).
-#: Scratch artifacts are *within-invocation* materializations of a
-#: subplan consumed several times (oriented edge lists, MinHash
-#: signatures, BM25 postings); serving one built by a PREVIOUS process
-#: would make a bench/oracle invocation start from precomputed
-#: intermediates instead of the parquet inputs. The nonce makes any
-#: artifact from another process read as stale, so each process builds
-#: its artifacts exactly once (first use) and reuses them only within
-#: itself; the stale files are overwritten in place.
-_PROCESS_NONCE = f"pid={os.getpid()}"
+#: Process nonce folded into every artifact fingerprint (round 11) AND
+#: into the scratch path itself (round 12). Scratch artifacts are
+#: *within-invocation* materializations of a subplan consumed several
+#: times (oriented edge lists, MinHash signatures, BM25 postings);
+#: serving one built by a PREVIOUS process would make a bench/oracle
+#: invocation start from precomputed intermediates instead of the
+#: parquet inputs. The nonce makes any artifact from another process
+#: read as stale, so each process builds its artifacts exactly once
+#: (first use) and reuses them only within itself. Round 12 (ADVICE
+#: r11): the token is uuid4-based, not bare getpid() — Linux pid
+#: recycling could let a later invocation match an earlier builder's
+#: fingerprint and silently serve precomputed intermediates — and the
+#: scratch path is scoped by the token so two CONCURRENT invocations
+#: (bench + oracle) never share a write target (mode('overwrite')
+#: deletes parquet files another process may be lazily reading).
+_PROC_TOKEN = f"p{os.getpid()}-{_uuid.uuid4().hex[:10]}"
+_PROCESS_NONCE = f"proc={_PROC_TOKEN}"
+
+#: Wall-clock seconds spent BUILDING scratch artifacts this process,
+#: keyed by artifact name (additive across rebuilds). bench.py reports
+#: this as an additive JSON key so the warm min-of-N per-query numbers
+#: can be read alongside the one-time build cost a cold consumer pays
+#: (VERDICT r11 task 2).
+ARTIFACT_BUILD_SECONDS: dict[str, float] = {}
+
+
+def record_build_seconds(name: str, sec: float) -> None:
+    """Accumulate artifact build time under `name` (see
+    ARTIFACT_BUILD_SECONDS)."""
+    ARTIFACT_BUILD_SECONDS[name] = round(
+        ARTIFACT_BUILD_SECONDS.get(name, 0.0) + sec, 4
+    )
 
 
 def scratch_dir(sf_dir: str, name: str) -> str:
-    """Deterministic per-(scale-factor, query) scratch path."""
+    """Per-(scale-factor, process, query) scratch path. The process
+    token segment means concurrent invocations write disjoint trees;
+    dead processes' trees are swept by the size-capped GC."""
     sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(SCRATCH_ROOT, sf, name)
+    return os.path.join(SCRATCH_ROOT, sf, _PROC_TOKEN, name)
 
 
 def table_fingerprint(sf_dir: str, *tables: str, params: str = "") -> str:

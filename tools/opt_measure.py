@@ -36,7 +36,7 @@ def main() -> int:
     ap.add_argument("--no-plans", action="store_true")
     ap.add_argument("--no-time", action="store_true")
     ap.add_argument("--plans-dir", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"))
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"))
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,14 +51,18 @@ def main() -> int:
     os.makedirs(args.plans_dir, exist_ok=True)
 
     # Warm codegen at the smallest SF so timing measures steady state.
-    warm_dir = "/root/testdata/sf0.001"
+    # Derived from the SF dir under test (ADVICE r11: a hardcoded
+    # /root/testdata path silently no-ops on other hosts and the
+    # timings quietly measure cold codegen); failures are logged, not
+    # swallowed.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not args.no_time:
         for name in names:
             try:
                 registry[name].fn(spark, warm_dir).write.format("noop").mode(
                     "overwrite").save()
-            except Exception:
-                pass
+            except Exception as exc:
+                print(f"  warmup failed for {name}: {exc!r}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in names:
