@@ -44,10 +44,16 @@ def g_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources import scratch_dir
 
-    # Both orientations expand from per-order baskets in one pass (see
-    # _basket_pairs); pagerank_integer dropDuplicates the edge set.
-    edges = _basket_pairs(spark, sf_dir, symmetric=True).select(
+    # Both orientations of the shared distinct-pair artifact (round 12;
+    # pagerank_integer dropDuplicates its input, so the deduped edge set
+    # is identical — this just stops re-running the basket expansion and
+    # feeds the dedup |2E| rows instead of the multiplicity-bearing
+    # expansion).
+    pairs = _coorder_pairs(spark, sf_dir)
+    edges = pairs.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
 
     from ..operators.graph import pagerank_integer
@@ -132,63 +138,36 @@ def _triangle_artifacts(spark: SparkSession, sf_dir: str):
     is a plain parquet scan (the pre-round-11 plans recomputed the
     collect_list adjacency per consumer and scanned ek five times).
 
-    Build shape (round 11): pair generation via per-order baskets — ONE
-    shuffle of lineitem into (orderkey → sorted part set), then the
-    u < v pairs expand in-task from each bounded basket (posexplode +
-    slice — codegen Generates, no interpreted lambdas). The previous
-    self-join on l_orderkey scanned AND shuffled lineitem twice for the
-    same rows. Basket size is bounded by the data model (lines per
-    order), so the expansion is O(lines²) per order, never cross-order.
-    The degree joins are left unhinted: the planner broadcasts deg when
-    it fits and hash-joins otherwise — both scale.
+    Build shape (round 12): the pair list and the degree table are the
+    FAMILY-WIDE artifacts `_coorder_pairs` / `_pair_degrees` — the
+    round-11 build wrote a private, unfingerprinted `pairs_tmp` copy of
+    the identical pair set next to ek (ADVICE r11: stale temp data
+    accumulating in scratch) and recomputed degrees the other degree
+    consumers also recompute. Now whichever graph query runs first
+    builds the shared pair/degree artifacts once, and this builder only
+    adds the orientation join + adjacency pack on top. The degree joins
+    are left unhinted: the planner broadcasts deg when it fits and
+    hash-joins otherwise — both scale.
     """
+    import time
+
     from ..sources import (
         artifact_is_current,
         mark_artifact,
+        record_build_seconds,
         scratch_dir,
         table_fingerprint,
     )
 
     base = scratch_dir(sf_dir, "triangles")
-    ek_path, deg_path, adj_path = base + "/ek", base + "/deg", base + "/adj"
-    fp = table_fingerprint(sf_dir, "lineitem", params="tri_orient_v2")
+    ek_path, adj_path = base + "/ek", base + "/adj"
+    fp = table_fingerprint(sf_dir, "lineitem", params="tri_orient_v3")
+    deg = _pair_degrees(spark, sf_dir)
     if not (
-        artifact_is_current(ek_path, fp)
-        and artifact_is_current(deg_path, fp)
-        and artifact_is_current(adj_path, fp)
+        artifact_is_current(ek_path, fp) and artifact_is_current(adj_path, fp)
     ):
-        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        baskets = li.groupBy("l_orderkey").agg(
-            F.array_sort(F.collect_set("l_partkey")).alias("arr")
-        )
-        pairs = (
-            baskets.select(F.col("arr"), F.posexplode("arr").alias("i", "u"))
-            .select(
-                "u",
-                F.explode(
-                    F.slice(F.col("arr"), F.col("i") + 2, F.size("arr"))
-                ).alias("v"),
-            )
-            .distinct()
-        )
-        # The pair list feeds BOTH the degree count and the orientation
-        # join; materialize it once so the basket expansion runs once.
-        pairs_path = base + "/pairs_tmp"
-        pairs.write.mode("overwrite").parquet(pairs_path)
-        pairs = spark.read.parquet(pairs_path)
-        deg = (
-            pairs.select(F.col("u").alias("node"))
-            .unionAll(pairs.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        # deg is saved beside ek: n_vertices/n_edges/undirected-wedge
-        # totals are closed-form over it (|V| = count, |E| = Σd/2,
-        # wedges = ΣC(d,2)), replacing a double ek scan + DISTINCT
-        # exchange in every counting run.
-        deg.write.mode("overwrite").parquet(deg_path)
-        mark_artifact(deg_path, fp)
-        deg = spark.read.parquet(deg_path)
+        t0 = time.perf_counter()
+        pairs = _coorder_pairs(spark, sf_dir)
         du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
         dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
         u_first = (F.col("du") < F.col("dv")) | (
@@ -211,9 +190,10 @@ def _triangle_artifacts(spark: SparkSession, sf_dir: str):
         )
         adj.write.mode("overwrite").parquet(adj_path)
         mark_artifact(adj_path, fp)
+        record_build_seconds("triangle_orient", time.perf_counter() - t0)
     return (
         spark.read.parquet(ek_path),
-        spark.read.parquet(deg_path),
+        deg,
         spark.read.parquet(adj_path),
     )
 
@@ -341,14 +321,58 @@ def _coorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs_path = scratch_dir(sf_dir, "coorder") + "/pairs"
     fp = table_fingerprint(sf_dir, "lineitem", params="coorder_pairs_v2")
     if not artifact_is_current(pairs_path, fp):
+        import time
+
+        from ..sources import record_build_seconds
+
+        t0 = time.perf_counter()
         (
             _basket_pairs(spark, sf_dir)
             .distinct()
             .write.mode("overwrite")
             .parquet(pairs_path)
         )
+        record_build_seconds("coorder_pairs", time.perf_counter() - t0)
         mark_artifact(pairs_path, fp)
     return spark.read.parquet(pairs_path)
+
+
+def _pair_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undirected degree table (node, d) of the distinct co-order
+    pair graph, as ONE fingerprinted parquet artifact (round 12). Five
+    queries previously each recomputed the identical degree aggregation
+    from the pair list (triangle orientation, clustering coefficient,
+    degree distribution, rich club, neighbor-degree curve); now the
+    first builds it from the `_coorder_pairs` artifact and the rest
+    scan |V| parquet rows. d = COUNT over both pair endpoints, i.e. the
+    node's distinct-neighbor count — identical to every consumer's
+    inline definition (long-typed either way: count returns long)."""
+    import time
+
+    from ..sources import (
+        artifact_is_current,
+        mark_artifact,
+        record_build_seconds,
+        scratch_dir,
+        table_fingerprint,
+    )
+
+    deg_path = scratch_dir(sf_dir, "coorder") + "/deg"
+    fp = table_fingerprint(sf_dir, "lineitem", params="coorder_deg_v1")
+    if not artifact_is_current(deg_path, fp):
+        t0 = time.perf_counter()
+        pairs = _coorder_pairs(spark, sf_dir)
+        (
+            pairs.select(F.col("u").alias("node"))
+            .unionAll(pairs.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .write.mode("overwrite")
+            .parquet(deg_path)
+        )
+        record_build_seconds("coorder_deg", time.perf_counter() - t0)
+        mark_artifact(deg_path, fp)
+    return spark.read.parquet(deg_path)
 
 
 _BFS_ORACLE = """
@@ -626,7 +650,7 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources import scratch_dir
 
-    edges = _basket_pairs(spark, sf_dir).dropDuplicates().select(
+    edges = _coorder_pairs(spark, sf_dir).select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     )
 
@@ -727,7 +751,7 @@ def g_modularity_brand_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything aggregates combinably to |brands| rows.
     """
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    pairs = _basket_pairs(spark, sf_dir).dropDuplicates()
+    pairs = _coorder_pairs(spark, sf_dir)
     pu = part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("bu"))
     pv = part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bv"))
     labeled = pairs.join(pu, "u").join(pv, "v")
@@ -809,13 +833,11 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the `a_log2_histogram` rule — no float log), edges from the
     bounded orderkey self-join, degrees one combinable count.
     """
-    pairs = _basket_pairs(spark, sf_dir).dropDuplicates()
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    # Degree table from the shared fingerprinted artifact (round 12):
+    # this query needs ONLY degrees, so it scans |V| parquet rows
+    # instead of rebuilding the basket expansion + distinct + degree
+    # aggregation the triangle/rich-club/curve queries also need.
+    deg = _pair_degrees(spark, sf_dir)
     return (
         deg.groupBy(F.length(F.bin("d")).alias("bucket"))
         .agg(
@@ -985,10 +1007,13 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed by node, no driver state, no recursion; rounds are
     data-independent stages, and deeper propagation would materialize
     per round exactly like operators.graph.connected_components."""
-    edges = (
-        _basket_pairs(spark, sf_dir, symmetric=True)
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .dropDuplicates(["src", "dst"])
+    # Symmetric distinct edges = both orientations of the shared pair
+    # artifact (u < v strictly, so the union is already duplicate-free).
+    pairs = _coorder_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
@@ -1085,7 +1110,7 @@ def g_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor division. The 1-row total-volume broadcast closes the
     min(vol, complement) comparison without a second edge pass."""
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    pairs = _basket_pairs(spark, sf_dir).dropDuplicates()
+    pairs = _coorder_pairs(spark, sf_dir)
     pu = part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("bu"))
     pv = part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bv"))
     labeled = pairs.join(pu, "u").join(pv, "v")
@@ -1177,13 +1202,10 @@ def g_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     club edges are two degree-table equi-joins back onto the edge list
     — no pair enumeration beyond the existing edges. φ is exact
     integer ppm (2·E_k·10⁶ DIV N_k(N_k−1))."""
-    pairs = _basket_pairs(spark, sf_dir).dropDuplicates()
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
+    # Shared pair/degree artifacts (round 12): same rows as the inline
+    # basket-expansion + distinct + degree-count this query carried.
+    pairs = _coorder_pairs(spark, sf_dir)
+    deg = _pair_degrees(spark, sf_dir)
     ks = spark.createDataFrame([(2,), (4,), (8,)], ["k"])
     club = (
         deg.crossJoin(F.broadcast(ks))
@@ -1278,10 +1300,15 @@ def g_avg_neighbor_degree_curve(
     curve itself is one combinable rollup into LENGTH(BIN(d))
     power-of-two bands (the log2-histogram rule — exact, never float
     log)."""
-    edges = _basket_pairs(spark, sf_dir, symmetric=True).dropDuplicates()
-    deg = edges.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
+    # Symmetric distinct edge list from the shared pair artifact (both
+    # orientations of the u < v pairs — u != v always, so the union IS
+    # the dropDuplicates'd symmetric expansion), degrees from the shared
+    # degree artifact (d = distinct-neighbor count either way).
+    pairs = _coorder_pairs(spark, sf_dir)
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
+    deg = _pair_degrees(spark, sf_dir)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("d_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("d_v"))
     annotated = edges.join(du, "u").join(dv, "v")
