@@ -839,22 +839,40 @@ def n_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-tokenizes the corpus per consumer (a CTE is not a
     materialization barrier); same artifact discipline as the MinHash
     signature table."""
-    from ..sources import scratch_dir
+    from ..sources import (
+        artifact_is_current,
+        mark_artifact,
+        record_build_seconds,
+        scratch_dir,
+        table_fingerprint,
+    )
 
-    d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.col("text")), " ")
     bigrams_path = scratch_dir(sf_dir, "bigram_table")
-    d.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
-            )
-        ).alias("bg"),
-    ).select(
-        "doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2")
-    ).write.mode("overwrite").parquet(bigrams_path)
+    # Fingerprinted per-process artifact (round 12; same discipline as
+    # the MinHash signature table): the exploded bigram table feeds four
+    # consumers in THIS query and rebuilds were previously unconditional,
+    # so every re-run in a process (bench min-of-N, a second consumer)
+    # re-tokenized the corpus and re-wrote the parquet.
+    fp = table_fingerprint(sf_dir, "documents", params="bigram_table_v1")
+    if not artifact_is_current(bigrams_path, fp):
+        import time
+
+        t0 = time.perf_counter()
+        d = load_table(spark, sf_dir, "documents")
+        t = F.split(F.lower(F.col("text")), " ")
+        d.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                    F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                )
+            ).alias("bg"),
+        ).select(
+            "doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2")
+        ).write.mode("overwrite").parquet(bigrams_path)
+        record_build_seconds("bigram_table", time.perf_counter() - t0)
+        mark_artifact(bigrams_path, fp)
     bigrams = spark.read.parquet(bigrams_path)
     c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))

@@ -806,6 +806,83 @@ def s_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("s_profile_table_approx", oracle=None, tags=("A1", "A4", "A2", "P5"))
+def s_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier of `s_profile_table` (round 12, VERDICT r11 task
+    9): the five exact COUNT(DISTINCT)s — whose Expand x6 multiplies
+    every input row six ways before the partial aggregate — become
+    `approx_count_distinct` (HLL++, rsd parameterized below), which
+    aggregates combinably in ONE pass with no Expand. Everything else
+    (row count, null counts, min/max) is unchanged.
+
+    Rows-only with error-bound pins: the approx pass is the
+    demonstrated plan — ONE combinable aggregation with NO Expand (the
+    plan file proves it) — and a SEPARATE validation-only aggregation
+    computes the exact distincts so `approx_ok` can pin each column's
+    relative error within 3x the configured rsd (HLL++'s ~3 sigma
+    envelope; columns small enough for the sparse exact mode come out
+    with 0 error). A production profiler at scale drops the validation
+    side entirely — the pin is what makes the approximation a measured
+    claim here instead of a folk constant."""
+    return _profile_table_approx(spark, sf_dir, rsd=0.05)
+
+
+def _profile_table_approx(
+    spark: SparkSession, sf_dir: str, rsd: float
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+            F.approx_count_distinct(F.col(c), rsd).alias(f"{c}__approx"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.repartition(spark.sparkContext.defaultParallelism).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__null, {c}__approx, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    approx = one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_null, approx_distinct, min_val, max_val)"
+        ),
+        F.col("n_rows"),
+    )
+    # Validation-only side (dropped at the 100 TB tier): exact distincts
+    # for the error-bound pin.
+    exact_one = o.repartition(spark.sparkContext.defaultParallelism).agg(
+        *[F.count_distinct(F.col(c)).alias(f"{c}__dist") for c in _PROFILE_COLS]
+    )
+    exact_stack = ", ".join(f"'{c}', {c}__dist" for c in _PROFILE_COLS)
+    exact = exact_one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {exact_stack}) AS "
+            "(column_name, n_distinct_exact)"
+        )
+    )
+    rel_err = F.abs(
+        F.col("approx_distinct") - F.col("n_distinct_exact")
+    ) / F.col("n_distinct_exact").cast("double")
+    return (
+        approx.join(F.broadcast(exact), "column_name")
+        .select(
+            "column_name",
+            "n_rows",
+            "n_null",
+            "approx_distinct",
+            "n_distinct_exact",
+            "min_val",
+            "max_val",
+            F.round(rel_err * 1000000).cast("long").alias("rel_err_ppm"),
+            (rel_err <= F.lit(3.0 * rsd)).alias("approx_ok"),
+        )
+        .orderBy("column_name")
+    )
+
+
 _BLOOM_ORACLE = f"""
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,

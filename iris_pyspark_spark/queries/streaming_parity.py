@@ -2198,14 +2198,19 @@ def st_apply_state_day_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (user, day) BUSINESS-KEY grain via `applyInPandasWithState` —
     per key the state is exactly three int64s (n, min_event_id,
     max_event_id), every one of which merges ORDER-INVARIANTLY (sum,
-    min, max), so the census is batch-split-invariant by construction
-    even though the 4-file round-robin source delivers a user's events
-    across micro-batches out of time order. Each batch UPDATEs the
-    key's cumulative row; the final answer takes the row with max n per
-    key (n strictly increases on every touch — the same drain idiom
-    st_apply_state_dedup proves) and rolls the keys up into a per-day
-    duplicate census: keys with n>1 are repeat-activity user-days (T7's
-    dedup-by-key semantics applied to a composite business key).
+    min, max). Round 12 (guide §2.3 "aggregate before you shuffle",
+    VERDICT r11 task 5): the staged source holds per-(user, day)
+    PARTIALS — a plain batch groupBy at staging time computes (n, min,
+    max) per key, and the stateful operator FOLDS partials instead of
+    raw event rows. The per-group state-server round trip is this
+    operator's dominant cost at high key cardinality (~90k group calls
+    over the 4-batch drain at sf0.1 on raw rows); with one partial row
+    per key the drain makes ONE call per key (~22k). Batch-split
+    invariance of the fold is unchanged — the state merges are the
+    same sum/min/max — and stays pinned by the
+    tests/test_operator_edges.py one-trigger-vs-four test; the family's
+    raw-row cross-batch exercise lives in st_apply_state_dedup and
+    st_state_value_extremes, whose keys still span micro-batches.
 
     Scale: state is O(distinct user-days within the stream's horizon) x
     24 bytes; the production form adds a GroupStateTimeout to retire
@@ -2225,25 +2230,37 @@ def st_apply_state_day_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure(spark)
     src = scratch_dir(sf_dir, "aps_day_src")
-    src_fp = table_fingerprint(sf_dir, "events", params="aps-day-src-4part")
+    src_fp = table_fingerprint(sf_dir, "events", params="aps-day-partials-4part")
     if not artifact_is_current(src, src_fp):
-        load_table(spark, sf_dir, "events").select(
-            "event_id", "ts", "user_id"
-        ).repartition(4).write.mode("overwrite").parquet(src)
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "user_id",
+                F.datediff(
+                    F.to_date(F.col("ts").cast("timestamp")),
+                    F.lit("1970-01-01"),
+                )
+                .cast("long")
+                .alias("epoch_day"),
+                "event_id",
+            )
+            .groupBy("user_id", "epoch_day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min("event_id").cast("long").alias("mn"),
+                F.max("event_id").cast("long").alias("mx"),
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
         mark_artifact(src, src_fp)
-    stream = (
-        spark.readStream.schema("event_id long, ts timestamp_ntz, user_id long")
+    keyed = (
+        spark.readStream.schema(
+            "user_id long, epoch_day long, n long, mn long, mx long"
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-    )
-    keyed = stream.select(
-        "user_id",
-        F.datediff(
-            F.to_date(F.col("ts").cast("timestamp")), F.lit("1970-01-01")
-        )
-        .cast("long")
-        .alias("epoch_day"),
-        "event_id",
     )
 
     out_schema = StructType(
@@ -2268,13 +2285,9 @@ def st_apply_state_day_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     _out_cols = ["user_id", "epoch_day", "n", "min_eid", "max_eid"]
 
     def census(key, pdfs, state):
-        # Per-group Python overhead IS this operator's cost at high key
-        # cardinality (~90k group calls over the 4-batch drain at
-        # sf0.1), so the body is tuned per guide §4: ndarray min/max
-        # instead of pandas Series reductions (~5µs vs ~27µs) and the
-        # one-row emission built from a single int64 2-D array (~68µs
-        # vs ~116µs for dict-of-lists) — all columns are int64, so no
-        # per-column boxing. Values and merge order are unchanged.
+        # Folds (n, min, max) PARTIALS — same order-invariant merges as
+        # the raw-row fold, one input row per key per batch. ndarray
+        # reductions + single int64-array emission per guide §4.
         if state.exists:
             n, mn, mx = state.get
         else:
@@ -2282,9 +2295,9 @@ def st_apply_state_day_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            n += len(pdf)
-            eid = pdf["event_id"].to_numpy()
-            lo, hi = int(eid.min()), int(eid.max())
+            n += int(pdf["n"].to_numpy().sum())
+            lo = int(pdf["mn"].to_numpy().min())
+            hi = int(pdf["mx"].to_numpy().max())
             mn = lo if mn is None else min(mn, lo)
             mx = hi if mx is None else max(mx, hi)
         state.update((n, mn, mx))
@@ -2742,15 +2755,27 @@ def st_type_session_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- U2+T4+T7, ninth wave: arbitrary-state (user, type) census ------------------
 
-_APS_SRC_COLS = "event_id long, user_id long, event_type string, v_cents long"
+_APS_SRC_COLS = (
+    "user_id long, event_type string, n long, min_eid long, max_eid long, "
+    "cents long, min_cents long, max_cents long"
+)
 
 
 def _stage_aps_census_src(spark: SparkSession, sf_dir: str) -> str:
     """Stage the shared 4-file round-robin source for the ninth wave's
-    two applyInPandasWithState censuses: (event_id, user_id, event_type,
-    v_cents) with money already exact integer cents. Four files, one per
-    micro-batch — a user's events arrive across batches out of time
-    order, so only ORDER-INVARIANT state merges are sound downstream."""
+    two applyInPandasWithState censuses. Round 12 (guide §2.3
+    "aggregate before you shuffle", VERDICT r11 task 5): the files hold
+    per-(user_id, event_type) PARTIALS — n, min/max event_id, exact
+    cents sum, min/max cents — computed by a plain batch groupBy at
+    staging time, instead of raw event rows. Both downstream censuses
+    fold ONLY order-invariant merges (sum/min/max), so folding partials
+    is value-identical to folding rows, and the per-group state-server
+    round trips (the operator's dominant cost) drop with the row count:
+    the (user, type)-keyed census sees one row per key (~1 call/key);
+    the user-keyed extremes census still receives a user's type-partials
+    round-robin across the 4 files, so cross-batch state merging stays
+    exercised in the family. Money enters the partials as exact integer
+    cents BEFORE summing — identical totals to summing per event."""
     from ..session import configure
     from ..sources import (
         artifact_is_current,
@@ -2761,14 +2786,29 @@ def _stage_aps_census_src(spark: SparkSession, sf_dir: str) -> str:
 
     configure(spark)
     src = scratch_dir(sf_dir, "aps_census_src_r11")
-    fp = table_fingerprint(sf_dir, "events", params="aps-census-src-r11-4part")
+    fp = table_fingerprint(sf_dir, "events", params="aps-census-partials-r12-4part")
     if not artifact_is_current(src, fp):
-        load_table(spark, sf_dir, "events").select(
-            "event_id",
-            "user_id",
-            "event_type",
-            cents(F.col("value")).alias("v_cents"),
-        ).repartition(4).write.mode("overwrite").parquet(src)
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                cents(F.col("value")).alias("v_cents"),
+            )
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min("event_id").cast("long").alias("min_eid"),
+                F.max("event_id").cast("long").alias("max_eid"),
+                F.sum("v_cents").cast("long").alias("cents"),
+                F.min("v_cents").cast("long").alias("min_cents"),
+                F.max("v_cents").cast("long").alias("max_cents"),
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
         mark_artifact(src, fp)
     return src
 
@@ -2803,13 +2843,13 @@ def st_state_type_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2+T4+T7, ninth wave: arbitrary-state census at the (user,
     event_type) BEHAVIORAL grain via applyInPandasWithState — per key
     the state is four int64s (n, min_eid, max_eid, cents_sum), every
-    merge ORDER-INVARIANT (sum/min/max), so the census is batch-split-
-    invariant over the 4-file round-robin source even though a user's
-    events arrive across micro-batches out of order (the
-    st_apply_state_day_census construction at a different key grain
-    with money in the state). Keys touched more than once are repeat-
-    activity (user, type) pairs — T7's dedup-by-key semantics — and the
-    drained per-key rows roll up per type.
+    merge ORDER-INVARIANT (sum/min/max). Round 12: the staged source
+    holds per-(user, type) PARTIALS (see _stage_aps_census_src), so the
+    operator folds one partial row per key instead of every event row —
+    the n/min/max/cents values are identical, the per-group state-server
+    round trips (the dominant cost) drop to ~one call per key. n still
+    counts EVENTS (the sum of partial n's), so the repeat-key census
+    reads exactly as before.
 
     Scale: state is O(distinct user-type pairs) x 32 bytes; one group-
     key shuffle per batch; the rollup runs on the drained census."""
@@ -2843,6 +2883,8 @@ def st_state_type_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def census(key, pdfs, state):
+        # Folds per-(user, type) PARTIALS — same order-invariant merges
+        # as the raw-row fold; ndarray reductions per guide §4.
         if state.exists:
             n, mn, mx, cents_sum = state.get
         else:
@@ -2850,14 +2892,12 @@ def st_state_type_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            n += len(pdf)
-            # ndarray reductions: ~5x cheaper than the pandas Series
-            # ones at this per-group call volume (guide §4).
-            eid = pdf["event_id"].to_numpy()
-            lo, hi = int(eid.min()), int(eid.max())
+            n += int(pdf["n"].to_numpy().sum())
+            lo = int(pdf["min_eid"].to_numpy().min())
+            hi = int(pdf["max_eid"].to_numpy().max())
             mn = lo if mn is None else min(mn, lo)
             mx = hi if mx is None else max(mx, hi)
-            cents_sum += int(pdf["v_cents"].to_numpy().sum())
+            cents_sum += int(pdf["cents"].to_numpy().sum())
         state.update((n, mn, mx, cents_sum))
         yield pd.DataFrame(
             {
@@ -2930,9 +2970,15 @@ def st_state_value_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarsest grain of the construction family: day_census keys
     (user, day), type_census keys (user, type)), state four int64s
     (n, cents_sum, min_cents, max_cents), all merges order-invariant,
-    max-n final-row drain. The census rolls users up by ACTIVITY BAND
-    (n // 25) — the engagement-distribution report — with per-band
-    value extremes surviving the two-level rollup exactly.
+    max-n final-row drain. Round 12: the staged source holds
+    per-(user, type) partials (see _stage_aps_census_src); because this
+    census keys on user_id ALONE, a user's type-partials still arrive
+    round-robin across the 4 micro-batches out of order — the family's
+    live proof that cross-batch state merging is sound — while the rows
+    folded per call drop from every event to one per (user, type). The
+    census rolls users up by ACTIVITY BAND (n // 25, n = true event
+    count = sum of partial n's) — the engagement-distribution report —
+    with per-band value extremes surviving the two-level rollup exactly.
 
     Scale: state is O(users) x 32 bytes; one user-key shuffle per
     batch; the band rollup runs on |users| drained rows."""
@@ -2965,6 +3011,9 @@ def st_state_value_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def extremes(key, pdfs, state):
+        # Folds per-(user, type) partials: n sums the partial counts,
+        # extremes take min-of-mins / max-of-maxes — value-identical to
+        # the raw-row fold.
         if state.exists:
             n, cents_sum, mn, mx = state.get
         else:
@@ -2972,12 +3021,12 @@ def st_state_value_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            n += len(pdf)
-            v = pdf["v_cents"]
-            lo, hi = int(v.min()), int(v.max())
+            n += int(pdf["n"].to_numpy().sum())
+            lo = int(pdf["min_cents"].to_numpy().min())
+            hi = int(pdf["max_cents"].to_numpy().max())
             mn = lo if mn is None else min(mn, lo)
             mx = hi if mx is None else max(mx, hi)
-            cents_sum += int(v.sum())
+            cents_sum += int(pdf["cents"].to_numpy().sum())
         state.update((n, cents_sum, mn, mx))
         yield pd.DataFrame(
             {

@@ -690,18 +690,12 @@ def test_apply_state_day_census_invariant_to_batch_split(spark, sf_dir):
     )
 
     src = scratch_dir(sf_dir, "aps_day_src")  # staged by the call above
-    stream = spark.readStream.schema(
-        "event_id long, ts timestamp_ntz, user_id long"
+    # Round 12: the staged source holds per-(user, day) PARTIALS
+    # (n, mn, mx) — the one-trigger drain folds the same partials the
+    # 4-trigger query folds, proving the fold is batch-split-invariant.
+    keyed = spark.readStream.schema(
+        "user_id long, epoch_day long, n long, mn long, mx long"
     ).parquet(src)  # no maxFilesPerTrigger: one data micro-batch
-    keyed = stream.select(
-        "user_id",
-        F.datediff(
-            F.to_date(F.col("ts").cast("timestamp")), F.lit("1970-01-01")
-        )
-        .cast("long")
-        .alias("epoch_day"),
-        "event_id",
-    )
     out_schema = StructType(
         [
             StructField("user_id", LongType()),
@@ -727,9 +721,8 @@ def test_apply_state_day_census_invariant_to_batch_split(spark, sf_dir):
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            n += len(pdf)
-            eid = pdf["event_id"]
-            lo, hi = int(eid.min()), int(eid.max())
+            n += int(pdf["n"].sum())
+            lo, hi = int(pdf["mn"].min()), int(pdf["mx"].max())
             mn = lo if mn is None else min(mn, lo)
             mx = hi if mx is None else max(mx, hi)
         state.update((n, mn, mx))
