@@ -51,7 +51,12 @@ def st_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return drain_to_table(agg, output_mode="complete")
+    return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
 
 
 _SESSION_ORACLE = """
@@ -99,7 +104,12 @@ def st_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return drain_to_table(agg, output_mode="complete")
+    return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
 
 
 _DEDUP_ORACLE = """
@@ -113,12 +123,18 @@ GROUP BY event_type
 def st_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7, streaming: dropDuplicatesWithinWatermark on event_id (state
     evicted once the watermark passes — the unbounded-stream-safe dedup),
-    then a batch rollup of the drained sink for a checkable result."""
+    then a batch rollup of the drained sink for a checkable result.
+    First-seen rows emit IMMEDIATELY (dedup is a pass-through, not an
+    aggregation), so the trailing no-data micro-batch would only evict
+    state — skipped (round 12), halving the drain's fixed state-store
+    cost with identical output."""
     e = read_events_stream(spark, sf_dir)
     deduped = e.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    sink = drain_to_table(deduped, output_mode="append")
+    sink = drain_to_table(
+        deduped, output_mode="append", no_data_microbatches=False
+    )
     return sink.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
 
 
@@ -149,7 +165,12 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
         )
     )
-    return drain_to_table(agg, output_mode="complete")
+    return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
 
 
 _STREAM_STREAM_ORACLE = """
@@ -170,7 +191,12 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides watermarked with a time-range join condition so the state
     store can evict expired rows — the marquee stateful streaming op.
     Inner joins emit on match (watermarks bound STATE, not output), so
-    the drained result equals the batch self-join exactly."""
+    the drained result equals the batch self-join exactly — which is
+    also why the trailing no-data micro-batch is skipped (round 12):
+    it exists to let watermark expiry EMIT (outer-join flush, append
+    windows); for an inner join it only evicts state, and with four
+    state stores per shuffle partition it was half this drain's fixed
+    cost (~23s -> ~11s at any SF; output rows identical)."""
     clicks = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -202,7 +228,9 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("us_to_purchase"),
     )
-    return drain_to_table(joined, output_mode="append")
+    return drain_to_table(
+        joined, output_mode="append", no_data_microbatches=False
+    )
 
 
 _FB_UPSERT_ORACLE = f"""
@@ -397,7 +425,12 @@ def st_complete_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(cents(F.col("value"))).alias("total_cents"),
     )
-    sink = drain_to_table(agg, output_mode="complete")
+    sink = drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
     # Complete mode re-emits the full table per batch: keep the final
     # state = max per key (counts are monotone across batches).
     return sink.groupBy("event_type").agg(
@@ -450,7 +483,12 @@ def st_sliding_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return drain_to_table(agg, output_mode="complete")
+    return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
 
 
 _TWS_ORACLE = f"""
@@ -930,7 +968,12 @@ def st_replay_determinism(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cents",
             )
         )
-        return drain_to_table(agg, output_mode="complete")
+        return drain_to_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
 
     run1 = one_drain().select(
         F.col("w_start"), F.col("n").alias("n1"), F.col("cents").alias("c1")
@@ -1024,7 +1067,12 @@ def st_union_two_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents",
         )
     )
-    return drain_to_table(agged, "complete").orderBy("w_start")
+    return drain_to_table(
+        agged,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    ).orderBy("w_start")
 
 
 # ---------------------------------------------------------------------------
@@ -1336,7 +1384,12 @@ def st_dedup_then_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = deduped.groupBy(
         F.session_window("ts", "30 minutes"), "user_id"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_instants"))
-    sunk = drain_to_table(sessions, output_mode="complete")
+    sunk = drain_to_table(
+        sessions,
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_microbatches=False,
+    )
     return (
         sunk.groupBy("user_id")
         .agg(
