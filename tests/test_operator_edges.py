@@ -228,6 +228,31 @@ def test_simhash_pigeonhole_at_exact_limit(spark):
     assert len(got) == 1 and got[0].hamming == 8
 
 
+def test_simhash_two_level_no_clean_band(spark):
+    """Round-12 two-level banding: max_hamming=8 splits into FIVE bands
+    (13,13,13,13,12 bits) with single-bit multi-indexing, so a pair can
+    qualify even when EVERY band differs — as long as some band differs
+    by exactly one bit (pigeonhole: 2x5 = 10 > 8 guarantees one). This
+    pair puts 2 differing bits in each of bands 0-2 and exactly 1 in
+    bands 3 and 4: no exact-band match exists anywhere, so recall here
+    depends entirely on the flipped-key probe index."""
+    from iris_pyspark_spark.operators.dedup import simhash_near_pairs
+
+    h1 = 0x5A5A5
+    # bands at offsets 0,13,26,39,52 — flip bits {0,1, 13,14, 26,27, 39, 52}
+    h2 = h1 ^ (
+        (1 << 0) | (1 << 1) | (1 << 13) | (1 << 14)
+        | (1 << 26) | (1 << 27) | (1 << 39) | (1 << 52)
+    )
+    df = spark.createDataFrame([(1, h1), (2, h2)], "doc_id long, simhash long")
+    got = simhash_near_pairs(df, "doc_id", "simhash", max_hamming=8).collect()
+    assert len(got) == 1 and got[0].hamming == 8
+    # One more differing bit pushes past the limit: must NOT be emitted.
+    h3 = h2 ^ (1 << 53)
+    df9 = spark.createDataFrame([(1, h1), (2, h3)], "doc_id long, simhash long")
+    assert simhash_near_pairs(df9, "doc_id", "simhash", max_hamming=8).collect() == []
+
+
 def test_connected_components_chain_and_islands(spark, tmp_path):
     """Transitive closure must cross chains (1-2, 2-3 → one component)
     and keep disjoint components apart; the fixed point is min-id."""
